@@ -1,0 +1,198 @@
+"""Golden parity tests for the XML→Parquet conversion surface.
+
+Golden rows are the reference's documented outputs
+(/root/reference/README.md:120, :168, :178) — the de-facto golden files per
+SURVEY.md §5.
+"""
+
+import gzip
+import json
+import os
+import shutil
+import tarfile
+import zipfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import REF_XML, REF_XSD
+from xml_to_parquet_spark import convert, read_xml_documents
+from xml_to_parquet_spark.sources.xml_source import output_base, read_xml_archives
+from xml_to_parquet_spark.sources.xsd import UnsupportedXsdType, load_xsd_struct
+
+GOLDEN_FULL = json.loads(
+    '{"purchaseOrder":{"purchaseOrder@orderDate":"1999-10-20 00:00:00.000",'
+    '"shipTo":{"shipTo@country":"US","name":"Alice Smith","street":"123 Maple Street",'
+    '"city":"Mill Valley","state":"CA","zip":90952.0},'
+    '"billTo":{"billTo@country":"US","name":"Robert Smith","street":"8 Oak Avenue",'
+    '"city":"Old Town","state":"PA","zip":95819.0},'
+    '"comment":"Hurry, my lawn is going wild!",'
+    '"items":{"item":[{"item@partNum":"872-AA","productName":"Lawnmower","quantity":1,'
+    '"USPrice":148.95,"comment":"Confirm this is electric","shipDate":null},'
+    '{"item@partNum":"926-AA","productName":"Baby Monitor","quantity":1,"USPrice":39.98,'
+    '"comment":null,"shipDate":"1999-05-21 00:00:00.000"}]}}}'
+)
+GOLDEN_INCLUDE = {
+    "purchaseOrder": {
+        "purchaseOrder@orderDate": GOLDEN_FULL["purchaseOrder"]["purchaseOrder@orderDate"],
+        "items": GOLDEN_FULL["purchaseOrder"]["items"],
+    }
+}
+GOLDEN_EXCLUDE = {
+    "purchaseOrder": {
+        k: v
+        for k, v in GOLDEN_FULL["purchaseOrder"].items()
+        if k not in ("comment", "items")
+    }
+}
+
+
+def _row_json(df):
+    return json.loads(
+        df.select(F.to_json(F.struct("*"), {"ignoreNullFields": "false"}).alias("j"))
+        .collect()[0]["j"]
+    )
+
+
+def test_full_convert_matches_reference_golden(spark):
+    df = read_xml_documents(spark, REF_XML, REF_XSD)
+    assert _row_json(df) == GOLDEN_FULL
+
+
+def test_include_path_matches_reference_golden(spark):
+    df = read_xml_documents(spark, REF_XML, REF_XSD, xpaths="/purchaseOrder/items/item")
+    assert _row_json(df) == GOLDEN_INCLUDE
+
+
+def test_exclude_paths_match_reference_golden(spark):
+    df = read_xml_documents(
+        spark, REF_XML, REF_XSD, excludepaths="/purchaseOrder/comment,/purchaseOrder/items"
+    )
+    assert _row_json(df) == GOLDEN_EXCLUDE
+
+
+def test_output_parquet_schema(spark):
+    df = read_xml_documents(spark, REF_XML, REF_XSD)
+    root = df.schema["purchaseOrder"].dataType
+    assert [f.name for f in root.fields] == [
+        "purchaseOrder@orderDate",
+        "shipTo",
+        "billTo",
+        "comment",
+        "items",
+    ]
+    ship = root["shipTo"].dataType
+    assert [f.name for f in ship.fields] == ["shipTo@country", "name", "street", "city", "state", "zip"]
+    assert ship["zip"].dataType.simpleString() == "double"
+    item = root["items"].dataType["item"].dataType.elementType
+    assert [f.name for f in item.fields] == [
+        "item@partNum",
+        "productName",
+        "quantity",
+        "USPrice",
+        "comment",
+        "shipDate",
+    ]
+    assert item["quantity"].dataType.simpleString() == "bigint"
+    assert item["shipDate"].dataType.simpleString() == "string"
+
+
+def test_empty_element_becomes_null(spark, tmp_path):
+    xml = open(REF_XML).read().replace(
+        "<comment>Hurry, my lawn is going wild!</comment>", "<comment/>"
+    )
+    p = tmp_path / "empty.xml"
+    p.write_text(xml)
+    df = read_xml_documents(spark, str(p), REF_XSD)
+    row = _row_json(df)
+    assert row["purchaseOrder"]["comment"] is None
+
+
+def test_multi_file_read_one_row_each(spark, tmp_path):
+    for i in range(3):
+        shutil.copy(REF_XML, tmp_path / f"{i}.xml")
+    df = read_xml_documents(spark, str(tmp_path / "*.xml"), REF_XSD)
+    assert df.count() == 3
+
+
+def test_gzip_input(spark, tmp_path):
+    gz = tmp_path / "PurchaseOrder.xml.gz"
+    with open(REF_XML, "rb") as fin, gzip.open(gz, "wb") as fout:
+        fout.write(fin.read())
+    df = read_xml_documents(spark, str(gz), REF_XSD)
+    assert _row_json(df) == GOLDEN_FULL
+
+
+def test_zip_archive(spark, tmp_path):
+    zp = tmp_path / "orders.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(REF_XML, "a.xml")
+        zf.write(REF_XML, "b.xml")
+    df = read_xml_archives(spark, str(zp), REF_XSD, "zip", file_info=True)
+    rows = df.orderBy("_member").collect()
+    assert len(rows) == 2
+    assert rows[0]["_member"] == "a.xml"
+    fi = rows[0]["file_info"].asDict()
+    assert fi["filename"] == "a.xml"
+    assert fi["zipfile"] == "orders.zip"
+    doc = json.loads(
+        df.filter(F.col("_member") == "a.xml")
+        .select(F.to_json(F.struct("purchaseOrder"), {"ignoreNullFields": "false"}))
+        .collect()[0][0]
+    )
+    assert doc == GOLDEN_FULL
+
+
+def test_tar_archive(spark, tmp_path):
+    tp = tmp_path / "orders.tar.gz"
+    with tarfile.open(tp, "w:gz") as tf:
+        tf.add(REF_XML, "x.xml")
+        tf.add(REF_XML, "y.xml")
+    df = read_xml_archives(spark, str(tp), REF_XSD, "tar", file_info=True)
+    rows = df.orderBy("_member").collect()
+    assert len(rows) == 2
+    assert rows[0]["file_info"]["tarfile"] == "orders.tar.gz"
+
+
+def test_corrupt_zip_skipped(spark, tmp_path):
+    bad = tmp_path / "bad.zip"
+    bad.write_bytes(b"PK\x03\x04 this is not really a zip file")
+    df = read_xml_archives(spark, str(bad), REF_XSD, "zip")
+    assert df.count() == 0
+
+
+def test_union_xsd_rejected(spark, tmp_path):
+    xsd = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:element name="r"><xs:simpleType><xs:union memberTypes="xs:int xs:string"/>
+      </xs:simpleType></xs:element></xs:schema>"""
+    p = tmp_path / "u.xsd"
+    p.write_text(xsd)
+    with pytest.raises(UnsupportedXsdType):
+        load_xsd_struct(spark, str(p))
+
+
+def test_output_naming():
+    assert output_base("/a/b/PurchaseOrder.xml", "/t").endswith("/t/PurchaseOrder")
+    assert output_base("/a/x.xml.gz", "/t").endswith("/t/x")
+    assert output_base("/a/x.tar.gz", "/t").endswith("/t/x")
+    assert output_base("/a/x.zip", "/t").endswith("/t/x")
+
+
+def test_convert_writes_one_parquet_per_input(spark, tmp_path):
+    src = tmp_path / "in"
+    out = tmp_path / "out"
+    src.mkdir()
+    out.mkdir()
+    for i in range(2):
+        shutil.copy(REF_XML, src / f"{i}.xml")
+    written = convert(spark, str(src / "*.xml"), REF_XSD, target_path=str(out))
+    assert sorted(os.path.basename(w) for w in written) == ["0.xml.parquet", "1.xml.parquet"]
+    back = spark.read.parquet(written[0])
+    assert _row_json(back) == GOLDEN_FULL
+
+
+def test_file_info_plain(spark):
+    df = read_xml_documents(spark, REF_XML, REF_XSD, file_info=True)
+    fi = df.select("file_info").collect()[0][0].asDict()
+    assert fi["filename"] == "PurchaseOrder.xml"
+    assert fi["size"] == os.path.getsize(REF_XML)

@@ -1,0 +1,40 @@
+"""Loaders for the driver-generated TPC-H-ish test tables (TESTDATA.md).
+
+All [EXT] operators take (spark, sf_dir) and read parquet from here. Reads
+are plain ``spark.read.parquet`` so Catalyst gets full pushdown/pruning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+# Small dimension tables that should always be broadcast in joins at any SF:
+# their cardinality is fixed (region=5, nation=25) or grows sub-linearly.
+BROADCAST_TABLES = {"region", "nation", "supplier"}
+
+
+def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: table(spark, sf_dir, name) for name in TABLE_NAMES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register all tables as temp views for the SQL API."""
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).createOrReplaceTempView(name)
