@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric", "value", "unit", "queries", "sf"}.
+
+Queries execute to a noop sink so timing covers scan→compute→row production
+without driver materialization overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from xml_to_parquet_spark import get_spark
+from xml_to_parquet_spark.registry import load_all
+
+# Representative slice of SURVEY.md §2.2: scan-agg, join-agg-topk, star
+# join, window, near-dup LSH, text stats, vector top-k, streaming window.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_local_supplier",
+    "window_rank",
+    "topk_per_group",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "text_stats",
+    "sim_topk_cosine",
+    "join_asof",
+    "stream_tumbling_window",
+]
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_spark("bench")
+    registry = load_all()
+
+    # warm the JVM/codegen path once so per-query times measure the engine,
+    # not first-call JIT
+    registry["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+
+    times: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry[name].fn
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        times[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,329 @@
+"""Deduplication operators [EXT] — exact, normalized, MinHash-LSH, SimHash,
+n-gram Jaccard (SURVEY.md §2.2, north-star LLM-pipeline surface).
+
+Every variant is deterministic and md5-based so the DuckDB oracle can
+reproduce values exactly — including the MinHash signatures (min over md5
+hex strings is plain lexicographic min in both engines).
+
+Scale design: near-dup never goes O(n²) on the full corpus — LSH banding
+(minhash) and bucket blocking (simhash) turn candidate generation into an
+equi-join on (band, hash) / (bucket) keys, i.e. a single shuffle whose
+width is the collision count, not n². The only quadratic step left is
+inside buckets, which is the algorithm's contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions.text_fns import (
+    TOKENS_DUCK,
+    TOKENS_SQL,
+    shingles_duck,
+    shingles_sql,
+)
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+NUM_HASHES = 16
+BANDS = 4
+ROWS_PER_BAND = NUM_HASHES // BANDS
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT md5(text) AS text_hash, min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact dedup = hash-groupBy: one shuffle on the 128-bit digest, the
+    canonical 100 TB dedup pass (hash is computed map-side; the exchange
+    carries digests, not documents)."""
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_normalized",
+    """
+    SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                                   ' +', ' ', 'g'))) AS norm_hash,
+           min(doc_id) AS keeper_id, count(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+)
+def dedup_normalized(spark, sf_dir):
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    return (
+        table(spark, sf_dir, "documents")
+        .groupBy(F.md5(norm).alias("norm_hash"))
+        .agg(F.min("doc_id").alias("keeper_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banding
+# ---------------------------------------------------------------------------
+
+
+def _minhash_cols_spark() -> list:
+    return [
+        F.expr(f"array_min(transform(shingles, s -> md5(concat('{j}|', s))))").alias(f"m{j}")
+        for j in range(NUM_HASHES)
+    ]
+
+
+def _band_cols_spark() -> list:
+    cols = []
+    for b in range(BANDS):
+        parts = ", ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND))
+        cols.append(F.expr(f"md5(concat({parts}))").alias(f"b{b}"))
+    return cols
+
+
+def minhash_signatures(spark, sf_dir):
+    """Per-doc MinHash signature: shingle → 16 md5-salted min-hashes.
+    All map-side (no shuffle); the heavy lifting is inside codegen'd
+    higher-order functions.
+
+    The input is repartitioned to the session parallelism first: hashing is
+    CPU-bound and the documents table may arrive as few (or one) splits —
+    without this, all signature work lands on a handful of cores. At real
+    scale the read produces thousands of splits and the repartition is a
+    cheap no-op-sized shuffle either way."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return (
+        docs.filter(F.size("toks") >= 3)
+        .select("doc_id", F.expr(shingles_sql(3)).alias("shingles"))
+        .select("doc_id", *_minhash_cols_spark())
+    )
+
+
+def _minhash_oracle() -> str:
+    mcols = ",\n           ".join(
+        f"list_min(list_transform(shingles, s -> md5('{j}|' || s))) AS m{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({parts}) AS bh FROM sig".format(
+            b=b,
+            parts=" || ".join(f"m{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {shingles_duck(3)} AS shingles FROM tok WHERE len(toks) >= 3
+    ), sig AS (
+      SELECT doc_id, {mcols} FROM sh
+    ), bands AS (
+      {band_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b ON a.band_id = b.band_id AND a.bh = b.bh
+                             AND a.doc_id < b.doc_id
+    """
+
+
+@register("dedup_minhash_lsh", _minhash_oracle())
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup candidates: 16 hashes, 4 bands × 4 rows.
+    Candidate pairs = docs sharing any band hash. The pair join is an
+    equi-join on (band_id, band_hash) — shuffle width is the number of
+    colliding docs, never n²."""
+    sig = minhash_signatures(spark, sf_dir)
+    bands = sig.select(
+        "doc_id", F.posexplode(F.array(*_band_cols_spark())).alias("band_id", "bh")
+    )
+    # Bucket by (band, hash) and emit pairs inside each bucket with an array
+    # expression — one shuffle, signatures computed once. (A self-join here
+    # would recompute the full signature subtree for each side.)
+    buckets = (
+        bands.groupBy("band_id", "bh")
+        .agg(F.sort_array(F.collect_list("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ids, (x, i) -> "
+                "transform(slice(ids, i + 2, size(ids)), y -> "
+                "struct(x AS doc_a, y AS doc_b))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.doc_a", "p.doc_b").distinct()
+
+
+# ---------------------------------------------------------------------------
+# SimHash (16-bit, portable arithmetic bit extraction)
+# ---------------------------------------------------------------------------
+
+
+def _simhash_bits_spark() -> str:
+    """Spark SQL expr computing the 16-bit simhash of array column `toks`.
+
+    Bit (4*(d-1)+j) comes from hex digit d (of md5(token)) bit j; digit
+    value via instr('0123456789abcdef', ...) - 1 — portable to DuckDB.
+    """
+    terms = []
+    for d in range(4):  # first 4 hex digits → 16 bits
+        for j in range(4):
+            bit = d * 4 + j
+            dv = f"(instr('0123456789abcdef', substr(md5(t), {d + 1}, 1)) - 1)"
+            b = f"(cast(floor({dv} / {2 ** j}) as int) % 2)"
+            terms.append(
+                f"(case when aggregate(toks, 0, (acc, t) -> acc + 2 * {b} - 1) > 0 "
+                f"then {2 ** bit} else 0 end)"
+            )
+    return " + ".join(terms)
+
+
+def _simhash_bits_duck() -> str:
+    terms = []
+    for d in range(4):
+        for j in range(4):
+            bit = d * 4 + j
+            dv = f"(strpos('0123456789abcdef', substr(md5(t), {d + 1}, 1)) - 1)"
+            b = f"(cast(floor({dv} / {2 ** j}) as int) % 2)"
+            terms.append(
+                f"(case when list_sum(list_transform(toks, t -> 2 * {b} - 1)) > 0 "
+                f"then {2 ** bit} else 0 end)"
+            )
+    return " + ".join(terms)
+
+
+def _simhash_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, ({_simhash_bits_duck()}) AS simhash FROM tok
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
+    FROM sh a JOIN sh b
+      ON (a.simhash // 4096) = (b.simhash // 4096) AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+    """
+
+
+@register("dedup_simhash", _simhash_oracle())
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup: 16-bit fingerprint, blocked on the top nibble so
+    candidate generation is an equi-join on bucket (the standard
+    multi-probe trade: recall bounded by block choice, cost bounded by
+    bucket size — never all-pairs)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = docs.select(
+        "doc_id", F.expr(f"({_simhash_bits_spark()})").cast("bigint").alias("simhash")
+    )
+    buckets = (
+        sh.groupBy(F.expr("simhash div 4096").alias("bucket"))
+        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("xs"))
+        .filter(F.size("xs") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(xs, (x, i) -> "
+                "transform(slice(xs, i + 2, size(xs)), y -> struct("
+                "x.doc_id AS doc_a, y.doc_id AS doc_b, "
+                "bit_count(x.simhash ^ y.simhash) AS hamming))))"
+            )
+        ).alias("p")
+    )
+    return pairs.select("p.*").filter(F.col("hamming") <= 3)
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, source, unnest(list_distinct({shingles_duck(3)})) AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+                         AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter / (sa.n_sh + sb.n_sh - n_inter), 4) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+               JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter / (sa.n_sh + sb.n_sh - n_inter) >= 0.2
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Exact 3-gram Jaccard, blocked by `source` so the shingle self-join
+    stays partition-local (the blocking key is the scale lever: swap in an
+    LSH band for open-domain corpora)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh = (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
+        )
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("n_inter") / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter"))
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .filter(jac >= 0.2)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )

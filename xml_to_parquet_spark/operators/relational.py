@@ -1,0 +1,857 @@
+"""Relational operator surface [EXT] — SURVEY.md §2.2.
+
+The reference implements no relational operators (its 637 LoC are a linear
+conversion pipeline); this module exposes the full query surface as thin,
+idiomatic DataFrame code so Catalyst owns the physical plan. Each query has
+a DuckDB oracle with identical column aliases.
+
+Scale notes (100 TB thinking, verified locally via .explain):
+  * dimension joins (region/nation/supplier/customer at TPC-H ratios)
+    broadcast explicitly — no shuffle of the fact table for dim joins
+  * aggregations are partial (map-side combine) by construction — groupBy
+    on low-cardinality keys reduces before the exchange
+  * money sums round to fixed decimals in BOTH engines so value hashes are
+    stable across summation orders
+  * window/top-k orderings always carry a unique tiebreaker key so results
+    are deterministic under any partitioning
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+
+def _t(spark, sf_dir, name):
+    return table(spark, sf_dir, name)
+
+
+def dsum(col, scale: int = 2):
+    """Deterministic rounded sum of a double column: accumulate in decimal
+    (exact, order-independent — partial-agg partition order can flip the
+    last ulp of a double sum) then round as double. The DuckDB oracle twin
+    is round(CAST(sum(CAST(x AS DECIMAL(24,8))) AS DOUBLE), scale)."""
+    return F.round(F.sum(col.cast("decimal(24,8)")), scale).cast("double")
+
+
+def davg(col):
+    """Deterministic mean: exact decimal sum cast to double, divided by the
+    count. No final rounding — IEEE division of bit-identical operands is
+    itself bit-identical across engines, while rounding a double re-opens
+    tie cases."""
+    return F.sum(col.cast("decimal(24,8)")).cast("double") / F.count(F.lit(1))
+
+
+def _dsum_sql(expr: str, scale: int = 2) -> str:
+    return f"CAST(round(sum(CAST({expr} AS DECIMAL(24,8))), {scale}) AS DOUBLE)"
+
+
+def _davg_sql(expr: str) -> str:
+    return f"CAST(sum(CAST({expr} AS DECIMAL(24,8))) AS DOUBLE) / count(*)"
+
+
+# ---------------------------------------------------------------------------
+# aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {_dsum_sql('l_quantity')}                                        AS sum_qty,
+           {_dsum_sql('l_extendedprice')}                                   AS sum_base_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')}                AS sum_disc_price,
+           {_dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}  AS sum_charge,
+           {_davg_sql('l_quantity')}                                        AS avg_qty,
+           {_davg_sql('l_extendedprice')}                                   AS avg_price,
+           {_davg_sql('l_discount')}                                        AS avg_disc,
+           count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape: full scan + low-cardinality hash agg. At scale this
+    is a map-side partial agg into a 6-group exchange — no skew possible."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc).alias("sum_disc_price"),
+            dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+            davg(F.col("l_quantity")).alias("avg_qty"),
+            davg(F.col("l_extendedprice")).alias("avg_price"),
+            davg(F.col("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "agg_having",
+    f"""
+    SELECT o_custkey, count(*) AS n_orders,
+           {_dsum_sql('o_totalprice')} AS spend
+    FROM orders GROUP BY o_custkey HAVING count(*) >= 12
+    """,
+)
+def agg_having(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("spend"),
+        )
+        .filter(F.col("n_orders") >= 12)
+    )
+
+
+@register(
+    "agg_distinct",
+    """
+    SELECT l_returnflag,
+           count(DISTINCT l_partkey)  AS distinct_parts,
+           count(DISTINCT l_suppkey)  AS distinct_supps
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_distinct(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("distinct_parts"),
+            F.countDistinct("l_suppkey").alias("distinct_supps"),
+        )
+    )
+
+
+@register(
+    "agg_rollup",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, round(sum(l_quantity), 2) AS qty
+    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("l_quantity"), 2).alias("qty"))
+    )
+
+
+@register(
+    "agg_cube",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n, {_davg_sql('o_totalprice')} AS avg_price
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            davg(F.col("o_totalprice")).alias("avg_price"),
+        )
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    """
+    SELECT l_returnflag, l_linestatus, count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
+
+
+@register(
+    "agg_stats",
+    """
+    SELECT l_linestatus,
+           round(min(l_extendedprice), 2)         AS min_price,
+           round(max(l_extendedprice), 2)         AS max_price,
+           round(stddev_samp(l_extendedprice), 2) AS sd_price,
+           round(var_samp(l_extendedprice), 0)    AS var_price
+    FROM lineitem GROUP BY l_linestatus
+    """,
+)
+def agg_stats(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_linestatus")
+        .agg(
+            F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+            F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+            F.round(F.stddev_samp("l_extendedprice"), 2).alias("sd_price"),
+            F.round(F.var_samp("l_extendedprice"), 0).alias("var_price"),
+        )
+    )
+
+
+@register("approx_count_distinct", None)
+def approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct — approximate by design, so no value oracle
+    (driver records rows-only). The scale story for COUNT(DISTINCT) at
+    100 TB: a single pass, fixed-size sketch per group, no huge exchange."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q3_shipping_priority",
+    f"""
+    SELECT l_orderkey,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+                  JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape. customer is ~1/10 the rows of lineitem → broadcast
+    the filtered customer side; orders⋈lineitem shuffles on orderkey only."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier",
+    f"""
+    SELECT n_name, {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM customer
+      JOIN orders   ON c_custkey = o_custkey
+      JOIN lineitem ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+    ORDER BY revenue DESC
+    """,
+)
+def q5_local_supplier(spark, sf_dir):
+    """TPC-H Q5 shape: star join. All dims broadcast (region 5 rows, nation
+    25, supplier ~SF*100) — the only shuffle is orders⋈lineitem."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+        )
+        .orderBy(F.desc("revenue"))
+    )
+
+
+@register(
+    "join_left",
+    """
+    SELECT c_custkey, c_name, count(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    """,
+)
+def join_left(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_name")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_full_outer",
+    """
+    SELECT coalesce(a.k, b.k) AS k, a.n_cust, b.n_supp
+    FROM (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1) a
+    FULL OUTER JOIN (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1) b
+    ON a.k = b.k
+    """,
+)
+def join_full_outer(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return a.join(b, a.k == b.k, "full_outer").select(
+        F.coalesce(a.k, b.k).alias("k"), "n_cust", "n_supp"
+    )
+
+
+@register(
+    "join_semi",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    """,
+)
+def join_semi(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    big = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return cust.join(big, cust.c_custkey == big.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti",
+    """
+    SELECT c_custkey, c_name FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_range",
+    """
+    SELECT a.o_orderkey AS first_order, b.o_orderkey AS repeat_order,
+           a.o_custkey AS cust
+    FROM orders a JOIN orders b
+      ON a.o_custkey = b.o_custkey
+     AND b.o_orderdate > a.o_orderdate
+     AND b.o_orderdate <= a.o_orderdate + INTERVAL 30 DAY
+    """,
+)
+def join_range(spark, sf_dir):
+    """Range/theta join: repeat orders within 30 days, equi-key on customer
+    so the non-equi predicate evaluates inside co-partitioned groups — the
+    pattern that keeps range joins tractable at scale (never a raw cross)."""
+    o = _t(spark, sf_dir, "orders")
+    a = o.alias("a")
+    b = o.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.o_custkey") == F.col("b.o_custkey"))
+            & (F.col("b.o_orderdate") > F.col("a.o_orderdate"))
+            & (
+                F.col("b.o_orderdate")
+                <= F.col("a.o_orderdate") + F.expr("INTERVAL 30 DAYS")
+            ),
+        )
+        .select(
+            F.col("a.o_orderkey").alias("first_order"),
+            F.col("b.o_orderkey").alias("repeat_order"),
+            F.col("a.o_custkey").alias("cust"),
+        )
+    )
+
+
+@register(
+    "join_asof",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           max(p.ts) AS last_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id AND p.ts <= c.ts
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+)
+def join_asof(spark, sf_dir):
+    """As-of join (Spark has no native one — SURVEY.md §2.2): for each
+    click, the most recent prior purchase by the same user. Implemented as
+    the union-sort-carry composition: tag both streams, sort within user by
+    time, carry the last purchase ts forward with a window — one shuffle on
+    user_id, no range explosion, scales linearly."""
+    ev = _t(spark, sf_dir, "events")
+    tagged = ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("event_type"))  # purchase sorts before click at same ts
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return (
+        tagged.withColumn("last_purchase_ts", F.max("p_ts").over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "last_purchase_ts")
+    )
+
+
+# ---------------------------------------------------------------------------
+# window functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_rank",
+    """
+    SELECT o_custkey, o_orderkey,
+           row_number() OVER w AS rn,
+           rank()       OVER w AS rk,
+           dense_rank() OVER w AS drk
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_rank(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rk"),
+        F.dense_rank().over(w).alias("drk"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    """
+    SELECT user_id, event_id,
+           lag(event_id)  OVER w AS prev_event,
+           lead(event_id) OVER w AS next_event,
+           round(value - lag(value) OVER w, 4) AS delta_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_lead(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = _t(spark, sf_dir, "events")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.lag("event_id").over(w).alias("prev_event"),
+        F.lead("event_id").over(w).alias("next_event"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("delta_value"),
+    )
+
+
+@register(
+    "window_running_sum",
+    """
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+                 ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+)
+def window_running_sum(spark, sf_dir):
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_moving_avg",
+    """
+    SELECT user_id, event_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mavg
+    FROM events
+    """,
+)
+def window_moving_avg(spark, sf_dir):
+    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-3, 0)
+    return _t(spark, sf_dir, "events").select(
+        "user_id", "event_id", F.round(F.avg("value").over(w), 4).alias("mavg")
+    )
+
+
+@register(
+    "topk_per_group",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders) WHERE rn <= 3
+    """,
+)
+def topk_per_group(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return (
+        _t(spark, sf_dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "orderby_limit",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber
+    LIMIT 100
+    """,
+)
+def orderby_limit(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject — per-partition heap
+    then a k-row merge on the driver, never a full sort at scale."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .orderBy(F.desc("l_extendedprice"), "l_orderkey", "l_linenumber")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_union_all",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    UNION ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_union_all(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.unionAll(b)
+
+
+@register(
+    "set_intersect",
+    """
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 5000
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 300000
+    """,
+)
+def set_intersect(spark, sf_dir):
+    a = (
+        _t(spark, sf_dir, "customer")
+        .filter(F.col("c_acctbal") > 5000)
+        .select(F.col("c_custkey").alias("custkey"))
+    )
+    b = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 300000)
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return a.intersect(b)
+
+
+@register(
+    "set_except",
+    """
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders
+    """,
+)
+def set_except(spark, sf_dir):
+    a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
+    b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b).distinct()
+
+
+@register(
+    "distinct_rows",
+    "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+)
+def distinct_rows(spark, sf_dir):
+    return _t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").distinct()
+
+
+# ---------------------------------------------------------------------------
+# filters & scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "filter_predicates",
+    """
+    SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_returnflag
+    FROM lineitem
+    WHERE l_quantity BETWEEN 10 AND 20
+      AND l_discount >= 0.05
+      AND l_returnflag IN ('A', 'R')
+      AND l_shipdate IS NOT NULL
+    """,
+)
+def filter_predicates(spark, sf_dir):
+    """Predicate matrix — all four pushed to the parquet scan (verified via
+    .explain: PushedFilters covers between/in/notnull)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.filter(
+        F.col("l_quantity").between(10, 20)
+        & (F.col("l_discount") >= 0.05)
+        & F.col("l_returnflag").isin("A", "R")
+        & F.col("l_shipdate").isNotNull()
+    ).select("l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_returnflag")
+
+
+@register(
+    "scalar_string_fns",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                              AS brand_u,
+           lower(p_type)                               AS type_l,
+           substr(p_name, 1, 8)                        AS name8,
+           length(p_name)                              AS name_len,
+           concat(p_brand, ':', p_type)                AS brand_type,
+           trim(p_name)                                AS name_trim,
+           replace(p_type, ' ', '_')                   AS type_us,
+           regexp_extract(p_name, '[a-z]+', 0)         AS first_word,
+           lpad(cast(p_size AS VARCHAR), 4, '0')       AS size4,
+           reverse(p_brand)                            AS brand_rev,
+           contains(p_type, 'BRASS')                   AS has_brass
+    FROM part
+    """,
+)
+def scalar_string_fns(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.substring("p_name", 1, 8).alias("name8"),
+        F.length("p_name").alias("name_len"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.trim("p_name").alias("name_trim"),
+        F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+        F.regexp_extract("p_name", "[a-z]+", 0).alias("first_word"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size4"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.contains(F.col("p_type"), F.lit("BRASS")).alias("has_brass"),
+    )
+
+
+@register(
+    "scalar_date_fns",
+    """
+    SELECT o_orderkey,
+           year(o_orderdate)                            AS yr,
+           month(o_orderdate)                           AS mo,
+           dayofmonth(o_orderdate)                      AS dom,
+           date_trunc('month', o_orderdate)             AS month_start,
+           o_orderdate + INTERVAL 90 DAY                AS due_date,
+           datediff('day', o_orderdate,
+                    TIMESTAMP '1999-01-01 00:00:00')    AS days_to_99
+    FROM orders
+    """,
+)
+def scalar_date_fns(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.dayofmonth("o_orderdate").alias("dom"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
+        F.datediff(
+            F.lit("1999-01-01 00:00:00").cast("timestamp").cast("date"),
+            F.col("o_orderdate").cast("date"),
+        ).cast("bigint").alias("days_to_99"),
+    )
+
+
+@register(
+    "scalar_math_fns",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_discount - 0.05), 4)   AS d_abs,
+           ceil(l_extendedprice)              AS price_ceil,
+           floor(l_extendedprice)             AS price_floor,
+           round(sqrt(l_quantity), 6)         AS qty_sqrt,
+           round(ln(l_extendedprice), 6)      AS price_ln,
+           round(pow(l_tax + 1, 2), 6)        AS tax_sq,
+           mod(l_orderkey, 7)                 AS key_mod
+    FROM lineitem
+    """,
+)
+def scalar_math_fns(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).alias("d_abs"),
+        F.ceil("l_extendedprice").alias("price_ceil"),
+        F.floor("l_extendedprice").alias("price_floor"),
+        F.round(F.sqrt("l_quantity"), 6).alias("qty_sqrt"),
+        F.round(F.log("l_extendedprice"), 6).alias("price_ln"),
+        F.round(F.pow(F.col("l_tax") + 1, 2), 6).alias("tax_sq"),
+        (F.col("l_orderkey") % 7).alias("key_mod"),
+    )
+
+
+@register(
+    "scalar_case_when",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END               AS price_band,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN') AS status_adj
+    FROM orders
+    """,
+)
+def scalar_case_when(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 300000, "high")
+        .when(F.col("o_totalprice") > 100000, "mid")
+        .otherwise("low")
+        .alias("price_band"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_adj"
+        ),
+    )
+
+
+@register(
+    "json_functions",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           event_type
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+    """,
+)
+def json_functions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.select("event_id", k.alias("k_val"), "event_type").filter(k > 50)
+
+
+@register(
+    "pivot_status",
+    """
+    SELECT l_returnflag,
+           count(*) FILTER (WHERE l_linestatus = 'O') AS O,
+           count(*) FILTER (WHERE l_linestatus = 'F') AS F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def pivot_status(spark, sf_dir):
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "unpivot_stack",
+    """
+    SELECT c_custkey, 'acctbal' AS metric, c_acctbal AS val FROM customer
+    UNION ALL
+    SELECT c_custkey, 'nationkey' AS metric, CAST(c_nationkey AS DOUBLE) AS val FROM customer
+    """,
+)
+def unpivot_stack(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', c_acctbal, 'nationkey', cast(c_nationkey as double))"
+        ).alias("metric", "val"),
+    )

@@ -1,0 +1,194 @@
+"""Similarity-search operators [EXT] over the ``embeddings`` table
+(array<float> 64-dim): brute-force cosine top-k baseline, an LSH-bucketed
+approximate variant as the scale path, and embedding near-dup.
+
+Cosine math runs through built-in higher-order functions (zip_with +
+aggregate — JVM codegen, no Python). The DuckDB oracle uses
+list_cosine_similarity; both promote to double, and ranking happens on
+cosine ROUNDED to 6 decimals with a vec_id tiebreak so ordering is
+deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions.vector_fns import cosine, l2_norm
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+N_QUERIES = 8  # vec_id < 8 are the query vectors
+TOP_K = 5
+
+
+@register(
+    "sim_topk_cosine",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_topk_cosine(spark, sf_dir):
+    """Brute-force cosine top-k: broadcast the (tiny) query set against the
+    corpus — a map-side nested loop per partition, then a per-query top-k
+    window. At 100 TB the corpus side stays partitioned in place; only k
+    rows per query per partition survive to the final exchange."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = (
+        emb.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos", "rn")
+    )
+
+
+def _bucket_expr_duck() -> str:
+    bits = [
+        f"(CASE WHEN embedding[{2 * j + 1}] > embedding[{2 * j + 2}] "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j in range(8)
+    ]
+    return " + ".join(bits)
+
+
+def _bucket_expr_spark() -> str:
+    bits = [
+        f"(CASE WHEN element_at(embedding, {2 * j + 1}) > element_at(embedding, {2 * j + 2}) "
+        f"THEN {2 ** j} ELSE 0 END)"
+        for j in range(8)
+    ]
+    return " + ".join(bits)
+
+
+@register(
+    "sim_ann_lsh",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding, ({_bucket_expr_duck()}) AS bucket FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, embedding AS qe, bucket FROM b
+      WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+             round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])), 6) AS cos
+      FROM q JOIN b e ON e.bucket = q.bucket AND e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, bucket, cos, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ann_lsh(spark, sf_dir):
+    """ANN via comparative-feature LSH: an 8-bit deterministic sketch
+    (pairwise dimension comparisons — a rank-correlation hash) buckets the
+    corpus into 256 cells; search is an equi-join on bucket + top-k within.
+    The scale contract: candidate generation is a co-partitioned hash join,
+    ~1/256 of the brute-force pairs, tunable by sketch width."""
+    emb = table(spark, sf_dir, "embeddings").withColumn(
+        "bucket", F.expr(_bucket_expr_spark())
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("bucket").alias("qbucket"),
+    )
+    scored = (
+        emb.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            "bucket",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "bucket", "cos", "rn")
+    )
+
+
+@register(
+    "sim_embedding_norms",
+    """
+    SELECT vec_id, label,
+           len(embedding)                                           AS dim,
+           round(sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))), 4)   AS l2,
+           round(list_avg(CAST(embedding AS DOUBLE[])), 6)                            AS mean_val
+    FROM embeddings
+    """,
+)
+def sim_embedding_norms(spark, sf_dir):
+    emb = table(spark, sf_dir, "embeddings")
+    mean = F.aggregate(
+        "embedding", F.lit(0.0), lambda a, v: a + v.cast("double")
+    ) / F.size("embedding")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.size("embedding").alias("dim"),
+        F.round(l2_norm(F.col("embedding")), 4).alias("l2"),
+        F.round(mean, 6).alias("mean_val"),
+    )
+
+
+@register(
+    "sim_embedding_neardup",
+    """
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.95
+    """,
+)
+def sim_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup, blocked by label (cluster id) — the
+    within-block quadratic is the trade every embedding-dedup makes; the
+    block key shards the shuffle."""
+    emb = table(spark, sf_dir, "embeddings")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos > 0.95)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )

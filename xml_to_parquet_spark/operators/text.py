@@ -1,0 +1,187 @@
+"""Text-analysis operators [EXT]: quality stats, language ID, token
+counting, document fingerprinting (north-star LLM-pipeline surface).
+
+All pure built-in expressions (split/regexp/aggregate/md5) — JVM-side,
+no UDFs; every operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL, STOPWORDS
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+_SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+@register(
+    "text_stats",
+    f"""
+    WITH tok AS (SELECT doc_id, text, {TOKENS_DUCK} AS toks FROM documents)
+    SELECT doc_id,
+           len(toks)                                       AS n_tokens,
+           length(text)                                    AS n_chars_calc,
+           round(list_sum(list_transform(toks, t -> length(t))) /
+                 len(toks), 4)                             AS avg_token_len,
+           round(len(list_filter(toks, t -> t IN ({_SW_SQL}))) /
+                 len(toks), 4)                             AS stopword_ratio,
+           len(list_distinct(toks))                        AS n_unique_tokens,
+           round(len(list_distinct(toks)) / len(toks), 4)  AS ttr
+    FROM tok WHERE len(toks) > 0
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Quality-scoring stats per document: token counts, average token
+    length, stopword ratio, type-token ratio. Narrow map-only job — no
+    shuffle at any scale."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", F.expr(TOKENS_SQL).alias("toks")
+    )
+    n = F.size("toks")
+    sw = ", ".join(f"'{w}'" for w in STOPWORDS)
+    return (
+        docs.filter(n > 0)
+        .select(
+            "doc_id",
+            n.alias("n_tokens"),
+            F.length("text").alias("n_chars_calc"),
+            F.round(
+                F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") / n, 4
+            ).alias("avg_token_len"),
+            F.round(F.expr(f"size(filter(toks, t -> t IN ({sw})))") / n, 4).alias(
+                "stopword_ratio"
+            ),
+            F.size(F.array_distinct("toks")).alias("n_unique_tokens"),
+            F.round(F.size(F.array_distinct("toks")) / n, 4).alias("ttr"),
+        )
+    )
+
+
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "es": ["el", "la", "los"],
+    "fr": ["le", "les", "et"],
+    "de": ["der", "die", "und"],
+}
+
+
+def _hits_sql(words, engine):
+    lst = ", ".join(f"'{w}'" for w in words)
+    if engine == "spark":
+        return f"size(filter(toks, t -> t IN ({lst})))"
+    return f"len(list_filter(toks, t -> t IN ({lst})))"
+
+
+def _lang_case(engine):
+    hits = {lang: _hits_sql(ws, engine) for lang, ws in _LANG_MARKERS.items()}
+    # deterministic priority: en > es > fr > de > unknown
+    return f"""
+      CASE
+        WHEN {hits['en']} >= greatest({hits['es']}, {hits['fr']}, {hits['de']})
+             AND {hits['en']} > 0 THEN 'en'
+        WHEN {hits['es']} >= greatest({hits['fr']}, {hits['de']})
+             AND {hits['es']} > 0 THEN 'es'
+        WHEN {hits['fr']} >= {hits['de']} AND {hits['fr']} > 0 THEN 'fr'
+        WHEN {hits['de']} > 0 THEN 'de'
+        ELSE 'unknown'
+      END
+    """
+
+
+@register(
+    "text_lang_id",
+    f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents)
+    SELECT doc_id, {_lang_case('duck')} AS lang_guess FROM tok
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    """n-gram-heuristic language ID: stopword-marker hit counts with a
+    deterministic argmax. (A real pipeline would swap in fastText via a
+    Pandas UDF; the declarative marker-count shape is the scale pattern.)"""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    )
+    return docs.select("doc_id", F.expr(_lang_case("spark")).alias("lang_guess"))
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]')) AS n_bpe_ish,
+           len(string_split_regex(text, '\s+'))                           AS n_ws
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    """Token counting two ways: whitespace and a BPE-ish regex (letters
+    runs / single digits / punctuation) — the standard pre-tokenizer
+    approximation for budgeting LLM training tokens."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(r"size(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]', 0))").alias(
+            "n_bpe_ish"
+        ),
+        F.size(F.split("text", r"\s+")).alias("n_ws"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents)
+    SELECT doc_id,
+           md5(array_to_string(list_sort(list_distinct(toks)), ' ')) AS fingerprint
+    FROM tok
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Order-insensitive document fingerprint (sorted unique token set →
+    md5) — catches shuffled/reordered near-copies that exact hashing
+    misses, at map-only cost."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    )
+    return docs.select(
+        "doc_id",
+        F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct("toks")))).alias(
+            "fingerprint"
+        ),
+    )
+
+
+@register(
+    "text_ngram_freq",
+    f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)), i ->
+                    toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM tok WHERE len(toks) >= 2
+    )
+    SELECT bigram, count(*) AS freq FROM grams
+    GROUP BY bigram HAVING count(*) >= 10
+    """,
+)
+def text_ngram_freq(spark, sf_dir):
+    """Corpus-level bigram frequency (explode + count, min support 10) —
+    the shuffle is on the bigram key; partial aggregation collapses the
+    long tail map-side before the exchange."""
+    docs = table(spark, sf_dir, "documents").select(F.expr(TOKENS_SQL).alias("toks"))
+    grams = docs.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    return (
+        grams.groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .filter(F.col("freq") >= 10)
+    )

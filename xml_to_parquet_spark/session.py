@@ -30,6 +30,9 @@ def get_spark(app_name: str = "xml_to_parquet_spark", master: str | None = None)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
+        # testdata events.parquet uses INT64 TIMESTAMP(NANOS), which the
+        # vectorized reader rejects; read as long + convert in tables.py
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))

@@ -1,0 +1,182 @@
+"""Structured Streaming operators [EXT]: tumbling / sliding / session
+windows + watermark over the ``events`` table (SURVEY.md §2.2 streaming
+row; the reference has no streaming surface).
+
+The tumbling query genuinely runs through the Structured Streaming engine:
+``readStream`` on the events parquet → windowed agg → availableNow trigger
+→ memory sink, drained synchronously so the registered callable can return
+a plain DataFrame. Sliding and session windows run the same window
+operators in batch (identical semantics, same codegen) so they stay
+oracle-checkable; the watermark/late-data behavior is exercised in
+streaming with a rows-only check.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+
+def _events_stream(spark, sf_dir):
+    from xml_to_parquet_spark.tables import _fix_nanos
+
+    raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # file-stream source wants a directory; glob-filter down to the events table
+    return _fix_nanos(
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+
+
+def _drain(stream_df, out_cols):
+    """Run a streaming aggregation to completion via availableNow into a
+    memory sink; return the materialized result as a batch DataFrame."""
+    name = "strm_" + uuid.uuid4().hex[:8]
+    q = (
+        stream_df.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    spark = stream_df.sparkSession
+    return spark.table(name).select(*out_cols)
+
+
+@register(
+    "stream_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts)                    AS window_start,
+           event_type,
+           count(*)                                              AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(24,8))), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_window(spark, sf_dir):
+    """True streaming tumbling window: readStream → window(1h) agg →
+    availableNow → memory sink. availableNow is the batch-replay trigger —
+    the same plan a 24/7 job runs, executed over the backlog and drained."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(24,8)")), 4)
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+    return _drain(agg, ["window_start", "event_type", "n", "total_value"])
+
+
+@register(
+    "stream_sliding_window",
+    """
+    WITH cand AS (
+      SELECT unnest([time_bucket(INTERVAL '1 hour', ts),
+                     time_bucket(INTERVAL '1 hour', ts) - INTERVAL '1 hour'])
+               AS window_start,
+             ts, value
+      FROM events
+    )
+    SELECT window_start, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS avg_value
+    FROM cand
+    WHERE ts >= window_start AND ts < window_start + INTERVAL '2 hours'
+    GROUP BY window_start
+    """,
+)
+def stream_sliding_window(spark, sf_dir):
+    """Sliding window (2h length, 1h slide) — each event lands in 2
+    overlapping windows. Spark's window() does the fan-out natively; the
+    oracle reproduces it by exploding the two candidate window starts."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (
+                F.sum(F.col("value").cast("decimal(24,8)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("avg_value"),
+        )
+        .select(F.col("window.start").alias("window_start"), "n", "avg_value")
+    )
+
+
+@register(
+    "stream_session_window",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '30 minutes'
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts)                          AS session_start,
+           max(ts) + INTERVAL '30 minutes'  AS session_end,
+           count(*)                         AS n_events
+    FROM numbered GROUP BY user_id, session_id
+    """,
+)
+def stream_session_window(spark, sf_dir):
+    """Session windows (30-min gap) via the native session_window operator
+    — state-merging windows, the streaming-native sessionization. The
+    oracle is the classic gaps-and-islands rewrite."""
+    ev = table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register("stream_watermark_late_data", None)
+def stream_watermark_late_data(spark, sf_dir):
+    """Watermark semantics: 1-hour watermark on event time with append
+    output — only windows the watermark has passed are emitted, so late
+    rows beyond the threshold are dropped. Rows-only check (emission set
+    depends on arrival order, which is not SQL-expressible)."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
+        ev.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("window.start").alias("window_start"), "n")
+    )
+    name = "strm_wm_" + uuid.uuid4().hex[:8]
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

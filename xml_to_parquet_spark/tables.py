@@ -7,6 +7,8 @@ are plain ``spark.read.parquet`` so Catalyst gets full pushdown/pruning.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLE_NAMES = [
     "region",
@@ -26,8 +28,18 @@ TABLE_NAMES = [
 BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
+def _fix_nanos(df: DataFrame) -> DataFrame:
+    """events.ts is parquet TIMESTAMP(NANOS); with
+    spark.sql.legacy.parquet.nanosAsLong it arrives as a long — convert to
+    a micros timestamp (truncating, matching DuckDB's nanos→micros read)."""
+    for f in df.schema.fields:
+        if f.name == "ts" and isinstance(f.dataType, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
