@@ -1,0 +1,97 @@
+"""Operator-surface tests: registry completeness, every query executes, and
+a representative subset is checked against its DuckDB oracle (the driver's
+correctness gate, run small)."""
+
+import math
+import os
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xml_to_parquet_spark.registry import load_all
+from xml_to_parquet_spark.tables import TABLE_NAMES
+
+ORACLE_SUBSET = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "join_asof",
+    "window_rank",
+    "set_intersect",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "text_stats",
+    "sim_topk_cosine",
+    "stream_session_window",
+    "udaf_grouped_pandas",
+    "mm_decode_meta",
+]
+
+# queries that legitimately return 0 rows at sf0.001 (tiny data → no
+# candidates above thresholds)
+MAY_BE_EMPTY = {
+    "join_anti",
+    "set_except",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "sim_embedding_neardup",
+    "agg_having",
+}
+
+
+def _norm(v):
+    if v is None or (isinstance(v, float) and math.isnan(v)):
+        return "NULL"
+    if isinstance(v, float):
+        return str(int(v)) if v == int(v) and abs(v) < 1e15 else repr(v)
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def _canon(df):
+    cols = sorted(df.columns)
+    return sorted(tuple(_norm(r[c]) for c in cols) for _, r in df.iterrows())
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+@pytest.fixture(scope="module")
+def duck(sf_dir):
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+def test_registry_coverage(registry):
+    assert len(registry) >= 55
+    with_oracle = [n for n, q in registry.items() if q.oracle]
+    assert len(with_oracle) >= 50
+
+
+def test_all_queries_execute(spark, sf_dir, registry):
+    failures = []
+    for name, qd in registry.items():
+        try:
+            n = qd.fn(spark, sf_dir).count()
+        except Exception as e:
+            failures.append((name, str(e)[:120]))
+            continue
+        if n == 0 and name not in MAY_BE_EMPTY:
+            failures.append((name, "returned 0 rows"))
+    assert not failures, failures
+
+
+@pytest.mark.parametrize("name", ORACLE_SUBSET)
+def test_oracle_parity(spark, sf_dir, registry, duck, name):
+    qd = registry[name]
+    sdf = qd.fn(spark, sf_dir).toPandas()
+    odf = duck.execute(qd.oracle).df()
+    assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in odf.columns)
+    assert _canon(sdf) == _canon(odf)

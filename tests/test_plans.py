@@ -1,0 +1,60 @@
+"""Physical-plan regression tests: the plans we shipped are the plans we
+keep. A change that drops a broadcast, un-pushes a filter, or turns top-k
+into a global sort fails here instead of on a cluster."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from xml_to_parquet_spark.plans.inspect import (
+    broadcast_join_count,
+    node_counts,
+    pushed_filters,
+    read_schemas,
+    shuffle_count,
+)
+from xml_to_parquet_spark.registry import load_all
+
+
+def test_q5_star_join_all_broadcast(spark, sf_dir):
+    df = load_all()["q5_local_supplier"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 4  # all dims broadcast
+    assert shuffle_count(df) <= 2  # fact join + final agg only
+    assert "SortMergeJoin" not in node_counts(df)
+
+
+def test_q1_filter_pushed_and_pruned(spark, sf_dir):
+    df = load_all()["q1_pricing_summary"].fn(spark, sf_dir)
+    assert any("l_shipdate" in f for f in pushed_filters(df))
+    # column pruning: scan must NOT read the join keys we don't use
+    rs = read_schemas(df)[0]
+    assert "l_orderkey" not in rs and "l_partkey" not in rs
+
+
+def test_filter_predicates_pushdown(spark, sf_dir):
+    df = load_all()["filter_predicates"].fn(spark, sf_dir)
+    fs = " ".join(pushed_filters(df))
+    assert "GreaterThanOrEqual(l_quantity,10.0)" in fs
+    assert "In(l_returnflag" in fs
+
+
+def test_global_topk_avoids_full_sort(spark, sf_dir):
+    df = load_all()["orderby_limit"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("TakeOrderedAndProject", 0) == 1
+    assert "Exchange rangepartitioning" not in n  # no global sort exchange
+
+
+def test_minhash_single_pass(spark, sf_dir):
+    df = load_all()["dedup_minhash_lsh"].fn(spark, sf_dir)
+    n = node_counts(df)
+    # bucket agg + distinct (+ the explicit parallelism repartition); a
+    # self-join regression would add join nodes and recompute signatures
+    assert not any("Join" in k for k in n)
+
+
+def test_q3_broadcasts_filtered_dim(spark, sf_dir):
+    df = load_all()["q3_shipping_priority"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert node_counts(df).get("TakeOrderedAndProject", 0) == 1

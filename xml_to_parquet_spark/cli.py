@@ -1,0 +1,84 @@
+"""Reference-compatible CLI (drop-in flag parity with the reference's
+``xml_to_parquet.py:12-58``): a user of the reference can switch to
+
+    python -m xml_to_parquet_spark.cli -x schema.xsd [-t out] [-p paths]
+        [-e paths] [-m N] [-d] [-f] [-b bytes] [-v LEVEL] [-l logfile] files...
+
+Flag mapping to Spark:
+  -m / --multi       → local[N] core count (on a cluster: ignored — the
+                       Spark scheduler owns parallelism, replacing the
+                       reference's size-ordered multiprocessing pool,
+                       operator #12)
+  -b / --block_size  → accepted and ignored: Spark's XML parser streams
+                       row-by-row, so the reference's Arrow JSON-reader
+                       buffer knob (convert_xml_to_parquet.py:238-242) has
+                       no equivalent memory constraint
+  -v / -l            → log level / file, applied to this module's logger
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser(description="XML To Parquet Parser (Spark)")
+    parser.add_argument("-x", "--xsd_file", required=True, help="xsd file name")
+    parser.add_argument("-t", "--target_path", help="target path (local or any Hadoop FS URI)")
+    parser.add_argument(
+        "-p", "--xpaths", help="xpaths to parse out; comma separated: /path/include1,..."
+    )
+    parser.add_argument(
+        "-e", "--excludepaths", help="elements to exclude; comma separated"
+    )
+    parser.add_argument(
+        "-m", "--multi", type=int, default=1, help="number of local cores. Default is 1."
+    )
+    parser.add_argument("-l", "--log", help="log file")
+    parser.add_argument("-v", "--verbose", default="DEBUG", help="log level (INFO, DEBUG, ...)")
+    parser.add_argument(
+        "-d", "--delete_xml", action="store_true", help="delete xml after conversion"
+    )
+    parser.add_argument(
+        "-b", "--block_size", type=int, help="accepted for compatibility; unused"
+    )
+    parser.add_argument(
+        "-f", "--file_info", action="store_true", help="add file_info metadata column"
+    )
+    parser.add_argument("input_files", nargs=argparse.REMAINDER, help="files to convert")
+    return parser
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    handlers = [logging.StreamHandler()]
+    if args.log:
+        handlers.append(logging.FileHandler(args.log))
+    logging.basicConfig(
+        level=getattr(logging, args.verbose.upper(), logging.DEBUG),
+        format="%(levelname)s - %(asctime)s - %(message)s",
+        handlers=handlers,
+    )
+
+    from xml_to_parquet_spark import convert, get_spark
+
+    spark = get_spark("xml_to_parquet_cli", master=f"local[{max(args.multi, 1)}]")
+    written = convert(
+        spark,
+        args.input_files,
+        args.xsd_file,
+        target_path=args.target_path,
+        xpaths=args.xpaths,
+        excludepaths=args.excludepaths,
+        file_info=args.file_info,
+        delete_xml=args.delete_xml,
+    )
+    logging.getLogger(__name__).info("wrote %d parquet files", len(written))
+    return 0 if written or not args.input_files else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())

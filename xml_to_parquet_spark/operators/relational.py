@@ -855,3 +855,99 @@ def unpivot_stack(spark, sf_dir):
             "stack(2, 'acctbal', c_acctbal, 'nationkey', cast(c_nationkey as double))"
         ).alias("metric", "val"),
     )
+
+
+@register(
+    "agg_percentile",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS median_price,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile(spark, sf_dir):
+    """Exact interpolated percentiles (Spark percentile == DuckDB
+    quantile_cont). The scale note: exact percentile sorts per group —
+    at 100 TB prefer approx_percentile (t-digest sketch, single pass);
+    both are exposed, the approx variant under a rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("median_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95_price"),
+    )
+
+
+@register("agg_approx_percentile", None)
+def agg_approx_percentile(spark, sf_dir):
+    """Sketch-based percentile (single pass, mergeable state) — the 100 TB
+    path. Approximate by design → rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_extendedprice", 0.5).alias("approx_median")
+    )
+
+
+@register(
+    "agg_corr",
+    """
+    SELECT l_returnflag,
+           round(corr(l_quantity, l_extendedprice), 6)        AS qty_price_corr,
+           round(covar_samp(l_quantity, l_extendedprice), 2)  AS qty_price_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_corr(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qty_price_corr"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 2).alias("qty_price_cov"),
+    )
+
+
+@register(
+    "scalar_array_fns",
+    """
+    SELECT vec_id,
+           len(embedding)                                      AS n,
+           round(CAST(embedding[1] AS DOUBLE), 6)              AS first_v,
+           round(CAST(list_max(embedding) AS DOUBLE), 6)       AS max_v,
+           round(CAST(list_min(embedding) AS DOUBLE), 6)       AS min_v,
+           len(list_filter(embedding, x -> x > 0))             AS n_pos
+    FROM embeddings
+    """,
+)
+def scalar_array_fns(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("n"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_v"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_v"),
+        F.round(F.array_min("embedding").cast("double"), 6).alias("min_v"),
+        F.expr("size(filter(embedding, x -> x > 0))").alias("n_pos"),
+    )
+
+
+@register(
+    "exists_correlated_subquery",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+      AND o_orderstatus = 'F'
+    """,
+)
+def exists_correlated_subquery(spark, sf_dir):
+    """Correlated EXISTS through the SQL API — Catalyst decorrelates to a
+    semi-join (same plan the DataFrame left_semi produces)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice FROM orders_sq o
+        WHERE EXISTS (SELECT 1 FROM lineitem_sq l
+                      WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          AND o_orderstatus = 'F'
+        """
+    )

@@ -39,6 +39,7 @@ def load_all() -> dict[str, QueryDef]:
         relational,
         similarity,
         text,
+        udfs,
     )
     from xml_to_parquet_spark.streaming import windows  # noqa: F401
 
