@@ -43,11 +43,17 @@ def main():
     spark = get_spark("bench")
     registry = load_all()
 
-    # warm the JVM/codegen path once so per-query times measure the engine,
-    # not first-call JIT
-    registry["q1_pricing_summary"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # warm the JVM/codegen path per query shape (at the smallest SF) so the
+    # timed runs measure the engine, not Janino/JIT compilation of each
+    # query's generated code — clusters run warm JVMs
+    warm_dir = "/root/testdata/sf0.001"
+    for name in BENCH_QUERIES:
+        try:
+            registry[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
 
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -33,19 +33,39 @@ def _events_stream(spark, sf_dir):
     )
 
 
-def _drain(stream_df, out_cols):
+class _state_partitions:
+    """Temporarily shrink spark.sql.shuffle.partitions for a streaming
+    query: it fixes the state-store partition count, and over-partitioned
+    state (32 stores for a few thousand keys) costs ~7s of pure overhead
+    per micro-batch locally. On a real cluster size this to keyspace/load —
+    it is fixed at the first checkpoint for the query's lifetime."""
+
+    def __init__(self, spark, n: int = 4):
+        self.spark = spark
+        self.n = n
+
+    def __enter__(self):
+        self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+
+    def __exit__(self, *exc):
+        self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+
+
+def _drain(stream_df, out_cols, mode: str = "complete"):
     """Run a streaming aggregation to completion via availableNow into a
     memory sink; return the materialized result as a batch DataFrame."""
     name = "strm_" + uuid.uuid4().hex[:8]
-    q = (
-        stream_df.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
     spark = stream_df.sparkSession
+    with _state_partitions(spark):
+        q = (
+            stream_df.writeStream.outputMode(mode)
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return spark.table(name).select(*out_cols)
 
 
@@ -170,13 +190,4 @@ def stream_watermark_late_data(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("window.start").alias("window_start"), "n")
     )
-    name = "strm_wm_" + uuid.uuid4().hex[:8]
-    q = (
-        agg.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    return spark.table(name)
+    return _drain(agg, ["window_start", "n"], mode="append")
