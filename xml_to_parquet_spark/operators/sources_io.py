@@ -1,0 +1,86 @@
+"""Source/sink format matrix [EXT]: CSV, JSON, ORC round-trips.
+
+The reference reads XML and writes Parquet only; a complete engine speaks
+the standard lake formats. Each operator writes a slice of the test data
+out in the target format and reads it back with an explicit schema (never
+inferSchema in the hot path), oracle-checked against the original parquet —
+proving byte-faithful round-trips, not just "the writer ran".
+
+Temp outputs go under /tmp/xml_to_parquet_spark_io/<sf>/ keyed by format;
+reruns overwrite.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+_ORACLE = """
+    SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+           CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents
+    FROM customer
+"""
+
+
+def _slice(spark, sf_dir):
+    # cents as bigint: CSV/JSON round-trip of doubles is format-lossy by
+    # definition; integers are exact in every format
+    return table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("acct_cents"),
+    )
+
+
+def _roundtrip(spark, sf_dir, fmt: str):
+    out = f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/{fmt}"
+    df = _slice(spark, sf_dir)
+    writer = df.write.mode("overwrite").format(fmt)
+    if fmt == "csv":
+        writer = writer.option("header", True)
+    writer.save(out)
+    reader = spark.read.format(fmt).schema(df.schema)
+    if fmt == "csv":
+        reader = reader.option("header", True)
+    return reader.load(out)
+
+
+@register("source_csv_roundtrip", _ORACLE)
+def source_csv_roundtrip(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "csv")
+
+
+@register("source_json_roundtrip", _ORACLE)
+def source_json_roundtrip(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "json")
+
+
+@register("source_orc_roundtrip", _ORACLE)
+def source_orc_roundtrip(spark, sf_dir):
+    return _roundtrip(spark, sf_dir, "orc")
+
+
+@register(
+    "sink_partitioned_parquet",
+    """
+    SELECT o_orderstatus, count(*) AS n, min(o_orderkey) AS min_key
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def sink_partitioned_parquet(spark, sf_dir):
+    """Partitioned parquet write + partition-pruned read-back: the lake
+    layout pattern (partition column becomes directory structure; reads
+    with a partition filter scan only matching directories)."""
+    out = f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/part_parquet"
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    back = spark.read.parquet(out)
+    return back.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
+    )

@@ -38,9 +38,10 @@ def load_all() -> dict[str, QueryDef]:
         multimodal,
         relational,
         similarity,
+        sources_io,
         text,
         udfs,
     )
-    from xml_to_parquet_spark.streaming import windows  # noqa: F401
+    from xml_to_parquet_spark.streaming import stateful, windows  # noqa: F401
 
     return REGISTRY
