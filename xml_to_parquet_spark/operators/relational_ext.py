@@ -1,0 +1,312 @@
+"""Relational primitive completions [EXT] — SURVEY.md §2.2 rows not yet
+covered by operators/relational.py: remaining join types, window frame
+variants, ALL-flavored set ops, subquery forms, map/regexp scalar families.
+
+Same contract as relational.py: thin declarative DataFrame code, DuckDB
+oracle with identical aliases, deterministic orderings/rounding.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from xml_to_parquet_spark.operators.relational import _davg_sql, davg
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+
+def _t(spark, sf_dir, name):
+    return table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# joins
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_right",
+    """
+    SELECT o_orderkey, o_totalprice, c_name
+    FROM orders RIGHT JOIN customer ON o_custkey = c_custkey AND o_totalprice > 450000
+    """,
+)
+def join_right(spark, sf_dir):
+    """Right outer join with a join-side predicate (kept in the ON clause —
+    moving it to WHERE would change outer-join semantics)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return orders.join(
+        cust,
+        (orders.o_custkey == cust.c_custkey) & (orders.o_totalprice > 450000),
+        "right",
+    ).select("o_orderkey", "o_totalprice", "c_name")
+
+
+@register(
+    "join_cross",
+    """
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark, sf_dir):
+    """Cartesian product — legitimate only for tiny dims (5 × 25 here).
+    At scale a cross join is always broadcast-nested-loop with the small
+    side broadcast; anything else is a plan bug."""
+    reg = _t(spark, sf_dir, "region")
+    nat = _t(spark, sf_dir, "nation")
+    return reg.crossJoin(F.broadcast(nat)).select("r_name", "n_name")
+
+
+# ---------------------------------------------------------------------------
+# window frame variants
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "window_ntile_dist",
+    """
+    SELECT o_orderkey, o_custkey,
+           ntile(4)       OVER w AS quartile,
+           round(percent_rank() OVER w, 8) AS pct_rank,
+           round(cume_dist()    OVER w, 8) AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey)
+    """,
+)
+def window_ntile_dist(spark, sf_dir):
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 8).alias("cdist"),
+    )
+
+
+@register(
+    "window_range_frame",
+    """
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           count(*) OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice
+                          RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+               AS n_within_10k
+    FROM orders
+    """,
+)
+def window_range_frame(spark, sf_dir):
+    """RANGE frame (value-based, tie-inclusive): number of orders within
+    $10k below each order's price. RANGE frames include peers, so the
+    result is deterministic even with duplicate prices."""
+    w = (
+        W.partitionBy("o_orderstatus")
+        .orderBy("o_totalprice")
+        .rangeBetween(-10000, 0)
+    )
+    return _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.count(F.lit(1)).over(w).alias("n_within_10k"),
+    )
+
+
+@register(
+    "window_first_last",
+    """
+    SELECT user_id, event_id,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                                AND UNBOUNDED FOLLOWING)
+               AS last_event,
+           nth_value(event_id, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    """,
+)
+def window_first_last(spark, sf_dir):
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.first("event_id").over(w).alias("first_event"),
+        F.last("event_id").over(w).alias("last_event"),
+        F.nth_value("event_id", 2).over(w).alias("second_event"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations (ALL variants)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_intersect_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    return a.intersectAll(b)
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'
+    """,
+)
+def set_except_all(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("k"))
+    b = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    return a.exceptAll(b)
+
+
+# ---------------------------------------------------------------------------
+# subquery forms
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "in_subquery",
+    """
+    SELECT o_orderkey, o_custkey FROM orders
+    WHERE o_custkey IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    """,
+)
+def in_subquery(spark, sf_dir):
+    """IN-subquery through the SQL API — Catalyst plans a left-semi join
+    (broadcast here: the negative-balance customer list is tiny)."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_in_sq")
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_in_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey FROM orders_in_sq
+        WHERE o_custkey IN (SELECT c_custkey FROM customer_in_sq
+                            WHERE c_acctbal < 0)
+        """
+    )
+
+
+@register(
+    "scalar_subquery",
+    f"""
+    SELECT o_orderkey,
+           round(o_totalprice / (SELECT {_davg_sql('o_totalprice')} FROM orders), 6)
+               AS price_ratio
+    FROM orders
+    WHERE o_totalprice > 1.5 * (SELECT {_davg_sql('o_totalprice')} FROM orders)
+    """,
+)
+def scalar_subquery(spark, sf_dir):
+    """Uncorrelated scalar subquery: price relative to the global average.
+    The 1-row aggregate broadcasts; davg keeps the average bit-identical
+    across engines so the 1.5× threshold can't flip borderline rows."""
+    orders = _t(spark, sf_dir, "orders")
+    avg_df = orders.agg(davg(F.col("o_totalprice")).alias("gavg"))
+    return (
+        orders.join(F.broadcast(avg_df))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("gavg"))
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") / F.col("gavg"), 6).alias("price_ratio"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar families: map + regexp/split
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_map_fns",
+    """
+    SELECT event_id,
+           'k' AS first_key,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           1 AS n_keys
+    FROM events
+    """,
+)
+def scalar_map_fns(spark, sf_dir):
+    """MapType surface: parse the JSON props payload into a native
+    map<string,bigint>, then interrogate it with map functions. The oracle
+    side reads the same facts via DuckDB's JSON functions (DuckDB has no
+    Spark-style map type; the payload is single-key by construction,
+    TESTDATA.md)."""
+    ev = _t(spark, sf_dir, "events")
+    m = F.from_json("props", T.MapType(T.StringType(), T.LongType()))
+    return ev.select(
+        "event_id",
+        F.sort_array(F.map_keys(m)).getItem(0).alias("first_key"),
+        F.element_at(m, "k").alias("k_val"),
+        F.size(m).alias("n_keys"),
+    )
+
+
+@register(
+    "scalar_regexp_split",
+    """
+    SELECT p_partkey,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')   AS name_novowel,
+           regexp_matches(p_name, '^[a-z]+ [a-z]+$')     AS two_words,
+           string_split(p_name, ' ')                     AS name_parts,
+           len(string_split(p_name, ' '))                AS n_parts
+    FROM part
+    """,
+)
+def scalar_regexp_split(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_replace("p_name", "[aeiou]", "_").alias("name_novowel"),
+        F.col("p_name").rlike("^[a-z]+ [a-z]+$").alias("two_words"),
+        F.split("p_name", " ").alias("name_parts"),
+        F.size(F.split("p_name", " ")).alias("n_parts"),
+    )
+
+
+@register(
+    "explode_unnest",
+    """
+    SELECT p_partkey, unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    """,
+)
+def explode_unnest(spark, sf_dir):
+    """Array explode / UNNEST: one output row per array element — the
+    flatten step every tokenization pipeline starts with."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey", F.explode(F.split("p_name", " ")).alias("word")
+    )
+
+
+@register("table_sample", None)
+def table_sample(spark, sf_dir):
+    """Bernoulli TABLESAMPLE with a fixed seed — deterministic within
+    Spark but engine-specific RNG, so rows-only check. At 100 TB sampling
+    happens at the scan (no full materialization)."""
+    return (
+        _t(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber")
+    )

@@ -37,9 +37,11 @@ def load_all() -> dict[str, QueryDef]:
         dedup,
         multimodal,
         relational,
+        relational_ext,
         similarity,
         sources_io,
         text,
+        tpch,
         udfs,
     )
     from xml_to_parquet_spark.streaming import stateful, windows  # noqa: F401
