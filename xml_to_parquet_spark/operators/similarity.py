@@ -192,3 +192,97 @@ def sim_embedding_neardup(spark, sf_dir):
             F.round(cos, 6).alias("cos"),
         )
     )
+
+
+N_CELLS_PROBED = 1
+
+
+@register(
+    "sim_ivf",
+    f"""
+    WITH expl AS (
+      SELECT label, unnest(CAST(embedding AS DOUBLE[])) AS val,
+             generate_subscripts(embedding, 1) AS pos
+      FROM embeddings
+    ), cent AS (
+      SELECT label, pos,
+             CAST(sum(CAST(val AS DECIMAL(24,8))) AS DOUBLE) / count(*) AS cavg
+      FROM expl GROUP BY label, pos
+    ), cvec AS (
+      SELECT label, list(cavg ORDER BY pos) AS cemb FROM cent GROUP BY label
+    ), q AS (
+      SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+      FROM embeddings WHERE vec_id < {N_QUERIES}
+    ), assign AS (
+      SELECT query_id, qe, label AS cell,
+             row_number() OVER (PARTITION BY query_id
+                 ORDER BY round(list_cosine_similarity(qe, cemb), 6) DESC, label)
+                 AS crn
+      FROM q CROSS JOIN cvec
+    ), cells AS (
+      SELECT query_id, qe, cell FROM assign WHERE crn <= {N_CELLS_PROBED}
+    ), scored AS (
+      SELECT c.query_id, e.vec_id AS neighbor_id, c.cell,
+             round(list_cosine_similarity(c.qe, CAST(e.embedding AS DOUBLE[])), 6)
+                 AS cos
+      FROM cells c JOIN embeddings e
+        ON e.label = c.cell AND e.vec_id <> c.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cell, cos, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_ivf(spark, sf_dir):
+    """IVF (inverted-file) ANN: partition the corpus into cells, search only
+    the nprobe cells nearest each query. Cells here are the label clusters
+    with centroids computed distributively (posexplode → per-(cell,dim)
+    decimal-exact mean → re-assembled centroid vector) — exactly the
+    k-means-assignment half of IVF training, with assignments given.
+
+    Scale shape: centroid build is one narrow shuffle on (cell, dim);
+    the centroid table (cells × dim) broadcasts; search is an equi-join
+    on cell — the corpus never self-joins and the scan prunes to probed
+    cells when the lake is partitioned by cell."""
+    from xml_to_parquet_spark.operators.relational import davg
+
+    emb = table(spark, sf_dir, "embeddings")
+    expl = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val")
+    )
+    cent = expl.groupBy("label", "pos").agg(davg(F.col("val")).alias("cavg"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cavg"))), lambda s: s.cavg
+        ).alias("cemb")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("qe"), F.col("cemb")), 6)), "label"
+    )
+    cells = (
+        q.crossJoin(F.broadcast(cvec))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= N_CELLS_PROBED)
+        .select("query_id", "qe", F.col("label").alias("cell"))
+    )
+    scored = emb.join(
+        F.broadcast(cells),
+        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cos", "rn")
+    )

@@ -44,6 +44,6 @@ def load_all() -> dict[str, QueryDef]:
         tpch,
         udfs,
     )
-    from xml_to_parquet_spark.streaming import stateful, windows  # noqa: F401
+    from xml_to_parquet_spark.streaming import joins, stateful, windows  # noqa: F401
 
     return REGISTRY

@@ -1,0 +1,85 @@
+"""Stream-stream join + streaming dedup [EXT] — SURVEY.md §2.2 streaming
+row (the reference has no streaming surface).
+
+Both run genuinely through the Structured Streaming engine (readStream →
+availableNow → memory sink) and are batch-reproducible for a finite
+replay, so they carry full DuckDB oracles:
+
+  * the inner stream-stream join emits every match once both sides are
+    processed; the time-bound join condition is what lets the engine
+    eventually evict state (here the replay is one availableNow pass, so
+    nothing is evicted before matching);
+  * the streaming dedup projects only the key columns, so "first arrival
+    wins" nondeterminism can't leak into the result values.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.streaming.windows import _drain, _events_stream
+
+
+@register(
+    "stream_stream_join",
+    """
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_stream_join(spark, sf_dir):
+    """Stream-stream inner join: purchases within 1h after a click by the
+    same user. Both sides carry watermarks and the join condition bounds
+    event time on both ends — that's the contract that lets the engine
+    bound join state (evict a click once the purchase watermark passes
+    click_ts + 1h). State is hash-partitioned on user_id across executors."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("click_id", "purchase_id", "user_id")
+    return _drain(joined, ["click_id", "purchase_id", "user_id"], mode="append")
+
+
+@register(
+    "stream_dedup",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup(spark, sf_dir):
+    """Streaming dropDuplicates on (user_id, event_type): state keeps one
+    entry per seen key, arriving duplicates are suppressed. Projecting only
+    the key columns keeps the result set deterministic (which *row* wins is
+    arrival-order dependent; the key set is not). Unbounded key state is
+    the scale hazard — production pipelines bound it with
+    dropDuplicatesWithinWatermark or a TTL'd key domain."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
+    deduped = ev.dropDuplicates(["user_id", "event_type"])
+    return _drain(deduped, ["user_id", "event_type"], mode="append")
