@@ -103,3 +103,83 @@ def mm_frame_sample(spark, sf_dir):
             ).alias("frame_idx"),
         )
     )
+
+
+def _resize_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in it:
+        w = pdf["width"].astype("int64")
+        h = pdf["height"].astype("int64")
+        out = pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"].values,
+                "out_w": 224,
+                "out_h": (h * 224) // w,
+                "scale_num": 224,
+                "scale_den": w,
+            }
+        )
+        yield out
+
+
+@register(
+    "mm_resize",
+    """
+    WITH meta AS (
+      SELECT doc_id,
+             octet_length(encode(text)) % 640 AS width,
+             ascii(substr(text, 1, 1)) * 4    AS height
+      FROM documents
+    )
+    SELECT doc_id, 224 AS out_w, (height * 224) // width AS out_h,
+           224 AS scale_num, width AS scale_den
+    FROM meta WHERE width > 0
+    """,
+)
+def mm_resize(spark, sf_dir):
+    """Resize plumbing: aspect-preserving target dims computed per object
+    in a mapInPandas stage (where a real build calls the codec's resize).
+    Integer math only, so the oracle reproduces it exactly. The Spark
+    contract under test: filter → mapInPandas schema → Arrow batch shape."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.octet_length(F.col("text").cast("binary")) % 640).alias("width"),
+        (F.ascii(F.substring("text", 1, 1)) * 4).cast("long").alias("height"),
+    )
+    return docs.filter(F.col("width") > 0).mapInPandas(
+        _resize_batches,
+        schema="doc_id bigint, out_w int, out_h bigint, scale_num int, scale_den bigint",
+    )
+
+
+def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    hexmap = {c: i for i, c in enumerate("0123456789abcdef")}
+    for pdf in it:
+        feats = [
+            [hexmap[c] / 15.0 for c in _md5(bytes(b)).hexdigest()[:8]]
+            for b in pdf["payload"]
+        ]
+        yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "features": feats})
+
+
+@register(
+    "mm_feature_extract",
+    """
+    SELECT doc_id,
+           list_transform(range(1, 9), d ->
+               (strpos('0123456789abcdef', substr(md5(text), d, 1)) - 1) / 15.0)
+               AS features
+    FROM documents
+    """,
+)
+def mm_feature_extract(spark, sf_dir):
+    """Feature-extraction plumbing: binary payload → fixed-dim double
+    vector through mapInPandas (a real build runs the vision encoder in
+    this stage; batch size is the GPU-memory knob via
+    spark.sql.execution.arrow.maxRecordsPerBatch). The fake features are
+    md5-derived so the Arrow array<double> round-trip is oracle-checked."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").cast("binary").alias("payload")
+    )
+    return docs.mapInPandas(
+        _feature_batches, schema="doc_id bigint, features array<double>"
+    )

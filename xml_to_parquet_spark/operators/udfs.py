@@ -69,3 +69,48 @@ def udaf_grouped_pandas(spark, sf_dir):
         _per_customer,
         schema="o_custkey bigint, n_orders bigint, total_cents bigint, max_cents bigint",
     )
+
+
+def _cogroup_merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    if len(cust) == 0:
+        return pd.DataFrame(
+            columns=["c_custkey", "c_acctbal", "n_orders", "total_spend"]
+        )
+    spend = float(orders["o_totalprice"].astype("float64").sum()) if len(orders) else 0.0
+    return pd.DataFrame(
+        {
+            "c_custkey": [int(cust["c_custkey"].iloc[0])],
+            "c_acctbal": [round(float(cust["c_acctbal"].iloc[0]), 2)],
+            "n_orders": [len(orders)],
+            "total_spend": [round(spend, 2)],
+        }
+    )
+
+
+@register(
+    "udf_cogrouped_pandas",
+    """
+    SELECT c_custkey, round(c_acctbal, 2) AS c_acctbal,
+           count(o_orderkey) AS n_orders,
+           round(coalesce(sum(o_totalprice), 0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, round(c_acctbal, 2)
+    """,
+)
+def udf_cogrouped_pandas(spark, sf_dir):
+    """Cogrouped Pandas (applyInPandas over a cogroup): both sides shuffle
+    once on the key, then each (customer-slice, orders-slice) pair lands in
+    one Python call — the escape hatch for per-key merge logic no join
+    expresses. Float sums stay inside one pandas call per key, so rounding
+    to 2 decimals is stable vs the oracle (per-customer order counts are
+    small; the double sum is order-exact at these magnitudes)."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    return (
+        cust.groupBy("c_custkey")
+        .cogroup(orders.groupBy("o_custkey"))
+        .applyInPandas(
+            _cogroup_merge,
+            schema="c_custkey bigint, c_acctbal double, n_orders bigint, total_spend double",
+        )
+    )
