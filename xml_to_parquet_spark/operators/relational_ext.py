@@ -310,3 +310,98 @@ def table_sample(spark, sf_dir):
         .sample(fraction=0.1, seed=42)
         .select("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# modern SQL surfaces: recursive CTE, LATERAL, union-by-name
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "recursive_cte",
+    """
+    WITH RECURSIVE months(m) AS (
+      SELECT TIMESTAMP '1995-01-01 00:00:00'
+      UNION ALL
+      SELECT m + INTERVAL 1 MONTH FROM months
+      WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+    )
+    SELECT m AS month_start, count(o_orderkey) AS n_orders
+    FROM months LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+    """,
+)
+def recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4.x): generate the order-date month calendar by
+    recursion, then left-join order counts onto it — the gap-filling time
+    series pattern. Recursion depth is the calendar length (80 iterations),
+    each a tiny driver-side step; the join is one broadcast of the
+    generated axis."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_rec")
+    return spark.sql(
+        """
+        WITH RECURSIVE months(m) AS (
+          SELECT TIMESTAMP '1995-01-01 00:00:00'
+          UNION ALL
+          SELECT m + INTERVAL '1' MONTH FROM months
+          WHERE m < TIMESTAMP '2001-08-01 00:00:00'
+        )
+        SELECT m AS month_start, count(o_orderkey) AS n_orders
+        FROM months LEFT JOIN orders_rec ON date_trunc('MONTH', o_orderdate) = m
+        GROUP BY m
+        """
+    )
+
+
+@register(
+    "lateral_topk",
+    """
+    SELECT c_custkey, l.o_orderkey, l.o_totalprice
+    FROM customer, LATERAL (SELECT o_orderkey, o_totalprice FROM orders
+                            WHERE o_custkey = c_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+    """,
+)
+def lateral_topk(spark, sf_dir):
+    """Correlated LATERAL subquery with per-row ORDER BY/LIMIT — top-2
+    orders per customer. Catalyst decorrelates this into the same
+    window-rank plan as topk_per_group; the surface matters for SQL users
+    migrating from engines where LATERAL is the idiom."""
+    _t(spark, sf_dir, "customer").createOrReplaceTempView("customer_lat")
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders_lat")
+    return spark.sql(
+        """
+        SELECT c_custkey, l.o_orderkey, l.o_totalprice
+        FROM customer_lat,
+             LATERAL (SELECT o_orderkey, o_totalprice FROM orders_lat
+                      WHERE o_custkey = c_custkey
+                      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) l
+        """
+    )
+
+
+@register(
+    "union_by_name",
+    """
+    SELECT k, n_cust, NULL AS n_supp FROM
+      (SELECT c_nationkey AS k, count(*) AS n_cust FROM customer GROUP BY 1)
+    UNION ALL
+    SELECT k, NULL AS n_cust, n_supp FROM
+      (SELECT s_nationkey AS k, count(*) AS n_supp FROM supplier GROUP BY 1)
+    """,
+)
+def union_by_name(spark, sf_dir):
+    """unionByName(allowMissingColumns=True): schema-aligned union that
+    matches columns by name and null-fills the gaps — the safe union for
+    evolving lake schemas (positional UNION silently mismatches)."""
+    a = (
+        _t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    b = (
+        _t(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return a.unionByName(b, allowMissingColumns=True)
