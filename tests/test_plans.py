@@ -58,3 +58,28 @@ def test_q3_broadcasts_filtered_dim(spark, sf_dir):
     df = load_all()["q3_shipping_priority"].fn(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert node_counts(df).get("TakeOrderedAndProject", 0) == 1
+
+
+def test_bucketed_join_no_exchange_below_join(spark, sf_dir):
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["join_bucketed"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan
+    below_join = plan[plan.find("SortMergeJoin"):]
+    # bucket-aligned scans: the join reads both sides without a shuffle
+    assert "Exchange" not in below_join
+    assert plan.count("Bucketed: true") == 2
+
+
+def test_salted_join_spreads_keys(spark, sf_dir):
+    df = load_all()["join_skew_salted"].fn(spark, sf_dir)
+    n = node_counts(df)
+    # the salted equi-join must stay a hash/merge join (never nested-loop)
+    assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin")
+
+
+def test_q6_no_shuffle_before_final_agg(spark, sf_dir):
+    df = load_all()["q6_forecast_revenue"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1  # single-partition gather for the 1-row agg
+    assert any("l_shipdate" in f for f in pushed_filters(df))

@@ -38,6 +38,7 @@ def load_all() -> dict[str, QueryDef]:
         multimodal,
         relational,
         relational_ext,
+        scale_patterns,
         similarity,
         sources_io,
         text,
