@@ -405,3 +405,108 @@ def union_by_name(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_supp"))
     )
     return a.unionByName(b, allowMissingColumns=True)
+
+
+# ---------------------------------------------------------------------------
+# aggregation completions: ordered string collect, null semantics, rollups
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_string_collect",
+    """
+    SELECT c_nationkey,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+               AS segments,
+           count(DISTINCT c_mktsegment) AS n_segments
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def agg_string_collect(spark, sf_dir):
+    """Ordered string aggregation (LISTAGG/STRING_AGG): collect → sort →
+    join, so the concatenated value is deterministic under any partition
+    arrival order — collect_list alone is not."""
+    return (
+        _t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("c_mktsegment")), ","
+            ).alias("segments"),
+            F.countDistinct("c_mktsegment").alias("n_segments"),
+        )
+    )
+
+
+@register(
+    "agg_null_semantics",
+    """
+    SELECT count(*)                                      AS n_all,
+           count(nullif(l_returnflag, 'A'))              AS n_nonnull,
+           count(DISTINCT nullif(l_returnflag, 'A'))     AS n_distinct,
+           sum(CASE WHEN false THEN 1 END)               AS empty_sum,
+           max(CASE WHEN l_returnflag = 'Z' THEN l_quantity END) AS max_never,
+           coalesce(sum(CASE WHEN false THEN 1 END), -1) AS empty_sum_coalesced
+    FROM lineitem
+    """,
+)
+def agg_null_semantics(spark, sf_dir):
+    """SQL null-handling contract in one row: count(*) vs count(col),
+    DISTINCT over nulls, empty-set aggregates returning NULL (not 0) —
+    the semantics every engine must agree on exactly for correctness
+    parity to mean anything."""
+    li = _t(spark, sf_dir, "lineitem")
+    nullable = F.nullif(F.col("l_returnflag"), F.lit("A"))
+    return li.agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(nullable).alias("n_nonnull"),
+        F.countDistinct(nullable).alias("n_distinct"),
+        F.sum(F.when(F.lit(False), 1)).alias("empty_sum"),
+        F.max(F.when(F.col("l_returnflag") == "Z", F.col("l_quantity"))).alias(
+            "max_never"
+        ),
+        F.coalesce(F.sum(F.when(F.lit(False), 1)), F.lit(-1)).alias(
+            "empty_sum_coalesced"
+        ),
+    )
+
+
+@register(
+    "timeseries_rollup",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS bucket, count(*) AS n,
+             sum(CAST(value AS DECIMAL(24,8))) AS total
+      FROM events GROUP BY 1
+    ), daily AS (
+      SELECT date_trunc('day', bucket) AS bucket, sum(n) AS n, sum(total) AS total
+      FROM hourly GROUP BY 1
+    )
+    SELECT 'hour' AS res, bucket, n,
+           CAST(round(total, 4) AS DOUBLE) AS total FROM hourly
+    UNION ALL
+    SELECT 'day' AS res, bucket, n,
+           CAST(round(total, 4) AS DOUBLE) AS total FROM daily
+    """,
+)
+def timeseries_rollup(spark, sf_dir):
+    """Hypertable-style hierarchical rollup: the daily resolution is
+    re-aggregated FROM the hourly aggregate, not from raw events — the
+    continuous-aggregate pattern (each coarser tier reads the finer tier,
+    so raw data is scanned exactly once no matter how many tiers).
+    Decimal partials re-aggregate exactly; rounding happens only at emit."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(24,8)")).alias("total"),
+    )
+    daily = hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
+        F.sum("n").alias("n"), F.sum("total").alias("total")
+    )
+    emit = lambda df, res: df.select(  # noqa: E731
+        F.lit(res).alias("res"),
+        "bucket",
+        "n",
+        F.round("total", 4).cast("double").alias("total"),
+    )
+    return emit(hourly, "hour").unionAll(emit(daily, "day"))

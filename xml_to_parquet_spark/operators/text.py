@@ -185,3 +185,55 @@ def text_ngram_freq(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("freq"))
         .filter(F.col("freq") >= 10)
     )
+
+
+ROLL_P = 1_000_000_007
+ROLL_B = 31
+
+
+@register(
+    "text_rolling_hash",
+    f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+    vals AS (
+      SELECT doc_id,
+             list_transform(toks, t ->
+               (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) AS vs
+      FROM tok WHERE len(toks) >= 1
+    )
+    SELECT doc_id,
+           list_reduce(vs, (a, b) -> (a * {ROLL_B} + b) % {ROLL_P}) AS rhash
+    FROM vals
+    """,
+)
+def text_rolling_hash(spark, sf_dir):
+    """Polynomial rolling hash (Karp–Rabin) over the token stream — the
+    order-SENSITIVE fingerprint complementing text_fingerprint's set hash:
+    reordered near-copies collide there, not here. All modular bigint math
+    inside one codegen'd fold; map-only, no shuffle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    )
+    val = (
+        "(instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096"
+        " + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256"
+        " + (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)"
+    )
+    return (
+        docs.filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.expr(f"transform(toks, t -> CAST({val} AS BIGINT))").alias("vs"),
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                f"aggregate(slice(vs, 2, size(vs)), vs[0], "
+                f"(a, b) -> (a * {ROLL_B} + b) % {ROLL_P})"
+            ).alias("rhash"),
+        )
+    )

@@ -83,3 +83,51 @@ def stream_dedup(spark, sf_dir):
     ev = _events_stream(spark, sf_dir).select("user_id", "event_type")
     deduped = ev.dropDuplicates(["user_id", "event_type"])
     return _drain(deduped, ["user_id", "event_type"], mode="append")
+
+
+@register(
+    "stream_foreach_batch",
+    """
+    SELECT event_type, count(*) AS n,
+           CAST(round(sum(CAST(value AS DECIMAL(24,8))), 4) AS DOUBLE) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def stream_foreach_batch(spark, sf_dir):
+    """foreachBatch sink: the escape hatch for sinks Structured Streaming
+    lacks natively (JDBC upserts, multi-table writes) — each micro-batch
+    arrives as a batch DataFrame with exactly-once semantics via the
+    (batch_id, checkpoint) pair. Here each batch appends to a parquet
+    staging dir; the returned aggregate reads the staged data back, so the
+    whole sink path is oracle-checked."""
+    import os
+    import shutil
+    import uuid
+
+    out = f"/tmp/xml_to_parquet_spark_febatch/{uuid.uuid4().hex[:8]}"
+    os.makedirs(out, exist_ok=True)
+    try:
+        ev = _events_stream(spark, sf_dir).select("event_type", "value")
+
+        def _write_batch(bdf, batch_id):
+            bdf.write.mode("append").parquet(out)
+
+        q = (
+            ev.writeStream.foreachBatch(_write_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        staged = spark.read.parquet(out)
+        return (
+            staged.groupBy("event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(24,8)")), 4)
+                .cast("double")
+                .alias("total_value"),
+            )
+            .localCheckpoint()  # materialize before the staging dir is removed
+        )
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
