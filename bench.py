@@ -36,6 +36,32 @@ BENCH_QUERIES = [
 ]
 
 
+def _bench_conversion(spark, n_files: int = 200) -> float:
+    """Time converting n_files PurchaseOrder XMLs (reference fixture) into
+    one partitioned parquet dataset — the scale path (convert_to_dataset)."""
+    import shutil
+
+    from xml_to_parquet_spark.sources.xml_source import convert_to_dataset
+
+    ref_xml = "/root/reference/test/PurchaseOrder.xml"
+    ref_xsd = "/root/reference/test/PurchaseOrder.xsd"
+    src_dir = f"/tmp/xml_to_parquet_spark_bench_conv/{n_files}"
+    if not os.path.isdir(src_dir) or len(os.listdir(src_dir)) != n_files:
+        shutil.rmtree(src_dir, ignore_errors=True)
+        os.makedirs(src_dir, exist_ok=True)
+        body = open(ref_xml).read()
+        for i in range(n_files):
+            with open(f"{src_dir}/po_{i:04d}.xml", "w") as fh:
+                fh.write(body)
+    out = f"{src_dir}_out"
+    t0 = time.perf_counter()
+    convert_to_dataset(spark, f"{src_dir}/*.xml", ref_xsd, out)
+    dt = time.perf_counter() - t0
+    n_rows = spark.read.parquet(out).count()
+    assert n_rows == n_files, f"conversion produced {n_rows} rows, want {n_files}"
+    return dt
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -69,6 +95,12 @@ def main():
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         times[name] = round(best, 3)
+
+    # conversion throughput — the reference's own headline capability
+    # (its README transcript: 5 tiny files inside one wall-clock second on
+    # 3 processes). One Spark job converts 200 copies into a partitioned
+    # dataset; per-file cost amortizes to milliseconds.
+    times["convert_200_xml_files"] = round(_bench_conversion(spark), 3)
 
     total = round(sum(times.values()), 3)
     print(
