@@ -196,3 +196,28 @@ def test_file_info_plain(spark):
     fi = df.select("file_info").collect()[0][0].asDict()
     assert fi["filename"] == "PurchaseOrder.xml"
     assert fi["size"] == os.path.getsize(REF_XML)
+
+
+def test_large_document_many_items(spark, tmp_path):
+    """Reference claim: O(document)-memory streaming parse handles very
+    large files (README.md:14, block_size knob README.md:24). Build a
+    ~4 MB purchase order with 20k items and convert it — row count 1,
+    items list complete and order-preserved."""
+    head, tail = open(REF_XML).read().split("<items>")
+    item = """
+    <item partNum="%05d-AB"><productName>Widget %d</productName>
+      <quantity>%d</quantity><USPrice>%d.99</USPrice></item>"""
+    n = 20000
+    big = head + "<items>" + "".join(item % (i, i, (i % 9) + 1, i) for i in range(n)) + "</items></purchaseOrder>"
+    p = tmp_path / "big.xml"
+    p.write_text(big)
+    df = read_xml_documents(spark, str(p), REF_XSD)
+    assert df.count() == 1
+    items = df.select(
+        F.size("purchaseOrder.items.item").alias("n"),
+        F.col("purchaseOrder.items.item")[0]["item@partNum"].alias("first"),
+        F.col("purchaseOrder.items.item")[n - 1]["productName"].alias("last"),
+    ).collect()[0]
+    assert items["n"] == n
+    assert items["first"] == "00000-AB"
+    assert items["last"] == f"Widget {n - 1}"

