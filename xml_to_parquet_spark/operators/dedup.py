@@ -327,3 +327,81 @@ def dedup_ngram_jaccard(spark, sf_dir):
         .filter(jac >= 0.2)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# duplicate clusters: connected components over near-dup pairs
+# ---------------------------------------------------------------------------
+
+
+def _components_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+    WITH pairs AS ({pairs}),
+    edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM edges
+    ), reach AS (
+      -- transitive closure by recursion; min reachable id = component label
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+      )
+      SELECT * FROM r
+    )
+    SELECT node AS doc_id, min(lab) AS component FROM reach GROUP BY node
+    """
+
+
+@register("dedup_components", _components_oracle())
+def dedup_components(spark, sf_dir):
+    """Duplicate clusters from near-dup pairs: connected components via
+    iterative min-label propagation (the Pregel/GraphX pattern as plain
+    DataFrame code). Each round every node adopts the min label in its
+    neighborhood; rounds double the propagation radius-ish, and the loop
+    stops when a round changes nothing — diameter-bounded, checked
+    driver-side with a 1-row count.
+
+    Scale shape per round: one self-contained join edges⋈labels + min-agg,
+    both keyed on node — co-partitioned after the first shuffle. Label
+    state is cached and the lineage cut per round (localCheckpoint), the
+    standard guard against iterative-plan blowup. The DuckDB oracle computes
+    the same fixpoint by recursive transitive closure."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
+        "lab", F.col("node")
+    )
+    for _ in range(30):  # diameter bound; tiny vs any real dup-cluster graph
+        neighbor_min = (
+            edges.join(labels, edges.b == labels.node)
+            .groupBy(F.col("a").alias("node"))
+            .agg(F.min("lab").alias("nlab"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lab") != F.col("o.lab"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
