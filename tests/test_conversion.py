@@ -221,3 +221,29 @@ def test_large_document_many_items(spark, tmp_path):
     assert items["n"] == n
     assert items["first"] == "00000-AB"
     assert items["last"] == f"Widget {n - 1}"
+
+
+def test_malformed_xml_skipped_not_written(spark, tmp_path):
+    """Reference behavior for undecodable XML: log the error, skip the
+    file, write NOTHING (convert_xml_to_parquet.py:231-236) — not an
+    all-null parquet."""
+    bad = tmp_path / "bad.xml"
+    bad.write_text("<purchaseOrder><unclosed>")
+    out = tmp_path / "out"
+    out.mkdir()
+    written = convert(spark, [str(bad)], REF_XSD, target_path=str(out))
+    assert written == []
+    assert list(out.iterdir()) == []
+
+
+def test_namespaced_xml_strips_to_local_names(spark, tmp_path):
+    """Reference strips namespaces entirely (split on '}',
+    process_namespaces=False — convert_xml_to_parquet.py:198,227);
+    strip_namespaces=True reproduces that for prefixed documents."""
+    ns = open(REF_XML).read().replace(
+        "<purchaseOrder", "<po:purchaseOrder xmlns:po='http://example.com/po'", 1
+    ).replace("</purchaseOrder>", "</po:purchaseOrder>")
+    p = tmp_path / "ns.xml"
+    p.write_text(ns)
+    df = read_xml_documents(spark, str(p), REF_XSD, strip_namespaces=True)
+    assert _row_json(df) == GOLDEN_FULL

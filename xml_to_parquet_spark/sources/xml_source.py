@@ -56,6 +56,10 @@ def _compile(spark, xsd, root, xpaths, excludepaths):
     return name, dt
 
 
+_NS_DECL_RE = r'''\s+xmlns(:[A-Za-z0-9_.-]+)?\s*=\s*("[^"]*"|'[^']*')'''
+_NS_PREFIX_RE = r"(</?)[A-Za-z0-9_.-]+:"
+
+
 def read_xml_documents(
     spark: SparkSession,
     paths: str | list[str],
@@ -65,17 +69,39 @@ def read_xml_documents(
     excludepaths=None,
     file_info: bool = False,
     source_col: bool = False,
+    strip_namespaces: bool = False,
+    mode: str = "PERMISSIVE",
 ) -> DataFrame:
     """Read plain / .gz XML files (operators #1/#2) into reference-shaped
     rows: one row per file, single struct column named after the root
     element, plus ``file_info`` {filename, modified, size} when requested
     (convert_xml_to_parquet.py:386-393; .gz decompression is transparent via
-    Hadoop codecs, :361-383)."""
+    Hadoop codecs, :361-383).
+
+    ``strip_namespaces=True`` reproduces the reference's namespace handling
+    (tags split on '}', decode with process_namespaces=False —
+    convert_xml_to_parquet.py:198, 227: all names become local names):
+    documents are read whole-file as text, namespace declarations and
+    prefixes removed, then parsed with ``from_xml`` against the same
+    schema. Spark's rowTag path (the default) requires the root tag to
+    match literally and keeps prefixed names."""
     if isinstance(paths, str):
         paths = [paths]
     name, dt = _compile(spark, xsd, root, xpaths, excludepaths)
-    reader = spark.read.format("xml").options(rowTag=name, **_XML_OPTIONS).schema(dt)
-    df = reader.load(paths)
+    options = {**_XML_OPTIONS, "mode": mode}
+    if strip_namespaces:
+        raw = spark.read.text(paths, wholetext=True).select(
+            F.regexp_replace(
+                F.regexp_replace("value", _NS_DECL_RE, ""), _NS_PREFIX_RE, r"$1"
+            ).alias("xml"),
+            F.col("_metadata").alias("_metadata"),
+        )
+        df = raw.select(
+            F.from_xml("xml", dt, options).alias("_doc"), "_metadata"
+        ).select("_doc.*", "_metadata")
+    else:
+        reader = spark.read.format("xml").options(rowTag=name, **options).schema(dt)
+        df = reader.load(paths)
     cols = [rebuild_expr(F.struct(*[F.col(f.name) for f in dt.fields]), dt, name).alias(name)]
     if file_info:
         cols.append(
@@ -225,9 +251,16 @@ def convert(
                 _write_single_parquet(df, out)
                 written.append(out)
             else:
+                # DROPMALFORMED + emptiness check = the reference's per-file
+                # behavior for undecodable XML: log and skip, write nothing
+                # (convert_xml_to_parquet.py:231-236)
                 df = read_xml_documents(
-                    spark, input_file, xsd, root, xpaths, excludepaths, file_info
+                    spark, input_file, xsd, root, xpaths, excludepaths, file_info,
+                    mode="DROPMALFORMED",
                 )
+                if df.count() == 0:
+                    _logger.error("skipping %s: malformed XML", input_file)
+                    continue
                 out = f"{base}.xml.parquet"
                 _write_single_parquet(df, out)
                 written.append(out)
