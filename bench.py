@@ -19,19 +19,27 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from xml_to_parquet_spark import get_spark
 from xml_to_parquet_spark.registry import load_all
 
-# Representative slice of SURVEY.md §2.2: scan-agg, join-agg-topk, star
-# join, window, near-dup LSH, text stats, vector top-k, streaming window.
+# Representative slice of SURVEY.md §2.2 — one per operator class:
+# scan-agg (q1, q6), join-agg-topk (q3), star join (q5), big-IN + triple
+# join (q18), window, top-k, exact + LSH dedup, iterative components,
+# text stats, vector top-k + IVF, as-of join, Arrow-batched pandas UDF,
+# streaming window, XML conversion.
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_local_supplier",
+    "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "window_rank",
     "topk_per_group",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_components",
     "text_stats",
     "sim_topk_cosine",
+    "sim_ivf",
     "join_asof",
+    "udf_cogrouped_pandas",
     "stream_tumbling_window",
 ]
 

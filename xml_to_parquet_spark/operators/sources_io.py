@@ -84,3 +84,31 @@ def sink_partitioned_parquet(spark, sf_dir):
     return back.groupBy("o_orderstatus").agg(
         F.count(F.lit(1)).alias("n"), F.min("o_orderkey").alias("min_key")
     )
+
+
+@register(
+    "sink_sorted_parquet",
+    """
+    SELECT l_orderkey, l_linenumber, l_extendedprice
+    FROM lineitem
+    WHERE l_orderkey BETWEEN 1000 AND 2000
+    """,
+)
+def sink_sorted_parquet(spark, sf_dir):
+    """Sorted-layout sink: repartitionByRange + sortWithinPartitions on the
+    filter key before writing, so every parquet row group covers a narrow
+    key range and a point/range read back prunes by row-group statistics —
+    the poor man's clustering index (z-order's 1-D case). At 100 TB this is
+    the difference between a range query touching ~1 row group per file
+    and touching all of them."""
+    out = f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/sorted_parquet"
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    (
+        li.repartitionByRange(8, "l_orderkey")
+        .sortWithinPartitions("l_orderkey", "l_linenumber")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).filter(F.col("l_orderkey").between(1000, 2000))

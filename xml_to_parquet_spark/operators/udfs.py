@@ -37,14 +37,22 @@ def udf_pandas_scalar(spark, sf_dir):
     return o.select("o_orderkey", _price_cents_bucket("o_totalprice").alias("price_bucket"))
 
 
+N_UDF_BUCKETS = 64  # Python calls per stage: one per bucket, not per key
+
+
 def _per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
-    cents = (pdf["o_totalprice"] * 100).round().astype("int64")
+    """One call per BUCKET of customers; the per-customer aggregation is a
+    vectorized pandas groupby inside. Grouping by the raw key instead
+    (one Python call per customer) costs ~1.5 ms per call — measured 25 s
+    for 15k customers at sf0.1 vs ~0.5 s bucketed."""
+    pdf = pdf.assign(cents=(pdf["o_totalprice"] * 100).round().astype("int64"))
+    g = pdf.groupby("o_custkey")["cents"].agg(["size", "sum", "max"]).reset_index()
     return pd.DataFrame(
         {
-            "o_custkey": [pdf["o_custkey"].iloc[0]],
-            "n_orders": [len(pdf)],
-            "total_cents": [cents.sum()],
-            "max_cents": [cents.max()],
+            "o_custkey": g["o_custkey"].astype("int64"),
+            "n_orders": g["size"].astype("int64"),
+            "total_cents": g["sum"].astype("int64"),
+            "max_cents": g["max"].astype("int64"),
         }
     )
 
@@ -60,29 +68,45 @@ def _per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
     """,
 )
 def udaf_grouped_pandas(spark, sf_dir):
-    """Grouped-map UDAF via applyInPandas: each customer's orders arrive as
-    one pandas DataFrame (shuffle on the group key — at scale watch group
-    cardinality: per-group data must fit an executor's Arrow batch; here
-    groups are ~10 rows)."""
+    """Grouped-map UDAF via applyInPandas, grouped on a KEY BUCKET
+    (pmod(key, 64)) with a vectorized pandas groupby inside — the
+    per-group-Python-call overhead of grouping on the raw key dominates
+    runtime when groups are small and numerous (the common case). Bucketing
+    by a hash of the key preserves correctness for any per-key computation
+    while doing 64 Python calls instead of |keys|."""
     o = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
-    return o.groupBy("o_custkey").applyInPandas(
+    return o.groupBy(F.pmod("o_custkey", F.lit(N_UDF_BUCKETS))).applyInPandas(
         _per_customer,
         schema="o_custkey bigint, n_orders bigint, total_cents bigint, max_cents bigint",
     )
 
 
 def _cogroup_merge(cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+    """One call per BUCKET: vectorized left-merge of the two slices (same
+    bucketing rationale as _per_customer)."""
     if len(cust) == 0:
         return pd.DataFrame(
-            columns=["c_custkey", "c_acctbal", "n_orders", "total_spend"]
+            {
+                "c_custkey": pd.Series(dtype="int64"),
+                "c_acctbal": pd.Series(dtype="float64"),
+                "n_orders": pd.Series(dtype="int64"),
+                "total_spend": pd.Series(dtype="float64"),
+            }
         )
-    spend = float(orders["o_totalprice"].astype("float64").sum()) if len(orders) else 0.0
+    spend = (
+        orders.groupby("o_custkey")["o_totalprice"].agg(["size", "sum"])
+        if len(orders)
+        else pd.DataFrame(columns=["size", "sum"])
+    )
+    m = cust[["c_custkey", "c_acctbal"]].merge(
+        spend, left_on="c_custkey", right_index=True, how="left"
+    )
     return pd.DataFrame(
         {
-            "c_custkey": [int(cust["c_custkey"].iloc[0])],
-            "c_acctbal": [round(float(cust["c_acctbal"].iloc[0]), 2)],
-            "n_orders": [len(orders)],
-            "total_spend": [round(spend, 2)],
+            "c_custkey": m["c_custkey"].astype("int64"),
+            "c_acctbal": m["c_acctbal"].round(2),
+            "n_orders": m["size"].fillna(0).astype("int64"),
+            "total_spend": m["sum"].fillna(0.0).round(2),
         }
     )
 
@@ -101,14 +125,15 @@ def udf_cogrouped_pandas(spark, sf_dir):
     """Cogrouped Pandas (applyInPandas over a cogroup): both sides shuffle
     once on the key, then each (customer-slice, orders-slice) pair lands in
     one Python call — the escape hatch for per-key merge logic no join
-    expresses. Float sums stay inside one pandas call per key, so rounding
-    to 2 decimals is stable vs the oracle (per-customer order counts are
-    small; the double sum is order-exact at these magnitudes)."""
+    expresses. Cogrouped on a key bucket (64 Python calls, vectorized merge
+    inside) — per-key cogrouping measured 25 s at sf0.1 vs sub-second
+    bucketed. Per-customer double sums round to 2 decimals; order counts
+    are small, so the sum is order-exact at these magnitudes."""
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
     orders = table(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_totalprice")
     return (
-        cust.groupBy("c_custkey")
-        .cogroup(orders.groupBy("o_custkey"))
+        cust.groupBy(F.pmod("c_custkey", F.lit(N_UDF_BUCKETS)))
+        .cogroup(orders.groupBy(F.pmod("o_custkey", F.lit(N_UDF_BUCKETS))))
         .applyInPandas(
             _cogroup_merge,
             schema="c_custkey bigint, c_acctbal double, n_orders bigint, total_spend double",
