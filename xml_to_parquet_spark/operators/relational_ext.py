@@ -510,3 +510,65 @@ def timeseries_rollup(spark, sf_dir):
         F.round("total", 4).cast("double").alias("total"),
     )
     return emit(hourly, "hour").unionAll(emit(daily, "day"))
+
+
+# ---------------------------------------------------------------------------
+# semi-structured: VARIANT, xpath function family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           json_extract_string(props, '$.missing') AS missing_val
+    FROM events
+    """,
+)
+def variant_json(spark, sf_dir):
+    """VARIANT (Spark 4 semi-structured type): parse once into the binary
+    variant encoding, extract typed paths — the open-lake answer to schema
+    drift (one parse, many cheap typed reads; columns shred at the storage
+    layer on Delta/Iceberg). Missing paths yield NULL, same as the JSON
+    oracle."""
+    ev = _t(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return ev.select(
+        "event_id",
+        F.try_variant_get(v, "$.k", "bigint").alias("k_val"),
+        F.try_variant_get(v, "$.missing", "string").alias("missing_val"),
+    )
+
+
+@register(
+    "scalar_xpath_fns",
+    """
+    SELECT o_orderkey,
+           o_orderkey                AS xp_key,
+           o_orderstatus             AS xp_status,
+           o_totalprice              AS xp_price,
+           o_orderkey % 2 = 0        AS xp_even
+    FROM orders
+    """,
+)
+def scalar_xpath_fns(spark, sf_dir):
+    """The xpath_* scalar family over XML text — the query-side complement
+    of the conversion surface: rows are serialized to XML fragments, then
+    every value is read back through a different xpath extractor
+    (long/string/double/boolean). The oracle is the identity on the source
+    columns, so any xpath parsing/serialization defect breaks the match."""
+    o = _t(spark, sf_dir, "orders")
+    xml = F.concat(
+        F.lit("<o><k>"), F.col("o_orderkey"),
+        F.lit("</k><st>"), F.col("o_orderstatus"),
+        F.lit("</st><p>"), F.col("o_totalprice"),
+        F.lit("</p></o>"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.xpath_long(xml, F.lit("/o/k/text()")).alias("xp_key"),
+        F.xpath_string(xml, F.lit("/o/st")).alias("xp_status"),
+        F.xpath_double(xml, F.lit("/o/p/text()")).alias("xp_price"),
+        F.xpath_boolean(xml, F.lit("/o/k mod 2 = 0")).alias("xp_even"),
+    )
