@@ -2,8 +2,9 @@
 n-gram Jaccard (SURVEY.md §2.2, north-star LLM-pipeline surface).
 
 Every variant is deterministic and md5-based so the DuckDB oracle can
-reproduce values exactly — including the MinHash signatures (min over md5
-hex strings is plain lexicographic min in both engines).
+reproduce values exactly — including the MinHash signatures (one md5 per
+shingle decoded to an integer, then affine mixes: identical 64-bit
+arithmetic in both engines).
 
 Scale design: near-dup never goes O(n²) on the full corpus — LSH banding
 (minhash) and bucket blocking (simhash) turn candidate generation into an
@@ -128,9 +129,9 @@ def _band_cols_spark() -> list:
 
 
 def minhash_signatures(spark, sf_dir):
-    """Per-doc MinHash signature: shingle → 16 md5-salted min-hashes.
-    All map-side (no shuffle); the heavy lifting is inside codegen'd
-    higher-order functions.
+    """Per-doc MinHash signature: shingle → md5 value → 16 affine-mix
+    min-hashes. All map-side (no shuffle); the heavy lifting is inside
+    codegen'd higher-order functions.
 
     The input is repartitioned to the session parallelism first: hashing is
     CPU-bound and the documents table may arrive as few (or one) splits —
@@ -446,3 +447,53 @@ def dedup_components(spark, sf_dir):
         if changed == 0:
             break
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
+
+
+def _minhash_verified_oracle() -> str:
+    pairs = _minhash_oracle()
+    return f"""
+    WITH cand AS ({pairs}),
+    tok2 AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), shset AS (
+      SELECT doc_id, list_distinct({shingles_duck(3)}) AS sh
+      FROM tok2 WHERE len(toks) >= 3
+    )
+    SELECT c.doc_a, c.doc_b,
+           round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+               AS jaccard
+    FROM cand c JOIN shset a ON a.doc_id = c.doc_a
+                JOIN shset b ON b.doc_id = c.doc_b
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+    """
+
+
+@register("dedup_minhash_verified", _minhash_verified_oracle())
+def dedup_minhash_verified(spark, sf_dir):
+    """The complete two-stage near-dup pipeline: LSH banding proposes
+    candidates (sub-quadratic), exact shingle-set Jaccard verifies them —
+    false positives from band collisions are filtered at the cost of one
+    join against the (distinct-)shingle sets of candidate docs only. This
+    is the production shape: verification cost scales with |candidates|,
+    never |corpus|²."""
+    cand = dedup_minhash_lsh(spark, sf_dir)
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    shset = docs.filter(F.size("toks") >= 3).select(
+        "doc_id", F.array_distinct(F.expr(shingles_sql(3))).alias("sh")
+    )
+    a = shset.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
+    b = shset.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
+    inter = F.size(F.array_intersect("a_sh", "b_sh"))
+    jac = inter.cast("double") / (F.size("a_sh") + F.size("b_sh") - inter)
+    return (
+        cand.join(a, cand.doc_a == F.col("a_id"))
+        .join(b, cand.doc_b == F.col("b_id"))
+        .filter(jac >= 0.5)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
