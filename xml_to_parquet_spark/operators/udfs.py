@@ -139,3 +139,43 @@ def udf_cogrouped_pandas(spark, sf_dir):
             schema="c_custkey bigint, c_acctbal double, n_orders bigint, total_spend double",
         )
     )
+
+
+_SEGMENT_TIERS = {
+    "AUTOMOBILE": "consumer",
+    "BUILDING": "industrial",
+    "FURNITURE": "consumer",
+    "HOUSEHOLD": "consumer",
+    "MACHINERY": "industrial",
+}
+
+
+@register(
+    "udf_broadcast_lookup",
+    """
+    SELECT c_custkey, c_mktsegment,
+           CASE c_mktsegment
+                WHEN 'AUTOMOBILE' THEN 'consumer'
+                WHEN 'BUILDING'   THEN 'industrial'
+                WHEN 'FURNITURE'  THEN 'consumer'
+                WHEN 'HOUSEHOLD'  THEN 'consumer'
+                WHEN 'MACHINERY'  THEN 'industrial'
+                ELSE 'other' END AS tier
+    FROM customer
+    """,
+)
+def udf_broadcast_lookup(spark, sf_dir):
+    """Broadcast-variable dictionary lookup inside a vectorized pandas UDF:
+    the side table ships once per executor (not per task/row), the UDF maps
+    via pandas — the pattern for enrichment dictionaries too irregular for
+    a join (nested config, model vocabularies). For a flat dict like this a
+    broadcast JOIN is equivalent; the point is the mechanism."""
+    bmap = spark.sparkContext.broadcast(_SEGMENT_TIERS)
+
+    @F.pandas_udf(T.StringType())
+    def tier_of(seg: pd.Series) -> pd.Series:
+        m = bmap.value
+        return seg.map(lambda s: m.get(s, "other"))
+
+    c = table(spark, sf_dir, "customer")
+    return c.select("c_custkey", "c_mktsegment", tier_of("c_mktsegment").alias("tier"))
