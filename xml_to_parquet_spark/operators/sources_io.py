@@ -130,7 +130,7 @@ def _zorder_expr(col_a: str, col_b: str, bits: int = 16) -> str:
     """
     SELECT l_orderkey, l_partkey, l_suppkey
     FROM lineitem
-    WHERE l_partkey BETWEEN 100 AND 200 AND l_suppkey BETWEEN 10 AND 60
+    WHERE l_partkey BETWEEN 50 AND 150 AND l_suppkey BETWEEN 2 AND 7
     """,
 )
 def sink_zorder_parquet(spark, sf_dir):
@@ -154,5 +154,5 @@ def sink_zorder_parquet(spark, sf_dir):
         .parquet(out)
     )
     return spark.read.parquet(out).filter(
-        F.col("l_partkey").between(100, 200) & F.col("l_suppkey").between(10, 60)
+        F.col("l_partkey").between(50, 150) & F.col("l_suppkey").between(2, 7)
     )
