@@ -572,3 +572,99 @@ def scalar_xpath_fns(spark, sf_dir):
         F.xpath_double(xml, F.lit("/o/p/text()")).alias("xp_price"),
         F.xpath_boolean(xml, F.lit("/o/k mod 2 = 0")).alias("xp_even"),
     )
+
+
+@register(
+    "agg_histogram",
+    """
+    -- width_bucket(x, 0, 600000, 12) for non-negative x (DuckDB has no
+    -- width_bucket): floor(x/50000)+1, overflow bucket 13
+    SELECT LEAST(CAST(floor(o_totalprice / 50000) AS BIGINT) + 1, 13) AS bucket,
+           count(*) AS n
+    FROM orders GROUP BY 1 ORDER BY 1
+    """,
+)
+def agg_histogram(spark, sf_dir):
+    """Equi-width histogram via width_bucket — the single-pass, shuffle-
+    by-bucket shape (never a sort) for distribution profiling."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0), F.lit(600000), F.lit(12)).alias(
+                "bucket"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "scalar_try_arith",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_discount = 0 THEN NULL
+                ELSE round(l_extendedprice / l_discount, 4) END AS price_per_disc,
+           try_cast(l_returnflag AS BIGINT) AS flag_as_int
+    FROM lineitem
+    """,
+)
+def scalar_try_arith(spark, sf_dir):
+    """Error-safe arithmetic under ANSI mode: try_divide / try_cast return
+    NULL where strict evaluation would raise — the contract that keeps a
+    100 TB job from dying on one bad row."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(
+            F.try_divide(F.col("l_extendedprice"), F.nullif(F.col("l_discount"), F.lit(0.0))),
+            4,
+        ).alias("price_per_disc"),
+        F.col("l_returnflag").try_cast("bigint").alias("flag_as_int"),
+    )
+
+
+@register(
+    "scalar_levenshtein",
+    """
+    SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist
+    FROM part a JOIN part b ON a.p_partkey < b.p_partkey
+    WHERE a.p_partkey <= 20 AND b.p_partkey <= 20
+    """,
+)
+def scalar_levenshtein(spark, sf_dir):
+    """Edit distance over a bounded candidate set (20×20 upper triangle) —
+    the fuzzy-match primitive; at scale always behind a blocking key, never
+    all-pairs."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_partkey") <= 20)
+    a = p.select(F.col("p_partkey").alias("key_a"), F.col("p_name").alias("name_a"))
+    b = p.select(F.col("p_partkey").alias("key_b"), F.col("p_name").alias("name_b"))
+    return (
+        a.join(b, F.col("key_a") < F.col("key_b"))
+        .select(
+            "key_a", "key_b", F.levenshtein("name_a", "name_b").alias("edit_dist")
+        )
+    )
+
+
+@register(
+    "agg_bitwise",
+    """
+    SELECT l_returnflag,
+           bit_and(l_orderkey) AS k_and,
+           bit_or(l_orderkey)  AS k_or,
+           bit_xor(l_orderkey) AS k_xor
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise(spark, sf_dir):
+    """Bitwise aggregates — order-independent by algebra, so they need no
+    determinism scaffolding at any scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("k_and"),
+        F.bit_or("l_orderkey").alias("k_or"),
+        F.bit_xor("l_orderkey").alias("k_xor"),
+    )
