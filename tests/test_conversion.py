@@ -247,3 +247,34 @@ def test_namespaced_xml_strips_to_local_names(spark, tmp_path):
     p.write_text(ns)
     df = read_xml_documents(spark, str(p), REF_XSD, strip_namespaces=True)
     assert _row_json(df) == GOLDEN_FULL
+
+
+def test_xsd_choice_branches(spark, tmp_path):
+    """xs:choice: both branches become nullable fields; each document
+    carries a value in exactly the branch it used. Design note: the
+    reference's physical schema is data-dependent (absent elements vanish
+    from the per-file parquet because the JSON intermediate has no key);
+    this engine always emits the full XSD-derived schema with nulls —
+    stable columns across files, which is what a lake needs (SURVEY §1.5:
+    explicit schemas, never inference)."""
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="msg">
+    <xs:complexType>
+      <xs:sequence>
+        <xs:element name="id" type="xs:integer"/>
+        <xs:choice>
+          <xs:element name="email" type="xs:string"/>
+          <xs:element name="phone" type="xs:integer"/>
+        </xs:choice>
+      </xs:sequence>
+    </xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    (tmp_path / "s.xsd").write_text(xsd)
+    (tmp_path / "a.xml").write_text("<msg><id>1</id><email>a@b.c</email></msg>")
+    (tmp_path / "b.xml").write_text("<msg><id>2</id><phone>555</phone></msg>")
+    df = read_xml_documents(spark, str(tmp_path / "*.xml"), str(tmp_path / "s.xsd"))
+    rows = {r["msg"]["id"]: r["msg"].asDict() for r in df.collect()}
+    assert rows[1]["email"] == "a@b.c" and rows[1]["phone"] is None
+    assert rows[2]["phone"] == 555 and rows[2]["email"] is None

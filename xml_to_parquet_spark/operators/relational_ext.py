@@ -668,3 +668,48 @@ def agg_bitwise(spark, sf_dir):
         F.bit_or("l_orderkey").alias("k_or"),
         F.bit_xor("l_orderkey").alias("k_xor"),
     )
+
+
+@register(
+    "agg_percentile_array",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.25), 4) AS q25,
+           round(quantile_cont(l_extendedprice, 0.50), 4) AS q50,
+           round(quantile_cont(l_extendedprice, 0.75), 4) AS q75
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_array(spark, sf_dir):
+    """Multi-quantile in ONE pass: percentile(col, array(...)) sorts each
+    group once for all three cut points (three separate percentile calls
+    would sort three times)."""
+    li = _t(spark, sf_dir, "lineitem")
+    qs = F.expr("percentile(l_extendedprice, array(0.25, 0.5, 0.75))")
+    return li.groupBy("l_returnflag").agg(
+        F.round(qs.getItem(0), 4).alias("q25"),
+        F.round(qs.getItem(1), 4).alias("q50"),
+        F.round(qs.getItem(2), 4).alias("q75"),
+    )
+
+
+@register(
+    "join_null_safe",
+    """
+    WITH a AS (SELECT event_id, CASE WHEN event_type = 'view' THEN NULL
+                                     ELSE event_type END AS k FROM events),
+         b AS (SELECT DISTINCT CASE WHEN event_type = 'view' THEN NULL
+                                    ELSE event_type END AS k FROM events)
+    SELECT a.event_id, a.k
+    FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+    """,
+)
+def join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    match each other — ordinary equi-join machinery applies (hash on the
+    null-safe key), unlike `=` where NULL rows silently vanish."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.when(F.col("event_type") == "view", None).otherwise(F.col("event_type"))
+    a = ev.select("event_id", k.alias("k"))
+    b = a.select("k").distinct().select(F.col("k").alias("bk"))
+    return a.join(b, a.k.eqNullSafe(F.col("bk"))).select("event_id", "k")
