@@ -83,3 +83,22 @@ def test_q6_no_shuffle_before_final_agg(spark, sf_dir):
     df = load_all()["q6_forecast_revenue"].fn(spark, sf_dir)
     assert shuffle_count(df) <= 1  # single-partition gather for the 1-row agg
     assert any("l_shipdate" in f for f in pushed_filters(df))
+
+
+def test_conversion_include_path_prunes_scan(spark):
+    """Include-path projection must reach the XML scan itself (the
+    reference prunes during the streaming parse; we pass a pruned explicit
+    schema — SURVEY §2.1 row 6). The scan's ReadSchema must not contain
+    the excluded subtrees."""
+    from tests.conftest import REF_XML, REF_XSD
+    from xml_to_parquet_spark import read_xml_documents
+    from xml_to_parquet_spark.plans.inspect import read_schemas
+
+    df = read_xml_documents(
+        spark, REF_XML, REF_XSD, xpaths="/purchaseOrder/items/item"
+    )
+    rs = read_schemas(df)[0]
+    assert "items" in rs
+    # item.comment stays (inside the included subtree); the pruned
+    # top-level siblings must be gone
+    assert "shipTo" not in rs and "billTo" not in rs
