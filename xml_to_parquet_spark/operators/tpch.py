@@ -467,3 +467,131 @@ def q22_global_sales_opportunity(spark, sf_dir):
         )
         .orderBy("cntrycode")
     )
+
+
+@register(
+    "q4_order_priority",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def q4_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape (late-ship proxy for commitdate<receiptdate, which
+    the schema lacks — TESTDATA.md): correlated EXISTS with an inequality
+    against the outer row → left-semi join on orderkey with the date
+    predicate evaluated post-join. The quarter filter prunes orders before
+    the semi-join."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey)
+            & (li.l_shipdate > orders.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "q8_market_share",
+    """
+    SELECT o_year,
+           round(CAST(sum(CAST(floor(CASE WHEN supp_nation = 'NATION_5'
+                         THEN volume ELSE 0 END * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE)
+               / CAST(sum(CAST(floor(volume * 1000000 + 0.5) AS BIGINT))
+                      AS DOUBLE), 6) AS mkt_share
+    FROM (SELECT year(o_orderdate) AS o_year,
+                 l_extendedprice * (1 - l_discount) AS volume,
+                 n.n_name AS supp_nation
+          FROM lineitem
+            JOIN orders   ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN nation n ON s_nationkey = n.n_nationkey
+          WHERE p_exists(l_partkey)) t
+    GROUP BY o_year
+    ORDER BY o_year
+    """.replace("p_exists(l_partkey)", "l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'ECONOMY')"),
+)
+def q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one nation's share of ECONOMY-part volume per year.
+    The share is a ratio of two scaled-long sums over the same rows — one
+    pass, conditional numerator (never two scans). Dims broadcast; the
+    part filter reaches lineitem as a semi-join."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    scaled = lambda c: F.sum(F.floor(c * 1_000_000 + F.lit(0.5)).cast("bigint")).cast("double")  # noqa: E731
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        .join(orders, F.col("l_orderkey") == orders.o_orderkey)
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                scaled(F.when(F.col("n_name") == "NATION_5", vol).otherwise(F.lit(0.0)))
+                / scaled(vol),
+                6,
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+@register(
+    "q9_product_profit",
+    f"""
+    SELECT n_name, year(o_orderdate) AS o_year,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_profit
+    FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+      JOIN part     ON l_partkey = p_partkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY n_name, o_year
+    ORDER BY n_name, o_year
+    """,
+)
+def q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (profit without ps_supplycost — no partsupp in the
+    schema): revenue on 'widget' parts by supplier nation and year. The
+    LIKE filter prunes part before its broadcast; the only shuffle is
+    lineitem⋈orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "sum_profit"
+            )
+        )
+        .orderBy("n_name", "o_year")
+    )
