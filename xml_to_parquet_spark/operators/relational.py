@@ -10,8 +10,8 @@ Scale notes (100 TB thinking, verified locally via .explain):
     broadcast explicitly — no shuffle of the fact table for dim joins
   * aggregations are partial (map-side combine) by construction — groupBy
     on low-cardinality keys reduces before the exchange
-  * money sums round to fixed decimals in BOTH engines so value hashes are
-    stable across summation orders
+  * money sums accumulate as scaled longs in BOTH engines (see dsum) so
+    value hashes are stable across summation orders
   * window/top-k orderings always carry a unique tiebreaker key so results
     are deterministic under any partitioning
 """
@@ -761,9 +761,9 @@ def scalar_date_fns(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
-        F.dayofmonth("o_orderdate").alias("dom"),
+        F.year("o_orderdate").cast("bigint").alias("yr"),
+        F.month("o_orderdate").cast("bigint").alias("mo"),
+        F.dayofmonth("o_orderdate").cast("bigint").alias("dom"),
         F.date_trunc("month", "o_orderdate").alias("month_start"),
         (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).alias("due_date"),
         F.datediff(

@@ -81,7 +81,7 @@ def window_ntile_dist(spark, sf_dir):
     return _t(spark, sf_dir, "orders").select(
         "o_orderkey",
         "o_custkey",
-        F.ntile(4).over(w).alias("quartile"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
         F.round(F.percent_rank().over(w), 8).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 8).alias("cdist"),
     )

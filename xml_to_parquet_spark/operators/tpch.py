@@ -107,7 +107,11 @@ def q7_volume_shipping(spark, sf_dir):
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
@@ -545,7 +549,7 @@ def q8_market_share(spark, sf_dir):
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
                 scaled(F.when(F.col("n_name") == "NATION_5", vol).otherwise(F.lit(0.0)))
@@ -587,7 +591,7 @@ def q9_product_profit(spark, sf_dir):
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
-        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .groupBy("n_name", F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
                 "sum_profit"
