@@ -102,3 +102,26 @@ def test_conversion_include_path_prunes_scan(spark):
     # item.comment stays (inside the included subtree); the pruned
     # top-level siblings must be gone
     assert "shipTo" not in rs and "billTo" not in rs
+
+
+def test_cached_table_reused_in_plan(spark, sf_dir):
+    """persist(): the second consumer of a cached intermediate must read
+    InMemoryTableScan, not recompute the subtree — the reuse-a-partitioning
+    pattern for multi-output pipelines."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+    from xml_to_parquet_spark.tables import table
+
+    base = (
+        table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .persist()
+    )
+    try:
+        base.count()  # materialize
+        downstream = base.filter(F.col("n") > 5).select("o_custkey")
+        assert "InMemoryTableScan" in physical_plan(downstream)
+    finally:
+        base.unpersist()

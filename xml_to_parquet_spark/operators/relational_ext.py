@@ -713,3 +713,106 @@ def join_null_safe(spark, sf_dir):
     a = ev.select("event_id", k.alias("k"))
     b = a.select("k").distinct().select(F.col("k").alias("bk"))
     return a.join(b, a.k.eqNullSafe(F.col("bk"))).select("event_id", "k")
+
+
+@register(
+    "agg_skew_kurtosis",
+    """
+    SELECT l_returnflag,
+           round(skewness(l_extendedprice), 6) AS sk,
+           round(kurtosis(l_extendedprice), 4) AS ku
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_skew_kurtosis(spark, sf_dir):
+    """Higher-moment aggregates. Kurtosis rounds at 4 (not 6): Spark and
+    DuckDB apply different small-sample bias corrections that agree only
+    to ~1e-6 at this group size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.skewness("l_extendedprice"), 6).alias("sk"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("ku"),
+    )
+
+
+@register(
+    "scalar_date_fns2",
+    """
+    SELECT o_orderkey,
+           quarter(o_orderdate)                       AS qtr,
+           weekofyear(o_orderdate)                    AS iso_week,
+           dayofweek(o_orderdate) + 1                 AS dow,
+           last_day(o_orderdate)                      AS month_end,
+           o_orderdate + INTERVAL 3 MONTH             AS plus3m,
+           CAST(epoch(o_orderdate) AS BIGINT)         AS epoch_s
+    FROM orders
+    """,
+)
+def scalar_date_fns2(spark, sf_dir):
+    """Second date family. Convention notes baked into the oracle:
+    DuckDB dayofweek is 0-based Sunday, Spark 1-based (+1 aligns);
+    quarter/ISO-week agree natively."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.quarter("o_orderdate").cast("bigint").alias("qtr"),
+        F.weekofyear("o_orderdate").cast("bigint").alias("iso_week"),
+        F.dayofweek("o_orderdate").cast("bigint").alias("dow"),
+        F.last_day("o_orderdate").cast("timestamp").alias("month_end"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 3 MONTHS")).alias("plus3m"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+    )
+
+
+@register(
+    "scalar_string_fns2",
+    """
+    SELECT p_partkey,
+           upper(substr(p_name, 1, 1)) || substr(p_name, 2) AS name_cap,
+           translate(p_brand, '#', '-')                     AS brand_tr,
+           repeat('*', p_size % 5)                          AS stars,
+           instr(p_type, 'O')                               AS o_pos,
+           left(p_type, 3)                                  AS type3,
+           right(p_brand, 2)                                AS brand2
+    FROM part
+    """,
+)
+def scalar_string_fns2(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.concat(
+            F.upper(F.substring("p_name", 1, 1)), F.expr("substring(p_name, 2)")
+        ).alias("name_cap"),
+        F.translate("p_brand", "#", "-").alias("brand_tr"),
+        F.expr("repeat('*', p_size % 5)").alias("stars"),
+        F.instr(F.col("p_type"), "O").cast("bigint").alias("o_pos"),
+        F.expr("left(p_type, 3)").alias("type3"),
+        F.expr("right(p_brand, 2)").alias("brand2"),
+    )
+
+
+@register(
+    "agg_grouping_id",
+    """
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+           count(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+)
+def agg_grouping_id(spark, sf_dir):
+    """grouping()/grouping_id(): disambiguates real NULL group keys from
+    rollup super-aggregate rows — required for correct BI consumption of
+    grouping-set output."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gid")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS BIGINT) AS gid,
+               count(*) AS n
+        FROM lineitem_gid
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
