@@ -278,3 +278,57 @@ def test_xsd_choice_branches(spark, tmp_path):
     rows = {r["msg"]["id"]: r["msg"].asDict() for r in df.collect()}
     assert rows[1]["email"] == "a@b.c" and rows[1]["phone"] is None
     assert rows[2]["phone"] == 555 and rows[2]["email"] is None
+
+
+def test_nested_repeated_with_attrs_at_depth(spark, tmp_path):
+    """List-inside-list with attributes at both depths: the per-element
+    `elem@attr` rename, attr-first ordering, and decimal→double coercion
+    must hold at every nesting level (the rebuild expression recurses
+    through array<struct<array<struct<...>>>>)."""
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="lib">
+    <xs:complexType><xs:sequence>
+      <xs:element name="shelf" minOccurs="0" maxOccurs="unbounded">
+        <xs:complexType><xs:sequence>
+          <xs:element name="book" minOccurs="0" maxOccurs="unbounded">
+            <xs:complexType><xs:sequence>
+              <xs:element name="title" type="xs:string"/>
+              <xs:element name="price" type="xs:decimal"/>
+            </xs:sequence>
+            <xs:attribute name="isbn" type="xs:string"/>
+            </xs:complexType>
+          </xs:element>
+        </xs:sequence>
+        <xs:attribute name="label" type="xs:string"/>
+        </xs:complexType>
+      </xs:element>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    xml = (
+        '<lib><shelf label="A"><book isbn="x1"><title>T1</title><price>9.5</price></book>'
+        '<book isbn="x2"><title>T2</title><price>3.25</price></book></shelf>'
+        '<shelf label="B"><book isbn="y1"><title>T3</title><price>7</price></book></shelf></lib>'
+    )
+    (tmp_path / "s.xsd").write_text(xsd)
+    (tmp_path / "d.xml").write_text(xml)
+    df = read_xml_documents(spark, str(tmp_path / "d.xml"), str(tmp_path / "s.xsd"))
+    got = _row_json(df)
+    assert got == {
+        "lib": {
+            "shelf": [
+                {
+                    "shelf@label": "A",
+                    "book": [
+                        {"book@isbn": "x1", "title": "T1", "price": 9.5},
+                        {"book@isbn": "x2", "title": "T2", "price": 3.25},
+                    ],
+                },
+                {
+                    "shelf@label": "B",
+                    "book": [{"book@isbn": "y1", "title": "T3", "price": 7.0}],
+                },
+            ]
+        }
+    }
