@@ -332,3 +332,31 @@ def test_nested_repeated_with_attrs_at_depth(spark, tmp_path):
             ]
         }
     }
+
+
+def test_simple_content_with_attribute(spark, tmp_path):
+    """Attributed simple-content element (<price currency=\"USD\">9.5</price>):
+    text survives as `price@VALUE` beside `price@currency`. Documented
+    divergence: the reference constructs its converter with text_key=None
+    (convert_xml_to_parquet.py:61), which would serialize the text under a
+    JSON null key — unusable as a parquet column name; its own fixtures
+    never exercise this case. We keep the value under a real name."""
+    xsd = """<?xml version="1.0"?>
+<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+  <xs:element name="item">
+    <xs:complexType><xs:sequence>
+      <xs:element name="price">
+        <xs:complexType><xs:simpleContent>
+          <xs:extension base="xs:decimal">
+            <xs:attribute name="currency" type="xs:string"/>
+          </xs:extension>
+        </xs:simpleContent></xs:complexType>
+      </xs:element>
+    </xs:sequence></xs:complexType>
+  </xs:element>
+</xs:schema>"""
+    (tmp_path / "s.xsd").write_text(xsd)
+    (tmp_path / "d.xml").write_text('<item><price currency="USD">9.5</price></item>')
+    df = read_xml_documents(spark, str(tmp_path / "d.xml"), str(tmp_path / "s.xsd"))
+    got = _row_json(df)
+    assert got == {"item": {"price": {"price@VALUE": 9.5, "price@currency": "USD"}}}

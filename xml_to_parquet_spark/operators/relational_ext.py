@@ -816,3 +816,37 @@ def agg_grouping_id(spark, sf_dir):
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )
+
+
+@register(
+    "scalar_array_fns2",
+    """
+    SELECT p_partkey,
+           list_sort(list_distinct(list_concat(a, b)))                    AS u,
+           list_sort(list_filter(list_distinct(a), x -> list_contains(b, x)))  AS i,
+           list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS e,
+           a[2:4] AS sl,
+           list_reverse(a) AS rev
+    FROM (SELECT p_partkey,
+                 range(1, p_size % 8 + 2) AS a,
+                 range(3, 11) AS b
+          FROM part) t
+    """,
+)
+def scalar_array_fns2(spark, sf_dir):
+    """Set-algebra array family (union/intersect/except/slice/reverse) —
+    outputs sorted so the value hash is independent of each engine's
+    first-seen ordering."""
+    p = _t(spark, sf_dir, "part").select(
+        "p_partkey",
+        F.sequence(F.lit(1), F.col("p_size") % 8 + 1).alias("a"),
+        F.sequence(F.lit(3), F.lit(10)).alias("b"),
+    )
+    return p.select(
+        "p_partkey",
+        F.array_sort(F.array_union("a", "b")).alias("u"),
+        F.array_sort(F.array_intersect("a", "b")).alias("i"),
+        F.array_sort(F.array_except("a", "b")).alias("e"),
+        F.slice("a", 2, 3).alias("sl"),
+        F.reverse("a").alias("rev"),
+    )
