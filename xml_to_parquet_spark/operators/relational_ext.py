@@ -850,3 +850,92 @@ def scalar_array_fns2(spark, sf_dir):
         F.slice("a", 2, 3).alias("sl"),
         F.reverse("a").alias("rev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# data-quality operators
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dq_profile",
+    """
+    SELECT count(*)                       AS n_rows,
+           count(l_shipdate)              AS shipdate_nonnull,
+           count(DISTINCT l_orderkey)     AS orderkey_card,
+           count(DISTINCT l_returnflag)   AS returnflag_card,
+           round(min(l_extendedprice), 2) AS price_min,
+           round(max(l_extendedprice), 2) AS price_max,
+           CAST(min(l_shipdate) AS TIMESTAMP) AS shipdate_min,
+           CAST(max(l_shipdate) AS TIMESTAMP) AS shipdate_max
+    FROM lineitem
+    """,
+)
+def dq_profile(spark, sf_dir):
+    """Column profiling in one pass: null counts, cardinalities, ranges —
+    the pre-flight check every ingestion pipeline runs. All aggregates
+    map-side partial; one 1-row exchange."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("l_shipdate").alias("shipdate_nonnull"),
+        F.countDistinct("l_orderkey").alias("orderkey_card"),
+        F.countDistinct("l_returnflag").alias("returnflag_card"),
+        F.round(F.min("l_extendedprice"), 2).alias("price_min"),
+        F.round(F.max("l_extendedprice"), 2).alias("price_max"),
+        F.min("l_shipdate").alias("shipdate_min"),
+        F.max("l_shipdate").alias("shipdate_max"),
+    )
+
+
+@register(
+    "dq_constraints",
+    """
+    SELECT
+      (SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                             GROUP BY o_orderkey HAVING count(*) > 1) d)
+          AS pk_violations,
+      (SELECT count(*) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey))
+          AS fk_orphans,
+      (SELECT count(*) FROM lineitem WHERE l_quantity <= 0 OR l_discount < 0
+                                        OR l_discount > 1)
+          AS domain_violations
+    """,
+)
+def dq_constraints(spark, sf_dir):
+    """Constraint validation: primary-key uniqueness, referential
+    integrity (anti-join orphan count), and domain bounds — three checks,
+    each an aggregate the optimizer can run as pure map-side counting
+    (the FK check is a broadcast anti-join against the dim)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    pk = (
+        orders.groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.count(F.lit(1)).alias("pk_violations"))
+    )
+    fk = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("fk_orphans"))
+    )
+    dom = li.filter(
+        (F.col("l_quantity") <= 0)
+        | (F.col("l_discount") < 0)
+        | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("domain_violations"))
+    return pk.crossJoin(fk).crossJoin(dom)
+
+
+@register("sample_stratified", None)
+def sample_stratified(spark, sf_dir):
+    """Stratified sampling (sampleBy): per-stratum fractions with a fixed
+    seed — the class-balancing primitive for training-data curation.
+    Engine-specific RNG → rows-only check."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.sampleBy(
+        "l_returnflag", {"A": 0.05, "N": 0.02, "R": 0.05}, seed=42
+    ).select("l_orderkey", "l_linenumber", "l_returnflag")
