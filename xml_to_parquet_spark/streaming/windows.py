@@ -191,3 +191,21 @@ def stream_watermark_late_data(spark, sf_dir):
         .select(F.col("window.start").alias("window_start"), "n")
     )
     return _drain(agg, ["window_start", "n"], mode="append")
+
+
+@register("stream_chained_agg", None)
+def stream_chained_agg(spark, sf_dir):
+    """CHAINED stateful aggregations in one streaming query (Spark 3.4+):
+    hourly event counts re-aggregated into daily maxima — two stateful
+    operators back to back, no intermediate sink. Requires a watermark and
+    append mode; only days the watermark has closed emit, so the result
+    set depends on replay batching → rows-only check (same reason as
+    stream_watermark_late_data)."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = ev.groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("n"))
+    daily = (
+        hourly.groupBy(F.window(F.col("window"), "1 day"))
+        .agg(F.max("n").alias("max_hourly"), F.sum("n").alias("total"))
+        .select(F.col("window.start").alias("day_start"), "max_hourly", "total")
+    )
+    return _drain(daily, ["day_start", "max_hourly", "total"], mode="append")
