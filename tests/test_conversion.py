@@ -360,3 +360,27 @@ def test_simple_content_with_attribute(spark, tmp_path):
     df = read_xml_documents(spark, str(tmp_path / "d.xml"), str(tmp_path / "s.xsd"))
     got = _row_json(df)
     assert got == {"item": {"price": {"price@VALUE": 9.5, "price@currency": "USD"}}}
+
+
+def test_convert_and_dataset_paths_agree(spark, tmp_path):
+    """The compat path (one parquet per input) and the scale path (one
+    partitioned dataset) must produce identical document sets for the
+    same inputs."""
+    from xml_to_parquet_spark.sources.xml_source import convert_to_dataset
+
+    src = tmp_path / "in"
+    out1 = tmp_path / "per_file"
+    out2 = tmp_path / "dataset"
+    src.mkdir()
+    out1.mkdir()
+    for i in range(3):
+        shutil.copy(REF_XML, src / f"{i}.xml")
+    written = convert(spark, str(src / "*.xml"), REF_XSD, target_path=str(out1))
+    assert len(written) == 3
+    convert_to_dataset(spark, str(src / "*.xml"), REF_XSD, str(out2))
+    per_file = spark.read.parquet(*written)
+    dataset = spark.read.parquet(str(out2)).drop("_src")
+    assert dataset.count() == 3
+    a = sorted(r[0] for r in per_file.select(F.to_json(F.struct("*"))).collect())
+    b = sorted(r[0] for r in dataset.select(F.to_json(F.struct("*"))).collect())
+    assert a == b
