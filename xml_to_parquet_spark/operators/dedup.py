@@ -428,6 +428,9 @@ def dedup_components(spark, sf_dir):
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("lab").alias("nlab"))
         )
+        # (measured: pointer-jumping's extra label-of-label join per round
+        # costs more than it saves here — dup-cluster graphs have tiny
+        # diameters, so the simple propagation converges in 2-3 rounds)
         new_labels = (
             labels.join(neighbor_min, "node", "left")
             .select(
