@@ -1,0 +1,139 @@
+"""Training-data curation operators [EXT] — the north-star LLM-pipeline
+steps downstream of dedup/quality metrics: the quality GATE, token-budget
+sequence packing, and deterministic source mixing.
+
+All three are exact and hash-free-deterministic, so they carry full DuckDB
+oracles despite being \"ML ops\" — the curation decisions a 100 TB run
+makes must be reproducible run-to-run or the dataset is unauditable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+SEQ_BUDGET = 512  # tokens per packed training sequence
+
+
+@register(
+    "curate_quality_filter",
+    f"""
+    WITH tok AS (SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents),
+    m AS (
+      SELECT doc_id, source,
+             len(toks) AS n_tokens,
+             list_sum(list_transform(toks, t -> length(t)))
+                 / CAST(len(toks) AS DOUBLE) AS avg_tok,
+             len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) AS ttr
+      FROM tok WHERE len(toks) > 0
+    )
+    SELECT doc_id, source, n_tokens
+    FROM m
+    WHERE n_tokens BETWEEN 25 AND 2000
+      AND avg_tok BETWEEN 2.0 AND 12.0
+      AND ttr >= 0.35
+    """,
+)
+def curate_quality_filter(spark, sf_dir):
+    """Gopher/C4-style quality gate: token-count bounds, average token
+    length bounds, type-token-ratio floor. One map-only pass; the gate is
+    pure column arithmetic so it composes with any upstream filter at the
+    scan (no UDF, no shuffle)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(TOKENS_SQL).alias("toks")
+    )
+    n = F.size("toks")
+    avg_tok = F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") / n.cast(
+        "double"
+    )
+    ttr = F.size(F.array_distinct("toks")) / n.cast("double")
+    return (
+        docs.filter(n > 0)
+        .filter(
+            n.between(25, 2000)
+            & avg_tok.between(2.0, 12.0)
+            & (ttr >= 0.35)
+        )
+        .select("doc_id", "source", n.alias("n_tokens"))
+    )
+
+
+@register(
+    "curate_pack_sequences",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, len({TOKENS_DUCK}) AS n_tokens FROM documents
+    ), c AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                 AS cum_before
+      FROM tok WHERE n_tokens > 0
+    )
+    SELECT doc_id, n_tokens,
+           CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+    FROM c
+    """,
+)
+def curate_pack_sequences(spark, sf_dir):
+    """Sequence packing: assign docs (in stable doc_id order) to training
+    sequences of ~{budget} tokens via exclusive-cumsum division — the
+    deterministic contiguous packing used to batch pretraining data.
+
+    Scale note: the global-order cumsum means one window partition; at
+    100 TB you pack WITHIN shards (partitionBy(shard) added to the window,
+    seq ids offset by shard) — same expression, embarrassingly parallel,
+    at the cost of at most one underfull sequence per shard."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.expr(TOKENS_SQL)).alias("n_tokens")
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        docs.filter(F.col("n_tokens") > 0)
+        .withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+        )
+    )
+
+
+# deterministic per-source sampling weights (percent kept)
+MIX_WEIGHTS = {"src0": 100, "src1": 50, "src2": 25, "src3": 10}
+MIX_DEFAULT = 75
+
+
+@register(
+    "curate_mix_sources",
+    f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CASE source
+                  WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                  WHEN 'src2' THEN 25  WHEN 'src3' THEN 10
+                  ELSE {MIX_DEFAULT} END AS keep_pct
+      FROM documents
+    )
+    SELECT doc_id, source FROM w
+    WHERE (doc_id * 2654435761) % 100 < keep_pct
+    """,
+)
+def curate_mix_sources(spark, sf_dir):
+    """Deterministic domain mixing: per-source keep-rates applied via a
+    Knuth-hash of the stable doc id — reproducible (re-running selects the
+    same docs, unlike RNG sampling) and shuffle-free. This is how mixture
+    weights (web 50%, code 25%, ...) are applied to a 100 TB corpus
+    without materializing per-source splits."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    keep = F.when(F.col("source") == "src0", 100)
+    for src, pct in list(MIX_WEIGHTS.items())[1:]:
+        keep = keep.when(F.col("source") == src, pct)
+    keep = keep.otherwise(MIX_DEFAULT)
+    return docs.filter((F.col("doc_id") * 2654435761) % 100 < keep).select(
+        "doc_id", "source"
+    )

@@ -34,6 +34,7 @@ def register(name: str, oracle: str | None = None):
 def load_all() -> dict[str, QueryDef]:
     """Import every operator module so registrations run."""
     from xml_to_parquet_spark.operators import (  # noqa: F401
+        curation,
         dedup,
         multimodal,
         relational,
