@@ -137,3 +137,45 @@ def curate_mix_sources(spark, sf_dir):
     return docs.filter((F.col("doc_id") * 2654435761) % 100 < keep).select(
         "doc_id", "source"
     )
+
+
+def _keep_best_oracle() -> str:
+    from xml_to_parquet_spark.operators.dedup import _components_oracle
+
+    comps = _components_oracle()
+    return f"""
+    WITH comp AS ({comps}),
+    tok AS (
+      SELECT doc_id, len({TOKENS_DUCK}) AS n_tokens FROM documents
+    ), ranked AS (
+      SELECT c.component, c.doc_id, t.n_tokens,
+             row_number() OVER (PARTITION BY c.component
+                                ORDER BY t.n_tokens DESC, c.doc_id) AS rn
+      FROM comp c JOIN tok t ON t.doc_id = c.doc_id
+    )
+    SELECT component,
+           min(CASE WHEN rn = 1 THEN doc_id END) AS keeper_id,
+           count(*) AS n_members
+    FROM ranked GROUP BY component
+    """
+
+
+@register("curate_dedup_keep_best", _keep_best_oracle())
+def curate_dedup_keep_best(spark, sf_dir):
+    """The dedup pipeline capstone, composed end-to-end: MinHash-LSH
+    candidates → connected components → keep the highest-quality member
+    (longest, doc_id tiebreak) per duplicate cluster. Each stage is the
+    already-verified operator; the composition stays a single lazy plan
+    until the iterative component loop materializes its fixpoint."""
+    from xml_to_parquet_spark.operators.dedup import dedup_components
+
+    comps = dedup_components(spark, sf_dir)
+    tok = table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(F.expr(TOKENS_SQL)).alias("n_tokens")
+    )
+    w = W.partitionBy("component").orderBy(F.desc("n_tokens"), "doc_id")
+    ranked = comps.join(tok, "doc_id").withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_members"),
+    )
