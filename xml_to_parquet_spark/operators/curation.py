@@ -179,3 +179,56 @@ def curate_dedup_keep_best(spark, sf_dir):
         F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias("keeper_id"),
         F.count(F.lit(1)).alias("n_members"),
     )
+
+
+def _contamination_oracle() -> str:
+    from xml_to_parquet_spark.functions.text_fns import shingles_duck
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, source,
+             unnest(list_distinct({shingles_duck(4)})) AS g
+      FROM tok WHERE len(toks) >= 4
+    ), train AS (SELECT doc_id, g FROM sh WHERE source <> 'src19'),
+       eval_set AS (SELECT DISTINCT doc_id, g FROM sh WHERE source = 'src19')
+    SELECT t.doc_id AS train_doc,
+           count(DISTINCT e.doc_id) AS n_eval_hits,
+           count(DISTINCT t.g)      AS n_shared_grams
+    FROM train t JOIN eval_set e ON t.g = e.g
+    GROUP BY t.doc_id
+    """
+
+
+@register("curate_decontaminate", _contamination_oracle())
+def curate_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: flag training documents sharing any
+    4-gram with the held-out eval set (here: source src19). The join is
+    shingle-keyed — cost scales with shared-gram count, never
+    |train|×|eval|; at 100 TB the eval side's distinct grams are small
+    enough to BROADCAST, making the whole check map-side."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.expr(TOKENS_SQL).alias("toks")
+    )
+    from xml_to_parquet_spark.functions.text_fns import shingles_sql
+
+    sh = docs.filter(F.size("toks") >= 4).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.expr(shingles_sql(4)))).alias("g"),
+    )
+    train = sh.filter(F.col("source") != "src19").select("doc_id", "g")
+    eval_set = (
+        sh.filter(F.col("source") == "src19")
+        .select(F.col("doc_id").alias("eval_doc"), "g")
+        .distinct()
+    )
+    return (
+        train.join(F.broadcast(eval_set), "g")
+        .groupBy(F.col("doc_id").alias("train_doc"))
+        .agg(
+            F.countDistinct("eval_doc").alias("n_eval_hits"),
+            F.countDistinct("g").alias("n_shared_grams"),
+        )
+    )
