@@ -286,3 +286,40 @@ def sim_ivf(spark, sf_dir):
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cell", "cos", "rn")
     )
+
+
+@register(
+    "sim_quantize_int8",
+    """
+    WITH s AS (
+      SELECT vec_id,
+             GREATEST(list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))),
+                      1e-12) AS scale_abs
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           list_transform(CAST(e.embedding AS DOUBLE[]),
+                          x -> CAST(floor(x / s.scale_abs * 127 + 0.5) AS BIGINT))
+               AS q,
+           round(s.scale_abs, 6) AS scale_r
+    FROM embeddings e JOIN s ON s.vec_id = e.vec_id
+    """,
+)
+def sim_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization per vector (scale = max |x| / 127): the
+    4× memory compression that makes billion-vector ANN indexes fit in
+    RAM. Pure higher-order-function arithmetic — quantization of 100 TB of
+    embeddings is a map-only pass; identical floor/scale math in the
+    oracle, so every quantized code is value-checked."""
+    emb = table(spark, sf_dir, "embeddings")
+    xd = F.col("embedding").cast("array<double>")
+    scale = F.greatest(
+        F.array_max(F.transform(xd, lambda x: F.abs(x))), F.lit(1e-12)
+    )
+    return emb.select(
+        "vec_id",
+        F.transform(
+            xd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("bigint")
+        ).alias("q"),
+        F.round(scale, 6).alias("scale_r"),
+    )
