@@ -237,3 +237,67 @@ def text_rolling_hash(spark, sf_dir):
             ).alias("rhash"),
         )
     )
+
+
+@register(
+    "text_tfidf",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), n_docs AS (
+      SELECT count(*) AS n FROM tok WHERE len(toks) > 0
+    ), tf AS (
+      SELECT doc_id, unnest(toks) AS term FROM tok WHERE len(toks) > 0
+    ), tfc AS (
+      SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT t.doc_id, t.term, t.tf,
+           round(t.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+    FROM tfc t JOIN dfc d ON t.term = d.term CROSS JOIN n_docs n
+    WHERE d.df >= 5
+    """,
+)
+def text_tfidf(spark, sf_dir):
+    """Corpus TF-IDF: term frequency per doc × log inverse document
+    frequency, min document frequency 5. Two shuffles total — one on
+    (doc, term), one on term; the doc count broadcasts as a 1-row cross
+    join. Log of an integer ratio is bit-identical across engines, so the
+    scores carry a full value oracle."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    )
+    terms = docs.filter(F.size("toks") > 0).select(
+        "doc_id", F.explode("toks").alias("term")
+    )
+    n_docs = docs.filter(F.size("toks") > 0).agg(F.count(F.lit(1)).alias("n"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).filter(
+        F.col("df") >= 5
+    )
+    return (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            F.round(
+                F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+
+
+@register("text_freq_items", None)
+def text_freq_items(spark, sf_dir):
+    """Heavy hitters via DataFrame freqItems (count-min-style single pass,
+    support 1%) — approximate by contract, rows-only check. The exact
+    equivalent at scale is a two-pass groupBy-filter; the sketch does it
+    in one."""
+    terms = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(TOKENS_SQL)).alias("term"))
+    )
+    return terms.freqItems(["term"], support=0.01)
