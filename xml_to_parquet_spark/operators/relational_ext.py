@@ -939,3 +939,33 @@ def sample_stratified(spark, sf_dir):
     return li.sampleBy(
         "l_returnflag", {"A": 0.05, "N": 0.02, "R": 0.05}, seed=42
     ).select("l_orderkey", "l_linenumber", "l_returnflag")
+
+
+@register(
+    "agg_min_max_by",
+    """
+    SELECT o_custkey,
+           arg_max(o_orderkey, o_orderdate) AS latest_order,
+           arg_min(o_orderkey, o_orderdate) AS first_order
+    FROM (SELECT o_custkey, o_orderkey, o_orderdate + o_orderkey * INTERVAL 1 SECOND
+              AS o_orderdate FROM orders) t
+    GROUP BY o_custkey
+    """,
+)
+def agg_min_max_by(spark, sf_dir):
+    """arg_max/arg_min (max_by/min_by): the latest/first order id per
+    customer without a self-join or window. The ordering key is made
+    unique (date + orderkey-seconds) because ties make arg_max engine-
+    nondeterministic — the same discipline every top-1 query here uses."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.col("o_orderdate")
+            + (F.col("o_orderkey") * F.expr("INTERVAL 1 SECOND"))
+        ).alias("o_orderdate"),
+    )
+    return o.groupBy("o_custkey").agg(
+        F.max_by("o_orderkey", "o_orderdate").alias("latest_order"),
+        F.min_by("o_orderkey", "o_orderdate").alias("first_order"),
+    )
