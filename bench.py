@@ -70,6 +70,42 @@ def _bench_conversion(spark, n_files: int = 200) -> float:
     return dt
 
 
+def _bench_large_xml(spark, n_items: int = 40000) -> float:
+    """Adversarial-scale single document: one ~8 MB purchase order with
+    n_items repeated items (deep nesting × wide repetition). Pins the
+    O(document)-memory streaming-parse claim (reference README.md:14) with
+    a real number: Spark's XML reader is StAX-streaming per record, so this
+    costs seconds, not an OOM."""
+    ref_xml = "/root/reference/test/PurchaseOrder.xml"
+    ref_xsd = "/root/reference/test/PurchaseOrder.xsd"
+    src = f"/tmp/xml_to_parquet_spark_bench_conv/big_{n_items}.xml"
+    if not os.path.isfile(src):
+        os.makedirs(os.path.dirname(src), exist_ok=True)
+        head, _ = open(ref_xml).read().split("<items>")
+        item = (
+            '<item partNum="%05d-AB"><productName>Widget %d</productName>'
+            "<quantity>%d</quantity><USPrice>%d.99</USPrice>"
+            "<comment>batch %d of the adversarial-scale conversion bench"
+            "</comment></item>"
+        )
+        with open(src, "w") as fh:
+            fh.write(head)
+            fh.write("<items>")
+            for i in range(n_items):
+                fh.write(item % (i, i, (i % 9) + 1, i, i // 100))
+            fh.write("</items></purchaseOrder>")
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.sources.xml_source import read_xml_documents
+
+    t0 = time.perf_counter()
+    df = read_xml_documents(spark, src, ref_xsd)
+    n = df.select(F.size("purchaseOrder.items.item").alias("n")).collect()[0]["n"]
+    dt = time.perf_counter() - t0
+    assert n == n_items, f"large-doc conversion saw {n} items, want {n_items}"
+    return dt
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -109,6 +145,7 @@ def main():
     # 3 processes). One Spark job converts 200 copies into a partitioned
     # dataset; per-file cost amortizes to milliseconds.
     times["convert_200_xml_files"] = round(_bench_conversion(spark), 3)
+    times["convert_8mb_xml_40k_items"] = round(_bench_large_xml(spark), 3)
 
     total = round(sum(times.values()), 3)
     print(

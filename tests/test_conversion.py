@@ -236,6 +236,35 @@ def test_malformed_xml_skipped_not_written(spark, tmp_path):
     assert list(out.iterdir()) == []
 
 
+def test_malformed_gz_skipped_not_written(spark, tmp_path):
+    """A malformed .gz input must hit the same log-and-skip path as plain
+    .xml (convert_xml_to_parquet.py:231-236), not produce an all-null
+    parquet."""
+    bad = tmp_path / "bad.xml.gz"
+    with gzip.open(bad, "wt") as fh:
+        fh.write("<purchaseOrder><unclosed>")
+    out = tmp_path / "out"
+    out.mkdir()
+    written = convert(spark, [str(bad)], REF_XSD, target_path=str(out))
+    assert written == []
+    assert list(out.iterdir()) == []
+
+
+def test_malformed_archive_member_skipped(spark, tmp_path):
+    """An undecodable member inside a zip is dropped (reference skips the
+    failing decode, convert_xml_to_parquet.py:231-236); good members still
+    convert."""
+    zp = tmp_path / "mixed.zip"
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.write(REF_XML, "good.xml")
+        zf.writestr("bad.xml", "this is not xml at all <<<>>>")
+    out = tmp_path / "out"
+    out.mkdir()
+    written = convert(spark, [str(zp)], REF_XSD, target_path=str(out))
+    assert len(written) == 1
+    assert written[0].endswith("mixed.good.xml.parquet")
+
+
 def test_namespaced_xml_strips_to_local_names(spark, tmp_path):
     """Reference strips namespaces entirely (split on '}',
     process_namespaces=False — convert_xml_to_parquet.py:198,227);

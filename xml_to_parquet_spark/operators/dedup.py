@@ -15,6 +15,7 @@ inside buckets, which is the algorithm's contract.
 
 from __future__ import annotations
 
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.text_fns import (
@@ -399,46 +400,50 @@ def _components_oracle() -> str:
     """
 
 
-@register("dedup_components", _components_oracle())
-def dedup_components(spark, sf_dir):
-    """Duplicate clusters from near-dup pairs: connected components via
-    iterative min-label propagation (the Pregel/GraphX pattern as plain
-    DataFrame code). Each round every node adopts the min label in its
-    neighborhood; rounds double the propagation radius-ish, and the loop
-    stops when a round changes nothing — diameter-bounded, checked
-    driver-side with a 1-row count.
+def connected_components(
+    edges: DataFrame, *, pointer_jump: bool = True, max_rounds: int = 30
+) -> DataFrame:
+    """Connected components over a symmetric edge list (columns a, b) via
+    iterative min-label propagation — the Pregel/GraphX pattern as plain
+    DataFrame code. Returns (node, lab).
 
-    Scale shape per round: one self-contained join edges⋈labels + min-agg,
-    both keyed on node — co-partitioned after the first shuffle. Label
-    state is cached and the lineage cut per round (localCheckpoint), the
-    standard guard against iterative-plan blowup. The DuckDB oracle computes
-    the same fixpoint by recursive transitive closure."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
-    edges = (
-        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .localCheckpoint()
-    )
+    Each round every node adopts the min label in its neighborhood. With
+    ``pointer_jump`` each round additionally shortcuts label→label-of-label
+    (one extra equi-join on the label table), which compresses long chains
+    exponentially: convergence in O(log diameter) rounds instead of
+    O(diameter), so ``max_rounds=30`` covers any graph a 100 TB corpus
+    could produce (diameter up to ~2^30). Non-convergence RAISES instead of
+    silently returning wrong labels.
+
+    Scale shape per round: joins and aggs all keyed on node/label —
+    co-partitioned after the first shuffle; label state lineage is cut per
+    round (localCheckpoint), the standard guard against iterative-plan
+    blowup. Convergence is checked with a limit(1).count(), not a full
+    materialize."""
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
-    for _ in range(30):  # diameter bound; tiny vs any real dup-cluster graph
+    for _ in range(max_rounds):
         neighbor_min = (
             edges.join(labels, edges.b == labels.node)
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("lab").alias("nlab"))
         )
-        # (measured: pointer-jumping's extra label-of-label join per round
-        # costs more than it saves here — dup-cluster graphs have tiny
-        # diameters, so the simple propagation converges in 2-3 rounds)
-        new_labels = (
-            labels.join(neighbor_min, "node", "left")
-            .select(
-                "node",
-                F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
-            )
-            .localCheckpoint()
+        new_labels = labels.join(neighbor_min, "node", "left").select(
+            "node",
+            F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
+        if pointer_jump:
+            parent = new_labels.select(
+                F.col("node").alias("p_node"), F.col("lab").alias("p_lab")
+            )
+            new_labels = new_labels.join(
+                parent, new_labels.lab == parent.p_node, "left"
+            ).select(
+                "node",
+                F.least(F.col("lab"), F.coalesce("p_lab", F.col("lab"))).alias("lab"),
+            )
+        new_labels = new_labels.localCheckpoint()
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")
@@ -448,7 +453,26 @@ def dedup_components(spark, sf_dir):
         )
         labels = new_labels
         if changed == 0:
-            break
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge within {max_rounds} rounds; "
+        "raise max_rounds (pointer_jump=True needs only log2(diameter) rounds)"
+    )
+
+
+@register("dedup_components", _components_oracle())
+def dedup_components(spark, sf_dir):
+    """Duplicate clusters from near-dup pairs: connected components via
+    pointer-jumping min-label propagation (see ``connected_components``).
+    The DuckDB oracle computes the same fixpoint by recursive transitive
+    closure."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    edges = (
+        pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+        .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
+        .localCheckpoint()
+    )
+    labels = connected_components(edges, pointer_jump=True, max_rounds=30)
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
 
 

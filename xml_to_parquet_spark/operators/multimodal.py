@@ -164,11 +164,10 @@ def _feature_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 @register(
     "mm_feature_extract",
     """
-    SELECT doc_id,
-           list_transform(range(1, 9), d ->
-               (strpos('0123456789abcdef', substr(md5(text), d, 1)) - 1) / 15.0)
-               AS features
-    FROM documents
+    SELECT doc_id, d - 1 AS dim,
+           (strpos('0123456789abcdef', substr(md5(text), d, 1)) - 1) / 15.0
+               AS value
+    FROM documents, range(1, 9) t(d)
     """,
 )
 def mm_feature_extract(spark, sf_dir):
@@ -176,10 +175,17 @@ def mm_feature_extract(spark, sf_dir):
     vector through mapInPandas (a real build runs the vision encoder in
     this stage; batch size is the GPU-memory knob via
     spark.sql.execution.arrow.maxRecordsPerBatch). The fake features are
-    md5-derived so the Arrow array<double> round-trip is oracle-checked."""
+    md5-derived so the Arrow array<double> round-trip is oracle-checked.
+
+    Output is exploded to one (doc_id, dim, value) row per vector component
+    so every cell is a hashable scalar (list-valued cells break
+    order-insensitive canonicalization in generic harnesses)."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.col("text").cast("binary").alias("payload")
     )
-    return docs.mapInPandas(
+    feats = docs.mapInPandas(
         _feature_batches, schema="doc_id bigint, features array<double>"
     )
+    return feats.select(
+        "doc_id", F.posexplode("features").alias("dim", "value")
+    ).withColumn("dim", F.col("dim").cast("bigint"))

@@ -666,9 +666,13 @@ def set_intersect(spark, sf_dir):
     """,
 )
 def set_except(spark, sf_dir):
+    # SQL EXCEPT (DISTINCT) semantics: a left row is removed if it appears in
+    # b at all. ``exceptAll(b).distinct()`` would wrongly keep a left row whose
+    # multiplicity exceeds its right multiplicity; ``subtract`` is Spark's
+    # EXCEPT DISTINCT.
     a = _t(spark, sf_dir, "customer").select(F.col("c_custkey").alias("custkey"))
     b = _t(spark, sf_dir, "orders").select(F.col("o_custkey").alias("custkey"))
-    return a.exceptAll(b).distinct()
+    return a.subtract(b)
 
 
 @register(
@@ -778,8 +782,8 @@ def scalar_date_fns(spark, sf_dir):
     """
     SELECT l_orderkey, l_linenumber,
            round(abs(l_discount - 0.05), 4)   AS d_abs,
-           ceil(l_extendedprice)              AS price_ceil,
-           floor(l_extendedprice)             AS price_floor,
+           CAST(ceil(l_extendedprice) AS BIGINT)  AS price_ceil,
+           CAST(floor(l_extendedprice) AS BIGINT) AS price_floor,
            round(sqrt(l_quantity), 6)         AS qty_sqrt,
            round(ln(l_extendedprice), 6)      AS price_ln,
            round(pow(l_tax + 1, 2), 6)        AS tax_sq,

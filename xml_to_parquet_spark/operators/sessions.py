@@ -1,0 +1,185 @@
+"""Event-time operators [EXT]: gap-based sessionization (batch), as-of join
+direction variants, and deterministic hash sampling.
+
+The reference has no query surface at all (SURVEY.md §2.2); these extend
+the engine's time-series toolkit beyond `timeseries_rollup` / `join_asof`
+with the shapes a behavioral-events pipeline needs. All are single-shuffle
+window compositions — partition by user, sort by time, carry state along
+the sort — the same linear-scale design as `join_asof`
+(operators/relational.py:457): no range self-joins anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.operators.dedup import _hexval
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+@register(
+    "sessionize_events",
+    f"""
+    WITH ordered AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                   OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, event_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us
+    FROM sessions GROUP BY user_id, session_idx
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization in batch: a session breaks after 30 min of
+    user inactivity. lag() marks session starts, a running sum over the same
+    (user, time) sort numbers them, then one agg per session — the classic
+    sessionization composition (what `session_window()` does in streaming,
+    here with a value oracle).
+
+    Scale shape: both window functions share one window spec, so Catalyst
+    plans a single shuffle on user_id + one sort; the final agg re-uses the
+    same hash partitioning. Ties broken by event_id for determinism."""
+    ev = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    is_new = F.when(
+        prev.isNull()
+        | ((F.unix_micros("ts") - F.unix_micros(prev)) > SESSION_GAP_US),
+        1,
+    ).otherwise(0)
+    numbered = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(is_new)
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_idx"),
+    )
+    return numbered.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts"))).alias(
+            "duration_us"
+        ),
+    )
+
+
+def _tagged_events(spark, sf_dir):
+    ev = table(spark, sf_dir, "events")
+    return ev.filter(F.col("event_type").isin("click", "purchase")).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("p_ts"),
+    )
+
+
+@register(
+    "join_asof_forward",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           min(p.ts) AS next_purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON p.user_id = c.user_id AND p.ts > c.ts
+    GROUP BY c.event_id, c.user_id, c.ts
+    """,
+)
+def join_asof_forward(spark, sf_dir):
+    """Forward as-of join: for each click, the EARLIEST strictly-later
+    purchase by the same user. Same union-sort-carry composition as the
+    backward `join_asof` — purchases sort before clicks at equal ts, so the
+    current-row→following frame sees only strictly later purchases. One
+    shuffle on user_id, no range explosion."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("event_type"))  # purchase before click at same ts
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    return (
+        _tagged_events(spark, sf_dir)
+        .withColumn("next_purchase_ts", F.min("p_ts").over(w))
+        .filter(F.col("event_type") == "click")
+        .select("event_id", "user_id", "ts", "next_purchase_ts")
+    )
+
+
+@register(
+    "join_asof_nearest",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT c.event_id, max(p.ts) AS bt FROM c LEFT JOIN p
+                 ON p.user_id = c.user_id AND p.ts <= c.ts GROUP BY c.event_id),
+         f AS (SELECT c.event_id, min(p.ts) AS ft FROM c LEFT JOIN p
+                 ON p.user_id = c.user_id AND p.ts > c.ts GROUP BY c.event_id)
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN bt IS NULL THEN ft
+                WHEN ft IS NULL THEN bt
+                WHEN epoch_us(c.ts) - epoch_us(bt) <= epoch_us(ft) - epoch_us(c.ts)
+                THEN bt ELSE ft END AS nearest_purchase_ts
+    FROM c JOIN b USING (event_id) JOIN f USING (event_id)
+    """,
+)
+def join_asof_nearest(spark, sf_dir):
+    """Nearest as-of join: the purchase closest in time to each click,
+    either direction; ties go to the earlier (backward) match. Both
+    directions come out of ONE sorted window pass (two frames over the same
+    sort), so the cost is identical to a single-direction as-of join."""
+    base = W.partitionBy("user_id").orderBy("ts", F.desc("event_type"))
+    wb = base.rowsBetween(W.unboundedPreceding, W.currentRow)
+    wf = base.rowsBetween(W.currentRow, W.unboundedFollowing)
+    clicks = (
+        _tagged_events(spark, sf_dir)
+        .withColumn("bt", F.max("p_ts").over(wb))
+        .withColumn("ft", F.min("p_ts").over(wf))
+        .filter(F.col("event_type") == "click")
+    )
+    back_gap = F.unix_micros("ts") - F.unix_micros("bt")
+    fwd_gap = F.unix_micros("ft") - F.unix_micros("ts")
+    nearest = (
+        F.when(F.col("bt").isNull(), F.col("ft"))
+        .when(F.col("ft").isNull(), F.col("bt"))
+        .when(back_gap <= fwd_gap, F.col("bt"))
+        .otherwise(F.col("ft"))
+    )
+    return clicks.select(
+        "event_id", "user_id", "ts", nearest.alias("nearest_purchase_ts")
+    )
+
+
+@register(
+    "sample_hash_deterministic",
+    f"""
+    SELECT event_id, user_id, event_type, value
+    FROM events
+    WHERE ({_hexval("md5(CAST(event_id AS VARCHAR))", "strpos")}) % 100 < 10
+    """,
+)
+def sample_hash_deterministic(spark, sf_dir):
+    """Deterministic 10% Bernoulli sample keyed on md5(event_id) — the
+    reproducible-sampling pattern for training-data pipelines (same rows
+    selected on every run, every engine, any partitioning; unlike
+    TABLESAMPLE / rand()-based sampling, which is why `table_sample` is
+    rows-only but this gets a full value oracle). Map-only: the predicate
+    is a codegen'd expression on a projected column, no shuffle."""
+    ev = table(spark, sf_dir, "events")
+    bucket = F.expr(_hexval("md5(CAST(event_id AS STRING))", "instr")) % 100
+    return ev.filter(bucket < 10).select("event_id", "user_id", "event_type", "value")

