@@ -39,6 +39,7 @@ BENCH_QUERIES = [
     "sim_topk_cosine",
     "sim_ivf",
     "join_asof",
+    "sessionize_events",
     "udf_cogrouped_pandas",
     "stream_tumbling_window",
 ]

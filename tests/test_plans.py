@@ -125,3 +125,44 @@ def test_cached_table_reused_in_plan(spark, sf_dir):
         assert "InMemoryTableScan" in physical_plan(downstream)
     finally:
         base.unpersist()
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Sessionization: lag + running-sum share one window spec and the
+    final agg reuses the user_id hash partitioning — exactly one exchange
+    end-to-end (plus AQE reads). A second exchange would mean the window
+    functions or the agg repartitioned separately."""
+    df = load_all()["sessionize_events"].fn(spark, sf_dir)
+    assert shuffle_count(df) <= 1
+
+
+def test_asof_nearest_single_shuffle_no_join(spark, sf_dir):
+    """Nearest as-of: both direction frames come from ONE sorted pass —
+    no join nodes at all, one exchange on user_id."""
+    df = load_all()["join_asof_nearest"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any("Join" in k for k in n), n
+    assert shuffle_count(df) <= 1
+
+
+def test_hash_sample_map_only(spark, sf_dir):
+    """Deterministic hash sampling is a scan + codegen'd filter: zero
+    exchanges, and the scan prunes to the 4 projected columns."""
+    df = load_all()["sample_hash_deterministic"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    rs = read_schemas(df)[0]
+    assert "props" not in rs and "ts" not in rs
+
+
+def test_chunk_overlap_map_only(spark, sf_dir):
+    """Context-window chunking is pure fan-out (explode): no exchange;
+    scan reads only doc_id + text."""
+    df = load_all()["text_chunk_overlap"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    rs = read_schemas(df)[0]
+    assert "lang" not in rs and "source" not in rs
+
+
+def test_matryoshka_map_only(spark, sf_dir):
+    df = load_all()["sim_matryoshka_truncate"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0

@@ -969,3 +969,159 @@ def agg_min_max_by(spark, sf_dir):
         F.max_by("o_orderkey", "o_orderdate").alias("latest_order"),
         F.min_by("o_orderkey", "o_orderdate").alias("first_order"),
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    """
+    WITH counts AS (
+      SELECT l_returnflag, l_linestatus, count(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_linestatus
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY l_returnflag
+                                   ORDER BY n DESC, l_linestatus) AS rn
+      FROM counts
+    )
+    SELECT l_returnflag, l_linestatus AS modal_status, n AS modal_count
+    FROM ranked WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark, sf_dir):
+    """Mode (most frequent value) per group with a DETERMINISTIC tie-break
+    (count desc, then value asc) — unlike built-in mode()/F.mode, whose
+    tie order is engine-arbitrary and therefore un-oracle-able. Two-phase:
+    count per (group, value) — map-side partial agg — then a per-group
+    top-1 window over the (tiny) distinct-value set."""
+    li = _t(spark, sf_dir, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = W.partitionBy("l_returnflag").orderBy(F.desc("n"), "l_linestatus")
+    return (
+        counts.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "l_returnflag",
+            F.col("l_linestatus").alias("modal_status"),
+            F.col("n").alias("modal_count"),
+        )
+    )
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH source AS (
+      -- CDC batch: updates for keys ending in 000..004, plus new rows
+      SELECT o_orderkey AS key, o_totalprice + 1000 AS price, 'update' AS op
+      FROM orders WHERE o_orderkey % 1000 < 5
+      UNION ALL
+      SELECT o_orderkey + 100000000 AS key, 42.0 AS price, 'insert' AS op
+      FROM orders WHERE o_orderkey % 1000 = 5
+    ), target AS (
+      SELECT o_orderkey AS key, o_totalprice AS price FROM orders
+    )
+    SELECT coalesce(s.key, t.key)                       AS key,
+           CAST(round(coalesce(s.price, t.price), 2) AS DOUBLE) AS price,
+           CASE WHEN s.key IS NULL THEN 'unchanged'
+                WHEN t.key IS NULL THEN 'inserted'
+                ELSE 'updated' END                      AS merge_action
+    FROM target t FULL OUTER JOIN source s ON s.key = t.key
+    WHERE coalesce(s.key, t.key) % 1000 IN (0, 1, 2, 3, 4, 5)
+    """,
+)
+def merge_upsert(spark, sf_dir):
+    """MERGE/upsert as a batch operator (the CDC apply pattern on plain
+    parquet — what Delta/Iceberg MERGE INTO compiles to): full outer join
+    of target and source on the key, matched rows take the source value,
+    unmatched-source rows insert, unmatched-target rows carry through.
+    The WHERE keeps the verifiable slice small. One shuffle on the merge
+    key; at scale the join benefits from pre-bucketing both sides on it
+    (see join_bucketed)."""
+    o = _t(spark, sf_dir, "orders")
+    updates = o.filter(F.col("o_orderkey") % 1000 < 5).select(
+        F.col("o_orderkey").alias("key"),
+        (F.col("o_totalprice") + 1000).alias("price"),
+        F.lit("update").alias("op"),
+    )
+    inserts = o.filter(F.col("o_orderkey") % 1000 == 5).select(
+        (F.col("o_orderkey") + 100000000).alias("key"),
+        F.lit(42.0).alias("price"),
+        F.lit("insert").alias("op"),
+    )
+    source = updates.unionAll(inserts)
+    target = o.select(F.col("o_orderkey").alias("key"), F.col("o_totalprice").alias("price"))
+    merged = target.alias("t").join(
+        source.alias("s"), F.col("s.key") == F.col("t.key"), "full_outer"
+    )
+    return merged.select(
+        F.coalesce(F.col("s.key"), F.col("t.key")).alias("key"),
+        F.round(F.coalesce(F.col("s.price"), F.col("t.price")), 2)
+        .cast("double")
+        .alias("price"),
+        F.when(F.col("s.key").isNull(), "unchanged")
+        .when(F.col("t.key").isNull(), "inserted")
+        .otherwise("updated")
+        .alias("merge_action"),
+    ).filter((F.col("key") % 1000).isin(0, 1, 2, 3, 4, 5))
+
+
+@register(
+    "agg_count_if_filter",
+    """
+    SELECT l_returnflag,
+           count(*)                                            AS n_all,
+           count(*) FILTER (WHERE l_quantity > 25)             AS n_bulk,
+           count(*) FILTER (WHERE l_discount >= 0.05)          AS n_discounted,
+           CAST(round(CAST(sum(l_extendedprice) FILTER (WHERE l_discount >= 0.05)
+                 AS DECIMAL(24,4)), 2) AS DOUBLE)              AS disc_revenue
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_count_if_filter(spark, sf_dir):
+    """Conditional aggregation (SQL FILTER clause / count_if): multiple
+    differently-filtered aggregates in ONE scan + one partial agg — the
+    alternative is N self-joined subqueries, which at 100 TB means N scans.
+    Spark expresses FILTER as when()-guarded aggregates; identical
+    semantics, still a single map-side combine."""
+    li = _t(spark, sf_dir, "lineitem")
+    bulk = F.when(F.col("l_quantity") > 25, 1)
+    disc = F.when(F.col("l_discount") >= 0.05, 1)
+    disc_rev = F.when(F.col("l_discount") >= 0.05, F.col("l_extendedprice"))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_all"),
+        F.count(bulk).alias("n_bulk"),
+        F.count(disc).alias("n_discounted"),
+        F.round(F.sum(disc_rev).cast("decimal(24,4)"), 2)
+        .cast("double")
+        .alias("disc_revenue"),
+    )
+
+
+@register(
+    "window_count_distinct",
+    """
+    SELECT o_custkey, o_orderkey,
+           count(DISTINCT o_orderpriority) OVER (PARTITION BY o_custkey)
+               AS n_priorities,
+           count(*) OVER (PARTITION BY o_custkey) AS n_orders
+    FROM orders
+    """,
+)
+def window_count_distinct(spark, sf_dir):
+    """Distinct count over a window partition. Spark disallows
+    COUNT(DISTINCT) as a window function outright — the standard rewrite
+    is size(collect_set()) over the same partition, which keeps one
+    shuffle and a bounded per-group set (priority domain is tiny). For
+    high-cardinality columns the scale path is approx_count_distinct over
+    a groupBy joined back, not a per-row window."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.size(F.collect_set("o_orderpriority").over(w))
+        .cast("bigint")
+        .alias("n_priorities"),
+        F.count(F.lit(1)).over(w).alias("n_orders"),
+    )

@@ -399,3 +399,43 @@ def sim_quantized_topk(spark, sf_dir):
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "qcos", "rn")
     )
+
+
+MRL_DIM = 16  # matryoshka truncation depth
+
+
+@register(
+    "sim_matryoshka_truncate",
+    f"""
+    WITH t AS (
+      SELECT vec_id,
+             CAST(embedding AS DOUBLE[]) AS full_e,
+             list_slice(CAST(embedding AS DOUBLE[]), 1, {MRL_DIM}) AS trunc_e
+      FROM embeddings
+    )
+    SELECT vec_id,
+           round(sqrt(list_dot_product(full_e, full_e)), 4)   AS norm_full,
+           round(sqrt(list_dot_product(trunc_e, trunc_e)), 4) AS norm_trunc,
+           round(trunc_e[1] / sqrt(list_dot_product(trunc_e, trunc_e)), 4)
+               AS first_renorm
+    FROM t
+    """,
+)
+def sim_matryoshka_truncate(spark, sf_dir):
+    """Matryoshka-style truncation: keep the first 16 dims of each
+    embedding and renormalize — the serving-time trick for cheap coarse
+    search over MRL-trained embeddings (truncate → renormalized unit
+    vector; full vector only for final rerank). Map-only JVM expressions;
+    at 100 TB this is the first stage of a funnel where the 4×-smaller
+    truncated vectors cut ANN memory and bandwidth 4×."""
+    emb = table(spark, sf_dir, "embeddings")
+    full_e = F.col("embedding").cast("array<double>")
+    trunc_e = F.slice(full_e, 1, MRL_DIM)
+    nf = l2_norm(full_e)
+    nt = l2_norm(trunc_e)
+    return emb.select(
+        "vec_id",
+        F.round(nf, 4).alias("norm_full"),
+        F.round(nt, 4).alias("norm_trunc"),
+        F.round(F.element_at(trunc_e, 1) / nt, 4).alias("first_renorm"),
+    )

@@ -301,3 +301,60 @@ def text_freq_items(spark, sf_dir):
         .select(F.explode(F.expr(TOKENS_SQL)).alias("term"))
     )
     return terms.freqItems(["term"], support=0.01)
+
+
+CHUNK_SIZE = 64
+CHUNK_STRIDE = 48
+
+
+@register(
+    "text_chunk_overlap",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS n FROM tok WHERE len(toks) > 0
+    ), fanned AS (
+      SELECT doc_id, toks, n, unnest(range(0, CAST(ceil(n / {CHUNK_STRIDE}.0) AS BIGINT))) AS chunk_idx
+      FROM sized
+    )
+    SELECT doc_id, chunk_idx,
+           least({CHUNK_SIZE}, n - chunk_idx * {CHUNK_STRIDE})    AS n_tokens,
+           md5(array_to_string(
+               list_slice(toks, chunk_idx * {CHUNK_STRIDE} + 1,
+                          chunk_idx * {CHUNK_STRIDE} + {CHUNK_SIZE}), ' '))
+               AS chunk_hash
+    FROM fanned
+    """,
+)
+def text_chunk_overlap(spark, sf_dir):
+    """Context-window chunking: split each document's token stream into
+    overlapping windows (size 64, stride 48 — 16-token overlap), the
+    pretraining-tokenizer feed pattern. Pure fan-out: sequence+explode for
+    chunk indices, slice() for the window, md5 for a verifiable chunk
+    identity — all JVM expressions, rows scale with chunks while memory
+    stays per-document. The overlap means no boundary token loses its
+    context, the md5 gives downstream exact-dedup of chunks for free."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    )
+    sized = docs.withColumn("n", F.size("toks")).filter(F.col("n") > 0)
+    fanned = sized.select(
+        "doc_id",
+        "toks",
+        "n",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.ceil(F.col("n") / float(CHUNK_STRIDE)).cast("bigint") - 1,
+            )
+        ).alias("chunk_idx"),
+    )
+    start = F.col("chunk_idx") * CHUNK_STRIDE
+    chunk = F.slice("toks", (start + 1).cast("int"), CHUNK_SIZE)
+    return fanned.select(
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(CHUNK_SIZE), F.col("n") - start).alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
+    )

@@ -120,6 +120,38 @@ def read_xml_documents(
     return df.select(*cols)
 
 
+def read_xml_documents_stream(
+    spark: SparkSession,
+    path: str,
+    xsd: str,
+    root: str | None = None,
+    xpaths=None,
+    excludepaths=None,
+) -> DataFrame:
+    """Structured-Streaming variant of ``read_xml_documents``: watch a
+    directory for arriving XML files and emit reference-shaped rows
+    continuously (micro-batches). This is the continuous-ingestion upgrade
+    of the reference's batch CLI loop (convert_xml_to_parquet.py:487-535):
+    new files become new rows with exactly-once file tracking, and the
+    same pruned explicit schema pushes include/exclude-path projection
+    into the streaming parse.
+
+    Returns a streaming DataFrame; pair with ``writeStream.format(
+    "parquet")`` + checkpoint for an incremental conversion pipeline."""
+    name, dt = _compile(spark, xsd, root, xpaths, excludepaths)
+    df = (
+        spark.readStream.format("xml")
+        .options(rowTag=name, **_XML_OPTIONS)
+        .schema(dt)
+        .load(path)
+    )
+    return df.select(
+        rebuild_expr(
+            F.struct(*[F.col(f.name) for f in dt.fields]), dt, name
+        ).alias(name)
+    )
+
+
 def read_xml_archives(
     spark: SparkSession,
     paths: str | list[str],

@@ -22,8 +22,9 @@ from xml_to_parquet_spark.tables import table
 
 
 def _events_stream(spark, sf_dir):
-    from xml_to_parquet_spark.tables import _fix_nanos
+    from xml_to_parquet_spark.tables import _fix_nanos, ensure_nanos_conf
 
+    ensure_nanos_conf(spark)  # vanilla sessions reject TIMESTAMP(NANOS)
     raw_schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # file-stream source wants a directory; glob-filter down to the events table
     return _fix_nanos(

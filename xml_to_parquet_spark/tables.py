@@ -38,16 +38,20 @@ def _fix_nanos(df: DataFrame) -> DataFrame:
     return df
 
 
+def ensure_nanos_conf(spark: SparkSession) -> None:
+    """events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
+    nanosAsLong is set. The conf is runtime-settable, so set it at read
+    time instead of relying on session-build config — callers (e.g. a test
+    harness) may hand us a vanilla SparkSession."""
+    try:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    except Exception:
+        pass  # read-only conf in some environments; fall through and try
+
+
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is parquet TIMESTAMP(NANOS), which Spark rejects unless
-        # nanosAsLong is set. The conf is runtime-settable, so set it here
-        # instead of relying on session-build config — callers (e.g. a test
-        # harness) may hand us a vanilla SparkSession.
-        try:
-            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        except Exception:
-            pass  # read-only conf in some environments; fall through and try
+        ensure_nanos_conf(spark)
     return _fix_nanos(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
