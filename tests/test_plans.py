@@ -166,3 +166,13 @@ def test_chunk_overlap_map_only(spark, sf_dir):
 def test_matryoshka_map_only(spark, sf_dir):
     df = load_all()["sim_matryoshka_truncate"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0
+
+
+def test_pagerank_no_cartesian_hash_joins_only(spark, sf_dir):
+    """PageRank iterations must stay equi-joins on the node key (hash or
+    sort-merge) — a Cartesian/nested-loop regression would be quadratic in
+    the corpus. The final plan covers the last iteration (earlier rounds
+    are behind localCheckpoint lineage cuts)."""
+    df = load_all()["pagerank_fixed"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin"), n

@@ -358,3 +358,36 @@ def text_chunk_overlap(spark, sf_dir):
         F.least(F.lit(CHUNK_SIZE), F.col("n") - start).alias("n_tokens"),
         F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_hash"),
     )
+
+
+def _dedup_chunks_oracle() -> str:
+    from xml_to_parquet_spark.registry import REGISTRY
+
+    chunk_sql = REGISTRY["text_chunk_overlap"].oracle
+    return f"""
+    WITH chunks AS ({chunk_sql})
+    SELECT chunk_hash,
+           count(*)               AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs
+    FROM chunks GROUP BY chunk_hash HAVING count(*) > 1
+    """
+
+
+@register("text_dedup_chunks", _dedup_chunks_oracle())
+def text_dedup_chunks(spark, sf_dir):
+    """Chunk-level exact dedup: group the overlapping context-window chunks
+    by their md5 identity and keep repeated ones — the sub-document dedup
+    pass that catches boilerplate shared across otherwise-distinct
+    documents (headers, licenses, templates), which document-level dedup
+    misses. Composition: text_chunk_overlap (map-only fan-out) → one
+    hash-shuffle on the 32-char digest, the same digest-width shuffle
+    economics as dedup_exact."""
+    chunks = text_chunk_overlap(spark, sf_dir)
+    return (
+        chunks.groupBy("chunk_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .filter(F.col("n_occurrences") > 1)
+    )

@@ -71,7 +71,9 @@ GRADED_WINDOW: list[str] = [
     # multimodal
     "mm_decode_meta", "mm_feature_extract",
     # similarity / ANN
-    "sim_topk_cosine", "sim_ivf", "sim_quantized_topk",
+    "sim_topk_cosine", "sim_ivf",
+    # graph (exact-arithmetic fixed-iteration PageRank)
+    "pagerank_fixed",
     # text analysis
     "text_stats", "text_tfidf",
     # pandas UDF/UDAF
@@ -90,6 +92,7 @@ def load_all() -> dict[str, QueryDef]:
     from xml_to_parquet_spark.operators import (  # noqa: F401
         curation,
         dedup,
+        graphs,
         multimodal,
         relational,
         relational_ext,

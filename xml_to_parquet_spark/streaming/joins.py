@@ -131,3 +131,38 @@ def stream_foreach_batch(spark, sf_dir):
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+@register(
+    "stream_static_join",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           count(*) AS n_events,
+           CAST(round(sum(CAST(e.value AS DECIMAL(24,8))), 4) AS DOUBLE)
+               AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id + 1
+    GROUP BY c.c_mktsegment
+    """,
+)
+def stream_static_join(spark, sf_dir):
+    """Stream-static join: the streaming events feed enriched against a
+    static dimension (customer) — Spark re-plans the static side per
+    micro-batch and broadcasts it (no state store involvement, unlike
+    stream-stream joins). This is the standard streaming-enrichment shape:
+    dimension updates are picked up at the next micro-batch without
+    restarting the query. Decimal-sum + round keeps the aggregate exactly
+    batch-reproducible for the oracle."""
+    from xml_to_parquet_spark.tables import table
+
+    ev = _events_stream(spark, sf_dir).select("user_id", "value")
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(
+        F.broadcast(cust), cust.c_custkey == ev.user_id + 1
+    )
+    agg = joined.groupBy(F.col("c_mktsegment").alias("mktsegment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value").cast("decimal(24,8)")), 4)
+        .cast("double")
+        .alias("total_value"),
+    )
+    return _drain(agg, ["mktsegment", "n_events", "total_value"])
