@@ -179,3 +179,56 @@ def udf_broadcast_lookup(spark, sf_dir):
 
     c = table(spark, sf_dir, "customer")
     return c.select("c_custkey", "c_mktsegment", tier_of("c_mktsegment").alias("tier"))
+
+
+def _arrow_revenue_batches(it):
+    """mapInArrow worker: pyarrow.compute kernels on RecordBatches — zero
+    pandas materialization, the lowest-overhead Python crossing Spark has.
+    Revenue in exact integer cents so the oracle matches bit-for-bit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    for batch in it:
+        price = batch.column(batch.schema.get_field_index("l_extendedprice"))
+        disc = batch.column(batch.schema.get_field_index("l_discount"))
+        rev = pc.multiply(price, pc.subtract(pa.scalar(1.0), disc))
+        # floor(x*100 + 0.5), not round(): Arrow rounds half-to-even while
+        # SQL round() is half-away-from-zero — the explicit floor form is
+        # identical everywhere (repo-wide convention for exact cents)
+        cents = pc.cast(
+            pc.floor(pc.add(pc.multiply(rev, pa.scalar(100.0)), pa.scalar(0.5))),
+            pa.int64(),
+        )
+        okey = pc.cast(
+            batch.column(batch.schema.get_field_index("l_orderkey")), pa.int64()
+        )
+        lnum = pc.cast(
+            batch.column(batch.schema.get_field_index("l_linenumber")), pa.int64()
+        )
+        yield pa.RecordBatch.from_arrays(
+            [okey, lnum, cents], names=["l_orderkey", "l_linenumber", "revenue_cents"]
+        )
+
+
+@register(
+    "udf_arrow_map",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT)
+               AS revenue_cents
+    FROM lineitem
+    """,
+)
+def udf_arrow_map(spark, sf_dir):
+    """mapInArrow: the third Python-crossing tier after row-UDF (never) and
+    pandas UDF — Arrow RecordBatches in and out with no pandas conversion,
+    right for byte-level / columnar-native logic. Map-only, batch-bounded
+    memory; rounding happens in integer cents so Arrow's double math agrees
+    with the oracle exactly."""
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_discount"
+    )
+    return li.mapInArrow(
+        _arrow_revenue_batches,
+        schema="l_orderkey bigint, l_linenumber bigint, revenue_cents bigint",
+    )

@@ -2,13 +2,14 @@
 windows + watermark over the ``events`` table (SURVEY.md §2.2 streaming
 row; the reference has no streaming surface).
 
-The tumbling query genuinely runs through the Structured Streaming engine:
-``readStream`` on the events parquet → windowed agg → availableNow trigger
-→ memory sink, drained synchronously so the registered callable can return
-a plain DataFrame. Sliding and session windows run the same window
-operators in batch (identical semantics, same codegen) so they stay
-oracle-checkable; the watermark/late-data behavior is exercised in
-streaming with a rows-only check.
+The tumbling and session queries genuinely run through the Structured
+Streaming engine: ``readStream`` on the events parquet → windowed /
+state-merging agg → availableNow trigger → memory sink, drained
+synchronously so the registered callable can return a plain DataFrame (a
+finite replay is batch-deterministic, so both keep full value oracles).
+The sliding window runs the same window operator in batch (identical
+semantics, same codegen); the watermark/late-data behavior is exercised
+in streaming with a rows-only check.
 """
 
 from __future__ import annotations
@@ -162,11 +163,14 @@ def stream_sliding_window(spark, sf_dir):
     """,
 )
 def stream_session_window(spark, sf_dir):
-    """Session windows (30-min gap) via the native session_window operator
-    — state-merging windows, the streaming-native sessionization. The
-    oracle is the classic gaps-and-islands rewrite."""
-    ev = table(spark, sf_dir, "events")
-    return (
+    """Session windows (30-min gap) via the native session_window operator,
+    run genuinely through the streaming engine (readStream → state-merging
+    session windows → availableNow drain). Sessions merge in the state
+    store as events arrive; the finite availableNow replay makes the result
+    batch-deterministic, so it keeps a full value oracle — the classic
+    gaps-and-islands rewrite."""
+    ev = _events_stream(spark, sf_dir)
+    agg = (
         ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
@@ -176,6 +180,7 @@ def stream_session_window(spark, sf_dir):
             "n_events",
         )
     )
+    return _drain(agg, ["user_id", "session_start", "session_end", "n_events"])
 
 
 @register("stream_watermark_late_data", None)
