@@ -236,6 +236,27 @@ def test_malformed_xml_skipped_not_written(spark, tmp_path):
     assert list(out.iterdir()) == []
 
 
+def test_wildcard_include_path_caveat(spark):
+    """SURVEY.md §2.1 include-path `*` caveat: the reference CLI advertises
+    `/path/include/*` but a trailing `*` is treated as an ordinary path
+    component that matches no real tag, so only the ancestor chain survives
+    with an EMPTY subtree (convert_xml_to_parquet.py:283-292) — while a
+    plain path keeps its whole subtree. We reproduce the observable
+    behavior and document it here rather than silently 'fixing' it."""
+    df = read_xml_documents(
+        spark, REF_XML, REF_XSD, xpaths="/purchaseOrder/items/*"
+    )
+    doc = _row_json(df)["purchaseOrder"]
+    assert doc["items"] == {}  # ancestor survives, subtree empty
+    assert doc["purchaseOrder@orderDate"] is not None  # attrs kept
+    assert "shipTo" not in doc  # non-included siblings pruned
+    # contrast: the plain path keeps the full subtree (golden README:168)
+    full = read_xml_documents(
+        spark, REF_XML, REF_XSD, xpaths="/purchaseOrder/items/item"
+    )
+    assert _row_json(full) == GOLDEN_INCLUDE
+
+
 def test_malformed_gz_skipped_not_written(spark, tmp_path):
     """A malformed .gz input must hit the same log-and-skip path as plain
     .xml (convert_xml_to_parquet.py:231-236), not produce an all-null

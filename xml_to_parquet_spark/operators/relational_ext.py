@@ -268,18 +268,21 @@ def scalar_map_fns(spark, sf_dir):
     SELECT p_partkey,
            regexp_replace(p_name, '[aeiou]', '_', 'g')   AS name_novowel,
            regexp_matches(p_name, '^[a-z]+ [a-z]+$')     AS two_words,
-           string_split(p_name, ' ')                     AS name_parts,
+           array_to_string(string_split(p_name, ' '), '|') AS name_parts,
            len(string_split(p_name, ' '))                AS n_parts
     FROM part
     """,
 )
 def scalar_regexp_split(spark, sf_dir):
+    """Split result serialized with '|' so every output cell is a hashable
+    scalar (list cells break order-insensitive canonicalization in generic
+    harnesses; same contract as mm_feature_extract)."""
     p = _t(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
         F.regexp_replace("p_name", "[aeiou]", "_").alias("name_novowel"),
         F.col("p_name").rlike("^[a-z]+ [a-z]+$").alias("two_words"),
-        F.split("p_name", " ").alias("name_parts"),
+        F.concat_ws("|", F.split("p_name", " ")).alias("name_parts"),
         F.size(F.split("p_name", " ")).alias("n_parts"),
     )
 
@@ -822,11 +825,13 @@ def agg_grouping_id(spark, sf_dir):
     "scalar_array_fns2",
     """
     SELECT p_partkey,
-           list_sort(list_distinct(list_concat(a, b)))                    AS u,
-           list_sort(list_filter(list_distinct(a), x -> list_contains(b, x)))  AS i,
-           list_sort(list_filter(list_distinct(a), x -> NOT list_contains(b, x))) AS e,
-           a[2:4] AS sl,
-           list_reverse(a) AS rev
+           array_to_string(list_sort(list_distinct(list_concat(a, b))), ',') AS u,
+           coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+                    x -> list_contains(b, x))), ','), '')                    AS i,
+           coalesce(array_to_string(list_sort(list_filter(list_distinct(a),
+                    x -> NOT list_contains(b, x))), ','), '')                AS e,
+           coalesce(array_to_string(a[2:4], ','), '')                        AS sl,
+           array_to_string(list_reverse(a), ',')                             AS rev
     FROM (SELECT p_partkey,
                  range(1, p_size % 8 + 2) AS a,
                  range(3, 11) AS b
@@ -836,7 +841,13 @@ def agg_grouping_id(spark, sf_dir):
 def scalar_array_fns2(spark, sf_dir):
     """Set-algebra array family (union/intersect/except/slice/reverse) —
     outputs sorted so the value hash is independent of each engine's
-    first-seen ordering."""
+    first-seen ordering, then comma-serialized so every cell is a hashable
+    scalar (DuckDB's array_to_string yields NULL for empty lists while
+    Spark's concat_ws yields '', hence the coalesce on the emptiable
+    columns)."""
+    join = lambda c: F.concat_ws(  # noqa: E731
+        ",", F.transform(c, lambda x: x.cast("string"))
+    )
     p = _t(spark, sf_dir, "part").select(
         "p_partkey",
         F.sequence(F.lit(1), F.col("p_size") % 8 + 1).alias("a"),
@@ -844,11 +855,11 @@ def scalar_array_fns2(spark, sf_dir):
     )
     return p.select(
         "p_partkey",
-        F.array_sort(F.array_union("a", "b")).alias("u"),
-        F.array_sort(F.array_intersect("a", "b")).alias("i"),
-        F.array_sort(F.array_except("a", "b")).alias("e"),
-        F.slice("a", 2, 3).alias("sl"),
-        F.reverse("a").alias("rev"),
+        join(F.array_sort(F.array_union("a", "b"))).alias("u"),
+        join(F.array_sort(F.array_intersect("a", "b"))).alias("i"),
+        join(F.array_sort(F.array_except("a", "b"))).alias("e"),
+        join(F.slice("a", 2, 3)).alias("sl"),
+        join(F.reverse("a")).alias("rev"),
     )
 
 

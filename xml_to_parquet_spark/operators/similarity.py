@@ -298,8 +298,8 @@ def sim_ivf(spark, sf_dir):
       FROM embeddings
     )
     SELECT e.vec_id,
-           list_transform(CAST(e.embedding AS DOUBLE[]),
-                          x -> CAST(floor(x / s.scale_abs * 127 + 0.5) AS BIGINT))
+           array_to_string(list_transform(CAST(e.embedding AS DOUBLE[]),
+                          x -> CAST(floor(x / s.scale_abs * 127 + 0.5) AS BIGINT)), ',')
                AS q,
            round(s.scale_abs, 6) AS scale_r
     FROM embeddings e JOIN s ON s.vec_id = e.vec_id
@@ -310,17 +310,19 @@ def sim_quantize_int8(spark, sf_dir):
     4× memory compression that makes billion-vector ANN indexes fit in
     RAM. Pure higher-order-function arithmetic — quantization of 100 TB of
     embeddings is a map-only pass; identical floor/scale math in the
-    oracle, so every quantized code is value-checked."""
+    oracle, so every quantized code is value-checked. Codes are emitted
+    comma-serialized so every output cell is a hashable scalar."""
     emb = table(spark, sf_dir, "embeddings")
     xd = F.col("embedding").cast("array<double>")
     scale = F.greatest(
         F.array_max(F.transform(xd, lambda x: F.abs(x))), F.lit(1e-12)
     )
+    codes = F.transform(
+        xd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("bigint")
+    )
     return emb.select(
         "vec_id",
-        F.transform(
-            xd, lambda x: F.floor(x / scale * 127 + F.lit(0.5)).cast("bigint")
-        ).alias("q"),
+        F.concat_ws(",", F.transform(codes, lambda x: x.cast("string"))).alias("q"),
         F.round(scale, 6).alias("scale_r"),
     )
 
