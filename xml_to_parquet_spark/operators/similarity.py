@@ -441,3 +441,74 @@ def sim_matryoshka_truncate(spark, sf_dir):
         F.round(nt, 4).alias("norm_trunc"),
         F.round(F.element_at(trunc_e, 1) / nt, 4).alias("first_renorm"),
     )
+
+
+@register("sim_ivf_persist", None)  # oracle attached below, after sim_ivf
+def sim_ivf_persist(spark, sf_dir):
+    """IVF index LIFECYCLE: build once — centroid table + corpus
+    re-partitioned BY CELL on disk — then serve probes from the persisted
+    index. Same math and same oracle as sim_ivf; what changes is the
+    physical layout: because the corpus parquet is partitioned by cell,
+    a probe reads ONLY the probed cells' files (partition pruning), which
+    at 100 TB is the difference between scanning the corpus per query
+    batch and scanning nprobe/ncells of it. Build cost amortizes across
+    every subsequent query batch."""
+    import os as _os
+
+    from xml_to_parquet_spark.operators.relational import davg
+
+    base = f"/tmp/xml_to_parquet_spark_io/{_os.path.basename(sf_dir)}/ivf_index"
+    emb = table(spark, sf_dir, "embeddings")
+
+    # ---- build (once per corpus version) ----
+    expl = emb.select(
+        "label",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
+    )
+    cent = expl.groupBy("label", "pos").agg(davg(F.col("val")).alias("cavg"))
+    cvec = cent.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "cavg"))), lambda s: s.cavg
+        ).alias("cemb")
+    )
+    cvec.write.mode("overwrite").parquet(f"{base}/centroids")
+    emb.write.mode("overwrite").partitionBy("label").parquet(f"{base}/corpus")
+
+    # ---- serve (every query batch reads the persisted index) ----
+    centroids = spark.read.parquet(f"{base}/centroids")
+    corpus = spark.read.parquet(f"{base}/corpus")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+    )
+    wc = W.partitionBy("query_id").orderBy(
+        F.desc(F.round(cosine(F.col("qe"), F.col("cemb")), 6)), "label"
+    )
+    cells = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= N_CELLS_PROBED)
+        .select("query_id", "qe", F.col("label").alias("cell"))
+    )
+    scored = corpus.join(
+        F.broadcast(cells),
+        (F.col("label") == F.col("cell")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        "cell",
+        F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cell", "cos", "rn")
+    )
+
+
+# the persisted-index variant answers the exact same query as sim_ivf, so
+# it shares sim_ivf's oracle verbatim
+from xml_to_parquet_spark.registry import REGISTRY as _REG  # noqa: E402
+
+_REG["sim_ivf_persist"].oracle = _REG["sim_ivf"].oracle
