@@ -232,3 +232,60 @@ def curate_decontaminate(spark, sf_dir):
             F.countDistinct("g").alias("n_shared_grams"),
         )
     )
+
+
+CHUNK_SEQ_BUDGET = 512
+
+
+def _pack_chunks_oracle() -> str:
+    # curation imports before text in load_all(); importing the module here
+    # runs text's registrations so the chunking oracle is available
+    from xml_to_parquet_spark.operators import text  # noqa: F401
+    from xml_to_parquet_spark.registry import REGISTRY
+
+    chunk_sql = REGISTRY["text_chunk_overlap"].oracle
+    return f"""
+    WITH chunks AS ({chunk_sql}),
+    c AS (
+      SELECT doc_id, chunk_idx, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id, chunk_idx
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+                 AS cum_before
+      FROM chunks
+    ), assigned AS (
+      SELECT doc_id, n_tokens,
+             CAST(floor(cum_before / {CHUNK_SEQ_BUDGET}) AS BIGINT) AS seq_id
+      FROM c
+    )
+    SELECT seq_id, count(*) AS n_chunks, sum(n_tokens) AS n_tokens,
+           count(DISTINCT doc_id) AS n_docs
+    FROM assigned GROUP BY seq_id
+    """
+
+
+@register("curate_pack_chunks", _pack_chunks_oracle())
+def curate_pack_chunks(spark, sf_dir):
+    """Capstone composition: context-window chunking (text_chunk_overlap)
+    feeding sequence packing — chunks assigned in stable (doc, chunk)
+    order to ~512-token training sequences by exclusive-cumsum division,
+    then summarized per sequence. This is the chunk-granular packer a
+    pretraining pipeline runs after sub-document dedup: boundaries land
+    between overlapping windows instead of mid-document, so no sample
+    loses its local context. Same shard-parallel scale note as
+    curate_pack_sequences."""
+    from xml_to_parquet_spark.operators.text import text_chunk_overlap
+
+    chunks = text_chunk_overlap(spark, sf_dir)
+    w = W.orderBy("doc_id", "chunk_idx").rowsBetween(W.unboundedPreceding, 0)
+    assigned = chunks.withColumn(
+        "cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.floor(F.col("cum_before") / CHUNK_SEQ_BUDGET).cast("bigint").alias("seq_id"),
+    )
+    return assigned.groupBy("seq_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
