@@ -25,9 +25,11 @@ def _norm_cell(v):
     if v is None or (isinstance(v, float) and math.isnan(v)):
         return "NULL"
     if isinstance(v, float):
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return repr(v)  # full precision — stricter than any plausible driver hash
+        # Driver-faithful: an integral float stays "364.0", NOT "364" — the
+        # driver's value hash distinguishes int64 364 from float64 364.0
+        # (this masking let a DuckDB HUGEINT->float64 promotion slip through
+        # in rounds 1 and 2).
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm_cell(x) for x in v) + "]"
     return str(v)
@@ -37,6 +39,36 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
     cols = sorted(df.columns)
     rows = [tuple(_norm_cell(r[c]) for c in cols) for _, r in df.iterrows()]
     return sorted(rows)
+
+
+def _dtype_family(dtype) -> str:
+    import pandas.api.types as pt
+
+    if pt.is_bool_dtype(dtype):
+        return "bool"
+    if pt.is_integer_dtype(dtype):
+        return "int"
+    if pt.is_float_dtype(dtype):
+        return "float"
+    if pt.is_datetime64_any_dtype(dtype):
+        return "datetime"
+    return "other"
+
+
+def _dtype_mismatches(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
+    """Per-column dtype-family diff (int vs float vs datetime) between the
+    Spark and oracle pandas frames — the class of representational bug the
+    value hash fails on even when values are numerically identical."""
+    olower = {c.lower(): c for c in odf.columns}
+    bad = []
+    for c in sdf.columns:
+        oc = olower.get(c.lower())
+        if oc is None:
+            continue
+        fs, fo = _dtype_family(sdf[c].dtype), _dtype_family(odf[oc].dtype)
+        if fs != fo:
+            bad.append(f"{c}: spark={sdf[c].dtype}({fs}) duck={odf[oc].dtype}({fo})")
+    return bad
 
 
 def main():
@@ -76,6 +108,11 @@ def main():
         if len(sdf) != len(odf):
             failures.append(name)
             print(f"FAIL  {name}: rows spark={len(sdf)} duck={len(odf)}")
+            continue
+        dbad = _dtype_mismatches(sdf, odf)
+        if dbad:
+            failures.append(name)
+            print(f"FAIL  {name}: dtype family mismatch: {'; '.join(dbad)}")
             continue
         sc, oc = _canon(sdf), _canon(odf.rename(columns=dict(zip(odf.columns, odf.columns))))
         if sc != oc:

@@ -1,0 +1,171 @@
+"""Stdlib-only image codecs (PNG via zlib+struct, BMP via struct).
+
+Retires the round-1/2 ``decode_image_stub``: the container has no
+PIL/libvips, but PNG and BMP are decodable with nothing beyond the standard
+library plus numpy, which makes the multimodal decode path REAL end-to-end
+— actual compressed bytes in a binary column, actual inflate + scanline
+reconstruction in the executor, oracle-checked pixel statistics out.
+
+Supported surface (deliberately minimal, asserts otherwise):
+- PNG: 8-bit depth, color types 0 (gray), 2 (RGB), 6 (RGBA); all five
+  scanline filters (None/Sub/Up/Average/Paeth) on decode; no interlacing.
+- BMP: uncompressed 24-bit BI_RGB, bottom-up rows.
+
+The reference repo (/root/reference/) has no multimodal support at all, so
+this is [EXT] surface per SURVEY.md §2.2.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 6: 4}
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode a uint8 array — (h, w) gray, (h, w, 3) RGB or (h, w, 4)
+    RGBA — as a PNG (filter 0 on every scanline)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        color_type = 0
+    elif img.ndim == 3 and img.shape[2] == 3:
+        color_type = 2
+    elif img.ndim == 3 and img.shape[2] == 4:
+        color_type = 6
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    rows = img.reshape(h, -1)
+    raw = b"".join(b"\x00" + rows[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(raw))
+        + _chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode a PNG into a uint8 array — (h, w) for gray, (h, w, c)
+    otherwise. Handles all five scanline filter types."""
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a PNG (bad signature)")
+    pos, idat, meta = 8, [], None
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, h, depth, color_type, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", payload
+            )
+            if depth != 8 or color_type not in _CHANNELS:
+                raise ValueError(f"unsupported PNG: depth={depth} color={color_type}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            meta = (w, h, _CHANNELS[color_type])
+        elif tag == b"IDAT":
+            idat.append(payload)
+        elif tag == b"IEND":
+            break
+    if meta is None:
+        raise ValueError("PNG missing IHDR")
+    w, h, c = meta
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * c
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG data length mismatch")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(
+            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
+        ).astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        if f == 0:
+            rec = line
+        elif f == 1:  # Sub: sequential in x, vectorize over the byte lane
+            rec = line.copy()
+            for x in range(c, stride):
+                rec[x] = (rec[x] + rec[x - c]) & 0xFF
+        elif f == 2:  # Up
+            rec = (line + prev) & 0xFF
+        elif f == 3:  # Average
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
+        elif f == 4:  # Paeth
+            rec = line.copy()
+            for x in range(stride):
+                left = rec[x - c] if x >= c else 0
+                ul = prev[x - c] if x >= c else 0
+                rec[x] = (rec[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter {f}")
+        out[y] = rec.astype(np.uint8)
+    arr = out.reshape(h, w, c)
+    return arr[:, :, 0] if c == 1 else arr
+
+
+def encode_bmp(img: np.ndarray) -> bytes:
+    """Encode a uint8 array — (h, w) gray (expanded to RGB) or (h, w, 3)
+    RGB — as an uncompressed 24-bit bottom-up BMP."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        img = np.repeat(img[:, :, None], 3, axis=2)
+    if img.ndim != 3 or img.shape[2] != 3:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    row_bytes = w * 3
+    pad = (-row_bytes) % 4
+    bgr = img[:, :, ::-1]
+    body = b"".join(bgr[y].tobytes() + b"\x00" * pad for y in range(h - 1, -1, -1))
+    pixel_offset = 14 + 40
+    header = struct.pack(
+        "<2sIHHI", b"BM", pixel_offset + len(body), 0, 0, pixel_offset
+    ) + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return header + body
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB array."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP")
+    (pixel_offset,) = struct.unpack_from("<I", data, 10)
+    hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    bottom_up = h > 0
+    h = abs(h)
+    row_bytes = w * 3
+    stride = row_bytes + ((-row_bytes) % 4)
+    rows = []
+    for y in range(h):
+        off = pixel_offset + y * stride
+        rows.append(np.frombuffer(data, dtype=np.uint8, count=row_bytes, offset=off))
+    arr = np.stack(rows[::-1] if bottom_up else rows).reshape(h, w, 3)
+    return arr[:, :, ::-1].copy()  # BGR -> RGB

@@ -257,7 +257,8 @@ def _pack_chunks_oracle() -> str:
              CAST(floor(cum_before / {CHUNK_SEQ_BUDGET}) AS BIGINT) AS seq_id
       FROM c
     )
-    SELECT seq_id, count(*) AS n_chunks, sum(n_tokens) AS n_tokens,
+    SELECT seq_id, count(*) AS n_chunks,
+           CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
            count(DISTINCT doc_id) AS n_docs
     FROM assigned GROUP BY seq_id
     """

@@ -1,17 +1,19 @@
 """Multimodal-column operators [EXT]: opaque binary payloads with typed
 metadata, decoded/feature-extracted through ``mapInPandas``.
 
-The container has no image/audio codecs, so the actual decode is STUBBED —
-``decode_image_stub`` raises NotImplementedError and the registered
-operators use a deterministic fake (byte-level features) instead. What IS
-real and tested: the Spark-side plumbing — binary column construction,
-Arrow batch shape through mapInPandas, declared output schema, and the
-oracle parity of every derived value.
+Image decode is REAL as of round 3: ``mm_decode_png`` round-trips actual
+PNG and BMP bytes (stdlib zlib+struct codec, functions/imagecodec.py)
+through a binary column — compressed bytes in, inflate + scanline
+reconstruction in the executor, pixel statistics out, oracle-checked
+against a closed-form pixel formula. The byte-derived operators below
+(``mm_decode_meta`` etc.) remain as the codec-independent plumbing checks.
 
 At scale this is the pattern for 100 TB of images: binary column + typed
 metadata struct, mapInPandas with bounded Arrow batches
 (spark.sql.execution.arrow.maxRecordsPerBatch) so executor memory is
-batch-bounded, never file-bounded.
+batch-bounded, never file-bounded — and the decode stage is where a
+production build swaps in its codec (JPEG/WebP) without touching the
+Spark plumbing.
 """
 
 from __future__ import annotations
@@ -24,13 +26,6 @@ from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
-
-
-def decode_image_stub(payload: bytes) -> dict:
-    """Placeholder for a real image decode (PIL/libvips not installed in
-    this environment). A production build plugs the codec in here; the
-    operator's schema/batching contract does not change."""
-    raise NotImplementedError("image codecs not available in this container")
 
 
 def _fake_meta(payload: bytes) -> dict:
@@ -199,41 +194,46 @@ AUDIO_HOP = 3072  # hop size (25% overlap)
     "mm_audio_chunk",
     f"""
     WITH sized AS (
-      SELECT doc_id, text, octet_length(encode(text)) AS n_bytes
-      FROM documents WHERE octet_length(encode(text)) > 0
+      SELECT doc_id, text, length(text) AS n_units
+      FROM documents WHERE length(text) > 0
     ), fanned AS (
-      SELECT doc_id, text, n_bytes,
-             unnest(range(0, CAST(ceil(n_bytes / {AUDIO_HOP}.0) AS BIGINT))) AS chunk_idx
+      SELECT doc_id, text, n_units,
+             unnest(range(0, CAST(ceil(n_units / {AUDIO_HOP}.0) AS BIGINT))) AS chunk_idx
       FROM sized
     )
     SELECT doc_id, chunk_idx,
-           chunk_idx * {AUDIO_HOP}                                  AS start_byte,
-           least({AUDIO_WIN}, n_bytes - chunk_idx * {AUDIO_HOP})    AS n_samples,
+           chunk_idx * {AUDIO_HOP}                                  AS start_unit,
+           least({AUDIO_WIN}, n_units - chunk_idx * {AUDIO_HOP})    AS n_samples,
            substr(md5(substr(text, chunk_idx * {AUDIO_HOP} + 1, {AUDIO_WIN})), 1, 8)
                AS sig
     FROM fanned
     """,
 )
 def mm_audio_chunk(spark, sf_dir):
-    """Audio-windowing plumbing: treat each payload as a PCM byte stream
-    and fan it out into fixed windows (4096 samples, hop 3072 — the STFT
-    frame pattern). A real build feeds each window to the audio featurizer
-    inside mapInPandas; here the window arithmetic, fan-out shape and
-    per-window identity (md5 of the byte slice) are real and
-    oracle-checked. Rows scale with windows; memory stays per-batch."""
+    """Audio-windowing plumbing: treat each payload as a sample stream and
+    fan it out into fixed windows (4096 samples, hop 3072 — the STFT frame
+    pattern). A real build feeds each window to the audio featurizer inside
+    mapInPandas; here the window arithmetic, fan-out shape and per-window
+    identity (md5 of the slice) are real and oracle-checked. Rows scale
+    with windows; memory stays per-batch.
+
+    Offsets are CHARACTER units (length/substr) in both engines — DuckDB
+    has no BLOB substring, so byte-indexing could not be made consistent
+    across engines; the column is named start_unit (not start_byte) to say
+    so. A real PCM build slices the binary payload in the pandas stage."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id",
         "text",
-        F.octet_length(F.col("text").cast("binary")).alias("n_bytes"),
-    ).filter(F.col("n_bytes") > 0)
+        F.length("text").cast("bigint").alias("n_units"),
+    ).filter(F.col("n_units") > 0)
     fanned = docs.select(
         "doc_id",
         "text",
-        "n_bytes",
+        "n_units",
         F.explode(
             F.sequence(
                 F.lit(0),
-                F.ceil(F.col("n_bytes") / float(AUDIO_HOP)).cast("bigint") - 1,
+                F.ceil(F.col("n_units") / float(AUDIO_HOP)).cast("bigint") - 1,
             )
         ).alias("chunk_idx"),
     )
@@ -242,7 +242,79 @@ def mm_audio_chunk(spark, sf_dir):
     return fanned.select(
         "doc_id",
         "chunk_idx",
-        start.alias("start_byte"),
-        F.least(F.lit(AUDIO_WIN), F.col("n_bytes") - start).alias("n_samples"),
+        start.alias("start_unit"),
+        F.least(F.lit(AUDIO_WIN), F.col("n_units") - start).alias("n_samples"),
         F.substring(F.md5(window.cast("binary")), 1, 8).alias("sig"),
+    )
+
+
+def _encode_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.imagecodec import encode_bmp, encode_png
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 8 + d % 16, 8 + (d * 7) % 16
+            xs, ys = np.arange(w), np.arange(h)
+            img = ((d + 3 * xs[None, :] + 5 * ys[:, None]) % 256).astype(np.uint8)
+            rows.append((d, encode_png(img), encode_bmp(img)))
+        yield pd.DataFrame(rows, columns=["doc_id", "png", "bmp"])
+
+
+def _decode_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from xml_to_parquet_spark.functions.imagecodec import decode_bmp, decode_png
+
+    for pdf in it:
+        rows = []
+        for d, png, bmp in zip(pdf["doc_id"], pdf["png"], pdf["bmp"]):
+            arr = decode_png(bytes(png))
+            h, w = arr.shape[:2]
+            # BMP expands gray to RGB; every channel carries the same value
+            bsum = int(decode_bmp(bytes(bmp))[:, :, 0].astype("int64").sum())
+            rows.append((int(d), w, h, arr.size, int(arr.astype("int64").sum()), bsum))
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "n_px", "pix_sum", "bmp_sum"],
+        )
+
+
+@register(
+    "mm_decode_png",
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS width, 8 + (doc_id * 7) % 16 AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             (doc_id + 3 * (t.i % width) + 5 * (t.i // width)) % 256 AS val
+      FROM dims, LATERAL unnest(range(0, width * height)) AS t(i)
+    )
+    SELECT doc_id, width, height, count(*) AS n_px,
+           CAST(sum(val) AS BIGINT) AS pix_sum,
+           CAST(sum(val) AS BIGINT) AS bmp_sum
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm_decode_png(spark, sf_dir):
+    """REAL image decode end-to-end (retires the round-1/2 stub): each doc
+    gets a deterministic grayscale image (pixel(x,y) = (doc_id+3x+5y)%256),
+    encoded to genuine PNG (zlib deflate) and BMP bytes in one mapInPandas
+    stage, carried through a binary column, decoded back (inflate +
+    scanline-filter reconstruction) in the next stage, and reduced to pixel
+    statistics. The oracle recomputes the statistics from the closed-form
+    pixel formula — so a decoder bug anywhere (chunk parse, inflate, filter
+    undo, BMP row padding/BGR order) breaks value parity. PNG and BMP
+    decode the same image, so pix_sum == bmp_sum doubles as a cross-codec
+    consistency check."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(
+        _encode_image_batches, schema="doc_id bigint, png binary, bmp binary"
+    )
+    return encoded.mapInPandas(
+        _decode_image_batches,
+        schema="doc_id bigint, width bigint, height bigint, n_px bigint, "
+        "pix_sum bigint, bmp_sum bigint",
     )

@@ -449,7 +449,7 @@ def agg_string_collect(spark, sf_dir):
            count(DISTINCT nullif(l_returnflag, 'A'))     AS n_distinct,
            sum(CASE WHEN false THEN 1 END)               AS empty_sum,
            max(CASE WHEN l_returnflag = 'Z' THEN l_quantity END) AS max_never,
-           coalesce(sum(CASE WHEN false THEN 1 END), -1) AS empty_sum_coalesced
+           CAST(coalesce(sum(CASE WHEN false THEN 1 END), -1) AS BIGINT) AS empty_sum_coalesced
     FROM lineitem
     """,
 )
@@ -482,7 +482,11 @@ def agg_null_semantics(spark, sf_dir):
              sum(CAST(value AS DECIMAL(24,8))) AS total
       FROM events GROUP BY 1
     ), daily AS (
-      SELECT date_trunc('day', bucket) AS bucket, sum(n) AS n, sum(total) AS total
+      -- CAST: DuckDB's sum(BIGINT) returns HUGEINT; uncast it would promote
+      -- the unioned n column and materialize as float64 in pandas (364.0 vs
+      -- Spark's int64 364), breaking the driver's value hash.
+      SELECT date_trunc('day', bucket) AS bucket,
+             CAST(sum(n) AS BIGINT) AS n, sum(total) AS total
       FROM hourly GROUP BY 1
     )
     SELECT 'hour' AS res, bucket, n,

@@ -85,7 +85,7 @@ def join_bucketed(spark, sf_dir):
     Locally the bucketed copies are written to a warehouse under /tmp on
     first use per scale factor (a fixture build, reused across runs)."""
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    wh = f"/tmp/xml_to_parquet_spark_buckets/{sf_tag}"
+    wh = f"/tmp/xml_to_parquet_spark_buckets/pid{os.getpid()}/{sf_tag}"
     li_tbl, o_tbl = f"b_lineitem_{sf_tag}", f"b_orders_{sf_tag}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{wh}'")
     existing = {r.tableName for r in spark.sql("SHOW TABLES IN bucketdb").collect()}

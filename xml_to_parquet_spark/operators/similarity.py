@@ -453,11 +453,10 @@ def sim_ivf_persist(spark, sf_dir):
     at 100 TB is the difference between scanning the corpus per query
     batch and scanning nprobe/ncells of it. Build cost amortizes across
     every subsequent query batch."""
-    import os as _os
-
+    from xml_to_parquet_spark.io_paths import scratch_dir
     from xml_to_parquet_spark.operators.relational import davg
 
-    base = f"/tmp/xml_to_parquet_spark_io/{_os.path.basename(sf_dir)}/ivf_index"
+    base = scratch_dir(sf_dir, "ivf_index")
     emb = table(spark, sf_dir, "embeddings")
 
     # ---- build (once per corpus version) ----

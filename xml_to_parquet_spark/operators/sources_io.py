@@ -6,16 +6,16 @@ out in the target format and reads it back with an explicit schema (never
 inferSchema in the hot path), oracle-checked against the original parquet —
 proving byte-faithful round-trips, not just "the writer ran".
 
-Temp outputs go under /tmp/xml_to_parquet_spark_io/<sf>/ keyed by format;
-reruns overwrite.
+Temp outputs go under a per-process scratch dir (io_paths.scratch_dir)
+keyed by format; reruns within a process overwrite, concurrent processes
+never collide.
 """
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import functions as F
 
+from xml_to_parquet_spark.io_paths import scratch_dir
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
@@ -39,7 +39,7 @@ def _slice(spark, sf_dir):
 
 
 def _roundtrip(spark, sf_dir, fmt: str):
-    out = f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/{fmt}"
+    out = scratch_dir(sf_dir, fmt)
     df = _slice(spark, sf_dir)
     writer = df.write.mode("overwrite").format(fmt)
     if fmt == "csv":
@@ -77,7 +77,7 @@ def sink_partitioned_parquet(spark, sf_dir):
     """Partitioned parquet write + partition-pruned read-back: the lake
     layout pattern (partition column becomes directory structure; reads
     with a partition filter scan only matching directories)."""
-    out = f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/part_parquet"
+    out = scratch_dir(sf_dir, "part_parquet")
     orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     back = spark.read.parquet(out)
@@ -101,7 +101,7 @@ def sink_sorted_parquet(spark, sf_dir):
     the poor man's clustering index (z-order's 1-D case). At 100 TB this is
     the difference between a range query touching ~1 row group per file
     and touching all of them."""
-    out = f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/sorted_parquet"
+    out = scratch_dir(sf_dir, "sorted_parquet")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
@@ -140,7 +140,7 @@ def sink_zorder_parquet(spark, sf_dir):
     (1-D sorting only helps its own column). This is the multi-dimension
     clustering trick behind Delta/Iceberg OPTIMIZE ZORDER, as ~20 lines of
     DataFrame code."""
-    out = f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/zorder_parquet"
+    out = scratch_dir(sf_dir, "zorder_parquet")
     li = table(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_partkey", "l_suppkey"
     )
@@ -163,7 +163,7 @@ def sink_zorder_parquet(spark, sf_dir):
     """
     SELECT o_custkey,
            count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders GROUP BY o_custkey
     """,
 )
@@ -186,9 +186,7 @@ def incremental_agg_maintenance(spark, sf_dir):
             F.sum(cents).alias("total_cents"),
         )
 
-    base_path = (
-        f"/tmp/xml_to_parquet_spark_io/{os.path.basename(sf_dir)}/agg_base"
-    )
+    base_path = scratch_dir(sf_dir, "agg_base")
     agg(o.filter(F.col("o_orderkey") % 100 != 0)).write.mode("overwrite").parquet(
         base_path
     )

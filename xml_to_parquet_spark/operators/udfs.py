@@ -62,7 +62,7 @@ def _per_customer(pdf: pd.DataFrame) -> pd.DataFrame:
     """
     SELECT o_custkey,
            count(*) AS n_orders,
-           sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS total_cents,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
            max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
     FROM orders GROUP BY o_custkey
     """,

@@ -38,50 +38,54 @@ def register(name: str, oracle: str | None = None):
 #   * the first 50 names cover every operator category and all have oracles;
 #   * rows-only (no-oracle) queries sort to the very end so they never burn
 #     a graded slot.
+# Round-3 rotation: 46 of the 50 slots go to queries with NO prior driver
+# row (rounds 1-2 banked 49 green rows on the old window; re-grading them
+# adds no signal). The 4 carryovers are deliberate: q1 (flagship/entry),
+# filter_predicates (category anchor), timeseries_rollup (the r2 red row —
+# its oracle fix needs a driver-green proof), pagerank_fixed (sole graph
+# query). Previous windows: r1/r2 lists are in git history.
 GRADED_WINDOW: list[str] = [
     # TPC-H shapes
-    "q1_pricing_summary", "q3_shipping_priority", "q9_product_profit",
-    "q18_large_volume_customer",
+    "q1_pricing_summary", "q4_order_priority", "q5_local_supplier",
+    "q10_returned_items", "q14_promo_revenue",
     # filters / predicates
     "filter_predicates",
     # aggregation
-    "agg_rollup", "agg_stats", "agg_percentile",
+    "agg_grouping_sets", "agg_cube", "agg_null_semantics",
+    "agg_mode_deterministic", "agg_min_max_by", "agg_count_if_filter",
+    # time series + incremental view maintenance
+    "timeseries_rollup", "incremental_agg_maintenance",
     # joins
-    "join_left", "join_semi", "join_range", "join_asof",
-    # scale patterns (skew salt / bucketed co-location)
-    "join_skew_salted", "join_bucketed",
+    "join_full_outer", "join_anti", "join_null_safe", "join_asof_forward",
+    "join_cross",
     # window
-    "window_rank", "window_lag_lead", "window_moving_avg",
-    # sort / top-k
-    "topk_per_group", "orderby_limit",
-    # set ops
-    "set_union_all", "set_except",
-    # modern SQL (recursive CTE / lateral / variant)
-    "recursive_cte", "lateral_topk", "variant_json",
+    "window_running_sum", "window_range_frame", "window_first_last",
+    "window_count_distinct", "window_ntile_dist",
+    # set ops (ALL variants)
+    "set_intersect_all", "set_except_all",
     # scalar function families
-    "scalar_string_fns", "scalar_math_fns",
-    # semi-structured + reshape + time series
-    "json_functions", "pivot_status", "timeseries_rollup",
-    # event-time: sessionization + nearest as-of
-    "sessionize_events", "join_asof_nearest",
+    "scalar_date_fns", "scalar_case_when", "scalar_array_fns",
+    "scalar_try_arith", "scalar_regexp_split",
+    # CDC merge
+    "merge_upsert",
     # dedup
-    "dedup_exact", "dedup_minhash_lsh", "dedup_components",
+    "dedup_simhash", "dedup_ngram_jaccard", "dedup_minhash_verified",
     # curation
-    "curate_quality_filter", "curate_decontaminate",
-    # multimodal
-    "mm_decode_meta", "mm_feature_extract",
+    "curate_pack_chunks", "curate_dedup_keep_best",
+    # multimodal (mm_decode_png = REAL PNG/BMP decode, new in r3)
+    "mm_decode_png", "mm_audio_chunk",
     # similarity / ANN
-    "sim_topk_cosine", "sim_ivf",
+    "sim_ivf_persist", "sim_quantized_topk",
+    # text analysis
+    "text_lang_id", "text_token_count",
+    # pandas UDF/UDAF + arrow
+    "udf_arrow_map", "udaf_grouped_pandas",
+    # structured streaming
+    "stream_session_window", "stream_dedup",
+    # sources/sinks + data quality
+    "source_orc_roundtrip", "dq_constraints",
     # graph (exact-arithmetic fixed-iteration PageRank)
     "pagerank_fixed",
-    # text analysis
-    "text_stats", "text_tfidf",
-    # pandas UDF/UDAF
-    "udf_pandas_scalar", "udf_cogrouped_pandas",
-    # structured streaming
-    "stream_tumbling_window", "stream_stream_join", "stream_stateful_counter",
-    # sources/sinks + data quality
-    "source_csv_roundtrip", "dq_profile",
 ]
 
 
@@ -108,6 +112,12 @@ def load_all() -> dict[str, QueryDef]:
 
     ordered: dict[str, QueryDef] = {}
     for name in GRADED_WINDOW:
+        if name not in REGISTRY:
+            raise KeyError(
+                f"GRADED_WINDOW entry {name!r} is not registered — a module "
+                "failed to import or registers it conditionally; every "
+                "graded-window query must register unconditionally"
+            )
         ordered[name] = REGISTRY[name]
     for name, qd in REGISTRY.items():
         if name not in ordered and qd.oracle is not None:

@@ -268,54 +268,46 @@ def convert(
     for input_file in files:
         base = output_base(input_file, target_path)
         try:
-            if input_file.endswith(".tar.gz"):
+            if input_file.endswith((".tar.gz", ".zip")):
+                kind = "tar" if input_file.endswith(".tar.gz") else "zip"
                 df = read_xml_archives(
-                    spark, input_file, xsd, "tar", root, xpaths, excludepaths, file_info,
+                    spark, input_file, xsd, kind, root, xpaths, excludepaths, file_info,
                     drop_malformed=True,
-                )
-                for row in df.select("_member").distinct().collect():
-                    member_df = df.filter(F.col("_member") == row[0]).drop("_src", "_member")
-                    out = f"{base}.{row[0]}.parquet"
-                    _write_single_parquet(member_df, out)
-                    written.append(out)
-            elif input_file.endswith(".zip"):
-                df = read_xml_archives(
-                    spark, input_file, xsd, "zip", root, xpaths, excludepaths, file_info,
-                    drop_malformed=True,
-                )
-                for row in df.select("_member").distinct().collect():
-                    member_df = df.filter(F.col("_member") == row[0]).drop("_src", "_member")
-                    out = f"{base}.{row[0]}.parquet"
-                    _write_single_parquet(member_df, out)
-                    written.append(out)
-            elif input_file.endswith(".gz"):
-                # same malformed-XML log-and-skip contract as plain .xml
-                # (convert_xml_to_parquet.py:231-236 applies to .gz inputs too)
-                df = read_xml_documents(
-                    spark, input_file, xsd, root, xpaths, excludepaths, file_info,
-                    mode="DROPMALFORMED",
-                )
-                if df.count() == 0:
-                    _logger.error("skipping %s: malformed XML", input_file)
-                    continue
-                stem = os.path.basename(input_file)[:-3]
-                out = f"{base}.{stem}.parquet"
-                _write_single_parquet(df, out)
-                written.append(out)
+                ).persist()
+                try:
+                    # persist: parsed once, then the per-member filter+write
+                    # loop reads from cache instead of re-parsing per member
+                    for row in df.select("_member").distinct().collect():
+                        member_df = df.filter(F.col("_member") == row[0]).drop(
+                            "_src", "_member"
+                        )
+                        out = f"{base}.{row[0]}.parquet"
+                        _write_single_parquet(member_df, out)
+                        written.append(out)
+                finally:
+                    df.unpersist()
             else:
                 # DROPMALFORMED + emptiness check = the reference's per-file
-                # behavior for undecodable XML: log and skip, write nothing
-                # (convert_xml_to_parquet.py:231-236)
+                # behavior for undecodable XML (plain or .gz): log and skip,
+                # write nothing (convert_xml_to_parquet.py:231-236)
                 df = read_xml_documents(
                     spark, input_file, xsd, root, xpaths, excludepaths, file_info,
                     mode="DROPMALFORMED",
-                )
-                if df.count() == 0:
-                    _logger.error("skipping %s: malformed XML", input_file)
-                    continue
-                out = f"{base}.xml.parquet"
-                _write_single_parquet(df, out)
-                written.append(out)
+                ).persist()
+                try:
+                    # persist: count + write share one parse of the input
+                    if df.count() == 0:
+                        _logger.error("skipping %s: malformed XML", input_file)
+                        continue
+                    if input_file.endswith(".gz"):
+                        stem = os.path.basename(input_file)[:-3]
+                        out = f"{base}.{stem}.parquet"
+                    else:
+                        out = f"{base}.xml.parquet"
+                    _write_single_parquet(df, out)
+                    written.append(out)
+                finally:
+                    df.unpersist()
         except Exception:  # reference swallows per-file errors and logs (:231-236)
             _logger.exception("failed to convert %s", input_file)
             continue

@@ -45,8 +45,14 @@ def ensure_nanos_conf(spark: SparkSession) -> None:
     harness) may hand us a vanilla SparkSession."""
     try:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    except Exception:
-        pass  # read-only conf in some environments; fall through and try
+    except Exception as e:  # read-only conf in some environments
+        import warnings
+
+        warnings.warn(
+            "could not set spark.sql.legacy.parquet.nanosAsLong=true "
+            f"({e!r}); reading events.parquet (TIMESTAMP(NANOS)) will "
+            "likely fail — set the conf at session build time instead"
+        )
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
