@@ -12,8 +12,20 @@ Public API:
 """
 
 from xml_to_parquet_spark.session import get_spark
-from xml_to_parquet_spark.sources.xml_source import convert, read_xml_documents
+from xml_to_parquet_spark.sources.xml_source import (
+    convert,
+    convert_archives_to_dataset,
+    convert_to_dataset,
+    read_xml_documents,
+)
 from xml_to_parquet_spark.sources.xsd import xsd_to_spark_schema
 
-__all__ = ["get_spark", "convert", "read_xml_documents", "xsd_to_spark_schema"]
+__all__ = [
+    "get_spark",
+    "convert",
+    "convert_to_dataset",
+    "convert_archives_to_dataset",
+    "read_xml_documents",
+    "xsd_to_spark_schema",
+]
 __version__ = "0.1.0"

@@ -162,6 +162,7 @@ def read_xml_archives(
     excludepaths=None,
     file_info: bool = False,
     drop_malformed: bool = False,
+    parse_parallelism: int | None = None,
 ) -> DataFrame:
     """Read XML members of tar.gz / zip archives (operators #3/#4) into
     reference-shaped rows. Extraction is distributed (binaryFile +
@@ -171,11 +172,19 @@ def read_xml_archives(
     ``drop_malformed=True`` mirrors the reference's decode-error handling
     for archive members (convert_xml_to_parquet.py:231-236): a member whose
     XML fails to decode is dropped (from_xml under PERMISSIVE yields an
-    all-null struct for it) instead of becoming an all-null row."""
+    all-null struct for it) instead of becoming an all-null row.
+
+    ``parse_parallelism``: each archive is ONE binaryFile row, so without
+    it a single huge archive extracts AND parses on one core. Setting it
+    repartitions the extracted member text before ``from_xml``, paying one
+    shuffle of raw text to spread the parse (the expensive part) across
+    the cluster — the right trade whenever members-per-archive >> archives."""
     if isinstance(paths, str):
         paths = [paths]
     name, dt = _compile(spark, xsd, root, xpaths, excludepaths)
     members = _containers.expand_archives(spark, paths, kind)
+    if parse_parallelism:
+        members = members.repartition(parse_parallelism)
     parsed = members.withColumn(
         name, F.from_xml(F.col("xml"), dt, _XML_OPTIONS)
     )
@@ -336,4 +345,34 @@ def convert_to_dataset(
     df = read_xml_documents(
         spark, files, xsd, root, xpaths, excludepaths, file_info, source_col=True
     )
+    df.write.mode("overwrite").parquet(target)
+
+
+def convert_archives_to_dataset(
+    spark: SparkSession,
+    inputs: Iterable[str],
+    xsd: str,
+    kind: str,
+    target: str,
+    root: str | None = None,
+    xpaths=None,
+    excludepaths=None,
+    file_info: bool = False,
+    parse_parallelism: int | None = None,
+) -> None:
+    """Scale path for archives: ONE Spark job expands every tar.gz/zip
+    member (executor-side, binaryFile + mapInPandas — no driver loop, no
+    per-member collect) and writes a single parquet dataset with the
+    source archive and member name as columns. This replaces ``convert``'s
+    reference-compat per-member naming loop (which collects distinct
+    members on the driver) for bulk workloads: a 100k-member archive set
+    converts with zero driver round-trips, and downstream reads can filter
+    on _src/_member with ordinary predicates. For few-archives/many-members
+    inputs pass ``parse_parallelism`` to spread the XML parse across cores
+    (see ``read_xml_archives``)."""
+    files = _expand_inputs(inputs)
+    df = read_xml_archives(
+        spark, files, xsd, kind, root, xpaths, excludepaths, file_info,
+        drop_malformed=True, parse_parallelism=parse_parallelism,
+    ).withColumn("_src", F.element_at(F.split(F.col("_src"), "/"), -1))
     df.write.mode("overwrite").parquet(target)
