@@ -396,13 +396,22 @@ def join_semi(spark, sf_dir):
     "join_anti",
     """
     SELECT c_custkey, c_name FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= DATE '1998-06-01')
     """,
 )
 def join_anti(spark, sf_dir):
+    """Anti-join against a *filtered* right side so the expected result is
+    non-empty in this testdata (every customer has *some* order, so an
+    unfiltered anti-join greens on 0 rows with zero discriminating power —
+    VERDICT r3 'What's wrong' #1). Same plan shape: broadcast-able
+    LeftAnti with the filter pushed into the orders scan."""
     cust = _t(spark, sf_dir, "customer")
-    orders = _t(spark, sf_dir, "orders")
-    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+    recent = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("1998-06-01").cast("date")
+    )
+    return cust.join(recent, cust.c_custkey == recent.o_custkey, "left_anti").select(
         "c_custkey", "c_name"
     )
 

@@ -38,54 +38,50 @@ def register(name: str, oracle: str | None = None):
 #   * the first 50 names cover every operator category and all have oracles;
 #   * rows-only (no-oracle) queries sort to the very end so they never burn
 #     a graded slot.
-# Round-3 rotation: 46 of the 50 slots go to queries with NO prior driver
-# row (rounds 1-2 banked 49 green rows on the old window; re-grading them
-# adds no signal). The 4 carryovers are deliberate: q1 (flagship/entry),
-# filter_predicates (category anchor), timeseries_rollup (the r2 red row —
-# its oracle fix needs a driver-green proof), pagerank_fixed (sole graph
-# query). Previous windows: r1/r2 lists are in git history.
+# Round-4 rotation: all 48 oracle-backed queries that have NEVER had a
+# driver row (rounds 1-3 banked 106 unique green rows; re-grading greens
+# adds no signal) plus 2 carryovers: q1 (flagship/entry anchor) and
+# join_anti (rewritten in r4 to return NON-EMPTY rows — its r3 green was a
+# 0-row match with zero discriminating power, VERDICT r3 'What's wrong' #1,
+# so the fix needs a driver-green proof). After this window every
+# oracle-backed query (154) has driver signal. Previous windows: r1/r2/r3
+# lists are in git history.
 GRADED_WINDOW: list[str] = [
-    # TPC-H shapes
-    "q1_pricing_summary", "q4_order_priority", "q5_local_supplier",
-    "q10_returned_items", "q14_promo_revenue",
-    # filters / predicates
-    "filter_predicates",
-    # aggregation
-    "agg_grouping_sets", "agg_cube", "agg_null_semantics",
-    "agg_mode_deterministic", "agg_min_max_by", "agg_count_if_filter",
-    # time series + incremental view maintenance
-    "timeseries_rollup", "incremental_agg_maintenance",
-    # joins
-    "join_full_outer", "join_anti", "join_null_safe", "join_asof_forward",
-    "join_cross",
-    # window
-    "window_running_sum", "window_range_frame", "window_first_last",
-    "window_count_distinct", "window_ntile_dist",
-    # set ops (ALL variants)
-    "set_intersect_all", "set_except_all",
+    # anchors
+    "q1_pricing_summary", "join_anti",
+    # TPC-H shapes, first driver row
+    "q6_forecast_revenue", "q7_volume_shipping", "q8_market_share",
+    "q12_priority_class", "q13_customer_distribution", "q15_top_supplier",
+    "q17_small_qty_revenue", "q19_discounted_revenue",
+    "q22_global_sales_opportunity",
+    # subquery shapes
+    "exists_correlated_subquery", "in_subquery", "scalar_subquery",
+    "explode_unnest",
+    # joins / set-ish
+    "join_right", "union_by_name",
+    # aggregation families
+    "agg_corr", "agg_histogram", "agg_percentile_array",
+    "agg_skew_kurtosis", "agg_string_collect", "agg_bitwise",
+    "agg_grouping_id",
     # scalar function families
-    "scalar_date_fns", "scalar_case_when", "scalar_array_fns",
-    "scalar_try_arith", "scalar_regexp_split",
-    # CDC merge
-    "merge_upsert",
-    # dedup
-    "dedup_simhash", "dedup_ngram_jaccard", "dedup_minhash_verified",
-    # curation
-    "curate_pack_chunks", "curate_dedup_keep_best",
-    # multimodal (mm_decode_png = REAL PNG/BMP decode, new in r3)
-    "mm_decode_png", "mm_audio_chunk",
-    # similarity / ANN
-    "sim_ivf_persist", "sim_quantized_topk",
+    "scalar_map_fns", "scalar_xpath_fns", "scalar_levenshtein",
+    "scalar_date_fns2", "scalar_string_fns2", "scalar_array_fns2",
+    # sampling
+    "sample_hash_deterministic",
     # text analysis
-    "text_lang_id", "text_token_count",
-    # pandas UDF/UDAF + arrow
-    "udf_arrow_map", "udaf_grouped_pandas",
+    "text_fingerprint", "text_ngram_freq", "text_rolling_hash",
+    "text_chunk_overlap", "text_dedup_chunks",
+    # similarity / ANN
+    "sim_ann_lsh", "sim_embedding_norms", "sim_embedding_neardup",
+    "sim_quantize_int8", "sim_matryoshka_truncate",
+    # sources / sinks
+    "source_json_roundtrip", "sink_partitioned_parquet",
+    "sink_sorted_parquet", "sink_zorder_parquet",
+    # UDF
+    "udf_broadcast_lookup",
     # structured streaming
-    "stream_session_window", "stream_dedup",
-    # sources/sinks + data quality
-    "source_orc_roundtrip", "dq_constraints",
-    # graph (exact-arithmetic fixed-iteration PageRank)
-    "pagerank_fixed",
+    "stream_sliding_window", "stream_static_join", "stream_tws_spend",
+    "stream_foreach_batch",
 ]
 
 
