@@ -42,6 +42,7 @@ BENCH_QUERIES = [
     "sessionize_events",
     "udf_cogrouped_pandas",
     "stream_tumbling_window",
+    "mm_decode_png",
 ]
 
 
@@ -151,15 +152,23 @@ def main():
 
     # warm the JVM/codegen path per query shape (at the smallest SF) so the
     # timed runs measure the engine, not Janino/JIT compilation of each
-    # query's generated code — clusters run warm JVMs
+    # query's generated code — clusters run warm JVMs. A query that fails
+    # here would also fail in the timed loop: fail LOUD now (named errors,
+    # nonzero exit) instead of letting the timed pass crash mid-bench with
+    # zero numbers emitted (VERDICT r4 #3).
     warm_dir = "/root/testdata/sf0.001"
+    warm_failures: dict[str, str] = {}
     for name in BENCH_QUERIES:
         try:
             registry[name].fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:
-            pass
+        except Exception as e:
+            warm_failures[name] = f"{type(e).__name__}: {e}"
+    if warm_failures:
+        for name, err in warm_failures.items():
+            print(f"BENCH WARMUP FAILED: {name}: {err.splitlines()[0]}", file=sys.stderr)
+        sys.exit(1)
 
     # min-of-N: one transient GC pause or compile stall lands squarely in a
     # single-shot number; the min over repetitions measures the engine's

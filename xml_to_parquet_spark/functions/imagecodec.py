@@ -69,7 +69,19 @@ def _paeth(a: int, b: int, c: int) -> int:
 
 def decode_png(data: bytes) -> np.ndarray:
     """Decode a PNG into a uint8 array — (h, w) for gray, (h, w, c)
-    otherwise. Handles all five scanline filter types."""
+    otherwise. Handles all five scanline filter types.
+
+    Filter reconstruction strategy (this is executor-side hot path under
+    mapInPandas, so per-pixel numpy scalar indexing is banned):
+    - 0 (None) / 2 (Up): whole-row numpy vector ops.
+    - 1 (Sub): rec[x] = line[x] + rec[x-c] mod 256 is a per-channel-lane
+      prefix sum, and mod-256 distributes over addition, so it collapses
+      to ``cumsum(axis=0) & 0xFF`` — exact and fully vectorized.
+    - 3 (Average) / 4 (Paeth): the floor-divide / predictor choice makes
+      the recurrence genuinely sequential; run it as a pure-Python
+      bytearray loop with locals hoisted (≈10× faster than indexing a
+      numpy array element-wise, and allocation-free per row).
+    """
     if data[:8] != _PNG_SIG:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, [], None
@@ -98,36 +110,63 @@ def decode_png(data: bytes) -> np.ndarray:
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
-    out = np.zeros((h, stride), dtype=np.uint8)
+    rows_out: list[bytes] = []
+    zero = bytes(stride)
     for y in range(h):
-        f = raw[y * (stride + 1)]
-        line = np.frombuffer(
-            raw, dtype=np.uint8, count=stride, offset=y * (stride + 1) + 1
-        ).astype(np.int32)
-        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, dtype=np.int32)
+        off = y * (stride + 1)
+        f = raw[off]
+        prv = rows_out[-1] if rows_out else zero
         if f == 0:
-            rec = line
-        elif f == 1:  # Sub: sequential in x, vectorize over the byte lane
-            rec = line.copy()
+            rows_out.append(raw[off + 1 : off + 1 + stride])
+        elif f == 1:  # Sub → per-lane cumsum mod 256 (vectorized, exact)
+            lane = (
+                np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+                .reshape(w, c)
+                .astype(np.uint32)
+            )
+            rows_out.append(
+                (lane.cumsum(axis=0) & 0xFF).astype(np.uint8).tobytes()
+            )
+        elif f == 2:  # Up → whole-row vector add
+            line = np.frombuffer(raw, np.uint8, count=stride, offset=off + 1)
+            up = np.frombuffer(prv, np.uint8)
+            rows_out.append((line + up).tobytes())  # uint8 add wraps mod 256
+        elif f == 3:  # Average — sequential; tight bytearray loop
+            cur = bytearray(raw[off + 1 : off + 1 + stride])
+            for x in range(c):
+                cur[x] = (cur[x] + (prv[x] >> 1)) & 0xFF
             for x in range(c, stride):
-                rec[x] = (rec[x] + rec[x - c]) & 0xFF
-        elif f == 2:  # Up
-            rec = (line + prev) & 0xFF
-        elif f == 3:  # Average
-            rec = line.copy()
-            for x in range(stride):
-                left = rec[x - c] if x >= c else 0
-                rec[x] = (rec[x] + ((left + prev[x]) >> 1)) & 0xFF
-        elif f == 4:  # Paeth
-            rec = line.copy()
-            for x in range(stride):
-                left = rec[x - c] if x >= c else 0
-                ul = prev[x - c] if x >= c else 0
-                rec[x] = (rec[x] + _paeth(int(left), int(prev[x]), int(ul))) & 0xFF
+                cur[x] = (cur[x] + ((cur[x - c] + prv[x]) >> 1)) & 0xFF
+            rows_out.append(bytes(cur))
+        elif f == 4:  # Paeth — sequential; tight bytearray loop, inlined
+            cur = bytearray(raw[off + 1 : off + 1 + stride])
+            for x in range(c):  # left & upper-left are 0 → predictor is up
+                cur[x] = (cur[x] + prv[x]) & 0xFF
+            for x in range(c, stride):
+                a = cur[x - c]
+                b = prv[x]
+                cc = prv[x - c]
+                p = a + b - cc
+                pa = p - a
+                if pa < 0:
+                    pa = -pa
+                pb = p - b
+                if pb < 0:
+                    pb = -pb
+                pc = p - cc
+                if pc < 0:
+                    pc = -pc
+                if pa <= pb and pa <= pc:
+                    pred = a
+                elif pb <= pc:
+                    pred = b
+                else:
+                    pred = cc
+                cur[x] = (cur[x] + pred) & 0xFF
+            rows_out.append(bytes(cur))
         else:
             raise ValueError(f"bad PNG filter {f}")
-        out[y] = rec.astype(np.uint8)
-    arr = out.reshape(h, w, c)
+    arr = np.frombuffer(b"".join(rows_out), np.uint8).reshape(h, w, c)
     return arr[:, :, 0] if c == 1 else arr
 
 

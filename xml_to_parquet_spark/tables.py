@@ -29,12 +29,22 @@ BROADCAST_TABLES = {"region", "nation", "supplier"}
 
 
 def _fix_nanos(df: DataFrame) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS); with
-    spark.sql.legacy.parquet.nanosAsLong it arrives as a long — convert to
-    a micros timestamp (truncating, matching DuckDB's nanos→micros read)."""
+    """events.ts is parquet TIMESTAMP(NANOS); normalize it to a session-tz
+    TIMESTAMP at micros precision (truncating, matching DuckDB's
+    nanos→micros read) regardless of how this Spark version surfaces it:
+
+    - Spark ≤4.0 with spark.sql.legacy.parquet.nanosAsLong=true: LongType
+      nanos → timestamp_micros(ns div 1000).
+    - Spark 4.1+: TIMESTAMP(NANOS) arrives natively as TIMESTAMP_NTZ
+      (wall-clock, no zone). The session tz is pinned to UTC
+      (session.py), so casting NTZ → timestamp is lossless and keeps
+      oracle parity with DuckDB's UTC read.
+    """
     for f in df.schema.fields:
         if f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
