@@ -290,3 +290,48 @@ def curate_pack_chunks(spark, sf_dir):
         F.sum("n_tokens").alias("n_tokens"),
         F.countDistinct("doc_id").alias("n_docs"),
     )
+
+
+MIX_ALPHA = 0.5  # temperature exponent: 1 = proportional, 0 = uniform
+
+
+@register(
+    "curate_mix_temperature",
+    f"""
+    WITH s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+               FROM documents GROUP BY source),
+         t AS (SELECT sum(n_docs ^ {MIX_ALPHA}) AS z FROM s)
+    SELECT source, n_docs, n_chars,
+           round(n_docs ^ {MIX_ALPHA} / z, 4)              AS mix_weight,
+           round(n_docs ^ {MIX_ALPHA} / z /
+                 (n_docs / (SELECT sum(n_docs) FROM s)), 4) AS upsample_factor
+    FROM s CROSS JOIN t
+    """,
+)
+def curate_mix_temperature(spark, sf_dir):
+    """Temperature-scaled source mixing (the multilingual/multi-source
+    sampling scheme from the XLM-R / mT5 lineage): source weight ∝
+    count^α with α=0.5, normalized — small sources are upsampled, head
+    sources downsampled, and ``upsample_factor`` is the ratio each
+    source's sampling rate changes vs proportional.
+
+    Scale shape: one map-side-combinable aggregate to |sources| rows, then
+    driver-free scalar normalization via a broadcast 1-row crossJoin —
+    the whole query exchanges O(|sources|) rows regardless of corpus
+    size."""
+    docs = table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    )
+    t = s.agg(
+        F.sum(F.pow("n_docs", MIX_ALPHA)).alias("z"),
+        F.sum("n_docs").alias("total"),
+    )
+    w = F.pow("n_docs", MIX_ALPHA) / F.col("z")
+    return s.crossJoin(F.broadcast(t)).select(
+        "source",
+        "n_docs",
+        "n_chars",
+        F.round(w, 4).alias("mix_weight"),
+        F.round(w / (F.col("n_docs") / F.col("total")), 4).alias("upsample_factor"),
+    )

@@ -1140,3 +1140,79 @@ def window_count_distinct(spark, sf_dir):
         .alias("n_priorities"),
         F.count(F.lit(1)).over(w).alias("n_orders"),
     )
+
+
+@register(
+    "dq_anomaly_zscore",
+    """
+    WITH s AS (SELECT event_type,
+                      avg(value)         AS m,
+                      stddev_samp(value) AS sd
+               FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           round(e.value, 4)                 AS value,
+           round((e.value - s.m) / s.sd, 3)  AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE s.sd > 0 AND abs(e.value - s.m) / s.sd > 2.5
+    """,
+)
+def dq_anomaly_zscore(spark, sf_dir):
+    """Statistical anomaly detection: events whose value is > 2.5 sample
+    standard deviations from their event_type's mean — the data-quality
+    outlier gate an ingestion pipeline runs before training-data curation.
+
+    Scale shape: the stats table is |event_type|-sized (tiny), so it's a
+    map-side-combinable aggregate followed by a BROADCAST join back onto
+    the fact — never a window over partitionBy(event_type), which would
+    shuffle the whole fact by a low-cardinality (skew-prone) key."""
+    ev = table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("m"), F.stddev_samp("value").alias("sd")
+    )
+    z = (F.col("value") - F.col("m")) / F.col("sd")
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .filter((F.col("sd") > 0) & (F.abs(z) > 2.5))
+        .select(
+            "event_id",
+            "event_type",
+            F.round("value", 4).alias("value"),
+            F.round(z, 3).alias("z"),
+        )
+    )
+
+
+@register(
+    "scalar_url_fns",
+    """
+    WITH u AS (SELECT doc_id,
+                      'https://' || source || '.example.com/docs/' ||
+                      CAST(doc_id AS VARCHAR) || '?lang=' || lang ||
+                      '&ref=spark' AS url
+               FROM documents)
+    SELECT doc_id, url,
+           regexp_extract(url, '^https://([^/]+)/', 1)   AS host,
+           regexp_extract(url, '^https://[^/]+(/[^?]*)', 1) AS path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1)    AS lang_param
+    FROM u
+    """,
+)
+def scalar_url_fns(spark, sf_dir):
+    """URL parsing surface (web-crawl pipelines live on this): build a
+    canonical URL per document, then extract host / path / query param
+    with Spark's JVM-side ``parse_url`` — oracle twin uses regexes that
+    match parse_url's RFC semantics for these shapes. Pure map-only
+    projection, zero shuffles."""
+    docs = table(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"), F.lit("?lang="), F.col("lang"),
+        F.lit("&ref=spark"),
+    )
+    return docs.select(
+        "doc_id",
+        url.alias("url"),
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

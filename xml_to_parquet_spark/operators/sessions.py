@@ -183,3 +183,53 @@ def sample_hash_deterministic(spark, sf_dir):
     ev = table(spark, sf_dir, "events")
     bucket = F.expr(_hexval("md5(CAST(event_id AS STRING))", "instr")) % 100
     return ev.filter(bucket < 10).select("event_id", "user_id", "event_type", "value")
+
+
+@register(
+    "join_asof_tolerance",
+    """
+    WITH c AS (SELECT * FROM events WHERE event_type = 'click'),
+         p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+         b AS (SELECT c.event_id, c.user_id, c.ts, max(p.ts) AS prev_ts
+               FROM c LEFT JOIN p
+                 ON p.user_id = c.user_id AND p.ts <= c.ts
+               GROUP BY c.event_id, c.user_id, c.ts)
+    SELECT event_id, user_id, ts,
+           CASE WHEN prev_ts IS NOT NULL
+                 AND epoch_us(ts) - epoch_us(prev_ts) <= 3600000000
+                THEN prev_ts END AS prev_purchase_ts
+    FROM b
+    """,
+)
+def join_asof_tolerance(spark, sf_dir):
+    """Backward as-of join with a staleness tolerance: latest purchase at
+    or before each click by the same user, but only if within 1 hour —
+    stale matches become NULL instead of silently joining week-old state
+    (pandas ``merge_asof(tolerance=...)`` semantics; the reference has no
+    join surface, [EXT]).
+
+    Same single-shuffle union-sort-carry composition as ``join_asof`` —
+    the tolerance is a post-window column expression, so the physical cost
+    is identical to the untolerated as-of join (one shuffle on user_id, no
+    per-row range probe)."""
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", F.desc("event_type"))  # purchase before click at same ts
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    within = (
+        F.unix_micros("ts") - F.unix_micros("prev_ts") <= 3600 * 1000 * 1000
+    )
+    return (
+        _tagged_events(spark, sf_dir)
+        .withColumn("prev_ts", F.max("p_ts").over(w))
+        .filter(F.col("event_type") == "click")
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            F.when(F.col("prev_ts").isNotNull() & within, F.col("prev_ts")).alias(
+                "prev_purchase_ts"
+            ),
+        )
+    )

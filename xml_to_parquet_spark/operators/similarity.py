@@ -519,3 +519,68 @@ def sim_ivf_persist(spark, sf_dir):
 from xml_to_parquet_spark.registry import REGISTRY as _REG  # noqa: E402
 
 _REG["sim_ivf_persist"].oracle = _REG["sim_ivf"].oracle
+
+
+N_CENTROIDS = 8
+
+
+@register(
+    "sim_centroid_assign",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+         d AS (SELECT e.vec_id, c.cid,
+                      list_sum(list_transform(
+                          range(1, len(e.embedding) + 1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE)
+                                - CAST(c.ce[i] AS DOUBLE)) ^ 2)) AS dist
+               FROM embeddings e CROSS JOIN c),
+         a AS (SELECT vec_id, cid, dist,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY round(dist, 6), cid) AS rn
+               FROM d)
+    SELECT cid                      AS centroid_id,
+           count(*)                 AS n_assigned,
+           round(avg(dist), 3)      AS avg_sq_dist
+    FROM a WHERE rn = 1
+    GROUP BY cid
+    """,
+)
+def sim_centroid_assign(spark, sf_dir):
+    """K-means assignment step (the inner loop of IVF index training):
+    assign every embedding to its nearest of K fixed centroids (squared
+    L2; ties broken on rounded distance then centroid id) and report
+    cluster population + mean distortion.
+
+    Scale shape: the K-row centroid table BROADCASTS; distances are
+    JVM-side zip_with/aggregate (no Python); argmin per vector is a
+    combinable min_by over a K-fanout, so the only wide exchange is the
+    K-row final rollup — at 100 TB this is a map-heavy, shuffle-light job,
+    which is exactly why IVF training scales on Spark."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, ce, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)"
+    )
+    per_pair = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", dist.alias("dist")
+    )
+    # min_by on (rounded dist, cid) — deterministic across engines, and a
+    # combinable aggregate (no per-vector window sort)
+    assigned = per_pair.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("cid", "dist"), F.struct(F.round("dist", 6), "cid")
+        ).alias("best")
+    )
+    return (
+        assigned.select(F.col("best.cid").alias("centroid_id"), F.col("best.dist").alias("dist"))
+        .groupBy("centroid_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_assigned"),
+            F.round(F.avg("dist"), 3).alias("avg_sq_dist"),
+        )
+    )

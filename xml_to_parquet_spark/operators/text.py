@@ -391,3 +391,47 @@ def text_dedup_chunks(spark, sf_dir):
         )
         .filter(F.col("n_occurrences") > 1)
     )
+
+
+@register(
+    "text_quality_unigram_lm",
+    f"""
+    WITH tok AS (SELECT doc_id, unnest({TOKENS_DUCK}) AS t
+                 FROM documents WHERE length(text) > 0),
+         freq AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+         tot AS (SELECT sum(c) AS n FROM freq)
+    SELECT doc_id,
+           count(*)                            AS n_tokens,
+           round(avg(ln(c / n)), 4)            AS lm_score
+    FROM tok JOIN freq USING (t) CROSS JOIN tot
+    GROUP BY doc_id
+    """,
+)
+def text_quality_unigram_lm(spark, sf_dir):
+    """Perplexity-proxy quality score: a corpus unigram language model
+    (p(t) = count(t)/total) scores each document by its mean token
+    log-probability — the classic cheap quality filter a training-data
+    pipeline runs before an expensive model-based one (low scores = rare-
+    token soup / boilerplate noise; reference repo has no text surface,
+    [EXT] per SURVEY.md §2.2).
+
+    Scale shape: the vocabulary aggregation is map-side combinable and its
+    result is vocabulary-sized (≪ corpus — Heaps' law), so it BROADCASTS
+    back to the token stream: one narrow shuffle for the vocab, one
+    combinable shuffle for the per-doc average, never a corpus-wide
+    sort or corpus×vocab join."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.expr(TOKENS_SQL)).alias("t"))
+    )
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = freq.agg(F.sum("c").alias("n"))
+    return (
+        tok.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "t")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("lm_score"),
+        )
+    )
