@@ -176,3 +176,48 @@ def test_pagerank_no_cartesian_hash_joins_only(spark, sf_dir):
     df = load_all()["pagerank_fixed"].fn(spark, sf_dir)
     n = node_counts(df)
     assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin"), n
+
+
+def test_unigram_lm_broadcast_vocab_no_sortmerge(spark, sf_dir):
+    """The vocab table must broadcast back onto the token stream — a
+    sort-merge join here would shuffle the whole corpus by token (skewed
+    by Zipf) at 100 TB."""
+    df = load_all()["text_quality_unigram_lm"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any("SortMergeJoin" in k for k in n), n
+    assert broadcast_join_count(df) >= 1
+
+
+def test_zscore_broadcast_stats_single_fact_pass(spark, sf_dir):
+    """Anomaly gate: tiny per-type stats broadcast onto the fact — one
+    shuffle total (the stats agg), never a window over event_type."""
+    df = load_all()["dq_anomaly_zscore"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any("Window" in k for k in n), n
+    assert not any("SortMergeJoin" in k for k in n), n
+    assert broadcast_join_count(df) >= 1
+    assert shuffle_count(df) <= 1
+
+
+def test_centroid_assign_broadcast_no_window(spark, sf_dir):
+    """K-means assignment: K-row centroid table broadcasts; argmin is a
+    combinable min_by aggregate (no per-vector window sort)."""
+    df = load_all()["sim_centroid_assign"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any("SortMergeJoin" in k for k in n), n
+    assert not any("Window" in k for k in n), n
+    assert broadcast_join_count(df) >= 1
+
+
+def test_asof_tolerance_single_shuffle_no_join(spark, sf_dir):
+    """Tolerated as-of keeps the plain as-of physical shape: one exchange
+    on user_id, zero join nodes (union-sort-carry window)."""
+    df = load_all()["join_asof_tolerance"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any("Join" in k for k in n), n
+    assert shuffle_count(df) <= 1
+
+
+def test_url_fns_map_only(spark, sf_dir):
+    df = load_all()["scalar_url_fns"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0

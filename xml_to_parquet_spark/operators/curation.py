@@ -298,7 +298,8 @@ MIX_ALPHA = 0.5  # temperature exponent: 1 = proportional, 0 = uniform
 @register(
     "curate_mix_temperature",
     f"""
-    WITH s AS (SELECT source, count(*) AS n_docs, sum(n_chars) AS n_chars
+    WITH s AS (SELECT source, count(*) AS n_docs,
+                      CAST(sum(n_chars) AS BIGINT) AS n_chars
                FROM documents GROUP BY source),
          t AS (SELECT sum(n_docs ^ {MIX_ALPHA}) AS z FROM s)
     SELECT source, n_docs, n_chars,

@@ -5,7 +5,9 @@ Image decode is REAL as of round 3: ``mm_decode_png`` round-trips actual
 PNG and BMP bytes (stdlib zlib+struct codec, functions/imagecodec.py)
 through a binary column — compressed bytes in, inflate + scanline
 reconstruction in the executor, pixel statistics out, oracle-checked
-against a closed-form pixel formula. The byte-derived operators below
+against a closed-form pixel formula. Audio decode is REAL as of round 5:
+``mm_decode_wav`` does the same with genuine RIFF/PCM16 WAV bytes
+(functions/audiocodec.py). The byte-derived operators below
 (``mm_decode_meta`` etc.) remain as the codec-independent plumbing checks.
 
 At scale this is the pattern for 100 TB of images: binary column + typed
@@ -317,4 +319,83 @@ def mm_decode_png(spark, sf_dir):
         _decode_image_batches,
         schema="doc_id bigint, width bigint, height bigint, n_px bigint, "
         "pix_sum bigint, bmp_sum bigint",
+    )
+
+
+def _encode_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.audiocodec import encode_wav
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n = 256 + d % 512
+            sig = (((d * 31 + np.arange(n) * 17) % 65536) - 32768).astype(
+                np.int16
+            )
+            rows.append((d, encode_wav(sig, sample_rate=16000)))
+        yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+
+def _decode_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from xml_to_parquet_spark.functions.audiocodec import decode_wav
+
+    for pdf in it:
+        rows = []
+        for d, wav in zip(pdf["doc_id"], pdf["wav"]):
+            rate, samples = decode_wav(bytes(wav))
+            s64 = samples.astype("int64")
+            rows.append(
+                (
+                    int(d),
+                    rate,
+                    int(samples.shape[0]),
+                    int(s64.sum()),
+                    int(abs(s64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sample_rate", "n_samples", "sample_sum", "abs_sum"],
+        )
+
+
+@register(
+    "mm_decode_wav",
+    """
+    WITH dims AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents),
+         s AS (SELECT doc_id,
+                      ((doc_id * 31 + t.i * 17) % 65536) - 32768 AS v
+               FROM dims, LATERAL unnest(range(0, n)) AS t(i))
+    SELECT doc_id,
+           16000                        AS sample_rate,
+           count(*)                     AS n_samples,
+           CAST(sum(v) AS BIGINT)       AS sample_sum,
+           CAST(sum(abs(v)) AS BIGINT)  AS abs_sum
+    FROM s GROUP BY doc_id
+    """,
+)
+def mm_decode_wav(spark, sf_dir):
+    """REAL audio decode end-to-end (retires the audio-stub caveat the way
+    mm_decode_png retired the image stub): each doc gets a deterministic
+    PCM16 signal (sample(i) = (doc_id*31 + 17i) mod 65536 - 32768), encoded
+    to genuine RIFF/WAV bytes (functions/audiocodec.py) in one mapInPandas
+    stage, carried through a binary column, chunk-walked + decoded in the
+    next, and reduced to sample statistics. The oracle recomputes the
+    statistics from the closed-form signal — a decoder bug anywhere (RIFF
+    walk, fmt parse, word padding, PCM endianness) breaks value parity.
+
+    Scale: same binary-column + bounded-Arrow-batch shape as the image
+    path; a production build swaps the codec (FLAC/MP3) without touching
+    the Spark plumbing."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, wav binary"
+    )
+    return encoded.mapInPandas(
+        _decode_wav_batches,
+        schema="doc_id bigint, sample_rate int, n_samples bigint, "
+        "sample_sum bigint, abs_sum bigint",
     )
