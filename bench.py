@@ -143,6 +143,24 @@ def _bench_archive_conversion(spark, n_members: int = 10000) -> float:
     return dt
 
 
+def warmup(spark, registry, names, warm_dir="/root/testdata/sf0.001"):
+    """Run every bench query once at the smallest SF to warm the
+    JVM/codegen path (clusters run warm JVMs). Returns {name: error} for
+    queries that failed — a query failing here would also crash the timed
+    loop, so callers must fail LOUD on a non-empty result (VERDICT r4 #3:
+    a silent warmup swallow let the timed pass crash mid-bench with zero
+    numbers emitted)."""
+    failures: dict[str, str] = {}
+    for name in names:
+        try:
+            registry[name].fn(spark, warm_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception as e:
+            failures[name] = f"{type(e).__name__}: {e}"
+    return failures
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -150,21 +168,7 @@ def main():
     spark = get_spark("bench")
     registry = load_all()
 
-    # warm the JVM/codegen path per query shape (at the smallest SF) so the
-    # timed runs measure the engine, not Janino/JIT compilation of each
-    # query's generated code — clusters run warm JVMs. A query that fails
-    # here would also fail in the timed loop: fail LOUD now (named errors,
-    # nonzero exit) instead of letting the timed pass crash mid-bench with
-    # zero numbers emitted (VERDICT r4 #3).
-    warm_dir = "/root/testdata/sf0.001"
-    warm_failures: dict[str, str] = {}
-    for name in BENCH_QUERIES:
-        try:
-            registry[name].fn(spark, warm_dir).write.format("noop").mode(
-                "overwrite"
-            ).save()
-        except Exception as e:
-            warm_failures[name] = f"{type(e).__name__}: {e}"
+    warm_failures = warmup(spark, registry, BENCH_QUERIES)
     if warm_failures:
         for name, err in warm_failures.items():
             print(f"BENCH WARMUP FAILED: {name}: {err.splitlines()[0]}", file=sys.stderr)

@@ -41,3 +41,23 @@ def test_bench_emits_single_json_line():
         "convert_200_xml_files",
     }
     assert all(v >= 0 for v in payload["queries"].values())
+
+
+def test_warmup_reports_named_failures(spark):
+    """The fail-loud contract (VERDICT r4 #3): a query that raises during
+    warmup must come back as a NAMED failure so main() can exit nonzero
+    before any timing runs — not be swallowed into a timed-loop crash."""
+    import bench
+    from xml_to_parquet_spark.registry import QueryDef, load_all
+
+    registry = dict(load_all())
+
+    def _boom(spark, sf_dir):
+        raise RuntimeError("synthetic analysis failure")
+
+    registry["__broken__"] = QueryDef(_boom, None)
+    failures = bench.warmup(
+        spark, registry, ["q1_pricing_summary", "__broken__"]
+    )
+    assert list(failures) == ["__broken__"]
+    assert "synthetic analysis failure" in failures["__broken__"]

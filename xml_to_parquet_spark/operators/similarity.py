@@ -426,8 +426,10 @@ MRL_DIM = 16  # matryoshka truncation depth
     SELECT vec_id,
            round(sqrt(list_dot_product(full_e, full_e)), 4)   AS norm_full,
            round(sqrt(list_dot_product(trunc_e, trunc_e)), 4) AS norm_trunc,
+           -- + 0.0 normalizes IEEE negative zero (round can yield -0.0,
+           -- whose repr differs from 0.0 in the value hash)
            round(trunc_e[1] / sqrt(list_dot_product(trunc_e, trunc_e)), 4)
-               AS first_renorm
+               + 0.0 AS first_renorm
     FROM t
     """,
 )
@@ -447,7 +449,11 @@ def sim_matryoshka_truncate(spark, sf_dir):
         "vec_id",
         F.round(nf, 4).alias("norm_full"),
         F.round(nt, 4).alias("norm_trunc"),
-        F.round(F.element_at(trunc_e, 1) / nt, 4).alias("first_renorm"),
+        # + 0.0: IEEE -0.0 + 0.0 = +0.0 — keeps the value hash free of
+        # negative-zero repr mismatches between engines
+        (F.round(F.element_at(trunc_e, 1) / nt, 4) + F.lit(0.0)).alias(
+            "first_renorm"
+        ),
     )
 
 
