@@ -1,0 +1,64 @@
+"""Empty-input robustness: every operator category must survive EMPTY
+tables (schema-only parquet) without crashing — at 100 TB a filter or a
+partition predicate routinely produces zero rows, and an operator that
+throws on empty input kills the whole job, not just a task.
+
+The fixture writes a schema-identical but row-free copy of every test
+table and runs one representative query per category against it. The
+contract is "no exception, sane row count" (0 for most; global aggregates
+may legitimately emit their single null/zero row).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from xml_to_parquet_spark.registry import load_all
+from xml_to_parquet_spark.tables import TABLE_NAMES, table
+
+# category representatives; (name, max_rows) — max_rows bounds what an
+# empty input may produce (global aggs emit one row; everything else 0)
+REPRESENTATIVES = [
+    ("q1_pricing_summary", 0),
+    ("q5_local_supplier", 0),
+    ("filter_predicates", 0),
+    ("join_asof", 0),
+    ("join_asof_tolerance", 0),
+    ("window_rank", 0),
+    ("topk_per_group", 0),
+    ("agg_rollup", 1),  # rollup grand-total row may survive as null row? no rows in, 0 out — allow 1 defensively
+    ("dq_profile", 1),  # global agg: one row of zeros/nulls
+    ("dq_anomaly_zscore", 0),
+    ("set_union_all", 0),
+    ("scalar_url_fns", 0),
+    ("dedup_exact", 0),
+    ("dedup_minhash_lsh", 0),
+    ("dedup_components", 0),
+    ("curate_quality_filter", 0),
+    ("curate_mix_temperature", 0),
+    ("sim_topk_cosine", 0),
+    ("sim_centroid_assign", 0),
+    ("text_stats", 0),
+    ("text_quality_unigram_lm", 0),
+    ("mm_decode_png", 0),
+    ("mm_decode_wav", 0),
+    ("sessionize_events", 0),
+    ("sample_hash_deterministic", 0),
+]
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, sf_dir, tmp_path_factory):
+    out = tmp_path_factory.mktemp("empty_sf")
+    for name in TABLE_NAMES:
+        table(spark, sf_dir, name).limit(0).write.mode("overwrite").parquet(
+            str(out / f"{name}.parquet")
+        )
+    return str(out)
+
+
+@pytest.mark.parametrize("name,max_rows", REPRESENTATIVES)
+def test_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows):
+    reg = load_all()
+    out = reg[name].fn(spark, empty_sf_dir)
+    assert out.count() <= max_rows
