@@ -95,3 +95,31 @@ def test_oracle_parity(spark, sf_dir, registry, duck, name):
     odf = duck.execute(qd.oracle).df()
     assert sorted(c.lower() for c in sdf.columns) == sorted(c.lower() for c in odf.columns)
     assert _canon(sdf) == _canon(odf)
+
+
+def test_xpath_typed_extractors(spark):
+    """API coverage for the typed xpath_* family (scalar_xpath_fns itself
+    uses the parse-once xpath() array pattern for scale — see its
+    docstring): every typed extractor must parse and coerce correctly."""
+    from pyspark.sql import functions as F
+
+    row = (
+        spark.range(1)
+        .select(
+            F.lit("<r><i>42</i><s>hi</s><d>2.5</d></r>").alias("xml")
+        )
+        .select(
+            F.xpath_long("xml", F.lit("/r/i/text()")).alias("l"),
+            F.xpath_int("xml", F.lit("/r/i/text()")).alias("i"),
+            F.xpath_string("xml", F.lit("/r/s")).alias("s"),
+            F.xpath_double("xml", F.lit("/r/d/text()")).alias("d"),
+            F.xpath_float("xml", F.lit("/r/d/text()")).alias("f"),
+            F.xpath_boolean("xml", F.lit("/r/i mod 2 = 0")).alias("b"),
+            F.xpath_short("xml", F.lit("/r/i/text()")).alias("sh"),
+        )
+        .collect()[0]
+    )
+    assert row["l"] == 42 and row["i"] == 42 and row["sh"] == 42
+    assert row["s"] == "hi"
+    assert row["d"] == 2.5 and abs(row["f"] - 2.5) < 1e-6
+    assert row["b"] is True
