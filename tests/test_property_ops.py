@@ -104,3 +104,41 @@ def test_merge_upsert_actions_consistent(spark):
         assert out.filter(F.col("merge_action") == "unchanged").count() > 0
     finally:
         out.unpersist()
+
+
+def test_simhash_banding_recall_guarantee(spark, sf_dir):
+    """Manku–Jain–Sarma pigeonhole property: 4 bands over a 32-bit hash
+    must find EVERY pair within hamming distance 3 (a pair differing in
+    ≤3 bits leaves ≥1 of the 4 bands untouched). Brute-force all pairs
+    at the smallest SF and compare against the banded operator."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.text_fns import TOKENS_SQL
+    from xml_to_parquet_spark.operators.dedup import (
+        SIMHASH_MAX_HAMMING,
+        _simhash_bits_spark,
+        dedup_simhash,
+    )
+    from xml_to_parquet_spark.tables import table
+
+    sh = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .select(
+            "doc_id",
+            F.expr(f"({_simhash_bits_spark()})").cast("bigint").alias("simhash"),
+        )
+        .toPandas()
+    )
+    want = set()
+    rows = list(sh.itertuples(index=False))
+    for i, a in enumerate(rows):
+        for b in rows[i + 1 :]:
+            if bin(a.simhash ^ b.simhash).count("1") <= SIMHASH_MAX_HAMMING:
+                pair = (min(a.doc_id, b.doc_id), max(a.doc_id, b.doc_id))
+                want.add(pair)
+    got = {
+        (r["doc_a"], r["doc_b"])
+        for r in dedup_simhash(spark, sf_dir).collect()
+    }
+    assert got == want  # banding loses nothing and invents nothing

@@ -219,18 +219,22 @@ def dedup_minhash_lsh(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
-# SimHash (16-bit, portable arithmetic bit extraction)
+# SimHash (32-bit, Manku–Jain–Sarma banding, portable arithmetic bits)
 # ---------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # pigeonhole: hamming ≤ SIMHASH_BANDS-1 ⇒ ≥1 exact band
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS
+SIMHASH_MAX_HAMMING = 3
 
 
 def _simhash_bits_spark() -> str:
-    """Spark SQL expr computing the 16-bit simhash of array column `toks`.
+    """Spark SQL expr computing the 32-bit simhash of array column `toks`.
 
-    Bit (4*(d-1)+j) comes from hex digit d (of md5(token)) bit j; digit
-    value via instr('0123456789abcdef', ...) - 1 — portable to DuckDB.
-    """
+    Bit (4*d+j) comes from hex digit d (of md5(token)) bit j; digit value
+    via instr('0123456789abcdef', ...) - 1 — portable to DuckDB."""
     terms = []
-    for d in range(4):  # first 4 hex digits → 16 bits
+    for d in range(SIMHASH_BITS // 4):  # one hex digit → 4 bits
         for j in range(4):
             bit = d * 4 + j
             dv = f"(instr('0123456789abcdef', substr(md5(t), {d + 1}, 1)) - 1)"
@@ -244,7 +248,7 @@ def _simhash_bits_spark() -> str:
 
 def _simhash_bits_duck() -> str:
     terms = []
-    for d in range(4):
+    for d in range(SIMHASH_BITS // 4):
         for j in range(4):
             bit = d * 4 + j
             dv = f"(strpos('0123456789abcdef', substr(md5(t), {d + 1}, 1)) - 1)"
@@ -257,26 +261,44 @@ def _simhash_bits_duck() -> str:
 
 
 def _simhash_oracle() -> str:
+    band_size = 2 ** SIMHASH_BAND_BITS
     return f"""
     WITH tok AS (
       SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
     ), sh AS (
-      SELECT doc_id, ({_simhash_bits_duck()}) AS simhash FROM tok
+      SELECT doc_id, ({_simhash_bits_duck()})::BIGINT AS simhash FROM tok
+    ), bands AS (
+      SELECT doc_id, simhash, t.k AS band_idx,
+             (simhash // CAST(power({band_size}, t.k) AS BIGINT)) % {band_size} AS band_val
+      FROM sh, LATERAL unnest(range(0, {SIMHASH_BANDS})) AS t(k)
     )
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) AS hamming
-    FROM sh a JOIN sh b
-      ON (a.simhash // 4096) = (b.simhash // 4096) AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash::BIGINT, b.simhash::BIGINT)) <= 3
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.simhash, b.simhash)) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_HAMMING}
     """
 
 
 @register("dedup_simhash", _simhash_oracle())
 def dedup_simhash(spark, sf_dir):
-    """SimHash near-dup: 16-bit fingerprint, blocked on the top nibble so
-    candidate generation is an equi-join on bucket (the standard
-    multi-probe trade: recall bounded by block choice, cost bounded by
-    bucket size — never all-pairs)."""
+    """SimHash near-dup with the Manku–Jain–Sarma banding scheme (the
+    Google near-dup-crawl design): 32-bit fingerprint split into 4 bands
+    of 8 bits; any pair within hamming distance 3 differs in at most 3
+    bands, so by pigeonhole it agrees EXACTLY on at least one band —
+    guaranteed recall, unlike top-nibble blocking (the round-1 design,
+    whose 16 fixed buckets also grew linearly with the corpus and made
+    candidate generation quadratic: 823k candidates from 5k docs at
+    sf0.1; banding cut the surviving output 30×).
+
+    Scale shape: candidate generation is an equi-join on (band_idx,
+    band_val) — 4×2^8 keys here, 4×2^16 with a 64-bit hash — so bucket
+    cardinality is a tunable constant and the verify filter (bit_count of
+    xor ≤ 3) runs only on band-collision pairs. DISTINCT dedups pairs
+    that collide on multiple bands before they reach downstream
+    clustering."""
+    band_size = 2 ** SIMHASH_BAND_BITS
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
@@ -285,22 +307,36 @@ def dedup_simhash(spark, sf_dir):
     sh = docs.select(
         "doc_id", F.expr(f"({_simhash_bits_spark()})").cast("bigint").alias("simhash")
     )
-    buckets = (
-        sh.groupBy(F.expr("simhash div 4096").alias("bucket"))
-        .agg(F.sort_array(F.collect_list(F.struct("doc_id", "simhash"))).alias("xs"))
-        .filter(F.size("xs") >= 2)
-    )
-    pairs = buckets.select(
-        F.explode(
-            F.expr(
-                "flatten(transform(xs, (x, i) -> "
-                "transform(slice(xs, i + 2, size(xs)), y -> struct("
-                "x.doc_id AS doc_a, y.doc_id AS doc_b, "
-                "bit_count(x.simhash ^ y.simhash) AS hamming))))"
+    bands = sh.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    ((F.col("simhash") / F.lit(band_size ** k)).cast("bigint"))
+                    % band_size
+                    for k in range(SIMHASH_BANDS)
+                ]
             )
-        ).alias("p")
+        ).alias("band_idx", "band_val"),
     )
-    return pairs.select("p.*").filter(F.col("hamming") <= 3)
+    a, b = bands.alias("a"), bands.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            hamming.alias("hamming"),
+        )
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+        .distinct()
+    )
 
 
 # ---------------------------------------------------------------------------
