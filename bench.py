@@ -43,6 +43,7 @@ BENCH_QUERIES = [
     "udf_cogrouped_pandas",
     "stream_tumbling_window",
     "mm_decode_png",
+    "mm_decode_wav",
 ]
 
 
