@@ -123,3 +123,30 @@ def test_xpath_typed_extractors(spark):
     assert row["s"] == "hi"
     assert row["d"] == 2.5 and abs(row["f"] - 2.5) < 1e-6
     assert row["b"] is True
+
+
+def test_hll_mergeable_accuracy(spark, sf_dir):
+    """Unioned fine-grain HLL sketches must estimate the coarse-grain
+    distinct count within the sketch's error bound (lgK=12 → ~1.6% rse;
+    assert 5% for slack) — this is what makes sketch rollups servable."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.relational import agg_hll_mergeable
+    from xml_to_parquet_spark.tables import table
+
+    got = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in agg_hll_mergeable(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) <= max(1, 0.05 * exact[flag]), (
+            flag, est, exact[flag],
+        )

@@ -251,6 +251,33 @@ def approx_count_distinct(spark, sf_dir):
     )
 
 
+@register("agg_hll_mergeable", None)
+def agg_hll_mergeable(spark, sf_dir):
+    """MERGEABLE distinct-count sketches (Apache DataSketches HLL) — the
+    materialized-view / rollup-serving pattern at 100 TB: build binary
+    sketches ONCE at fine grain (returnflag × linestatus), then answer the
+    coarse-grain question (per returnflag) by UNIONING the stored sketches
+    — no rescan of the fact table, and the merge is associative so any
+    rollup lattice can be served from one build pass. approximate by
+    design → rows-only driver check; the estimate-vs-exact error bound is
+    pinned by tests/test_operators.py::test_hll_mergeable_accuracy."""
+    li = _t(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.hll_sketch_agg("l_orderkey").alias("sketch"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        fine.groupBy("l_returnflag")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_orders"
+            ),
+            F.sum("n_rows").alias("n_rows"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
 # ---------------------------------------------------------------------------
 # joins
 # ---------------------------------------------------------------------------
