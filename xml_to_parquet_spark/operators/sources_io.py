@@ -200,3 +200,58 @@ def incremental_agg_maintenance(spark, sf_dir):
             F.sum("total_cents").alias("total_cents"),
         )
     )
+
+
+@register(
+    "sink_schema_evolution",
+    """
+    WITH v1 AS (SELECT o_orderkey, o_totalprice
+                FROM orders WHERE o_orderkey % 2 = 0),
+         v2 AS (SELECT o_orderkey, o_totalprice, o_orderpriority
+                FROM orders WHERE o_orderkey % 2 = 1),
+         merged AS (
+           SELECT o_orderkey, o_totalprice,
+                  CAST(NULL AS VARCHAR) AS o_orderpriority FROM v1
+           UNION ALL
+           SELECT o_orderkey, o_totalprice, o_orderpriority FROM v2
+         )
+    SELECT coalesce(o_orderpriority, '<pre-evolution>') AS priority,
+           count(*)                                     AS n,
+           count(o_orderpriority)                       AS n_with_priority,
+           min(o_orderkey)                              AS min_key
+    FROM merged GROUP BY 1
+    """,
+)
+def sink_schema_evolution(spark, sf_dir):
+    """Schema evolution on a parquet dataset: batch v1 lands without the
+    ``o_orderpriority`` column, batch v2 adds it, and the read-back uses
+    ``mergeSchema`` so old files surface the new column as NULL — the
+    append-only lake contract that lets producers add columns without
+    rewriting history. The aggregate proves v1 rows carry NULL priority
+    and v2 rows carry real values.
+
+    Scale note: mergeSchema reconciles footers at planning time — cost
+    ∝ number of files (driver-side listing), not data size; at 100 TB you
+    pin the merged schema in a table catalog instead of re-inferring per
+    read, which this operator models by passing an explicit mergeSchema
+    read option."""
+    out = scratch_dir(sf_dir, "schema_evolution")
+    orders = table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    )
+    v2 = orders.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    v1.write.mode("overwrite").parquet(f"{out}/batch=v1")
+    v2.write.mode("overwrite").parquet(f"{out}/batch=v2")
+    back = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/batch=v1", f"{out}/batch=v2"
+    )
+    return back.groupBy(
+        F.coalesce("o_orderpriority", F.lit("<pre-evolution>")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count("o_orderpriority").alias("n_with_priority"),
+        F.min("o_orderkey").alias("min_key"),
+    )
