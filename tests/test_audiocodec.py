@@ -78,3 +78,29 @@ def test_wav_missing_data_chunk():
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     with pytest.raises(ValueError, match="missing"):
         decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_roundtrip_property():
+    """Hypothesis: any int16 payload (mono or stereo) at any sample rate
+    round-trips bit-exactly."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=50, deadline=None)
+    @given(
+        n=st.integers(min_value=1, max_value=2048),
+        rate=st.integers(min_value=1, max_value=384000),
+        stereo=st.booleans(),
+        seed=st.integers(min_value=0, max_value=2**31),
+    )
+    def check(n, rate, stereo, seed):
+        rng = np.random.default_rng(seed)
+        if stereo:
+            s = rng.integers(-32768, 32768, size=(n, 2)).astype(np.int16)
+        else:
+            s = rng.integers(-32768, 32768, size=n).astype(np.int16)
+        got_rate, out = decode_wav(encode_wav(s, sample_rate=rate))
+        assert got_rate == rate
+        np.testing.assert_array_equal(out, s)
+
+    check()
