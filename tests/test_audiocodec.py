@@ -104,3 +104,38 @@ def test_wav_roundtrip_property():
         np.testing.assert_array_equal(out, s)
 
     check()
+
+
+def test_wav_truncated_data_chunk_raises():
+    """A data chunk whose declared length overruns the buffer must fail
+    loudly (ADVICE r5), not silently yield fewer samples."""
+    s = _sig(64)
+    raw = encode_wav(s)
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(raw[:-10])  # cut mid-data
+    # inflate the declared data length past the buffer
+    idx = raw.index(b"data")
+    bad = raw[: idx + 4] + struct.pack("<I", 1 << 20) + raw[idx + 8 :]
+    with pytest.raises(ValueError, match="truncated WAV"):
+        decode_wav(bad)
+
+
+def test_wav_truncated_fmt_chunk_raises():
+    body = b"WAVE" + b"fmt " + struct.pack("<I", 4) + b"\x01\x00\x01\x00"
+    with pytest.raises(ValueError, match="fmt chunk"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+
+
+def test_wav_partial_frame_raises():
+    """PCM bytes that are not a whole number of frames (odd bytes for
+    mono, odd sample count for stereo) are corruption, not data."""
+    fmt = struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", 3) + b"\x00\x00\x00" + b"\x00"
+    with pytest.raises(ValueError, match="frames"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body)) + body)
+    fmt2 = struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16)
+    body2 = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt2)) + fmt2
+    body2 += b"data" + struct.pack("<I", 6) + b"\x00" * 6
+    with pytest.raises(ValueError, match="frames"):
+        decode_wav(b"RIFF" + struct.pack("<I", len(body2)) + body2)

@@ -71,3 +71,17 @@ def test_cli_dataset_from_plain_xml(spark, tmp_path):
     rc = main(["-x", REF_XSD, "--dataset", str(out), str(src / "*.xml")])
     assert rc == 0
     assert spark.read.parquet(str(out)).count() == 3
+
+
+def test_detect_mixed_batch_errors():
+    """Mixed --dataset batches must fail on the driver with a clear
+    message (ADVICE r5), never route uniformly to one archive reader."""
+    import pytest
+
+    with pytest.raises(SystemExit, match="mix file kinds"):
+        _detect_archive_format(["a.tar.gz", "b.zip"])
+    with pytest.raises(SystemExit, match="mix file kinds"):
+        _detect_archive_format(["a.tar.gz", "plain.xml"])
+    # uniform batches unchanged
+    assert _detect_archive_format(["a.zip", "b.ZIP"]) == "zip"
+    assert _detect_archive_format(["a.tgz", "b.tar.gz", "c.tar"]) == "tar"

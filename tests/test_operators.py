@@ -150,3 +150,27 @@ def test_hll_mergeable_accuracy(spark, sf_dir):
         assert abs(est - exact[flag]) <= max(1, 0.05 * exact[flag]), (
             flag, est, exact[flag],
         )
+
+
+def test_xpath_empty_element_guard(spark):
+    """`/o/*/text()` DROPS the text() node of an empty element, shifting
+    later fields into earlier slots — scalar_xpath_fns guards with a
+    size(arr)=3 CASE that nulls the row instead (ADVICE r5). Pin both the
+    shift behavior that motivates the guard and the guard itself."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("<o><k>7</k><st></st><p>1.5</p></o>",),
+         ("<o><k>8</k><st>F</st><p>2.5</p></o>",)],
+        ["xml"],
+    )
+    raw = F.xpath("xml", F.lit("/o/*/text()"))
+    arr = F.when(F.size(raw) == 3, raw)
+    rows = df.select(
+        F.size(raw).alias("n"),
+        F.element_at(arr, 1).cast("long").alias("k"),
+        F.element_at(arr, 2).alias("st"),
+    ).orderBy("n").collect()
+    # empty <st/>: xpath yields only 2 text nodes -> guard nulls the row
+    assert rows[0].n == 2 and rows[0].k is None and rows[0].st is None
+    assert rows[1].n == 3 and rows[1].k == 8 and rows[1].st == "F"

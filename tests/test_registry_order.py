@@ -3,7 +3,8 @@
 A correctness harness may grade only a prefix of the registry (round 1
 graded the first 50 entries), so the prefix must sample every operator
 category, and rows-only queries must never occupy an early slot unless
-they hold a deliberate re-grade slot (r5 contract).
+they hold a deliberate rows-only proof slot (r6 contract: the 5
+never-graded rows-only queries).
 """
 
 import json
@@ -13,13 +14,16 @@ import pytest
 
 from xml_to_parquet_spark.registry import (
     ANCHORS,
+    CHANGED,
     GRADED_WINDOW,
-    RE_GRADE_TARGETS,
+    NEW_TARGETS,
+    ROWS_ONLY_SLOTS,
+    UPGRADED,
     load_all,
 )
 
 REPO = Path(__file__).resolve().parent.parent
-THIS_ROUND = 5  # bump on each window rotation
+THIS_ROUND = 6  # bump on each window rotation
 
 
 def _prior_round_artifacts():
@@ -38,22 +42,38 @@ def test_graded_window_size_and_oracles():
     assert len(GRADED_WINDOW) == 50
     names = list(reg)
     assert names[:50] == GRADED_WINDOW
-    # every window slot is oracle-backed EXCEPT the designated rows-only
-    # re-grade targets (which need rows-only driver proof this round)
-    rows_only_allowed = set(RE_GRADE_TARGETS)
+    # every window slot is oracle-backed EXCEPT the five designated
+    # rows-only proof slots (never graded before r6)
+    rows_only_allowed = set(ROWS_ONLY_SLOTS)
     for name in GRADED_WINDOW:
         if reg[name].oracle is None:
             assert name in rows_only_allowed, (
                 f"{name} in graded window lacks oracle and is not a "
-                "designated rows-only re-grade target"
+                "designated rows-only slot"
             )
+    # conversely, every designated rows-only slot must actually lack an
+    # oracle (if one gains an oracle, move it out of ROWS_ONLY_SLOTS)
+    for name in ROWS_ONLY_SLOTS:
+        assert reg[name].oracle is None, (
+            f"{name} has an oracle but is listed as a rows-only slot"
+        )
+
+
+def test_upgraded_streaming_queries_have_oracles():
+    """r6 contract: the two streaming queries promoted from rows-only
+    must register full value oracles (deterministic availableNow replay)."""
+    reg = load_all()
+    for name in UPGRADED:
+        assert reg[name].oracle is not None, (
+            f"{name} was upgraded to a value oracle in r6 but registers "
+            "rows-only"
+        )
 
 
 def test_graded_window_covers_every_category_cumulatively():
-    """Rounds 1-4 banked a driver row for every oracle-backed query; the
-    r5 window re-validates under the new PySpark. Per-window category
-    coverage is no longer the invariant — CUMULATIVE coverage (past driver
-    rows ∪ current window) is."""
+    """Rounds 1-5 banked a driver row for all but the 13 r5-late queries;
+    CUMULATIVE coverage (past driver rows ∪ current window) must span
+    every category prefix."""
     covered = set(GRADED_WINDOW)
     for f in REPO.glob("CORRECTNESS_r*.json"):
         covered |= set(json.loads(f.read_text()))
@@ -83,17 +103,18 @@ def test_graded_window_covers_every_category_cumulatively():
     assert not missing, f"cumulative graded coverage misses categories: {missing}"
 
 
-def test_r5_window_contains_all_regrade_targets_and_anchors():
-    """r5 rotation contract (VERDICT r4 #5): the window MUST re-offer the
-    5 NTZ-fixed queries + the never-green approx_count_distinct, plus the
-    three named anchors; remaining slots re-validate banked greens under
-    PySpark 4.1.2 (environment drift invalidated the old proofs)."""
+def test_r6_window_contains_required_slots():
+    """r6 rotation contract (VERDICT r5 #1): the window MUST offer every
+    never-driver-graded query (the 13 added late in r5), the two
+    streaming queries whose oracles were upgraded this round, the queries
+    whose semantics changed this round, and the three standing anchors.
+    Remaining slots re-validate banked greens under PySpark 4.1.2 that
+    the r5 window did not cover."""
     window = set(GRADED_WINDOW)
-    for name in RE_GRADE_TARGETS + ANCHORS:
-        assert name in window, f"required r5 slot {name} missing from window"
-    # every non-anchor, non-re-grade slot must be a banked green from a
-    # prior round — re-validation only makes sense for queries with a
-    # prior driver row
+    for name in NEW_TARGETS + UPGRADED + CHANGED + ANCHORS:
+        assert name in window, f"required r6 slot {name} missing from window"
+    # every fill slot must be a banked green from a prior round — only
+    # NEW_TARGETS may lack a prior driver row
     prior_files = _prior_round_artifacts()
     if not prior_files:
         pytest.skip("no prior driver artifacts (fresh checkout)")
@@ -101,10 +122,16 @@ def test_r5_window_contains_all_regrade_targets_and_anchors():
     for f in prior_files:
         prior |= set(json.loads(f.read_text()))
     for name in GRADED_WINDOW:
-        if name in set(RE_GRADE_TARGETS) | set(ANCHORS):
+        if name in set(NEW_TARGETS):
             continue
         assert name in prior, (
             f"{name} holds a re-validation slot but has no prior driver row"
+        )
+    # and the NEW_TARGETS really are never-graded (if one gains a prior
+    # row, rotate the slot to a different query)
+    for name in NEW_TARGETS:
+        assert name not in prior, (
+            f"{name} already has a driver row; its NEW_TARGETS slot is wasted"
         )
 
 

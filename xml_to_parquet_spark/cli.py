@@ -81,13 +81,34 @@ _ARCHIVE_EXTS = {
 }
 
 
+def _file_kind(path: str) -> str:
+    """'tar' | 'zip' | 'plain' from the extension of one input file."""
+    low = path.lower()
+    for ext, kind in _ARCHIVE_EXTS.items():
+        if low.endswith(ext):
+            return kind
+    return "plain"
+
+
 def _detect_archive_format(paths: list[str]) -> str | None:
-    for p in paths:
-        low = p.lower()
-        for ext, kind in _ARCHIVE_EXTS.items():
-            if low.endswith(ext):
-                return kind
-    return None
+    """Uniform archive kind of a --dataset input batch, or None for all-
+    plain XML. A MIXED batch (tar + zip, or archives + plain .xml) errors
+    out here on the driver with a clear message instead of routing every
+    input through one archive reader and failing executor-side with an
+    opaque per-member error (ADVICE r5)."""
+    kinds = {p: _file_kind(p) for p in paths}
+    distinct = set(kinds.values())
+    if distinct <= {"plain"}:
+        return None
+    if len(distinct) > 1:
+        sample = {k: next(p for p, v in kinds.items() if v == k) for k in distinct}
+        raise SystemExit(
+            "--dataset inputs mix file kinds "
+            f"({', '.join(f'{k}: {v!r}' for k, v in sorted(sample.items()))}); "
+            "run one batch per kind, or pass --archive-format to force one "
+            "reader over an explicitly uniform batch"
+        )
+    return distinct.pop()
 
 
 def main(argv: list[str] | None = None) -> int:

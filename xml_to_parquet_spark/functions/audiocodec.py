@@ -57,9 +57,16 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     while pos + 8 <= len(data):
         tag = data[pos : pos + 4]
         (length,) = struct.unpack_from("<I", data, pos + 4)
+        if pos + 8 + length > len(data):
+            raise ValueError(
+                f"truncated WAV: chunk {tag!r} declares {length} bytes but "
+                f"only {len(data) - pos - 8} remain"
+            )
         payload = data[pos + 8 : pos + 8 + length]
         pos += 8 + length + (length % 2)  # word padding
         if tag == b"fmt ":
+            if length < 16:
+                raise ValueError(f"truncated WAV: fmt chunk is {length} bytes")
             audio_fmt, n_channels, rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", payload
             )
@@ -76,6 +83,11 @@ def decode_wav(data: bytes) -> tuple[int, np.ndarray]:
     if fmt is None or pcm is None:
         raise ValueError("WAV missing fmt or data chunk")
     n_channels, rate = fmt
+    if len(pcm) % (2 * n_channels):
+        raise ValueError(
+            f"truncated WAV: data chunk of {len(pcm)} bytes is not a whole "
+            f"number of {n_channels}-channel PCM16 frames"
+        )
     samples = np.frombuffer(pcm, dtype="<i2")
     if n_channels == 2:
         samples = samples.reshape(-1, 2)

@@ -349,9 +349,15 @@ def dedup_simhash(spark, sf_dir):
     f"""
     WITH tok AS (
       SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
-    ), sh AS (
+    ), sh0 AS (
       SELECT doc_id, source, unnest(list_distinct({shingles_duck(3)})) AS shingle
       FROM tok WHERE len(toks) >= 3
+    ), hot AS (
+      SELECT source, shingle FROM sh0 GROUP BY source, shingle
+      HAVING count(*) > 100
+    ), sh AS (
+      SELECT s.* FROM sh0 s LEFT JOIN hot h USING (source, shingle)
+      WHERE h.shingle IS NULL
     ), sizes AS (
       SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
     ), inter AS (
@@ -370,13 +376,27 @@ def dedup_simhash(spark, sf_dir):
 def dedup_ngram_jaccard(spark, sf_dir):
     """Exact 3-gram Jaccard, blocked by `source` so the shingle self-join
     stays partition-local (the blocking key is the scale lever: swap in an
-    LSH band for open-domain corpora)."""
+    LSH band for open-domain corpora).
+
+    Hot-shingle cap (the candidate-linearity bound): shingles appearing in
+    more than MAX_DF=100 documents of the same source are dropped BEFORE
+    both the size and intersection computations, so Jaccard is exact over
+    the filtered shingle space on both engines. Without the cap a
+    boilerplate shingle shared by d documents fans out into C(d,2)
+    candidate pairs — quadratic in the hottest key; with it each shingle
+    contributes ≤ C(100,2) pairs, making total candidates LINEAR in the
+    number of distinct (source, shingle) keys. Near-universal shingles
+    carry no dedup signal anyway (they are stopword boilerplate), so the
+    cap is also a precision win. The hot set itself is tiny by
+    construction (only df>100 keys), so the anti-join is left unhinted
+    for AQE to broadcast."""
+    max_df = 100
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source", F.expr(TOKENS_SQL).alias("toks"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    sh = (
+    sh0 = (
         docs.filter(F.size("toks") >= 3)
         .select(
             "doc_id",
@@ -384,6 +404,13 @@ def dedup_ngram_jaccard(spark, sf_dir):
             F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
         )
     )
+    hot = (
+        sh0.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("source", "shingle")
+    )
+    sh = sh0.join(hot, ["source", "shingle"], "left_anti")
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")

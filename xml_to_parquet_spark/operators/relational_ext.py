@@ -572,7 +572,14 @@ def scalar_xpath_fns(spark, sf_dir):
     that's the whole job). Spark's subexpression elimination collapses the
     repeated ``arr`` references to one evaluation (plan-verified). The
     typed xpath_long/string/double/boolean extractors stay API-covered by
-    tests/test_operators.py::test_xpath_typed_extractors."""
+    tests/test_operators.py::test_xpath_typed_extractors.
+
+    Positional-shift guard: ``/o/*/text()`` drops the text() node of an
+    EMPTY element, which would silently shift later fields into the wrong
+    slots; the size(arr)=3 CASE nulls the whole row instead, so a shift
+    breaks oracle parity loudly rather than misassigning values (orders
+    columns are non-empty by TPC-H contract, so the guard is inert here
+    by design)."""
     o = _t(spark, sf_dir, "orders")
     xml = F.concat(
         F.lit("<o><k>"), F.col("o_orderkey"),
@@ -580,7 +587,8 @@ def scalar_xpath_fns(spark, sf_dir):
         F.lit("</st><p>"), F.col("o_totalprice"),
         F.lit("</p></o>"),
     )
-    arr = F.xpath(xml, F.lit("/o/*/text()"))
+    raw = F.xpath(xml, F.lit("/o/*/text()"))
+    arr = F.when(F.size(raw) == 3, raw)  # else NULL → every xp_* NULL
     key = F.element_at(arr, 1).cast("long")
     return o.select(
         "o_orderkey",

@@ -415,11 +415,15 @@ def text_quality_unigram_lm(spark, sf_dir):
     token soup / boilerplate noise; reference repo has no text surface,
     [EXT] per SURVEY.md §2.2).
 
-    Scale shape: the vocabulary aggregation is map-side combinable and its
-    result is vocabulary-sized (≪ corpus — Heaps' law), so it BROADCASTS
-    back to the token stream: one narrow shuffle for the vocab, one
-    combinable shuffle for the per-doc average, never a corpus-wide
-    sort or corpus×vocab join."""
+    Scale shape: the vocabulary aggregation is map-side combinable, and
+    the token↔vocab join is left UNHINTED on purpose: Heaps' law keeps the
+    vocab ≪ corpus at test scale, so AQE picks a broadcast join there, but
+    a 100 TB corpus has a 10⁸–10⁹-entry vocabulary — past any broadcast
+    threshold — and the same plan degrades gracefully to a shuffled hash
+    join on `t` (both sides equi-keyed, no skew: token frequency skew sits
+    on the FREQ side as one row per token, not as join fan-out). Only the
+    1-row grand total is force-broadcast. One combinable shuffle for the
+    per-doc average; never a corpus-wide sort or corpus×vocab join."""
     tok = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
@@ -428,7 +432,7 @@ def text_quality_unigram_lm(spark, sf_dir):
     freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = freq.agg(F.sum("c").alias("n"))
     return (
-        tok.join(F.broadcast(freq.crossJoin(F.broadcast(tot))), "t")
+        tok.join(freq.crossJoin(F.broadcast(tot)), "t")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),

@@ -37,60 +37,73 @@ def register(name: str, oracle: str | None = None):
 # Contract (pinned by tests/test_registry_order.py):
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
-#     deliberate window slot (r5: the 2 NTZ-broken streaming queries and
-#     the never-green approx_count_distinct need rows-only driver proof).
-# Round-5 rotation: after r4, every oracle-backed query (154) has a banked
-# driver-green row — but those rows predate the PySpark 4.1.2 environment
-# drift that broke the 5 event-time queries (VERDICT r4). This window is a
-# RE-VALIDATION window: (a) the 6 re-grade targets — 5 NTZ-fixed queries +
-# approx_count_distinct (errored r1, never re-offered); (b) 3 high-value
-# anchors per VERDICT r4 #5 (q1, dedup_minhash_lsh, mm_decode_png); (c) a
-# category-spanning spread of banked greens re-proven under the NEW Spark,
-# weighted toward timestamp/date/decimal-sensitive shapes most at risk
-# from engine drift. Previous windows: r1-r4 lists are in git history.
-RE_GRADE_TARGETS = [
-    # NTZ-fixed (tables.py::_fix_nanos): oracle-backed
-    "sessionize_events", "join_asof_nearest", "stream_stream_join",
-    # NTZ-fixed: rows-only
-    "stream_watermark_late_data", "stream_chained_agg",
-    # rows-only sketch, errored in r1, never re-offered since
-    "approx_count_distinct",
+#     deliberate window slot (r6: the 5 never-graded rows-only queries need
+#     their first rows-only driver proof).
+# Round-6 rotation (VERDICT r5 #1): after r5, the board is 154/162
+# oracle-backed driver-green; the ONLY queries without any driver row are
+# the 13 operators added late in r5. This window closes that gap:
+# (a) NEW_TARGETS — the 8 never-graded oracle-backed queries + the 5
+#     never-graded rows-only queries;
+# (b) UPGRADED — stream_watermark_late_data / stream_chained_agg, promoted
+#     from rows-only to full value oracles in r6 (deterministic
+#     availableNow replay — see streaming/windows.py), re-offered so the
+#     driver proves the new oracles;
+# (c) CHANGED — queries whose result or plan changed this round and must
+#     re-prove parity (dedup_ngram_jaccard hot-shingle cap,
+#     text_quality_unigram_lm de-broadcast, scalar_xpath_fns shift guard);
+# (d) the 3 standing anchors + a category-spanning spread of banked
+#     greens never re-validated under PySpark 4.1.2 (the r5 window
+#     re-proved 41; this fill rotates through 31 DIFFERENT ones).
+# Previous windows: r1-r5 lists are in git history.
+NEW_TARGETS = [
+    # oracle-backed, added r5, never offered to the driver
+    "text_quality_unigram_lm", "join_asof_tolerance", "dq_anomaly_zscore",
+    "scalar_url_fns", "sim_centroid_assign", "curate_mix_temperature",
+    "mm_decode_wav", "sink_schema_evolution",
+    # rows-only, never graded (these five hold the only rows-only slots)
+    "text_freq_items", "agg_hll_mergeable", "agg_approx_percentile",
+    "table_sample", "sample_stratified",
+]
+UPGRADED = ["stream_watermark_late_data", "stream_chained_agg"]
+CHANGED = ["dedup_ngram_jaccard", "scalar_xpath_fns"]
+ROWS_ONLY_SLOTS = [
+    "text_freq_items", "agg_hll_mergeable", "agg_approx_percentile",
+    "table_sample", "sample_stratified",
 ]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
-    *RE_GRADE_TARGETS,
-    # TPC-H shapes (date filters, decimal aggs — drift-sensitive)
-    "q3_shipping_priority", "q5_local_supplier",
-    "q18_large_volume_customer", "q4_order_priority", "q9_product_profit",
-    "q10_returned_items", "q14_promo_revenue",
-    # event-time (events.ts flows through the changed _fix_nanos path)
-    "join_asof", "join_asof_forward", "timeseries_rollup",
-    # window functions
-    "window_rank", "window_moving_avg", "window_range_frame",
+    *NEW_TARGETS,
+    *UPGRADED,
+    *CHANGED,
+    # TPC-H shapes not in the r5 window (r5 took q1/q3/q4/q5/q9/q10/q14/q18)
+    "q7_volume_shipping", "q12_priority_class", "q17_small_qty_revenue",
+    "q19_discounted_revenue", "q22_global_sales_opportunity",
     # joins
-    "join_range", "join_skew_salted", "join_bucketed",
+    "join_null_safe", "join_semi", "join_anti",
     # aggregation families
-    "agg_rollup", "agg_cube", "agg_grouping_sets", "agg_stats",
-    "agg_null_semantics", "agg_min_max_by",
+    "agg_histogram", "agg_skew_kurtosis", "agg_mode_deterministic",
+    "agg_percentile_array",
+    # window functions
+    "window_ntile_dist", "window_first_last",
     # set ops
-    "set_intersect_all", "set_except_all",
-    # scalar function families (date + try-arithmetic + JSON)
-    "scalar_date_fns", "scalar_try_arith", "json_functions",
+    "set_union_all",
+    # scalar function families
+    "scalar_regexp_split", "variant_json",
     # dedup
-    "dedup_exact", "dedup_components", "dedup_minhash_verified",
+    "dedup_simhash", "dedup_normalized",
     # curation
-    "curate_quality_filter", "curate_decontaminate",
-    # similarity
-    "sim_topk_cosine", "sim_ivf",
+    "curate_pack_sequences", "curate_dedup_keep_best",
+    # similarity (sim_matryoshka_truncate carries the -0.0 hazard fix)
+    "sim_matryoshka_truncate", "sim_quantize_int8",
     # text analysis
-    "text_stats", "text_tfidf",
-    # UDF (Arrow path moved with PySpark)
-    "udf_pandas_scalar", "udf_cogrouped_pandas",
+    "text_lang_id", "text_rolling_hash",
+    # UDF (Arrow path)
+    "udaf_grouped_pandas", "udf_arrow_map",
     # structured streaming
-    "stream_tumbling_window", "stream_session_window",
-    # sources
-    "source_csv_roundtrip",
+    "stream_sliding_window",
+    # sources / sinks / MERGE
+    "source_json_roundtrip", "merge_upsert",
 ]
 
 

@@ -8,8 +8,10 @@ state-merging agg → availableNow trigger → memory sink, drained
 synchronously so the registered callable can return a plain DataFrame (a
 finite replay is batch-deterministic, so both keep full value oracles).
 The sliding window runs the same window operator in batch (identical
-semantics, same codegen); the watermark/late-data behavior is exercised
-in streaming with a rows-only check.
+semantics, same codegen). The watermark/late-data and chained-agg
+queries run append-mode through the streaming engine; their single-batch
+availableNow replay is deterministic, so both carry full value oracles
+(windows with end <= final watermark = max(ts) - delay).
 """
 
 from __future__ import annotations
@@ -183,12 +185,30 @@ def stream_session_window(spark, sf_dir):
     return _drain(agg, ["user_id", "session_start", "session_end", "n_events"])
 
 
-@register("stream_watermark_late_data", None)
+@register(
+    "stream_watermark_late_data",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events),
+         h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      count(*) AS n
+               FROM events GROUP BY 1)
+    SELECT window_start, n FROM h, wm
+    WHERE window_start + INTERVAL '1 hour' <= w
+    """,
+)
 def stream_watermark_late_data(spark, sf_dir):
     """Watermark semantics: 1-hour watermark on event time with append
-    output — only windows the watermark has passed are emitted, so late
-    rows beyond the threshold are dropped. Rows-only check (emission set
-    depends on arrival order, which is not SQL-expressible)."""
+    output — only windows the watermark has passed are emitted.
+
+    Full value oracle (upgraded from rows-only in r6): the replay is
+    deterministic — the single-file parquet source drains in ONE
+    availableNow batch, so no row ever arrives behind the watermark, and
+    the final empty batch advances the watermark to max(ts) - 1h and
+    flushes exactly the windows with window_end <= watermark. That final
+    sink state is the batch SQL above (verified empirically: 718 of 720
+    hourly windows at sf0.01 — the two windows straddling the watermark
+    stay open). Arrival-order nondeterminism would only appear with a
+    multi-file source and maxFilesPerTrigger."""
     ev = _events_stream(spark, sf_dir)
     agg = (
         ev.withWatermark("ts", "1 hour")
@@ -199,14 +219,32 @@ def stream_watermark_late_data(spark, sf_dir):
     return _drain(agg, ["window_start", "n"], mode="append")
 
 
-@register("stream_chained_agg", None)
+@register(
+    "stream_chained_agg",
+    """
+    WITH wm AS (SELECT max(ts) - INTERVAL '1 hour' AS w FROM events),
+         h AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start,
+                      count(*) AS n
+               FROM events GROUP BY 1),
+         d AS (SELECT time_bucket(INTERVAL '1 day', hour_start) AS day_start,
+                      max(n)                  AS max_hourly,
+                      CAST(sum(n) AS BIGINT)  AS total
+               FROM h GROUP BY 1)
+    SELECT day_start, max_hourly, total FROM d, wm
+    WHERE day_start + INTERVAL '1 day' <= w
+    """,
+)
 def stream_chained_agg(spark, sf_dir):
     """CHAINED stateful aggregations in one streaming query (Spark 3.4+):
     hourly event counts re-aggregated into daily maxima — two stateful
-    operators back to back, no intermediate sink. Requires a watermark and
-    append mode; only days the watermark has closed emit, so the result
-    set depends on replay batching → rows-only check (same reason as
-    stream_watermark_late_data)."""
+    operators back to back, no intermediate sink, watermark + append mode.
+
+    Full value oracle (upgraded from rows-only in r6, same argument as
+    stream_watermark_late_data): the one-batch availableNow replay makes
+    emission deterministic — a day emits iff day_end <= max(ts) - 1h, and
+    every hourly window of an emitted day is itself closed by then, so
+    the daily stats equal the full-day batch aggregation in the SQL
+    above (29 of 30 days at sf0.01)."""
     ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour")
     hourly = ev.groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("n"))
     daily = (
