@@ -4,6 +4,14 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 
 Queries execute to a noop sink so timing covers scan→compute→row production
 without driver materialization overhead.
+
+Noise protocol (VERDICT r5 #7): min-of-reps (default 2) measures warm
+steady state, but the heaviest iterative query converges slowly —
+dedup_components at sf0.1 timed [3.11, 2.36, 2.23, 2.01, 1.92] over 5
+warm reps this round (r6), so its min-of-2 number overstates steady state
+by ~20%. Before believing any round-over-round regression on it (or on
+dedup_minhash_lsh — same finding r5), re-time with
+SPARK_GRAFT_BENCH_REPS=5.
 """
 
 from __future__ import annotations
@@ -44,6 +52,10 @@ BENCH_QUERIES = [
     "stream_tumbling_window",
     "mm_decode_png",
     "mm_decode_wav",
+    # r6 additions (VERDICT r5 #5): the de-broadcast unigram-LM join and
+    # the broadcast-stats DQ scorer
+    "text_quality_unigram_lm",
+    "dq_anomaly_zscore",
 ]
 
 

@@ -174,3 +174,58 @@ def test_xpath_empty_element_guard(spark):
     # empty <st/>: xpath yields only 2 text nodes -> guard nulls the row
     assert rows[0].n == 2 and rows[0].k is None and rows[0].st is None
     assert rows[1].n == 3 and rows[1].k == 8 and rows[1].st == "F"
+
+
+def test_approx_count_distinct_accuracy(spark, sf_dir):
+    """approx_count_distinct (HLL++, default rsd=5%) must land within
+    ±5% of the exact per-group distinct count — deterministic data, so a
+    deterministic bound: the rows-only driver check gets local teeth
+    (VERDICT r5 #6)."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.relational import approx_count_distinct
+    from xml_to_parquet_spark.tables import table
+
+    got = {
+        r["l_returnflag"]: r["approx_orders"]
+        for r in approx_count_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["n"]
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.countDistinct("l_orderkey").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) <= max(1, 0.05 * exact[flag]), (
+            flag, est, exact[flag],
+        )
+
+
+def test_approx_percentile_accuracy(spark, sf_dir):
+    """percentile_approx (default accuracy=10000 → rank error ≤ 1e-4 of
+    the group) must agree with the exact median to within 1% of the
+    value on every group (VERDICT r5 #6)."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.relational import agg_approx_percentile
+    from xml_to_parquet_spark.tables import table
+
+    got = {
+        r["l_returnflag"]: r["approx_median"]
+        for r in agg_approx_percentile(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_extendedprice, 0.5)").alias("m"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, est in got.items():
+        assert abs(est - exact[flag]) <= 0.01 * abs(exact[flag]), (
+            flag, est, exact[flag],
+        )

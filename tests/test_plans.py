@@ -178,11 +178,18 @@ def test_pagerank_no_cartesian_hash_joins_only(spark, sf_dir):
     assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin"), n
 
 
-def test_unigram_lm_broadcast_vocab_no_sortmerge(spark, sf_dir):
-    """The vocab table must broadcast back onto the token stream — a
-    sort-merge join here would shuffle the whole corpus by token (skewed
-    by Zipf) at 100 TB."""
+def test_unigram_lm_unhinted_vocab_join(spark, sf_dir):
+    """r6 contract (VERDICT r5 #2): the token↔vocab join carries NO
+    broadcast hint — at test scale the optimizer still picks broadcast
+    (vocab ≪ corpus), but at a 100 TB vocabulary the SAME plan must be
+    free to fall back to a shuffled join, which a forced hint would
+    forbid (it OOMs the driver instead). Only the 1-row grand total is
+    force-broadcast."""
     df = load_all()["text_quality_unigram_lm"].fn(spark, sf_dir)
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    hints = analyzed.count("ResolvedHint")
+    assert hints == 1, f"want exactly 1 broadcast hint (the 1-row total): {hints}"
+    # and at THIS scale the optimizer should still broadcast the vocab
     n = node_counts(df)
     assert not any("SortMergeJoin" in k for k in n), n
     assert broadcast_join_count(df) >= 1
@@ -221,3 +228,17 @@ def test_asof_tolerance_single_shuffle_no_join(spark, sf_dir):
 def test_url_fns_map_only(spark, sf_dir):
     df = load_all()["scalar_url_fns"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0
+
+
+def test_ngram_jaccard_hot_shingle_anti_join(spark, sf_dir):
+    """r6 contract (VERDICT r5 #3): the df>100 hot-shingle filter is a
+    LEFT ANTI join applied BEFORE the shingle self-join, and it carries
+    no forced hint (AQE broadcasts the tiny hot set at any scale where
+    it fits)."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["dedup_ngram_jaccard"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "LeftAnti" in plan, plan[:2000]
+    analyzed = df._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed
