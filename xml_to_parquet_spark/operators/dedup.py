@@ -587,3 +587,86 @@ def dedup_minhash_verified(spark, sf_dir):
         .filter(jac >= 0.5)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@register(
+    "dedup_containment",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
+    ), sh0 AS (
+      SELECT doc_id, source, unnest(list_distinct({shingles_duck(3)})) AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ), hot AS (
+      SELECT source, shingle FROM sh0 GROUP BY source, shingle
+      HAVING count(*) > 100
+    ), sh AS (
+      SELECT s.* FROM sh0 s LEFT JOIN hot h USING (source, shingle)
+      WHERE h.shingle IS NULL
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+    ), inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.source = b.source AND a.shingle = b.shingle
+                         AND a.doc_id <> b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(n_inter / CAST(sa.n_sh AS DOUBLE), 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = doc_a
+    WHERE n_inter / CAST(sa.n_sh AS DOUBLE) >= 0.5
+    """,
+)
+def dedup_containment(spark, sf_dir):
+    """Asymmetric shingle CONTAINMENT C(A,B) = |A∩B| / |A| — the near-
+    subset detector Jaccard structurally misses: a document truncated to
+    30% of a longer one has Jaccard ≈ 0.3 (below any sane cut) but
+    containment 1.0. Broder's resemblance-vs-containment distinction;
+    training pipelines need both (truncation dups are endemic in web
+    crawls).
+
+    Same scale chassis as dedup_ngram_jaccard: blocked by `source`,
+    df>100 hot shingles dropped symmetrically before sizes AND
+    intersections (candidates linear in distinct shingle keys), the
+    shingle equi-self-join emits ORDERED pairs (A-in-B and B-in-A score
+    differently), one denominator join on the smaller side's size."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", "source", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    sh0 = (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
+        )
+    )
+    hot = (
+        sh0.groupBy("source", "shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > 100)
+        .select("source", "shingle")
+    )
+    sh = sh0.join(hot, ["source", "shingle"], "left_anti")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.alias("sa")
+    cont = F.col("n_inter") / F.col("sa.n_sh").cast("double")
+    return (
+        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .filter(cont >= 0.5)
+        .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )

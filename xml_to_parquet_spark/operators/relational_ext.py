@@ -1246,3 +1246,195 @@ def scalar_url_fns(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@register(
+    "agg_bitmap_distinct",
+    """
+    SELECT l_returnflag, count(DISTINCT l_orderkey) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_bitmap_distinct(spark, sf_dir):
+    """EXACT distinct counting via roaring-style bitmap aggregates
+    (bitmap_bucket_number / bitmap_bit_position / bitmap_construct_agg /
+    bitmap_count, Spark 3.5+) — the scale pattern BETWEEN naive
+    count(distinct) and HLL sketches: exact like the former, mergeable
+    fixed-width state like the latter. At 100 TB the per-(group, bucket)
+    bitmaps are buildable once, persistable, and any rollup lattice is
+    served by OR-merging them (the same serving shape as
+    agg_hll_mergeable but with zero error, for bounded-int keys).
+
+    Two map-side-combinable shuffles: (group, bucket) → 4 KB bitmap
+    blobs, then group → summed cardinalities; the exchange carries
+    bitmaps, never raw keys. Oracle is the exact distinct count — this
+    is the rare 'approximate-shaped' plan with an exact answer."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.select(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_orderkey)").alias("bkt"),
+            F.expr("bitmap_bit_position(l_orderkey)").alias("pos"),
+        )
+        .groupBy("l_returnflag", "bkt")
+        .agg(F.expr("bitmap_construct_agg(pos)").alias("bm"))
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("bitmap_count(bm)")).cast("bigint").alias("n_distinct")
+        )
+    )
+
+
+@register(
+    "cdc_scd2_build",
+    """
+    WITH ch AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey,
+             lag(o_orderstatus) OVER
+               (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+               AS prev_status
+      FROM orders
+    ), changes AS (
+      SELECT o_custkey, o_orderstatus, o_orderdate, o_orderkey FROM ch
+      WHERE prev_status IS NULL OR prev_status <> o_orderstatus
+    )
+    SELECT o_custkey                        AS custkey,
+           o_orderstatus                    AS status,
+           o_orderdate                      AS valid_from,
+           lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                                            AS valid_to,
+           lead(o_orderdate) OVER
+             (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+             IS NULL                        AS is_current
+    FROM changes
+    """,
+)
+def cdc_scd2_build(spark, sf_dir):
+    """Slowly-changing-dimension type 2 build — collapse a change stream
+    (per-customer order-status history) into validity intervals
+    [valid_from, valid_to) with an is_current flag: the warehouse pattern
+    every CDC ingestion lands in. Composition: change detection (lag ≠
+    current → gaps-and-islands edge) then interval closing (lead), BOTH
+    window passes over the same (custkey, date, key) ordering — Spark
+    plans ONE exchange + sort and evaluates both Window operators on the
+    co-sorted stream, so the whole build is a single shuffle at any
+    scale. Ties on o_orderdate are broken by o_orderkey, making the
+    intervals deterministic under any partitioning."""
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    changes = (
+        o.select(
+            "o_custkey", "o_orderstatus", "o_orderdate", "o_orderkey",
+            F.lag("o_orderstatus").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("prev_status") != F.col("o_orderstatus"))
+        )
+    )
+    w2 = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    valid_to = F.lead("o_orderdate").over(w2)
+    return changes.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderdate").alias("valid_from"),
+        valid_to.alias("valid_to"),
+        valid_to.isNull().alias("is_current"),
+    )
+
+
+@register(
+    "join_range_binned",
+    """
+    WITH hourly AS (
+      SELECT event_type, time_bucket(INTERVAL '1 hour', ts) AS h,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ), stats AS (
+      SELECT event_type, avg(n) AS mu, stddev_pop(n) AS sigma
+      FROM hourly GROUP BY 1
+    ), incidents AS (
+      SELECT h.event_type, h.h AS w_start,
+             h.h + INTERVAL '90 minutes' AS w_end
+      FROM hourly h JOIN stats s USING (event_type)
+      WHERE s.sigma > 0 AND (h.n - s.mu) / s.sigma >= 2.0
+    )
+    SELECT i.event_type                  AS incident_type,
+           i.w_start                     AS window_start,
+           count(*)                      AS n_events,
+           count(DISTINCT e.event_type)  AS n_types
+    FROM incidents i JOIN events e
+      ON e.ts >= i.w_start AND e.ts < i.w_end
+    GROUP BY 1, 2
+    """,
+)
+def join_range_binned(spark, sf_dir):
+    """Point-in-interval join with NO equi-key — the shape that, written
+    naively, is a broadcast-nested-loop over the fact table. The scale
+    rewrite: quantize time into 30-minute bins (gcd of the hour-aligned
+    starts and 90-minute length), EXPLODE each interval into the ≤3 bins
+    it covers, equi-join events on their bin, then apply the exact
+    range predicate as a residual filter. The cross product is replaced
+    by a hash shuffle keyed on time bins whose fan-out is (intervals
+    overlapping each bin), and the residual runs codegen-side. The same
+    bin-quantization trick generalizes to any bounded-length interval
+    join (IP ranges, genomic intervals, ad attribution windows).
+
+    The intervals themselves are derived, not synthetic: per-type hourly
+    z-scores >= 2 flag 'incident' hours (the dq_anomaly_zscore chassis),
+    and the join asks which events — of ANY type — fell inside each
+    incident's 90-minute blast window."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = hourly.groupBy("event_type").agg(
+        F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
+    )
+    incidents = (
+        hourly.join(F.broadcast(stats), "event_type")
+        .filter(
+            (F.col("sigma") > 0)
+            & ((F.col("n") - F.col("mu")) / F.col("sigma") >= 2.0)
+        )
+        .select(
+            "event_type",
+            F.col("h").alias("w_start"),
+            (F.col("h") + F.expr("INTERVAL 90 MINUTES")).alias("w_end"),
+        )
+    )
+    # explode each interval into the 30-min bins it covers (3 bins: the
+    # interval is 90 min and starts on an hour boundary)
+    binned_i = incidents.select(
+        "event_type", "w_start", "w_end",
+        F.explode(
+            F.sequence(
+                F.col("w_start"),
+                F.col("w_end") - F.expr("INTERVAL 30 MINUTES"),
+                F.expr("INTERVAL 30 MINUTES"),
+            )
+        ).alias("bin"),
+    )
+    binned_e = ev.select(
+        "ts",
+        F.col("event_type").alias("e_type"),
+        F.timestamp_seconds(
+            (F.unix_timestamp("ts") / 1800).cast("bigint") * 1800
+        ).alias("bin"),
+    )
+    return (
+        binned_i.join(binned_e, "bin")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy(
+            F.col("event_type").alias("incident_type"),
+            F.col("w_start").alias("window_start"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("e_type").alias("n_types"),
+        )
+    )

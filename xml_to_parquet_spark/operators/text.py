@@ -439,3 +439,165 @@ def text_quality_unigram_lm(spark, sf_dir):
             F.round(F.avg(F.log(F.col("c") / F.col("n"))), 4).alias("lm_score"),
         )
     )
+
+
+@register(
+    "text_quality_gopher",
+    f"""
+    WITH tok AS (SELECT doc_id, text, {TOKENS_DUCK} AS toks FROM documents
+                 WHERE length(text) > 0),
+    grams AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+                    i -> toks[i] || ' ' || toks[i + 1])) AS g
+      FROM tok WHERE len(toks) >= 2
+    ), gstat AS (
+      SELECT doc_id, g, count(*) AS c FROM grams GROUP BY doc_id, g
+    ), gtop AS (
+      SELECT doc_id,
+             round(max(c) / CAST(sum(c) AS DOUBLE), 4)           AS top_2gram_frac,
+             round(1.0 - count(*) / CAST(sum(c) AS DOUBLE), 4)   AS dup_2gram_frac
+      FROM gstat GROUP BY doc_id
+    ), tstat AS (
+      SELECT t.doc_id, tt, count(*) AS c
+      FROM tok t, unnest(t.toks) AS u(tt) GROUP BY t.doc_id, tt
+    ), ttop AS (
+      SELECT doc_id, round(max(c) / CAST(sum(c) AS DOUBLE), 4) AS top_token_frac
+      FROM tstat GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           ttop.top_token_frac,
+           gtop.top_2gram_frac,
+           gtop.dup_2gram_frac,
+           round(length(regexp_replace(t.text, '[a-z0-9 ]', '', 'g')) /
+                 CAST(length(t.text) AS DOUBLE), 4)              AS symbol_ratio,
+           (ttop.top_token_frac <= 0.2 AND gtop.dup_2gram_frac <= 0.6)
+                                                                 AS passes_gopher
+    FROM tok t JOIN ttop ON ttop.doc_id = t.doc_id
+               JOIN gtop ON gtop.doc_id = t.doc_id
+    """,
+)
+def text_quality_gopher(spark, sf_dir):
+    """Gopher/C4-style repetition heuristics — the standard cheap quality
+    gate before model-based filtering (Rae et al. 2021 §A1.1 rules,
+    adapted to this corpus's single-line documents): most-common-token
+    fraction, most-common-bigram fraction, duplicate-bigram fraction,
+    symbol ratio, and the pass/fail gate.
+
+    Scale shape: token and bigram stats are explode → two map-side-
+    combinable groupBys keyed by (doc_id, gram) then doc_id — shuffle
+    width is per-doc distinct grams, never corpus-wide; the symbol ratio
+    is pure codegen. No windows, no sorts, no self-joins. The gate
+    thresholds (0.2 / 0.6) are the published Gopher cuts."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", "text", F.expr(TOKENS_SQL).alias("toks"))
+    )
+    tok = docs.select("doc_id", F.explode("toks").alias("t"))
+    ttop = (
+        tok.groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(
+                "top_token_frac"
+            )
+        )
+    )
+    grams = docs.filter(F.size("toks") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    gtop = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.max("c") / F.sum("c").cast("double"), 4).alias(
+                "top_2gram_frac"
+            ),
+            F.round(
+                F.lit(1.0) - F.count(F.lit(1)) / F.sum("c").cast("double"), 4
+            ).alias("dup_2gram_frac"),
+        )
+    )
+    sym = F.round(
+        F.length(F.regexp_replace("text", "[a-z0-9 ]", ""))
+        / F.length("text").cast("double"),
+        4,
+    )
+    return (
+        docs.join(ttop, "doc_id")
+        .join(gtop, "doc_id")
+        .select(
+            "doc_id",
+            "top_token_frac",
+            "top_2gram_frac",
+            "dup_2gram_frac",
+            sym.alias("symbol_ratio"),
+            (
+                (F.col("top_token_frac") <= 0.2)
+                & (F.col("dup_2gram_frac") <= 0.6)
+            ).alias("passes_gopher"),
+        )
+    )
+
+
+@register(
+    "text_pii_redact",
+    r"""
+    WITH aug AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com or admin@mail.test.org from 10.1.' ||
+             (doc_id % 256) || '.7' AS text2
+      FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+           len(regexp_extract_all(text2,
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}'))             AS n_ips,
+           regexp_replace(regexp_replace(text2,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '<EMAIL>', 'g'),
+               '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '<IP>', 'g') AS redacted
+    FROM aug
+    """,
+)
+def text_pii_redact(spark, sf_dir):
+    r"""PII scrubbing — the compliance pass every training-data pipeline
+    runs before anything else: redact emails and IPv4s, count what was
+    removed (the counts feed DQ dashboards). The corpus is synthetic, so
+    deterministic PII is spliced in per doc_id on BOTH engines; the
+    redaction and counts are then real work over real strings.
+
+    Scale shape: pure map-only codegen (regexp_count / regexp_replace are
+    JVM expressions — no Python UDF), zero shuffles at any scale. The
+    patterns avoid lookaround so Java regex and RE2 (DuckDB) agree."""
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    ip_re = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+    docs = table(spark, sf_dir, "documents")
+    text2 = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or admin@mail.test.org from 10.1."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".7"),
+    )
+    aug = docs.select("doc_id", text2.alias("text2"))
+    return aug.select(
+        "doc_id",
+        F.regexp_count("text2", F.lit(email_re)).cast("bigint").alias("n_emails"),
+        F.regexp_count("text2", F.lit(ip_re)).cast("bigint").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("text2", email_re, "<EMAIL>"), ip_re, "<IP>"
+        ).alias("redacted"),
+    )
