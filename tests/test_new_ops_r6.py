@@ -145,3 +145,31 @@ def test_binned_range_join_no_nested_loop(spark, sf_dir, reg):
     assert not n.get("CartesianProduct"), n
     # the only BNLJ tolerated is none at all — bins make it an equi-join
     assert not n.get("BroadcastNestedLoopJoin"), n
+
+
+def test_phash_bits_match_decoded_rows(spark, sf_dir, reg):
+    """dhash packs exactly the n_desc set bits, and every hash fits in
+    height-1 bits (the bit width of the descent vector)."""
+    out = reg["mm_image_phash"].fn(spark, sf_dir).toPandas()
+    assert len(out) == table(spark, sf_dir, "documents").count()
+    for _, r in out.iterrows():
+        assert 0 <= r["dhash"] < (1 << (int(r["height"]) - 1))
+        assert bin(int(r["dhash"])).count("1") == r["n_desc"]
+
+
+def test_funnel_monotone_and_ordered(spark, sf_dir, reg):
+    """Stage counts must shrink monotonically, and ordering must matter:
+    the unordered 'did all three types' user count is an upper bound on
+    the ordered funnel's purchase stage."""
+    row = reg["funnel_conversion"].fn(spark, sf_dir).collect()[0]
+    assert row["n_view_users"] >= row["n_click_users"] >= row["n_purchase_users"]
+    assert row["n_purchase_users"] > 0  # sf0.001+ has full funnels
+    ev = table(spark, sf_dir, "events")
+    unordered = (
+        ev.filter(F.col("event_type").isin("view", "click", "purchase"))
+        .groupBy("user_id")
+        .agg(F.countDistinct("event_type").alias("k"))
+        .filter(F.col("k") == 3)
+        .count()
+    )
+    assert row["n_purchase_users"] <= unordered

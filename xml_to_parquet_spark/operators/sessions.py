@@ -233,3 +233,90 @@ def join_asof_tolerance(spark, sf_dir):
             ),
         )
     )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t2
+      FROM events e JOIN v ON v.user_id = e.user_id
+      WHERE e.event_type = 'click' AND e.ts > v.t1
+      GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t3
+      FROM events e JOIN c ON c.user_id = e.user_id
+      WHERE e.event_type = 'purchase' AND e.ts > c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT count(*) FROM v) AS n_view_users,
+           (SELECT count(*) FROM c) AS n_click_users,
+           (SELECT count(*) FROM p) AS n_purchase_users,
+           round((SELECT count(*) FROM c) /
+                 CAST((SELECT count(*) FROM v) AS DOUBLE), 4) AS view_to_click,
+           round((SELECT count(*) FROM p) /
+                 CAST((SELECT count(*) FROM c) AS DOUBLE), 4) AS click_to_purchase,
+           round((SELECT count(*) FROM p) /
+                 CAST((SELECT count(*) FROM v) AS DOUBLE), 4) AS overall
+    """,
+)
+def funnel_conversion(spark, sf_dir):
+    """Ordered-funnel conversion (view → click-after-view →
+    purchase-after-click) — the product-analytics staple. Each stage is
+    "first qualifying event strictly after the previous stage's
+    timestamp", so sequence matters: a purchase before the first view
+    does not count.
+
+    Scale shape: three stage aggregations, each an equi-join + min-agg
+    keyed on user_id. After the first groupBy the data is hash-
+    partitioned by user_id and every later join/agg reuses that
+    partitioning (Exchange reuse — no re-shuffle per stage); the stage
+    tables shrink monotonically, so AQE broadcasts the later joins. The
+    final 1-row summary is three count aggregates cross-joined — constant
+    data movement regardless of corpus size. Never a per-user
+    collect_list (unbounded state) or a range self-join (quadratic)."""
+    ev = table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_view_users"))
+    nc = c.agg(F.count(F.lit(1)).alias("n_click_users"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchase_users"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_view_users",
+            "n_click_users",
+            "n_purchase_users",
+            F.round(
+                F.col("n_click_users") / F.col("n_view_users").cast("double"), 4
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchase_users") / F.col("n_click_users").cast("double"),
+                4,
+            ).alias("click_to_purchase"),
+            F.round(
+                F.col("n_purchase_users") / F.col("n_view_users").cast("double"), 4
+            ).alias("overall"),
+        )
+    )
