@@ -166,3 +166,27 @@ def stream_static_join(spark, sf_dir):
         .alias("total_value"),
     )
     return _drain(agg, ["mktsegment", "n_events", "total_value"])
+
+
+@register(
+    "stream_dedup_watermark",
+    """
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+)
+def stream_dedup_watermark(spark, sf_dir):
+    """dropDuplicatesWithinWatermark — the BOUNDED-state production
+    variant of stream_dedup: state for a key is evicted once the
+    watermark passes its event time + delay, so memory is
+    O(keys-per-watermark-window), not O(all keys ever) — the difference
+    between a pipeline that runs for years and one that OOMs in a week.
+    Under the one-batch availableNow replay no key ever ages out
+    mid-run, so the emitted key set equals the full distinct — same
+    value oracle as stream_dedup, different (bounded) state contract.
+    A production deployment keeps this exact plan and only the watermark
+    delay is tuned to the real dup-arrival spread."""
+    ev = _events_stream(spark, sf_dir).withWatermark("ts", "1 hour").select(
+        "user_id", "event_type", "ts"
+    )
+    deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
+    return _drain(deduped, ["user_id", "event_type"], mode="append")
