@@ -173,3 +173,45 @@ def test_funnel_monotone_and_ordered(spark, sf_dir, reg):
         .count()
     )
     assert row["n_purchase_users"] <= unordered
+
+
+def test_pq_adc_matches_numpy_reimplementation(spark, sf_dir, reg):
+    """Independent numpy re-implementation of PQ encode + ADC must agree
+    with the Spark/SQL pipeline on codes, distances, and the top-10."""
+    import numpy as np
+
+    from xml_to_parquet_spark.operators.similarity import (
+        PQ_K,
+        PQ_M,
+        PQ_QUERY_ID,
+        PQ_SUB,
+    )
+
+    emb = (
+        table(spark, sf_dir, "embeddings")
+        .orderBy("vec_id")
+        .toPandas()
+        .set_index("vec_id")["embedding"]
+    )
+    mat = np.array([np.array(v, dtype=np.float64) for v in emb])
+    ids = emb.index.to_numpy()
+    cb = mat[ids < PQ_K].reshape(PQ_K, PQ_M, PQ_SUB)  # [k, m, sub]
+    qv = mat[ids == PQ_QUERY_ID][0].reshape(PQ_M, PQ_SUB)
+    qd = ((qv[None, :, :] - cb) ** 2).sum(axis=2)  # [k, m]
+    subv = mat.reshape(len(mat), PQ_M, PQ_SUB)
+    d = ((subv[:, None, :, :] - cb[None, :, :, :]) ** 2).sum(axis=3)  # [n,k,m]
+    codes = np.argmin(np.round(d, 6), axis=1)  # ties → lowest k, same rule
+    adc = qd[codes, np.arange(PQ_M)].sum(axis=1)
+    order = np.lexsort((ids, np.round(adc, 6)))[:10]
+    expect = {
+        int(ids[i]): (
+            int((codes[i] * PQ_K ** np.arange(PQ_M)).sum()),
+            round(float(adc[i]), 4),
+        )
+        for i in order
+    }
+    got = {
+        r["vec_id"]: (r["pq_code"], r["adc_dist"])
+        for r in reg["sim_pq_adc"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect

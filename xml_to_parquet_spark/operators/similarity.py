@@ -604,3 +604,123 @@ def sim_centroid_assign(spark, sf_dir):
             F.round(F.avg("dist"), 3).alias("avg_sq_dist"),
         )
     )
+
+
+PQ_M = 4          # subspaces (64-dim → 4 × 16)
+PQ_SUB = 16       # dims per subspace
+PQ_K = 16         # codewords per subspace (codebook = first PQ_K vectors)
+PQ_QUERY_ID = 100  # fixed query vector
+
+
+@register(
+    "sim_pq_adc",
+    f"""
+    WITH sub AS (SELECT m FROM range(0, {PQ_M}) AS t(m)),
+    cb AS (
+      SELECT s.m, e.vec_id AS k,
+             e.embedding[s.m * {PQ_SUB} + 1 : s.m * {PQ_SUB} + {PQ_SUB}] AS c
+      FROM embeddings e CROSS JOIN sub s WHERE e.vec_id < {PQ_K}
+    ),
+    q AS (
+      SELECT s.m,
+             e.embedding[s.m * {PQ_SUB} + 1 : s.m * {PQ_SUB} + {PQ_SUB}] AS qs
+      FROM embeddings e CROSS JOIN sub s WHERE e.vec_id = {PQ_QUERY_ID}
+    ),
+    qd AS (
+      SELECT cb.m, cb.k,
+             list_sum(list_transform(range(1, {PQ_SUB} + 1),
+               i -> (CAST(q.qs[i] AS DOUBLE) - CAST(cb.c[i] AS DOUBLE)) ^ 2))
+               AS qdist
+      FROM cb JOIN q ON q.m = cb.m
+    ),
+    vd AS (
+      SELECT e.vec_id, cb.m, cb.k,
+             list_sum(list_transform(range(1, {PQ_SUB} + 1),
+               i -> (CAST(e.embedding[cb.m * {PQ_SUB} + i] AS DOUBLE)
+                     - CAST(cb.c[i] AS DOUBLE)) ^ 2)) AS dist
+      FROM embeddings e CROSS JOIN cb
+    ),
+    enc AS (
+      SELECT vec_id, m, k, dist,
+             row_number() OVER (PARTITION BY vec_id, m
+                                ORDER BY round(dist, 6), k) AS rn
+      FROM vd
+    ),
+    codes AS (
+      SELECT e.vec_id,
+             CAST(sum(e.k * POWER({PQ_K}, e.m)) AS BIGINT) AS pq_code,
+             sum(qd.qdist)                                 AS adc
+      FROM enc e JOIN qd ON qd.m = e.m AND qd.k = e.k
+      WHERE e.rn = 1 GROUP BY e.vec_id
+    )
+    SELECT vec_id, pq_code, round(adc, 4) AS adc_dist
+    FROM codes ORDER BY round(adc, 6), vec_id LIMIT 10
+    """,
+)
+def sim_pq_adc(spark, sf_dir):
+    """Product quantization + asymmetric-distance search — the memory
+    story for billion-vector ANN (Jégou et al., TPAMI 2011): each 64-dim
+    float vector compresses to a 2-byte code (4 subspaces × 4-bit
+    codewords, 128× smaller), and query-time distance is a TABLE LOOKUP —
+    the query precomputes its distance to all 64 codewords once, then
+    every database vector's approximate distance is 4 additions.
+
+    Spark shapes, all JVM-side: the codebook (64 rows) and the query's
+    lookup table (64 rows) broadcast; encoding is a bounded 16× fan-out
+    per subspace reduced by a combinable min_by (never a per-vector
+    window sort over the corpus); ADC is a broadcast equi-join on
+    (subspace, code) + one combinable sum per vector. At 100 TB the scan
+    is the only wide stage — exactly how FAISS-style IVFPQ shards onto a
+    cluster. Determinism: double arithmetic in fixed left-to-right order
+    on both engines, argmin tie-broken on (rounded dist, codeword id),
+    top-10 tie-broken on vec_id."""
+    emb = table(spark, sf_dir, "embeddings")
+    subs = F.expr(
+        f"transform(sequence(0, {PQ_M - 1}), m -> "
+        f"slice(embedding, m * {PQ_SUB} + 1, {PQ_SUB}))"
+    )
+    sq_l2 = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("vec_id").alias("k"), F.posexplode(subs).alias("m", "c"))
+    )
+    q = (
+        emb.filter(F.col("vec_id") == PQ_QUERY_ID)
+        .select(F.posexplode(subs).alias("m", "qs"))
+    )
+    qd = (
+        cb.join(F.broadcast(q), "m")
+        .select("m", "k", F.expr(sq_l2.format(a="qs", b="c")).alias("qdist"))
+    )
+    vsub = emb.select("vec_id", F.posexplode(subs).alias("m", "vs"))
+    enc = (
+        vsub.join(F.broadcast(cb), "m")
+        .select(
+            "vec_id", "m", "k", F.expr(sq_l2.format(a="vs", b="c")).alias("dist")
+        )
+        .groupBy("vec_id", "m")
+        .agg(
+            F.min_by(F.col("k"), F.struct(F.round("dist", 6), F.col("k"))).alias(
+                "k"
+            )
+        )
+    )
+    codes = (
+        enc.join(F.broadcast(qd), ["m", "k"])
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("k") * F.pow(F.lit(PQ_K), F.col("m")))
+            .cast("bigint")
+            .alias("pq_code"),
+            F.sum("qdist").alias("adc"),
+        )
+    )
+    return (
+        codes.orderBy(F.round("adc", 6), "vec_id")
+        .limit(10)
+        .select("vec_id", "pq_code", F.round("adc", 4).alias("adc_dist"))
+    )
