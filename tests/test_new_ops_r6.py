@@ -215,3 +215,36 @@ def test_pq_adc_matches_numpy_reimplementation(spark, sf_dir, reg):
         for r in reg["sim_pq_adc"].fn(spark, sf_dir).collect()
     }
     assert got == expect
+
+
+def test_theta_setops_accuracy(spark, sf_dir, reg):
+    """Theta intersection/difference estimates vs exact set algebra on
+    the same keys: ±10% + small absolute slack (two sketches' rse
+    compound through set ops)."""
+    got = {
+        r["set_op"]: r["n"] for r in reg["agg_theta_setops"].fn(spark, sf_dir).collect()
+    }
+    li = table(spark, sf_dir, "lineitem")
+    a = {r[0] for r in li.filter(F.col("l_returnflag") == "A").select("l_suppkey").distinct().collect()}
+    r_ = {r[0] for r in li.filter(F.col("l_returnflag") == "R").select("l_suppkey").distinct().collect()}
+    exact = {
+        "suppkeys_in_A_and_R": len(a & r_),
+        "suppkeys_R_only": len(r_ - a),
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.10 * exact[k]), (k, est, exact[k])
+
+
+def test_kll_quantiles_accuracy(spark, sf_dir, reg):
+    """KLL quantile estimates must fall within a 2.5% RANK window of the
+    requested quantile (k=200 → ~1.65% rank error; 2.5% gives slack):
+    the returned value's true rank is computed exactly per group."""
+    got = reg["agg_kll_quantiles"].fn(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    for r in got:
+        grp = li.filter(F.col("l_returnflag") == r["l_returnflag"])
+        n = grp.count()
+        for col, q in [("approx_p50", 0.5), ("approx_p95", 0.95)]:
+            rank = grp.filter(F.col("l_extendedprice") <= r[col]).count() / n
+            assert abs(rank - q) <= 0.025, (r["l_returnflag"], col, rank)

@@ -285,6 +285,66 @@ def agg_hll_mergeable(spark, sf_dir):
     )
 
 
+@register("agg_theta_setops", None)
+def agg_theta_setops(spark, sf_dir):
+    """Theta sketches (DataSketches) — the distinct-count SET ALGEBRA that
+    HLL structurally cannot do: estimate |A ∩ B| and |A \\ B| of two
+    distinct-key sets without ever materializing either. Here: suppliers
+    shipping both returned (R) and accepted (A) lineitems vs R-only.
+    At 100 TB the two sketches are built in one scan (map-side
+    combinable, KB-sized state) and intersected driver-side in O(sketch)
+    — the alternative exact INTERSECT shuffles both key sets end to end.
+    Approximate by design → rows-only driver check; the estimate-vs-
+    exact bound is pinned by tests (±10%, intersection error compounds
+    two sketches' rse)."""
+    li = _t(spark, sf_dir, "lineitem")
+    sk = (
+        li.filter(F.col("l_returnflag").isin("A", "R"))
+        .groupBy("l_returnflag")
+        .agg(F.theta_sketch_agg("l_suppkey").alias("sk"))
+    )
+    both = sk.agg(
+        F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("n"),
+        F.lit("suppkeys_in_A_and_R").alias("set_op"),
+    ).select("set_op", "n")
+    r_only = (
+        sk.agg(
+            F.theta_sketch_estimate(
+                F.theta_difference(
+                    F.max_by("sk", F.when(F.col("l_returnflag") == "R", 1).otherwise(0)),
+                    F.max_by("sk", F.when(F.col("l_returnflag") == "A", 1).otherwise(0)),
+                )
+            ).alias("n"),
+            F.lit("suppkeys_R_only").alias("set_op"),
+        ).select("set_op", "n")
+    )
+    return both.unionByName(r_only)
+
+
+@register("agg_kll_quantiles", None)
+def agg_kll_quantiles(spark, sf_dir):
+    """KLL quantile sketches — the MERGEABLE percentile pattern
+    completing the sketch family (HLL/theta = distinct, KLL = quantiles):
+    build per-(returnflag, linestatus) sketches once, serve any rollup's
+    quantiles by merging — the same materialized-view shape as
+    agg_hll_mergeable, for the metric percentile_approx recomputes from
+    raw data every time. Rows-only (approximate by design); rank-error
+    bound vs exact percentiles pinned by tests (k=200 → ~1.65% rank
+    error)."""
+    li = _t(spark, sf_dir, "lineitem")
+    fine = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.kll_sketch_agg_double("l_extendedprice").alias("sk")
+    )
+    merged = fine.groupBy("l_returnflag").agg(
+        F.kll_merge_agg_double("sk").alias("sk")
+    )
+    return merged.select(
+        "l_returnflag",
+        F.expr("kll_sketch_get_quantile_double(sk, 0.5)").alias("approx_p50"),
+        F.expr("kll_sketch_get_quantile_double(sk, 0.95)").alias("approx_p95"),
+    ).orderBy("l_returnflag")
+
+
 # ---------------------------------------------------------------------------
 # joins
 # ---------------------------------------------------------------------------
