@@ -242,3 +242,16 @@ def test_ngram_jaccard_hot_shingle_anti_join(spark, sf_dir):
     assert "LeftAnti" in plan, plan[:2000]
     analyzed = df._jdf.queryExecution().analyzed().toString()
     assert "ResolvedHint" not in analyzed
+
+
+def test_pq_adc_broadcast_codebook_topk_no_sort(spark, sf_dir):
+    """PQ search: codebook/lookup joins all broadcast (64-row sides), the
+    per-vector reductions are the only exchanges, and top-10 is a
+    TakeOrderedAndProject — never a corpus-wide sort or a non-equi join."""
+    df = load_all()["sim_pq_adc"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("BroadcastHashJoin", 0) >= 3, n
+    assert not any("SortMergeJoin" in k for k in n), n
+    assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin"), n
+    assert n.get("TakeOrderedAndProject", 0) == 1, n
+    assert shuffle_count(df) <= 2
