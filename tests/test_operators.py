@@ -164,12 +164,12 @@ def test_xpath_empty_element_guard(spark):
          ("<o><k>8</k><st>F</st><p>2.5</p></o>",)],
         ["xml"],
     )
-    raw = F.xpath("xml", F.lit("/o/*/text()"))
-    arr = F.when(F.size(raw) == 3, raw)
+    arr = F.xpath("xml", F.lit("/o/*/text()"))
+    ok = F.size(arr) == 3
     rows = df.select(
-        F.size(raw).alias("n"),
-        F.element_at(arr, 1).cast("long").alias("k"),
-        F.element_at(arr, 2).alias("st"),
+        F.size(arr).alias("n"),
+        F.element_at(arr, F.when(ok, F.lit(1))).cast("long").alias("k"),
+        F.element_at(arr, F.when(ok, F.lit(2))).alias("st"),
     ).orderBy("n").collect()
     # empty <st/>: xpath yields only 2 text nodes -> guard nulls the row
     assert rows[0].n == 2 and rows[0].k is None and rows[0].st is None

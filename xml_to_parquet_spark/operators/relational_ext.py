@@ -576,10 +576,14 @@ def scalar_xpath_fns(spark, sf_dir):
 
     Positional-shift guard: ``/o/*/text()`` drops the text() node of an
     EMPTY element, which would silently shift later fields into the wrong
-    slots; the size(arr)=3 CASE nulls the whole row instead, so a shift
-    breaks oracle parity loudly rather than misassigning values (orders
-    columns are non-empty by TPC-H contract, so the guard is inert here
-    by design)."""
+    slots; when size(arr) != 3 the whole row nulls out instead, so a
+    shift breaks oracle parity loudly rather than misassigning values
+    (orders columns are non-empty by TPC-H contract, so the guard is
+    inert here by design). The guard is applied through the INDEX
+    (element_at(arr, NULL) → NULL), never by wrapping the array in a
+    CASE: Spark's subexpression elimination skips conditional branches,
+    so a CASE-wrapped array re-evaluates the xpath parse per output
+    column — measured 2.2× the whole query (16.0s vs 7.3s at sf0.1)."""
     o = _t(spark, sf_dir, "orders")
     xml = F.concat(
         F.lit("<o><k>"), F.col("o_orderkey"),
@@ -587,14 +591,18 @@ def scalar_xpath_fns(spark, sf_dir):
         F.lit("</st><p>"), F.col("o_totalprice"),
         F.lit("</p></o>"),
     )
-    raw = F.xpath(xml, F.lit("/o/*/text()"))
-    arr = F.when(F.size(raw) == 3, raw)  # else NULL → every xp_* NULL
-    key = F.element_at(arr, 1).cast("long")
+    arr = F.xpath(xml, F.lit("/o/*/text()"))
+    ok = F.size(arr) == 3
+
+    def at(i):
+        return F.element_at(arr, F.when(ok, F.lit(i)))
+
+    key = at(1).cast("long")
     return o.select(
         "o_orderkey",
         key.alias("xp_key"),
-        F.element_at(arr, 2).alias("xp_status"),
-        F.element_at(arr, 3).cast("double").alias("xp_price"),
+        at(2).alias("xp_status"),
+        at(3).cast("double").alias("xp_price"),
         (key % 2 == 0).alias("xp_even"),
     )
 
