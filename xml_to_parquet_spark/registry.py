@@ -41,9 +41,12 @@ def register(name: str, oracle: str | None = None):
 #     their first rows-only driver proof).
 # Round-6 rotation (VERDICT r5 #1): after r5, the board is 154/162
 # oracle-backed driver-green; the ONLY queries without any driver row are
-# the 13 operators added late in r5. This window closes that gap:
-# (a) NEW_TARGETS — the 8 never-graded oracle-backed queries + the 5
-#     never-graded rows-only queries;
+# the 13 operators added late in r5. This window closes that gap AND
+# offers the 12 operators added THIS round, so that a green r6 board
+# means EVERY registered query has a driver row:
+# (a) NEW_TARGETS — the 8 never-graded r5 oracle-backed queries, the 5
+#     never-graded rows-only queries, and the 12 r6 additions (10
+#     oracle-backed + 2 accuracy-bounded rows-only sketches);
 # (b) UPGRADED — stream_watermark_late_data / stream_chained_agg, promoted
 #     from rows-only to full value oracles in r6 (deterministic
 #     availableNow replay — see streaming/windows.py), re-offered so the
@@ -60,15 +63,24 @@ NEW_TARGETS = [
     "text_quality_unigram_lm", "join_asof_tolerance", "dq_anomaly_zscore",
     "scalar_url_fns", "sim_centroid_assign", "curate_mix_temperature",
     "mm_decode_wav", "sink_schema_evolution",
-    # rows-only, never graded (these five hold the only rows-only slots)
+    # rows-only, never graded
     "text_freq_items", "agg_hll_mergeable", "agg_approx_percentile",
     "table_sample", "sample_stratified",
+    # oracle-backed, ADDED THIS ROUND (r6) — offered immediately so that
+    # after this window every registered query has a driver row
+    "text_quality_gopher", "text_pii_redact", "dedup_containment",
+    "agg_bitmap_distinct", "cdc_scd2_build", "join_range_binned",
+    "mm_image_phash", "funnel_conversion", "stream_dedup_watermark",
+    "sim_pq_adc",
+    # rows-only, added r6 (sketches with pytest accuracy bounds)
+    "agg_theta_setops", "agg_kll_quantiles",
 ]
 UPGRADED = ["stream_watermark_late_data", "stream_chained_agg"]
 CHANGED = ["dedup_ngram_jaccard", "scalar_xpath_fns"]
 ROWS_ONLY_SLOTS = [
     "text_freq_items", "agg_hll_mergeable", "agg_approx_percentile",
     "table_sample", "sample_stratified",
+    "agg_theta_setops", "agg_kll_quantiles",
 ]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
@@ -76,34 +88,22 @@ GRADED_WINDOW: list[str] = [
     *NEW_TARGETS,
     *UPGRADED,
     *CHANGED,
-    # TPC-H shapes not in the r5 window (r5 took q1/q3/q4/q5/q9/q10/q14/q18)
+    # fills: banked greens NOT re-validated in the r5 window, spread
+    # across categories (r5 re-proved 41; these rotate through others)
     "q7_volume_shipping", "q12_priority_class", "q17_small_qty_revenue",
-    "q19_discounted_revenue", "q22_global_sales_opportunity",
-    # joins
-    "join_null_safe", "join_semi", "join_anti",
-    # aggregation families
-    "agg_histogram", "agg_skew_kurtosis", "agg_mode_deterministic",
-    "agg_percentile_array",
-    # window functions
-    "window_ntile_dist", "window_first_last",
-    # set ops
+    "join_null_safe",
+    "agg_skew_kurtosis", "agg_percentile_array",
+    "window_ntile_dist",
     "set_union_all",
-    # scalar function families
-    "scalar_regexp_split", "variant_json",
-    # dedup
-    "dedup_simhash", "dedup_normalized",
-    # curation
-    "curate_pack_sequences", "curate_dedup_keep_best",
-    # similarity (sim_matryoshka_truncate carries the -0.0 hazard fix)
-    "sim_matryoshka_truncate", "sim_quantize_int8",
-    # text analysis
-    "text_lang_id", "text_rolling_hash",
-    # UDF (Arrow path)
-    "udaf_grouped_pandas", "udf_arrow_map",
-    # structured streaming
+    "variant_json",
+    "dedup_simhash",
+    "curate_dedup_keep_best",
+    # sim_matryoshka_truncate carries the -0.0 hazard fix
+    "sim_matryoshka_truncate",
+    "udaf_grouped_pandas",
     "stream_sliding_window",
-    # sources / sinks / MERGE
     "source_json_roundtrip", "merge_upsert",
+    "text_lang_id", "join_semi",
 ]
 
 
