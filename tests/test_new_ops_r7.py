@@ -1,0 +1,92 @@
+"""Semantic tests for the round-7 [EXT] additions: exact substring dedup
+(Lee et al. k-token tier), bloom-pruned join, DPP scan, hashed-bigram
+quality classifier, BPE packing.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def _words(prefix, n):
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+@pytest.fixture(scope="module")
+def planted_docs_dir(tmp_path_factory):
+    """A documents.parquet with exact substrings planted across docs:
+
+    - docs 0 and 1 share one 25-token span S (unique filler around it);
+    - docs 2 and 3 share two disjoint spans of 20 and 22 tokens;
+    - doc 4 shares nothing with anyone.
+    """
+    S = _words("shared", 25)
+    s20 = _words("alpha", 20)
+    s22 = _words("beta", 22)
+    rows = [
+        (0, " ".join(_words("ua", 10) + S + _words("ub", 10))),
+        (1, " ".join(_words("uc", 5) + S + _words("ud", 15))),
+        (2, " ".join(_words("ue", 4) + s20 + _words("uf", 6) + s22)),
+        (3, " ".join(s22 + _words("ug", 7) + s20 + _words("uh", 3))),
+        (4, " ".join(_words("lonely", 60))),
+    ]
+    df = pd.DataFrame(rows, columns=["doc_id", "text"])
+    df["lang"] = "en"
+    df["source"] = "src0"
+    df["n_chars"] = df["text"].str.len()
+    d = tmp_path_factory.mktemp("planted_docs")
+    df.to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def test_dedup_substring_planted_spans(spark, planted_docs_dir, reg):
+    """Exact window counts and merged span lengths on planted substrings.
+    A k-token window slides over a planted span of length L surrounded by
+    unique filler, giving L-k+1 matching windows and a merged span of
+    exactly L tokens."""
+    from xml_to_parquet_spark.operators.dedup import SUBSTR_K as k
+
+    out = reg["dedup_substring"].fn(spark, planted_docs_dir).toPandas()
+    by_pair = {(r.doc_a, r.doc_b): r for r in out.itertuples()}
+    assert set(by_pair) == {(0, 1), (2, 3)}
+    # pair (0,1): one 25-token span
+    r01 = by_pair[(0, 1)]
+    assert r01.n_matches == 25 - k + 1
+    assert r01.longest_span == 25
+    # pair (2,3): spans of 20 and 22 tokens, merged independently
+    r23 = by_pair[(2, 3)]
+    assert r23.n_matches == (20 - k + 1) + (22 - k + 1)
+    assert r23.longest_span == 22
+
+
+def test_dedup_substring_no_false_pairs_on_corpus(spark, sf_dir, reg):
+    """On the synthetic corpus every reported pair must actually share a
+    verbatim k-token span (verified in pandas against the raw text), and
+    longest_span is consistent with n_matches."""
+    from xml_to_parquet_spark.operators.dedup import SUBSTR_K as k
+
+    out = reg["dedup_substring"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["longest_span"] >= k).all()
+    # a merged span of length L contains L-k+1 windows, so n_matches can
+    # never be smaller than longest_span - k + 1
+    assert (out["n_matches"] >= out["longest_span"] - k + 1).all()
+    docs = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", F.lower("text").alias("t"))
+        .collect()
+    )
+    for r in out.head(10).itertuples():
+        ta, tb = docs[r.doc_a].split(), docs[r.doc_b].split()
+        grams_a = {" ".join(ta[i : i + k]) for i in range(len(ta) - k + 1)}
+        grams_b = {" ".join(tb[i : i + k]) for i in range(len(tb) - k + 1)}
+        assert grams_a & grams_b, (r.doc_a, r.doc_b)

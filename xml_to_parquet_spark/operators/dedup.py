@@ -629,7 +629,8 @@ def dedup_containment(spark, sf_dir):
     df>100 hot shingles dropped symmetrically before sizes AND
     intersections (candidates linear in distinct shingle keys), the
     shingle equi-self-join emits ORDERED pairs (A-in-B and B-in-A score
-    differently), one denominator join on the smaller side's size."""
+    differently), one denominator join on the left (doc_a) side's size —
+    the ordered-pair emission already covers both directions."""
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source", F.expr(TOKENS_SQL).alias("toks"))
@@ -669,4 +670,129 @@ def dedup_containment(spark, sf_dir):
         inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
         .filter(cont >= 0.5)
         .select("doc_a", "doc_b", F.round(cont, 4).alias("containment"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# exact substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the k-token exact-match tier)
+# ---------------------------------------------------------------------------
+
+# Window length in tokens. Lee et al. use 50 at web-corpus scale; the
+# synthetic documents table averages ~55 tokens/doc, so 20 keeps several
+# windows per document while still being far too long to collide by chance.
+SUBSTR_K = 20
+SUBSTR_MAX_DF = 100
+
+
+def _substring_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), grams0 AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(list_aggregate(toks[i:i+{k - 1}], 'string_agg', ' ')) AS gkey
+      FROM tok, unnest(range(1, len(toks) - {k} + 2)) AS t(i)
+      WHERE len(toks) >= {k}
+    ), hot AS (
+      SELECT gkey FROM grams0 GROUP BY gkey
+      HAVING count(DISTINCT doc_id) > {SUBSTR_MAX_DF}
+    ), grams AS (
+      SELECT g.* FROM grams0 g LEFT JOIN hot h USING (gkey)
+      WHERE h.gkey IS NULL
+    ), hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+             a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.gkey = b.gkey AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, diag,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS grp
+      FROM hits
+    ), spans AS (
+      SELECT doc_a, doc_b, count(*) AS run_len
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    )
+    SELECT doc_a, doc_b, CAST(sum(run_len) AS BIGINT) AS n_matches,
+           CAST(max(run_len) + {k} - 1 AS BIGINT) AS longest_span
+    FROM spans GROUP BY doc_a, doc_b
+    """
+
+
+@register("dedup_substring", _substring_oracle())
+def dedup_substring(spark, sf_dir):
+    """Exact substring dedup — the standard LLM tier between whole-doc
+    hashing and shingle Jaccard (Lee et al. 2022's ExactSubstr, arXiv
+    2107.06499): any SUBSTR_K-token span appearing verbatim in two
+    documents is duplicated text, no matter how different the rest of the
+    documents are. This is what catches licence headers, boilerplate and
+    quoted passages that survive Jaccard (a 20-token quote in a 2000-token
+    doc has Jaccard ≈ 0.01).
+
+    Shape: every doc emits all sliding k-token windows WITH positions;
+    windows are md5'd so the candidate equi-self-join shuffles 128-bit
+    digests, never 20-token strings (~3× narrower exchange). Matching
+    (pos_a, pos_b) hits are merged into maximal duplicated spans via
+    anti-diagonal grouping (diag = pos_a - pos_b is constant along a
+    contiguous shared span) + a gaps-and-islands pass (pos_a - row_number
+    is constant within a consecutive run). Per ordered pair we report the
+    total number of matching windows and the longest merged span in
+    tokens.
+
+    Scale: same candidate-linearity chassis as dedup_ngram_jaccard — a
+    window appearing in > SUBSTR_MAX_DF distinct docs is dropped before
+    the join (bounds fan-out at C(df,2); such windows are corpus
+    boilerplate whose pairs the cheaper exact/normalized tiers already
+    catch), the hot set is tiny by construction so the anti-join is left
+    for AQE to broadcast. The span-merge window function repartitions by
+    (doc_a, doc_b, diag) — pure pair-local work, no global sort. Suffix-
+    array approaches (the paper's) are sequential; this formulation is
+    the shuffle-native equivalent with the same output contract."""
+    k = SUBSTR_K
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size("toks") >= k)
+    )
+    grams0 = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+            )
+        ).alias("pos", "gkey"),
+    )
+    hot = (
+        grams0.groupBy("gkey")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > SUBSTR_MAX_DF)
+        .select("gkey")
+    )
+    grams = grams0.join(hot, "gkey", "left_anti")
+    a = grams.alias("a")
+    b = grams.alias("b")
+    hits = a.join(
+        b,
+        (F.col("a.gkey") == F.col("b.gkey"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.pos").alias("pos_a"),
+        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        hits.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(F.count(F.lit(1)).alias("run_len"))
+    )
+    return spans.groupBy("doc_a", "doc_b").agg(
+        F.sum("run_len").alias("n_matches"),
+        (F.max("run_len") + k - 1).alias("longest_span"),
     )
