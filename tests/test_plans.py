@@ -255,3 +255,37 @@ def test_pq_adc_broadcast_codebook_topk_no_sort(spark, sf_dir):
     assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin"), n
     assert n.get("TakeOrderedAndProject", 0) == 1, n
     assert shuffle_count(df) <= 2
+
+
+def test_bloom_pruned_probe_filter_before_shuffle(spark, sf_dir):
+    """r7 contract (VERDICT r6 #3a): under the operator's scoped confs,
+    Catalyst injects a bloom_filter_agg subquery over the selective dim's
+    keys and a might_contain filter on the probe side — the probe rows are
+    dropped BEFORE the sort-merge exchange, the 100 TB shuffle reducer."""
+    from xml_to_parquet_spark.operators.scale_patterns import (
+        _BLOOM_CONFS,
+        bloom_pruned_join,
+        scoped_confs,
+    )
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    with scoped_confs(spark, **_BLOOM_CONFS):
+        plan = physical_plan(bloom_pruned_join(spark, sf_dir))
+    assert "might_contain" in plan, plan[:2000]
+    assert "bloom_filter_agg" in plan, plan[:2000]
+    # the might_contain filter must sit on the probe (lineitem) side,
+    # i.e. reference the probe key, not the dim key
+    line = next(l for l in plan.splitlines() if "might_contain" in l)
+    assert "l_orderkey" in line, line
+
+
+def test_dpp_partition_filter_on_fact_scan(spark, sf_dir):
+    """r7 contract (VERDICT r6 #3b): the partitioned fact scan carries a
+    dynamicpruning PartitionFilter fed by the filtered dim — non-matching
+    partition directories are pruned at runtime, never listed."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["scan_dpp_partitioned"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert any("dynamicpruning" in l for l in part_lines), plan[:2000]

@@ -120,3 +120,175 @@ def join_bucketed(spark, sf_dir):
             dsum(F.col("l_extendedprice")).alias("total_price"),
         )
     )
+
+
+from contextlib import contextmanager
+
+from xml_to_parquet_spark.io_paths import scratch_dir
+
+
+@contextmanager
+def scoped_confs(spark, **confs):
+    """Set SQL confs for the duration of a block, restoring previous values
+    (or unsetting) afterwards — conf mutations must never leak into other
+    operators' plans (a leaked autoBroadcastJoinThreshold=-1 would silently
+    rewrite every subsequent join in the session)."""
+    saved = {}
+    for k, v in confs.items():
+        key = k.replace("__", ".")
+        try:
+            saved[key] = spark.conf.get(key)
+        except Exception:
+            saved[key] = None
+        spark.conf.set(key, v)
+    try:
+        yield
+    finally:
+        for key, old in saved.items():
+            if old is None:
+                spark.conf.unset(key)
+            else:
+                spark.conf.set(key, old)
+
+
+_BLOOM_CONFS = {
+    "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+    # local test data is far below the default 10GB application-side
+    # threshold; at production scale the defaults fire on their own
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    # InjectRuntimeFilter skips creation sides it could broadcast instead
+    # (a broadcast hash join IS the filter); at test scale everything is
+    # broadcastable, so disable by-size broadcast WITHIN THIS SCOPE ONLY to
+    # exercise the shuffle-join case the pattern exists for
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+}
+
+
+def bloom_pruned_join(spark, sf_dir):
+    """The lazily-planned bloom-pruned join (exposed so the plan test can
+    assert on it under the same scoped confs the operator executes with)."""
+    orders = (
+        table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    # merge hint: the pattern under test is the SHUFFLE join case — when the
+    # dim side broadcasts, the broadcast hash set already is the filter and
+    # Catalyst rightly skips bloom injection
+    return (
+        li.join(orders.hint("merge"), li.l_orderkey == orders.o_orderkey)
+        .groupBy(F.month("o_orderdate").alias("o_month"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+@register(
+    "join_bloom_pruned",
+    f"""
+    SELECT CAST(month(o_orderdate) AS INTEGER) AS o_month, count(*) AS n,
+           {_dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Bloom-filter semi-join pruning — the first of the two big 100 TB
+    scan reducers: Catalyst's InjectRuntimeFilter builds a
+    ``bloom_filter_agg`` over the selective (filtered) side's join keys and
+    pushes ``might_contain(bloom, xxhash64(l_orderkey))`` into the probe
+    side BEFORE its shuffle, so rows that cannot match never pay exchange
+    serialization. On a 100 TB fact table with a 1%-selective dim filter
+    this drops ~99% of shuffle write. The final equi-join keeps the result
+    exact — bloom false positives only cost bytes, never correctness.
+
+    Expressed declaratively: no handwritten bloom, just the join + filter,
+    with the optimizer's own runtime-filter rule doing the injection
+    (verified by tests/test_plans.py: the probe scan's post-scan filter
+    contains might_contain over a bloom_filter_agg subquery). The injection
+    thresholds are scoped to this operator via scoped_confs so the local
+    test scale clears the (production-tuned) 10GB default — and so the
+    overrides never rewrite another operator's plan. The result is
+    materialized under that scope (optimization happens at execution time;
+    returning the lazy plan would optimize after the confs were restored)."""
+    out = scratch_dir(sf_dir, "bloom_pruned")
+    with scoped_confs(spark, **_BLOOM_CONFS):
+        bloom_pruned_join(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)
+
+
+DPP_DIM = [
+    ("1-URGENT", "high"),
+    ("2-HIGH", "high"),
+    ("3-MEDIUM", "mid"),
+    ("4-NOT SPECIFIED", "low"),
+    ("5-LOW", "low"),
+]
+
+
+def dpp_fixture(spark, sf_dir) -> tuple[str, str]:
+    """Build-once partitioned fact + tiny dim parquet fixtures: orders
+    partitioned by o_orderpriority (directory-per-value layout), and a
+    5-row priority→urgency dim."""
+    fact_dir = scratch_dir(sf_dir, "dpp_orders_part")
+    dim_dir = scratch_dir(sf_dir, "dpp_dim")
+    if not os.path.exists(fact_dir):
+        table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).write.mode("overwrite").partitionBy("o_orderpriority").parquet(fact_dir)
+    if not os.path.exists(dim_dir):
+        spark.createDataFrame(
+            DPP_DIM, "priority string, urgency string"
+        ).write.mode("overwrite").parquet(dim_dir)
+    return fact_dir, dim_dir
+
+
+@register(
+    "scan_dpp_partitioned",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {_dsum_sql('o_totalprice')} AS total_price
+    FROM orders
+    JOIN (VALUES ('1-URGENT', 'high'), ('2-HIGH', 'high'), ('3-MEDIUM', 'mid'),
+                 ('4-NOT SPECIFIED', 'low'), ('5-LOW', 'low'))
+         AS dim(priority, urgency)
+      ON o_orderpriority = priority
+    WHERE urgency = 'high'
+    GROUP BY o_orderpriority
+    """,
+)
+def scan_dpp_partitioned(spark, sf_dir):
+    """Dynamic partition pruning — the second big 100 TB scan reducer: the
+    fact table is laid out partitioned by the join key, the dim side
+    carries a selective filter on a NON-key column, and Spark prunes fact
+    partitions AT RUNTIME from the dim join keys (the broadcast exchange is
+    reused as the pruning subquery). The fact scan's PartitionFilters shows
+    ``dynamicpruning#N`` (pinned in tests/test_plans.py) — directories for
+    non-matching partitions are never even listed, the static-pruning
+    benefit without a static predicate.
+
+    At 100 TB this is the date-partitioned-fact ⋈ filtered-date-dim
+    pattern: a 1-week filter on a 5-year table touches 0.4% of the files.
+    No conf overrides needed — DPP is on by default; the fixture build
+    (partitioned copy + 5-row dim, once per process) is the write-time
+    price of the layout, exactly like join_bucketed's bucket fixture."""
+    fact_dir, dim_dir = dpp_fixture(spark, sf_dir)
+    fact = spark.read.parquet(fact_dir)
+    dim = spark.read.parquet(dim_dir).filter(F.col("urgency") == "high")
+    return (
+        fact.join(dim, fact.o_orderpriority == dim.priority)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+    )
