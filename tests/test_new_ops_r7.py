@@ -90,3 +90,20 @@ def test_dedup_substring_no_false_pairs_on_corpus(spark, sf_dir, reg):
         grams_a = {" ".join(ta[i : i + k]) for i in range(len(ta) - k + 1)}
         grams_b = {" ".join(tb[i : i + k]) for i in range(len(tb) - k + 1)}
         assert grams_a & grams_b, (r.doc_a, r.doc_b)
+
+
+def test_quality_classifier_semantics(spark, sf_dir, reg):
+    """Scores are proper probabilities, the gate is exactly score>=0.5,
+    and n_bigrams is n_tokens-1 for every doc with >=2 tokens."""
+    out = reg["text_quality_classifier"].fn(spark, sf_dir).toPandas()
+    assert (out["score"] > 0).all() and (out["score"] < 1).all()
+    assert (out["passes"] == (out["score"] >= 0.5)).all()
+    toks = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "size(split(lower(text), '\\\\s+')) AS n")
+        .filter("n >= 2")
+        .toPandas()
+    )
+    merged = out.merge(toks, on="doc_id")
+    assert len(merged) == len(out) == len(toks)
+    assert (merged["n_bigrams"] == merged["n"] - 1).all()

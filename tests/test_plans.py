@@ -289,3 +289,15 @@ def test_dpp_partition_filter_on_fact_scan(spark, sf_dir):
     plan = physical_plan(df)
     part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
     assert any("dynamicpruning" in l for l in part_lines), plan[:2000]
+
+
+def test_quality_classifier_broadcast_weights_single_agg_shuffle(spark, sf_dir):
+    """r7 contract (VERDICT r6 #4): the CLS_DIM-row weight table is
+    broadcast (features never shuffle to the model), and the per-doc score
+    groupBy plus the explicit parallelism repartition are the only
+    exchanges."""
+    df = load_all()["text_quality_classifier"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("BroadcastHashJoin", 0) == 1, n
+    assert not any("SortMergeJoin" in k for k in n), n
+    assert shuffle_count(df) <= 2, n

@@ -601,3 +601,104 @@ def text_pii_redact(spark, sf_dir):
             F.regexp_replace("text2", email_re, "<EMAIL>"), ip_re, "<IP>"
         ).alias("redacted"),
     )
+
+
+# ---------------------------------------------------------------------------
+# model-based quality classifier (hashed-bigram linear layer)
+# ---------------------------------------------------------------------------
+
+# fastText-style hashed feature space and a FIXED deterministic weight
+# vector (stand-in for trained weights; the shape — hash features into D
+# buckets, dot with a broadcast weight table, sigmoid — is exactly the
+# production pattern, and determinism is what makes it oracle-able).
+CLS_DIM = 1024
+# Knuth multiplicative constant: weight(d) = ((d*2654435761) % 2048)/1024 - 1
+# in [-1, 1), exact integer arithmetic in both engines.
+CLS_WMUL = 2_654_435_761
+
+
+def _cls_weight_sql(dim_expr: str) -> str:
+    return f"(({dim_expr} * {CLS_WMUL}) % 2048) / 1024.0 - 1.0"
+
+
+def _classifier_oracle() -> str:
+    from xml_to_parquet_spark.operators.dedup import _hexval
+
+    v = _hexval("md5(bg)", "strpos")
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i + 1])) AS bg
+      FROM tok WHERE len(toks) >= 2
+    ), feat AS (
+      SELECT doc_id, ({v}) % {CLS_DIM} AS dim FROM bg
+    ), weights AS (
+      SELECT CAST(d AS BIGINT) AS dim, {_cls_weight_sql('d')} AS w
+      FROM range(0, {CLS_DIM}) AS t(d)
+    ), scored AS (
+      SELECT doc_id, count(*) AS n_bigrams, sum(w) / count(*) AS raw
+      FROM feat JOIN weights USING (dim)
+      GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(1.0 / (1.0 + exp(-raw)), 4) AS score,
+           round(1.0 / (1.0 + exp(-raw)), 4) >= 0.5 AS passes
+    FROM scored
+    """
+
+
+@register("text_quality_classifier", _classifier_oracle())
+def text_quality_classifier(spark, sf_dir):
+    """Model-based quality scoring — the third rung of the quality ladder
+    (gopher heuristics → unigram-LM perplexity → trained classifier), the
+    fastText-style linear layer every production pipeline ends up running
+    (CCNet/LLaMA-style quality filters): token bigrams are feature-hashed
+    into CLS_DIM buckets, dotted with a weight vector, squashed through a
+    sigmoid, and gated at 0.5.
+
+    The weight vector here is fixed and formula-derived (a stand-in for
+    trained weights — determinism is what lets DuckDB reproduce the score
+    bit-for-bit); swapping in real weights changes one DataFrame, not the
+    plan. Scale shape: bigram hashing is map-side codegen (the same
+    md5-hexval trick as MinHash, identical in both engines), the weight
+    table is CLS_DIM rows force-broadcast (a model that fits in one
+    executor's memory is ALWAYS broadcast — shipping features to weights
+    would shuffle the corpus), and the only exchange is the per-doc score
+    groupBy. The gate compares the ROUNDED score so the boundary is
+    deterministic across engines."""
+    from xml_to_parquet_spark.operators.dedup import _hexval
+
+    v = _hexval("md5(bg)", "instr")
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .filter(F.size("toks") >= 2)
+    )
+    feats = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), "
+                "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.expr(f"({v}) % {CLS_DIM}").alias("dim"))
+    weights = spark.range(CLS_DIM).select(
+        F.col("id").alias("dim"),
+        F.expr(_cls_weight_sql("id")).alias("w"),
+    )
+    scored = (
+        feats.join(F.broadcast(weights), "dim")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bigrams"), (F.sum("w") / F.count(F.lit(1))).alias("raw"))
+    )
+    score = F.round(1.0 / (1.0 + F.exp(-F.col("raw"))), 4)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        score.alias("score"),
+        (score >= 0.5).alias("passes"),
+    )
