@@ -107,3 +107,48 @@ def test_quality_classifier_semantics(spark, sf_dir, reg):
     merged = out.merge(toks, on="doc_id")
     assert len(merged) == len(out) == len(toks)
     assert (merged["n_bigrams"] == merged["n"] - 1).all()
+
+
+def test_bpe_reference_encoder_goldens():
+    """Hand-computed goldens for the reference encoder: 'the' collapses via
+    (t,h)->(th,e) to one token; 'spark' via s,p->sp / sp,ar->spar /
+    spar,k; unknown words stay at one token per unmergeable symbol."""
+    from xml_to_parquet_spark.operators.curation import BPE_RANKS, bpe_token_count
+
+    assert bpe_token_count("the", BPE_RANKS) == 1
+    assert bpe_token_count("spark", BPE_RANKS) == 1
+    assert bpe_token_count("query", BPE_RANKS) == 1
+    # 'z' has no merges at all
+    assert bpe_token_count("zzz", BPE_RANKS) == 3
+    # 'ther': th+e merges, trailing r attaches only if (the,r) ranked - not
+    assert bpe_token_count("ther", BPE_RANKS) == 2
+    assert bpe_token_count("", BPE_RANKS) == 0
+
+
+def test_curate_pack_bpe_matches_python_reference(spark, sf_dir, reg):
+    """Every Spark-computed BPE count equals the pure-Python reference
+    encoder run over the same text, and packing is the exclusive-cumsum
+    contract: each doc's seq_id == floor(cum_tokens_before / budget)."""
+    from xml_to_parquet_spark.operators.curation import (
+        BPE_RANKS,
+        SEQ_BUDGET,
+        bpe_token_count,
+    )
+
+    out = reg["curate_pack_bpe"].fn(spark, sf_dir).toPandas().sort_values("doc_id")
+    texts = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+    )
+    assert len(out) > 0
+    for r in out.itertuples():
+        expect = sum(
+            bpe_token_count(wd, BPE_RANKS) for wd in texts[r.doc_id].lower().split()
+        )
+        assert r.n_tokens == expect, r.doc_id
+    cum = out["n_tokens"].cumsum() - out["n_tokens"]
+    assert (out["seq_id"] == (cum // SEQ_BUDGET)).all()
+    # BPE compresses: token count strictly between word count and char count
+    nwords = out["doc_id"].map(lambda d: len(texts[d].split()))
+    assert (out["n_tokens"] >= nwords).all()

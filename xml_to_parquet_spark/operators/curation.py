@@ -9,6 +9,7 @@ makes must be reproducible run-to-run or the dataset is unauditable.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
@@ -335,4 +336,111 @@ def curate_mix_temperature(spark, sf_dir):
         "n_chars",
         F.round(w, 4).alias("mix_weight"),
         F.round(w / (F.col("n_docs") / F.col("total")), 4).alias("upsample_factor"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer-faithful packing (real BPE, broadcast merges table)
+# ---------------------------------------------------------------------------
+
+# A fixed, ordered BPE merge list (published-style: rank = priority, lower
+# merges first). A stand-in for a trained tokenizer's merges.txt — the
+# ALGORITHM (iterated lowest-rank adjacent-pair merge, all occurrences per
+# round) is exactly GPT-2's; swapping in a real 50k-merge file changes the
+# broadcast payload, not the code.
+BPE_MERGES: list[tuple[str, str]] = [
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("o", "n"),
+    ("e", "r"), ("o", "r"), ("a", "r"), ("s", "t"), ("l", "o"),
+    ("a", "t"), ("r", "o"), ("e", "n"), ("o", "u"), ("le", "s"),
+    ("an", "d"), ("in", "g"), ("e", "y"), ("k", "ey"), ("u", "e"),
+    ("q", "u"), ("qu", "er"), ("quer", "y"), ("s", "p"), ("sp", "ar"),
+    ("spar", "k"), ("j", "o"), ("jo", "in"), ("d", "a"), ("da", "ta"),
+    ("t", "a"), ("s", "c"), ("sc", "an"), ("h", "a"), ("ha", "s"),
+    ("has", "h"), ("b", "a"), ("ba", "t"), ("bat", "c"), ("batc", "h"),
+    ("g", "ro"), ("gro", "u"), ("grou", "p"), ("f", "i"), ("fi", "l"),
+    ("fil", "t"), ("filt", "er"), ("w", "in"), ("win", "d"), ("wind", "o"),
+    ("windo", "w"), ("m", "er"), ("mer", "g"), ("merg", "e"), ("v", "a"),
+    ("va", "l"), ("val", "ue"), ("c", "o"), ("co", "l"), ("col", "u"),
+    ("colu", "m"), ("colum", "n"), ("s", "m"), ("sm", "a"), ("sma", "l"),
+    ("smal", "l"), ("o", "rd"), ("ord", "er"), ("r", "o"), ("ro", "w"),
+    ("t", "ab"), ("tab", "le"), ("s", "or"), ("sor", "t"), ("f", "a"),
+    ("fa", "st"), ("s", "lo"), ("slo", "w"), ("li", "n"), ("lin", "e"),
+    ("l", "i"), ("b", "i"), ("bi", "g"), ("v", "e"), ("ve", "c"),
+    ("vec", "t"), ("vect", "or"), ("c", "u"), ("cu", "st"), ("cust", "o"),
+    ("custo", "m"), ("custom", "er"), ("st", "re"), ("stre", "a"),
+    ("strea", "m"), ("a", "g"), ("ag", "g"), ("p", "ar"), ("par", "t"),
+]
+BPE_RANKS: dict[tuple[str, str], int] = {p: i for i, p in enumerate(BPE_MERGES)}
+
+
+def bpe_token_count(word: str, ranks: dict[tuple[str, str], int]) -> int:
+    """Reference BPE encode (returns the token count): start from
+    characters, repeatedly merge ALL occurrences of the lowest-rank
+    adjacent pair until no pair is mergeable — GPT-2's algorithm."""
+    syms = list(word)
+    while len(syms) > 1:
+        best_rank = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best_rank is None or r < best_rank):
+                best_rank = r
+        if best_rank is None:
+            break
+        a, b = BPE_MERGES[best_rank]
+        out = []
+        i = 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                out.append(a + b)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return len(syms)
+
+
+@register("curate_pack_bpe", None)  # rows-only: BPE's data-dependent merge
+# loop has no SQL form; parity is proven by tests/test_new_ops_r7.py, which
+# recomputes every count with the pure-Python reference encoder
+def curate_pack_bpe(spark, sf_dir):
+    """Tokenizer-faithful sequence packing: documents are measured in REAL
+    BPE tokens (not the whitespace/regex proxies the other curate_* ops
+    use) and packed into ~SEQ_BUDGET-token training sequences with the
+    same exclusive-cumsum packer as curate_pack_sequences. Training-data
+    packing is budgeted in tokenizer tokens; a whitespace proxy misbudgets
+    short-word-heavy corpora by 2-4×.
+
+    Scale shape: the merges table is an explicit SparkContext broadcast
+    (the real pattern for a 50k-merge tokenizer — ship the model to the
+    data); encoding runs in an Arrow-batched pandas UDF (the merge loop is
+    data-dependent iteration — genuinely inexpressible in builtin
+    expressions, the sanctioned Python crossing), map-only until the
+    packer's single global-order window (shard the window at 100 TB, same
+    note as curate_pack_sequences)."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = spark.sparkContext.broadcast(BPE_RANKS)
+
+    @pandas_udf("long")
+    def n_bpe(texts: pd.Series) -> pd.Series:
+        ranks = bc.value
+        return texts.map(
+            lambda t: sum(bpe_token_count(w, ranks) for w in t.lower().split())
+        )
+
+    docs = (
+        table(spark, sf_dir, "documents")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select("doc_id", n_bpe("text").alias("n_tokens"))
+        .filter(F.col("n_tokens") > 0)
+    )
+    w = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        docs.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+        )
     )
