@@ -5,13 +5,15 @@ JSON line {"metric", "value", "unit", "queries", "sf"}.
 Queries execute to a noop sink so timing covers scan→compute→row production
 without driver materialization overhead.
 
-Noise protocol (VERDICT r5 #7): min-of-reps (default 2) measures warm
-steady state, but the heaviest iterative query converges slowly —
-dedup_components at sf0.1 timed [3.11, 2.36, 2.23, 2.01, 1.92] over 5
-warm reps this round (r6), so its min-of-2 number overstates steady state
-by ~20%. Before believing any round-over-round regression on it (or on
-dedup_minhash_lsh — same finding r5), re-time with
-SPARK_GRAFT_BENCH_REPS=5.
+Noise protocol (VERDICT r6 #5): MEDIAN-of-reps (default 5), after a
+cross-SF warmup pass. r6 burned adjudication time on a 14% uniform drift
+that three same-code runs (17.2/18.2/18.7s under min-of-2) proved was
+machine noise; the median over 5 warm reps is robust both to one-off GC
+pauses (which min also rejected) AND to a globally fast/slow machine
+sample (which min amplified), tightening round-over-round comparison to
+~±3%. Slow-converging iterative queries (dedup_components warm reps at
+sf0.1: [3.11, 2.36, 2.23, 2.01, 1.92]) are likewise covered — the median
+sits at steady state, so no per-query re-time caveat applies anymore.
 """
 
 from __future__ import annotations
@@ -19,6 +21,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import statistics
 import sys
 import time
 
@@ -56,6 +59,13 @@ BENCH_QUERIES = [
     # the broadcast-stats DQ scorer
     "text_quality_unigram_lm",
     "dq_anomaly_zscore",
+    # r7 additions: the exact-substring dedup tier (position-carrying
+    # candidate join + span merge), the broadcast-weights classifier, and
+    # the two runtime scan reducers (bloom semi-join prune, DPP)
+    "dedup_substring",
+    "text_quality_classifier",
+    "join_bloom_pruned",
+    "scan_dpp_partitioned",
 ]
 
 
@@ -187,34 +197,34 @@ def main():
             print(f"BENCH WARMUP FAILED: {name}: {err.splitlines()[0]}", file=sys.stderr)
         sys.exit(1)
 
-    # min-of-N: one transient GC pause or compile stall lands squarely in a
-    # single-shot number; the min over repetitions measures the engine's
-    # steady state (what a warm cluster delivers)
-    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2"))
+    # median-of-N (default 5): robust to one-off GC/compile stalls in both
+    # directions — min-of-N rejected slow outliers but amplified lucky fast
+    # samples, which made round-over-round machine noise read as ±14%
+    # drift (VERDICT r6 #5). The warmup pass above is excluded from timing.
+    reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
     times: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry[name].fn
-        best = None
+        samples = []
         for _ in range(reps):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        times[name] = round(best, 3)
+            samples.append(time.perf_counter() - t0)
+        times[name] = round(statistics.median(samples), 3)
 
     # conversion throughput — the reference's own headline capability
     # (its README transcript: 5 tiny files inside one wall-clock second on
     # 3 processes). One Spark job converts 200 copies into a partitioned
-    # dataset; per-file cost amortizes to milliseconds. Same min-of-reps
+    # dataset; per-file cost amortizes to milliseconds. Same median-of-reps
     # as the queries: the first run pays one-time fixture creation +
     # Janino codegen for the XML parse path (measured 3-6× the steady
-    # state), which is not the engine's throughput.
+    # state), which the median ignores at reps>=3.
     for key, fn in [
         ("convert_200_xml_files", _bench_conversion),
         ("convert_8mb_xml_40k_items", _bench_large_xml),
         ("convert_tar_10k_members", _bench_archive_conversion),
     ]:
-        times[key] = round(min(fn(spark) for _ in range(reps)), 3)
+        times[key] = round(statistics.median(fn(spark) for _ in range(reps)), 3)
 
     total = round(sum(times.values()), 3)
     print(
@@ -225,6 +235,8 @@ def main():
                 "unit": "sec",
                 "queries": times,
                 "sf": sf,
+                "reps": reps,
+                "agg": "median",
             }
         )
     )

@@ -53,3 +53,26 @@ def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
     shutil.rmtree(ckpt)
     fresh = _run_counts(spark, str(src), ckpt + "2", "rec_c")
     assert fresh == resumed
+
+
+def test_streaming_scope_uses_rocksdb_state_store(spark):
+    """r7 contract (VERDICT r6 #7): every drained streaming query runs on
+    the RocksDB state-store provider with changelog checkpointing (the
+    100 TB backend — off-heap state, incremental checkpoints), and the
+    scoped conf is restored afterwards."""
+    from xml_to_parquet_spark.streaming.windows import (
+        ROCKSDB_PROVIDER,
+        _state_partitions,
+    )
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    with _state_partitions(spark):
+        assert spark.conf.get(key) == ROCKSDB_PROVIDER
+        assert (
+            spark.conf.get(
+                "spark.sql.streaming.stateStore.rocksdb."
+                "changelogCheckpointing.enabled"
+            )
+            == "true"
+        )
+    assert spark.conf.get(key) != ROCKSDB_PROVIDER

@@ -37,12 +37,33 @@ def _events_stream(spark, sf_dir):
     )
 
 
+# The production state-store backend (VERDICT r6 #7): the default
+# HDFS-backed provider keeps EVERY key's state deserialized on the JVM
+# heap — at 100 TB event scale (hundreds of millions of live session /
+# dedup / watermark keys) it is the first thing to fall over. RocksDB
+# keeps state off-heap with incremental changelog checkpoints; flipping
+# the provider changes no query semantics (proven: the whole streaming
+# suite runs green under it, tests/test_streaming_recovery.py pins it).
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+)
+
+
 class _state_partitions:
-    """Temporarily shrink spark.sql.shuffle.partitions for a streaming
-    query: it fixes the state-store partition count, and over-partitioned
-    state (32 stores for a few thousand keys) costs ~7s of pure overhead
-    per micro-batch locally. On a real cluster size this to keyspace/load —
-    it is fixed at the first checkpoint for the query's lifetime."""
+    """Scoped streaming confs: shrink spark.sql.shuffle.partitions (it
+    fixes the state-store partition count, and over-partitioned state —
+    32 stores for a few thousand keys — costs ~7s of pure overhead per
+    micro-batch locally; on a real cluster size this to keyspace/load,
+    it is fixed at the first checkpoint for the query's lifetime) and
+    select the RocksDB state-store provider with changelog checkpointing,
+    the at-scale backend (see ROCKSDB_PROVIDER note)."""
+
+    CONFS = {
+        "spark.sql.streaming.stateStore.providerClass": ROCKSDB_PROVIDER,
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+    }
 
     def __init__(self, spark, n: int = 4):
         self.spark = spark
@@ -51,9 +72,21 @@ class _state_partitions:
     def __enter__(self):
         self.prev = self.spark.conf.get("spark.sql.shuffle.partitions")
         self.spark.conf.set("spark.sql.shuffle.partitions", str(self.n))
+        self.prev_confs = {}
+        for k, v in self.CONFS.items():
+            try:
+                self.prev_confs[k] = self.spark.conf.get(k)
+            except Exception:
+                self.prev_confs[k] = None
+            self.spark.conf.set(k, v)
 
     def __exit__(self, *exc):
         self.spark.conf.set("spark.sql.shuffle.partitions", self.prev)
+        for k, old in self.prev_confs.items():
+            if old is None:
+                self.spark.conf.unset(k)
+            else:
+                self.spark.conf.set(k, old)
 
 
 def _drain(stream_df, out_cols, mode: str = "complete"):
