@@ -301,3 +301,21 @@ def test_quality_classifier_broadcast_weights_single_agg_shuffle(spark, sf_dir):
     assert n.get("BroadcastHashJoin", 0) == 1, n
     assert not any("SortMergeJoin" in k for k in n), n
     assert shuffle_count(df) <= 2, n
+
+
+def test_agg_pushdown_answered_from_parquet_footers(spark, sf_dir):
+    """r7: under the operator's scoped V2 confs, COUNT/MIN/MAX resolve as
+    PushedAggregation on the ParquetScan — no row group is decoded."""
+    from xml_to_parquet_spark.operators.scale_patterns import (
+        _PUSHDOWN_CONFS,
+        pushdown_stats_agg,
+        scoped_confs,
+    )
+    from xml_to_parquet_spark.plans.inspect import formatted_plan
+
+    with scoped_confs(spark, **_PUSHDOWN_CONFS):
+        plan = formatted_plan(pushdown_stats_agg(spark, sf_dir))
+    assert "PushedAggregation" in plan, plan[:2000]
+    line = next(l for l in plan.splitlines() if "PushedAggregation" in l)
+    for agg in ("COUNT(*)", "MIN(l_orderkey)", "MAX(l_quantity)"):
+        assert agg in line, line

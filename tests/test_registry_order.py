@@ -23,7 +23,7 @@ from xml_to_parquet_spark.registry import (
 )
 
 REPO = Path(__file__).resolve().parent.parent
-THIS_ROUND = 6  # bump on each window rotation
+THIS_ROUND = 7  # bump on each window rotation
 
 
 def _prior_round_artifacts():
@@ -60,8 +60,9 @@ def test_graded_window_size_and_oracles():
 
 
 def test_upgraded_streaming_queries_have_oracles():
-    """r6 contract: the two streaming queries promoted from rows-only
-    must register full value oracles (deterministic availableNow replay)."""
+    """Any query promoted from rows-only must register a full value
+    oracle (r6 promoted the two watermark streaming queries; the list is
+    empty in rounds with no promotions)."""
     reg = load_all()
     for name in UPGRADED:
         assert reg[name].oracle is not None, (
@@ -103,16 +104,14 @@ def test_graded_window_covers_every_category_cumulatively():
     assert not missing, f"cumulative graded coverage misses categories: {missing}"
 
 
-def test_r6_window_contains_required_slots():
-    """r6 rotation contract (VERDICT r5 #1): the window MUST offer every
-    never-driver-graded query (the 13 added late in r5), the two
-    streaming queries whose oracles were upgraded this round, the queries
-    whose semantics changed this round, and the three standing anchors.
-    Remaining slots re-validate banked greens under PySpark 4.1.2 that
-    the r5 window did not cover."""
+def test_current_window_contains_required_slots():
+    """Rotation contract: the window MUST offer every never-driver-graded
+    query (this round's new operators), any upgraded/changed queries, and
+    the three standing anchors; every remaining slot re-validates a
+    banked green (stalest-first per VERDICT r6 #1)."""
     window = set(GRADED_WINDOW)
     for name in NEW_TARGETS + UPGRADED + CHANGED + ANCHORS:
-        assert name in window, f"required r6 slot {name} missing from window"
+        assert name in window, f"required slot {name} missing from window"
     # every fill slot must be a banked green from a prior round — only
     # NEW_TARGETS may lack a prior driver row
     prior_files = _prior_round_artifacts()
@@ -155,3 +154,37 @@ def test_all_queries_unique_and_callable():
     reg = load_all()
     for name, qd in reg.items():
         assert callable(qd.fn), name
+
+
+def test_no_driver_proof_older_than_k_rounds():
+    """Staleness guard (VERDICT r6 #8): rotation is a mechanical
+    invariant, not a judgment call. For every registered query, its
+    LATEST driver proof (any CORRECTNESS_r*.json row) must be at most
+    MAX_STALENESS rounds old — counting a slot in the CURRENT graded
+    window as a proof-in-flight for THIS_ROUND. With ~180 queries and 47
+    rotating slots a full cycle takes 4 rounds, so 4 is the tight bound:
+    the moment a rotation skips a stale query, this fails."""
+    MAX_STALENESS = 4
+    reg = load_all()
+    latest: dict[str, int] = {}
+    for f in REPO.glob("CORRECTNESS_r*.json"):
+        m = f.stem.removeprefix("CORRECTNESS_r")
+        if not m.isdigit():
+            continue
+        rnd = int(m)
+        for name in json.loads(f.read_text()):
+            latest[name] = max(latest.get(name, 0), rnd)
+    if not latest:
+        pytest.skip("no driver artifacts (fresh checkout)")
+    for name in GRADED_WINDOW:
+        latest[name] = max(latest.get(name, 0), THIS_ROUND)
+    stale = {
+        name: latest.get(name, 0)
+        for name in reg
+        if latest.get(name, 0) < THIS_ROUND - MAX_STALENESS
+    }
+    assert not stale, (
+        f"queries with driver proofs older than {MAX_STALENESS} rounds "
+        f"(latest proof round shown): {stale} — rotate them into "
+        "GRADED_WINDOW"
+    )

@@ -292,3 +292,52 @@ def scan_dpp_partitioned(spark, sf_dir):
             dsum(F.col("o_totalprice")).alias("total_price"),
         )
     )
+
+
+def pushdown_stats_agg(spark, sf_dir):
+    """The lazily-planned aggregate (exposed for the plan test, same
+    pattern as bloom_pruned_join)."""
+    return table(spark, sf_dir, "lineitem").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("l_orderkey").alias("min_key"),
+        F.max("l_orderkey").alias("max_key"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+_PUSHDOWN_CONFS = {
+    # aggregate pushdown is a DataSource V2 capability; the default file
+    # path still plans V1 FileScan, so route parquet through V2 here
+    "spark.sql.sources.useV1SourceList": "",
+    "spark.sql.parquet.aggregatePushdown": "true",
+}
+
+
+@register(
+    "agg_pushdown_stats",
+    """
+    SELECT count(*) AS n_rows,
+           min(l_orderkey) AS min_key, max(l_orderkey) AS max_key,
+           min(l_quantity) AS min_qty, max(l_quantity) AS max_qty
+    FROM lineitem
+    """,
+)
+def agg_pushdown_stats(spark, sf_dir):
+    """Metadata-only aggregation — COUNT/MIN/MAX answered from parquet
+    FOOTER STATISTICS, zero row groups decoded: the V2 ParquetScan's
+    output schema IS the aggregate columns (pinned in tests/test_plans.py
+    as PushedAggregation). On a 100 TB table this is the difference
+    between a full scan and reading one footer per file (~KB each) — the
+    canonical freshness/rowcount probe every orchestration layer runs
+    before planning real work.
+
+    Pushdown silently falls back to a normal scan when any row group
+    lacks statistics or a filter/nested field intervenes — which is why
+    the plan shape is test-asserted rather than assumed. Scoped confs
+    (restored after materialization) route parquet through the V2 source
+    only for this operator."""
+    out = scratch_dir(sf_dir, "pushdown_stats")
+    with scoped_confs(spark, **_PUSHDOWN_CONFS):
+        pushdown_stats_agg(spark, sf_dir).write.mode("overwrite").parquet(out)
+    return spark.read.parquet(out)

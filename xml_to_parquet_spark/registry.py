@@ -37,73 +37,61 @@ def register(name: str, oracle: str | None = None):
 # Contract (pinned by tests/test_registry_order.py):
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
-#     deliberate window slot (r6: the 5 never-graded rows-only queries need
-#     their first rows-only driver proof).
-# Round-6 rotation (VERDICT r5 #1): after r5, the board is 154/162
-# oracle-backed driver-green; the ONLY queries without any driver row are
-# the 13 operators added late in r5. This window closes that gap AND
-# offers the 12 operators added THIS round, so that a green r6 board
-# means EVERY registered query has a driver row:
-# (a) NEW_TARGETS — the 8 never-graded r5 oracle-backed queries, the 5
-#     never-graded rows-only queries, and the 12 r6 additions (10
-#     oracle-backed + 2 accuracy-bounded rows-only sketches);
-# (b) UPGRADED — stream_watermark_late_data / stream_chained_agg, promoted
-#     from rows-only to full value oracles in r6 (deterministic
-#     availableNow replay — see streaming/windows.py), re-offered so the
-#     driver proves the new oracles;
-# (c) CHANGED — queries whose result or plan changed this round and must
-#     re-prove parity (dedup_ngram_jaccard hot-shingle cap,
-#     text_quality_unigram_lm de-broadcast, scalar_xpath_fns shift guard);
-# (d) the 3 standing anchors + a category-spanning spread of banked
-#     greens never re-validated under PySpark 4.1.2 (the r5 window
-#     re-proved 41; this fill rotates through 31 DIFFERENT ones).
-# Previous windows: r1-r5 lists are in git history.
+#     deliberate window slot.
+# Round-7 rotation (VERDICT r6 #1): after r6, EVERY registered query has a
+# driver row, so the only driver-coverage risk is STALENESS — ~80 banked
+# greens were last proven in r1-r4, before the PySpark 4.1.2 migration.
+# This window is stalest-first:
+# (a) NEW_TARGETS — the 5 operators added this round (4 oracle-backed +
+#     curate_pack_bpe, rows-only by contract: BPE's data-dependent merge
+#     loop has no SQL form; pytest recomputes every count in Python);
+# (b) CHANGED — the 9 stateful streaming queries, re-proven because the
+#     whole streaming suite moved to the RocksDB state-store provider
+#     this round (same semantics, different state backend — the class of
+#     change that deserves a driver re-proof);
+# (c) fills — the 33 stalest banked greens, oldest-driver-proof-first:
+#     all 10 r1-era + all 14 remaining r2-era + 9 of the 21 remaining
+#     r3-era (category-spread); the r3/r4 remainder rotates in r8, after
+#     which no proof is older than 4 rounds (pinned by the staleness
+#     guard test).
+# Previous windows: r1-r6 lists are in git history.
 NEW_TARGETS = [
-    # oracle-backed, added r5, never offered to the driver
-    "text_quality_unigram_lm", "join_asof_tolerance", "dq_anomaly_zscore",
-    "scalar_url_fns", "sim_centroid_assign", "curate_mix_temperature",
-    "mm_decode_wav", "sink_schema_evolution",
-    # rows-only, never graded
-    "text_freq_items", "agg_hll_mergeable", "agg_approx_percentile",
-    "table_sample", "sample_stratified",
-    # oracle-backed, ADDED THIS ROUND (r6) — offered immediately so that
-    # after this window every registered query has a driver row
-    "text_quality_gopher", "text_pii_redact", "dedup_containment",
-    "agg_bitmap_distinct", "cdc_scd2_build", "join_range_binned",
-    "mm_image_phash", "funnel_conversion", "stream_dedup_watermark",
-    "sim_pq_adc",
-    # rows-only, added r6 (sketches with pytest accuracy bounds)
-    "agg_theta_setops", "agg_kll_quantiles",
+    # oracle-backed, added r7
+    "dedup_substring", "join_bloom_pruned", "scan_dpp_partitioned",
+    "text_quality_classifier",
+    # rows-only, added r7 (python-reference parity in tests/test_new_ops_r7.py)
+    "curate_pack_bpe",
 ]
-UPGRADED = ["stream_watermark_late_data", "stream_chained_agg"]
-CHANGED = ["dedup_ngram_jaccard", "scalar_xpath_fns"]
-ROWS_ONLY_SLOTS = [
-    "text_freq_items", "agg_hll_mergeable", "agg_approx_percentile",
-    "table_sample", "sample_stratified",
-    "agg_theta_setops", "agg_kll_quantiles",
+UPGRADED: list[str] = []
+CHANGED = [
+    # every stateful streaming query re-proves under the RocksDB state
+    # store (streaming/windows.py _state_partitions)
+    "stream_tumbling_window", "stream_session_window",
+    "stream_stateful_counter", "stream_tws_spend", "stream_dedup",
+    "stream_stream_join", "stream_watermark_late_data",
+    "stream_chained_agg", "stream_dedup_watermark",
 ]
+ROWS_ONLY_SLOTS = ["curate_pack_bpe"]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
-    *UPGRADED,
     *CHANGED,
-    # fills: banked greens NOT re-validated in the r5 window, spread
-    # across categories (r5 re-proved 41; these rotate through others)
-    "q7_volume_shipping", "q12_priority_class", "q17_small_qty_revenue",
-    "join_null_safe",
-    "agg_skew_kurtosis", "agg_percentile_array",
-    "window_ntile_dist",
-    "set_union_all",
-    "variant_json",
-    "dedup_simhash",
-    "curate_dedup_keep_best",
-    # sim_matryoshka_truncate carries the -0.0 hazard fix
-    "sim_matryoshka_truncate",
-    "udaf_grouped_pandas",
-    "stream_sliding_window",
-    "source_json_roundtrip", "merge_upsert",
-    "text_lang_id", "join_semi",
+    # fills, stalest-first (latest driver proof in parentheses):
+    # --- r1-era (10)
+    "agg_distinct", "agg_having", "curate_mix_sources",
+    "curate_pack_sequences", "dedup_normalized", "distinct_rows",
+    "mm_frame_sample", "mm_resize", "set_intersect", "unpivot_stack",
+    # --- r2-era (14; stream_stateful_counter is in CHANGED)
+    "agg_percentile", "dq_profile", "join_left", "lateral_topk",
+    "mm_decode_meta", "mm_feature_extract", "orderby_limit",
+    "pivot_status", "recursive_cte", "scalar_math_fns",
+    "scalar_string_fns", "set_except", "topk_per_group",
+    "window_lag_lead",
+    # --- r3-era (9 of 21, category-spread; remainder rotates in r8)
+    "curate_pack_chunks", "dq_constraints", "filter_predicates",
+    "join_full_outer", "mm_audio_chunk", "pagerank_fixed",
+    "scalar_array_fns", "sim_ivf_persist", "source_orc_roundtrip",
 ]
 
 
