@@ -152,3 +152,49 @@ def test_curate_pack_bpe_matches_python_reference(spark, sf_dir, reg):
     # BPE compresses: token count strictly between word count and char count
     nwords = out["doc_id"].map(lambda d: len(texts[d].split()))
     assert (out["n_tokens"] >= nwords).all()
+
+
+def test_semdedup_matches_numpy_brute_force(spark, sf_dir, reg):
+    """Recompute the whole SemDeDup pipeline (centroid assign → in-cluster
+    cosine → keep-lowest-id) in numpy and compare the pruned set."""
+    import numpy as np
+
+    from xml_to_parquet_spark.operators.similarity import (
+        N_CENTROIDS,
+        SEMDEDUP_COS,
+    )
+
+    out = reg["dedup_semdedup"].fn(spark, sf_dir).toPandas()
+    emb_rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in emb_rows])
+    M = np.array([r.embedding for r in emb_rows], dtype=np.float64)
+    order = np.argsort(ids)
+    ids, M = ids[order], M[order]
+    cent = M[ids < N_CENTROIDS]
+    d2 = ((M[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+    # operator tie-break: rounded distance, then centroid id (argmin on
+    # the rounded matrix takes the first/lowest cid on ties)
+    cid = np.argmin(np.round(d2, 6), axis=1)
+    nrm = np.linalg.norm(M, axis=1)
+    cos = (M @ M.T) / np.outer(nrm, nrm)
+    expect = {}
+    for j in range(len(ids)):
+        mates = np.where((cid == cid[j]) & (ids < ids[j]))[0]
+        mates = mates[cos[mates, j] > SEMDEDUP_COS]
+        if len(mates):
+            c = np.round(cos[mates, j], 6)
+            best = mates[np.lexsort((ids[mates], -c))][0]
+            expect[ids[j]] = (cid[j], ids[best], c[np.argmax(c == c.max())])
+    got = {r.vec_id: (r.centroid_id, r.keeper_id, r.cos) for r in out.itertuples()}
+    assert set(got) == set(expect)
+    for v, (gc, gk, gcos) in got.items():
+        ec, ek, ecos = expect[v]
+        assert gc == ec and gk == ek, (v, got[v], expect[v])
+        assert abs(gcos - ecos) < 1e-6
+    # contract sanity: the keeper always precedes the pruned vector
+    assert (out["keeper_id"] < out["vec_id"]).all()
+    assert (out["cos"] > SEMDEDUP_COS).all()

@@ -724,3 +724,113 @@ def sim_pq_adc(spark, sf_dir):
         .limit(10)
         .select("vec_id", "pq_code", F.round("adc", 4).alias("adc_dist"))
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic deduplication (Abbas et al. 2023, arXiv 2303.09540)
+# ---------------------------------------------------------------------------
+
+# Production SemDeDup prunes at cosine ~0.95+; the synthetic embeddings are
+# near-orthogonal (see NEARDUP_COS_THRESHOLD note), so the same 0.35
+# threshold keeps the oracle rows non-trivial with the identical plan.
+SEMDEDUP_COS = 0.35
+
+
+@register(
+    "dedup_semdedup",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+         d AS (SELECT e.vec_id, e.embedding, c.cid,
+                      list_sum(list_transform(
+                          range(1, len(e.embedding) + 1),
+                          i -> (CAST(e.embedding[i] AS DOUBLE)
+                                - CAST(c.ce[i] AS DOUBLE)) ^ 2)) AS dist
+               FROM embeddings e CROSS JOIN c),
+         a AS (SELECT vec_id, embedding, cid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY round(dist, 6), cid) AS rn
+               FROM d),
+         asg AS (SELECT vec_id, embedding, cid FROM a WHERE rn = 1),
+         pairs AS (
+           SELECT y.vec_id, y.cid, x.vec_id AS keeper_id,
+                  round(list_cosine_similarity(
+                      CAST(x.embedding AS DOUBLE[]),
+                      CAST(y.embedding AS DOUBLE[])), 6) AS cos
+           FROM asg x JOIN asg y ON x.cid = y.cid AND x.vec_id < y.vec_id
+           WHERE list_cosine_similarity(CAST(x.embedding AS DOUBLE[]),
+                                        CAST(y.embedding AS DOUBLE[]))
+                 > {SEMDEDUP_COS}),
+         best AS (
+           SELECT vec_id, cid, keeper_id, cos,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, keeper_id) AS rn
+           FROM pairs)
+    SELECT vec_id, cid AS centroid_id, keeper_id, cos
+    FROM best WHERE rn = 1
+    """,
+)
+def dedup_semdedup(spark, sf_dir):
+    """SemDeDup — the SEMANTIC dedup tier that completes the ladder
+    (exact → simhash → minhash → ngram/containment → substring →
+    embedding): cluster embeddings around K fixed centroids, then prune
+    within-cluster cosine near-duplicates, keeping the lowest-id
+    representative (Abbas et al. 2023 showed this removes ~50% of
+    LAION/C4 with no quality loss — duplicates that share no n-grams at
+    all, paraphrases and re-renders, invisible to every lexical tier).
+
+    Scale shape — the paper's own trick IS the Spark-native shape: the
+    O(n²) cosine matrix is only ever computed WITHIN a cluster, so
+    candidate generation is an equi-join on the centroid id (expected
+    cluster size n/K caps the quadratic; K scales with √n like IVF). The
+    K-row centroid table broadcasts; assignment is the same combinable
+    min_by as sim_centroid_assign (no window over the corpus); per-vector
+    keeper selection is a combinable max_by on (cos, -id). Output: one
+    row per PRUNED vector with its cluster, keeper, and cosine."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    sq = F.expr(
+        "aggregate(zip_with(embedding, ce, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)"
+    )
+    per_pair = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", sq.alias("dist")
+    )
+    assigned = per_pair.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("cid", "embedding"), F.struct(F.round("dist", 6), "cid")
+        ).alias("best")
+    ).select(
+        "vec_id", F.col("best.cid").alias("cid"), F.col("best.embedding").alias("embedding")
+    ).withColumn("nrm", l2_norm(F.col("embedding")))
+    x = assigned.alias("x")
+    y = assigned.alias("y")
+    cos = dot(F.col("x.embedding"), F.col("y.embedding")) / (
+        F.col("x.nrm") * F.col("y.nrm")
+    )
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.cid") == F.col("y.cid"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .select(
+            F.col("y.vec_id").alias("vec_id"),
+            F.col("y.cid").alias("centroid_id"),
+            F.col("x.vec_id").alias("keeper_id"),
+            cos.alias("_cos"),
+        )
+        .filter(F.col("_cos") > SEMDEDUP_COS)
+        .withColumn("cos", F.round("_cos", 6))
+    )
+    return pairs.groupBy("vec_id", "centroid_id").agg(
+        F.max_by(
+            F.struct("keeper_id", "cos"),
+            F.struct(F.col("cos"), -F.col("keeper_id")),
+        ).alias("b")
+    ).select(
+        "vec_id", "centroid_id", F.col("b.keeper_id").alias("keeper_id"), F.col("b.cos").alias("cos")
+    )
