@@ -319,3 +319,16 @@ def test_agg_pushdown_answered_from_parquet_footers(spark, sf_dir):
     line = next(l for l in plan.splitlines() if "PushedAggregation" in l)
     for agg in ("COUNT(*)", "MIN(l_orderkey)", "MAX(l_quantity)"):
         assert agg in line, line
+
+
+def test_dedup_substring_bucket_shape_no_joins(spark, sf_dir):
+    """r7: substring dedup candidates come from ONE digest-bucket shuffle
+    with in-bucket pair emission — a join-based formulation (hot anti-join
+    + self-join) would recompute the explode+md5 subtree 4x; plan must
+    show no join nodes and at most 3 exchanges (parallelism repartition,
+    bucket groupBy, span-merge window)."""
+    df = load_all()["dedup_substring"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any("Join" in key for key in n), n
+    assert shuffle_count(df) <= 3, n
+    assert n.get("Window", 0) == 1, n

@@ -740,15 +740,17 @@ def dedup_substring(spark, sf_dir):
     total number of matching windows and the longest merged span in
     tokens.
 
-    Scale: same candidate-linearity chassis as dedup_ngram_jaccard — a
-    window appearing in > SUBSTR_MAX_DF distinct docs is dropped before
-    the join (bounds fan-out at C(df,2); such windows are corpus
-    boilerplate whose pairs the cheaper exact/normalized tiers already
-    catch), the hot set is tiny by construction so the anti-join is left
-    for AQE to broadcast. The span-merge window function repartitions by
-    (doc_a, doc_b, diag) — pure pair-local work, no global sort. Suffix-
-    array approaches (the paper's) are sequential; this formulation is
-    the shuffle-native equivalent with the same output contract."""
+    Scale: candidate generation is the minhash-style bucket shape — ONE
+    exchange on the window digest, pairs emitted inside each bucket by an
+    array expression, and the candidate-linearity cap (a window in >
+    SUBSTR_MAX_DF distinct docs is corpus boilerplate whose pairs the
+    cheaper exact/normalized tiers already catch; keeping it would fan
+    out C(df,2)) is a free bucket-size filter rather than a separate
+    hot-set groupBy + anti-join. The span-merge window function
+    repartitions by (doc_a, doc_b, diag) — pure pair-local work, no
+    global sort. Suffix-array approaches (the paper's) are sequential;
+    this formulation is the shuffle-native equivalent with the same
+    output contract."""
     k = SUBSTR_K
     docs = (
         table(spark, sf_dir, "documents")
@@ -756,7 +758,7 @@ def dedup_substring(spark, sf_dir):
         .repartition(spark.sparkContext.defaultParallelism)
         .filter(F.size("toks") >= k)
     )
-    grams0 = docs.select(
+    grams = docs.select(
         "doc_id",
         F.posexplode(
             F.expr(
@@ -765,25 +767,33 @@ def dedup_substring(spark, sf_dir):
             )
         ).alias("pos", "gkey"),
     )
-    hot = (
-        grams0.groupBy("gkey")
-        .agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") > SUBSTR_MAX_DF)
-        .select("gkey")
+    # Bucket by window digest and emit cross-doc (pos_a, diag) hits with an
+    # array expression — ONE shuffle total, and the df>MAX_DF hot cap is a
+    # free bucket-size filter (a self-join formulation recomputes the
+    # explode+md5 subtree for the hot groupBy, the anti-join and both join
+    # sides: 4x the hashing and 3 exchanges for identical output; same
+    # lesson as dedup_minhash_lsh's bucket rewrite).
+    buckets = (
+        grams.groupBy("gkey")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("es"))
+        .filter(F.size(F.array_distinct("es.doc_id")) <= SUBSTR_MAX_DF)
+        .filter(F.size("es") >= 2)
     )
-    grams = grams0.join(hot, "gkey", "left_anti")
-    a = grams.alias("a")
-    b = grams.alias("b")
-    hits = a.join(
-        b,
-        (F.col("a.gkey") == F.col("b.gkey"))
-        & (F.col("a.doc_id") < F.col("b.doc_id")),
-    ).select(
-        F.col("a.doc_id").alias("doc_a"),
-        F.col("b.doc_id").alias("doc_b"),
-        F.col("a.pos").alias("pos_a"),
-        (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-    )
+    hits = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(es, (x, i) -> "
+                "transform(slice(es, i + 2, size(es)), y -> CASE "
+                "WHEN x.doc_id < y.doc_id THEN named_struct("
+                "'doc_a', x.doc_id, 'doc_b', y.doc_id, "
+                "'pos_a', x.pos, 'diag', x.pos - y.pos) "
+                "WHEN y.doc_id < x.doc_id THEN named_struct("
+                "'doc_a', y.doc_id, 'doc_b', x.doc_id, "
+                "'pos_a', y.pos, 'diag', y.pos - x.pos) "
+                "END))), p -> p IS NOT NULL)"
+            )
+        ).alias("h")
+    ).select("h.doc_a", "h.doc_b", "h.pos_a", "h.diag")
     from pyspark.sql import Window
 
     w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
