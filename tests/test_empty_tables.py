@@ -62,3 +62,26 @@ def test_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows):
     reg = load_all()
     out = reg[name].fn(spark, empty_sf_dir)
     assert out.count() <= max_rows
+
+
+# r7 additions: each has a plan shape with a distinct empty-input hazard —
+# scratch-materialize read-back (bloom), empty partitionBy fixture (DPP),
+# footer-stats agg over zero row groups (pushdown), window over empty
+# (substring), empty broadcast centroids (semdedup), empty pandas UDF
+# batches (bpe)
+REPRESENTATIVES_R7 = [
+    ("dedup_substring", 0),
+    ("text_quality_classifier", 0),
+    ("join_bloom_pruned", 0),
+    ("scan_dpp_partitioned", 0),
+    ("agg_pushdown_stats", 1),  # global agg: one row of count=0/nulls
+    ("dedup_semdedup", 0),
+    ("curate_pack_bpe", 0),
+]
+
+
+@pytest.mark.parametrize("name,max_rows", REPRESENTATIVES_R7)
+def test_r7_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows):
+    reg = load_all()
+    out = reg[name].fn(spark, empty_sf_dir)
+    assert out.count() <= max_rows

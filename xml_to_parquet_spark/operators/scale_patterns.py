@@ -282,7 +282,12 @@ def scan_dpp_partitioned(spark, sf_dir):
     (partitioned copy + 5-row dim, once per process) is the write-time
     price of the layout, exactly like join_bucketed's bucket fixture."""
     fact_dir, dim_dir = dpp_fixture(spark, sf_dir)
-    fact = spark.read.parquet(fact_dir)
+    # explicit schema: an EMPTY source writes zero partition directories,
+    # and schema inference over a directory with no files throws — the
+    # 0-rows-after-filter case any 100 TB pipeline hits eventually
+    fact = spark.read.schema(
+        "o_orderkey bigint, o_totalprice double, o_orderpriority string"
+    ).parquet(fact_dir)
     dim = spark.read.parquet(dim_dir).filter(F.col("urgency") == "high")
     return (
         fact.join(dim, fact.o_orderpriority == dim.priority)
