@@ -198,3 +198,81 @@ def test_semdedup_matches_numpy_brute_force(spark, sf_dir, reg):
     # contract sanity: the keeper always precedes the pruned vector
     assert (out["keeper_id"] < out["vec_id"]).all()
     assert (out["cos"] > SEMDEDUP_COS).all()
+
+
+from collections import defaultdict
+from itertools import combinations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+def _expected_substring_pairs(docs, k, max_df):
+    """Pure-Python reference for dedup_substring: per ordered doc pair,
+    (n matching k-token windows, longest merged span in tokens)."""
+    grams = defaultdict(list)
+    for d, toks in docs.items():
+        for i in range(len(toks) - k + 1):
+            grams[" ".join(toks[i : i + k])].append((d, i))
+    hits = defaultdict(list)
+    for es in grams.values():
+        if len({d for d, _ in es}) > max_df:
+            continue
+        for (d1, p1), (d2, p2) in combinations(es, 2):
+            if d1 == d2:
+                continue
+            (a, pa), (_, pb) = ((d1, p1), (d2, p2)) if d1 < d2 else ((d2, p2), (d1, p1))
+            b = max(d1, d2)
+            hits[(a, b)].append((pa, pa - pb))
+    out = {}
+    for pair, hs in hits.items():
+        bydiag = defaultdict(list)
+        for pa, di in hs:
+            bydiag[di].append(pa)
+        longest = 0
+        for ps in bydiag.values():
+            ps = sorted(ps)
+            run = best = 1
+            for x, y in zip(ps, ps[1:]):
+                run = run + 1 if y == x + 1 else 1
+                best = max(best, run)
+            longest = max(longest, best)
+        out[pair] = (len(hs), longest + k - 1)
+    return out
+
+
+@settings(
+    max_examples=3,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    data=st.lists(
+        st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee"]), min_size=20, max_size=60),
+        min_size=4,
+        max_size=16,
+    )
+)
+def test_dedup_substring_property_vs_python_reference(spark, tmp_path_factory, data):
+    """Random corpora from a 5-word alphabet (dense window collisions by
+    construction): the operator's (n_matches, longest_span) must equal a
+    pure-Python recomputation for every pair, including multi-occurrence
+    grams and overlapping diagonals hypothesis finds."""
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.dedup import SUBSTR_K, SUBSTR_MAX_DF
+
+    docs = {i: toks for i, toks in enumerate(data)}
+    df = pd.DataFrame(
+        {"doc_id": list(docs), "text": [" ".join(t) for t in docs.values()]}
+    )
+    df["lang"] = "en"
+    df["source"] = "src0"
+    df["n_chars"] = df["text"].str.len()
+    d = tmp_path_factory.mktemp("prop_docs")
+    df.to_parquet(d / "documents.parquet", index=False)
+    out = load_all()["dedup_substring"].fn(spark, str(d)).toPandas()
+    got = {
+        (r.doc_a, r.doc_b): (r.n_matches, r.longest_span) for r in out.itertuples()
+    }
+    assert got == _expected_substring_pairs(docs, SUBSTR_K, SUBSTR_MAX_DF)
