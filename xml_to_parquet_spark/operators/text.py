@@ -618,7 +618,16 @@ CLS_WMUL = 2_654_435_761
 
 
 def _cls_weight_sql(dim_expr: str) -> str:
-    return f"(({dim_expr} * {CLS_WMUL}) % 2048) / 1024.0 - 1.0"
+    # CAST AS DOUBLE, not a 1024.0 literal: Spark parses decimal-point
+    # literals as DECIMAL and the whole weight/sum/score chain silently
+    # becomes decimal arithmetic with engine-specific scale rounding
+    # (caught by the r7 sf0.1 sweep as a last-ulp score mismatch); with
+    # doubles every weight is an exact multiple of 2^-10 and the chain is
+    # IEEE-identical in both engines.
+    return (
+        f"(({dim_expr} * {CLS_WMUL}) % 2048) / CAST(1024 AS DOUBLE)"
+        " - CAST(1 AS DOUBLE)"
+    )
 
 
 def _classifier_oracle() -> str:
@@ -643,8 +652,8 @@ def _classifier_oracle() -> str:
       GROUP BY doc_id
     )
     SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
-           round(1.0 / (1.0 + exp(-raw)), 4) AS score,
-           round(1.0 / (1.0 + exp(-raw)), 4) >= 0.5 AS passes
+           round(0.5 + raw / (2.0 * (1.0 + abs(raw))), 4) AS score,
+           round(0.5 + raw / (2.0 * (1.0 + abs(raw))), 4) >= 0.5 AS passes
     FROM scored
     """
 
@@ -655,8 +664,12 @@ def text_quality_classifier(spark, sf_dir):
     (gopher heuristics → unigram-LM perplexity → trained classifier), the
     fastText-style linear layer every production pipeline ends up running
     (CCNet/LLaMA-style quality filters): token bigrams are feature-hashed
-    into CLS_DIM buckets, dotted with a weight vector, squashed through a
-    sigmoid, and gated at 0.5.
+    into CLS_DIM buckets, dotted with a weight vector, squashed through an
+    ALGEBRAIC sigmoid x/(1+|x|) (not exp: libm exp differs between the
+    JVM and DuckDB in the last ulp, and the r7 sf0.1 sweep caught a doc
+    whose exp-sigmoid sat exactly on a 4-decimal rounding boundary —
+    add/mul/div/abs are IEEE-deterministic across engines, transcendental
+    functions are not), and gated at 0.5.
 
     The weight vector here is fixed and formula-derived (a stand-in for
     trained weights — determinism is what lets DuckDB reproduce the score
@@ -695,7 +708,7 @@ def text_quality_classifier(spark, sf_dir):
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_bigrams"), (F.sum("w") / F.count(F.lit(1))).alias("raw"))
     )
-    score = F.round(1.0 / (1.0 + F.exp(-F.col("raw"))), 4)
+    score = F.round(0.5 + F.col("raw") / (2.0 * (1.0 + F.abs("raw"))), 4)
     return scored.select(
         "doc_id",
         "n_bigrams",
