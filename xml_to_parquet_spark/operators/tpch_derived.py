@@ -1,0 +1,475 @@
+"""The five TPC-H shapes (Q2/Q11/Q16/Q20/Q21) the test schema lacks
+columns for [EXT] — unblocked by DERIVING the missing relations
+deterministically, identically in both engines:
+
+* ``partsupp``: each part is supplied by 4 suppliers chosen by modular
+  arithmetic over the supplier count (TPC-H's own generator picks 4 per
+  part the same way, dbgen `tpch.h` PS_PER_PART); availqty/supplycost come
+  from the md5-hexval trick (dedup.py:_hexval) so both engines compute the
+  same integers.
+* ``l_commitdate``/``l_receiptdate``: per-lineitem hash-derived day
+  offsets from l_shipdate.
+
+What is graded here is the query SHAPE — correlated min (Q2), group share
+vs global total (Q11), distinct-count with NOT IN (Q16), correlated
+quantity threshold (Q20), exists/not-exists self-anti-join (Q21) — and the
+derived inputs keep every one fully oracle-checkable. With these, all 22
+TPC-H shapes run.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from xml_to_parquet_spark.operators.dedup import _hexval
+from xml_to_parquet_spark.operators.relational import _dsum_sql, dsum
+from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.tables import table
+
+PS_PER_PART = 4
+PS_STEP = 7919  # prime; distinct suppkeys per part for all test supplier counts
+
+
+def _t(spark, sf_dir, name):
+    return table(spark, sf_dir, name)
+
+
+# --------------------------------------------------------------------------
+# derived partsupp
+# --------------------------------------------------------------------------
+
+def _ps_hex_duck(salt: str) -> str:
+    return _hexval(
+        "md5(CAST(ps_partkey AS VARCHAR) || '" + salt + "' || "
+        "CAST(ps_suppkey AS VARCHAR))",
+        "strpos",
+    )
+
+
+def _ps_hex_spark(salt: str) -> str:
+    return _hexval(
+        "md5(concat(cast(ps_partkey as string), '" + salt + "', "
+        "cast(ps_suppkey as string)))",
+        "instr",
+    )
+
+
+def partsupp_cte() -> str:
+    """DuckDB CTE chain defining `partsupp` from part × supplier-count."""
+    return f"""
+    ns AS (SELECT count(*) AS n FROM supplier),
+    ps0 AS (
+      SELECT DISTINCT p_partkey AS ps_partkey,
+             (p_partkey * 13 + k * {PS_STEP}) % ns.n AS ps_suppkey
+      FROM part, ns, unnest([0, 1, 2, 3]) AS t(k)
+    ),
+    partsupp AS (
+      SELECT ps_partkey, ps_suppkey,
+             1 + ({_ps_hex_duck('|')}) % 1000 AS ps_availqty,
+             (10000 + ({_ps_hex_duck('#')}) % 90000)
+                 / CAST(100 AS DOUBLE) AS ps_supplycost
+      FROM ps0
+    )"""
+
+
+def partsupp(spark, sf_dir):
+    """Derived partsupp as a DataFrame: 4 modular suppliers per part, md5
+    availqty/supplycost. The supplier count rides along as a broadcast
+    1-row cross join (never a driver-side collect)."""
+    ns = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n"))
+    ps0 = (
+        _t(spark, sf_dir, "part")
+        .select("p_partkey")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PS_PER_PART - 1}), "
+                    f"k -> (p_partkey * 13 + k * {PS_STEP}) % n)"
+                )
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+    )
+    return ps0.select(
+        "ps_partkey",
+        "ps_suppkey",
+        (1 + F.expr(_ps_hex_spark("|")) % 1000).alias("ps_availqty"),
+        (
+            (10000 + F.expr(_ps_hex_spark("#")) % 90000)
+            / F.lit(100).cast("double")
+        ).alias("ps_supplycost"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier (correlated min → window-min rewrite)
+# --------------------------------------------------------------------------
+
+@register(
+    "q2_min_cost_supplier",
+    f"""
+    WITH {partsupp_cte()},
+    cand AS (
+      SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+             ps.ps_supplycost,
+             min(ps.ps_supplycost) OVER (PARTITION BY p.p_partkey) AS min_cost
+      FROM partsupp ps
+      JOIN part p ON p.p_partkey = ps.ps_partkey
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE p.p_size <= 25 AND p.p_type = 'ECONOMY' AND r.r_name = 'ASIA'
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+    FROM cand WHERE ps_supplycost = min_cost
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+    """,
+)
+def q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) offering
+    the REGIONAL minimum supply cost. The spec's correlated scalar
+    subquery (min over partsupp re-joined through supplier→nation→region)
+    is rewritten as a window-min over the already-joined candidates —
+    Catalyst evaluates it in one pass over one shuffle instead of planning
+    the subquery join twice; DuckDB runs the identical window form so the
+    oracle compares like to like.
+
+    Scale shape: part/supplier/nation/region dims all broadcast into the
+    partsupp probe; the only exchanges are the window partition by
+    p_partkey and the final TakeOrderedAndProject (unique ordering chain
+    s_acctbal DESC → n_name → s_name → p_partkey, so LIMIT is stable)."""
+    ps = partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") <= 25) & (F.col("p_type") == "ECONOMY")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cand = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select(
+            "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
+            "ps_supplycost",
+        )
+    )
+    w = W.partitionBy("p_partkey")
+    return (
+        cand.withColumn("min_cost", F.min("ps_supplycost").over(w))
+        .filter(F.col("ps_supplycost") == F.col("min_cost"))
+        .drop("min_cost")
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock identification (group share vs global total)
+# --------------------------------------------------------------------------
+
+Q11_NATION = "NATION_3"
+Q11_FRACTION = 0.001
+
+
+@register(
+    "q11_important_stock",
+    f"""
+    WITH {partsupp_cte()},
+    scoped AS (
+      SELECT ps_partkey, ps_supplycost, ps_availqty
+      FROM partsupp
+      JOIN supplier ON s_suppkey = ps_suppkey
+      JOIN nation ON n_nationkey = s_nationkey
+      WHERE n_name = '{Q11_NATION}'
+    ),
+    per_part AS (
+      SELECT ps_partkey,
+             {_dsum_sql('ps_supplycost * ps_availqty')} AS value
+      FROM scoped GROUP BY ps_partkey
+    ),
+    total AS (
+      SELECT {_dsum_sql('ps_supplycost * ps_availqty')} AS total_value
+      FROM scoped
+    )
+    SELECT ps_partkey, value
+    FROM per_part, total
+    WHERE value > total_value * {Q11_FRACTION}
+    """,
+)
+def q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: per-part stock value within one nation, kept only
+    when it exceeds a fixed fraction of the nation's total — the
+    group-vs-global-scalar HAVING pattern. The global total is a 1-row
+    broadcast cross join (never recomputed per group); both the per-part
+    and total sums use the decimal-accumulate dsum so the threshold
+    comparison is bit-identical in both engines."""
+    ps = partsupp(spark, sf_dir)
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
+    scoped = (
+        ps.join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("ps_partkey", "ps_supplycost", "ps_availqty")
+    )
+    value = dsum(F.col("ps_supplycost") * F.col("ps_availqty"))
+    per_part = scoped.groupBy("ps_partkey").agg(value.alias("value"))
+    total = scoped.agg(value.alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total_value") * Q11_FRACTION)
+        .select("ps_partkey", "value")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q16 — parts/supplier relationship (distinct count + NOT IN anti-join)
+# --------------------------------------------------------------------------
+
+@register(
+    "q16_parts_supplier_relationship",
+    f"""
+    WITH {partsupp_cte()}
+    SELECT p_brand, p_type, p_size,
+           count(DISTINCT ps_suppkey) AS supplier_cnt
+    FROM partsupp JOIN part ON p_partkey = ps_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+      AND ps_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_suppkey % 7 = 0
+      )
+    GROUP BY p_brand, p_type, p_size
+    """,
+)
+def q16_parts_supplier_relationship(spark, sf_dir):
+    """TPC-H Q16 shape: how many distinct suppliers can supply each
+    (brand, type, size) bucket, excluding a blocklisted supplier set —
+    spec's `comment LIKE '%Customer%Complaints%'` filter stands in as a
+    deterministic key predicate (the test supplier table has no comment
+    column; the SHAPE — NOT IN subquery → anti-join — is unchanged).
+
+    Scale shape: the blocklist is a LeftAnti join with a tiny build side
+    (AQE broadcasts it), part is broadcast into partsupp, and the distinct
+    count is the only wide aggregation."""
+    ps = partsupp(spark, sf_dir)
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35)
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") % 7 == 0)
+        .select(F.col("s_suppkey").alias("ps_suppkey"))
+    )
+    return (
+        ps.join(bad, "ps_suppkey", "left_anti")
+        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion (correlated quantity threshold)
+# --------------------------------------------------------------------------
+
+Q20_REGION = "EUROPE"
+Q20_TYPE = "SMALL"
+Q20_FROM = "1998-01-01"
+Q20_TO = "1999-01-01"
+
+
+@register(
+    "q20_potential_promotion",
+    f"""
+    WITH {partsupp_cte()},
+    shipped AS (
+      SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q20_FROM}'
+        AND l_shipdate < TIMESTAMP '{Q20_TO}'
+      GROUP BY l_partkey, l_suppkey
+    ),
+    qualifying AS (
+      SELECT DISTINCT ps_suppkey
+      FROM partsupp
+      JOIN part ON p_partkey = ps_partkey AND p_type = '{Q20_TYPE}'
+      LEFT JOIN shipped ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+      WHERE ps_availqty > 0.5 * COALESCE(qty, 0)
+    )
+    SELECT s_name, s_acctbal
+    FROM supplier
+    JOIN qualifying ON ps_suppkey = s_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'EUROPE'
+    """,
+)
+def q20_potential_promotion(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one region holding MORE stock of a
+    part type than half of what they actually shipped in a year — the
+    correlated `ps_availqty > 0.5 * (SELECT sum(l_quantity) ...)` rewritten
+    as a left join against the pre-aggregated shipped quantities (the
+    decorrelation every optimizer applies; COALESCE(qty,0) makes the
+    no-shipments case qualify identically in both engines). l_quantity
+    values are small integers, so the double sum is exact in any
+    partition order.
+
+    Scale shape: lineitem aggregates ONCE (filter pushed to the scan),
+    then joins the much smaller partsupp side; the supplier/nation dims
+    broadcast; semi-join via distinct-then-join keeps one row per
+    supplier."""
+    ps = partsupp(spark, sf_dir)
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q20_TYPE)
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= Q20_FROM) & (F.col("l_shipdate") < Q20_TO)
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    qualifying = (
+        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+            "left",
+        )
+        .filter(F.col("ps_availqty") > 0.5 * F.coalesce(F.col("qty"), F.lit(0)))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q20_REGION)
+    return (
+        s.join(qualifying, s.s_suppkey == qualifying.ps_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("s_name", "s_acctbal")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting (exists / not-exists anti-join)
+# --------------------------------------------------------------------------
+
+Q21_REGION = "AMERICA"
+
+
+def _late_hex(engine_fn: str) -> tuple[str, str]:
+    if engine_fn == "instr":  # spark
+        c = _hexval(
+            "md5(concat(cast(l_orderkey as string), '|', "
+            "cast(l_linenumber as string), '|c'))",
+            "instr",
+        )
+        r = _hexval(
+            "md5(concat(cast(l_orderkey as string), '|', "
+            "cast(l_linenumber as string), '|r'))",
+            "instr",
+        )
+    else:  # duckdb
+        c = _hexval(
+            "md5(CAST(l_orderkey AS VARCHAR) || '|' || "
+            "CAST(l_linenumber AS VARCHAR) || '|c')",
+            "strpos",
+        )
+        r = _hexval(
+            "md5(CAST(l_orderkey AS VARCHAR) || '|' || "
+            "CAST(l_linenumber AS VARCHAR) || '|r')",
+            "strpos",
+        )
+    return c, r
+
+
+def _q21_oracle() -> str:
+    c, r = _late_hex("strpos")
+    return f"""
+    WITH li AS (
+      SELECT l_orderkey, l_suppkey,
+             (1 + ({r}) % 45) > (1 + ({c}) % 30) AS late
+      FROM lineitem
+    ),
+    waiters AS (
+      SELECT l1.l_orderkey, l1.l_suppkey
+      FROM li l1 JOIN orders ON o_orderkey = l1.l_orderkey
+      WHERE o_orderstatus = 'F' AND l1.late
+        AND EXISTS (SELECT 1 FROM li l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM li l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    )
+    SELECT s_name, count(*) AS numwait
+    FROM waiters
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON n_nationkey = s_nationkey
+    JOIN region ON r_regionkey = n_regionkey
+    WHERE r_name = 'AMERICA'
+    GROUP BY s_name
+    """
+
+
+@register("q21_suppliers_who_kept_waiting", _q21_oracle())
+def q21_suppliers_who_kept_waiting(spark, sf_dir):
+    """TPC-H Q21 shape: for finished orders, count per supplier the
+    lineitems that were the ONLY late delivery in a multi-supplier order —
+    the spec's EXISTS / NOT EXISTS self-join pair. Late = hash-derived
+    receipt offset exceeds hash-derived commit offset (the test lineitem
+    has no commit/receipt dates; both engines derive identical booleans
+    from md5 of the lineitem key, a ~60%-late mix).
+
+    Spark rewrite: instead of two correlated self-joins over lineitem, ONE
+    per-order aggregate computes (distinct suppliers, distinct late
+    suppliers); a line qualifies iff its order has suppliers >= 2 and
+    late-suppliers == 1 and the line itself is late. Same result, and the
+    fact table is scanned twice (once per role) instead of three times,
+    with both passes sharing the l_orderkey partitioning."""
+    ch, rh = _late_hex("instr")
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        ((1 + F.expr(rh) % 45) > (1 + F.expr(ch) % 30)).alias("late"),
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    waiters = (
+        li.filter(F.col("late"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").filter(F.col("r_name") == Q21_REGION)
+    return (
+        waiters.join(F.broadcast(s), waiters.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

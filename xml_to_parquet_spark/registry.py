@@ -42,15 +42,15 @@ def register(name: str, oracle: str | None = None):
 # driver row, so the only driver-coverage risk is STALENESS — ~80 banked
 # greens were last proven in r1-r4, before the PySpark 4.1.2 migration.
 # This window is stalest-first:
-# (a) NEW_TARGETS — the 7 operators added this round (6 oracle-backed +
+# (a) NEW_TARGETS — the 12 operators added this round (11 oracle-backed +
 #     curate_pack_bpe, rows-only by contract: BPE's data-dependent merge
 #     loop has no SQL form; pytest recomputes every count in Python);
 # (b) CHANGED — the 9 stateful streaming queries, re-proven because the
 #     whole streaming suite moved to the RocksDB state-store provider
 #     this round (same semantics, different state backend — the class of
 #     change that deserves a driver re-proof);
-# (c) fills — the 31 stalest banked greens, oldest-driver-proof-first:
-#     all 10 r1-era + all 14 remaining r2-era + 7 of the 21 remaining
+# (c) fills — the 26 stalest banked greens, oldest-driver-proof-first:
+#     all 10 r1-era + all 14 remaining r2-era + 2 of the 21 remaining
 #     r3-era (category-spread); the r3/r4 remainder rotates in r8, after
 #     which no proof is older than 4 rounds (pinned by the staleness
 #     guard test).
@@ -59,6 +59,11 @@ NEW_TARGETS = [
     # oracle-backed, added r7
     "dedup_substring", "join_bloom_pruned", "scan_dpp_partitioned",
     "text_quality_classifier", "agg_pushdown_stats", "dedup_semdedup",
+    # the 5 TPC-H shapes unblocked by the derived partsupp /
+    # commit-receipt relations (tpch_derived.py) — 22 of 22 shapes now run
+    "q2_min_cost_supplier", "q11_important_stock",
+    "q16_parts_supplier_relationship", "q20_potential_promotion",
+    "q21_suppliers_who_kept_waiting",
     # rows-only, added r7 (python-reference parity in tests/test_new_ops_r7.py)
     "curate_pack_bpe",
 ]
@@ -88,10 +93,8 @@ GRADED_WINDOW: list[str] = [
     "pivot_status", "recursive_cte", "scalar_math_fns",
     "scalar_string_fns", "set_except", "topk_per_group",
     "window_lag_lead",
-    # --- r3-era (7 of 21, category-spread; remainder rotates in r8)
-    "curate_pack_chunks", "dq_constraints", "filter_predicates",
-    "mm_audio_chunk", "pagerank_fixed", "sim_ivf_persist",
-    "source_orc_roundtrip",
+    # --- r3-era (2 of 21, category-spread; remainder rotates in r8)
+    "filter_predicates", "sim_ivf_persist",
 ]
 
 
@@ -112,6 +115,7 @@ def load_all() -> dict[str, QueryDef]:
         sources_io,
         text,
         tpch,
+        tpch_derived,
         udfs,
     )
     from xml_to_parquet_spark.streaming import joins, stateful, windows  # noqa: F401
