@@ -276,3 +276,62 @@ def test_dedup_substring_property_vs_python_reference(spark, tmp_path_factory, d
         (r.doc_a, r.doc_b): (r.n_matches, r.longest_span) for r in out.itertuples()
     }
     assert got == _expected_substring_pairs(docs, SUBSTR_K, SUBSTR_MAX_DF)
+
+
+def test_derived_partsupp_contract(spark, sf_dir):
+    """The derived partsupp is TPC-H-faithful: exactly 4 distinct
+    suppliers per part (the modular step never collides at the test
+    supplier counts), availqty in [1,1000], supplycost in [100,1000),
+    suppkeys inside the supplier key domain."""
+    from xml_to_parquet_spark.operators.tpch_derived import partsupp
+
+    ps = partsupp(spark, sf_dir).toPandas()
+    n_parts = spark.read.parquet(f"{sf_dir}/part.parquet").count()
+    n_supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").count()
+    per_part = ps.groupby("ps_partkey").size()
+    assert len(per_part) == n_parts
+    assert (per_part == 4).all()
+    assert ps["ps_availqty"].between(1, 1000).all()
+    assert ps["ps_supplycost"].between(100, 1000).all()
+    assert ps["ps_suppkey"].between(0, n_supp - 1).all()
+
+
+def test_q2_rows_are_regional_minima(spark, sf_dir, reg):
+    """Every returned supplier really offers the minimum ASIA-region cost
+    for its part (recomputed in pandas over the derived partsupp)."""
+    from xml_to_parquet_spark.operators.tpch_derived import partsupp
+
+    out = reg["q2_min_cost_supplier"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    ps = partsupp(spark, sf_dir).toPandas()
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet").toPandas()
+    nat = spark.read.parquet(f"{sf_dir}/nation.parquet").toPandas()
+    reg_t = spark.read.parquet(f"{sf_dir}/region.parquet").toPandas()
+    asia_nations = nat.merge(
+        reg_t[reg_t.r_name == "ASIA"], left_on="n_regionkey",
+        right_on="r_regionkey",
+    )["n_nationkey"]
+    asia_supp = supp[supp.s_nationkey.isin(asia_nations)]["s_suppkey"]
+    regional = ps[ps.ps_suppkey.isin(asia_supp)]
+    min_cost = regional.groupby("ps_partkey")["ps_supplycost"].min()
+    for r in out.itertuples():
+        assert abs(r.ps_supplycost - min_cost[r.p_partkey]) < 1e-9
+
+
+def test_q21_waiters_have_positive_counts(spark, sf_dir, reg):
+    """Q21 shape sanity: every supplier reported kept at least one order
+    waiting, and the late-boolean derivation yields a mixed population
+    (neither all-late nor none-late)."""
+    out = reg["q21_suppliers_who_kept_waiting"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    assert (out["numwait"] >= 1).all()
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.tpch_derived import _late_hex
+
+    ch, rh = _late_hex("instr")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        ((1 + F.expr(rh) % 45) > (1 + F.expr(ch) % 30)).alias("late")
+    )
+    frac = li.agg(F.avg(F.col("late").cast("double"))).collect()[0][0]
+    assert 0.3 < frac < 0.9, frac
