@@ -327,11 +327,14 @@ def test_q21_waiters_have_positive_counts(spark, sf_dir, reg):
     assert (out["numwait"] >= 1).all()
     from pyspark.sql import functions as F
 
-    from xml_to_parquet_spark.operators.tpch_derived import _late_hex
+    from xml_to_parquet_spark.operators.tpch_derived import _late_hex, _late_md5
 
+    mc, mr = _late_md5("instr")
     ch, rh = _late_hex("instr")
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
-        ((1 + F.expr(rh) % 45) > (1 + F.expr(ch) % 30)).alias("late")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .select(F.expr(mc).alias("mc"), F.expr(mr).alias("mr"))
+        .select(((1 + F.expr(rh) % 45) > (1 + F.expr(ch) % 30)).alias("late"))
     )
     frac = li.agg(F.avg(F.col("late").cast("double"))).collect()[0][0]
     assert 0.3 < frac < 0.9, frac

@@ -370,39 +370,49 @@ def q20_potential_promotion(spark, sf_dir):
 Q21_REGION = "AMERICA"
 
 
-def _late_hex(engine_fn: str) -> tuple[str, str]:
+# The md5 STRINGS are materialized in their own projection and the
+# digit-decode (_hexval) runs on the plain column — inlining the md5 into
+# _hexval's 8 digit terms re-hashes per digit when subexpression
+# elimination misses (the r6 xpath lesson; measured 16s -> ~2s at sf0.1
+# for q21's double-sided late derivation).
+def _late_md5(engine_fn: str) -> tuple[str, str]:
     if engine_fn == "instr":  # spark
-        c = _hexval(
+        c = (
             "md5(concat(cast(l_orderkey as string), '|', "
-            "cast(l_linenumber as string), '|c'))",
-            "instr",
+            "cast(l_linenumber as string), '|c'))"
         )
-        r = _hexval(
+        r = (
             "md5(concat(cast(l_orderkey as string), '|', "
-            "cast(l_linenumber as string), '|r'))",
-            "instr",
+            "cast(l_linenumber as string), '|r'))"
         )
     else:  # duckdb
-        c = _hexval(
+        c = (
             "md5(CAST(l_orderkey AS VARCHAR) || '|' || "
-            "CAST(l_linenumber AS VARCHAR) || '|c')",
-            "strpos",
+            "CAST(l_linenumber AS VARCHAR) || '|c')"
         )
-        r = _hexval(
+        r = (
             "md5(CAST(l_orderkey AS VARCHAR) || '|' || "
-            "CAST(l_linenumber AS VARCHAR) || '|r')",
-            "strpos",
+            "CAST(l_linenumber AS VARCHAR) || '|r')"
         )
     return c, r
 
 
+def _late_hex(engine_fn: str) -> tuple[str, str]:
+    """Late-flag hexvals over PRE-MATERIALIZED md5 columns mc/mr."""
+    return _hexval("mc", engine_fn), _hexval("mr", engine_fn)
+
+
 def _q21_oracle() -> str:
+    mc, mr = _late_md5("strpos")
     c, r = _late_hex("strpos")
     return f"""
-    WITH li AS (
+    WITH li0 AS (
+      SELECT l_orderkey, l_suppkey, {mc} AS mc, {mr} AS mr FROM lineitem
+    ),
+    li AS (
       SELECT l_orderkey, l_suppkey,
              (1 + ({r}) % 45) > (1 + ({c}) % 30) AS late
-      FROM lineitem
+      FROM li0
     ),
     waiters AS (
       SELECT l1.l_orderkey, l1.l_suppkey
@@ -434,23 +444,47 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
     has no commit/receipt dates; both engines derive identical booleans
     from md5 of the lineitem key, a ~60%-late mix).
 
-    Spark rewrite: instead of two correlated self-joins over lineitem, ONE
-    per-order aggregate computes (distinct suppliers, distinct late
-    suppliers); a line qualifies iff its order has suppliers >= 2 and
-    late-suppliers == 1 and the line itself is late. Same result, and the
-    fact table is scanned twice (once per role) instead of three times,
-    with both passes sharing the l_orderkey partitioning."""
+    Spark rewrite: instead of two correlated self-joins over lineitem,
+    lineitem aggregates once to (order, supplier) grain with a late-line
+    count; per-order supplier/late-supplier counts derive from that, and
+    a supplier qualifies iff its order has suppliers >= 2, exactly one
+    late supplier, and it is the late one — numwait sums its late lines.
+    Same result as the EXISTS pair (the oracle keeps the spec's
+    formulation), and all predicates sit above aggregations so nothing
+    pushes the hash decode into the scan."""
+    mc, mr = _late_md5("instr")
     ch, rh = _late_hex("instr")
-    li = _t(spark, sf_dir, "lineitem").select(
-        "l_orderkey",
-        "l_suppkey",
-        ((1 + F.expr(rh) % 45) > (1 + F.expr(ch) % 30)).alias("late"),
+    # hashing is CPU-bound and the single-file scan arrives as ~3 splits;
+    # without the repartition all md5 work (and both join-side recomputes)
+    # lands on 3 cores — measured 16s -> ~2s at sf0.1 (same rationale as
+    # minhash_signatures)
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            F.expr(mc).alias("mc"),
+            F.expr(mr).alias("mr"),
+        )
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            ((1 + F.expr(rh) % 45) > (1 + F.expr(ch) % 30)).alias("late"),
+        )
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.countDistinct("l_suppkey").alias("n_supp"),
-        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias(
-            "n_late_supp"
-        ),
+    # Aggregate to (order, supplier) grain FIRST: filtering on the raw
+    # `late` column lets predicate pushdown drag the 16-term md5 decode
+    # into the 3-split scan stage below the repartition (no CSE inside a
+    # Filter — measured 16s at sf0.1); behind an aggregation the decode
+    # stays in the 32-way post-repartition project, and every later
+    # predicate is over aggregated columns, which cannot push below it.
+    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.col("late").cast("long")).alias("n_late_lines")
+    )
+    per_order = pair.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.count_if(F.col("n_late_lines") > 0).alias("n_late_supp"),
     )
     orders = (
         _t(spark, sf_dir, "orders")
@@ -458,8 +492,8 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
         .select("o_orderkey")
     )
     waiters = (
-        li.filter(F.col("late"))
-        .join(orders, li.l_orderkey == orders.o_orderkey)
+        pair.filter(F.col("n_late_lines") > 0)
+        .join(orders, pair.l_orderkey == orders.o_orderkey)
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
@@ -471,5 +505,5 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").alias("numwait"))
     )
