@@ -338,3 +338,43 @@ def test_q21_waiters_have_positive_counts(spark, sf_dir, reg):
     )
     frac = li.agg(F.avg(F.col("late").cast("double"))).collect()[0][0]
     assert 0.3 < frac < 0.9, frac
+
+
+def test_substring_removal_cleans_planted_span(spark, planted_docs_dir, reg):
+    """On the planted corpus: doc 1 (higher id of the (0,1) pair) loses
+    exactly its 25-token shared span, keeping its unique filler in order;
+    doc 0 keeps the canonical copy (is not in the output at all); docs 2/3
+    lose their shared spans with doc 3 cleaned only where it is the
+    higher id."""
+    out = reg["dedup_substring_removal"].fn(spark, planted_docs_dir).toPandas()
+    by_doc = {r.doc_id: r for r in out.itertuples()}
+    # doc 0 and doc 2 are the LOWER ids of their pairs: never cleaned
+    assert 0 not in by_doc and 2 not in by_doc
+    r1 = by_doc[1]
+    assert r1.n_removed == 25
+    expect1 = " ".join(
+        [f"uc{i}" for i in range(5)] + [f"ud{i}" for i in range(15)]
+    )
+    assert r1.cleaned_text == expect1
+    assert r1.n_kept == 20
+    r3 = by_doc[3]
+    assert r3.n_removed == 20 + 22  # both planted spans
+    expect3 = " ".join([f"ug{i}" for i in range(7)] + [f"uh{i}" for i in range(3)])
+    assert r3.cleaned_text == expect3
+
+
+def test_substring_removal_conserves_tokens(spark, sf_dir, reg):
+    """n_removed + n_kept equals the document's token count, and removed
+    spans really were duplicated: every affected doc appears as doc_b in
+    the detection operator's output."""
+    out = reg["dedup_substring_removal"].fn(spark, sf_dir).toPandas()
+    assert len(out) > 0
+    ntok = dict(
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr("doc_id", "size(split(lower(text), '\\\\s+')) AS n")
+        .collect()
+    )
+    for r in out.itertuples():
+        assert r.n_removed + r.n_kept == ntok[r.doc_id], r.doc_id
+    pairs = reg["dedup_substring"].fn(spark, sf_dir).toPandas()
+    assert set(out["doc_id"]) == set(pairs["doc_b"])

@@ -806,3 +806,153 @@ def dedup_substring(spark, sf_dir):
         F.sum("run_len").alias("n_matches"),
         (F.max("run_len") + k - 1).alias("longest_span"),
     )
+
+
+def _substring_removal_oracle() -> str:
+    k = SUBSTR_K
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), grams0 AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos,
+             md5(list_aggregate(toks[i:i+{k - 1}], 'string_agg', ' ')) AS gkey
+      FROM tok, unnest(range(1, len(toks) - {k} + 2)) AS t(i)
+      WHERE len(toks) >= {k}
+    ), hot AS (
+      SELECT gkey FROM grams0 GROUP BY gkey
+      HAVING count(DISTINCT doc_id) > {SUBSTR_MAX_DF}
+    ), grams AS (
+      SELECT g.* FROM grams0 g LEFT JOIN hot h USING (gkey)
+      WHERE h.gkey IS NULL
+    ), hits AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a,
+             b.pos AS pos_b, a.pos - b.pos AS diag
+      FROM grams a JOIN grams b ON a.gkey = b.gkey AND a.doc_id < b.doc_id
+    ), runs AS (
+      SELECT doc_a, doc_b, diag, pos_b,
+             pos_a - row_number() OVER (PARTITION BY doc_a, doc_b, diag
+                                        ORDER BY pos_a) AS grp
+      FROM hits
+    ), spans AS (
+      SELECT doc_b, min(pos_b) AS sb,
+             min(pos_b) + count(*) + {k} - 2 AS se
+      FROM runs GROUP BY doc_a, doc_b, diag, grp
+    ), rem AS (
+      SELECT DISTINCT doc_b AS doc_id, CAST(p AS BIGINT) AS pos
+      FROM spans, unnest(range(sb, se + 1)) AS t(p)
+    ), tokpos AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[i] AS tok
+      FROM tok, unnest(range(1, len(toks) + 1)) AS t(i)
+    ), kept AS (
+      SELECT tp.* FROM tokpos tp LEFT JOIN rem USING (doc_id, pos)
+      WHERE rem.pos IS NULL
+    ), affected AS (
+      SELECT doc_id, count(*) AS n_removed FROM rem GROUP BY doc_id
+    )
+    SELECT a.doc_id, a.n_removed,
+           CAST(COALESCE(count(kept.pos), 0) AS BIGINT) AS n_kept,
+           COALESCE(string_agg(kept.tok, ' ' ORDER BY kept.pos), '')
+               AS cleaned_text
+    FROM affected a LEFT JOIN kept ON kept.doc_id = a.doc_id
+    GROUP BY a.doc_id, a.n_removed
+    """
+
+
+@register("dedup_substring_removal", _substring_removal_oracle())
+def dedup_substring_removal(spark, sf_dir):
+    """Exact-substring REMOVAL — the second half of Lee et al. 2022's
+    ExactSubstr: dedup_substring finds verbatim shared spans; this
+    operator actually CLEANS them, deleting every duplicated span from
+    the higher-id document of each pair (so the lowest doc_id keeps the
+    canonical copy — chains converge to one surviving occurrence) and
+    re-assembling the remaining tokens in order. Output: one row per
+    affected document with tokens removed/kept and the cleaned text.
+
+    Shape: the same single-shuffle digest-bucket candidate stage as
+    dedup_substring, with pos_b carried through the span merge; maximal
+    spans explode to removed token positions (bounded by document length,
+    never corpus size), which anti-join the per-doc token positions. The
+    cleaned text is an order-stable reassembly: array_sort over
+    (pos, tok) structs then concat — deterministic under any partition
+    order, so the oracle compares the STRINGS, not just counts. Interval
+    overlap between spans from different pairs is handled by the DISTINCT
+    position set, not interval algebra."""
+    k = SUBSTR_K
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    eligible = docs.filter(F.size("toks") >= k)
+    grams = eligible.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(1, size(toks) - {k} + 1), "
+                f"i -> md5(concat_ws(' ', slice(toks, i, {k}))))"
+            )
+        ).alias("pos", "gkey"),
+    )
+    buckets = (
+        grams.groupBy("gkey")
+        .agg(F.collect_list(F.struct("doc_id", "pos")).alias("es"))
+        .filter(F.size(F.array_distinct("es.doc_id")) <= SUBSTR_MAX_DF)
+        .filter(F.size("es") >= 2)
+    )
+    hits = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(es, (x, i) -> "
+                "transform(slice(es, i + 2, size(es)), y -> CASE "
+                "WHEN x.doc_id < y.doc_id THEN named_struct("
+                "'doc_a', x.doc_id, 'doc_b', y.doc_id, "
+                "'pos_a', x.pos, 'pos_b', y.pos, 'diag', x.pos - y.pos) "
+                "WHEN y.doc_id < x.doc_id THEN named_struct("
+                "'doc_a', y.doc_id, 'doc_b', x.doc_id, "
+                "'pos_a', y.pos, 'pos_b', x.pos, 'diag', y.pos - x.pos) "
+                "END))), p -> p IS NOT NULL)"
+            )
+        ).alias("h")
+    ).select("h.doc_a", "h.doc_b", "h.pos_a", "h.pos_b", "h.diag")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    spans = (
+        hits.withColumn("grp", F.col("pos_a") - F.row_number().over(w))
+        .groupBy("doc_a", "doc_b", "diag", "grp")
+        .agg(
+            F.min("pos_b").alias("sb"),
+            (F.min("pos_b") + F.count(F.lit(1)) + k - 2).alias("se"),
+        )
+    )
+    rem = (
+        spans.select(
+            F.col("doc_b").alias("doc_id"),
+            F.explode(F.expr("sequence(sb, se)")).alias("pos"),
+        )
+        .distinct()
+    )
+    tokpos = docs.select(
+        "doc_id", F.posexplode("toks").alias("pos", "tok")
+    )
+    kept = tokpos.join(rem, ["doc_id", "pos"], "left_anti")
+    affected = rem.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_removed"))
+    kept_agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.concat_ws(
+            " ",
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, tok))), "
+                "s -> s.tok)"
+            ),
+        ).alias("cleaned_text"),
+    )
+    return (
+        affected.join(kept_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_removed",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
+        )
+    )
