@@ -378,3 +378,21 @@ def test_substring_removal_conserves_tokens(spark, sf_dir, reg):
         assert r.n_removed + r.n_kept == ntok[r.doc_id], r.doc_id
     pairs = reg["dedup_substring"].fn(spark, sf_dir).toPandas()
     assert set(out["doc_id"]) == set(pairs["doc_b"])
+
+
+def test_minhash_incremental_equals_full_lsh_cross_slice(spark, sf_dir, reg):
+    """The incremental probe must find EXACTLY the full-corpus LSH pairs
+    that straddle the batch/index split (one side doc_id%10==0, the other
+    not) — the persisted index changes the lifecycle, never the result."""
+    inc = reg["dedup_minhash_incremental"].fn(spark, sf_dir).toPandas()
+    full = reg["dedup_minhash_lsh"].fn(spark, sf_dir).toPandas()
+    got = {tuple(sorted((r.batch_doc, r.index_doc))) for r in inc.itertuples()}
+    expect = {
+        tuple(sorted((r.doc_a, r.doc_b)))
+        for r in full.itertuples()
+        if (r.doc_a % 10 == 0) != (r.doc_b % 10 == 0)
+    }
+    assert got == expect
+    assert (inc["batch_doc"] % 10 == 0).all()
+    assert (inc["index_doc"] % 10 != 0).all()
+    assert inc["n_bands"].between(1, 4).all()

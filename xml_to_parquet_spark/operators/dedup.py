@@ -129,18 +129,23 @@ def _band_cols_spark() -> list:
     return cols
 
 
-def minhash_signatures(spark, sf_dir):
+def minhash_signatures(spark, sf_dir, where: str | None = None):
     """Per-doc MinHash signature: shingle → md5 value → 16 affine-mix
     min-hashes. All map-side (no shuffle); the heavy lifting is inside
-    codegen'd higher-order functions.
+    codegen'd higher-order functions. ``where`` (a SQL predicate over the
+    documents columns) scopes the corpus slice — used by the incremental
+    index to sign the index and batch sides separately.
 
     The input is repartitioned to the session parallelism first: hashing is
     CPU-bound and the documents table may arrive as few (or one) splits —
     without this, all signature work lands on a handful of cores. At real
     scale the read produces thousands of splits and the repartition is a
     cheap no-op-sized shuffle either way."""
+    src_docs = table(spark, sf_dir, "documents")
+    if where is not None:
+        src_docs = src_docs.filter(where)
     docs = (
-        table(spark, sf_dir, "documents")
+        src_docs
         .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
@@ -955,4 +960,102 @@ def dedup_substring_removal(spark, sf_dir):
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
             F.coalesce("cleaned_text", F.lit("")).alias("cleaned_text"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental MinHash index (index lifecycle: sign once, probe per batch)
+# ---------------------------------------------------------------------------
+
+# deterministic corpus split: every 10th doc is the "newly arrived" batch
+INCR_BATCH_PRED = "doc_id % 10 = 0"
+INCR_INDEX_PRED = "doc_id % 10 <> 0"
+
+
+def _bands_df(spark, sf_dir, where: str):
+    sig = minhash_signatures(spark, sf_dir, where=where)
+    return sig.select(
+        "doc_id",
+        F.posexplode(F.array(*_band_cols_spark())).alias("band_id", "bh"),
+    )
+
+
+def _minhash_incremental_oracle() -> str:
+    v = _hexval("md5(s)", "strpos")
+    mcols = ",\n           ".join(
+        f"list_min(list_transform(vals, v -> ({MIX_A[j]} * v + {MIX_B[j]}) % {MIX_M}))"
+        f" AS m{j}"
+        for j in range(NUM_HASHES)
+    )
+    band_rows = "\n      UNION ALL ".join(
+        "SELECT doc_id, {b} AS band_id, md5({parts}) AS bh FROM sig".format(
+            b=b,
+            parts=" || '|' || ".join(
+                f"CAST(m{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sh AS (
+      SELECT doc_id, {shingles_duck(3)} AS shingles FROM tok WHERE len(toks) >= 3
+    ), vl AS (
+      SELECT doc_id, list_transform(shingles, s -> CAST({v} AS BIGINT)) AS vals
+      FROM sh
+    ), sig AS (
+      SELECT doc_id, {mcols} FROM vl
+    ), bands AS (
+      {band_rows}
+    )
+    SELECT b.doc_id AS batch_doc, ix.doc_id AS index_doc,
+           count(*) AS n_bands
+    FROM bands b JOIN bands ix ON b.band_id = ix.band_id AND b.bh = ix.bh
+    WHERE b.doc_id % 10 = 0 AND ix.doc_id % 10 <> 0
+    GROUP BY 1, 2
+    """
+
+
+@register("dedup_minhash_incremental", _minhash_incremental_oracle())
+def dedup_minhash_incremental(spark, sf_dir):
+    """Incremental MinHash-LSH — the INDEX LIFECYCLE the one-shot
+    dedup_minhash_lsh lacks: a streaming-ingest pipeline cannot re-sign
+    100 TB for every arriving batch. The standing corpus's band rows are
+    signed ONCE and persisted as parquet partitioned by band_id (the
+    build-once-serve-many pattern of sim_ivf_persist); each new batch
+    signs only ITS documents (here the deterministic doc_id%10 slice) and
+    equi-joins the persisted index on (band_id, band_hash). Output: one
+    row per (new doc, indexed doc) candidate with the number of agreeing
+    bands — the at-least-k-bands escalation knob.
+
+    Scale shape: batch signing is map-only over the batch (corpus-size
+    independent); the probe is a band-hash equi-join whose broadcast/
+    shuffle choice AQE makes from the BATCH size, not the corpus size; in
+    steady state the new batch's own bands are appended to the index
+    (same partitioning, append mode), keeping the index current without
+    rebuilds."""
+    import os as _os
+
+    from xml_to_parquet_spark.io_paths import scratch_dir as _scratch
+
+    idx_dir = _scratch(sf_dir, "minhash_band_index")
+    if not _os.path.exists(idx_dir):
+        _bands_df(spark, sf_dir, INCR_INDEX_PRED).write.mode(
+            "overwrite"
+        ).partitionBy("band_id").parquet(idx_dir)
+    index = spark.read.schema("doc_id bigint, bh string, band_id int").parquet(
+        idx_dir
+    )
+    batch = _bands_df(spark, sf_dir, INCR_BATCH_PRED)
+    return (
+        batch.join(
+            index.select(
+                F.col("doc_id").alias("index_doc"), "band_id", "bh"
+            ),
+            ["band_id", "bh"],
+        )
+        .groupBy(F.col("doc_id").alias("batch_doc"), "index_doc")
+        .agg(F.count(F.lit(1)).alias("n_bands"))
     )

@@ -42,15 +42,15 @@ def register(name: str, oracle: str | None = None):
 # driver row, so the only driver-coverage risk is STALENESS — ~80 banked
 # greens were last proven in r1-r4, before the PySpark 4.1.2 migration.
 # This window is stalest-first:
-# (a) NEW_TARGETS — the 13 operators added this round (12 oracle-backed +
+# (a) NEW_TARGETS — the 14 operators added this round (13 oracle-backed +
 #     curate_pack_bpe, rows-only by contract: BPE's data-dependent merge
 #     loop has no SQL form; pytest recomputes every count in Python);
 # (b) CHANGED — the 9 stateful streaming queries, re-proven because the
 #     whole streaming suite moved to the RocksDB state-store provider
 #     this round (same semantics, different state backend — the class of
 #     change that deserves a driver re-proof);
-# (c) fills — the 25 stalest banked greens, oldest-driver-proof-first:
-#     all 10 r1-era + all 14 remaining r2-era + 1 of the 21 remaining
+# (c) fills — the 24 stalest banked greens, oldest-driver-proof-first:
+#     all 10 r1-era + all 14 remaining r2-era (the 21 remaining
 #     r3-era (category-spread); the r3/r4 remainder rotates in r8, after
 #     which no proof is older than 4 rounds (pinned by the staleness
 #     guard test).
@@ -64,6 +64,7 @@ NEW_TARGETS = [
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_parts_supplier_relationship", "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting", "dedup_substring_removal",
+    "dedup_minhash_incremental",
     # rows-only, added r7 (python-reference parity in tests/test_new_ops_r7.py)
     "curate_pack_bpe",
 ]
@@ -93,8 +94,7 @@ GRADED_WINDOW: list[str] = [
     "pivot_status", "recursive_cte", "scalar_math_fns",
     "scalar_string_fns", "set_except", "topk_per_group",
     "window_lag_lead",
-    # --- r3-era (1 of 21; remainder rotates in r8)
-    "filter_predicates",
+    # --- (the whole r3-era remainder rotates in r8)
 ]
 
 
