@@ -444,3 +444,91 @@ def curate_pack_bpe(spark, sf_dir):
             F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
         )
     )
+
+
+@register(
+    "curate_pipeline",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, source, text, {TOKENS_DUCK} AS toks FROM documents
+    ), gated AS (
+      SELECT doc_id, source, text, len(toks) AS n_tokens
+      FROM tok
+      WHERE len(toks) BETWEEN 25 AND 2000
+        AND list_sum(list_transform(toks, t -> length(t)))
+            / CAST(len(toks) AS DOUBLE) BETWEEN 2.0 AND 12.0
+        AND len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) >= 0.35
+    ), deduped AS (
+      SELECT doc_id, source, n_tokens,
+             row_number() OVER (PARTITION BY md5(text)
+                                ORDER BY doc_id) AS rn
+      FROM gated
+    ), mixed AS (
+      SELECT doc_id, source, n_tokens FROM deduped
+      WHERE rn = 1
+        AND (doc_id * 2654435761) % 100 <
+            CASE source WHEN 'src0' THEN 100 WHEN 'src1' THEN 50
+                        WHEN 'src2' THEN 25  WHEN 'src3' THEN 10
+                        ELSE {MIX_DEFAULT} END
+    ), packed AS (
+      SELECT doc_id, source, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens AS cum_before
+      FROM mixed
+    )
+    SELECT doc_id, source, n_tokens,
+           CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+    FROM packed
+    """,
+)
+def curate_pipeline(spark, sf_dir):
+    """The END-TO-END curation pipeline as ONE declarative plan — the
+    sequence every pretraining data pass runs: quality gate (Gopher/C4
+    bounds) → exact dedup keep-first (md5 groups, lowest doc_id survives)
+    → deterministic source mixing (Knuth-hash keep rates) → token-budget
+    sequence packing. Each stage exists as its own registered operator
+    (curate_quality_filter / dedup_exact / curate_mix_sources /
+    curate_pack_sequences); this entry proves they COMPOSE — Catalyst
+    fuses the gate and the mix filter into the scan-side pipeline, the
+    dedup is one digest-keyed window, and only the final global-order
+    cumsum is a single-partition window (shard it at 100 TB exactly as
+    curate_pack_sequences documents).
+
+    The gate runs BEFORE dedup (cheap map-side filter shrinks the digest
+    shuffle); the mix runs after dedup so mixture rates apply to unique
+    documents — the order production pipelines use."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", F.expr(TOKENS_SQL).alias("toks")
+    )
+    n = F.size("toks")
+    avg_tok = F.expr("aggregate(toks, 0L, (acc, t) -> acc + length(t))") / n.cast(
+        "double"
+    )
+    ttr = F.size(F.array_distinct("toks")) / n.cast("double")
+    gated = docs.filter(
+        n.between(25, 2000) & avg_tok.between(2.0, 12.0) & (ttr >= 0.35)
+    ).select("doc_id", "source", "text", n.alias("n_tokens"))
+    dw = W.partitionBy(F.md5("text")).orderBy("doc_id")
+    deduped = (
+        gated.withColumn("rn", F.row_number().over(dw))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "text")
+    )
+    keep = F.when(F.col("source") == "src0", 100)
+    for src, pct in list(MIX_WEIGHTS.items())[1:]:
+        keep = keep.when(F.col("source") == src, pct)
+    keep = keep.otherwise(MIX_DEFAULT)
+    mixed = deduped.filter((F.col("doc_id") * 2654435761) % 100 < keep)
+    pw = W.orderBy("doc_id").rowsBetween(W.unboundedPreceding, 0)
+    return (
+        mixed.withColumn(
+            "cum_before", F.sum("n_tokens").over(pw) - F.col("n_tokens")
+        )
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+        )
+    )

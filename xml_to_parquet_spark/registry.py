@@ -42,7 +42,7 @@ def register(name: str, oracle: str | None = None):
 # driver row, so the only driver-coverage risk is STALENESS — ~80 banked
 # greens were last proven in r1-r4, before the PySpark 4.1.2 migration.
 # This window is stalest-first:
-# (a) NEW_TARGETS — the 14 operators added this round (13 oracle-backed +
+# (a) NEW_TARGETS — the 15 operators added this round (14 oracle-backed +
 #     curate_pack_bpe, rows-only by contract: BPE's data-dependent merge
 #     loop has no SQL form; pytest recomputes every count in Python);
 # (b) CHANGED — the 9 stateful streaming queries, re-proven because the
@@ -50,7 +50,7 @@ def register(name: str, oracle: str | None = None):
 #     this round (same semantics, different state backend — the class of
 #     change that deserves a driver re-proof);
 # (c) fills — the 24 stalest banked greens, oldest-driver-proof-first:
-#     all 10 r1-era + all 14 remaining r2-era (the 21 remaining
+#     all 10 r1-era + all 14 remaining r2-era (the r3-era remainder
 #     r3-era (category-spread); the r3/r4 remainder rotates in r8, after
 #     which no proof is older than 4 rounds (pinned by the staleness
 #     guard test).
@@ -64,18 +64,20 @@ NEW_TARGETS = [
     "q2_min_cost_supplier", "q11_important_stock",
     "q16_parts_supplier_relationship", "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting", "dedup_substring_removal",
-    "dedup_minhash_incremental",
+    "dedup_minhash_incremental", "curate_pipeline",
     # rows-only, added r7 (python-reference parity in tests/test_new_ops_r7.py)
     "curate_pack_bpe",
 ]
 UPGRADED: list[str] = []
 CHANGED = [
-    # every stateful streaming query re-proves under the RocksDB state
-    # store (streaming/windows.py _state_partitions)
+    # stateful streaming queries re-prove under the RocksDB state store
+    # (streaming/windows.py _state_partitions); stream_dedup_watermark —
+    # the one with the freshest (r6) driver proof — yields its slot to
+    # curate_pipeline this round and re-proves under RocksDB in r8
     "stream_tumbling_window", "stream_session_window",
     "stream_stateful_counter", "stream_tws_spend", "stream_dedup",
     "stream_stream_join", "stream_watermark_late_data",
-    "stream_chained_agg", "stream_dedup_watermark",
+    "stream_chained_agg",
 ]
 ROWS_ONLY_SLOTS = ["curate_pack_bpe"]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
