@@ -332,3 +332,59 @@ def test_dedup_substring_bucket_shape_no_joins(spark, sf_dir):
     assert not any("Join" in key for key in n), n
     assert shuffle_count(df) <= 3, n
     assert n.get("Window", 0) == 1, n
+
+
+def test_q2_broadcast_dims_and_stable_topk(spark, sf_dir):
+    """r7: all four dims broadcast into the partsupp probe; the correlated
+    min resolves as one window over p_partkey and the LIMIT is a
+    TakeOrderedAndProject with a unique ordering chain — never a global
+    sort exchange feeding a bare limit."""
+    df = load_all()["q2_min_cost_supplier"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("BroadcastHashJoin", 0) >= 4, n
+    assert not any("SortMergeJoin" in k for k in n), n
+    assert n.get("TakeOrderedAndProject", 0) == 1, n
+    assert n.get("Window", 0) == 1, n
+
+
+def test_q21_aggregate_first_no_nested_loop(spark, sf_dir):
+    """r7 (post-16s-fix): the exists/not-exists pair resolves as
+    aggregates + equi-joins — no BroadcastNestedLoopJoin/CartesianProduct,
+    and the hash-derived late decode must NOT be pushed into the scan as
+    a Filter (the md5 digit decode appears in Project/Aggregate land
+    only)."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["q21_suppliers_who_kept_waiting"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not n.get("BroadcastNestedLoopJoin") and not n.get("CartesianProduct"), n
+    plan = physical_plan(df)
+    for line in plan.splitlines():
+        stripped = line.strip(" :+-*")
+        if stripped.startswith("Filter") and "md5" in stripped:
+            raise AssertionError(
+                "late-flag md5 decode pushed into a Filter:\n" + line
+            )
+
+
+def test_semdedup_broadcast_centroids_no_cartesian(spark, sf_dir):
+    """r7: centroid assignment is a broadcast K-row cross join + combinable
+    min_by; the pair stage is ONE equi-join on the cluster id (sort-merge
+    pre-AQE — correct at scale, where neither assigned side broadcasts) —
+    and there is no corpus-level cartesian anywhere."""
+    df = load_all()["dedup_semdedup"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not n.get("CartesianProduct"), n
+    assert n.get("SortMergeJoin", 0) <= 1, n  # the cid pair join only
+    assert n.get("BroadcastNestedLoopJoin", 0) <= 2, n  # the K-row crossJoins
+
+
+def test_minhash_incremental_probe_reads_persisted_index(spark, sf_dir):
+    """r7: the batch probe joins a parquet SCAN of the persisted band
+    index — the index side must not recompute signatures (no md5 on the
+    index branch of the join)."""
+    from xml_to_parquet_spark.plans.inspect import formatted_plan
+
+    df = load_all()["dedup_minhash_incremental"].fn(spark, sf_dir)
+    plan = formatted_plan(df)
+    assert "minhash_band_index" in plan, plan[:2000]
