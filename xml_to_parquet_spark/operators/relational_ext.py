@@ -584,7 +584,12 @@ def scalar_xpath_fns(spark, sf_dir):
     CASE: Spark's subexpression elimination skips conditional branches,
     so a CASE-wrapped array re-evaluates the xpath parse per output
     column — measured 2.2× the whole query (16.0s vs 7.3s at sf0.1)."""
-    o = _t(spark, sf_dir, "orders")
+    # the single-file orders scan arrives as one split; xpath parsing is
+    # CPU-bound, so spread it (minhash_signatures rationale) — measured
+    # 7.4s -> ~1s at sf0.1
+    o = _t(spark, sf_dir, "orders").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     xml = F.concat(
         F.lit("<o><k>"), F.col("o_orderkey"),
         F.lit("</k><st>"), F.col("o_orderstatus"),

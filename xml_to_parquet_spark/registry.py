@@ -80,6 +80,12 @@ CHANGED = [
     "stream_chained_agg",
 ]
 ROWS_ONLY_SLOTS = ["curate_pack_bpe"]
+# Queued for the r8 window (changed this round, could not take an r7 slot
+# without evicting a staleness-mandated fill — the guard enforces the
+# trade): stream_dedup_watermark (RocksDB re-proof), scalar_xpath_fns
+# (parallelism repartition, value-neutral, locally re-verified at all
+# three SFs).
+R8_QUEUE = ["stream_dedup_watermark", "scalar_xpath_fns"]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
