@@ -396,3 +396,25 @@ def test_minhash_incremental_equals_full_lsh_cross_slice(spark, sf_dir, reg):
     assert (inc["batch_doc"] % 10 == 0).all()
     assert (inc["index_doc"] % 10 != 0).all()
     assert inc["n_bands"].between(1, 4).all()
+
+
+def test_mm_image_dedup_recall_guarantee(spark, sf_dir, reg):
+    """The banding must find EVERY same-dims pair within hamming <= 2
+    (pigeonhole guarantee) — verified against a brute-force pandas pass
+    over the full phash table — and report correct hamming distances."""
+    ph = reg["mm_image_phash"].fn(spark, sf_dir).toPandas()
+    out = reg["mm_image_dedup"].fn(spark, sf_dir).toPandas()
+    from xml_to_parquet_spark.operators.multimodal import MM_DEDUP_HAMMING
+
+    got = {(r.doc_a, r.doc_b): r.hamming for r in out.itertuples()}
+    expect = {}
+    import itertools
+
+    for (_, _), grp in ph.groupby(["width", "height"]):
+        rows = sorted(grp.itertuples(), key=lambda r: r.doc_id)
+        for a, b in itertools.combinations(rows, 2):
+            h = bin(a.dhash ^ b.dhash).count("1")
+            if h <= MM_DEDUP_HAMMING:
+                expect[(a.doc_id, b.doc_id)] = h
+    assert got == expect
+    assert len(got) > 0

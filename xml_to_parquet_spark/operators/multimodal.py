@@ -418,10 +418,8 @@ def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register(
-    "mm_image_phash",
-    """
-    WITH dims AS (
+_PHASH_ORACLE_CTE = """
+    dims AS (
       SELECT doc_id, 8 + doc_id % 16 AS width, 8 + (doc_id * 7) % 16 AS height
       FROM documents
     ), px AS (
@@ -436,12 +434,20 @@ def _phash_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
              CASE WHEN rsum > lead(rsum) OVER
                (PARTITION BY doc_id ORDER BY r) THEN 1 ELSE 0 END AS b
       FROM rows_
-    )
-    SELECT doc_id, max(width) AS width, max(height) AS height,
-           CAST(sum(b * POWER(2, r)) AS BIGINT) AS dhash,
-           CAST(sum(b) AS BIGINT)               AS n_desc
-    FROM bits WHERE r < height - 1
-    GROUP BY doc_id
+    ), ph AS (
+      SELECT doc_id, max(width) AS width, max(height) AS height,
+             CAST(sum(b * POWER(2, r)) AS BIGINT) AS dhash,
+             CAST(sum(b) AS BIGINT)               AS n_desc
+      FROM bits WHERE r < height - 1
+      GROUP BY doc_id
+    )"""
+
+
+@register(
+    "mm_image_phash",
+    f"""
+    WITH {_PHASH_ORACLE_CTE}
+    SELECT doc_id, width, height, dhash, n_desc FROM ph
     """,
 )
 def mm_image_phash(spark, sf_dir):
@@ -468,3 +474,114 @@ def mm_image_phash(spark, sf_dir):
         schema="doc_id bigint, width bigint, height bigint, "
         "dhash bigint, n_desc bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# image near-dup: perceptual-hash banding (the multimodal dedup tier)
+# ---------------------------------------------------------------------------
+
+MM_DEDUP_HAMMING = 2  # pairs within this dHash hamming distance
+
+
+@register(
+    "mm_image_dedup",
+    f"""
+    WITH {_PHASH_ORACLE_CTE},
+    banded AS (
+      SELECT doc_id, width, height, dhash, k.k AS band_idx,
+             (dhash >> CASE k.k WHEN 0 THEN 0
+                                WHEN 1 THEN (height - 1) // 3
+                                ELSE 2 * ((height - 1) // 3) END)
+             & (CASE k.k
+                  WHEN 0 THEN (1 << ((height - 1) // 3)) - 1
+                  WHEN 1 THEN (1 << ((height - 1) // 3)) - 1
+                  ELSE (1 << ((height - 1) - 2 * ((height - 1) // 3))) - 1
+                END) AS bv
+      FROM ph, unnest([0, 1, 2]) AS k(k)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+    FROM banded a JOIN banded b
+      ON a.width = b.width AND a.height = b.height
+     AND a.band_idx = b.band_idx AND a.bv = b.bv
+     AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.dhash, b.dhash)) <= {MM_DEDUP_HAMMING}
+    """,
+)
+def mm_image_dedup(spark, sf_dir):
+    """Image near-duplicate pairs — dedup crossing into the MULTIMODAL
+    column: documents whose decoded images hash within hamming
+    MM_DEDUP_HAMMING of each other's dHash (re-encodes and light edits
+    land here; exact byte hashing misses them). Same Manku–Jain–Sarma
+    pigeonhole as dedup_simhash, adapted to per-image hash widths: the
+    (height-1)-bit hash splits into 3 contiguous bands, and any pair
+    within hamming ≤ 2 agrees exactly on ≥ 1 band, so candidate
+    generation is an equi-join on (dims, band_idx, band_value) with
+    GUARANTEED recall — never an all-pairs hash comparison. Pairs are
+    blocked on identical dimensions (cross-size near-dup needs the
+    resize tier first, mm_resize).
+
+    Scale shape: the perceptual hash rides the existing two-stage
+    mapInPandas decode (map-only); banding explodes 3 rows per image and
+    buckets them in ONE exchange with in-bucket pair emission (the
+    dedup_substring chassis), then verifies bit_count(xor) ≤ 2 on the
+    collision pairs only. The oracle reproduces hash AND pairing from the
+    closed-form pixel formula, so a codec, packing, or banding bug breaks
+    value parity."""
+    ph = mm_image_phash(spark, sf_dir).select(
+        "doc_id", "width", "height", "dhash"
+    )
+    n = F.col("height") - 1
+    third = F.floor(n / 3).cast("long")
+    k = F.col("band_idx")
+    lo = F.when(k == 0, F.lit(0).cast("long")).when(k == 1, third).otherwise(
+        2 * third
+    )
+    ln = F.when(k == 2, n.cast("long") - 2 * third).otherwise(third)
+    banded = (
+        ph.select(
+            "doc_id",
+            "width",
+            "height",
+            "dhash",
+            F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("band_idx"),
+        )
+        .withColumn("lo", lo)
+        .withColumn("bandlen", ln)
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            "dhash",
+            "band_idx",
+            F.expr(
+                "shiftright(dhash, cast(lo as int)) & "
+                "(shiftleft(1L, cast(bandlen as int)) - 1)"
+            ).alias("bv"),
+        )
+    )
+    buckets = (
+        banded.groupBy("width", "height", "band_idx", "bv")
+        .agg(F.collect_list(F.struct("doc_id", "dhash")).alias("es"))
+        .filter(F.size("es") >= 2)
+    )
+    pairs = buckets.select(
+        F.explode(
+            F.expr(
+                "filter(flatten(transform(es, (x, i) -> "
+                "transform(slice(es, i + 2, size(es)), y -> CASE "
+                "WHEN x.doc_id < y.doc_id THEN named_struct("
+                "'doc_a', x.doc_id, 'doc_b', y.doc_id, "
+                "'ha', x.dhash, 'hb', y.dhash) "
+                "WHEN y.doc_id < x.doc_id THEN named_struct("
+                "'doc_a', y.doc_id, 'doc_b', x.doc_id, "
+                "'ha', y.dhash, 'hb', x.dhash) "
+                "END))), p -> p IS NOT NULL)"
+            )
+        ).alias("p")
+    ).select(
+        "p.doc_a",
+        "p.doc_b",
+        F.bit_count(F.expr("p.ha ^ p.hb")).cast("bigint").alias("hamming"),
+    )
+    return pairs.filter(F.col("hamming") <= MM_DEDUP_HAMMING).distinct()
