@@ -14,6 +14,14 @@ sample (which min amplified), tightening round-over-round comparison to
 ~±3%. Slow-converging iterative queries (dedup_components warm reps at
 sf0.1: [3.11, 2.36, 2.23, 2.01, 1.92]) are likewise covered — the median
 sits at steady state, so no per-query re-time caveat applies anymore.
+
+Round-7 full-registry sweep (scripts/bench_sweep.py, sf0.1, min-of-2):
+119.2s over all 198 queries, 0 errors; slowest = pagerank_fixed 4.4s
+(3 fixed iterations), q21 4.2s (post aggregate-first rewrite, down from
+16s), dedup_semdedup 3.6s (documented HOF trade). Two structural wins
+this round came from the sweep: scalar_xpath_fns 7.4s -> 1.3s
+(single-split scan parallelism) and q21 16s -> 4.2s (predicate pushdown
+dragging the md5 decode into the scan).
 """
 
 from __future__ import annotations
