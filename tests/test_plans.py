@@ -388,3 +388,19 @@ def test_minhash_incremental_probe_reads_persisted_index(spark, sf_dir):
     df = load_all()["dedup_minhash_incremental"].fn(spark, sf_dir)
     plan = formatted_plan(df)
     assert "minhash_band_index" in plan, plan[:2000]
+
+
+def test_curate_pipeline_fuses_gate_into_scan_side(spark, sf_dir):
+    """r7: the composed pipeline keeps the quality gate and the mix filter
+    as scan-side predicates (no extra exchange for either); the only
+    exchanges are the dedup digest window and the packer's global-order
+    window — never a join."""
+    df = load_all()["curate_pipeline"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any("Join" in k for k in n), n
+    # two logical windows (dedup keep-first, packer cumsum); Spark may
+    # split them into more physical Window operators, but the exchange
+    # count is the real currency: digest hash + single-partition cumsum
+    assert n.get("Exchange hashpartitioning", 0) == 1, n
+    assert n.get("Exchange SinglePartition", 0) == 1, n
+    assert shuffle_count(df) <= 3, n
