@@ -85,3 +85,27 @@ def test_r7_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows):
     reg = load_all()
     out = reg[name].fn(spark, empty_sf_dir)
     assert out.count() <= max_rows
+
+
+# late-r7 additions: removal/index/pipeline/image-dedup plus the five
+# derived-relation TPC-H shapes (empty part → empty partsupp; empty
+# lineitem → empty late-flag aggregates; the q11 global-total cross join
+# must yield empty, not a null-row blowup)
+REPRESENTATIVES_R7B = [
+    ("dedup_substring_removal", 0),
+    ("dedup_minhash_incremental", 0),
+    ("curate_pipeline", 0),
+    ("mm_image_dedup", 0),
+    ("q2_min_cost_supplier", 0),
+    ("q11_important_stock", 0),
+    ("q16_parts_supplier_relationship", 0),
+    ("q20_potential_promotion", 0),
+    ("q21_suppliers_who_kept_waiting", 0),
+]
+
+
+@pytest.mark.parametrize("name,max_rows", REPRESENTATIVES_R7B)
+def test_r7b_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows):
+    reg = load_all()
+    out = reg[name].fn(spark, empty_sf_dir)
+    assert out.count() <= max_rows
