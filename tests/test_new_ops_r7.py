@@ -418,3 +418,48 @@ def test_mm_image_dedup_recall_guarantee(spark, sf_dir, reg):
                 expect[(a.doc_id, b.doc_id)] = h
     assert got == expect
     assert len(got) > 0
+
+
+def test_bpe_train_matches_python_reference(spark, sf_dir, reg):
+    """The distributed trainer must learn EXACTLY the merge sequence a
+    pure-python reference trainer learns from the same word-frequency
+    table (count desc, then lexicographic pair tie-break), including the
+    pair counts at each step."""
+    from collections import Counter
+
+    from xml_to_parquet_spark.operators.curation import BPE_TRAIN_MERGES
+
+    out = reg["text_bpe_train"].fn(spark, sf_dir).toPandas()
+    texts = [
+        r.text
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("text")
+        .collect()
+    ]
+    wc = Counter(w for t in texts for w in t.lower().split() if w)
+    words = {w: (list(w), c) for w, c in wc.items()}
+    expect = []
+    for rank in range(BPE_TRAIN_MERGES):
+        pc = Counter()
+        for syms, c in words.values():
+            for x, y in zip(syms, syms[1:]):
+                pc[(x, y)] += c
+        if not pc:
+            break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), n = best
+        expect.append((rank, a, b, n))
+        for w, (syms, c) in words.items():
+            out_s = []
+            i = 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == a and syms[i + 1] == b:
+                    out_s.append(a + b)
+                    i += 2
+                else:
+                    out_s.append(syms[i])
+                    i += 1
+            words[w] = (out_s, c)
+    got = [(r.rank, r.left, r.right, r.pair_count) for r in out.itertuples()]
+    assert got == expect
+    assert len(got) == BPE_TRAIN_MERGES

@@ -532,3 +532,98 @@ def curate_pipeline(spark, sf_dir):
             F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# distributed BPE TRAINING (vocabulary induction — the other half of
+# curate_pack_bpe's encoder)
+# ---------------------------------------------------------------------------
+
+BPE_TRAIN_MERGES = 12  # merges to learn
+
+
+def _apply_merge_udf(a: str, b: str):
+    """pandas UDF applying ONE learned merge to symbol arrays (all
+    occurrences, left-to-right — GPT-2's training-side rule)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<string>")
+    def apply_merge(syms: pd.Series) -> pd.Series:
+        def one(s):
+            out = []
+            i = 0
+            while i < len(s):
+                if i < len(s) - 1 and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            return out
+
+        return syms.map(one)
+
+    return apply_merge
+
+
+@register("text_bpe_train", None)  # rows-only: iterative argmax training
+# has no SQL form; tests/test_new_ops_r7.py proves exact equality with a
+# pure-python reference trainer over the same corpus
+def text_bpe_train(spark, sf_dir):
+    """Distributed BPE vocabulary induction — the TRAINING half of the
+    tokenizer story (curate_pack_bpe consumes a merges table; this learns
+    one): repeatedly count adjacent symbol pairs over the corpus and
+    merge the most frequent, Sennrich et al. 2016 / GPT-2 style.
+
+    The Spark-native formulation trains on the WORD-FREQUENCY table, not
+    the corpus: distinct words with counts (Heaps' law: ~10^6-10^8 rows
+    for a 100 TB corpus — distributed here, while the corpus itself never
+    re-tokenizes during training). Each round is (a) explode adjacent
+    pairs weighted by word count → groupBy sum — map-side partial, one
+    narrow-key shuffle; (b) a 1-ROW argmax to the driver (deterministic
+    tie-break: count desc, then pair lexicographic — the only driver
+    traffic, one row per round); (c) a vectorized pandas UDF applying the
+    merge to the word symbols (data-dependent rewrite — the sanctioned
+    Python crossing). localCheckpoint per round cuts the iterative
+    lineage exactly like dedup_components. Output: the learned merge
+    table (rank, left, right, pair_count)."""
+    words = (
+        table(spark, sf_dir, "documents")
+        .select(F.explode(F.expr(TOKENS_SQL)).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.expr("split(w, '')").alias("syms"), "cnt")
+        .repartition(spark.sparkContext.defaultParallelism)
+        .localCheckpoint()
+    )
+    learned = []
+    for rank in range(BPE_TRAIN_MERGES):
+        pairs = (
+            words.filter(F.size("syms") >= 2)
+            .select(
+                F.posexplode(F.expr("slice(syms, 1, size(syms) - 1)")).alias(
+                    "i", "a"
+                ),
+                F.col("syms"),
+                F.col("cnt"),
+            )
+            .select(
+                "a",
+                F.expr("element_at(syms, i + 2)").alias("b"),
+                "cnt",
+            )
+            .groupBy("a", "b")
+            .agg(F.sum("cnt").alias("n"))
+        )
+        top = pairs.orderBy(F.desc("n"), "a", "b").limit(1).collect()
+        if not top:
+            break
+        a, b, n = top[0]["a"], top[0]["b"], int(top[0]["n"])
+        learned.append((rank, a, b, n))
+        words = words.select(
+            _apply_merge_udf(a, b)(F.col("syms")).alias("syms"), "cnt"
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        learned, "rank int, left string, right string, pair_count bigint"
+    )
