@@ -463,3 +463,41 @@ def test_bpe_train_matches_python_reference(spark, sf_dir, reg):
     got = [(r.rank, r.left, r.right, r.pair_count) for r in out.itertuples()]
     assert got == expect
     assert len(got) == BPE_TRAIN_MERGES
+
+
+def test_knn_graph_contract(spark, sf_dir, reg):
+    """Every vector gets exactly KNN_K neighbors (blocks are larger than
+    K), ranks are 1..K with non-increasing cosine, and rank-1 equals the
+    numpy argmax over the same block."""
+    import numpy as np
+
+    from xml_to_parquet_spark.operators.similarity import KNN_K
+
+    out = reg["sim_knn_graph"].fn(spark, sf_dir).toPandas()
+    per_vec = out.groupby("vec_id")
+    assert (per_vec.size() == KNN_K).all()
+    for _, g in per_vec:
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, KNN_K + 1))
+        assert (g["cos"].diff().dropna() <= 1e-12).all()
+    emb_rows = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", "label", "embedding")
+        .collect()
+    )
+    by_label = {}
+    for r in emb_rows:
+        by_label.setdefault(r.label, []).append((r.vec_id, np.array(r.embedding, dtype=np.float64)))
+    top1 = {r.vec_id: r.neighbor_id for r in out.itertuples() if r.rank == 1}
+    import itertools
+
+    for label, rows in itertools.islice(by_label.items(), 2):
+        ids = np.array([i for i, _ in rows])
+        M = np.array([v for _, v in rows])
+        nrm = np.linalg.norm(M, axis=1)
+        C = np.round((M @ M.T) / np.outer(nrm, nrm), 6)
+        np.fill_diagonal(C, -np.inf)
+        for j, vid in enumerate(ids):
+            best = C[j].max()
+            cands = sorted(ids[k] for k in range(len(ids)) if C[j, k] == best)
+            assert top1[vid] == cands[0], vid

@@ -848,3 +848,77 @@ def dedup_semdedup(spark, sf_dir):
     ).select(
         "vec_id", "centroid_id", F.col("b.keeper_id").alias("keeper_id"), F.col("b.cos").alias("cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction
+# ---------------------------------------------------------------------------
+
+KNN_K = 5
+
+
+@register(
+    "sim_knn_graph",
+    f"""
+    WITH pairs AS (
+      SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+             round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                          CAST(b.embedding AS DOUBLE[])), 6)
+                 AS cos
+      FROM embeddings a JOIN embeddings b
+        ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), ranked AS (
+      SELECT vec_id, neighbor_id, cos,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY cos DESC, neighbor_id) AS rank
+      FROM pairs
+    )
+    SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cos
+    FROM ranked WHERE rank <= {KNN_K}
+    """,
+)
+def sim_knn_graph(spark, sf_dir):
+    """k-NN graph construction — the substrate for graph-based clustering,
+    label propagation, and SemDeDup-style community pruning: for every
+    vector, its KNN_K nearest same-block neighbors by cosine, rank-ordered
+    deterministically (rounded cosine desc, then neighbor id).
+
+    Scale shape: candidates are BLOCK-local (label here; at open-domain
+    scale the IVF cell or LSH bucket plays this role — a global exact kNN
+    is n² by definition, so every production kNN graph is block-pruned).
+    Norms are computed once per vector map-side; ranking is a window over
+    vec_id — partition cardinality equals the vector count, so the sort
+    spreads across executors; no global sort anywhere. Emitting both
+    directions of each pair costs one extra join row, not an extra
+    shuffle (the window partitioning subsumes it)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = dot(F.col("a.embedding"), F.col("b.embedding")) / (
+        F.col("a.nrm") * F.col("b.nrm")
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id"),
+            F.col("b.vec_id").alias("neighbor_id"),
+            F.round(cos, 6).alias("cos"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy(F.desc("cos"), "neighbor_id")
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= KNN_K)
+        .select("vec_id", "rank", "neighbor_id", "cos")
+    )

@@ -42,7 +42,7 @@ def register(name: str, oracle: str | None = None):
 # driver row, so the only driver-coverage risk is STALENESS — ~80 banked
 # greens were last proven in r1-r4, before the PySpark 4.1.2 migration.
 # This window is stalest-first:
-# (a) NEW_TARGETS — the 17 operators added this round (15 oracle-backed +
+# (a) NEW_TARGETS — the 18 operators added this round (16 oracle-backed +
 #     curate_pack_bpe, rows-only by contract: BPE's data-dependent merge
 #     loop has no SQL form; pytest recomputes every count in Python);
 # (b) CHANGED — the 9 stateful streaming queries, re-proven because the
@@ -65,7 +65,7 @@ NEW_TARGETS = [
     "q16_parts_supplier_relationship", "q20_potential_promotion",
     "q21_suppliers_who_kept_waiting", "dedup_substring_removal",
     "dedup_minhash_incremental", "curate_pipeline", "mm_image_dedup",
-    "text_bpe_train",
+    "text_bpe_train", "sim_knn_graph",
     # rows-only, added r7 (python-reference parity in tests/test_new_ops_r7.py)
     "curate_pack_bpe",
 ]
@@ -75,11 +75,10 @@ NEW_TARGETS = [
 UPGRADED: list[str] = []
 CHANGED = [
     # stateful streaming queries re-prove under the RocksDB state store
-    # (streaming/windows.py _state_partitions); the three with the
-    # freshest (r6) driver proofs — stream_dedup_watermark,
-    # stream_chained_agg, stream_watermark_late_data — yield their slots
-    # to r7-new operators and re-prove under RocksDB in r8 (see R8_QUEUE)
-    "stream_tumbling_window", "stream_session_window",
+    # (streaming/windows.py _state_partitions); the four with the
+    # freshest (r5/r6) driver proofs yield their slots to r7-new
+    # operators and re-prove under RocksDB in r8 (see R8_QUEUE)
+    "stream_session_window",
     "stream_stateful_counter", "stream_tws_spend", "stream_dedup",
     "stream_stream_join",
 ]
@@ -89,7 +88,11 @@ ROWS_ONLY_SLOTS = ["curate_pack_bpe", "text_bpe_train"]
 # trade): stream_dedup_watermark (RocksDB re-proof), scalar_xpath_fns
 # (parallelism repartition, value-neutral, locally re-verified at all
 # three SFs).
-R8_QUEUE = ["stream_dedup_watermark", "stream_chained_agg", "stream_watermark_late_data", "scalar_xpath_fns"]
+R8_QUEUE = [
+    "stream_dedup_watermark", "stream_chained_agg",
+    "stream_watermark_late_data", "stream_tumbling_window",
+    "scalar_xpath_fns",
+]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
