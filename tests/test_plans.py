@@ -404,3 +404,30 @@ def test_curate_pipeline_fuses_gate_into_scan_side(spark, sf_dir):
     assert n.get("Exchange hashpartitioning", 0) == 1, n
     assert n.get("Exchange SinglePartition", 0) == 1, n
     assert shuffle_count(df) <= 3, n
+
+
+def test_classifier_chain_stays_double_no_decimal(spark, sf_dir):
+    """r7 regression guard: Spark parses decimal-point literals as
+    DECIMAL, which silently ran the classifier's weight/score chain in
+    decimal arithmetic with engine-specific scale rounding (caught by the
+    sf0.1 sweep as a last-ulp mismatch). The operator's schema and plan
+    must be DECIMAL-free end-to-end."""
+    from pyspark.sql import types as T
+
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["text_quality_classifier"].fn(spark, sf_dir)
+
+    def flat(dt):
+        yield dt
+        if isinstance(dt, T.StructType):
+            for f in dt.fields:
+                yield from flat(f.dataType)
+        elif isinstance(dt, T.ArrayType):
+            yield from flat(dt.elementType)
+
+    assert not any(
+        isinstance(t, T.DecimalType) for t in flat(T.StructType(df.schema.fields))
+    ), df.schema
+    # and no decimal cast sneaks into the physical plan either
+    assert "as decimal" not in physical_plan(df).lower()
