@@ -291,6 +291,29 @@ def test_dpp_partition_filter_on_fact_scan(spark, sf_dir):
     assert any("dynamicpruning" in l for l in part_lines), plan[:2000]
 
 
+def test_skew_aqe_join_splits_hot_partition(spark, sf_dir):
+    """r8 contract (VERDICT r7 #5): under the operator's scoped confs, the
+    EXECUTED adaptive plan reports an AQE skew split on the probe side —
+    SortMergeJoin(skew=true) with an AQEShuffleRead marked skewed. The
+    deliberately hot key (80% of fact rows collapse to one supplier) would
+    otherwise melt a single reducer; OptimizeSkewedJoin slices it at map
+    granularity with zero query rewrite. Assertion is on the executed
+    plan: skew detection happens at RUNTIME from observed map sizes, so a
+    lazy explain cannot see it."""
+    from xml_to_parquet_spark.operators.scale_patterns import (
+        _SKEW_AQE_CONFS,
+        scoped_confs,
+        skew_aqe_join,
+    )
+
+    with scoped_confs(spark, **_SKEW_AQE_CONFS):
+        df = skew_aqe_join(spark, sf_dir)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    assert "skewed" in plan, plan[:2000]
+
+
 def test_quality_classifier_broadcast_weights_single_agg_shuffle(spark, sf_dir):
     """r7 contract (VERDICT r6 #4): the CLS_DIM-row weight table is
     broadcast (features never shuffle to the model), and the per-doc score

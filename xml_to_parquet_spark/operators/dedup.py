@@ -1036,12 +1036,13 @@ def dedup_minhash_incremental(spark, sf_dir):
     steady state the new batch's own bands are appended to the index
     (same partitioning, append mode), keeping the index current without
     rebuilds."""
-    import os as _os
-
+    from xml_to_parquet_spark.io_paths import committed as _committed
     from xml_to_parquet_spark.io_paths import scratch_dir as _scratch
 
     idx_dir = _scratch(sf_dir, "minhash_band_index")
-    if not _os.path.exists(idx_dir):
+    # _SUCCESS-keyed guard: an interrupted prior build (partial parquet,
+    # no commit marker) is rebuilt, never silently reused (ADVICE r7)
+    if not _committed(idx_dir):
         _bands_df(spark, sf_dir, INCR_INDEX_PRED).write.mode(
             "overwrite"
         ).partitionBy("band_id").parquet(idx_dir)
