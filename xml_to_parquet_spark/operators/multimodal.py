@@ -585,3 +585,143 @@ def mm_image_dedup(spark, sf_dir):
         F.bit_count(F.expr("p.ha ^ p.hb")).cast("bigint").alias("hamming"),
     )
     return pairs.filter(F.col("hamming") <= MM_DEDUP_HAMMING).distinct()
+
+
+# ---------------------------------------------------------------------------
+# cross-modal dedup: image near-dup pairs × caption-text verdicts
+# ---------------------------------------------------------------------------
+
+CAPTION_JACCARD = 0.5  # 3-gram jaccard at/above which captions count as near
+
+from xml_to_parquet_spark.functions.text_fns import (  # noqa: E402
+    TOKENS_DUCK as _TOKENS_DUCK,
+)
+from xml_to_parquet_spark.functions.text_fns import (  # noqa: E402
+    shingles_duck as _shingles_duck,
+)
+
+
+@register(
+    "mm_caption_dedup",
+    f"""
+    WITH {_PHASH_ORACLE_CTE},
+    banded AS (
+      SELECT doc_id, width, height, dhash, k.k AS band_idx,
+             (dhash >> CASE k.k WHEN 0 THEN 0
+                                WHEN 1 THEN (height - 1) // 3
+                                ELSE 2 * ((height - 1) // 3) END)
+             & (CASE k.k
+                  WHEN 0 THEN (1 << ((height - 1) // 3)) - 1
+                  WHEN 1 THEN (1 << ((height - 1) // 3)) - 1
+                  ELSE (1 << ((height - 1) - 2 * ((height - 1) // 3))) - 1
+                END) AS bv
+      FROM ph, unnest([0, 1, 2]) AS k(k)
+    ),
+    ipairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             CAST(bit_count(xor(a.dhash, b.dhash)) AS BIGINT) AS hamming
+      FROM banded a JOIN banded b
+        ON a.width = b.width AND a.height = b.height
+       AND a.band_idx = b.band_idx AND a.bv = b.bv
+       AND a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.dhash, b.dhash)) <= {MM_DEDUP_HAMMING}
+    ),
+    tok AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text),
+                 '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS nh,
+             {_TOKENS_DUCK} AS toks
+      FROM documents
+    ),
+    cap AS (
+      SELECT doc_id, nh,
+             CASE WHEN len(toks) >= 3 THEN list_distinct({_shingles_duck(3)})
+                  ELSE CAST([] AS VARCHAR[]) END AS sh
+      FROM tok
+    ),
+    scored AS (
+      SELECT p.doc_a, p.doc_b, p.hamming,
+             len(list_intersect(a.sh, b.sh)) AS ilen,
+             len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS ulen,
+             a.nh = b.nh AS same_nh
+      FROM ipairs p JOIN cap a ON a.doc_id = p.doc_a
+                    JOIN cap b ON b.doc_id = p.doc_b
+    )
+    SELECT doc_a, doc_b, hamming,
+           round(CASE WHEN ulen > 0 THEN ilen / ulen ELSE 0 END, 4) AS jaccard,
+           CASE WHEN same_nh THEN 'same_caption'
+                WHEN ulen > 0 AND ilen / ulen >= {CAPTION_JACCARD}
+                    THEN 're_rendered'
+                ELSE 're_captioned' END AS verdict
+    FROM scored
+    """,
+)
+def mm_caption_dedup(spark, sf_dir):
+    """Cross-modal dedup — the LAION-style curation decision (VERDICT r7
+    #4): every image near-duplicate pair (mm_image_dedup's hamming ≤ 2
+    dHash pairs) is classified by what its CAPTIONS say happened:
+    ``same_caption`` (normalized texts hash-identical — a straight
+    re-upload), ``re_rendered`` (captions near by 3-gram Jaccard ≥ 0.5 —
+    same description, image re-encoded/re-rendered), or ``re_captioned``
+    (captions unrelated — the same image circulating with new text, the
+    pair a text-only OR image-only tier each miss). Composes two existing
+    tiers — the dHash banding chassis and the dedup_normalized /
+    ngram-jaccard text machinery — into one fully oracle-checked operator.
+
+    Scale shape: the pair list is the small side (collision pairs only,
+    bounded by the banding tier), so the two caption joins are plain
+    equi-joins on doc_id that AQE broadcasts when pairs fit; caption
+    features (norm hash + distinct shingle set) are computed map-side ONCE
+    per document, not per pair; the per-pair Jaccard is a codegen'd
+    array_intersect over already-distinct arrays. No stage is quadratic in
+    the corpus — the image tier already did the candidate pruning."""
+    from xml_to_parquet_spark.functions.text_fns import (
+        TOKENS_SQL,
+        shingles_sql,
+    )
+
+    pairs = mm_image_dedup(spark, sf_dir)
+    norm = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
+        )
+    )
+    cap = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.md5(norm).alias("nh"), F.expr(TOKENS_SQL).alias("toks"))
+        .select(
+            "doc_id",
+            "nh",
+            F.when(
+                F.size("toks") >= 3,
+                F.array_distinct(F.expr(shingles_sql(3))),
+            )
+            .otherwise(F.array().cast("array<string>"))
+            .alias("sh"),
+        )
+    )
+    a = cap.select(
+        F.col("doc_id").alias("_ida"), F.col("nh").alias("nh_a"), F.col("sh").alias("sh_a")
+    )
+    b = cap.select(
+        F.col("doc_id").alias("_idb"), F.col("nh").alias("nh_b"), F.col("sh").alias("sh_b")
+    )
+    scored = (
+        pairs.join(a, pairs.doc_a == a._ida)
+        .join(b, pairs.doc_b == b._idb)
+        .withColumn("ilen", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn("ulen", F.size("sh_a") + F.size("sh_b") - F.col("ilen"))
+    )
+    jac = F.when(F.col("ulen") > 0, F.col("ilen") / F.col("ulen")).otherwise(
+        F.lit(0.0)
+    )
+    return scored.select(
+        "doc_a",
+        "doc_b",
+        "hamming",
+        F.round(jac, 4).alias("jaccard"),
+        F.when(F.col("nh_a") == F.col("nh_b"), F.lit("same_caption"))
+        .when(jac >= CAPTION_JACCARD, F.lit("re_rendered"))
+        .otherwise(F.lit("re_captioned"))
+        .alias("verdict"),
+    )
