@@ -74,6 +74,18 @@ BENCH_QUERIES = [
     "text_quality_classifier",
     "join_bloom_pruned",
     "scan_dpp_partitioned",
+    # r8 additions (VERDICT r7 #3): the r7 heavies whose regressions were
+    # previously invisible to the round-over-round diff — semdedup is the
+    # slowest registered operator (~4s at sf0.1, documented HOF trade) and
+    # q21 already regressed once (16s before the aggregate-first rewrite)
+    "dedup_semdedup",
+    "mm_image_dedup",
+    "curate_pipeline",
+    "sim_knn_graph",
+    "q21_suppliers_who_kept_waiting",
+    # r8 new operators: AQE skew split + cross-modal caption dedup
+    "join_skew_aqe",
+    "mm_caption_dedup",
 ]
 
 

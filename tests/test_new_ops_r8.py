@@ -1,0 +1,193 @@
+"""Semantic tests for the round-8 [EXT] additions: baseline-DCT JPEG
+codec + mm_decode_jpeg (the rows-only driver entry's exactness proof),
+cross-modal caption dedup, the vector capstone pipeline, and the AQE
+skew join's oracle semantics (its plan contract lives in test_plans.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xml_to_parquet_spark.registry import load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+# ---------------------------------------------------------------------------
+# JPEG codec (functions/jpegcodec.py)
+# ---------------------------------------------------------------------------
+
+
+def _doc_image(d: int) -> np.ndarray:
+    w, h = 8 + d % 16, 8 + (d * 7) % 16
+    xs, ys = np.arange(w), np.arange(h)
+    return ((d + 3 * xs[None, :] + 5 * ys[:, None]) % 256).astype(np.uint8)
+
+
+def test_jpeg_constant_blocks_decode_exactly():
+    """A constant image is DC-only; quantized DC round-trips without loss
+    for every gray level at quality 90 (the closed-form case)."""
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    for val in (0, 1, 17, 127, 128, 200, 254, 255):
+        img = np.full((16, 24), val, np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == img.shape
+        assert np.array_equal(out, img), f"constant {val} not exact"
+
+
+def test_jpeg_roundtrip_error_bounded_and_quality_monotone():
+    """Reconstruction error shrinks as quality rises, and at quality 100
+    (all-ones quant table) it is at most 1 LSB even on noise."""
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, (19, 21), np.uint8)
+    errs = {}
+    for q in (50, 75, 90, 100):
+        out = decode_jpeg(encode_jpeg(img, q))
+        assert out.shape == img.shape
+        errs[q] = int(np.abs(out.astype(int) - img.astype(int)).max())
+    assert errs[100] <= 1, errs
+    assert errs[100] <= errs[75] <= errs[50], errs
+    assert errs[90] <= errs[50], errs
+
+
+def test_jpeg_non_multiple_of_8_dims_crop_back():
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    for h, w in ((1, 1), (7, 9), (8, 8), (15, 17), (23, 8)):
+        img = _doc_image(5)[:h, :w].copy() if h <= 23 and w <= 13 else None
+        if img is None or img.shape != (h, w):
+            xs, ys = np.arange(w), np.arange(h)
+            img = ((3 * xs[None, :] + 5 * ys[:, None]) % 256).astype(np.uint8)
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (h, w)
+
+
+def test_jpeg_zigzag_is_a_permutation_and_inverse_holds():
+    from xml_to_parquet_spark.functions.jpegcodec import UNZIGZAG, ZIGZAG
+
+    assert sorted(ZIGZAG.tolist()) == list(range(64))
+    nat = np.arange(64)
+    assert np.array_equal(nat[ZIGZAG][UNZIGZAG], nat)
+    # spec anchor: the first zigzag steps (T.81 Figure A.6)
+    assert ZIGZAG[:6].tolist() == [0, 1, 8, 16, 9, 2]
+
+
+def test_jpeg_rejects_unsupported_profiles():
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    good = encode_jpeg(_doc_image(3), 90)
+    # progressive SOF2 in place of SOF0
+    assert b"\xff\xc0" in good
+    with pytest.raises(ValueError, match="baseline"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2"))
+    with pytest.raises(ValueError, match="SOI"):
+        decode_jpeg(b"\x00" + good)
+    with pytest.raises(ValueError):
+        decode_jpeg(good[:40])  # truncated before SOS
+
+
+def test_jpeg_bytes_are_deterministic_and_stuffed():
+    """Same input → same bytes (the dedup-ability contract every codec in
+    the column keeps), and no bare 0xFF survives inside the entropy
+    segment (byte stuffing)."""
+    from xml_to_parquet_spark.functions.jpegcodec import encode_jpeg
+
+    img = _doc_image(11)
+    b1, b2 = encode_jpeg(img, 90), encode_jpeg(img, 90)
+    assert b1 == b2
+    sos = b1.find(b"\xff\xda")
+    entropy = b1[sos + 14 : -2]  # after SOS header, before EOI
+    i = 0
+    while i < len(entropy):
+        if entropy[i] == 0xFF:
+            assert entropy[i + 1] == 0x00, f"unstuffed FF at {i}"
+            i += 2
+        else:
+            i += 1
+
+
+# ---------------------------------------------------------------------------
+# mm_decode_jpeg — Spark path bit-parity with the in-process codec
+# ---------------------------------------------------------------------------
+
+
+def test_mm_decode_jpeg_matches_inprocess_decode(spark, sf_dir, reg):
+    """The driver entry is rows-only by contract (no SQL for the IDCT);
+    THIS is its exactness proof: the Spark mapInPandas chain must produce
+    the identical (width, height, pix_sum, max_err) the codec produces
+    in-process, for every document, and the decode error must stay within
+    the quality-90 bound."""
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    got = (
+        reg["mm_decode_jpeg"].fn(spark, sf_dir).toPandas().set_index("doc_id").sort_index()
+    )
+    assert len(got) > 0
+    for d, row in got.iterrows():
+        img = _doc_image(int(d))
+        arr = decode_jpeg(encode_jpeg(img, 90)).astype("int64")
+        assert (row["height"], row["width"]) == arr.shape
+        assert row["n_px"] == arr.size
+        assert row["pix_sum"] == int(arr.sum())
+        assert row["max_err"] == int(np.abs(arr - img.astype("int64")).max())
+    # lossy but bounded: the wrap-seam ringing at quality 90 stays small
+    assert got["max_err"].max() <= 32
+
+
+# ---------------------------------------------------------------------------
+# mm_caption_dedup / sim_pipeline — composition consistency
+# ---------------------------------------------------------------------------
+
+
+def test_caption_dedup_covers_exactly_the_image_pairs(spark, sf_dir, reg):
+    """Every image near-dup pair gets exactly one caption verdict — the
+    classification never drops or invents pairs."""
+    pairs = reg["mm_image_dedup"].fn(spark, sf_dir).toPandas()
+    verdicts = reg["mm_caption_dedup"].fn(spark, sf_dir).toPandas()
+    assert len(verdicts) == len(pairs)
+    key = lambda df: set(zip(df["doc_a"], df["doc_b"]))
+    assert key(verdicts) == key(pairs)
+    assert set(verdicts["verdict"]) <= {
+        "same_caption",
+        "re_rendered",
+        "re_captioned",
+    }
+    # verdict/jaccard consistency: re_rendered requires jaccard >= 0.5,
+    # re_captioned requires jaccard < 0.5
+    rr = verdicts[verdicts["verdict"] == "re_rendered"]
+    rc = verdicts[verdicts["verdict"] == "re_captioned"]
+    assert (rr["jaccard"] >= 0.5).all()
+    assert (rc["jaccard"] < 0.5).all()
+
+
+def test_sim_pipeline_equals_staged_composition(spark, sf_dir, reg):
+    """The one-plan capstone must equal what the staged operators say:
+    its vectors are exactly the non-pruned ones (dedup_semdedup's output
+    is the pruned set), and each survivor has at most KNN_K neighbors,
+    rank-ordered within its own cluster."""
+    from xml_to_parquet_spark.operators.similarity import KNN_K
+
+    pruned = set(reg["dedup_semdedup"].fn(spark, sf_dir).toPandas()["vec_id"])
+    graph = reg["sim_pipeline"].fn(spark, sf_dir).toPandas()
+    assert len(graph) > 0
+    assert not (set(graph["vec_id"]) & pruned)
+    assert not (set(graph["neighbor_id"]) & pruned)
+    per = graph.groupby("vec_id")["rank"]
+    assert (per.max() <= KNN_K).all()
+    # ranks are 1..k contiguous per vector
+    assert (per.min() == 1).all()
+    for _, g in graph.groupby("vec_id"):
+        assert sorted(g["rank"]) == list(range(1, len(g) + 1))
+        # ordered by cosine desc with neighbor_id tiebreak
+        srt = g.sort_values(["rank"])
+        coss = srt["cos"].tolist()
+        assert coss == sorted(coss, reverse=True) or len(coss) == 1 or all(
+            a > b or (a == b) for a, b in zip(coss, coss[1:])
+        )

@@ -1,0 +1,380 @@
+"""Stdlib+numpy baseline-DCT JPEG codec (grayscale, sequential, JFIF).
+
+Closes the multimodal column's biggest real-world gap (VERDICT r7 #2):
+web-scale image corpora are overwhelmingly JPEG, and the codec family
+stopped at PNG/BMP/WAV. The container has no PIL/libjpeg, but a baseline
+JPEG is decodable with nothing beyond the standard library plus numpy —
+which keeps the decode path REAL end-to-end: genuine entropy-coded JPEG
+bytes in a binary column, genuine Huffman + dequant + IDCT in the
+executor.
+
+Supported surface (deliberately minimal, asserts otherwise):
+- encode: 8-bit grayscale, baseline sequential (SOF0), one quant table
+  (Annex-K luminance scaled by libjpeg's quality curve), the Annex-K
+  standard Huffman tables, no subsampling, no restart intervals.
+- decode: exactly that profile — single-component SOF0, 8-bit quant
+  tables, interleaved scan, FF00 byte-unstuffing. Progressive (SOF2),
+  multi-component, 16-bit DQT and DRI/RSTn raise ValueError.
+
+There is no closed-form SQL oracle for the IDCT, so the driver entry is
+rows-only by contract; exactness is proven in pytest instead (constant
+blocks decode via a closed form, encode→decode roundtrip error is bounded
+by the quant table, and the Spark mapInPandas path must equal an
+in-process decode bit-for-bit). The reference repo (/root/reference/) has
+no multimodal support at all, so this is [EXT] surface per SURVEY.md
+§2.2.
+
+JPEG spec facts used here (ITU-T T.81): zigzag coefficient order (§A.3.6),
+DC prediction + magnitude categories (§F.1.2.1), AC run/size symbols with
+ZRL/EOB (§F.1.2.2), byte stuffing (§B.1.1.5), Annex-K quant/Huffman
+tables.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# Annex K luminance quantization table, natural (row-major) order.
+STD_QUANT_LUMA = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.int64,
+)
+
+# Zigzag scan: ZIGZAG[k] = natural index of the k-th zigzag coefficient.
+def _zigzag_order() -> np.ndarray:
+    idx = []
+    for s in range(15):
+        rng = range(max(0, s - 7), min(s, 7) + 1)
+        # even diagonals run bottom-left→top-right, odd ones the reverse
+        for i in rng if s % 2 else reversed(rng):
+            idx.append(i * 8 + (s - i))
+    return np.array(idx, dtype=np.int64)
+
+
+ZIGZAG = _zigzag_order()
+UNZIGZAG = np.argsort(ZIGZAG)
+
+# Annex K DC luminance Huffman spec: BITS[l] = #codes of length l+1,
+# HUFFVAL = symbols in code order. Symbols are magnitude categories 0-11.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+# Annex K AC luminance Huffman spec. Symbols are (run<<4)|size plus
+# EOB=0x00 and ZRL=0xF0.
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+    0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+    0xA1, 0x08, 0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24,
+    0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A,
+    0x25, 0x26, 0x27, 0x28, 0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38,
+    0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53,
+    0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5A, 0x63, 0x64, 0x65, 0x66,
+    0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8A, 0x92, 0x93,
+    0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+    0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6, 0xB7,
+    0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2,
+    0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+]
+
+
+def _canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol -> (code, length), canonical JPEG assignment (§C.2)."""
+    out: dict[int, tuple[int, int]] = {}
+    code = 0
+    k = 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _decode_table(bits: list[int], vals: list[int]) -> dict[tuple[int, int], int]:
+    """(length, code) -> symbol, for the bit-at-a-time decoder."""
+    enc = _canonical_codes(bits, vals)
+    return {(ln, code): sym for sym, (code, ln) in enc.items()}
+
+
+DC_ENC = _canonical_codes(DC_BITS, DC_VALS)
+AC_ENC = _canonical_codes(AC_BITS, AC_VALS)
+
+# Orthonormal 8-point DCT-II matrix: F = M @ f @ M.T is exactly the JPEG
+# FDCT (T.81 §A.3.3 with the 1/4·C(u)·C(v) scaling absorbed).
+def _dct_matrix() -> np.ndarray:
+    m = np.zeros((8, 8))
+    for u in range(8):
+        cu = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+DCT_M = _dct_matrix()
+
+
+def quant_table(quality: int = 90) -> np.ndarray:
+    """libjpeg quality scaling of the Annex-K luminance table."""
+    if not 1 <= quality <= 100:
+        raise ValueError("quality must be in [1, 100]")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    q = (STD_QUANT_LUMA * scale + 50) // 100
+    return np.clip(q, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def write(self, value: int, nbits: int) -> None:
+        if nbits == 0:
+            return
+        self._acc = (self._acc << nbits) | (value & ((1 << nbits) - 1))
+        self._n += nbits
+        while self._n >= 8:
+            byte = (self._acc >> (self._n - 8)) & 0xFF
+            self._n -= 8
+            self.out.append(byte)
+            if byte == 0xFF:  # byte stuffing (§B.1.1.5)
+                self.out.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            pad = 8 - self._n
+            self.write((1 << pad) - 1, pad)  # pad with 1-bits (§F.1.2.3)
+        return bytes(self.out)
+
+
+def _category(v: int) -> int:
+    """Magnitude category: number of bits in |v| (0 for v == 0)."""
+    return int(abs(v)).bit_length()
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode an (h, w) uint8 grayscale array as a baseline JFIF JPEG."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim != 2:
+        raise ValueError(f"unsupported image shape {img.shape} (grayscale only)")
+    h, w = img.shape
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    q = quant_table(quality)
+    # pad to 8×8 multiples by edge replication (the spec leaves padding to
+    # the encoder; replication avoids ringing into the real pixels)
+    ph, pw = -h % 8, -w % 8
+    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    padded -= 128.0
+    bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
+    # batch FDCT: (bh, bw, 8, 8) blocks → M @ B @ M.T via einsum
+    blocks = padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+    coef = np.einsum("ux,bcxy,vy->bcuv", DCT_M, blocks, DCT_M)
+    # quantize: round-half-away-from-zero, then clamp to the 10-bit range
+    # the Annex-K AC table can express (only reachable near quality=100)
+    qc = np.sign(coef) * np.floor(np.abs(coef) / q + 0.5)
+    qc = np.clip(qc, -1023, 1023).astype(np.int64)
+
+    bw_iter = _BitWriter()
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = qc[by, bx].reshape(64)[ZIGZAG]
+            # DC: differential, category + magnitude bits (§F.1.2.1)
+            diff = int(zz[0]) - prev_dc
+            prev_dc = int(zz[0])
+            s = _category(diff)
+            code, ln = DC_ENC[s]
+            bw_iter.write(code, ln)
+            if s:
+                mag = diff if diff > 0 else diff + (1 << s) - 1
+                bw_iter.write(mag, s)
+            # AC: run/size with ZRL and EOB (§F.1.2.2)
+            run = 0
+            for k in range(1, 64):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = AC_ENC[0xF0]  # ZRL
+                    bw_iter.write(code, ln)
+                    run -= 16
+                s = _category(v)
+                code, ln = AC_ENC[(run << 4) | s]
+                bw_iter.write(code, ln)
+                mag = v if v > 0 else v + (1 << s) - 1
+                bw_iter.write(mag, s)
+                run = 0
+            if run:
+                code, ln = AC_ENC[0x00]  # EOB
+                bw_iter.write(code, ln)
+    entropy = bw_iter.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(payload) + 2) + payload
+
+    app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[ZIGZAG]))
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dht = seg(
+        0xFFC4,
+        b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
+        + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS),
+    )
+    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
+
+
+class _BitReader:
+    """MSB-first bit reader over the entropy-coded segment, with FF00
+    unstuffing done up front."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data.replace(b"\xff\x00", b"\xff")
+        self.pos = 0  # bit position
+
+    def bit(self) -> int:
+        byte = self.data[self.pos >> 3]
+        b = (byte >> (7 - (self.pos & 7))) & 1
+        self.pos += 1
+        return b
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _read_symbol(r: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code = 0
+    for length in range(1, 17):
+        code = (code << 1) | r.bit()
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in entropy stream")
+
+
+def _extend(v: int, s: int) -> int:
+    """§F.2.2.1 EXTEND: map s magnitude bits back to a signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(data: bytes) -> np.ndarray:
+    """Decode a baseline grayscale JPEG into an (h, w) uint8 array."""
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtables: dict[int, np.ndarray] = {}
+    dc_tab: dict[tuple[int, int], int] = {}
+    ac_tab: dict[tuple[int, int], int] = {}
+    dims = None
+    comp_q = 0
+    entropy = None
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"marker expected at byte {pos}")
+        marker = struct.unpack_from(">H", data, pos)[0]
+        if marker == 0xFFD9:  # EOI
+            break
+        (length,) = struct.unpack_from(">H", data, pos + 2)
+        payload = data[pos + 4 : pos + 2 + length]
+        pos += 2 + length
+        if marker == 0xFFDB:  # DQT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                pq, tq = payload[off] >> 4, payload[off] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                zz = np.frombuffer(payload, np.uint8, 64, off + 1).astype(np.int64)
+                tbl = np.zeros(64, np.int64)
+                tbl[ZIGZAG] = zz  # stored zigzag → natural order
+                qtables[tq] = tbl.reshape(8, 8)
+                off += 65
+        elif marker in (0xFFC1, 0xFFC2, 0xFFC3):
+            raise ValueError("only baseline sequential (SOF0) supported")
+        elif marker == 0xFFC0:  # SOF0
+            prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or ncomp != 1:
+                raise ValueError("only 8-bit single-component JPEG supported")
+            # per-component bytes: id, sampling (HiVi nibbles), quant id
+            if payload[7] != 0x11:
+                raise ValueError("subsampling not supported")
+            dims = (h, w)
+            comp_q = payload[8]
+        elif marker == 0xFFC4:  # DHT (possibly several tables per segment)
+            off = 0
+            while off < len(payload):
+                tc = payload[off] >> 4
+                bits = list(payload[off + 1 : off + 17])
+                n = sum(bits)
+                vals = list(payload[off + 17 : off + 17 + n])
+                tab = _decode_table(bits, vals)
+                if tc == 0:
+                    dc_tab = tab
+                else:
+                    ac_tab = tab
+                off += 17 + n
+        elif marker == 0xFFDD:
+            raise ValueError("restart intervals not supported")
+        elif marker == 0xFFDA:  # SOS — entropy data follows to EOI
+            end = data.rfind(b"\xff\xd9")
+            if end < 0:
+                raise ValueError("missing EOI")
+            entropy = data[pos:end]
+            break
+    if dims is None or entropy is None or not dc_tab or not ac_tab:
+        raise ValueError("incomplete JPEG (missing SOF/DHT/SOS)")
+    h, w = dims
+    q = qtables[comp_q]
+    bh, bw = (h + 7) // 8, (w + 7) // 8
+    r = _BitReader(entropy)
+    coef = np.zeros((bh, bw, 8, 8), np.int64)
+    prev_dc = 0
+    for by in range(bh):
+        for bx in range(bw):
+            zz = np.zeros(64, np.int64)
+            s = _read_symbol(r, dc_tab)
+            diff = _extend(r.bits(s), s) if s else 0
+            prev_dc += diff
+            zz[0] = prev_dc
+            k = 1
+            while k < 64:
+                sym = _read_symbol(r, ac_tab)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                k += sym >> 4
+                size = sym & 0xF
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zz[k] = _extend(r.bits(size), size)
+                k += 1
+            coef[by, bx].reshape(64)[ZIGZAG] = zz
+    # batch dequant + IDCT: f = M.T @ F @ M, level shift, round, clamp
+    deq = coef * q
+    pix = np.einsum("xu,bcuv,yv->bcxy", DCT_M.T, deq.astype(np.float64), DCT_M.T)
+    pix = np.clip(np.floor(pix + 128.0 + 0.5), 0, 255).astype(np.uint8)
+    full = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
+    return full[:h, :w].copy()

@@ -38,78 +38,59 @@ def register(name: str, oracle: str | None = None):
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-7 rotation (VERDICT r6 #1): after r6, EVERY registered query has a
-# driver row, so the only driver-coverage risk is STALENESS — ~80 banked
-# greens were last proven in r1-r4, before the PySpark 4.1.2 migration.
-# This window is stalest-first:
-# (a) NEW_TARGETS — the 18 operators added this round (16 oracle-backed +
-#     curate_pack_bpe, rows-only by contract: BPE's data-dependent merge
-#     loop has no SQL form; pytest recomputes every count in Python);
-# (b) CHANGED — the 9 stateful streaming queries, re-proven because the
-#     whole streaming suite moved to the RocksDB state-store provider
-#     this round (same semantics, different state backend — the class of
-#     change that deserves a driver re-proof);
-# (c) fills — the 24 stalest banked greens, oldest-driver-proof-first:
-#     all 10 r1-era + all 14 remaining r2-era (the r3-era remainder
-#     r3-era (category-spread); the r3/r4 remainder rotates in r8, after
-#     which no proof is older than 4 rounds (pinned by the staleness
-#     guard test).
-# Previous windows: r1-r6 lists are in git history.
+# Round-8 rotation (VERDICT r7 #1): every registered query has a driver
+# proof, so the window exists to keep proofs FRESH — stalest-first:
+# (a) NEW_TARGETS — the 4 operators added this round (3 oracle-backed +
+#     mm_decode_jpeg, rows-only by contract: the lossy IDCT has no SQL
+#     form; tests/test_new_ops_r8.py proves Spark-vs-in-process
+#     bit-parity and the quality-90 error bound);
+# (b) CHANGED — the queued r7 trade (R8_QUEUE in the r7 registry): the 4
+#     stateful streaming queries still owing a RocksDB-state-store
+#     re-proof, plus scalar_xpath_fns after its parallelism repartition;
+# (c) fills — the ENTIRE r3-era remainder (21 queries, the oldest
+#     surviving proofs) plus the 17 stalest r4-era; the remaining 21
+#     r4-era rotate in r9, keeping every proof within the 4-round
+#     staleness bound (pinned by test_no_driver_proof_older_than_k_rounds).
+# Previous windows: r1-r7 lists are in git history.
 NEW_TARGETS = [
-    # oracle-backed, added r7
-    "dedup_substring", "join_bloom_pruned", "scan_dpp_partitioned",
-    "text_quality_classifier", "agg_pushdown_stats", "dedup_semdedup",
-    # the 5 TPC-H shapes unblocked by the derived partsupp /
-    # commit-receipt relations (tpch_derived.py) — 22 of 22 shapes now run
-    "q2_min_cost_supplier", "q11_important_stock",
-    "q16_parts_supplier_relationship", "q20_potential_promotion",
-    "q21_suppliers_who_kept_waiting", "dedup_substring_removal",
-    "dedup_minhash_incremental", "curate_pipeline", "mm_image_dedup",
-    "text_bpe_train", "sim_knn_graph",
-    # rows-only, added r7 (python-reference parity in tests/test_new_ops_r7.py)
-    "curate_pack_bpe",
+    # oracle-backed, added r8
+    "join_skew_aqe", "mm_caption_dedup", "sim_pipeline",
+    # rows-only, added r8 (bit-parity proof in tests/test_new_ops_r8.py)
+    "mm_decode_jpeg",
 ]
-# NOTE: text_bpe_train is also rows-only (iterative argmax training, no
-# SQL form) — its parity proof is exact merge-sequence equality with a
-# pure-python reference trainer in tests/test_new_ops_r7.py.
 UPGRADED: list[str] = []
 CHANGED = [
-    # stateful streaming queries re-prove under the RocksDB state store
-    # (streaming/windows.py _state_partitions); the four with the
-    # freshest (r5/r6) driver proofs yield their slots to r7-new
-    # operators and re-prove under RocksDB in r8 (see R8_QUEUE)
-    "stream_session_window",
-    "stream_stateful_counter", "stream_tws_spend", "stream_dedup",
-    "stream_stream_join",
-]
-ROWS_ONLY_SLOTS = ["curate_pack_bpe", "text_bpe_train"]
-# Queued for the r8 window (changed this round, could not take an r7 slot
-# without evicting a staleness-mandated fill — the guard enforces the
-# trade): stream_dedup_watermark (RocksDB re-proof), scalar_xpath_fns
-# (parallelism repartition, value-neutral, locally re-verified at all
-# three SFs).
-R8_QUEUE = [
+    # the r7 queue: RocksDB re-proofs deferred by r7's staleness trade +
+    # the xpath parallelism repartition
     "stream_dedup_watermark", "stream_chained_agg",
     "stream_watermark_late_data", "stream_tumbling_window",
     "scalar_xpath_fns",
 ]
+ROWS_ONLY_SLOTS = ["mm_decode_jpeg"]
+# Nothing queued for r9 yet; the r9 window owes the remaining 21 r4-era
+# fills (see GRADED_WINDOW tail comment).
+R9_QUEUE: list[str] = []
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
     *CHANGED,
-    # fills, stalest-first (latest driver proof in parentheses):
-    # --- r1-era (10)
-    "agg_distinct", "agg_having", "curate_mix_sources",
-    "curate_pack_sequences", "dedup_normalized", "distinct_rows",
-    "mm_frame_sample", "mm_resize", "set_intersect", "unpivot_stack",
-    # --- r2-era (14; stream_stateful_counter is in CHANGED)
-    "agg_percentile", "dq_profile", "join_left", "lateral_topk",
-    "mm_decode_meta", "mm_feature_extract", "orderby_limit",
-    "pivot_status", "recursive_cte", "scalar_math_fns",
-    "scalar_string_fns", "set_except", "topk_per_group",
-    "window_lag_lead",
-    # --- (the whole r3-era remainder rotates in r8)
+    # fills, stalest-first (latest driver proof round in the header):
+    # --- r3-era, ALL 21
+    "agg_count_if_filter", "agg_mode_deterministic", "curate_pack_chunks",
+    "dq_constraints", "filter_predicates", "incremental_agg_maintenance",
+    "join_cross", "join_full_outer", "mm_audio_chunk", "pagerank_fixed",
+    "scalar_array_fns", "scalar_case_when", "scalar_regexp_split",
+    "sim_ivf_persist", "sim_quantized_topk", "source_orc_roundtrip",
+    "text_token_count", "udf_arrow_map", "window_count_distinct",
+    "window_first_last", "window_running_sum",
+    # --- r4-era, 17 of 38 (category-spread; the other 21 rotate in r9)
+    "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
+    "agg_string_collect", "exists_correlated_subquery", "explode_unnest",
+    "in_subquery", "join_anti", "join_right",
+    "q13_customer_distribution", "q15_top_supplier",
+    "q19_discounted_revenue", "q22_global_sales_opportunity",
+    "q6_forecast_revenue", "q8_market_share", "sample_hash_deterministic",
 ]
 
 
