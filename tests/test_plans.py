@@ -291,6 +291,31 @@ def test_dpp_partition_filter_on_fact_scan(spark, sf_dir):
     assert any("dynamicpruning" in l for l in part_lines), plan[:2000]
 
 
+def test_bucketed_agg_has_no_exchange(spark, sf_dir):
+    """r8: the bucketed scan's HashPartitioning(l_orderkey) already
+    satisfies the groupBy distribution, so the whole aggregate plans with
+    ZERO Exchange — the write-once-aggregate-daily layout payoff."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["agg_bucketed_reuse"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Bucketed: true" in plan, plan[:2000]
+
+
+def test_triangle_count_wedges_from_oriented_edges(spark, sf_dir):
+    """r8: the triangle plan must contain no cartesian/nested-loop join —
+    wedge generation and closure are equi-joins (the degree-ordered
+    orientation is what makes that possible), and the only crossJoins are
+    the three 1-row aggregate combiners."""
+    df = load_all()["graph_triangle_count"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not n.get("CartesianProduct"), n
+    # 1-row × 1-row combiners plan as BroadcastNestedLoopJoin; the real
+    # joins (co-occurrence, degree, wedge, closure) must all be hash/merge
+    assert n.get("BroadcastNestedLoopJoin", 0) <= 2, n
+
+
 def test_skew_aqe_join_splits_hot_partition(spark, sf_dir):
     """r8 contract (VERDICT r7 #5): under the operator's scoped confs, the
     EXECUTED adaptive plan reports an AQE skew split on the probe side —

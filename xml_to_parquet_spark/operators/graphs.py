@@ -115,3 +115,111 @@ def pagerank_fixed(spark, sf_dir):
         F.col("r").alias("rank_scaled"),
         (F.col("r").cast("double") / SCALE).alias("rank"),
     )
+
+
+# ---------------------------------------------------------------------------
+# triangle counting over the part co-occurrence graph
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS u FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.u AS u, b.u AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.u < b.u
+    ),
+    nodes AS (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
+    tri AS (
+      SELECT count(*) AS t
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    )
+    SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+           (SELECT count(*) FROM e)     AS n_edges,
+           (SELECT t FROM tri)          AS n_triangles
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Triangle counting over the part co-occurrence graph (parts sharing
+    an order are adjacent — the market-basket graph; per-order pair
+    fan-out is C(basket, 2), bounded by TPC-H's ≤7-item baskets, so edge
+    generation is linear in lineitem). Output: one (n_nodes, n_edges,
+    n_triangles) row; the DuckDB oracle counts the same triangles with a
+    naive a<b<c triple join.
+
+    Scale shape — the Spark side runs the DEGREE-ORDERED orientation
+    (node-iterator++/compact-forward; the MapReduce formulation is
+    Suri & Vassilvitskii's "Counting Triangles and the Curse of the Last
+    Reducer", WWW'11): every undirected edge is directed from the
+    endpoint with smaller (degree, id) to the larger, so each triangle is
+    counted exactly once from its lowest-degree corner and — the point —
+    a hub of degree d contributes wedges only through its LOW-degree
+    incident edges: out-degrees are O(√m)-bounded, the wedge join is
+    Σ C(outdeg, 2) ≈ m^1.5 worst-case instead of Σ C(deg, 2) which the
+    naive oracle formulation pays (quadratic in the hottest key — the
+    'last reducer' that melts at 100 TB). Wedge generation is one
+    self-join on src; closing the wedge is one equi-join on the (a, b)
+    edge key. All exchanges hash on node/edge keys; nothing is driver-
+    side."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    # orient low (deg, id) -> high; carry the head's (deg, id) so wedge
+    # pairs can be ordered without re-joining degrees
+    oriented = ed.select(
+        F.when(
+            F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+            F.struct(
+                F.col("u").alias("s"),
+                F.col("v").alias("d"),
+                F.col("dv").alias("dd"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.col("v").alias("s"),
+                F.col("u").alias("d"),
+                F.col("du").alias("dd"),
+            )
+        )
+        .alias("e")
+    ).select("e.s", "e.d", "e.dd")
+    o1 = oriented.alias("o1")
+    o2 = oriented.alias("o2")
+    # wedges from the lowest corner: unordered out-neighbor pairs, ordered
+    # by the same (deg, id) key the orientation used
+    wedges = o1.join(
+        o2,
+        (F.col("o1.s") == F.col("o2.s"))
+        & (
+            F.struct(F.col("o1.dd"), F.col("o1.d"))
+            < F.struct(F.col("o2.dd"), F.col("o2.d"))
+        ),
+    ).select(F.col("o1.d").alias("wa"), F.col("o2.d").alias("wb"))
+    closing = oriented.select(F.col("s").alias("wa"), F.col("d").alias("wb"))
+    n_tri = wedges.join(closing, ["wa", "wb"]).agg(
+        F.count(F.lit(1)).alias("n_triangles")
+    )
+    n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    return n_nodes.crossJoin(n_edges).crossJoin(n_tri)

@@ -66,24 +66,11 @@ def join_skew_salted(spark, sf_dir):
     )
 
 
-@register(
-    "join_bucketed",
-    f"""
-    SELECT o_orderpriority, count(*) AS n,
-           {_dsum_sql('l_extendedprice')} AS total_price
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    GROUP BY o_orderpriority
-    """,
-)
-def join_bucketed(spark, sf_dir):
-    """Bucketed co-located join: both fact tables written bucketed by the
-    join key (8 buckets), then joined — Spark aligns bucket i with bucket i
-    and the join runs with NO exchange on either side. This is the pattern
-    that amortizes the shuffle for a join you run every day: pay it once at
-    write time, never at read time.
-
-    Locally the bucketed copies are written to a warehouse under /tmp on
-    first use per scale factor (a fixture build, reused across runs)."""
+def bucket_fixture(spark, sf_dir) -> tuple[str, str]:
+    """Build-once bucketed copies of lineitem/orders (8 buckets on the
+    join key) in a /tmp warehouse; returns the two qualified table names.
+    Shared by join_bucketed and agg_bucketed_reuse — the write-time cost
+    of the layout amortizes across every operator that exploits it."""
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
     wh = f"/tmp/xml_to_parquet_spark_buckets/pid{os.getpid()}/{sf_tag}"
     li_tbl, o_tbl = f"b_lineitem_{sf_tag}", f"b_orders_{sf_tag}"
@@ -106,12 +93,34 @@ def join_bucketed(spark, sf_dir):
         ).write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").mode("overwrite").saveAsTable(
             f"bucketdb.{o_tbl}"
         )
-    li = spark.table(f"bucketdb.{li_tbl}")
+    return f"bucketdb.{li_tbl}", f"bucketdb.{o_tbl}"
+
+
+@register(
+    "join_bucketed",
+    f"""
+    SELECT o_orderpriority, count(*) AS n,
+           {_dsum_sql('l_extendedprice')} AS total_price
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+)
+def join_bucketed(spark, sf_dir):
+    """Bucketed co-located join: both fact tables written bucketed by the
+    join key (8 buckets), then joined — Spark aligns bucket i with bucket i
+    and the join runs with NO exchange on either side. This is the pattern
+    that amortizes the shuffle for a join you run every day: pay it once at
+    write time, never at read time.
+
+    Locally the bucketed copies are written to a warehouse under /tmp on
+    first use per scale factor (a fixture build, reused across runs)."""
+    li_tbl, o_tbl = bucket_fixture(spark, sf_dir)
+    li = spark.table(li_tbl)
     # MERGE hint: at test scale the planner would broadcast the small side;
     # the hinted sort-merge is the plan this pattern exists for — both scans
     # report Bucketed: true and the join runs with NO Exchange on either side
     # (verified in tests/test_plans.py)
-    orders = spark.table(f"bucketdb.{o_tbl}").hint("merge")
+    orders = spark.table(o_tbl).hint("merge")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderpriority")
@@ -457,3 +466,36 @@ def join_skew_aqe(spark, sf_dir):
     with scoped_confs(spark, **_SKEW_AQE_CONFS):
         skew_aqe_join(spark, sf_dir).write.mode("overwrite").parquet(out)
     return spark.read.parquet(out)
+
+
+@register(
+    "agg_bucketed_reuse",
+    f"""
+    SELECT l_orderkey, count(*) AS n_items,
+           {_dsum_sql('l_extendedprice')} AS order_price
+    FROM lineitem
+    GROUP BY l_orderkey
+    HAVING count(*) >= 5
+    """,
+)
+def agg_bucketed_reuse(spark, sf_dir):
+    """Shuffle-FREE aggregation on the bucketed layout — the second payoff
+    of the bucket fixture join_bucketed pays for: the bucketed scan's
+    output partitioning is HashPartitioning(l_orderkey, 8), which already
+    satisfies the groupBy's ClusteredDistribution, so the aggregate runs
+    with ZERO Exchange in the plan (asserted in tests/test_plans.py) — no
+    partial/final split, one pass. At 100 TB this is the daily
+    per-entity rollup on a table bucketed by the entity key: the
+    exchange a naive layout pays on every run is paid once at write
+    time. Same oracle semantics as a plain groupBy (the HAVING keeps the
+    output row count bounded at larger SFs)."""
+    li_tbl, _ = bucket_fixture(spark, sf_dir)
+    return (
+        spark.table(li_tbl)
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice")).alias("order_price"),
+        )
+        .filter(F.col("n_items") >= 5)
+    )

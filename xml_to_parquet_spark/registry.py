@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None = None):
 #     deliberate window slot.
 # Round-8 rotation (VERDICT r7 #1): every registered query has a driver
 # proof, so the window exists to keep proofs FRESH — stalest-first:
-# (a) NEW_TARGETS — the 4 operators added this round (3 oracle-backed +
+# (a) NEW_TARGETS — the 6 operators added this round (5 oracle-backed +
 #     mm_decode_jpeg, rows-only by contract: the lossy IDCT has no SQL
 #     form; tests/test_new_ops_r8.py proves Spark-vs-in-process
 #     bit-parity and the quality-90 error bound);
@@ -48,13 +48,14 @@ def register(name: str, oracle: str | None = None):
 #     stateful streaming queries still owing a RocksDB-state-store
 #     re-proof, plus scalar_xpath_fns after its parallelism repartition;
 # (c) fills — the ENTIRE r3-era remainder (21 queries, the oldest
-#     surviving proofs) plus the 17 stalest r4-era; the remaining 21
+#     surviving proofs) plus the 15 stalest r4-era; the remaining 23
 #     r4-era rotate in r9, keeping every proof within the 4-round
 #     staleness bound (pinned by test_no_driver_proof_older_than_k_rounds).
 # Previous windows: r1-r7 lists are in git history.
 NEW_TARGETS = [
     # oracle-backed, added r8
     "join_skew_aqe", "mm_caption_dedup", "sim_pipeline",
+    "agg_bucketed_reuse", "graph_triangle_count",
     # rows-only, added r8 (bit-parity proof in tests/test_new_ops_r8.py)
     "mm_decode_jpeg",
 ]
@@ -84,13 +85,13 @@ GRADED_WINDOW: list[str] = [
     "sim_ivf_persist", "sim_quantized_topk", "source_orc_roundtrip",
     "text_token_count", "udf_arrow_map", "window_count_distinct",
     "window_first_last", "window_running_sum",
-    # --- r4-era, 17 of 38 (category-spread; the other 21 rotate in r9)
+    # --- r4-era, 15 of 38 (category-spread; the other 23 rotate in r9)
     "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
     "agg_string_collect", "exists_correlated_subquery", "explode_unnest",
     "in_subquery", "join_anti", "join_right",
     "q13_customer_distribution", "q15_top_supplier",
     "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "q6_forecast_revenue", "q8_market_share", "sample_hash_deterministic",
+    "q6_forecast_revenue",
 ]
 
 
