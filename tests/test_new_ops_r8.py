@@ -141,6 +141,56 @@ def test_mm_decode_jpeg_matches_inprocess_decode(spark, sf_dir, reg):
     assert got["max_err"].max() <= 32
 
 
+def test_jpeg_color_roundtrip_and_gray_equivalence():
+    """Color profile: constant RGB decodes within 1 LSB (YCbCr rounding),
+    a gray RGB image (equal channels) decodes near the grayscale path's
+    output, and quality 100 bounds noise error to the color-transform
+    rounding (a few LSB)."""
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    rng = np.random.default_rng(11)
+    for rgbv in ((0, 0, 0), (255, 255, 255), (200, 30, 90), (1, 2, 3)):
+        img = np.zeros((16, 16, 3), np.uint8)
+        img[:] = rgbv
+        out = decode_jpeg(encode_jpeg(img, 90))
+        assert out.shape == (16, 16, 3)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 1, rgbv
+    noise = rng.integers(0, 256, (15, 13, 3), np.uint8)
+    out = decode_jpeg(encode_jpeg(noise, 100))
+    assert np.abs(out.astype(int) - noise.astype(int)).max() <= 4
+    # gray-as-RGB ≈ grayscale path (chroma planes are constant 128)
+    g = _doc_image(9)
+    rgb = np.repeat(g[:, :, None], 3, axis=2)
+    out_rgb = decode_jpeg(encode_jpeg(rgb, 90))
+    out_gray = decode_jpeg(encode_jpeg(g, 90))
+    assert np.abs(out_rgb.astype(int) - out_gray[:, :, None].astype(int)).max() <= 2
+
+
+def test_mm_decode_jpeg_color_matches_inprocess_decode(spark, sf_dir, reg):
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+    from xml_to_parquet_spark.operators.multimodal import _doc_rgb
+
+    got = (
+        reg["mm_decode_jpeg_color"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(got) > 0
+    for d, row in got.head(50).iterrows():
+        orig = _doc_rgb(int(d)).astype("int64")
+        arr = decode_jpeg(encode_jpeg(_doc_rgb(int(d)), 90)).astype("int64")
+        assert (row["height"], row["width"], 3) == arr.shape
+        assert row["r_sum"] == int(arr[:, :, 0].sum())
+        assert row["g_sum"] == int(arr[:, :, 1].sum())
+        assert row["b_sum"] == int(arr[:, :, 2].sum())
+        assert row["max_err"] == int(np.abs(arr - orig).max())
+    # chroma quant is aggressive (Annex-K 99s) so the wrap-seam ringing is
+    # larger than the gray path's; still bounded
+    assert got["max_err"].max() <= 64
+
+
 # ---------------------------------------------------------------------------
 # mm_caption_dedup / sim_pipeline — composition consistency
 # ---------------------------------------------------------------------------

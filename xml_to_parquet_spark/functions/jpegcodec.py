@@ -51,6 +51,21 @@ STD_QUANT_LUMA = np.array(
     dtype=np.int64,
 )
 
+# Annex K chrominance quantization table (used for Cb/Cr in color mode).
+STD_QUANT_CHROMA = np.array(
+    [
+        [17, 18, 24, 47, 99, 99, 99, 99],
+        [18, 21, 26, 66, 99, 99, 99, 99],
+        [24, 26, 56, 99, 99, 99, 99, 99],
+        [47, 66, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+        [99, 99, 99, 99, 99, 99, 99, 99],
+    ],
+    dtype=np.int64,
+)
+
 # Zigzag scan: ZIGZAG[k] = natural index of the k-th zigzag coefficient.
 def _zigzag_order() -> np.ndarray:
     idx = []
@@ -129,13 +144,41 @@ def _dct_matrix() -> np.ndarray:
 DCT_M = _dct_matrix()
 
 
-def quant_table(quality: int = 90) -> np.ndarray:
-    """libjpeg quality scaling of the Annex-K luminance table."""
+def quant_table(quality: int = 90, chroma: bool = False) -> np.ndarray:
+    """libjpeg quality scaling of the Annex-K luminance/chrominance
+    tables."""
     if not 1 <= quality <= 100:
         raise ValueError("quality must be in [1, 100]")
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
-    q = (STD_QUANT_LUMA * scale + 50) // 100
+    base = STD_QUANT_CHROMA if chroma else STD_QUANT_LUMA
+    q = (base * scale + 50) // 100
     return np.clip(q, 1, 255).astype(np.int64)
+
+
+def _rgb_to_ycbcr(img: np.ndarray) -> np.ndarray:
+    """JFIF full-range RGB → YCbCr, rounded to uint8 planes (float64
+    math; encode and decode mirror the same constants)."""
+    r = img[:, :, 0].astype(np.float64)
+    g = img[:, :, 1].astype(np.float64)
+    b = img[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return np.clip(
+        np.floor(np.stack([y, cb, cr], axis=2) + 0.5), 0, 255
+    ).astype(np.uint8)
+
+
+def _ycbcr_to_rgb(planes: np.ndarray) -> np.ndarray:
+    y = planes[:, :, 0].astype(np.float64)
+    cb = planes[:, :, 1].astype(np.float64) - 128.0
+    cr = planes[:, :, 2].astype(np.float64) - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.clip(
+        np.floor(np.stack([r, g, b], axis=2) + 0.5), 0, 255
+    ).astype(np.uint8)
 
 
 class _BitWriter:
@@ -169,19 +212,14 @@ def _category(v: int) -> int:
     return int(abs(v)).bit_length()
 
 
-def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
-    """Encode an (h, w) uint8 grayscale array as a baseline JFIF JPEG."""
-    img = np.ascontiguousarray(img, dtype=np.uint8)
-    if img.ndim != 2:
-        raise ValueError(f"unsupported image shape {img.shape} (grayscale only)")
-    h, w = img.shape
-    if h == 0 or w == 0:
-        raise ValueError("empty image")
-    q = quant_table(quality)
+def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """One uint8 plane → (bh, bw, 8, 8) quantized DCT coefficients."""
+    h, w = plane.shape
     # pad to 8×8 multiples by edge replication (the spec leaves padding to
     # the encoder; replication avoids ringing into the real pixels)
-    ph, pw = -h % 8, -w % 8
-    padded = np.pad(img, ((0, ph), (0, pw)), mode="edge").astype(np.float64)
+    padded = np.pad(plane, ((0, -h % 8), (0, -w % 8)), mode="edge").astype(
+        np.float64
+    )
     padded -= 128.0
     bh, bw = padded.shape[0] // 8, padded.shape[1] // 8
     # batch FDCT: (bh, bw, 8, 8) blocks → M @ B @ M.T via einsum
@@ -190,56 +228,98 @@ def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
     # quantize: round-half-away-from-zero, then clamp to the 10-bit range
     # the Annex-K AC table can express (only reachable near quality=100)
     qc = np.sign(coef) * np.floor(np.abs(coef) / q + 0.5)
-    qc = np.clip(qc, -1023, 1023).astype(np.int64)
+    return np.clip(qc, -1023, 1023).astype(np.int64)
+
+
+def _write_block(bw_iter: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
+    """Entropy-code one zigzag block; returns its DC for the predictor."""
+    # DC: differential, category + magnitude bits (§F.1.2.1)
+    diff = int(zz[0]) - prev_dc
+    s = _category(diff)
+    code, ln = DC_ENC[s]
+    bw_iter.write(code, ln)
+    if s:
+        mag = diff if diff > 0 else diff + (1 << s) - 1
+        bw_iter.write(mag, s)
+    # AC: run/size with ZRL and EOB (§F.1.2.2)
+    run = 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            code, ln = AC_ENC[0xF0]  # ZRL
+            bw_iter.write(code, ln)
+            run -= 16
+        s = _category(v)
+        code, ln = AC_ENC[(run << 4) | s]
+        bw_iter.write(code, ln)
+        mag = v if v > 0 else v + (1 << s) - 1
+        bw_iter.write(mag, s)
+        run = 0
+    if run:
+        code, ln = AC_ENC[0x00]  # EOB
+        bw_iter.write(code, ln)
+    return int(zz[0])
+
+
+def encode_jpeg(img: np.ndarray, quality: int = 90) -> bytes:
+    """Encode a uint8 array — (h, w) grayscale or (h, w, 3) RGB — as a
+    baseline JFIF JPEG. Color uses YCbCr 4:4:4 (no subsampling), the
+    Annex-K luma table for Y and chroma table for Cb/Cr, and the standard
+    luminance Huffman tables for every component (spec-legal: SOS maps
+    components to tables freely)."""
+    img = np.ascontiguousarray(img, dtype=np.uint8)
+    if img.ndim == 2:
+        planes = [img]
+    elif img.ndim == 3 and img.shape[2] == 3:
+        ycc = _rgb_to_ycbcr(img)
+        planes = [ycc[:, :, i] for i in range(3)]
+    else:
+        raise ValueError(f"unsupported image shape {img.shape}")
+    h, w = img.shape[:2]
+    if h == 0 or w == 0:
+        raise ValueError("empty image")
+    ncomp = len(planes)
+    q_luma = quant_table(quality)
+    q_chroma = quant_table(quality, chroma=True)
+    comp_q = [0] + [1] * (ncomp - 1)
+    qtabs = [q_luma, q_chroma]
+    coefs = [
+        _quantized_blocks(p, qtabs[comp_q[i]]) for i, p in enumerate(planes)
+    ]
+    bh, bw = coefs[0].shape[:2]
 
     bw_iter = _BitWriter()
-    prev_dc = 0
+    prev_dc = [0] * ncomp  # one DC predictor per component (§F.1.1.5.2)
     for by in range(bh):
         for bx in range(bw):
-            zz = qc[by, bx].reshape(64)[ZIGZAG]
-            # DC: differential, category + magnitude bits (§F.1.2.1)
-            diff = int(zz[0]) - prev_dc
-            prev_dc = int(zz[0])
-            s = _category(diff)
-            code, ln = DC_ENC[s]
-            bw_iter.write(code, ln)
-            if s:
-                mag = diff if diff > 0 else diff + (1 << s) - 1
-                bw_iter.write(mag, s)
-            # AC: run/size with ZRL and EOB (§F.1.2.2)
-            run = 0
-            for k in range(1, 64):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    code, ln = AC_ENC[0xF0]  # ZRL
-                    bw_iter.write(code, ln)
-                    run -= 16
-                s = _category(v)
-                code, ln = AC_ENC[(run << 4) | s]
-                bw_iter.write(code, ln)
-                mag = v if v > 0 else v + (1 << s) - 1
-                bw_iter.write(mag, s)
-                run = 0
-            if run:
-                code, ln = AC_ENC[0x00]  # EOB
-                bw_iter.write(code, ln)
+            for c in range(ncomp):  # 4:4:4 MCU = one block per component
+                zz = coefs[c][by, bx].reshape(64)[ZIGZAG]
+                prev_dc[c] = _write_block(bw_iter, zz, prev_dc[c])
     entropy = bw_iter.flush()
 
     def seg(marker: int, payload: bytes) -> bytes:
         return struct.pack(">HH", marker, len(payload) + 2) + payload
 
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q.reshape(64)[ZIGZAG]))
-    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+    dqt = seg(0xFFDB, b"\x00" + bytes(int(x) for x in q_luma.reshape(64)[ZIGZAG]))
+    if ncomp == 3:
+        dqt += seg(
+            0xFFDB, b"\x01" + bytes(int(x) for x in q_chroma.reshape(64)[ZIGZAG])
+        )
+    sof_comps = b"".join(
+        bytes([i + 1, 0x11, comp_q[i]]) for i in range(ncomp)
+    )
+    sof0 = seg(0xFFC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
     dht = seg(
         0xFFC4,
         b"\x00" + bytes(DC_BITS) + bytes(DC_VALS)
         + b"\x10" + bytes(AC_BITS) + bytes(AC_VALS),
     )
-    sos = seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    sos_comps = b"".join(bytes([i + 1, 0x00]) for i in range(ncomp))
+    sos = seg(0xFFDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
     return b"\xff\xd8" + app0 + dqt + sof0 + dht + sos + entropy + b"\xff\xd9"
 
 
@@ -279,16 +359,46 @@ def _extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+def _read_block(
+    r: _BitReader,
+    dc_tab: dict[tuple[int, int], int],
+    ac_tab: dict[tuple[int, int], int],
+    prev_dc: int,
+) -> np.ndarray:
+    zz = np.zeros(64, np.int64)
+    s = _read_symbol(r, dc_tab)
+    diff = _extend(r.bits(s), s) if s else 0
+    zz[0] = prev_dc + diff
+    k = 1
+    while k < 64:
+        sym = _read_symbol(r, ac_tab)
+        if sym == 0x00:  # EOB
+            break
+        if sym == 0xF0:  # ZRL
+            k += 16
+            continue
+        k += sym >> 4
+        size = sym & 0xF
+        if k > 63:
+            raise ValueError("AC run overflows block")
+        zz[k] = _extend(r.bits(size), size)
+        k += 1
+    return zz
+
+
 def decode_jpeg(data: bytes) -> np.ndarray:
-    """Decode a baseline grayscale JPEG into an (h, w) uint8 array."""
+    """Decode a baseline JPEG into a uint8 array — (h, w) for grayscale,
+    (h, w, 3) RGB for three-component YCbCr 4:4:4."""
     if data[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG (missing SOI)")
     pos = 2
     qtables: dict[int, np.ndarray] = {}
-    dc_tab: dict[tuple[int, int], int] = {}
-    ac_tab: dict[tuple[int, int], int] = {}
+    dc_tabs: dict[int, dict[tuple[int, int], int]] = {}
+    ac_tabs: dict[int, dict[tuple[int, int], int]] = {}
     dims = None
-    comp_q = 0
+    comp_q: list[int] = []
+    comp_dc: list[int] = []
+    comp_ac: list[int] = []
     entropy = None
     while pos < len(data):
         if data[pos] != 0xFF:
@@ -314,67 +424,63 @@ def decode_jpeg(data: bytes) -> np.ndarray:
             raise ValueError("only baseline sequential (SOF0) supported")
         elif marker == 0xFFC0:  # SOF0
             prec, h, w, ncomp = struct.unpack_from(">BHHB", payload, 0)
-            if prec != 8 or ncomp != 1:
-                raise ValueError("only 8-bit single-component JPEG supported")
-            # per-component bytes: id, sampling (HiVi nibbles), quant id
-            if payload[7] != 0x11:
-                raise ValueError("subsampling not supported")
+            if prec != 8 or ncomp not in (1, 3):
+                raise ValueError("only 8-bit 1- or 3-component JPEG supported")
+            # per-component bytes at 6+3c: id, sampling (HiVi), quant id
+            for c in range(ncomp):
+                if payload[7 + 3 * c] != 0x11:
+                    raise ValueError("subsampling not supported")
             dims = (h, w)
-            comp_q = payload[8]
+            comp_q = [payload[8 + 3 * c] for c in range(ncomp)]
         elif marker == 0xFFC4:  # DHT (possibly several tables per segment)
             off = 0
             while off < len(payload):
-                tc = payload[off] >> 4
+                tc, th = payload[off] >> 4, payload[off] & 0xF
                 bits = list(payload[off + 1 : off + 17])
                 n = sum(bits)
                 vals = list(payload[off + 17 : off + 17 + n])
                 tab = _decode_table(bits, vals)
                 if tc == 0:
-                    dc_tab = tab
+                    dc_tabs[th] = tab
                 else:
-                    ac_tab = tab
+                    ac_tabs[th] = tab
                 off += 17 + n
         elif marker == 0xFFDD:
             raise ValueError("restart intervals not supported")
         elif marker == 0xFFDA:  # SOS — entropy data follows to EOI
+            ns = payload[0]
+            comp_dc = [payload[2 + 2 * c] >> 4 for c in range(ns)]
+            comp_ac = [payload[2 + 2 * c] & 0xF for c in range(ns)]
             end = data.rfind(b"\xff\xd9")
             if end < 0:
                 raise ValueError("missing EOI")
             entropy = data[pos:end]
             break
-    if dims is None or entropy is None or not dc_tab or not ac_tab:
+    if dims is None or entropy is None or not dc_tabs or not ac_tabs:
         raise ValueError("incomplete JPEG (missing SOF/DHT/SOS)")
     h, w = dims
-    q = qtables[comp_q]
-    bh, bw = (h + 7) // 8, (w + 7) // 8
+    ncomp = len(comp_q)
+    if len(comp_dc) != ncomp:
+        raise ValueError("SOS/SOF component count mismatch")
+    sampling_h, sampling_w = (w + 7) // 8 * 8, (h + 7) // 8 * 8
+    bh, bw = sampling_w // 8, sampling_h // 8
     r = _BitReader(entropy)
-    coef = np.zeros((bh, bw, 8, 8), np.int64)
-    prev_dc = 0
+    coef = np.zeros((ncomp, bh, bw, 8, 8), np.int64)
+    prev_dc = [0] * ncomp
     for by in range(bh):
         for bx in range(bw):
-            zz = np.zeros(64, np.int64)
-            s = _read_symbol(r, dc_tab)
-            diff = _extend(r.bits(s), s) if s else 0
-            prev_dc += diff
-            zz[0] = prev_dc
-            k = 1
-            while k < 64:
-                sym = _read_symbol(r, ac_tab)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                k += sym >> 4
-                size = sym & 0xF
-                if k > 63:
-                    raise ValueError("AC run overflows block")
-                zz[k] = _extend(r.bits(size), size)
-                k += 1
-            coef[by, bx].reshape(64)[ZIGZAG] = zz
-    # batch dequant + IDCT: f = M.T @ F @ M, level shift, round, clamp
-    deq = coef * q
-    pix = np.einsum("xu,bcuv,yv->bcxy", DCT_M.T, deq.astype(np.float64), DCT_M.T)
-    pix = np.clip(np.floor(pix + 128.0 + 0.5), 0, 255).astype(np.uint8)
-    full = pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)
-    return full[:h, :w].copy()
+            for c in range(ncomp):  # 4:4:4 interleave: one block per comp
+                zz = _read_block(r, dc_tabs[comp_dc[c]], ac_tabs[comp_ac[c]],
+                                 prev_dc[c])
+                prev_dc[c] = int(zz[0])
+                coef[c, by, bx].reshape(64)[ZIGZAG] = zz
+    # batch dequant + IDCT per component: f = M.T @ F @ M, level shift
+    planes = []
+    for c in range(ncomp):
+        deq = (coef[c] * qtables[comp_q[c]]).astype(np.float64)
+        pix = np.einsum("xu,bcuv,yv->bcxy", DCT_M.T, deq, DCT_M.T)
+        pix = np.clip(np.floor(pix + 128.0 + 0.5), 0, 255).astype(np.uint8)
+        planes.append(pix.transpose(0, 2, 1, 3).reshape(bh * 8, bw * 8)[:h, :w])
+    if ncomp == 1:
+        return planes[0].copy()
+    return _ycbcr_to_rgb(np.stack(planes, axis=2))

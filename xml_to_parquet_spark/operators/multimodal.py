@@ -667,6 +667,87 @@ def mm_decode_jpeg(spark, sf_dir):
     )
 
 
+def _doc_rgb(d: int):
+    import numpy as np
+
+    w, h = 8 + d % 16, 8 + (d * 7) % 16
+    xs, ys = np.arange(w)[None, :], np.arange(h)[:, None]
+    return np.stack(
+        [
+            (d + 3 * xs + 5 * ys) % 256,
+            (d * 3 + 7 * xs + 2 * ys) % 256,
+            (d * 5 + xs + 11 * ys) % 256,
+        ],
+        axis=2,
+    ).astype(np.uint8)
+
+
+def _encode_jpeg_color_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from xml_to_parquet_spark.functions.jpegcodec import encode_jpeg
+
+    for pdf in it:
+        rows = [
+            (int(d), encode_jpeg(_doc_rgb(int(d)), JPEG_QUALITY))
+            for d in pdf["doc_id"]
+        ]
+        yield pd.DataFrame(rows, columns=["doc_id", "jpg"])
+
+
+def _decode_jpeg_color_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg
+
+    for pdf in it:
+        rows = []
+        for d, jpg in zip(pdf["doc_id"], pdf["jpg"]):
+            d = int(d)
+            arr = decode_jpeg(bytes(jpg)).astype("int64")
+            h, w, _ = arr.shape
+            orig = _doc_rgb(d).astype("int64")
+            rows.append(
+                (
+                    d,
+                    w,
+                    h,
+                    arr.size,
+                    int(arr[:, :, 0].sum()),
+                    int(arr[:, :, 1].sum()),
+                    int(arr[:, :, 2].sum()),
+                    int(np.abs(arr - orig).max()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "width", "height", "n_px",
+                "r_sum", "g_sum", "b_sum", "max_err",
+            ],
+        )
+
+
+@register("mm_decode_jpeg_color", None)  # rows-only: lossy chroma chain
+def mm_decode_jpeg_color(spark, sf_dir):
+    """Color JPEG decode end-to-end: each doc's deterministic RGB image →
+    JFIF YCbCr 4:4:4 baseline JPEG (three interleaved components,
+    per-component DC predictors, Annex-K luma + chroma quant tables) →
+    binary column → full color decode (3-component MCU walk, per-plane
+    IDCT, YCbCr→RGB) in the next mapInPandas stage. Exercises everything
+    the grayscale path (mm_decode_jpeg) cannot: multi-table DQT, SOS
+    table mapping, component interleave, and the color transform.
+    Rows-only by the same contract; tests/test_new_ops_r8.py proves
+    Spark-vs-in-process bit-parity and the per-channel error bound."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(
+        _encode_jpeg_color_batches, schema="doc_id bigint, jpg binary"
+    )
+    return encoded.mapInPandas(
+        _decode_jpeg_color_batches,
+        schema="doc_id bigint, width bigint, height bigint, n_px bigint, "
+        "r_sum bigint, g_sum bigint, b_sum bigint, max_err bigint",
+    )
+
+
 # ---------------------------------------------------------------------------
 # cross-modal dedup: image near-dup pairs × caption-text verdicts
 # ---------------------------------------------------------------------------

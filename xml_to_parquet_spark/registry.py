@@ -40,10 +40,10 @@ def register(name: str, oracle: str | None = None):
 #     deliberate window slot.
 # Round-8 rotation (VERDICT r7 #1): every registered query has a driver
 # proof, so the window exists to keep proofs FRESH — stalest-first:
-# (a) NEW_TARGETS — the 6 operators added this round (5 oracle-backed +
-#     mm_decode_jpeg, rows-only by contract: the lossy IDCT has no SQL
-#     form; tests/test_new_ops_r8.py proves Spark-vs-in-process
-#     bit-parity and the quality-90 error bound);
+# (a) NEW_TARGETS — the 7 operators added this round (5 oracle-backed +
+#     the two JPEG decodes, rows-only by contract: the lossy IDCT/chroma
+#     chain has no SQL form; tests/test_new_ops_r8.py proves
+#     Spark-vs-in-process bit-parity and the quality-90 error bound);
 # (b) CHANGED — the queued r7 trade (R8_QUEUE in the r7 registry): the 4
 #     stateful streaming queries still owing a RocksDB-state-store
 #     re-proof, plus scalar_xpath_fns after its parallelism repartition;
@@ -57,7 +57,7 @@ NEW_TARGETS = [
     "join_skew_aqe", "mm_caption_dedup", "sim_pipeline",
     "agg_bucketed_reuse", "graph_triangle_count",
     # rows-only, added r8 (bit-parity proof in tests/test_new_ops_r8.py)
-    "mm_decode_jpeg",
+    "mm_decode_jpeg", "mm_decode_jpeg_color",
 ]
 UPGRADED: list[str] = []
 CHANGED = [
@@ -67,7 +67,7 @@ CHANGED = [
     "stream_watermark_late_data", "stream_tumbling_window",
     "scalar_xpath_fns",
 ]
-ROWS_ONLY_SLOTS = ["mm_decode_jpeg"]
+ROWS_ONLY_SLOTS = ["mm_decode_jpeg", "mm_decode_jpeg_color"]
 # Nothing queued for r9 yet; the r9 window owes the remaining 21 r4-era
 # fills (see GRADED_WINDOW tail comment).
 R9_QUEUE: list[str] = []
@@ -85,13 +85,12 @@ GRADED_WINDOW: list[str] = [
     "sim_ivf_persist", "sim_quantized_topk", "source_orc_roundtrip",
     "text_token_count", "udf_arrow_map", "window_count_distinct",
     "window_first_last", "window_running_sum",
-    # --- r4-era, 15 of 38 (category-spread; the other 23 rotate in r9)
+    # --- r4-era, 14 of 38 (category-spread; the other 24 rotate in r9)
     "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
     "agg_string_collect", "exists_correlated_subquery", "explode_unnest",
     "in_subquery", "join_anti", "join_right",
     "q13_customer_distribution", "q15_top_supplier",
     "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "q6_forecast_revenue",
 ]
 
 
