@@ -1046,3 +1046,106 @@ def sim_pipeline(spark, sf_dir):
         .filter(F.col("rank") <= KNN_K)
         .select("vec_id", "centroid_id", "rank", "neighbor_id", "cos")
     )
+
+
+# ---------------------------------------------------------------------------
+# two-stage retrieval funnel: truncated coarse search → exact rerank
+# ---------------------------------------------------------------------------
+
+RERANK_COARSE_K = 32  # candidates surviving the coarse stage per query
+
+
+@register(
+    "sim_two_stage_rerank",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    coarse AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_cosine_similarity(
+                 list_slice(CAST(q.qe AS DOUBLE[]), 1, {MRL_DIM}),
+                 list_slice(CAST(e.embedding AS DOUBLE[]), 1, {MRL_DIM})), 6)
+                 AS cos_coarse
+      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+    ), cand AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_coarse DESC, neighbor_id) AS crn
+      FROM coarse
+    ), rer AS (
+      SELECT c.query_id, c.neighbor_id, c.cos_coarse,
+             round(list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])), 6)
+                 AS cos_full
+      FROM cand c JOIN q ON q.query_id = c.query_id
+                  JOIN embeddings e ON e.vec_id = c.neighbor_id
+      WHERE c.crn <= {RERANK_COARSE_K}
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_full DESC, neighbor_id) AS rn
+      FROM rer
+    )
+    SELECT query_id, neighbor_id, cos_coarse, cos_full, rn
+    FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_two_stage_rerank(spark, sf_dir):
+    """Two-stage retrieval funnel — the matryoshka serving pattern
+    sim_matryoshka_truncate prepares for, made executable: a COARSE pass
+    scores every corpus vector with the first-{MRL_DIM}-dims truncated
+    cosine (4× less bandwidth and FLOPs per comparison), keeps the top
+    {RERANK_COARSE_K} per query, and an EXACT pass reranks only those
+    candidates with the full 64-dim cosine for the final top-{TOP_K}.
+    The oracle recomputes both stages, so a drift in either ranking
+    breaks parity.
+
+    Scale shape: the coarse stage is the broad scan (at 100 TB it
+    composes with IVF cell pruning, sim_ivf, so even the coarse scan is
+    partition-pruned); per-query candidate selection is a window over
+    query_id — cardinality = query count, spread across executors. The
+    rerank touches Q × {RERANK_COARSE_K} rows: the 8-row query side
+    broadcasts, and the candidate→full-vector join is an equi-join on
+    vec_id that AQE broadcasts at test scale and shuffles at corpus
+    scale. The funnel is the point: full-width math only ever runs on
+    0.01% of the corpus."""
+    emb = table(spark, sf_dir, "embeddings")
+    trunc = lambda c: F.slice(c.cast("array<double>"), 1, MRL_DIM)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+    )
+    coarse = (
+        q.crossJoin(emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(trunc(F.col("qe")), trunc(F.col("embedding"))), 6).alias(
+                "cos_coarse"
+            ),
+        )
+    )
+    wc = W.partitionBy("query_id").orderBy(F.desc("cos_coarse"), "neighbor_id")
+    cand = (
+        coarse.withColumn("crn", F.row_number().over(wc))
+        .filter(F.col("crn") <= RERANK_COARSE_K)
+        .drop("crn")
+    )
+    rer = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+        )
+        .select(
+            "query_id",
+            "neighbor_id",
+            "cos_coarse",
+            F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos_full"),
+        )
+    )
+    wf = W.partitionBy("query_id").orderBy(F.desc("cos_full"), "neighbor_id")
+    return (
+        rer.withColumn("rn", F.row_number().over(wf))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "cos_coarse", "cos_full", "rn")
+    )

@@ -715,3 +715,71 @@ def text_quality_classifier(spark, sf_dir):
         score.alias("score"),
         (score >= 0.5).alias("passes"),
     )
+
+
+@register(
+    "text_perplexity_bigram",
+    f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks
+                 FROM documents WHERE length(text) > 0),
+         bg AS (SELECT doc_id, toks[i] AS t1, toks[i + 1] AS t2
+                FROM tok, unnest(range(1, len(toks))) AS r(i)
+                WHERE len(toks) >= 2),
+         c2 AS (SELECT t1, t2, count(*) AS c2 FROM bg GROUP BY t1, t2),
+         c1 AS (SELECT t1, count(*) AS c1 FROM bg GROUP BY t1),
+         v  AS (SELECT count(DISTINCT t2) AS vsz FROM bg)
+    SELECT doc_id,
+           count(*)                                    AS n_bigrams,
+           round(avg(ln((c2 + 1) / (c1 + vsz))), 4)    AS lm_score
+    FROM bg JOIN c2 USING (t1, t2) JOIN c1 USING (t1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_perplexity_bigram(spark, sf_dir):
+    """Bigram-LM perplexity proxy — the CCNet-style quality filter one
+    order up from text_quality_unigram_lm: each document scored by the
+    mean log-probability of its bigrams under a corpus bigram model with
+    add-one smoothing, p(t2|t1) = (c(t1,t2)+1) / (c(t1,·)+V). Word-order
+    violations (shuffled or machine-garbled text) crater this score while
+    leaving the unigram score untouched — which is exactly why CCNet
+    ranks its crawl buckets with an n-gram LM, not a unigram one.
+
+    Scale shape mirrors the unigram operator: bigram counting is one
+    map-side-combinable groupBy; the bg↔c2 join is equi-keyed on the
+    bigram and bg↔c1 on its head token, both UNHINTED so AQE broadcasts
+    at test scale and degrades to shuffled hash joins when the 100 TB
+    bigram table outgrows any threshold; only the 1-row vocabulary size
+    broadcasts unconditionally. Determinism: ln of exact integer ratios,
+    averaged then rounded to 4 decimals — the same contract
+    text_quality_unigram_lm has held green since r2."""
+    tok = (
+        table(spark, sf_dir, "documents")
+        .filter(F.length("text") > 0)
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .filter(F.size("toks") >= 2)
+    )
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "struct(element_at(toks, i) AS t1, "
+                "element_at(toks, i + 1) AS t2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.t1", "b.t2")
+    c2 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
+    v = bg.agg(F.countDistinct("t2").alias("vsz"))
+    return (
+        bg.join(c2, ["t1", "t2"])
+        .join(c1, ["t1"])
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(F.log((F.col("c2") + 1) / (F.col("c1") + F.col("vsz")))), 4
+            ).alias("lm_score"),
+        )
+    )
