@@ -223,3 +223,87 @@ def graph_triangle_count(spark, sf_dir):
     n_edges = edges.agg(F.count(F.lit(1)).alias("n_edges"))
     n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     return n_nodes.crossJoin(n_edges).crossJoin(n_tri)
+
+
+# ---------------------------------------------------------------------------
+# k-core decomposition (fixed peeling rounds)
+# ---------------------------------------------------------------------------
+
+KCORE_K = 3
+KCORE_ROUNDS = 3
+
+
+def _kcore_oracle() -> str:
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS u FROM lineitem)",
+        """e AS (
+          SELECT DISTINCT a.u AS u, b.u AS v
+          FROM li a JOIN li b ON a.o = b.o AND a.u < b.u
+        )""",
+        "und0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+    ]
+    prev = "und0"
+    for i in range(1, KCORE_ROUNDS + 1):
+        ctes.append(
+            f"d{i} AS (SELECT u, count(*) AS d FROM {prev} GROUP BY u)"
+        )
+        ctes.append(f"a{i} AS (SELECT u FROM d{i} WHERE d >= {KCORE_K})")
+        ctes.append(
+            f"""und{i} AS (
+              SELECT p.u, p.v FROM {prev} p
+              JOIN a{i} x ON x.u = p.u JOIN a{i} y ON y.u = p.v
+            )"""
+        )
+        prev = f"und{i}"
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT u AS node, CAST(count(*) AS BIGINT) AS degree
+        FROM {prev} GROUP BY u
+        """
+    )
+
+
+@register("graph_kcore", _kcore_oracle())
+def graph_kcore(spark, sf_dir):
+    """k-core peeling, {KCORE_ROUNDS} fixed rounds at k = {KCORE_K}, over
+    the same part co-occurrence graph as graph_triangle_count: each round
+    recomputes degrees and drops every node below k, with its edges —
+    after three rounds the survivors approximate the 3-core, the dense
+    backbone community detection and spam/bot-ring analysis start from
+    (full peeling iterates to fixpoint; fixed rounds keep the oracle an
+    exact unrolled-CTE mirror, the same device pagerank_fixed uses for
+    cross-engine determinism). Output: surviving nodes with their
+    residual degree.
+
+    Scale shape: each round is one combinable degree groupBy plus two
+    semi-join-shaped equi-joins filtering the edge list (alive ⋈ src,
+    alive ⋈ dst) — all hashed on node keys, no broadcast assumptions (the
+    alive set starts corpus-sized); the edge list shrinks monotonically
+    so later rounds cost less. Integer-only arithmetic: both engines
+    compute identical degrees regardless of partitioning."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .distinct()
+    )
+    und = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    for _ in range(KCORE_ROUNDS):
+        deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+        alive = deg.filter(F.col("d") >= KCORE_K).select("u")
+        und = (
+            und.join(alive, "u")
+            .join(alive.select(F.col("u").alias("v")), "v")
+            .select("u", "v")
+        )
+    return und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("degree")
+    )

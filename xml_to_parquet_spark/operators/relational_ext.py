@@ -1451,3 +1451,81 @@ def join_range_binned(spark, sf_dir):
             F.countDistinct("e_type").alias("n_types"),
         )
     )
+
+
+@register(
+    "timeseries_gap_fill",
+    """
+    WITH base AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             count(*) AS n_events,
+             arg_max(value, event_id) AS last_value
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM base GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket
+      FROM spans
+    ), joined AS (
+      SELECT s.user_id, s.bucket,
+             CAST(COALESCE(b.n_events, 0) AS BIGINT) AS n_events,
+             b.last_value,
+             b.bucket IS NULL AS is_gap
+      FROM spine s LEFT JOIN base b
+        ON b.user_id = s.user_id AND b.bucket = s.bucket
+    )
+    SELECT user_id, bucket, n_events, is_gap,
+           last_value(last_value IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled
+    FROM joined
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Gap-filled daily series with forward fill — the time-series
+    resample every metrics/feature pipeline needs: per user, a dense
+    daily spine from their first to last active day (sequence + explode —
+    bounded fan-out, never a calendar cross join), left-joined to the
+    observed per-day aggregate; missing days carry n_events = 0, an
+    is_gap flag, and the last observed value forward-filled by a
+    last(ignorenulls) running window. 'Last observed' is pinned
+    deterministically to the max event_id within the bucket (max_by), so
+    both engines agree bit-for-bit without timestamp tie-break hazards.
+
+    Scale shape: the per-day aggregate and the span bounds are combinable
+    groupBys; the spine explode fans out at most span-days per user; the
+    fill is a window partitioned BY USER — cardinality = user count, so
+    the sort spreads across executors and no global sort exists. At 100
+    TB (billions of users × bounded spans) every stage keys on user_id —
+    one co-partitioned lineage end-to-end."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max_by("value", "event_id").alias("last_value"),
+    )
+    spans = base.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.sequence("b0", "b1", F.expr("interval 1 day"))).alias(
+            "bucket"
+        ),
+    )
+    joined = spine.join(base, ["user_id", "bucket"], "left")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("bucket")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return joined.select(
+        "user_id",
+        "bucket",
+        F.coalesce(F.col("n_events"), F.lit(0)).cast("bigint").alias("n_events"),
+        F.col("n_events").isNull().alias("is_gap"),
+        F.last("last_value", ignorenulls=True).over(w).alias("value_filled"),
+    )

@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None = None):
 #     deliberate window slot.
 # Round-8 rotation (VERDICT r7 #1): every registered query has a driver
 # proof, so the window exists to keep proofs FRESH — stalest-first:
-# (a) NEW_TARGETS — the 9 operators added this round (7 oracle-backed +
+# (a) NEW_TARGETS — the 11 operators added this round (9 oracle-backed +
 #     the two JPEG decodes, rows-only by contract: the lossy IDCT/chroma
 #     chain has no SQL form; tests/test_new_ops_r8.py proves
 #     Spark-vs-in-process bit-parity and the quality-90 error bound);
@@ -57,6 +57,7 @@ NEW_TARGETS = [
     "join_skew_aqe", "mm_caption_dedup", "sim_pipeline",
     "agg_bucketed_reuse", "graph_triangle_count",
     "text_perplexity_bigram", "sim_two_stage_rerank",
+    "timeseries_gap_fill", "graph_kcore",
     # rows-only, added r8 (bit-parity proof in tests/test_new_ops_r8.py)
     "mm_decode_jpeg", "mm_decode_jpeg_color",
 ]
@@ -86,11 +87,10 @@ GRADED_WINDOW: list[str] = [
     "sim_ivf_persist", "sim_quantized_topk", "source_orc_roundtrip",
     "text_token_count", "udf_arrow_map", "window_count_distinct",
     "window_first_last", "window_running_sum",
-    # --- r4-era, 12 of 38 (category-spread; the other 26 rotate in r9)
+    # --- r4-era, 10 of 38 (category-spread; the other 28 rotate in r9)
     "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
     "agg_string_collect", "exists_correlated_subquery", "explode_unnest",
     "in_subquery", "join_anti", "join_right",
-    "q13_customer_distribution", "q15_top_supplier",
 ]
 
 
