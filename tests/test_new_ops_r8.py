@@ -241,3 +241,77 @@ def test_sim_pipeline_equals_staged_composition(spark, sf_dir, reg):
         assert coss == sorted(coss, reverse=True) or len(coss) == 1 or all(
             a > b or (a == b) for a, b in zip(coss, coss[1:])
         )
+
+
+# ---------------------------------------------------------------------------
+# dedup_prefix_filter — the prefix-filter lemma loses no pairs
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_filter_equals_brute_force(spark, sf_dir, reg):
+    """The operator's pairs must equal the BRUTE-FORCE all-pairs Jaccard
+    at the same threshold — proving the df-ordered prefix bound drops no
+    qualifying pair (the AllPairs lemma) and the verify stage computes
+    exact full-space Jaccard."""
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.dedup import PF_DEN, PF_NUM
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sets = {}
+    for _, r in docs.iterrows():
+        toks = r["text"].lower().split()
+        if len(toks) >= 3:
+            sets[r["doc_id"]] = {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+    ids = sorted(sets)
+    expect = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            if PF_DEN * inter >= PF_NUM * union:
+                expect[(a, b)] = round(inter / union, 4)
+    got = reg["dedup_prefix_filter"].fn(spark, sf_dir).toPandas()
+    got_pairs = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"] for _, r in got.iterrows()
+    }
+    assert set(got_pairs) == set(expect)
+    for k, v in expect.items():
+        assert abs(got_pairs[k] - v) < 1e-9, (k, got_pairs[k], v)
+
+
+# ---------------------------------------------------------------------------
+# pareto_frontier — bucketed local-frontier merge equals naive dominance
+# ---------------------------------------------------------------------------
+
+
+def test_pareto_frontier_equals_naive_dominance(spark, sf_dir, reg):
+    """The distributed (argmax → bucket-local frontier → B-row merge)
+    shape must produce exactly the naive quadratic skyline."""
+    import pandas as pd
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    pts = (
+        part.groupby(["p_retailprice", "p_size"])
+        .size()
+        .reset_index(name="n_parts")
+    )
+    rows = list(pts.itertuples(index=False))
+    expect = set()
+    for a in rows:
+        dominated = any(
+            b.p_retailprice <= a.p_retailprice
+            and b.p_size >= a.p_size
+            and (b.p_retailprice < a.p_retailprice or b.p_size > a.p_size)
+            for b in rows
+        )
+        if not dominated:
+            expect.add((a.p_retailprice, a.p_size, a.n_parts))
+    got = reg["pareto_frontier"].fn(spark, sf_dir).toPandas()
+    got_set = {
+        (r["retail_price"], r["size"], r["n_parts"]) for _, r in got.iterrows()
+    }
+    assert got_set == expect
+    assert len(got) == len(got_set)

@@ -499,3 +499,101 @@ def agg_bucketed_reuse(spark, sf_dir):
         )
         .filter(F.col("n_items") >= 5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto frontier (2-D skyline) — local-frontier-then-merge
+# ---------------------------------------------------------------------------
+
+SKYLINE_BUCKETS = 32
+
+
+@register(
+    "pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT p_retailprice AS retail_price, p_size AS size,
+             count(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT retail_price, size, n_parts FROM pts a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts b
+      WHERE b.retail_price <= a.retail_price AND b.size >= a.size
+        AND (b.retail_price < a.retail_price OR b.size > a.size)
+    )
+    """,
+)
+def pareto_frontier(spark, sf_dir):
+    """2-D skyline of `part`: the set of (retail_price, size) points not
+    dominated by any other (cheaper-or-equal AND bigger-or-equal with one
+    strict) — the classic multi-objective shortlist (Borzsony et al.
+    ICDE'01). The oracle is the naive O(n^2) NOT EXISTS dominance query;
+    the Spark side runs the DISTRIBUTED shape that survives 100 TB:
+
+    1. collapse to distinct points with multiplicity (combinable groupBy);
+    2. per-price argmax on size (max_by struct — same-price smaller sizes
+       are dominated outright), leaving <= |distinct prices| rows;
+    3. RANGE-BLOCK by price into SKYLINE_BUCKETS fixed-width buckets
+       (bounds from one 1-row min/max agg, broadcast) and compute each
+       bucket's LOCAL frontier with a per-bucket running-max window —
+       the global frontier is a subset of the union of local frontiers,
+       so the only global pass runs over the tiny per-bucket summary:
+       a point survives iff its size exceeds the running max size of all
+       STRICTLY-cheaper buckets (B rows, broadcast back).
+
+    No global sort, no single-reducer window: the per-bucket windows
+    partition by bucket id, and the cross-bucket test joins against a
+    B-row cumulative summary. Dominance tests compare stored values only
+    (no float arithmetic), so both engines agree bit-for-bit."""
+    from pyspark.sql import Window
+
+    pts = (
+        table(spark, sf_dir, "part")
+        .groupBy(
+            F.col("p_retailprice").alias("retail_price"),
+            F.col("p_size").alias("size"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+    # per-price argmax: same-price points with smaller size are dominated
+    best = (
+        pts.groupBy("retail_price")
+        .agg(F.max(F.struct("size", "n_parts")).alias("m"))
+        .select("retail_price", F.col("m.size").alias("size"),
+                F.col("m.n_parts").alias("n_parts"))
+    )
+    bounds = best.agg(
+        F.min("retail_price").alias("lo"), F.max("retail_price").alias("hi")
+    )
+    binned = best.crossJoin(F.broadcast(bounds)).withColumn(
+        "bucket",
+        F.least(
+            F.lit(SKYLINE_BUCKETS - 1),
+            F.floor(
+                (F.col("retail_price") - F.col("lo"))
+                / ((F.col("hi") - F.col("lo")) / SKYLINE_BUCKETS)
+            ),
+        ),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("retail_price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = binned.withColumn("prev_max", F.max("size").over(w_local)).filter(
+        F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max"))
+    )
+    # B-row summary: running max size over strictly-lower buckets
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    summary = (
+        binned.groupBy("bucket")
+        .agg(F.max("size").alias("bucket_max"))
+        .withColumn("lower_max", F.max("bucket_max").over(w_bucket))
+        .select("bucket", "lower_max")
+    )
+    return (
+        local.join(F.broadcast(summary), "bucket")
+        .filter(F.col("lower_max").isNull() | (F.col("size") > F.col("lower_max")))
+        .select("retail_price", "size", "n_parts")
+    )
