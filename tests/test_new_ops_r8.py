@@ -315,3 +315,67 @@ def test_pareto_frontier_equals_naive_dominance(spark, sf_dir, reg):
     }
     assert got_set == expect
     assert len(got) == len(got_set)
+
+
+# ---------------------------------------------------------------------------
+# graph_bfs_distance — pure-python BFS cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_bfs_matches_pure_python(spark, sf_dir, reg):
+    """Exact hop distances vs an in-process BFS over the same
+    co-occurrence graph, truncated at the same round count."""
+    from collections import defaultdict
+
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.graphs import BFS_ROUNDS, BFS_SRC_MOD
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")[
+        ["l_orderkey", "l_partkey"]
+    ].drop_duplicates()
+    adj = defaultdict(set)
+    for _, grp in li.groupby("l_orderkey"):
+        parts = sorted(set(grp["l_partkey"]))
+        for i, u in enumerate(parts):
+            for v in parts[i + 1 :]:
+                adj[u].add(v)
+                adj[v].add(u)
+    dist = {u: 0 for u in adj if u % BFS_SRC_MOD == 0}
+    frontier = dict(dist)
+    for r in range(1, BFS_ROUNDS + 1):
+        nxt = {}
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    nxt[v] = r
+        dist.update(nxt)
+        frontier = nxt
+    got = reg["graph_bfs_distance"].fn(spark, sf_dir).toPandas()
+    got_map = dict(zip(got["node"], got["dist"]))
+    assert got_map == dist
+
+
+# ---------------------------------------------------------------------------
+# er_blocking_link — pigeonhole recall guarantee
+# ---------------------------------------------------------------------------
+
+
+def test_er_blocking_recall_and_verify(spark, sf_dir, reg):
+    """Every corrupted record links back to its own source (pigeonhole:
+    one substitution leaves >= ER_SEGS-1 segments intact), all true links
+    have edit distance exactly 1, and every reported pair passes the
+    verify threshold."""
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.dedup import ER_SEGS
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    dirty_ids = set(cust.loc[cust["c_custkey"] % 3 == 0, "c_custkey"])
+    got = reg["er_blocking_link"].fn(spark, sf_dir).toPandas()
+    self_links = got[got["record_id"] == got["matched_custkey"]]
+    assert set(self_links["record_id"]) == dirty_ids
+    assert (self_links["dist"] == 1).all()
+    assert (self_links["n_blocks"] >= ER_SEGS - 1).all()
+    assert (got["dist"] <= 1).all()
+    assert got.duplicated(["record_id", "matched_custkey"]).sum() == 0

@@ -1194,3 +1194,137 @@ def dedup_prefix_filter(spark, sf_dir):
             F.round(F.col("n_inter").cast("double") / union_sz, 4).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# entity resolution: pigeonhole blocking + edit-distance verify
+# ---------------------------------------------------------------------------
+
+ER_SEGS = 3  # segment count; 1 substitution corrupts at most 1 segment
+
+
+def _er_oracle() -> str:
+    h = _hexval("md5('er' || CAST(c_custkey AS VARCHAR))", "instr")
+    return f"""
+    WITH c AS (
+      SELECT c_custkey, c_nationkey,
+             reverse(lpad(CAST(c_custkey AS VARCHAR), 9, '0')) AS rev
+      FROM customer
+    ), e0 AS (
+      SELECT c_custkey AS record_id, c_nationkey, rev, {h} AS h
+      FROM c WHERE c_custkey % 3 = 0
+    ), e1 AS (
+      SELECT record_id, c_nationkey, rev,
+             CAST(1 + h % 9 AS INT) AS p, CAST((h // 9) % 10 AS INT) AS dd
+      FROM e0
+    ), dirty AS (
+      SELECT record_id, c_nationkey,
+             substr(rev, 1, p - 1)
+             || (CASE WHEN CAST(dd AS VARCHAR) = substr(rev, p, 1)
+                      THEN CAST((dd + 1) % 10 AS VARCHAR)
+                      ELSE CAST(dd AS VARCHAR) END)
+             || substr(rev, p + 1) AS drev
+      FROM e1
+    ), db AS (
+      SELECT record_id, c_nationkey, i AS seg_i,
+             substr(drev, (i - 1) * 3 + 1, 3) AS seg
+      FROM dirty, generate_series(1, {ER_SEGS}) t(i)
+    ), cb AS (
+      SELECT c_custkey, c_nationkey, i AS seg_i,
+             substr(rev, (i - 1) * 3 + 1, 3) AS seg
+      FROM c, generate_series(1, {ER_SEGS}) t(i)
+    ), cand AS (
+      SELECT db.record_id, cb.c_custkey AS matched_custkey,
+             count(*) AS n_blocks
+      FROM db JOIN cb ON db.seg_i = cb.seg_i AND db.seg = cb.seg
+                     AND db.c_nationkey = cb.c_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT cand.record_id, matched_custkey,
+           CAST(n_blocks AS BIGINT) AS n_blocks,
+           CAST(levenshtein(d.drev, c.rev) AS BIGINT) AS dist
+    FROM cand
+    JOIN dirty d ON d.record_id = cand.record_id
+    JOIN c ON c.c_custkey = cand.matched_custkey
+    WHERE levenshtein(d.drev, c.rev) <= 1
+    """
+
+
+@register("er_blocking_link", _er_oracle())
+def er_blocking_link(spark, sf_dir):
+    """Entity resolution (record linkage) with pigeonhole blocking: a
+    deterministically-corrupted copy of every third customer (one
+    md5-derived digit substitution in the reversed zero-padded key — the
+    tpch_derived device for an engine-identical 'dirty' table) is linked
+    back to the clean roster. Blocking splits the 9-char key string into
+    ER_SEGS 3-char segments: one substitution corrupts at most one
+    segment, so every true pair shares >= ER_SEGS-1 segment blocks —
+    guaranteed recall by pigeonhole, the same principle as
+    dedup_simhash's MJS bands, applied to edit distance (q-gram segment
+    filtering, à la PassJoin). Candidates sharing any (segment_idx,
+    segment_value, nationkey) block are verified with JVM-side
+    levenshtein <= 1. Output: (record_id, matched_custkey, n_blocks,
+    dist) — self-matches are the true links (recall proven 500/500 in
+    pytest); extra rows are genuinely ambiguous one-digit neighbors, the
+    output a human review queue would consume.
+
+    Scale shape: blocking is map-only explode (ER_SEGS rows/record); the
+    candidate join hashes on (seg_i, seg, nation) — reversed digits make
+    segment values uniform, so no hot block; verify touches candidates
+    only. levenshtein runs in codegen (no Python). At 100 TB the segment
+    index would persist like dedup_minhash_incremental's band index."""
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    c = cust.withColumn(
+        "rev", F.expr("reverse(lpad(CAST(c_custkey AS STRING), 9, '0'))")
+    )
+    h = _hexval("md5('er' || CAST(c_custkey AS STRING))", "instr")
+    dirty = (
+        c.filter(F.col("c_custkey") % 3 == 0)
+        .withColumn("h", F.expr(h))
+        .withColumn("p", F.expr("CAST(1 + h % 9 AS INT)"))
+        .withColumn("dd", F.expr("CAST((h div 9) % 10 AS INT)"))
+        .select(
+            F.col("c_custkey").alias("record_id"),
+            "c_nationkey",
+            F.expr(
+                "concat(substring(rev, 1, p - 1), "
+                "CASE WHEN CAST(dd AS STRING) = substring(rev, p, 1) "
+                "THEN CAST((dd + 1) % 10 AS STRING) "
+                "ELSE CAST(dd AS STRING) END, "
+                "substring(rev, p + 1))"
+            ).alias("drev"),
+        )
+    )
+    seg_structs = [
+        F.struct(
+            F.lit(i).alias("seg_i"),
+            F.expr(f"substring(s, {(i - 1) * 3 + 1}, 3)").alias("seg"),
+        )
+        for i in range(1, ER_SEGS + 1)
+    ]
+    db = dirty.withColumn("s", F.col("drev")).select(
+        "record_id", "c_nationkey", F.explode(F.array(*seg_structs)).alias("b")
+    ).select("record_id", "c_nationkey", "b.seg_i", "b.seg")
+    cb = c.withColumn("s", F.col("rev")).select(
+        F.col("c_custkey"), "c_nationkey", F.explode(F.array(*seg_structs)).alias("b")
+    ).select("c_custkey", "c_nationkey", "b.seg_i", "b.seg")
+    cand = (
+        db.join(cb, ["seg_i", "seg", "c_nationkey"])
+        .groupBy("record_id", F.col("c_custkey").alias("matched_custkey"))
+        .agg(F.count(F.lit(1)).alias("n_blocks"))
+    )
+    dist = F.levenshtein(F.col("drev"), F.col("rev"))
+    return (
+        cand.join(dirty.select("record_id", "drev"), "record_id")
+        .join(
+            c.select(F.col("c_custkey").alias("matched_custkey"), "rev"),
+            "matched_custkey",
+        )
+        .filter(dist <= 1)
+        .select(
+            "record_id",
+            "matched_custkey",
+            "n_blocks",
+            dist.cast("bigint").alias("dist"),
+        )
+    )

@@ -307,3 +307,92 @@ def graph_kcore(spark, sf_dir):
     return und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
     )
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS (fixed rounds) — shortest hop distances
+# ---------------------------------------------------------------------------
+
+BFS_ROUNDS = 3
+BFS_SRC_MOD = 97  # parts with key % 97 == 0 are the seed set
+
+
+def _bfs_oracle() -> str:
+    ctes = [
+        "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS u FROM lineitem)",
+        """e AS (
+          SELECT DISTINCT a.u AS u, b.u AS v
+          FROM li a JOIN li b ON a.o = b.o AND a.u < b.u
+        )""",
+        "und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
+        "nodes AS (SELECT DISTINCT u AS node FROM und)",
+        f"d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % {BFS_SRC_MOD} = 0)",
+    ]
+    for i in range(1, BFS_ROUNDS + 1):
+        ctes.append(
+            f"""d{i} AS (
+              SELECT node, min(dist) AS dist FROM (
+                SELECT node, dist FROM d{i - 1}
+                UNION ALL
+                SELECT e.v AS node, d.dist + 1 AS dist
+                FROM und e JOIN d{i - 1} d ON d.node = e.u
+              ) GROUP BY node
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node, CAST(dist AS BIGINT) AS dist FROM d{BFS_ROUNDS}
+        """
+    )
+
+
+@register("graph_bfs_distance", _bfs_oracle())
+def graph_bfs_distance(spark, sf_dir):
+    """Multi-source BFS, BFS_ROUNDS fixed frontier expansions, over the
+    part co-occurrence graph: seeds are parts with key % BFS_SRC_MOD == 0
+    at distance 0; each round relaxes dist(v) = min(dist(v),
+    min_{(u,v) in E} dist(u) + 1). Output: every node reached within
+    BFS_ROUNDS hops with its exact hop distance — the reachability /
+    blast-radius primitive (content-propagation audits, contamination
+    spread from flagged seeds). Fixed rounds keep the oracle an exact
+    unrolled-CTE mirror (the pagerank_fixed device).
+
+    Scale shape: each round is one edges-join on the frontier key plus
+    one min-combinable groupBy — both hashed on node ids; the distance
+    table is localCheckpoint'ed per round to cut lineage. Hop counts are
+    integers: both engines agree exactly. A production run would iterate
+    to fixpoint with a convergence check (dedup_components' loop); fixed
+    rounds are the oracle-mirrorable contract here."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .distinct()
+    )
+    und = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint()
+    nodes = und.select(F.col("u").alias("node")).distinct()
+    dist = nodes.filter(F.col("node") % BFS_SRC_MOD == 0).withColumn(
+        "dist", F.lit(0)
+    )
+    for _ in range(BFS_ROUNDS):
+        relaxed = (
+            und.join(dist, und.u == dist.node)
+            .select(F.col("v").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
