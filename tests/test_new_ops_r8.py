@@ -379,3 +379,58 @@ def test_er_blocking_recall_and_verify(spark, sf_dir, reg):
     assert (self_links["n_blocks"] >= ER_SEGS - 1).all()
     assert (got["dist"] <= 1).all()
     assert got.duplicated(["record_id", "matched_custkey"]).sum() == 0
+
+
+# ---------------------------------------------------------------------------
+# dedup_bloom_prefilter — no-false-negative contract
+# ---------------------------------------------------------------------------
+
+
+def test_bloom_prefilter_no_false_negatives(spark, sf_dir, reg):
+    """Every true duplicate must be bloom-positive (the filter's only
+    hard guarantee); replayed neighbors are flagged as true dups; and
+    any bloom-positive non-dup is a legitimate false positive, not an
+    error."""
+    got = reg["dedup_bloom_prefilter"].fn(spark, sf_dir).toPandas()
+    from xml_to_parquet_spark.operators.dedup import BLOOM_K
+
+    dup = got[got["true_dup"]]
+    assert (dup["bloom_positive"]).all()
+    assert (dup["n_hits"] == BLOOM_K).all()
+    # replay construction: docs at doc_id % 20 == 0 with an existing
+    # neighbor re-ingest corpus content => true dup
+    replayed = got[(got["doc_id"] % 20 == 0) & (got["doc_id"] > 0)]
+    assert replayed["true_dup"].all()
+    # fresh batch docs (doc_id % 20 == 10) are never true dups
+    fresh = got[got["doc_id"] % 20 == 10]
+    assert (~fresh["true_dup"]).all()
+    assert (got["n_hits"] <= BLOOM_K).all()
+
+
+# ---------------------------------------------------------------------------
+# event_pattern_match — pure-python regex cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_event_pattern_matches_pure_python(spark, sf_dir, reg):
+    """Per-user episode counts equal an in-process re.findall over the
+    identically-ordered symbol string."""
+    import re
+
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.sessions import CEP_PATTERN
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev.sort_values(["ts", "event_id"])
+    expect = {}
+    for uid, grp in ev.groupby("user_id"):
+        seq = "".join(t[0] for t in grp["event_type"])
+        expect[uid] = (len(seq), len(re.findall(CEP_PATTERN, seq)))
+    got = reg["event_pattern_match"].fn(spark, sf_dir).toPandas()
+    assert len(got) == len(expect)
+    for _, r in got.iterrows():
+        n_events, n_matches = expect[r["user_id"]]
+        assert r["n_events"] == n_events
+        assert r["n_matches"] == n_matches
+        assert r["converted"] == (n_matches > 0)

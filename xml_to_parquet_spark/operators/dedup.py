@@ -1328,3 +1328,131 @@ def er_blocking_link(spark, sf_dir):
             dist.cast("bigint").alias("dist"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter ingest prefilter (deterministic, engine-mirrorable)
+# ---------------------------------------------------------------------------
+
+BLOOM_M = 2048  # bits in the filter
+BLOOM_K = 3  # hash functions
+
+# the arriving batch: every 10th doc; half of it (doc_id % 20 == 0)
+# REPLAYS the content of its corpus neighbor (doc_id - 1) so the filter
+# sees true re-ingests as well as fresh content
+BLOOM_CORPUS_PRED = "doc_id % 10 != 0"
+BLOOM_BATCH_PRED = "doc_id % 10 = 0"
+
+
+def _bloom_pos(j: int, h_col: str) -> str:
+    """Bit position j for content hash column: md5-derived, engine-common."""
+    md5_expr = f"md5('{j}|' || {h_col})"
+    return f"({_hexval(md5_expr, 'instr')}) % {BLOOM_M}"
+
+
+def _bloom_oracle() -> str:
+    poss = ", ".join(
+        f"CAST({_bloom_pos(j, 'h')} AS BIGINT) AS p{j}" for j in range(BLOOM_K)
+    )
+    batch_pos_union = " UNION ALL ".join(
+        f"SELECT doc_id, p{j} AS pos FROM bkeys" for j in range(BLOOM_K)
+    )
+    corpus_pos_union = " UNION ALL ".join(
+        f"SELECT p{j} AS pos FROM ckeys" for j in range(BLOOM_K)
+    )
+    return f"""
+    WITH corpus AS (
+      SELECT doc_id, md5(lower(trim(text))) AS h FROM documents
+      WHERE {BLOOM_CORPUS_PRED}
+    ), batch0 AS (
+      SELECT b.doc_id,
+             md5(lower(trim(CASE WHEN b.doc_id % 20 = 0 THEN n.text
+                                 ELSE b.text END))) AS h
+      FROM documents b
+      LEFT JOIN documents n ON n.doc_id = b.doc_id - 1
+      WHERE b.{BLOOM_BATCH_PRED}
+    ), ckeys AS (SELECT doc_id, h, {poss} FROM corpus),
+    bkeys AS (SELECT doc_id, h, {poss} FROM batch0),
+    bits AS (SELECT DISTINCT pos FROM ({corpus_pos_union})),
+    probe AS ({batch_pos_union}),
+    hits AS (
+      SELECT p.doc_id, count(b.pos) AS n_hits
+      FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+      GROUP BY p.doc_id
+    )
+    SELECT hits.doc_id, CAST(n_hits AS BIGINT) AS n_hits,
+           n_hits = {BLOOM_K} AS bloom_positive,
+           (c.h IS NOT NULL) AS true_dup
+    FROM hits
+    JOIN bkeys ON bkeys.doc_id = hits.doc_id
+    LEFT JOIN (SELECT DISTINCT h FROM corpus) c ON c.h = bkeys.h
+    """
+
+
+@register("dedup_bloom_prefilter", _bloom_oracle())
+def dedup_bloom_prefilter(spark, sf_dir):
+    """Bloom-filter ingest prefilter: 'has this content been seen in the
+    standing corpus?' answered with a BLOOM_M-bit, BLOOM_K-hash bloom
+    filter materialized as its set-bit positions — fully deterministic
+    (md5-derived positions), so the DuckDB oracle reproduces every bit
+    and every false positive. The arriving batch (every 10th doc; half
+    deliberately re-ingests its corpus neighbor's content, the
+    tpch_derived fixture device) probes the filter: all K positions set
+    => bloom-positive, routed to exact verification; any position clear
+    => GUARANTEED new (no false negatives — the contract that lets the
+    fast path skip verification entirely). true_dup (the exact check) is
+    emitted alongside so the output exposes the false-positive rate the
+    M/K sizing buys.
+
+    Scale shape: the filter is at most BLOOM_M distinct rows NO MATTER
+    the corpus size — the whole point: membership state bounded by
+    filter geometry, not data volume; it broadcasts to the probe side
+    (left join on pos) while the corpus itself is never rescanned at
+    ingest. Building it is one map-side explode (K positions/doc) + one
+    distinct. At 100 TB the bits table would persist and new batches
+    append their own positions (dedup_minhash_incremental's lifecycle)."""
+    docs = table(spark, sf_dir, "documents")
+    corpus = docs.filter(F.expr(BLOOM_CORPUS_PRED)).select(
+        "doc_id", F.expr("md5(lower(trim(text)))").alias("h")
+    )
+    nbr = docs.select(F.col("doc_id").alias("n_id"), F.col("text").alias("n_text"))
+    batch = (
+        docs.filter(F.expr(BLOOM_BATCH_PRED))
+        .join(nbr, F.col("n_id") == F.col("doc_id") - 1, "left")
+        .select(
+            "doc_id",
+            F.expr(
+                "md5(lower(trim(CASE WHEN doc_id % 20 = 0 THEN n_text "
+                "ELSE text END)))"
+            ).alias("h"),
+        )
+    )
+    pos_cols = [
+        F.expr(_bloom_pos(j, "h")).cast("bigint").alias(f"p{j}")
+        for j in range(BLOOM_K)
+    ]
+    ckeys = corpus.select("doc_id", "h", *pos_cols)
+    bkeys = batch.select("doc_id", "h", *pos_cols).localCheckpoint()
+    bits = (
+        ckeys.select(F.explode(F.array(*[f"p{j}" for j in range(BLOOM_K)])).alias("pos"))
+        .distinct()
+    )
+    probe = bkeys.select(
+        "doc_id", F.explode(F.array(*[f"p{j}" for j in range(BLOOM_K)])).alias("pos")
+    )
+    hits = (
+        probe.join(F.broadcast(bits.withColumn("hit", F.lit(1))), "pos", "left")
+        .groupBy("doc_id")
+        .agg(F.count("hit").alias("n_hits"))
+    )
+    corpus_hashes = corpus.select("h").distinct().withColumn("seen", F.lit(1))
+    return (
+        hits.join(bkeys.select("doc_id", "h"), "doc_id")
+        .join(corpus_hashes, "h", "left")
+        .select(
+            "doc_id",
+            F.col("n_hits").cast("bigint").alias("n_hits"),
+            (F.col("n_hits") == BLOOM_K).alias("bloom_positive"),
+            F.col("seen").isNotNull().alias("true_dup"),
+        )
+    )

@@ -320,3 +320,63 @@ def funnel_conversion(spark, sf_dir):
             ).alias("overall"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# CEP-style sequence pattern matching (MATCH_RECOGNIZE-lite)
+# ---------------------------------------------------------------------------
+
+CEP_PATTERN = "v+c+p"  # one-or-more views, one-or-more clicks, a purchase
+
+
+@register(
+    "event_pattern_match",
+    f"""
+    WITH seqs AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS seq
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+           CAST(len(regexp_extract_all(seq, '{CEP_PATTERN}')) AS BIGINT)
+             AS n_matches,
+           len(regexp_extract_all(seq, '{CEP_PATTERN}')) > 0 AS converted
+    FROM seqs
+    """,
+)
+def event_pattern_match(spark, sf_dir):
+    """Complex-event-processing pattern detection (SQL MATCH_RECOGNIZE /
+    Flink CEP-lite): each user's event history becomes a compact symbol
+    string (first letter of event_type, ordered by ts with event_id
+    tiebreak) and the behavioral pattern CEP_PATTERN — one-or-more views,
+    one-or-more clicks, then a purchase — is counted as non-overlapping
+    regex matches. Where funnel_conversion answers 'did stage N follow
+    stage N-1', this detects CONTIGUOUS episodes: intervening noise
+    events break the match, which is the CEP semantics. Both engines run
+    leftmost non-overlapping greedy matching, so counts agree exactly.
+
+    Scale shape: ONE user_id shuffle builds the per-user sequence
+    (array_sort over collect_list of (ts, event_id, symbol) structs —
+    deterministic regardless of partitioning); the regex runs codegen'd
+    per user row. Per-user sequences are bounded (session-scoped in a
+    real pipeline); nothing driver-side. At 100 TB the symbol string is
+    ~1 byte/event — 1000x smaller than the events it summarizes."""
+    seqs = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct("
+                "ts, event_id, substring(event_type, 1, 1) AS ini))), "
+                "x -> x.ini), '')"
+            ).alias("seq")
+        )
+    )
+    n_matches = F.expr(f"size(regexp_extract_all(seq, '{CEP_PATTERN}', 0))")
+    return seqs.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("n_events"),
+        n_matches.cast("bigint").alias("n_matches"),
+        (n_matches > 0).alias("converted"),
+    )
