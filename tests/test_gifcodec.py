@@ -1,0 +1,76 @@
+"""GIF87a codec (functions/gifcodec.py): exactness and wire-format
+contracts. GIF is lossless, so every roundtrip must be bit-exact —
+including images large enough to exercise variable code widths up to 12
+bits and the dictionary-overflow clear path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xml_to_parquet_spark.functions.gifcodec import (
+    _lzw_decode,
+    _lzw_encode,
+    decode_gif,
+    encode_gif,
+)
+
+
+def test_roundtrip_exact_across_shapes_and_content():
+    rng = np.random.default_rng(3)
+    for shape in [(8, 8), (19, 23), (31, 31), (1, 5), (3, 1), (64, 64)]:
+        for img in (
+            rng.integers(0, 256, shape, dtype=np.uint8),
+            np.full(shape, 77, np.uint8),
+            (np.add.outer(np.arange(shape[0]) * 5, np.arange(shape[1]) * 3) % 256)
+            .astype(np.uint8),
+        ):
+            out = decode_gif(encode_gif(img))
+            assert out.shape == img.shape
+            assert np.array_equal(out, img)
+
+
+def test_dictionary_overflow_clear_path_exact():
+    """A 200x200 noise image forces >4096 LZW entries, so the encoder
+    must emit a mid-stream clear code; the decoder must resynchronize."""
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, (200, 200), dtype=np.uint8)
+    assert np.array_equal(decode_gif(encode_gif(img)), img)
+
+
+def test_lzw_width_schedule_is_early_change():
+    """Feed enough distinct pairs to cross the 512-entry boundary: the
+    encoder emits 10-bit codes from entry 512 on, and the decoder (whose
+    table lags by one) must follow — a plain roundtrip through the raw
+    LZW layer with content engineered to defeat run coalescing."""
+    rng = np.random.default_rng(5)
+    data = bytes(rng.integers(0, 256, 4000, dtype=np.uint8))
+    assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+
+def test_wire_format_fields():
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    b = encode_gif(img)
+    assert b[:6] == b"GIF87a"
+    assert b[-1:] == b"\x3b"
+    w, h = int.from_bytes(b[6:8], "little"), int.from_bytes(b[8:10], "little")
+    assert (w, h) == (8, 8)
+    # global color table flag set, 256-entry table
+    assert b[10] & 0x80
+    # byte determinism
+    assert encode_gif(img) == b
+
+
+def test_decode_rejects_garbage_and_unsupported():
+    with pytest.raises(ValueError):
+        decode_gif(b"NOTAGIF" + b"\x00" * 20)
+    img = np.zeros((4, 4), np.uint8)
+    b = bytearray(encode_gif(img))
+    # flip the interlace flag in the image descriptor, which sits right
+    # after the 13-byte header+LSD and the 768-byte gray palette (a bare
+    # index() would find 0x2c inside palette entry 44)
+    idesc = 13 + 768
+    assert b[idesc] == 0x2C
+    b[idesc + 9] |= 0x40
+    with pytest.raises(ValueError):
+        decode_gif(bytes(b))

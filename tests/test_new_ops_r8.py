@@ -434,3 +434,32 @@ def test_event_pattern_matches_pure_python(spark, sf_dir, reg):
         assert r["n_events"] == n_events
         assert r["n_matches"] == n_matches
         assert r["converted"] == (n_matches > 0)
+
+
+# ---------------------------------------------------------------------------
+# sink_compact_small_files — the file-count halves the oracle can't see
+# ---------------------------------------------------------------------------
+
+
+def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, reg):
+    import glob
+    import os
+
+    from xml_to_parquet_spark.io_paths import scratch_dir
+    from xml_to_parquet_spark.operators.sources_io import (
+        COMPACT_BUCKETS,
+        COMPACT_FRAG_FILES,
+    )
+
+    got = reg["sink_compact_small_files"].fn(spark, sf_dir).toPandas()
+    frag = glob.glob(os.path.join(scratch_dir(sf_dir, "frag_events"), "part-*"))
+    comp = glob.glob(
+        os.path.join(scratch_dir(sf_dir, "compacted_events"), "part-*")
+    )
+    assert len(frag) == COMPACT_FRAG_FILES
+    assert 0 < len(comp) <= COMPACT_BUCKETS
+    import pandas as pd
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    assert got["n_rows"].sum() == len(ev)
+    assert set(got["bucket"]) == set(ev["user_id"] % COMPACT_BUCKETS)

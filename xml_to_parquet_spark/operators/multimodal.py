@@ -886,3 +886,83 @@ def mm_caption_dedup(spark, sf_dir):
         .otherwise(F.lit("re_captioned"))
         .alias("verdict"),
     )
+
+
+# ---------------------------------------------------------------------------
+# GIF decode — palette + LZW chain, lossless => full value oracle
+# ---------------------------------------------------------------------------
+
+
+def _encode_gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.gifcodec import encode_gif
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 8 + (d * 3) % 24, 8 + (d * 5) % 24
+            xs, ys = np.arange(w), np.arange(h)
+            img = ((2 * d + 7 * xs[None, :] + 11 * ys[:, None]) % 256).astype(
+                np.uint8
+            )
+            rows.append((d, encode_gif(img)))
+        yield pd.DataFrame(rows, columns=["doc_id", "gif"])
+
+
+def _decode_gif_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from xml_to_parquet_spark.functions.gifcodec import decode_gif
+
+    for pdf in it:
+        rows = []
+        for d, gif in zip(pdf["doc_id"], pdf["gif"]):
+            arr = decode_gif(bytes(gif))
+            h, w = arr.shape
+            rows.append((int(d), w, h, arr.size, int(arr.astype("int64").sum())))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "width", "height", "n_px", "pix_sum"]
+        )
+
+
+@register(
+    "mm_decode_gif",
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + (doc_id * 3) % 24 AS width,
+             8 + (doc_id * 5) % 24 AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width, height,
+             (2 * doc_id + 7 * (t.i % width) + 11 * (t.i // width)) % 256 AS val
+      FROM dims, LATERAL unnest(range(0, width * height)) AS t(i)
+    )
+    SELECT doc_id, width, height, count(*) AS n_px,
+           CAST(sum(val) AS BIGINT) AS pix_sum
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def mm_decode_gif(spark, sf_dir):
+    """REAL GIF decode end-to-end: deterministic grayscale images
+    (pixel(x,y) = (2*doc_id + 7x + 11y) % 256) are LZW-compressed into
+    genuine GIF87a bytes (variable-width 9→12-bit codes, LSB-first bit
+    packing, clear/EOI codes, 255-byte sub-blocks, gray global color
+    table) in one mapInPandas stage, carried through a binary column, and
+    decoded back (header/descriptor parse, sub-block reassembly, LZW
+    dictionary rebuild with the early-change width schedule, palette
+    mapping) in the next. GIF is LOSSLESS, so unlike the JPEG pair this
+    gets a FULL value oracle: the closed-form pixel formula recomputes
+    n_px/pix_sum — any bug anywhere in the bit-level chain breaks parity.
+
+    Scale shape: both stages are map-only Arrow-batched mapInPandas (the
+    mm_decode_png chassis — multimodal.py:286); no shuffle at all. Codec:
+    functions/gifcodec.py, stdlib-only."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(
+        _encode_gif_batches, schema="doc_id bigint, gif binary"
+    )
+    return encoded.mapInPandas(
+        _decode_gif_batches,
+        schema="doc_id bigint, width bigint, height bigint, n_px bigint, "
+        "pix_sum bigint",
+    )

@@ -255,3 +255,64 @@ def sink_schema_evolution(spark, sf_dir):
         F.count("o_orderpriority").alias("n_with_priority"),
         F.min("o_orderkey").alias("min_key"),
     )
+
+
+COMPACT_FRAG_FILES = 64  # the "after a day of streaming ingest" state
+COMPACT_BUCKETS = 4  # target layout: one file per user bucket
+
+
+@register(
+    "sink_compact_small_files",
+    f"""
+    SELECT user_id % {COMPACT_BUCKETS} AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+           min(event_id) AS min_event, max(event_id) AS max_event
+    FROM events GROUP BY 1
+    """,
+)
+def sink_compact_small_files(spark, sf_dir):
+    """Small-file compaction — the lake-maintenance job every streaming
+    ingest needs: a deliberately fragmented copy of `events`
+    (COMPACT_FRAG_FILES round-robin files, the state a micro-batch writer
+    leaves behind) is rewritten into COMPACT_BUCKETS files partitioned by
+    a stable key hash and sorted within each file by (user_id, ts) — the
+    read-optimized layout. Correctness is content preservation: the
+    output summarizes the COMPACTED table per bucket and the oracle
+    computes the same summary from the ORIGINAL events, so any row lost,
+    duplicated, or mis-bucketed during the rewrite breaks parity; the
+    16x file-count reduction itself is asserted in pytest (driver hashes
+    can't see the filesystem).
+
+    Scale shape: compaction is one hash exchange on the bucket key +
+    per-partition sort — no driver involvement, no collect; at 100 TB it
+    runs per-partition-subtree with the same plan. The fragmented fixture
+    builds once per process behind a _SUCCESS-keyed guard (the
+    dedup_minhash_incremental lifecycle)."""
+    from xml_to_parquet_spark.io_paths import committed
+
+    frag = scratch_dir(sf_dir, "frag_events")
+    compacted = scratch_dir(sf_dir, "compacted_events")
+    ev = table(spark, sf_dir, "events")
+    if not committed(frag):
+        # round-robin fan-out: the worst layout (every file touches every
+        # key range), which is exactly what micro-batch appends produce
+        ev.repartition(COMPACT_FRAG_FILES).write.mode("overwrite").parquet(frag)
+    (
+        spark.read.parquet(frag)
+        .withColumn("bucket", F.col("user_id") % COMPACT_BUCKETS)
+        .repartition(COMPACT_BUCKETS, "bucket")
+        .sortWithinPartitions("user_id", "ts")
+        .write.mode("overwrite")
+        .parquet(compacted)
+    )
+    return (
+        spark.read.parquet(compacted)
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+            F.min("event_id").alias("min_event"),
+            F.max("event_id").alias("max_event"),
+        )
+    )

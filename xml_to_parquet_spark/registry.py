@@ -61,6 +61,7 @@ NEW_TARGETS = [
     "dedup_prefix_filter", "pareto_frontier",
     "graph_bfs_distance", "er_blocking_link",
     "dedup_bloom_prefilter", "event_pattern_match",
+    "mm_decode_gif", "sink_compact_small_files",
     # rows-only, added r8 (bit-parity proof in tests/test_new_ops_r8.py)
     "mm_decode_jpeg", "mm_decode_jpeg_color",
 ]
@@ -78,6 +79,7 @@ ROWS_ONLY_SLOTS = ["mm_decode_jpeg", "mm_decode_jpeg_color"]
 R9_QUEUE: list[str] = [
     "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
     "agg_string_collect", "exists_correlated_subquery",
+    "explode_unnest", "in_subquery",
 ]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
@@ -93,10 +95,10 @@ GRADED_WINDOW: list[str] = [
     "sim_ivf_persist", "sim_quantized_topk", "source_orc_roundtrip",
     "text_token_count", "udf_arrow_map", "window_count_distinct",
     "window_first_last", "window_running_sum",
-    # --- r4-era, 4 of 38 (category-spread; the other 34 rotate in r9 —
+    # --- r4-era, 2 of 38 (category-spread; the other 36 rotate in r9 —
     # the R9_QUEUE entries were displaced by late-r8 NEW_TARGETS;
     # their r4 proofs stay within the 4-round bound at r8)
-    "explode_unnest", "in_subquery", "join_anti", "join_right",
+    "join_anti", "join_right",
 ]
 
 
