@@ -463,3 +463,69 @@ def test_compaction_reduces_files_and_preserves_rows(spark, sf_dir, reg):
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
     assert got["n_rows"].sum() == len(ev)
     assert set(got["bucket"]) == set(ev["user_id"] % COMPACT_BUCKETS)
+
+
+# ---------------------------------------------------------------------------
+# sim_random_projection — numpy exactness + ranking invariants
+# ---------------------------------------------------------------------------
+
+
+def test_random_projection_matches_numpy(spark, sf_dir, reg):
+    """The md5-seeded sign matrix and the projected cosines must equal a
+    numpy recomputation (sequential-sum parity), and each query's top-k
+    is rank-contiguous."""
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.similarity import (
+        _RP,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    R = np.array(_RP)  # (16, 64), entries ±1
+    assert set(np.unique(R)) == {-1.0, 1.0}
+    vecs = {
+        r["vec_id"]: R @ np.asarray(r["embedding"], dtype=np.float64)
+        for _, r in emb.iterrows()
+    }
+    got = reg["sim_random_projection"].fn(spark, sf_dir).toPandas()
+    assert set(got["query_id"]) == set(v for v in vecs if v < N_QUERIES)
+    for qid, grp in got.groupby("query_id"):
+        assert sorted(grp["rn"]) == list(range(1, TOP_K + 1))
+        for _, r in grp.iterrows():
+            a, b = vecs[qid], vecs[r["neighbor_id"]]
+            cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+            assert abs(cos - r["pcos"]) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_wht — numpy Walsh–Hadamard cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_wht_matches_numpy(spark, sf_dir, reg):
+    """Every (doc, window, band) coefficient equals the numpy correlation
+    with the Walsh function over the closed-form signal, exactly."""
+    from xml_to_parquet_spark.operators.multimodal import (
+        WHT_BANDS,
+        WHT_HOP,
+        WHT_WIN,
+    )
+
+    got = reg["mm_audio_wht"].fn(spark, sf_dir).toPandas()
+    assert (got["energy"] == got["coef"] * got["coef"]).all()
+    i = np.arange(WHT_WIN)
+    walsh = {
+        k: np.array([1 - 2 * (bin(k & int(x)).count("1") % 2) for x in i])
+        for k in WHT_BANDS
+    }
+    docs = sorted(set(got["doc_id"]))[:20]
+    sub = got[got["doc_id"].isin(docs)]
+    for (d, w, k), grp in sub.groupby(["doc_id", "win", "band"]):
+        n = 256 + d % 512
+        j = w * WHT_HOP + i
+        s = ((d * 31 + j * 17) % 65536) - 32768
+        assert w * WHT_HOP + WHT_WIN <= n
+        expect = int((s * walsh[k]).sum())
+        assert int(grp["coef"].iloc[0]) == expect

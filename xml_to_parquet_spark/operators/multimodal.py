@@ -966,3 +966,101 @@ def mm_decode_gif(spark, sf_dir):
         schema="doc_id bigint, width bigint, height bigint, n_px bigint, "
         "pix_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Walsh–Hadamard audio features — integer transform => full value oracle
+# ---------------------------------------------------------------------------
+
+WHT_WIN = 256  # window length (power of two, required by the transform)
+WHT_HOP = 128  # 50% overlap
+WHT_BANDS = [1, 2, 4, 8, 16, 32, 64, 128]  # dyadic sequency bands
+
+
+def _wav_window_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from xml_to_parquet_spark.functions.audiocodec import decode_wav
+
+    for pdf in it:
+        rows = []
+        for d, wav in zip(pdf["doc_id"], pdf["wav"]):
+            _rate, samples = decode_wav(bytes(wav))
+            n = samples.shape[0]
+            for w in range((n - WHT_WIN) // WHT_HOP + 1):
+                rows.append(
+                    (
+                        int(d),
+                        w,
+                        [int(s) for s in samples[w * WHT_HOP : w * WHT_HOP + WHT_WIN]],
+                    )
+                )
+        yield pd.DataFrame(rows, columns=["doc_id", "win", "samples"])
+
+
+def _wht_oracle() -> str:
+    bands = ", ".join(str(k) for k in WHT_BANDS)
+    return f"""
+    WITH dims AS (SELECT doc_id, 256 + doc_id % 512 AS n FROM documents),
+    wins AS (
+      SELECT doc_id, t.w FROM dims,
+             LATERAL unnest(range(0, (n - {WHT_WIN}) // {WHT_HOP} + 1)) AS t(w)
+    ), sam AS (
+      SELECT doc_id, w, i.i,
+             ((doc_id * 31 + (w * {WHT_HOP} + i.i) * 17) % 65536) - 32768 AS s
+      FROM wins, LATERAL unnest(range(0, {WHT_WIN})) AS i(i)
+    ), bands AS (SELECT unnest([{bands}]) AS k)
+    SELECT doc_id, w AS win, k AS band,
+           CAST(sum(s * (1 - 2 * (bit_count(k & i) % 2))) AS BIGINT) AS coef,
+           CAST(sum(s * (1 - 2 * (bit_count(k & i) % 2)))
+                * sum(s * (1 - 2 * (bit_count(k & i) % 2))) AS BIGINT) AS energy
+    FROM sam CROSS JOIN bands
+    GROUP BY 1, 2, 3
+    """
+
+
+@register("mm_audio_wht", _wht_oracle())
+def mm_audio_wht(spark, sf_dir):
+    """Walsh–Hadamard spectral features over REAL decoded audio: the WAV
+    fixture chain (mm_decode_wav's genuine RIFF/PCM16 bytes) is windowed
+    (WHT_WIN samples, WHT_HOP hop) and each window is correlated with
+    the dyadic Walsh functions W_k(i) = (-1)^popcount(k & i) for
+    k in WHT_BANDS — the square-wave analogue of an octave-band
+    spectrogram, used in practice for audio fingerprinting precisely
+    because it is multiply-free. Unlike a float FFT (whose libm/summation
+    differences the classifier chain taught us to ban), the WHT over
+    int16 PCM is EXACT integer arithmetic — so this spectral feature
+    gets a full value oracle, recomputed by DuckDB from the closed-form
+    signal.
+
+    Scale shape: decode + windowing are map-only Arrow-batched
+    mapInPandas; each per-window coefficient is one zip_with/aggregate
+    chain in codegen (bit_count is a JVM intrinsic); no shuffle anywhere
+    — the output is ~8 rows per 256-sample window. |coef| <=
+    32768 * 256 = 2^23, so energy fits int64 with 2^46 headroom."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(
+        _encode_wav_batches, schema="doc_id bigint, wav binary"
+    )
+    windows = encoded.mapInPandas(
+        _wav_window_batches, schema="doc_id bigint, win int, samples array<int>"
+    )
+    coef_exprs = [
+        F.expr(
+            f"aggregate(zip_with(samples, sequence(0, {WHT_WIN - 1}), "
+            f"(s, i) -> CAST(s AS BIGINT) * (1 - 2 * (bit_count({k} & i) % 2))), "
+            "CAST(0 AS BIGINT), (a, x) -> a + x)"
+        ).alias(f"c{k}")
+        for k in WHT_BANDS
+    ]
+    wide = windows.select("doc_id", "win", *coef_exprs)
+    stack = ", ".join(f"{k}, c{k}" for k in WHT_BANDS)
+    return wide.select(
+        "doc_id",
+        "win",
+        F.expr(f"stack({len(WHT_BANDS)}, {stack})").alias("band", "coef"),
+    ).select(
+        "doc_id",
+        "win",
+        "band",
+        "coef",
+        (F.col("coef") * F.col("coef")).alias("energy"),
+    )

@@ -1149,3 +1149,101 @@ def sim_two_stage_rerank(spark, sf_dir):
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "cos_coarse", "cos_full", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson–Lindenstrauss random sign projection (data-independent funnel)
+# ---------------------------------------------------------------------------
+
+RP_DIM = 16  # projected dimensionality
+RP_IN_DIM = 64  # embedding dimensionality
+
+
+def _rp_signs() -> list[list[float]]:
+    """±1 sign matrix from md5 — computed ONCE at import with hashlib and
+    embedded as literals in BOTH engines' expressions, so determinism is
+    by construction (no per-row hashing, no cross-engine md5 plumbing)."""
+    import hashlib
+
+    return [
+        [
+            1.0
+            if int(hashlib.md5(f"rp|{j}|{i}".encode()).hexdigest()[:8], 16) % 2 == 0
+            else -1.0
+            for i in range(RP_IN_DIM)
+        ]
+        for j in range(RP_DIM)
+    ]
+
+
+_RP = _rp_signs()
+
+
+def _rp_oracle() -> str:
+    proj = ", ".join(
+        "list_dot_product(CAST(embedding AS DOUBLE[]), ["
+        + ", ".join(str(s) for s in row)
+        + "])"
+        for row in _RP
+    )
+    return f"""
+    WITH p AS (
+      SELECT vec_id, [{proj}] AS pe FROM embeddings
+    ), q AS (
+      SELECT vec_id AS query_id, pe AS pq FROM p WHERE vec_id < {N_QUERIES}
+    ), scored AS (
+      SELECT q.query_id, p.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.pq, p.pe), 6) AS pcos
+      FROM q CROSS JOIN p WHERE p.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY pcos DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, pcos, rn FROM ranked WHERE rn <= {TOP_K}
+    """
+
+
+@register("sim_random_projection", _rp_oracle())
+def sim_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss sign projection: every 64-dim embedding is
+    projected to RP_DIM dims through a fixed ±1 matrix (md5-seeded,
+    literal-embedded in both engines) and top-k cosine runs in the
+    projected space — the DATA-INDEPENDENT compression funnel. Where
+    sim_matryoshka_truncate assumes MRL-trained embeddings (information
+    front-loaded into early dims), JL projection needs no training
+    assumption at all: the lemma bounds distance distortion for ANY
+    vectors, which is what you reach for when the embedding provenance is
+    unknown. Achlioptas-style sign entries make the projection itself a
+    sum/subtract — no float multiplies on the data path in a real SIMD
+    implementation.
+
+    Scale shape: the projection is map-only (RP_DIM zip_with/aggregate
+    chains inside codegen, 4x vector shrink before any join); scoring
+    and ranking reuse the brute-force chassis (broadcast query set,
+    per-query top-k window). In the full funnel this feeds the
+    sim_two_stage_rerank pattern: coarse in RP space, exact rerank."""
+    emb = table(spark, sf_dir, "embeddings")
+    proj_exprs = [
+        F.expr(
+            "aggregate(zip_with(CAST(embedding AS ARRAY<DOUBLE>), array("
+            + ", ".join(f"{s}D" for s in row)
+            + "), (x, s) -> x * s), CAST(0 AS DOUBLE), (a, x) -> a + x)"
+        )
+        for row in _RP
+    ]
+    p = emb.select("vec_id", F.array(*proj_exprs).alias("pe"))
+    q = p.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("pe").alias("pq")
+    )
+    scored = p.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(cosine(F.col("pq"), F.col("pe")), 6).alias("pcos"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("pcos"), "neighbor_id")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "pcos", "rn")
+    )

@@ -62,6 +62,7 @@ NEW_TARGETS = [
     "graph_bfs_distance", "er_blocking_link",
     "dedup_bloom_prefilter", "event_pattern_match",
     "mm_decode_gif", "sink_compact_small_files",
+    "sim_random_projection", "mm_audio_wht",
     # rows-only, added r8 (bit-parity proof in tests/test_new_ops_r8.py)
     "mm_decode_jpeg", "mm_decode_jpeg_color",
 ]
@@ -79,7 +80,7 @@ ROWS_ONLY_SLOTS = ["mm_decode_jpeg", "mm_decode_jpeg_color"]
 R9_QUEUE: list[str] = [
     "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
     "agg_string_collect", "exists_correlated_subquery",
-    "explode_unnest", "in_subquery",
+    "explode_unnest", "in_subquery", "join_anti", "join_right",
 ]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
@@ -95,10 +96,9 @@ GRADED_WINDOW: list[str] = [
     "sim_ivf_persist", "sim_quantized_topk", "source_orc_roundtrip",
     "text_token_count", "udf_arrow_map", "window_count_distinct",
     "window_first_last", "window_running_sum",
-    # --- r4-era, 2 of 38 (category-spread; the other 36 rotate in r9 —
-    # the R9_QUEUE entries were displaced by late-r8 NEW_TARGETS;
-    # their r4 proofs stay within the 4-round bound at r8)
-    "join_anti", "join_right",
+    # --- r4-era: all 38 now rotate in r9 — ten late-r8 NEW_TARGETS
+    # displaced the r4-era fills into R9_QUEUE; their r4 proofs stay
+    # within the 4-round bound at r8 and r9's window leads with them
 ]
 
 
