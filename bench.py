@@ -86,6 +86,13 @@ BENCH_QUERIES = [
     # r8 new operators: AQE skew split + cross-modal caption dedup
     "join_skew_aqe",
     "mm_caption_dedup",
+    # late-r8 additions: theory-bounded similarity join (window + candidate
+    # join + verify), blocked record linkage, iterative BFS, and the
+    # integer spectral transform — the heaviest of the ten new operators
+    "dedup_prefix_filter",
+    "er_blocking_link",
+    "graph_bfs_distance",
+    "mm_audio_wht",
 ]
 
 

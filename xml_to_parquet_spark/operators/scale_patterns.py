@@ -566,29 +566,43 @@ def pareto_frontier(spark, sf_dir):
     bounds = best.agg(
         F.min("retail_price").alias("lo"), F.max("retail_price").alias("hi")
     )
-    binned = best.crossJoin(F.broadcast(bounds)).withColumn(
-        "bucket",
-        F.least(
-            F.lit(SKYLINE_BUCKETS - 1),
-            F.floor(
-                (F.col("retail_price") - F.col("lo"))
-                / ((F.col("hi") - F.col("lo")) / SKYLINE_BUCKETS)
+    # localCheckpoint: both the local-frontier branch and the B-row summary
+    # read `binned`; without materialization Spark re-derives the whole
+    # scan+agg lineage per branch (verified in the plan — two FileScan
+    # subtrees). The checkpoint is bounded at |distinct prices| rows.
+    binned = (
+        best.crossJoin(F.broadcast(bounds))
+        .withColumn(
+            "bucket",
+            F.least(
+                F.lit(SKYLINE_BUCKETS - 1),
+                F.floor(
+                    (F.col("retail_price") - F.col("lo"))
+                    / ((F.col("hi") - F.col("lo")) / SKYLINE_BUCKETS)
+                ),
             ),
-        ),
+        )
+        .localCheckpoint()
     )
     w_local = (
         Window.partitionBy("bucket")
         .orderBy("retail_price")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    local = binned.withColumn("prev_max", F.max("size").over(w_local)).filter(
+    # bucket_max rides the SAME bucket exchange as the running-max window
+    # (two Window nodes, one Exchange — keeps the agg subtree single-pass
+    # instead of recomputing the scan+groupBy for a separate summary)
+    annotated = binned.withColumn("prev_max", F.max("size").over(w_local)).withColumn(
+        "bucket_max", F.max("size").over(Window.partitionBy("bucket"))
+    )
+    local = annotated.filter(
         F.col("prev_max").isNull() | (F.col("size") > F.col("prev_max"))
     )
     # B-row summary: running max size over strictly-lower buckets
     w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
     summary = (
-        binned.groupBy("bucket")
-        .agg(F.max("size").alias("bucket_max"))
+        annotated.select("bucket", "bucket_max")
+        .dropDuplicates(["bucket"])
         .withColumn("lower_max", F.max("bucket_max").over(w_bucket))
         .select("bucket", "lower_max")
     )
