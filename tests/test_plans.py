@@ -479,3 +479,72 @@ def test_classifier_chain_stays_double_no_decimal(spark, sf_dir):
     ), df.schema
     # and no decimal cast sneaks into the physical plan either
     assert "as decimal" not in physical_plan(df).lower()
+
+
+# --- late-r8 operators ------------------------------------------------------
+
+
+def test_prefix_filter_no_cartesian_reads_only_needed_cols(spark, sf_dir):
+    """Candidate generation must stay an equi-join on the shingle (the
+    prefix-filter lemma's whole point) — never a cartesian/BNL pair
+    enumeration; the scan reads only (doc_id, text)."""
+    df = load_all()["dedup_prefix_filter"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert "CartesianProduct" not in n
+    assert "BroadcastNestedLoopJoin" not in n
+    for rs in read_schemas(df):
+        assert "source" not in rs and "lang" not in rs
+
+
+def test_pareto_frontier_single_materialized_subtree(spark, sf_dir):
+    """The scan+agg lineage materializes ONCE (localCheckpoint); both the
+    local-frontier and summary branches read the checkpointed RDD, and
+    the only windows are the two bucket-partitioned ones plus the B-row
+    cross-bucket merge."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["pareto_frontier"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "FileScan" not in plan  # upstream ran at checkpoint time
+    assert plan.count("Scan ExistingRDD") == 2
+    assert node_counts(df).get("Window", 0) == 3
+
+
+def test_er_blocking_equi_join_and_codegen_levenshtein(spark, sf_dir):
+    """Blocking must be a hash equi-join on (seg_i, seg, nation) and the
+    verify must run JVM-side levenshtein — no cartesian, no Python."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["er_blocking_link"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert "CartesianProduct" not in n
+    assert "BroadcastNestedLoopJoin" not in n
+    plan = physical_plan(df)
+    assert "levenshtein" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bloom_prefilter_bits_side_broadcasts(spark, sf_dir):
+    """The filter (bounded by BLOOM_M geometry, not corpus size) must be
+    the broadcast side of the probe join."""
+    df = load_all()["dedup_bloom_prefilter"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("BroadcastHashJoin", 0) >= 2  # bits probe + neighbor join
+    assert "CartesianProduct" not in n
+
+
+def test_wht_and_gif_are_map_only(spark, sf_dir):
+    """The spectral transform and the GIF decode chain are pure map
+    pipelines: zero exchanges of any kind."""
+    for name in ("mm_audio_wht", "mm_decode_gif"):
+        df = load_all()[name].fn(spark, sf_dir)
+        assert shuffle_count(df) == 0, name
+
+
+def test_random_projection_broadcasts_query_side(spark, sf_dir):
+    df = load_all()["sim_random_projection"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert "CartesianProduct" not in n
+    assert (
+        n.get("BroadcastHashJoin", 0) + n.get("BroadcastNestedLoopJoin", 0) >= 1
+    )
