@@ -1126,15 +1126,24 @@ def dedup_prefix_filter(spark, sf_dir):
     zero recall loss — and unlike the df cap, Jaccard is computed over
     the FULL shingle space.
 
-    Scale shape: df is one combinable groupBy on shingle; the global
-    rank is a per-doc window (one doc_id shuffle, rows bounded by doc
-    length); candidate generation equi-joins prefixes on the shingle —
-    fan-out concentrates on each doc's rarest shingles, which is exactly
-    where df is low, so no hot-key quadratic blowup; verification joins
-    full shingle lists only for candidate docs (semi-join-pruned scan).
-    The integer survive test (DEN*|∩| >= NUM*|∪|) makes the threshold
+    Scale shape: df is one combinable groupBy on shingle; shingles are
+    dictionary-encoded to their global (df, shingle) rank (one
+    vocabulary-sized window — Heaps-law bounded, the text_bpe_train
+    device) so every downstream shuffle moves ints, not strings; the
+    per-doc rank is one doc_id window; candidate generation equi-joins
+    prefixes on the sid with PPJoin's LENGTH and POSITIONAL filters in
+    the join condition (both recall-lossless — at sf0.1 they cut
+    candidates 388k -> 125k on top of the prefix lemma's 12.5M -> 388k);
+    verification is one array_intersect per surviving candidate over
+    sorted int arrays (not a per-(pair, shingle) re-shuffle). The
+    integer survive test (DEN*|∩| >= NUM*|∪|) makes the threshold
     decision bit-identical in both engines; the reported jaccard is one
-    final rounded division."""
+    final rounded division. The oracle keeps the plain prefix-only
+    formulation: the extra filters only shrink the CANDIDATE set, and
+    both sides verify with exact full-space Jaccard, so the final pair
+    sets are provably identical (the brute-force pytest re-proves it)."""
+    from pyspark.sql import Window
+
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
@@ -1144,49 +1153,73 @@ def dedup_prefix_filter(spark, sf_dir):
         "doc_id",
         F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
     )
+    # dictionary-encode shingles as their global (df, shingle) rank: one
+    # combinable df groupBy + a vocabulary-sized window (Heaps-law
+    # bounded, the text_bpe_train device). Integer sids make the per-doc
+    # rank a plain orderBy(sid) and shrink every downstream shuffle and
+    # array op ~5x vs shuffling shingle strings.
     df = sh0.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("doc_id").orderBy("df", "shingle")
-    ranked = (
-        sh0.join(df, "shingle")
-        .withColumn("pos", F.row_number().over(w))
-        .withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
-    )
+    dict_ = df.withColumn(
+        "sid", F.row_number().over(Window.orderBy("df", "shingle"))
+    ).select("shingle", "sid")
+    # localCheckpoint: sh1 feeds the rank window, the verify arrays, and
+    # (via pref) candidate generation; without materialization each
+    # consumer re-runs the tokenize+explode+dict lineage
+    sh1 = sh0.join(dict_, "shingle").select("doc_id", "sid").localCheckpoint()
+    ranked = sh1.withColumn(
+        "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("sid"))
+    ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
     prefix_len = F.col("n") - F.expr(
         f"({PF_NUM} * n + {PF_DEN} - 1) div {PF_DEN}"
     )
-    pref = ranked.filter(F.col("pos") <= prefix_len).select("doc_id", "shingle")
+    pref = ranked.filter(F.col("pos") <= prefix_len).select(
+        "doc_id", "sid", "pos", "n"
+    )
     a = pref.alias("a")
     b = pref.alias("b")
+    # PPJoin filters on top of the prefix lemma (all recall-lossless):
+    # length (J >= t forces t*|A| <= |B| <= |A|/t) and positional (the
+    # remaining-suffix overlap upper bound 1 + min(na-pa, nb-pb) must
+    # reach alpha = ceil(t/(1+t)*(na+nb)) — integerized via
+    # (NUM+DEN)*ubound >= NUM*(na+nb)). Together they cut sf0.1
+    # candidates 387,906 -> 124,979 on top of the prefix lemma's 12.5M
+    # -> 388k.
+    ubound = F.lit(1) + F.least(
+        F.col("a.n") - F.col("a.pos"), F.col("b.n") - F.col("b.pos")
+    )
     cand = (
         a.join(
             b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            (F.col("a.sid") == F.col("b.sid"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (PF_NUM * F.col("a.n") <= PF_DEN * F.col("b.n"))
+            & (PF_NUM * F.col("b.n") <= PF_DEN * F.col("a.n"))
+            & ((PF_NUM + PF_DEN) * ubound >= PF_NUM * (F.col("a.n") + F.col("b.n"))),
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sizes = sh0.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    fa = sh0.alias("fa")
-    fb = sh0.alias("fb")
-    inter = (
-        cand.join(fa, F.col("fa.doc_id") == F.col("doc_a"))
-        .join(
-            fb,
-            (F.col("fb.doc_id") == F.col("doc_b"))
-            & (F.col("fb.shingle") == F.col("fa.shingle")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # verify: per-pair exact intersection via sorted int arrays — one
+    # array_intersect per candidate instead of re-shuffling every
+    # (pair, shingle) row (was the dominant cost: ~20M intermediate rows)
+    arrs = sh1.groupBy("doc_id").agg(
+        F.array_sort(F.collect_list("sid")).alias("sh"),
+        F.count(F.lit(1)).alias("n"),
     )
-    sa = sizes.alias("sa")
-    sb = sizes.alias("sb")
-    union_sz = F.col("sa.n") + F.col("sb.n") - F.col("n_inter")
+    aa = arrs.select(
+        F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"),
+        F.col("n").alias("na"),
+    )
+    bb = arrs.select(
+        F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"),
+        F.col("n").alias("nb"),
+    )
+    n_inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union_sz = F.col("na") + F.col("nb") - F.col("n_inter")
     return (
-        inter.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
-        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        cand.join(aa, "doc_a")
+        .join(bb, "doc_b")
+        .withColumn("n_inter", n_inter)
         .filter(PF_DEN * F.col("n_inter") >= PF_NUM * union_sz)
         .select(
             "doc_a",

