@@ -1241,30 +1241,31 @@ def _er_oracle() -> str:
     return f"""
     WITH c AS (
       SELECT c_custkey, c_nationkey,
-             reverse(lpad(CAST(c_custkey AS VARCHAR), 9, '0')) AS rev
+             substr(md5(CAST(c_custkey AS VARCHAR)), 1, 9) AS rid
       FROM customer
     ), e0 AS (
-      SELECT c_custkey AS record_id, c_nationkey, rev, {h} AS h
+      SELECT c_custkey AS record_id, c_nationkey, rid, {h} AS h
       FROM c WHERE c_custkey % 3 = 0
     ), e1 AS (
-      SELECT record_id, c_nationkey, rev,
-             CAST(1 + h % 9 AS INT) AS p, CAST((h // 9) % 10 AS INT) AS dd
+      SELECT record_id, c_nationkey, rid,
+             CAST(1 + h % 9 AS INT) AS p, CAST((h // 9) % 16 AS INT) AS dd
       FROM e0
     ), dirty AS (
       SELECT record_id, c_nationkey,
-             substr(rev, 1, p - 1)
-             || (CASE WHEN CAST(dd AS VARCHAR) = substr(rev, p, 1)
-                      THEN CAST((dd + 1) % 10 AS VARCHAR)
-                      ELSE CAST(dd AS VARCHAR) END)
-             || substr(rev, p + 1) AS drev
+             substr(rid, 1, p - 1)
+             || (CASE WHEN substr('0123456789abcdef', dd + 1, 1)
+                           = substr(rid, p, 1)
+                      THEN substr('0123456789abcdef', ((dd + 1) % 16) + 1, 1)
+                      ELSE substr('0123456789abcdef', dd + 1, 1) END)
+             || substr(rid, p + 1) AS drid
       FROM e1
     ), db AS (
       SELECT record_id, c_nationkey, i AS seg_i,
-             substr(drev, (i - 1) * 3 + 1, 3) AS seg
+             substr(drid, (i - 1) * 3 + 1, 3) AS seg
       FROM dirty, generate_series(1, {ER_SEGS}) t(i)
     ), cb AS (
       SELECT c_custkey, c_nationkey, i AS seg_i,
-             substr(rev, (i - 1) * 3 + 1, 3) AS seg
+             substr(rid, (i - 1) * 3 + 1, 3) AS seg
       FROM c, generate_series(1, {ER_SEGS}) t(i)
     ), cand AS (
       SELECT db.record_id, cb.c_custkey AS matched_custkey,
@@ -1275,11 +1276,11 @@ def _er_oracle() -> str:
     )
     SELECT cand.record_id, matched_custkey,
            CAST(n_blocks AS BIGINT) AS n_blocks,
-           CAST(levenshtein(d.drev, c.rev) AS BIGINT) AS dist
+           CAST(levenshtein(d.drid, c.rid) AS BIGINT) AS dist
     FROM cand
     JOIN dirty d ON d.record_id = cand.record_id
     JOIN c ON c.c_custkey = cand.matched_custkey
-    WHERE levenshtein(d.drev, c.rev) <= 1
+    WHERE levenshtein(d.drid, c.rid) <= 1
     """
 
 
@@ -1287,70 +1288,80 @@ def _er_oracle() -> str:
 def er_blocking_link(spark, sf_dir):
     """Entity resolution (record linkage) with pigeonhole blocking: a
     deterministically-corrupted copy of every third customer (one
-    md5-derived digit substitution in the reversed zero-padded key — the
-    tpch_derived device for an engine-identical 'dirty' table) is linked
-    back to the clean roster. Blocking splits the 9-char key string into
-    ER_SEGS 3-char segments: one substitution corrupts at most one
-    segment, so every true pair shares >= ER_SEGS-1 segment blocks —
-    guaranteed recall by pigeonhole, the same principle as
-    dedup_simhash's MJS bands, applied to edit distance (q-gram segment
-    filtering, à la PassJoin). Candidates sharing any (segment_idx,
-    segment_value, nationkey) block are verified with JVM-side
-    levenshtein <= 1. Output: (record_id, matched_custkey, n_blocks,
-    dist) — self-matches are the true links (recall proven 500/500 in
-    pytest); extra rows are genuinely ambiguous one-digit neighbors, the
-    output a human review queue would consume.
+    md5-derived hex-char substitution in a 9-char md5-derived record ID —
+    the tpch_derived device for an engine-identical 'dirty' table) is
+    linked back to the clean roster. Blocking splits the ID into ER_SEGS
+    3-char segments: one substitution corrupts at most one segment, so
+    every true pair shares >= ER_SEGS-1 segment blocks — guaranteed
+    recall by pigeonhole, the same principle as dedup_simhash's MJS
+    bands, applied to edit distance (q-gram segment filtering, à la
+    PassJoin). Candidates sharing any (segment_idx, segment_value,
+    nationkey) block are verified with JVM-side levenshtein <= 1.
+    Output: (record_id, matched_custkey, n_blocks, dist) — self-matches
+    are the true links (full recall proven in pytest); extra rows are
+    genuinely ambiguous one-char neighbors, the output a human review
+    queue would consume.
 
     Scale shape: blocking is map-only explode (ER_SEGS rows/record); the
-    candidate join hashes on (seg_i, seg, nation) — reversed digits make
-    segment values uniform, so no hot block; verify touches candidates
-    only. levenshtein runs in codegen (no Python). At 100 TB the segment
-    index would persist like dedup_minhash_incremental's band index."""
+    candidate join hashes on (seg_i, seg, nation). Segment values MUST
+    be high-entropy for the pigeonhole to bound block sizes — the md5
+    ID gives 16^3 uniform values per segment (a first draft blocked on
+    reverse-zero-padded key DIGITS, whose high-order segment was '000'
+    for every customer: one 2M-row hot block at sf0.1, the exact
+    quadratic this operator exists to avoid; 2.6s -> 0.6s after).
+    Verify touches candidates only; levenshtein runs in codegen (no
+    Python); the 1-per-record dirty table is localCheckpoint'ed so the
+    md5 derivation chain isn't re-expanded per consumer. At 100 TB the
+    segment index would persist like dedup_minhash_incremental's band
+    index."""
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
     c = cust.withColumn(
-        "rev", F.expr("reverse(lpad(CAST(c_custkey AS STRING), 9, '0'))")
+        "rid", F.expr("substring(md5(CAST(c_custkey AS STRING)), 1, 9)")
     )
     h = _hexval("md5('er' || CAST(c_custkey AS STRING))", "instr")
+    hexd = "'0123456789abcdef'"
     dirty = (
         c.filter(F.col("c_custkey") % 3 == 0)
         .withColumn("h", F.expr(h))
         .withColumn("p", F.expr("CAST(1 + h % 9 AS INT)"))
-        .withColumn("dd", F.expr("CAST((h div 9) % 10 AS INT)"))
+        .withColumn("dd", F.expr("CAST((h div 9) % 16 AS INT)"))
         .select(
             F.col("c_custkey").alias("record_id"),
             "c_nationkey",
             F.expr(
-                "concat(substring(rev, 1, p - 1), "
-                "CASE WHEN CAST(dd AS STRING) = substring(rev, p, 1) "
-                "THEN CAST((dd + 1) % 10 AS STRING) "
-                "ELSE CAST(dd AS STRING) END, "
-                "substring(rev, p + 1))"
-            ).alias("drev"),
+                "concat(substring(rid, 1, p - 1), "
+                f"CASE WHEN substring({hexd}, dd + 1, 1) = substring(rid, p, 1) "
+                f"THEN substring({hexd}, ((dd + 1) % 16) + 1, 1) "
+                f"ELSE substring({hexd}, dd + 1, 1) END, "
+                "substring(rid, p + 1))"
+            ).alias("drid"),
         )
+        .localCheckpoint()
     )
-    seg_structs = [
+    seg_structs = lambda col: [  # noqa: E731
         F.struct(
             F.lit(i).alias("seg_i"),
-            F.expr(f"substring(s, {(i - 1) * 3 + 1}, 3)").alias("seg"),
+            F.expr(f"substring({col}, {(i - 1) * 3 + 1}, 3)").alias("seg"),
         )
         for i in range(1, ER_SEGS + 1)
     ]
-    db = dirty.withColumn("s", F.col("drev")).select(
-        "record_id", "c_nationkey", F.explode(F.array(*seg_structs)).alias("b")
+    db = dirty.select(
+        "record_id", "c_nationkey", F.explode(F.array(*seg_structs("drid"))).alias("b")
     ).select("record_id", "c_nationkey", "b.seg_i", "b.seg")
-    cb = c.withColumn("s", F.col("rev")).select(
-        F.col("c_custkey"), "c_nationkey", F.explode(F.array(*seg_structs)).alias("b")
+    cb = c.select(
+        F.col("c_custkey"), "c_nationkey",
+        F.explode(F.array(*seg_structs("rid"))).alias("b"),
     ).select("c_custkey", "c_nationkey", "b.seg_i", "b.seg")
     cand = (
         db.join(cb, ["seg_i", "seg", "c_nationkey"])
         .groupBy("record_id", F.col("c_custkey").alias("matched_custkey"))
         .agg(F.count(F.lit(1)).alias("n_blocks"))
     )
-    dist = F.levenshtein(F.col("drev"), F.col("rev"))
+    dist = F.levenshtein(F.col("drid"), F.col("rid"))
     return (
-        cand.join(dirty.select("record_id", "drev"), "record_id")
+        cand.join(dirty.select("record_id", "drid"), "record_id")
         .join(
-            c.select(F.col("c_custkey").alias("matched_custkey"), "rev"),
+            c.select(F.col("c_custkey").alias("matched_custkey"), "rid"),
             "matched_custkey",
         )
         .filter(dist <= 1)
