@@ -44,6 +44,17 @@ REPRESENTATIVES = [
     ("mm_decode_wav", 0),
     ("sessionize_events", 0),
     ("sample_hash_deterministic", 0),
+    # late-r8 operators
+    ("dedup_prefix_filter", 0),
+    ("pareto_frontier", 0),
+    ("graph_bfs_distance", 0),
+    ("er_blocking_link", 0),
+    ("dedup_bloom_prefilter", 0),
+    ("event_pattern_match", 0),
+    ("mm_decode_gif", 0),
+    ("sim_random_projection", 0),
+    ("mm_audio_wht", 0),
+    ("sink_compact_small_files", 0),
 ]
 
 
