@@ -142,3 +142,76 @@ def test_simhash_banding_recall_guarantee(spark, sf_dir):
         for r in dedup_simhash(spark, sf_dir).collect()
     }
     assert got == want  # banding loses nothing and invents nothing
+
+
+def test_ppjoin_filters_never_drop_a_qualifying_pair():
+    """Hypothesis property over random token-set corpora: the EXACT
+    integer filter chain dedup_prefix_filter runs (df-ordered prefix +
+    length filter + positional filter with the integerized alpha bound)
+    must generate a candidate for every pair whose true Jaccard passes
+    the threshold — the recall-losslessness the PPJoin lemmas promise,
+    checked against the same integer formulas the operator uses."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xml_to_parquet_spark.operators.dedup import PF_DEN, PF_NUM
+
+    @settings(max_examples=200, deadline=None)
+    @given(
+        st.lists(
+            st.sets(st.integers(0, 30), min_size=1, max_size=12),
+            min_size=2,
+            max_size=8,
+        )
+    )
+    def check(corpus):
+        df = Counter(t for s in corpus for t in s)
+        order = {t: r for r, t in enumerate(sorted(df, key=lambda t: (df[t], t)))}
+        docs = []
+        for s in corpus:
+            toks = sorted(s, key=order.__getitem__)
+            n = len(toks)
+            plen = n - (PF_NUM * n + PF_DEN - 1) // PF_DEN + 1
+            # (token, 1-based position, n) for prefix tokens
+            docs.append([(t, p + 1, n) for p, t in enumerate(toks)][:plen])
+        full = [set(s) for s in corpus]
+        for i in range(len(corpus)):
+            for j in range(i + 1, len(corpus)):
+                inter = len(full[i] & full[j])
+                union = len(full[i] | full[j])
+                if PF_DEN * inter < PF_NUM * union:
+                    continue  # pair below threshold: no recall obligation
+                # the operator's candidate test: some shared prefix token
+                # passes length + positional filters
+                ok = False
+                for ta, pa, na in docs[i]:
+                    for tb, pb, nb in docs[j]:
+                        if ta != tb:
+                            continue
+                        if PF_NUM * na > PF_DEN * nb or PF_NUM * nb > PF_DEN * na:
+                            continue
+                        ub = 1 + min(na - pa, nb - pb)
+                        if (PF_NUM + PF_DEN) * ub >= PF_NUM * (na + nb):
+                            ok = True
+                assert ok, (corpus[i], corpus[j], inter, union)
+
+    check()
+
+
+def test_gif_lzw_roundtrip_property():
+    """Hypothesis property: LZW encode/decode round-trips ANY byte
+    sequence exactly (covers code-width growth, KwKwK, and the
+    dictionary-reset path for long noisy inputs)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xml_to_parquet_spark.functions.gifcodec import _lzw_decode, _lzw_encode
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.binary(min_size=1, max_size=4000))
+    def check(data):
+        assert _lzw_decode(_lzw_encode(data), len(data)) == data
+
+    check()

@@ -1088,7 +1088,7 @@ def _prefix_filter_oracle() -> str:
       FROM sh0 s JOIN df d USING (shingle)
     ), pref AS (
       SELECT doc_id, shingle FROM ranked
-      WHERE pos <= n - ({PF_NUM} * n + {PF_DEN} - 1) // {PF_DEN}
+      WHERE pos <= n - ({PF_NUM} * n + {PF_DEN} - 1) // {PF_DEN} + 1
     ), cand AS (
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM pref a JOIN pref b
@@ -1169,9 +1169,15 @@ def dedup_prefix_filter(spark, sf_dir):
     ranked = sh1.withColumn(
         "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("sid"))
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+    # prefix length n - ceil(t*n) + 1: if A's first n - ceil(t*n) + 1
+    # df-ordered shingles all miss the intersection, the suffix's
+    # ceil(t*n) - 1 slots cannot hold the >= ceil(t*n) shared shingles a
+    # qualifying pair must have (the +1 is load-bearing: without it a
+    # 1-shingle doc gets an EMPTY prefix and identical 1-shingle docs are
+    # lost — caught by the hypothesis lemma test, not by the corpus)
     prefix_len = F.col("n") - F.expr(
         f"({PF_NUM} * n + {PF_DEN} - 1) div {PF_DEN}"
-    )
+    ) + 1
     pref = ranked.filter(F.col("pos") <= prefix_len).select(
         "doc_id", "sid", "pos", "n"
     )
