@@ -22,6 +22,20 @@ Round-7 full-registry sweep (scripts/bench_sweep.py, sf0.1, min-of-2):
 this round came from the sweep: scalar_xpath_fns 7.4s -> 1.3s
 (single-split scan parallelism) and q21 16s -> 4.2s (predicate pushdown
 dragging the md5 decode into the scan).
+
+Round-8 sweep (same protocol): 222.1s over all 221 queries, 0 errors —
+the growth is the 23 new entries (the real JPEG/GIF codecs and the
+graph family are the heavy tail: text_bpe_train 11.2s across 12
+driver-argmax training rounds, mm_decode_jpeg_color 10.7s = ~2ms/image
+of pure-python Huffman+IDCT, graph_triangle_count ~6.4s of inherent
+m^1.5 wedge join). FIVE structural wins came out of this round's sweep
++ plan audits: mm_audio_wht 5.4s -> 0.7s (fuse transform into the
+decode stage — 25M HOF lambda evals moved into one int64 matmul),
+dedup_prefix_filter 4.9s -> 3.3s (PPJoin length+positional filters,
+int dictionary, array-intersect verify), er_blocking_link 2.6s -> 1.0s
+(hot-block fix: md5-derived IDs restore segment entropy), graph_kcore
+7.7s -> 4.5s and graph_triangle_count 8.9s -> 6.4s (materialize edge
+lists whose lineage doubled per peel round).
 """
 
 from __future__ import annotations
