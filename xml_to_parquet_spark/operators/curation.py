@@ -623,7 +623,15 @@ def text_bpe_train(spark, sf_dir):
         learned.append((rank, a, b, n))
         words = words.select(
             _apply_merge_udf(a, b)(F.col("syms")).alias("syms"), "cnt"
-        ).localCheckpoint()
+        )
+        # checkpoint every 3rd round, not every round: recompute within a
+        # 3-round window is at most 3 extra vectorized merge layers
+        # (still linear overall), while each dropped checkpoint saves an
+        # eager materialization job — ~20% of the operator's wall-clock
+        # at sf0.1, where per-round job overhead dominates the tiny
+        # Heaps-bounded vocabulary
+        if (rank + 1) % 3 == 0:
+            words = words.localCheckpoint()
     return spark.createDataFrame(
         learned, "rank int, left string, right string, pair_count bigint"
     )
