@@ -74,3 +74,13 @@ def test_decode_rejects_garbage_and_unsupported():
     b[idesc + 9] |= 0x40
     with pytest.raises(ValueError):
         decode_gif(bytes(b))
+
+
+def test_decode_truncated_raises_valueerror():
+    """Truncation anywhere (palette, descriptor, mid-sub-block) must
+    surface as the documented ValueError, not IndexError/struct.error."""
+    img = np.arange(256, dtype=np.uint8).reshape(16, 16)
+    full = encode_gif(img)
+    for cut in (10, 100, 700, len(full) - 10, len(full) - 2):
+        with pytest.raises(ValueError):
+            decode_gif(full[:cut])

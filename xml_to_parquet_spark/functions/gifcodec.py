@@ -167,14 +167,25 @@ def encode_gif(img: np.ndarray) -> bytes:
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode a GIF87a/89a with a global color table and a single
     non-interlaced image; returns the 2-D uint8 luminance array (palette
-    entries are averaged, exact for gray palettes)."""
+    entries are averaged, exact for gray palettes). Any malformed or
+    TRUNCATED input raises ValueError (the documented contract a caller's
+    quarantine path relies on), never a bare IndexError/struct.error."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
+    try:
+        return _decode_gif_body(data)
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt GIF: {exc}") from exc
+
+
+def _decode_gif_body(data: bytes) -> np.ndarray:
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     palette = None
     if flags & 0x80:
         n = 2 << (flags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated color table")
         palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
     while True:
@@ -197,6 +208,8 @@ def decode_gif(data: bytes) -> np.ndarray:
         raise ValueError("interlaced GIFs not supported")
     if iflags & 0x80:
         n = 2 << (iflags & 0x07)
+        if pos + 3 * n > len(data):
+            raise ValueError("truncated color table")
         palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
     if palette is None:
@@ -208,8 +221,12 @@ def decode_gif(data: bytes) -> np.ndarray:
     lzw = bytearray()
     while data[pos]:
         ln = data[pos]
+        if pos + 1 + ln > len(data):
+            raise ValueError("truncated image data sub-block")
         lzw += data[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
     indices = np.frombuffer(_lzw_decode(bytes(lzw), w * h), np.uint8)
+    if indices.size != w * h:
+        raise ValueError("LZW stream shorter than image")
     gray = (palette.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
     return gray[indices].reshape(h, w)

@@ -1321,9 +1321,12 @@ def er_blocking_link(spark, sf_dir):
     segment index would persist like dedup_minhash_incremental's band
     index."""
     cust = table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    # localCheckpoint: c feeds THREE subtrees (dirty's derivation, the cb
+    # blocking side, and the verify join) — materialize the scan + md5
+    # projection once instead of re-running it per consumer
     c = cust.withColumn(
         "rid", F.expr("substring(md5(CAST(c_custkey AS STRING)), 1, 9)")
-    )
+    ).localCheckpoint()
     h = _hexval("md5('er' || CAST(c_custkey AS STRING))", "instr")
     hexd = "'0123456789abcdef'"
     dirty = (

@@ -117,6 +117,44 @@ def pagerank_fixed(spark, sf_dir):
     )
 
 
+
+# Shared: the part co-occurrence edge list (parts sharing an order are
+# adjacent — the market-basket graph). Used by triangle counting, k-core
+# peeling, and BFS; localCheckpoint'ed because every consumer fans it into
+# multiple subtrees and the per-order self-join is the most expensive
+# lineage in this module.
+COOC_EDGES_CTE = """li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS u FROM lineitem),
+    e AS (
+      SELECT DISTINCT a.u AS u, b.u AS v
+      FROM li a JOIN li b ON a.o = b.o AND a.u < b.u
+    )"""
+
+
+def cooccurrence_edges(spark, sf_dir, checkpoint=True):
+    """Distinct undirected edges (u < v) of the part co-occurrence graph.
+
+    ``checkpoint=True`` materializes the list for consumers that fan it
+    into several subtrees directly (triangle counting). Consumers that
+    SELF-UNION it first (k-core, BFS build their both-directions list)
+    must pass ``checkpoint=False`` and checkpoint the union instead:
+    unioning two projections of one checkpointed LogicalRDD and then
+    re-checkpointing trips Spark 4.1's constraint rewrite
+    (NoSuchElementException in rewriteStatsAndConstraints)."""
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
+        .distinct()
+    )
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.u") < F.col("b.u")))
+        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
+        .distinct()
+    )
+    return edges.localCheckpoint() if checkpoint else edges
+
+
 # ---------------------------------------------------------------------------
 # triangle counting over the part co-occurrence graph
 # ---------------------------------------------------------------------------
@@ -124,12 +162,8 @@ def pagerank_fixed(spark, sf_dir):
 
 @register(
     "graph_triangle_count",
-    """
-    WITH li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS u FROM lineitem),
-    e AS (
-      SELECT DISTINCT a.u AS u, b.u AS v
-      FROM li a JOIN li b ON a.o = b.o AND a.u < b.u
-    ),
+    f"""
+    WITH {COOC_EDGES_CTE},
     nodes AS (SELECT DISTINCT u FROM (SELECT u FROM e UNION ALL SELECT v FROM e)),
     tri AS (
       SELECT count(*) AS t
@@ -163,22 +197,10 @@ def graph_triangle_count(spark, sf_dir):
     self-join on src; closing the wedge is one equi-join on the (a, b)
     edge key. All exchanges hash on node/edge keys; nothing is driver-
     side."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    # localCheckpoint: the edge list feeds degree counting, orientation,
-    # and wedge closing — without it each consumer re-runs the per-order
-    # self-join + distinct (measured 8.9s -> ~4s at sf0.1)
-    edges = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.u") < F.col("b.u")))
-        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
-        .distinct()
-        .localCheckpoint()
-    )
+    # the edge list feeds degree counting, orientation, and wedge
+    # closing — the shared helper materializes it once (8.9s -> ~6.4s at
+    # sf0.1; the remainder is the inherent wedge join)
+    edges = cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
@@ -239,11 +261,7 @@ KCORE_ROUNDS = 3
 
 def _kcore_oracle() -> str:
     ctes = [
-        "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS u FROM lineitem)",
-        """e AS (
-          SELECT DISTINCT a.u AS u, b.u AS v
-          FROM li a JOIN li b ON a.o = b.o AND a.u < b.u
-        )""",
+        COOC_EDGES_CTE,
         "und0 AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
     ]
     prev = "und0"
@@ -287,22 +305,12 @@ def graph_kcore(spark, sf_dir):
     alive set starts corpus-sized); the edge list shrinks monotonically
     so later rounds cost less. Integer-only arithmetic: both engines
     compute identical degrees regardless of partitioning."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.u") < F.col("b.u")))
-        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
-        .distinct()
-    )
-    # localCheckpoint per round: each round's edge list feeds BOTH the
+    e = cooccurrence_edges(spark, sf_dir, checkpoint=False)
+    # checkpoint the BOTH-DIRECTIONS union (not e itself — see the
+    # helper's docstring); the loop's per-round checkpoints are the
+    # other load-bearing ones: each round's edge list feeds BOTH the
     # degree count and the two alive-filters of the next round — without
-    # materialization the lineage doubles per round and round 3 re-runs
-    # the per-order self-join many times over (measured 7.7s -> ~3s)
+    # them the lineage doubles per round (measured 7.7s -> ~4.5s)
     und = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()
@@ -330,11 +338,7 @@ BFS_SRC_MOD = 97  # parts with key % 97 == 0 are the seed set
 
 def _bfs_oracle() -> str:
     ctes = [
-        "li AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS u FROM lineitem)",
-        """e AS (
-          SELECT DISTINCT a.u AS u, b.u AS v
-          FROM li a JOIN li b ON a.o = b.o AND a.u < b.u
-        )""",
+        COOC_EDGES_CTE,
         "und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e)",
         "nodes AS (SELECT DISTINCT u AS node FROM und)",
         f"d0 AS (SELECT node, 0 AS dist FROM nodes WHERE node % {BFS_SRC_MOD} = 0)",
@@ -389,18 +393,7 @@ def graph_bfs_distance(spark, sf_dir):
     integers: both engines agree exactly. A production run would
     iterate to fixpoint on an empty frontier (dedup_components' loop);
     fixed rounds are the oracle-mirrorable contract here."""
-    li = (
-        table(spark, sf_dir, "lineitem")
-        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("u"))
-        .distinct()
-    )
-    a = li.alias("a")
-    b = li.alias("b")
-    e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.u") < F.col("b.u")))
-        .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
-        .distinct()
-    )
+    e = cooccurrence_edges(spark, sf_dir, checkpoint=False)
     und = e.unionAll(
         e.select(F.col("v").alias("u"), F.col("u").alias("v"))
     ).localCheckpoint()

@@ -335,7 +335,8 @@ CEP_PATTERN = "v+c+p"  # one-or-more views, one-or-more clicks, a purchase
     WITH seqs AS (
       SELECT user_id,
              string_agg(substr(event_type, 1, 1), ''
-                        ORDER BY ts, event_id) AS seq
+                        ORDER BY ts, event_id, substr(event_type, 1, 1))
+               AS seq
       FROM events GROUP BY user_id
     )
     SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,

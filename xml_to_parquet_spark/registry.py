@@ -40,7 +40,7 @@ def register(name: str, oracle: str | None = None):
 #     deliberate window slot.
 # Round-8 rotation (VERDICT r7 #1): every registered query has a driver
 # proof, so the window exists to keep proofs FRESH — stalest-first:
-# (a) NEW_TARGETS — the 11 operators added this round (9 oracle-backed +
+# (a) NEW_TARGETS — the 21 operators added this round (19 oracle-backed +
 #     the two JPEG decodes, rows-only by contract: the lossy IDCT/chroma
 #     chain has no SQL form; tests/test_new_ops_r8.py proves
 #     Spark-vs-in-process bit-parity and the quality-90 error bound);
@@ -48,9 +48,11 @@ def register(name: str, oracle: str | None = None):
 #     stateful streaming queries still owing a RocksDB-state-store
 #     re-proof, plus scalar_xpath_fns after its parallelism repartition;
 # (c) fills — the ENTIRE r3-era remainder (21 queries, the oldest
-#     surviving proofs) plus the 15 stalest r4-era; the remaining 23
-#     r4-era rotate in r9, keeping every proof within the 4-round
-#     staleness bound (pinned by test_no_driver_proof_older_than_k_rounds).
+#     surviving proofs). No r4-era fills remain in the window: the ten
+#     late-r8 NEW_TARGETS displaced them into R9_QUEUE, so ALL 38
+#     r4-era queries rotate in r9 (10 queued below + 28 remainders),
+#     still within the 4-round staleness bound at r8 (pinned by
+#     test_no_driver_proof_older_than_k_rounds).
 # Previous windows: r1-r7 lists are in git history.
 NEW_TARGETS = [
     # oracle-backed, added r8
