@@ -84,3 +84,30 @@ def test_decode_truncated_raises_valueerror():
     for cut in (10, 100, 700, len(full) - 10, len(full) - 2):
         with pytest.raises(ValueError):
             decode_gif(full[:cut])
+
+
+def test_decode_gif89a_with_extension_and_local_table():
+    """The decoder must handle GIF89a wire variants the encoder never
+    emits: a graphic-control extension before the image descriptor, and
+    a LOCAL color table overriding the global one."""
+    img = np.arange(64, dtype=np.uint8).reshape(8, 8)
+    b = bytearray(encode_gif(img))
+    b[:6] = b"GIF89a"
+    idesc = 13 + 768
+    # splice a graphic-control extension (0x21 0xF9, 4-byte block, term)
+    ext = bytes([0x21, 0xF9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00])
+    spliced = bytes(b[:idesc]) + ext + bytes(b[idesc:])
+    assert np.array_equal(decode_gif(spliced), img)
+    # move the palette into a LOCAL color table: strip the global one,
+    # set the local-table flag on the image descriptor, insert the table
+    no_global = bytearray(spliced)
+    no_global[10] &= 0x7F  # clear global-table flag
+    del no_global[13 : 13 + 768]
+    idesc2 = 13 + len(ext)
+    assert no_global[idesc2] == 0x2C
+    no_global[idesc2 + 9] |= 0x87  # local table flag + 256 entries
+    local = bytes(v for i in range(256) for v in (i, i, i))
+    with_local = (
+        bytes(no_global[: idesc2 + 10]) + local + bytes(no_global[idesc2 + 10 :])
+    )
+    assert np.array_equal(decode_gif(with_local), img)
