@@ -529,3 +529,28 @@ def test_wht_matches_numpy(spark, sf_dir, reg):
         assert w * WHT_HOP + WHT_WIN <= n
         expect = int((s * walsh[k]).sum())
         assert int(grp["coef"].iloc[0]) == expect
+
+
+def test_pareto_frontier_constant_price_degenerate(spark, sf_dir, tmp_path):
+    """All-equal prices collapse the bucket width to zero ((hi-lo)/B = 0
+    -> NaN bucket -> least() pins it); the frontier must still be exactly
+    the single max-size point."""
+    import pandas as pd
+
+    part = pd.read_parquet(f"{sf_dir}/part.parquet")
+    part["p_retailprice"] = 42.0
+    out = tmp_path / "const_sf"
+    out.mkdir()
+    part.to_parquet(out / "part.parquet")
+    got = (
+        __import__("xml_to_parquet_spark.registry", fromlist=["load_all"])
+        .load_all()["pareto_frontier"]
+        .fn(spark, str(out))
+        .toPandas()
+    )
+    max_size = part["p_size"].max()
+    n_at = ((part["p_size"] == max_size)).sum()
+    assert len(got) == 1
+    assert got.iloc[0]["retail_price"] == 42.0
+    assert got.iloc[0]["size"] == max_size
+    assert got.iloc[0]["n_parts"] == n_at

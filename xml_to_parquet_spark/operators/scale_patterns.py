@@ -574,12 +574,17 @@ def pareto_frontier(spark, sf_dir):
         best.crossJoin(F.broadcast(bounds))
         .withColumn(
             "bucket",
-            F.least(
-                F.lit(SKYLINE_BUCKETS - 1),
-                F.floor(
-                    (F.col("retail_price") - F.col("lo"))
-                    / ((F.col("hi") - F.col("lo")) / SKYLINE_BUCKETS)
-                ),
+            # hi == lo (every price identical) zeroes the bucket width,
+            # which under ANSI mode is a DIVIDE_BY_ZERO error, not NaN —
+            # collapse that degenerate case to one bucket explicitly
+            F.when(F.col("hi") == F.col("lo"), F.lit(0)).otherwise(
+                F.least(
+                    F.lit(SKYLINE_BUCKETS - 1),
+                    F.floor(
+                        (F.col("retail_price") - F.col("lo"))
+                        / ((F.col("hi") - F.col("lo")) / SKYLINE_BUCKETS)
+                    ),
+                )
             ),
         )
         .localCheckpoint()
