@@ -554,3 +554,18 @@ def test_pareto_frontier_constant_price_degenerate(spark, sf_dir, tmp_path):
     assert got.iloc[0]["retail_price"] == 42.0
     assert got.iloc[0]["size"] == max_size
     assert got.iloc[0]["n_parts"] == n_at
+
+
+def test_prefix_filter_all_docs_too_short(spark, sf_dir, tmp_path, reg):
+    """Documents with fewer than 3 tokens produce no shingles at all —
+    the operator must return an empty frame, not fail on the empty
+    window/dictionary."""
+    import pandas as pd
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs["text"] = "one two"
+    out = tmp_path / "short_sf"
+    out.mkdir()
+    docs.to_parquet(out / "documents.parquet")
+    got = reg["dedup_prefix_filter"].fn(spark, str(out)).toPandas()
+    assert len(got) == 0
