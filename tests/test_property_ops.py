@@ -215,3 +215,31 @@ def test_gif_lzw_roundtrip_property():
         assert _lzw_decode(_lzw_encode(data), len(data)) == data
 
     check()
+
+
+def test_er_pigeonhole_recall_property():
+    """Hypothesis property: for any 9-char ID and any single-character
+    substitution, at least ER_SEGS-1 of the 3-char segments are intact —
+    the blocking guarantee er_blocking_link's recall rests on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xml_to_parquet_spark.operators.dedup import ER_SEGS
+
+    hexd = "0123456789abcdef"
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.text(hexd, min_size=9, max_size=9),
+        st.integers(0, 8),
+        st.sampled_from(hexd),
+    )
+    def check(rid, p, ch):
+        dirty = rid[:p] + (ch if ch != rid[p] else hexd[(hexd.index(ch) + 1) % 16]) + rid[p + 1 :]
+        segs = lambda s: [s[i * 3 : i * 3 + 3] for i in range(ER_SEGS)]
+        intact = sum(a == b for a, b in zip(segs(rid), segs(dirty)))
+        assert intact >= ER_SEGS - 1
+        # and the corruption is a REAL single substitution: levenshtein 1
+        assert sum(a != b for a, b in zip(rid, dirty)) == 1
+
+    check()
