@@ -569,3 +569,16 @@ def test_prefix_filter_all_docs_too_short(spark, sf_dir, tmp_path, reg):
     docs.to_parquet(out / "documents.parquet")
     got = reg["dedup_prefix_filter"].fn(spark, str(out)).toPandas()
     assert len(got) == 0
+
+
+def test_bloom_prefilter_doc_zero_null_neighbor(spark, sf_dir, reg):
+    """doc_id 0 replays its neighbor (doc_id - 1 = -1) which doesn't
+    exist: the md5(NULL) key must flow through as a definite negative
+    (0 hits, not bloom-positive, not a dup) rather than erroring —
+    the NULL-propagation contract both engines share."""
+    got = reg["dedup_bloom_prefilter"].fn(spark, sf_dir).toPandas()
+    row = got[got["doc_id"] == 0]
+    assert len(row) == 1
+    assert int(row["n_hits"].iloc[0]) == 0
+    assert not bool(row["bloom_positive"].iloc[0])
+    assert not bool(row["true_dup"].iloc[0])
