@@ -38,69 +38,60 @@ def register(name: str, oracle: str | None = None):
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-8 rotation (VERDICT r7 #1): every registered query has a driver
-# proof, so the window exists to keep proofs FRESH — stalest-first:
-# (a) NEW_TARGETS — the 21 operators added this round (19 oracle-backed +
-#     the two JPEG decodes, rows-only by contract: the lossy IDCT/chroma
-#     chain has no SQL form; tests/test_new_ops_r8.py proves
-#     Spark-vs-in-process bit-parity and the quality-90 error bound);
-# (b) CHANGED — the queued r7 trade (R8_QUEUE in the r7 registry): the 4
-#     stateful streaming queries still owing a RocksDB-state-store
-#     re-proof, plus scalar_xpath_fns after its parallelism repartition;
-# (c) fills — the ENTIRE r3-era remainder (21 queries, the oldest
-#     surviving proofs). No r4-era fills remain in the window: the ten
-#     late-r8 NEW_TARGETS displaced them into R9_QUEUE, so ALL 38
-#     r4-era queries rotate in r9 (10 queued below + 28 remainders),
-#     still within the 4-round staleness bound at r8 (pinned by
-#     test_no_driver_proof_older_than_k_rounds).
-# Previous windows: r1-r7 lists are in git history.
-NEW_TARGETS = [
-    # oracle-backed, added r8
-    "join_skew_aqe", "mm_caption_dedup", "sim_pipeline",
-    "agg_bucketed_reuse", "graph_triangle_count",
-    "text_perplexity_bigram", "sim_two_stage_rerank",
-    "timeseries_gap_fill", "graph_kcore",
-    "dedup_prefix_filter", "pareto_frontier",
-    "graph_bfs_distance", "er_blocking_link",
-    "dedup_bloom_prefilter", "event_pattern_match",
-    "mm_decode_gif", "sink_compact_small_files",
-    "sim_random_projection", "mm_audio_wht",
-    # rows-only, added r8 (bit-parity proof in tests/test_new_ops_r8.py)
-    "mm_decode_jpeg", "mm_decode_jpeg_color",
+# Round-9 rotation (VERDICT r8 #1): ALL 39 r4-era proofs hit the 4-round
+# staleness bound this round, so the window is almost fully determined:
+# (a) NEW_TARGETS — the operators added this round (r8 verdict items
+#     4-7 plus four frontier fills); every one must occupy a slot in the
+#     round it lands or the "zero never-proven" cumulative claim breaks.
+#     While an op is still being built its slot is held by an r5-era
+#     TEMP fill (marked below) so the 50-slot contract stays green at
+#     every commit; the fill swaps out when the op registers.
+# (b) fills — the 10-query R9_QUEUE owed from r8's mid-round
+#     displacement, then the 29 r4-era remainders. 3 anchors + 8 new +
+#     10 + 29 = 50 exactly; nothing older than r5 survives r9.
+# r10 NOTE: all 42 r5-era proofs age out at r10 (3 anchors + 42 = 45),
+# so r10 must keep new-op count <= 5 or queue r5-era into an R11_QUEUE.
+# Previous windows: r1-r8 lists are in git history.
+NEW_TARGETS: list[str] = [
+    # oracle-backed, added r9 (appended as each op lands; slots not yet
+    # filled are held by _TEMP_FILLS below)
+]
+# r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
+# slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
+# commit. All of r5-era rotates at r10 regardless, so a temp slot that
+# survives to round end just freshens an r10 obligation early.
+_PLANNED_NEW = 8
+_TEMP_FILLS = [
+    "agg_cube", "agg_grouping_sets", "agg_min_max_by",
+    "agg_null_semantics", "agg_rollup", "agg_stats",
+    "json_functions", "curate_decontaminate",
 ]
 UPGRADED: list[str] = []
-CHANGED = [
-    # the r7 queue: RocksDB re-proofs deferred by r7's staleness trade +
-    # the xpath parallelism repartition
-    "stream_dedup_watermark", "stream_chained_agg",
-    "stream_watermark_late_data", "stream_tumbling_window",
-    "scalar_xpath_fns",
-]
-ROWS_ONLY_SLOTS = ["mm_decode_jpeg", "mm_decode_jpeg_color"]
-# r9 owes: the r4-era fills displaced mid-round by late-r8 operators
-# (below) plus the 28 r4-era remainders noted at the GRADED_WINDOW tail.
-R9_QUEUE: list[str] = [
-    "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
-    "agg_string_collect", "exists_correlated_subquery",
-    "explode_unnest", "in_subquery", "join_anti", "join_right",
-]
+CHANGED: list[str] = []
+ROWS_ONLY_SLOTS: list[str] = []
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
-    *CHANGED,
+    *_TEMP_FILLS[len(NEW_TARGETS) : _PLANNED_NEW],
     # fills, stalest-first (latest driver proof round in the header):
-    # --- r3-era, ALL 21
-    "agg_count_if_filter", "agg_mode_deterministic", "curate_pack_chunks",
-    "dq_constraints", "filter_predicates", "incremental_agg_maintenance",
-    "join_cross", "join_full_outer", "mm_audio_chunk", "pagerank_fixed",
-    "scalar_array_fns", "scalar_case_when", "scalar_regexp_split",
-    "sim_ivf_persist", "sim_quantized_topk", "source_orc_roundtrip",
-    "text_token_count", "udf_arrow_map", "window_count_distinct",
-    "window_first_last", "window_running_sum",
-    # --- r4-era: all 38 now rotate in r9 — ten late-r8 NEW_TARGETS
-    # displaced the r4-era fills into R9_QUEUE; their r4 proofs stay
-    # within the 4-round bound at r8 and r9's window leads with them
+    # --- the R9_QUEUE owed from r8 (r4-era, displaced mid-r8), first
+    "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
+    "agg_string_collect", "exists_correlated_subquery",
+    "explode_unnest", "in_subquery", "join_anti", "join_right",
+    # --- r4-era remainders, ALL 29
+    "q13_customer_distribution", "q15_top_supplier",
+    "q19_discounted_revenue", "q22_global_sales_opportunity",
+    "q6_forecast_revenue", "q8_market_share",
+    "sample_hash_deterministic", "scalar_array_fns2", "scalar_date_fns2",
+    "scalar_levenshtein", "scalar_map_fns", "scalar_string_fns2",
+    "scalar_subquery", "sim_ann_lsh", "sim_embedding_neardup",
+    "sim_embedding_norms", "sim_quantize_int8",
+    "sink_partitioned_parquet", "sink_sorted_parquet",
+    "sink_zorder_parquet", "stream_foreach_batch", "stream_static_join",
+    "text_chunk_overlap", "text_dedup_chunks", "text_fingerprint",
+    "text_ngram_freq", "text_rolling_hash", "udf_broadcast_lookup",
+    "union_by_name",
 ]
 
 
