@@ -548,3 +548,18 @@ def test_random_projection_broadcasts_query_side(spark, sf_dir):
     assert (
         n.get("BroadcastHashJoin", 0) + n.get("BroadcastNestedLoopJoin", 0) >= 1
     )
+
+
+def test_html_extract_zero_shuffle_pruned_scan(spark, sf_dir):
+    """Boilerplate removal must stay a narrow map: zero exchanges, no
+    Python crossing, and the parquet scan reads only (doc_id, text)."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["text_html_extract"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    plan = physical_plan(df)
+    assert "Python" not in plan and "Pandas" not in plan
+    schemas = read_schemas(df)
+    assert any(
+        "doc_id" in s and "text" in s and "source" not in s for s in schemas
+    ), schemas

@@ -783,3 +783,127 @@ def text_perplexity_bigram(spark, sf_dir):
             ).alias("lm_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate removal (VERDICT r8 #4): C4/RefinedWeb-style
+# main-content extraction — the web-corpus pipeline's step 1.
+# ---------------------------------------------------------------------------
+
+# Deterministic HTML page built from each document (both engines build the
+# identical string): nav links + a tracking script + two content
+# paragraphs (second carries one citation link) + a link-heavy footer.
+_STRIP = "trim(regexp_replace(regexp_replace({b}, '<[^>]*>', ' '{g}), ' +', ' '{g}))"
+_LINKLEN_SPARK = (
+    "aggregate(regexp_extract_all({b}, '<a[^>]*>([^<]*)</a>', 1), 0L, "
+    "(a, s) -> a + length(s))"
+)
+_LINKLEN_DUCK = (
+    "coalesce(list_sum(list_transform(regexp_extract_all({b}, "
+    "'<a[^>]*>([^<]*)</a>', 1), s -> length(s))), 0)"
+)
+
+
+def _html_build(engine: str) -> str:
+    """SQL building the synthetic page from (doc_id, text); identical
+    string in both engines."""
+    if engine == "spark":
+        words, h = "split(text, ' ')", "((size(split(text, ' ')) + 1) div 2)"
+        p1 = f"array_join(slice({words}, 1, {h}), ' ')"
+        p2 = (
+            f"array_join(slice({words}, {h} + 1, "
+            f"size({words}) - {h}), ' ')"
+        )
+    else:
+        words = "string_split(text, ' ')"
+        h = f"((len({words}) + 1) // 2)"
+        p1 = f"array_to_string(list_slice({words}, 1, {h}), ' ')"
+        p2 = f"array_to_string(list_slice({words}, {h} + 1, len({words})), ' ')"
+    return (
+        "'<div><a href=\"/\">home</a> <a href=\"/about\">about</a> "
+        "<a href=\"/shop\">shop</a></div>"
+        "<script>track(' || doc_id || ');</script>"
+        f"<p>' || {p1} || '</p>"
+        f"<p>' || {p2} || ' <a href=\"#r\">[1]</a></p>"
+        "<div>(c) example.org <a href=\"/terms\">terms</a> "
+        "<a href=\"/privacy\">privacy</a></div>'"
+    )
+
+
+def _html_extract_exprs(engine: str) -> dict[str, str]:
+    """The extraction pipeline, expressed with the engine's array HOFs.
+    Rules (deterministic tag-density heuristic): drop <script> content,
+    split into blocks at block-tag closes, strip tags, collapse spaces;
+    keep a block iff its text is >= 25 chars AND anchor-text is at most
+    a third of it (3*link_len <= text_len — integer arithmetic, no
+    float density)."""
+    g, flt, xform, agg_len = (
+        ("", "filter", "transform", "aggregate({l}, 0L, (a, t) -> a + length(t))")
+        if engine == "spark"
+        else (", 'g'", "list_filter", "list_transform",
+              "coalesce(CAST(list_sum(list_transform({l}, t -> length(t)))"
+              " AS BIGINT), 0)")
+    )
+    split_fn = "split" if engine == "spark" else "string_split_regex"
+    linklen = (_LINKLEN_SPARK if engine == "spark" else _LINKLEN_DUCK)
+    blocks = (
+        f"{split_fn}(regexp_replace(html, "
+        f"'<script[^>]*>[^<]*</script>', ' '{g}), '</p>|</div>')"
+    )
+    strip_b = _STRIP.format(b="b", g=g)
+    kept = (
+        f"{flt}({blocks}, b -> length({strip_b}) >= 25 "
+        f"AND 3 * {linklen.format(b='b')} <= length({strip_b}))"
+    )
+    txts = f"{xform}({kept}, b -> {_STRIP.format(b='b', g=g)})"
+    return {"txts": txts, "agg_len": agg_len}
+
+
+@register(
+    "text_html_extract",
+    f"""
+    WITH page AS (
+      SELECT doc_id, {_html_build('duck')} AS html FROM documents
+    ), ext AS (
+      SELECT doc_id, {_html_extract_exprs('duck')['txts']} AS txts FROM page
+    )
+    SELECT doc_id,
+           len(txts) AS kept_blocks,
+           {_html_extract_exprs('duck')['agg_len'].format(l='txts')} AS main_len,
+           array_to_string(txts, ' ') AS main_text
+    FROM ext
+    """,
+)
+def text_html_extract(spark, sf_dir):
+    """Boilerplate removal / main-content extraction over an HTML markup
+    column (C4 / RefinedWeb step 1): drop script content, segment into
+    blocks at block-element boundaries, strip tags, and keep blocks that
+    pass a link-density + minimum-length heuristic (anchor text at most
+    1/3 of block text, >= 25 chars). Returns per doc the kept-block
+    count, main-text length, and the extracted main text itself — a full
+    value oracle, unlike classifier extractors.
+
+    Implementation is pure built-in regexp + array HOFs inside one
+    projection — no UDF, no explode, ZERO shuffle: a narrow map over the
+    corpus that whole-stage-codegens, so at 100 TB it scales with scan
+    bandwidth exactly like a filter. (The reference engine has no markup
+    operator; nearest analogue is its include/exclude path projection,
+    xml_to_parquet.py:168 — this is the [EXT] web-corpus counterpart.)
+    The page column is built deterministically from (doc_id, text) so
+    the oracle can rebuild the identical input; on a real corpus `html`
+    is just the raw fetched column."""
+    ex = _html_extract_exprs("spark")
+    page = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(_html_build("spark")).alias("html")
+    )
+    ext = page.select("doc_id", F.expr(ex["txts"]).alias("txts"))
+    # no kept_blocks > 0 filter: emitting boilerplate-only pages as
+    # kept_blocks = 0 lets downstream choose, and keeps the plan a single
+    # Project (a pre-Project filter on size(txts) would be pushed below
+    # it by Catalyst and recompute the whole regex extraction twice)
+    return ext.select(
+        "doc_id",
+        F.size("txts").alias("kept_blocks"),
+        F.expr(ex["agg_len"].format(l="txts")).alias("main_len"),
+        F.array_join("txts", " ").alias("main_text"),
+    )

@@ -55,6 +55,7 @@ def register(name: str, oracle: str | None = None):
 NEW_TARGETS: list[str] = [
     # oracle-backed, added r9 (appended as each op lands; slots not yet
     # filled are held by _TEMP_FILLS below)
+    "text_html_extract",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
