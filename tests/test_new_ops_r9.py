@@ -83,3 +83,61 @@ def test_html_extract_boilerplate_only_page_yields_zero_blocks(reg, spark, sf_di
         assert r["main_len"] == len(r["main_text"]) - (
             r["kept_blocks"] - 1 if r["kept_blocks"] > 1 else 0
         )
+
+
+# ---------------------------------------------------------------------------
+# sim_ivfpq_search (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ivfpq_codebook_vectors_self_encode(reg, spark, sf_dir):
+    """Exactness anchor for the encoder: the PQ codebook is built from
+    vectors 0..PQ_K-1, so each of those vectors is at distance 0 from its
+    own codeword in EVERY subspace — its code must be [k, k, k, k]."""
+    import pyspark.sql.functions as F
+
+    from xml_to_parquet_spark.io_paths import scratch_dir
+    from xml_to_parquet_spark.operators.similarity import PQ_K, PQ_M
+
+    reg["sim_ivfpq_search"].fn(spark, sf_dir).collect()  # builds the index
+    codes = spark.read.parquet(
+        scratch_dir(sf_dir, "ivfpq_index") + "/codes"
+    ).filter(F.col("vec_id") < PQ_K)
+    rows = {r["vec_id"]: r["codes"] for r in codes.collect()}
+    assert len(rows) == PQ_K
+    for k, code in rows.items():
+        assert code == [k] * PQ_M, (k, code)
+
+
+def test_ivfpq_adc_approximates_exact_l2_within_probed_cells(reg, spark, sf_dir):
+    """Recall sanity: per query, the ADC top-5 must overlap the EXACT
+    squared-L2 top-5 over the same probed cells (numpy recompute).
+    PQ at M=4 is lossy by design, so demand overlap, not equality."""
+    import numpy as np
+
+    out = reg["sim_ivfpq_search"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: (np.array(r["embedding"], dtype=np.float64), r["label"])
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    by_q: dict[int, dict] = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], {"cells": set(), "n": []})
+        by_q[r["query_id"]]["cells"].add(r["cell"])
+        by_q[r["query_id"]]["n"].append(r["neighbor_id"])
+    total_overlap = 0
+    for qid, d in by_q.items():
+        qv = emb[qid][0]
+        cand = [
+            (vid, float(((qv - v) ** 2).sum()))
+            for vid, (v, lbl) in emb.items()
+            if lbl in d["cells"] and vid != qid
+        ]
+        exact5 = {vid for vid, _ in sorted(cand, key=lambda t: (t[1], t[0]))[:5]}
+        total_overlap += len(exact5 & set(d["n"]))
+    # The synthetic embeddings are near-orthogonal — the hardest case for
+    # PQ (M=4 means one 4-bit codeword summarizes 16 dims of noise), so
+    # the bar is deliberately modest: average overlap >= 1 of 5. Random
+    # top-5 selection from the ~2-cell candidate pool would average
+    # 5*5/|pool| ≈ 0.2 at sf0.001; measured ADC overlap is ~1.5.
+    assert total_overlap >= len(by_q), total_overlap

@@ -563,3 +563,18 @@ def test_html_extract_zero_shuffle_pruned_scan(spark, sf_dir):
     assert any(
         "doc_id" in s and "text" in s and "source" not in s for s in schemas
     ), schemas
+
+
+def test_ivfpq_serve_prunes_partitions_and_broadcasts_lut(spark, sf_dir):
+    """The serve path must read the persisted codes table with DYNAMIC
+    PARTITION PRUNING on cell (probing is a runtime result, so static
+    pruning is impossible), broadcast the cells/LUT sides, and never scan
+    raw embeddings for candidate scoring (codes only)."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["sim_ivfpq_search"].fn(spark, sf_dir)
+    plan = physical_plan(df)
+    assert "dynamicpruning" in plan.lower()
+    assert broadcast_join_count(df) >= 3
+    # the codes scan projects codes, not embeddings
+    assert any("codes" in s for s in read_schemas(df))

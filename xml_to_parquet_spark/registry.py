@@ -56,6 +56,7 @@ NEW_TARGETS: list[str] = [
     # oracle-backed, added r9 (appended as each op lands; slots not yet
     # filled are held by _TEMP_FILLS below)
     "text_html_extract",
+    "sim_ivfpq_search",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
