@@ -141,3 +141,38 @@ def test_ivfpq_adc_approximates_exact_l2_within_probed_cells(reg, spark, sf_dir)
     # top-5 selection from the ~2-cell candidate pool would average
     # 5*5/|pool| ≈ 0.2 at sf0.001; measured ADC overlap is ~1.5.
     assert total_overlap >= len(by_q), total_overlap
+
+
+# ---------------------------------------------------------------------------
+# stream_stream_outer (streaming/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def test_stream_outer_emits_nulls_only_past_watermark(reg, spark, sf_dir):
+    """Eviction-produces-output contract: (a) NULL-purchase rows exist,
+    (b) every one belongs to a click whose 1h join window closed before
+    the final global watermark, (c) the matched part equals the inner
+    stream-stream join exactly."""
+    import datetime
+
+    out = reg["stream_stream_outer"].fn(spark, sf_dir).collect()
+    nulls = [r for r in out if r["purchase_id"] is None]
+    matched = {(r["click_id"], r["purchase_id"]) for r in out} - {
+        (r["click_id"], None) for r in nulls
+    }
+    assert nulls, "no outer emission — watermark flush missing"
+    inner = reg["stream_stream_join"].fn(spark, sf_dir).collect()
+    assert matched == {(r["click_id"], r["purchase_id"]) for r in inner}
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    max_click = max(r["ts"] for r in ev if r["event_type"] == "click")
+    max_purch = max(r["ts"] for r in ev if r["event_type"] == "purchase")
+    wm = min(max_click, max_purch).replace(microsecond=0) - datetime.timedelta(
+        hours=2
+    )
+    ts_by_id = {r["event_id"]: r["ts"] for r in ev}
+    for r in nulls:
+        close = ts_by_id[r["click_id"]] + datetime.timedelta(hours=1)
+        # ms-truncated watermark; replace(microsecond=0) is coarser, so
+        # allow the 1s slack it introduces
+        assert close < wm + datetime.timedelta(seconds=1)

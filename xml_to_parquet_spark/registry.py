@@ -57,6 +57,7 @@ NEW_TARGETS: list[str] = [
     # filled are held by _TEMP_FILLS below)
     "text_html_extract",
     "sim_ivfpq_search",
+    "stream_stream_outer",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every

@@ -190,3 +190,89 @@ def stream_dedup_watermark(spark, sf_dir):
     )
     deduped = ev.dropDuplicatesWithinWatermark(["user_id", "event_type"])
     return _drain(deduped, ["user_id", "event_type"], mode="append")
+
+
+@register(
+    "stream_stream_outer",
+    """
+    WITH mx AS (
+      SELECT least(
+               date_trunc('milliseconds',
+                   max(ts) FILTER (event_type = 'click')),
+               date_trunc('milliseconds',
+                   max(ts) FILTER (event_type = 'purchase'))
+             ) - INTERVAL 2 HOUR AS wm
+      FROM events
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.click_id, p.purchase_id, c.user_id, c.cts
+      FROM c LEFT JOIN p
+        ON p.p_user_id = c.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+    )
+    SELECT j.click_id, j.purchase_id, j.user_id
+    FROM j, mx
+    WHERE j.purchase_id IS NOT NULL OR j.cts + INTERVAL 1 HOUR < mx.wm
+    """,
+)
+def stream_stream_outer(spark, sf_dir):
+    """Stream-stream LEFT OUTER join (VERDICT r8 #6): clicks joined to
+    purchases within 1h, and clicks that never matched are emitted with
+    NULL purchase columns ONCE THE WATERMARK CLOSES their join window —
+    state eviction *produces* output, the stateful behavior the inner
+    join never exercises. Under availableNow replay the data batch finds
+    every match (watermark starts at -inf, nothing evicted early), then
+    the trailing no-data micro-batch (noDataMicroBatches, on by default)
+    advances the watermark to max(event time) - 2h and flushes the
+    expired-unmatched clicks.
+
+    The deterministic replay contract, mirrored by the oracle: a NULL row
+    appears exactly for unmatched clicks with cts + 1h < final watermark,
+    where the final GLOBAL watermark is the MIN over the two inputs'
+    watermarks — each side's max observed event time (post-filter, so the
+    purchase side's max purchase ts, not the global max) truncated to
+    whole milliseconds, minus the 2h delay. The first oracle draft used
+    max(ts) over all events and was exactly 2 rows off at sf0.01 — the
+    two clicks inside the 5-minute gap between the last purchase and the
+    last click; unmatched clicks younger than the final watermark stay
+    in state and are NOT emitted. State is
+    hash-partitioned on user_id and bounded by the same 2h window as the
+    inner join — outer emission adds no state, only an eviction-time
+    output path. RocksDB state store via _drain's scoped confs, like the
+    rest of the streaming suite."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user_id"))
+        & (F.col("purchase_ts") >= F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select("click_id", "purchase_id", "user_id")
+    return _drain(joined, ["click_id", "purchase_id", "user_id"], mode="append")
