@@ -176,3 +176,32 @@ def test_stream_outer_emits_nulls_only_past_watermark(reg, spark, sf_dir):
         # ms-truncated watermark; replace(microsecond=0) is coarser, so
         # allow the 1s slack it introduces
         assert close < wm + datetime.timedelta(seconds=1)
+
+
+# ---------------------------------------------------------------------------
+# udtf_table_fn (operators/udfs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_udtf_matches_codegen_chunker_exactly(reg, spark, sf_dir):
+    """The UDTF must reproduce text_chunk_overlap row-for-row — same
+    chunk indices, token counts, and md5 identities."""
+    udtf_rows = {
+        tuple(r) for r in reg["udtf_table_fn"].fn(spark, sf_dir).collect()
+    }
+    sql_rows = {
+        tuple(r) for r in reg["text_chunk_overlap"].fn(spark, sf_dir).collect()
+    }
+    assert udtf_rows == sql_rows and udtf_rows
+
+
+def test_udtf_variable_fanout(reg, spark, sf_dir):
+    """Set-returning contract: documents longer than one stride yield
+    multiple rows; chunk_idx is dense from 0 per doc."""
+    out = reg["udtf_table_fn"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_idx"])
+    assert any(len(v) > 1 for v in by_doc.values())
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(len(idxs))), doc

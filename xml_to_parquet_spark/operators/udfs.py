@@ -232,3 +232,90 @@ def udf_arrow_map(spark, sf_dir):
         _arrow_revenue_batches,
         schema="l_orderkey bigint, l_linenumber bigint, revenue_cents bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (VERDICT r8 #7): the Spark 4 table-function surface — the
+# UDF-family member that RETURNS A RELATION (0..n rows per input row),
+# completing the tier list above.
+# ---------------------------------------------------------------------------
+
+
+def _chunk_udtf_cls():
+    """Built lazily so module import never requires a live session."""
+    import hashlib
+    import math
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    from xml_to_parquet_spark.operators.text import CHUNK_SIZE, CHUNK_STRIDE
+
+    @udtf(
+        returnType=(
+            "doc_id bigint, chunk_idx bigint, n_tokens int, chunk_hash string"
+        )
+    )
+    class ChunkDocument:
+        """Overlapping context-window chunker as a table function:
+        one document row in, ceil(n/stride) chunk rows out."""
+
+        def eval(self, doc_id, text):  # noqa: D102 — UDTF contract method
+            if text is None:
+                return
+            toks = re.split(r"\s+", text.lower())
+            n = len(toks)
+            if n == 0:
+                return
+            for ci in range(math.ceil(n / CHUNK_STRIDE)):
+                start = ci * CHUNK_STRIDE
+                chunk = toks[start : start + CHUNK_SIZE]
+                yield (
+                    doc_id,
+                    ci,
+                    min(CHUNK_SIZE, n - start),
+                    hashlib.md5(" ".join(chunk).encode()).hexdigest(),
+                )
+
+    return ChunkDocument
+
+
+@register("udtf_table_fn", None)  # oracle attached below (shared)
+def udtf_table_fn(spark, sf_dir):
+    """Python UDTF (Spark 4): a user-defined TABLE function applied per
+    input row via LATERAL join — the surface for set-returning logic that
+    scalar/grouped pandas UDFs can't express (parsers, chunkers,
+    expanders yielding a variable number of typed rows). This one mirrors
+    text_chunk_overlap's pretraining chunker exactly (size 64, stride 48,
+    md5 chunk identity, same \\s+ tokenization), so it SHARES that
+    query's DuckDB oracle — the Python table function is value-proven
+    against the pure-SQL formulation.
+
+    Scale shape: the UDTF executes inside the scan stage — per-partition
+    Python workers stream input rows and emit chunk rows, no shuffle, and
+    per-document memory; output rows scale with chunks exactly like the
+    explode() formulation. The JVM↔Python crossing is the cost vs the
+    all-codegen twin (bench: text_chunk_overlap is the fast path; this
+    entry exists to prove the SURFACE, and the oracle proves it loses no
+    correctness doing so)."""
+    cls = _chunk_udtf_cls()
+    spark.udtf.register("chunk_document", cls)
+    docs = table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_src")
+    return spark.sql(
+        """
+        SELECT c.doc_id, c.chunk_idx, c.n_tokens, c.chunk_hash
+        FROM udtf_docs_src AS d,
+             LATERAL chunk_document(d.doc_id, d.text) AS c
+        """
+    )
+
+
+from xml_to_parquet_spark.operators import text as _text_mod  # noqa: E402,F401
+from xml_to_parquet_spark.registry import REGISTRY as _REG  # noqa: E402
+
+# the UDTF answers the exact same query as the codegen chunker, so it
+# shares text_chunk_overlap's oracle verbatim (the sim_ivf_persist device;
+# the module import above guarantees the twin is registered even when this
+# module is imported standalone)
+_REG["udtf_table_fn"].oracle = _REG["text_chunk_overlap"].oracle

@@ -58,6 +58,7 @@ NEW_TARGETS: list[str] = [
     "text_html_extract",
     "sim_ivfpq_search",
     "stream_stream_outer",
+    "udtf_table_fn",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
