@@ -205,3 +205,52 @@ def test_udtf_variable_fanout(reg, spark, sf_dir):
     assert any(len(v) > 1 for v in by_doc.values())
     for doc, idxs in by_doc.items():
         assert sorted(idxs) == list(range(len(idxs))), doc
+
+
+# ---------------------------------------------------------------------------
+# text_bm25_topk (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_matches_pure_python_recompute(reg, spark, sf_dir):
+    """Exact recompute of the whole ranking in plain Python (Lucene idf,
+    k1=1.2, b=0.75) — formula-level proof independent of both engines."""
+    import math
+    import re
+
+    from xml_to_parquet_spark.operators.text import (
+        BM25_B,
+        BM25_K1,
+        BM25_QUERY,
+        BM25_TOP,
+    )
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].lower())
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    docs = {d: t for d, t in docs.items() if t}
+    n_docs = len(docs)
+    total_len = sum(len(t) for t in docs.values())
+    df = {
+        q: sum(1 for t in docs.values() if q in t) for q in BM25_QUERY
+    }
+    scores = {}
+    for d, toks in docs.items():
+        s = 0.0
+        dl = len(toks)
+        for q in sorted(BM25_QUERY):
+            tf = toks.count(q)
+            if tf == 0:
+                continue
+            idf = math.log(1 + (n_docs - df[q] + 0.5) / (df[q] + 0.5))
+            norm = 1 - BM25_B + BM25_B * (dl * float(n_docs) / total_len)
+            s += idf * (tf * (BM25_K1 + 1)) / (tf + BM25_K1 * norm)
+        if s > 0:
+            scores[d] = round(s, 6)
+    want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:BM25_TOP]
+    got = [
+        (r["doc_id"], r["bm25"])
+        for r in reg["text_bm25_topk"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want

@@ -578,3 +578,16 @@ def test_ivfpq_serve_prunes_partitions_and_broadcasts_lut(spark, sf_dir):
     assert broadcast_join_count(df) >= 3
     # the codes scan projects codes, not embeddings
     assert any("codes" in s for s in read_schemas(df))
+
+
+def test_bm25_filters_before_shuffle_topk_no_global_sort(spark, sf_dir):
+    """BM25 must prune tokens to the query terms map-side (the explode
+    feeds a codegen'd IN-filter, so the wide stages see |query| rows per
+    doc), broadcast df/stats, and take the top-k without a global sort."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["text_bm25_topk"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("TakeOrderedAndProject", 0) == 1
+    assert "Exchange rangepartitioning" not in physical_plan(df)
+    assert broadcast_join_count(df) >= 2

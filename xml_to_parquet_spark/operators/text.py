@@ -907,3 +907,104 @@ def text_html_extract(spark, sf_dir):
         F.expr(ex["agg_len"].format(l="txts")).alias("main_len"),
         F.array_join("txts", " ").alias("main_text"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranking — the retrieval-side scorer the TF-IDF operator stops
+# short of (Robertson/Spärck Jones probabilistic model, the Lucene/ES
+# default). Fixed literal query so both engines rank the same request.
+# ---------------------------------------------------------------------------
+
+BM25_QUERY = ("stream", "hash", "window")  # the standing test query
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP = 20
+
+
+def _bm25_term_sql() -> str:
+    """Per-(doc, term) BM25 contribution — one SQL string valid in BOTH
+    engines. Lucene idf form ln(1 + (N - df + 0.5)/(df + 0.5)) stays
+    positive for common terms; every input is an integer (tf, df, dl, N)
+    or a literal, combined in the same operation order in both engines,
+    and ln of such a value is bit-identical across engines (the
+    text_tfidf precedent)."""
+    # avgdl enters as total_len / n_docs; dl/avgdl = dl * n_docs / total_len
+    norm = f"(1 - {BM25_B} + {BM25_B} * (dl * CAST(n_docs AS DOUBLE) / total_len))"
+    idf = "ln(1 + (n_docs - df + 0.5) / (df + 0.5))"
+    return f"{idf} * (tf * ({BM25_K1} + 1)) / (tf + {BM25_K1} * {norm})"
+
+
+_BM25_TERMS_IN = ", ".join(f"'{t}'" for t in BM25_QUERY)
+
+
+@register(
+    "text_bm25_topk",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents
+    ), sized AS (
+      SELECT doc_id, toks, len(toks) AS dl FROM tok WHERE len(toks) > 0
+    ), stats AS (
+      SELECT count(*) AS n_docs, sum(dl) AS total_len FROM sized
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM (SELECT doc_id, dl, unnest(toks) AS term FROM sized)
+      WHERE term IN ({_BM25_TERMS_IN})
+      GROUP BY doc_id, dl, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), scored AS (
+      SELECT tf.doc_id, tf.term,
+             {_bm25_term_sql()} AS sc
+      FROM tf JOIN df USING (term) CROSS JOIN stats
+    ), summed AS (
+      SELECT doc_id,
+             list_sum(list(sc ORDER BY term)) AS score
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, round(score, 6) AS bm25
+    FROM summed ORDER BY round(score, 6) DESC, doc_id LIMIT {BM25_TOP}
+    """,
+)
+def text_bm25_topk(spark, sf_dir):
+    """BM25 document ranking for a fixed query (k1=1.2, b=0.75, Lucene
+    idf): the lexical-retrieval scorer that pairs with the vector side's
+    sim_two_stage_rerank in a hybrid search stack.
+
+    Scale shape: tokens are filtered to the query's terms BEFORE any
+    shuffle (map-side explode + IN-filter, so the wide stage sees
+    |query| rows per doc, not |doc|); df is a |query|-row broadcast;
+    the corpus stats (N, total length) broadcast as one row; the final
+    top-k is TakeOrderedAndProject — never a global sort. Determinism:
+    integer tf/df/dl throughout; the only float math is the idf/norm
+    chain evaluated in one fixed expression order, and the per-doc sum
+    runs over the term-sorted list in both engines (collect_list →
+    array_sort → aggregate ≡ list(ORDER BY) → list_sum)."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    )
+    sized = docs.withColumn("dl", F.size("toks")).filter(F.col("dl") > 0)
+    stats = sized.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
+    )
+    terms = sized.select(
+        "doc_id", "dl", F.explode("toks").alias("term")
+    ).filter(F.col("term").isin(*BM25_QUERY))
+    tf = terms.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "term", F.expr(_bm25_term_sql()).alias("sc"))
+    )
+    summed = scored.groupBy("doc_id").agg(
+        F.expr(
+            "aggregate(array_sort(collect_list(struct(term, sc))), 0D, "
+            "(acc, s) -> acc + s.sc)"
+        ).alias("score")
+    )
+    return (
+        summed.orderBy(F.desc(F.round("score", 6)), "doc_id")
+        .limit(BM25_TOP)
+        .select("doc_id", F.round("score", 6).alias("bm25"))
+    )

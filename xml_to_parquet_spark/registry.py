@@ -59,6 +59,7 @@ NEW_TARGETS: list[str] = [
     "sim_ivfpq_search",
     "stream_stream_outer",
     "udtf_table_fn",
+    "text_bm25_topk",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
