@@ -254,3 +254,43 @@ def test_bm25_matches_pure_python_recompute(reg, spark, sf_dir):
         for r in reg["text_bm25_topk"].fn(spark, sf_dir).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# graph_label_propagation (operators/graphs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_lpa_matches_exact_python_recompute(reg, spark, sf_dir):
+    """Recompute all synchronous LPA rounds exactly in Python over the
+    same co-occurrence graph — proves the argmax/tie-break semantics
+    (most-frequent neighbor label, ties to smallest) round for round."""
+    from collections import Counter, defaultdict
+
+    from xml_to_parquet_spark.operators.graphs import LPA_ROUNDS
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_partkey"
+    ).distinct().collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r["l_orderkey"]].add(r["l_partkey"])
+    nbrs = defaultdict(set)
+    for parts in by_order.values():
+        for u in parts:
+            for v in parts:
+                if u != v:
+                    nbrs[u].add(v)
+    lbl = {v: v for v in nbrs}
+    for _ in range(LPA_ROUNDS):
+        nxt = {}
+        for v in nbrs:
+            c = Counter(lbl[n] for n in nbrs[v])
+            best = min(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[v] = best
+        lbl = nxt
+    got = {
+        r["node"]: r["community"]
+        for r in reg["graph_label_propagation"].fn(spark, sf_dir).collect()
+    }
+    assert got == lbl

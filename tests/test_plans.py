@@ -591,3 +591,13 @@ def test_bm25_filters_before_shuffle_topk_no_global_sort(spark, sf_dir):
     assert n.get("TakeOrderedAndProject", 0) == 1
     assert "Exchange rangepartitioning" not in physical_plan(df)
     assert broadcast_join_count(df) >= 2
+
+
+def test_lpa_rounds_are_hash_joins_only(spark, sf_dir):
+    """Each LPA round must be an equi-join on the neighbor key plus a
+    hash aggregate — no cartesian/nested-loop, no window over the corpus
+    (the argmax is a combinable min_by)."""
+    df = load_all()["graph_label_propagation"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin")
+    assert n.get("Window", 0) == 0

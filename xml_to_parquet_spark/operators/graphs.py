@@ -421,3 +421,93 @@ def graph_bfs_distance(spark, sf_dir):
         )
         dist = dist.unionAll(frontier)
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection) — Raghavan et al. 2007, the
+# synchronous deterministic variant.
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    ctes = [
+        COOC_EDGES_CTE,
+        "eb AS (SELECT u AS node, v AS nbr FROM e "
+        "UNION ALL SELECT v AS node, u AS nbr FROM e)",
+        "l0 AS (SELECT DISTINCT node, node AS lbl FROM eb)",
+    ]
+    for i in range(1, LPA_ROUNDS + 1):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT eb.node, l.lbl, count(*) AS cnt
+              FROM eb JOIN l{i - 1} l ON l.node = eb.nbr
+              GROUP BY eb.node, l.lbl
+            )"""
+        )
+        ctes.append(
+            f"""l{i} AS (
+              SELECT node, lbl FROM (
+                SELECT node, lbl,
+                       row_number() OVER (PARTITION BY node
+                                          ORDER BY cnt DESC, lbl) AS rn
+                FROM c{i}
+              ) WHERE rn = 1
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT node, lbl AS community FROM l{LPA_ROUNDS}"
+    )
+
+
+@register("graph_label_propagation", _lpa_oracle())
+def graph_label_propagation(spark, sf_dir):
+    """Synchronous label propagation (LPA community detection), 3 fixed
+    rounds over the part co-occurrence graph: every node starts as its
+    own community and each round adopts the label most frequent among
+    its neighbors, ties broken to the SMALLEST label — the deterministic
+    variant (classic LPA breaks ties randomly; min-tie-break plus
+    synchronous rounds makes the fixed-round unrolled-CTE oracle exact,
+    the pagerank_fixed device). On this DENSE co-occurrence graph the
+    labels coarsen fast — 3 communities at sf0.01 and full collapse to
+    one at sf0.001 — which is textbook LPA behavior on near-clique
+    graphs, not a bug; the pytest proof recomputes all rounds exactly in
+    Python, independent of the outcome's granularity.
+
+    Scale shape: pure Pregel — each round is one hash join of the
+    node-sized label frame against the both-directions edge list (on the
+    neighbor key) plus one combinable (node, label) count and a min_by
+    argmax; nothing is ever node×node, state is one label per node, and
+    each round's result is localCheckpoint'ed so lineage stays one round
+    deep (the union, not the base, per the Spark 4.1
+    rewriteStatsAndConstraints note on cooccurrence_edges). Integer-only
+    labels — no float anywhere."""
+    edges = cooccurrence_edges(spark, sf_dir, checkpoint=False)
+    eb = (
+        edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+        .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    labels = eb.select("node").distinct().select(
+        F.col("node").alias("lnode"), F.col("node").alias("lbl")
+    )
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            eb.join(labels, labels.lnode == eb.nbr)
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            cnt.groupBy("node")
+            .agg(
+                F.min_by(
+                    "lbl", F.struct((-F.col("cnt")).alias("nc"), F.col("lbl"))
+                ).alias("lbl")
+            )
+            .select(F.col("node").alias("lnode"), "lbl")
+            .localCheckpoint()
+        )
+    return labels.select(F.col("lnode").alias("node"), F.col("lbl").alias("community"))

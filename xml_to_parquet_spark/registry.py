@@ -60,6 +60,7 @@ NEW_TARGETS: list[str] = [
     "stream_stream_outer",
     "udtf_table_fn",
     "text_bm25_topk",
+    "graph_label_propagation",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
