@@ -294,3 +294,39 @@ def test_lpa_matches_exact_python_recompute(reg, spark, sf_dir):
         for r in reg["graph_label_propagation"].fn(spark, sf_dir).collect()
     }
     assert got == lbl
+
+
+# ---------------------------------------------------------------------------
+# join_interval_overlap (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_interval_overlap_exact_and_duplicate_free(reg, spark, sf_dir):
+    """Brute-force recompute: the binned plan must produce exactly the
+    naive overlap pairs, each exactly once, with exact µs overlap."""
+    out = reg["join_interval_overlap"].fn(spark, sf_dir).collect()
+    pairs = [(r["a_id"], r["b_id"]) for r in out]
+    assert len(pairs) == len(set(pairs)), "canonical-bin dedup failed"
+
+    from xml_to_parquet_spark.operators.relational_ext import IVL_LEN_MIN
+
+    L = IVL_LEN_MIN * 60 * 1_000_000
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    to_us = lambda t: int(t.timestamp() * 1_000_000)  # noqa: E731
+    errs = [
+        (r["event_id"], r["user_id"], to_us(r["ts"]))
+        for r in ev
+        if r["event_type"] == "error"
+    ]
+    purch = [
+        (r["event_id"], r["user_id"], to_us(r["ts"]))
+        for r in ev
+        if r["event_type"] == "purchase"
+    ]
+    want = {}
+    for aid, au, ats in errs:
+        for bid, bu, bts in purch:
+            if au == bu and ats <= bts + L and bts <= ats + L:
+                want[(aid, bid)] = min(ats + L, bts + L) - max(ats, bts)
+    got = {(r["a_id"], r["b_id"]): r["overlap_us"] for r in out}
+    assert got == want and want

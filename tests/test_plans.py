@@ -601,3 +601,13 @@ def test_lpa_rounds_are_hash_joins_only(spark, sf_dir):
     n = node_counts(df)
     assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin")
     assert n.get("Window", 0) == 0
+
+
+def test_interval_overlap_binned_hash_join_no_nested_loop(spark, sf_dir):
+    """The interval×interval join must be a hash equi-join on
+    (user, bin) with the overlap predicate as residual — a cartesian or
+    broadcast-nested-loop here is the quadratic plan the binning exists
+    to kill."""
+    df = load_all()["join_interval_overlap"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin"), n

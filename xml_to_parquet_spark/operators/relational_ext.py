@@ -1529,3 +1529,102 @@ def timeseries_gap_fill(spark, sf_dir):
         F.col("n_events").isNull().alias("is_gap"),
         F.last("last_value", ignorenulls=True).over(w).alias("value_filled"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval-overlap join: BOTH sides are intervals (join_range_binned's
+# point-in-interval cousin) — ad-attribution / genomic / incident-overlap
+# shape.
+# ---------------------------------------------------------------------------
+
+IVL_LEN_MIN = 45  # both interval families are 45 minutes long
+_IVL_W_US = IVL_LEN_MIN * 60 * 1_000_000  # bin width == max interval length
+
+
+@register(
+    "join_interval_overlap",
+    f"""
+    WITH a AS (
+      SELECT event_id AS a_id, user_id, ts AS a_start,
+             ts + INTERVAL {IVL_LEN_MIN} MINUTE AS a_end
+      FROM events WHERE event_type = 'error'
+    ), b AS (
+      SELECT event_id AS b_id, user_id, ts AS b_start,
+             ts + INTERVAL {IVL_LEN_MIN} MINUTE AS b_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a.a_id, b.b_id, a.user_id,
+           epoch_us(least(a.a_end, b.b_end))
+             - epoch_us(greatest(a.a_start, b.b_start)) AS overlap_us
+    FROM a JOIN b
+      ON a.user_id = b.user_id
+     AND a.a_start <= b.b_end AND b.b_start <= a.a_end
+    """,
+)
+def join_interval_overlap(spark, sf_dir):
+    """Interval-overlap equi-ish join: per user, every (error window ×
+    purchase window) pair of 45-minute intervals that overlap — BOTH
+    sides are ranges, so even with the user equi-key the time predicate
+    is pure inequality and a naive plan degenerates into a per-user
+    nested loop (quadratic in events-per-user; fatal for the heavy-user
+    tail at 100 TB).
+
+    The scale rewrite: quantize time into bins of width == the maximum
+    interval length, explode each interval into the <= 2 bins it touches,
+    hash-join on (user, bin), then apply the exact overlap predicate as
+    a codegen residual. Every overlapping pair shares the bin containing
+    max(a_start, b_start), so each pair is emitted EXACTLY ONCE by
+    keeping only that canonical reporting bin — no distinct, no
+    post-shuffle dedup (the trick that makes the fan-out join
+    duplicate-free by construction). Overlap length is integer
+    microseconds (unix_micros ≡ epoch_us) — exact in both engines; the
+    oracle is the naive inequality join, proving the binned plan loses
+    and invents nothing."""
+    ev = _t(spark, sf_dir, "events")
+    end = F.col("ts") + F.expr(f"INTERVAL {IVL_LEN_MIN} MINUTE")
+    a = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"),
+        "user_id",
+        F.col("ts").alias("a_start"),
+        end.alias("a_end"),
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("user_id").alias("b_user"),
+        F.col("ts").alias("b_start"),
+        end.alias("b_end"),
+    )
+
+    def binned(df, start, endc):
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start)) / _IVL_W_US),
+                    F.floor(F.unix_micros(F.col(endc)) / _IVL_W_US),
+                )
+            ),
+        )
+
+    ab = binned(a, "a_start", "a_end")
+    bb = binned(b, "b_start", "b_end")
+    canonical = F.floor(
+        F.greatest(F.unix_micros("a_start"), F.unix_micros("b_start")) / _IVL_W_US
+    )
+    return (
+        ab.join(bb, (ab.user_id == bb.b_user) & (ab.bin == bb.bin))
+        .filter(
+            (F.col("a_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("a_end"))
+            & (ab.bin == canonical)
+        )
+        .select(
+            "a_id",
+            "b_id",
+            "user_id",
+            (
+                F.unix_micros(F.least("a_end", "b_end"))
+                - F.unix_micros(F.greatest("a_start", "b_start"))
+            ).alias("overlap_us"),
+        )
+    )

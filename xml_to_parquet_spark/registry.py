@@ -61,6 +61,7 @@ NEW_TARGETS: list[str] = [
     "udtf_table_fn",
     "text_bm25_topk",
     "graph_label_propagation",
+    "join_interval_overlap",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
