@@ -330,3 +330,46 @@ def test_interval_overlap_exact_and_duplicate_free(reg, spark, sf_dir):
                 want[(aid, bid)] = min(ats + L, bts + L) - max(ats, bts)
     got = {(r["a_id"], r["b_id"]): r["overlap_us"] for r in out}
     assert got == want and want
+
+
+# ---------------------------------------------------------------------------
+# dq_drift_histogram (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_drift_histogram_matches_numpy_and_bounds(reg, spark, sf_dir):
+    """Recompute the L1 drift with numpy histograms; check the 0..2 bound
+    and that every type appears."""
+    import datetime
+
+    import numpy as np
+
+    from xml_to_parquet_spark.operators.relational_ext import (
+        DRIFT_BIN_W,
+        DRIFT_BINS,
+        DRIFT_CUTOFF,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    cutoff = datetime.datetime.fromisoformat(DRIFT_CUTOFF)
+    types = sorted({r["event_type"] for r in ev})
+    got = {
+        r["event_type"]: r
+        for r in reg["dq_drift_histogram"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(types)
+    for t in types:
+        ref = [r["value"] for r in ev if r["event_type"] == t and r["ts"] < cutoff]
+        cur = [r["value"] for r in ev if r["event_type"] == t and r["ts"] >= cutoff]
+        bins = [i * DRIFT_BIN_W for i in range(DRIFT_BINS)] + [float("inf")]
+        h_ref, _ = np.histogram(ref, bins=bins)
+        h_cur, _ = np.histogram(cur, bins=bins)
+        l1 = np.abs(
+            h_ref / max(len(ref), 1) - h_cur / max(len(cur), 1)
+        ).sum()
+        r = got[t]
+        assert r["n_ref"] == len(ref) and r["n_cur"] == len(cur)
+        assert 0.0 <= r["l1_drift"] <= 2.0
+        # the operator rounds to 6dp; allow half-ulp of that rounding
+        assert abs(r["l1_drift"] - l1) < 5.1e-7, (t, r["l1_drift"], l1)
+        assert r["worst_num"] <= r["l1_num"]

@@ -1628,3 +1628,100 @@ def join_interval_overlap(spark, sf_dir):
             ).alias("overlap_us"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Histogram drift between snapshots — the data-quality monitor that
+# catches DISTRIBUTION change where dq_anomaly_zscore only sees volume.
+# ---------------------------------------------------------------------------
+
+DRIFT_CUTOFF = "2024-01-16"  # reference window = first half of the month
+DRIFT_BINS = 16
+DRIFT_BIN_W = 32  # value range is [0, ~500); 16 bins of width 32
+
+
+@register(
+    "dq_drift_histogram",
+    f"""
+    WITH binned AS (
+      SELECT event_type,
+             least({DRIFT_BINS - 1}, CAST(floor(value / {DRIFT_BIN_W}) AS INT))
+                 AS bin,
+             CASE WHEN ts < TIMESTAMP '{DRIFT_CUTOFF}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ), cnt AS (
+      SELECT event_type, bin,
+             CAST(sum(is_ref) AS BIGINT)     AS c_ref,
+             CAST(sum(1 - is_ref) AS BIGINT) AS c_cur
+      FROM binned GROUP BY event_type, bin
+    ), tot AS (
+      SELECT event_type,
+             CAST(sum(c_ref) AS BIGINT) AS n_ref,
+             CAST(sum(c_cur) AS BIGINT) AS n_cur
+      FROM cnt GROUP BY event_type
+    )
+    SELECT c.event_type,
+           t.n_ref, t.n_cur,
+           CAST(sum(abs(c.c_ref * t.n_cur - c.c_cur * t.n_ref)) AS BIGINT)
+               AS l1_num,
+           CAST(max(abs(c.c_ref * t.n_cur - c.c_cur * t.n_ref)) AS BIGINT)
+               AS worst_num,
+           round(sum(abs(c.c_ref * t.n_cur - c.c_cur * t.n_ref))
+                 / CAST(t.n_ref * t.n_cur AS DOUBLE), 6)        AS l1_drift
+    FROM cnt c JOIN tot t USING (event_type)
+    WHERE t.n_ref > 0 AND t.n_cur > 0
+    GROUP BY c.event_type, t.n_ref, t.n_cur
+    """,
+)
+def dq_drift_histogram(spark, sf_dir):
+    """Distribution-drift monitor: per event type, the L1 (total
+    variation ×2) distance between the `value` histograms of a reference
+    window (before {DRIFT_CUTOFF}) and the current window — the
+    train/serve skew check every feature pipeline runs, here over fixed
+    equi-width bins so the two snapshots are comparable without a
+    quantile pass.
+
+    Determinism device: the drift Σ|p_i − q_i| is computed as the
+    INTEGER sum Σ|c_ref_i·N_cur − c_cur_i·N_ref| with a single final
+    division by N_ref·N_cur — no float accumulation anywhere, so both
+    engines agree bit-for-bit before the one rounded division.
+
+    Scale shape: one combinable (type, bin) count — the histogram is
+    |types|×|bins| rows regardless of corpus size — then a broadcast
+    totals join and a second tiny aggregation; the events scan reads
+    three columns and everything wide is map-side partial-aggregated.
+    PSI would need ln(p/q) (banned transcendental in both-engine
+    chains); L1 carries the same signal for monitoring thresholds."""
+    ev = _t(spark, sf_dir, "events")
+    binned = ev.select(
+        "event_type",
+        F.least(
+            F.lit(DRIFT_BINS - 1),
+            F.floor(F.col("value") / DRIFT_BIN_W).cast("int"),
+        ).alias("bin"),
+        F.when(F.col("ts") < F.lit(DRIFT_CUTOFF).cast("timestamp"), 1)
+        .otherwise(0)
+        .alias("is_ref"),
+    )
+    cnt = binned.groupBy("event_type", "bin").agg(
+        F.sum("is_ref").alias("c_ref"), F.sum(1 - F.col("is_ref")).alias("c_cur")
+    )
+    tot = cnt.groupBy("event_type").agg(
+        F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
+    )
+    diff = F.abs(F.col("c_ref") * F.col("n_cur") - F.col("c_cur") * F.col("n_ref"))
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .groupBy("event_type", "n_ref", "n_cur")
+        .agg(
+            F.sum(diff).alias("l1_num"),
+            F.max(diff).alias("worst_num"),
+            F.round(
+                F.sum(diff) / (F.col("n_ref") * F.col("n_cur")).cast("double"), 6
+            ).alias("l1_drift"),
+        )
+        .select(
+            "event_type", "n_ref", "n_cur", "l1_num", "worst_num", "l1_drift"
+        )
+    )

@@ -62,6 +62,7 @@ NEW_TARGETS: list[str] = [
     "text_bm25_topk",
     "graph_label_propagation",
     "join_interval_overlap",
+    "dq_drift_histogram",
 ]
 # r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
 # slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
