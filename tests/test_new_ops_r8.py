@@ -532,9 +532,11 @@ def test_wht_matches_numpy(spark, sf_dir, reg):
 
 
 def test_pareto_frontier_constant_price_degenerate(spark, sf_dir, tmp_path):
-    """All-equal prices collapse the bucket width to zero ((hi-lo)/B = 0
-    -> NaN bucket -> least() pins it); the frontier must still be exactly
-    the single max-size point."""
+    """All-equal prices collapse the bucket width to zero; the operator's
+    explicit F.when(hi == lo) branch maps every row to bucket 0 (the ANSI
+    divide-by-zero fix — before it, the NaN bucket was pinned by
+    least()), and the frontier must still be exactly the single max-size
+    point."""
     import pandas as pd
 
     part = pd.read_parquet(f"{sf_dir}/part.parquet")
