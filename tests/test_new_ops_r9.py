@@ -373,3 +373,20 @@ def test_drift_histogram_matches_numpy_and_bounds(reg, spark, sf_dir):
         # the operator rounds to 6dp; allow half-ulp of that rounding
         assert abs(r["l1_drift"] - l1) < 5.1e-7, (t, r["l1_drift"], l1)
         assert r["worst_num"] <= r["l1_num"]
+
+
+def test_html_extract_short_doc_empty_main_text(reg, spark, sf_dir, tmp_path):
+    """A document too short to yield any content block must surface as
+    kept_blocks=0 with main_text '' (NOT NULL) — the sf0.1 sweep caught
+    DuckDB's array_to_string([]) returning NULL where Spark's
+    array_join([]) returns ''; the oracle now coalesces."""
+    import pandas as pd
+
+    pd.DataFrame(
+        {"doc_id": [7], "text": ["tiny words only"], "lang": ["en"],
+         "source": ["s"], "n_chars": [15]}
+    ).to_parquet(tmp_path / "documents.parquet")
+    out = reg["text_html_extract"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert r["kept_blocks"] == 0 and r["main_len"] == 0 and r["main_text"] == ""

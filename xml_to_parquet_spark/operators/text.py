@@ -870,9 +870,12 @@ def _html_extract_exprs(engine: str) -> dict[str, str]:
     SELECT doc_id,
            len(txts) AS kept_blocks,
            {_html_extract_exprs('duck')['agg_len'].format(l='txts')} AS main_len,
-           array_to_string(txts, ' ') AS main_text
+           coalesce(array_to_string(txts, ' '), '') AS main_text
     FROM ext
     """,
+    # ^ coalesce: DuckDB's array_to_string([]) yields NULL where Spark's
+    # array_join([]) yields '' — bites exactly on boilerplate-only pages
+    # (first seen at sf0.1, doc 1562's 45-char text)
 )
 def text_html_extract(spark, sf_dir):
     """Boilerplate removal / main-content extraction over an HTML markup
