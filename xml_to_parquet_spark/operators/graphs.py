@@ -489,6 +489,11 @@ def graph_label_propagation(spark, sf_dir):
     eb = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
+        # co-locate each node's adjacency before checkpointing: the per-round
+        # (node, lbl) count then partial-aggregates to ~labels-per-node rows
+        # map-side before its exchange (measured 5.15s -> 4.38s warm at
+        # sf0.1; the win grows with duplicate-label density at scale)
+        .repartition("node")
         .localCheckpoint()
     )
     labels = eb.select("node").distinct().select(
