@@ -36,6 +36,15 @@ int dictionary, array-intersect verify), er_blocking_link 2.6s -> 1.0s
 (hot-block fix: md5-derived IDs restore segment entropy), graph_kcore
 7.7s -> 4.5s and graph_triangle_count 8.9s -> 6.4s (materialize edge
 lists whose lineage doubled per peel round).
+
+Round-9 sweep (same protocol): 192.8s over all 229 queries, 0 errors.
+The round's perf outcomes: (a) the r8 conversion drift is CLOSED — the
+fresh-session phase below restores 1.16/1.16/1.76s (r8 in-bench:
+1.29/1.62/2.26); (b) common-39 vs r8 = 1.004x, flat; (c) one structural
+win from the sweep: graph_label_propagation 5.15s -> 4.38s (co-locate
+adjacency by node pre-checkpoint so per-round counts partial-aggregate
+map-side); (d) the heaviest r9 addition is LPA at ~4.4s — every other
+r9 operator lands under 2.7s at sf0.1.
 """
 
 from __future__ import annotations

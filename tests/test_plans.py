@@ -611,3 +611,12 @@ def test_interval_overlap_binned_hash_join_no_nested_loop(spark, sf_dir):
     df = load_all()["join_interval_overlap"].fn(spark, sf_dir)
     n = node_counts(df)
     assert not n.get("CartesianProduct") and not n.get("BroadcastNestedLoopJoin"), n
+
+
+def test_drift_histogram_broadcast_totals_pruned_scan(spark, sf_dir):
+    """The drift monitor's totals join must broadcast (|types| rows) and
+    the events scan must read only (event_type, value, ts)."""
+    df = load_all()["dq_drift_histogram"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    rs = read_schemas(df)[0]
+    assert "props" not in rs and "event_id" not in rs
