@@ -390,3 +390,98 @@ def test_html_extract_short_doc_empty_main_text(reg, spark, sf_dir, tmp_path):
     assert len(out) == 1
     r = out[0]
     assert r["kept_blocks"] == 0 and r["main_len"] == 0 and r["main_text"] == ""
+
+
+def _py_extract_reference(html: str) -> list[str]:
+    """Pure-Python reference of the extraction rules (same regexes, same
+    order): script strip -> block split -> tag strip -> space collapse ->
+    trim -> length + link-density gate."""
+    import re
+
+    h = re.sub(r"<script[^>]*>[^<]*</script>", " ", html)
+    out = []
+    for b in re.split(r"</p>|</div>", h):
+        txt = re.sub(r" +", " ", re.sub(r"<[^>]*>", " ", b)).strip(" ")
+        ll = sum(len(s) for s in re.findall(r"<a[^>]*>([^<]*)</a>", b))
+        if len(txt) >= 25 and 3 * ll <= len(txt):
+            out.append(txt)
+    return out
+
+
+def test_html_extract_adversarial_corpus_matches_python_reference(spark):
+    """One Spark pass over handwritten + seeded-random adversarial pages
+    (stray < > & quotes, unclosed/nested tags, unicode, whitespace runs)
+    must agree with the pure-Python reference exactly — pins Java-vs-
+    Python regex semantics for every pattern the operator uses."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.operators.text import _html_extract_exprs
+
+    pages = [
+        "",
+        "   ",
+        "<p></p><div></div>",
+        "<p>text with a stray < less-than sign inside the content here</p>",
+        "<p>text with a stray > greater-than sign inside the content</p>",
+        "<p>ampersand &amp; entity and 'quotes' \"doubles\" long enough</p>",
+        "<p>unclosed paragraph runs to the very end without its closing tag",
+        "<div><p>nested block content that is long enough to be kept</p></div>",
+        "<p>unicode éü中文 content long enough to pass the gate</p>",
+        "<p>multiple     internal     spaces     collapse     to     one</p>",
+        "<a>lonely anchor text</a> outside any block element with length",
+        "<p><a href='#'>all of this text is one single anchor element!</a></p>",
+        "<script>no closing script tag swallows nothing <p>after it</p>",
+        "<p>tag<b>soup</b>with<i>inline</i>markup kept as one block ok</p>",
+        "plain text with no markup at all but comfortably past the gate",
+    ]
+    rng = random.Random(90)
+    alphabet = "ab <>/&'\"<p></p><a>x"
+    pages += [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 120)))
+        for _ in range(60)
+    ]
+    ex = _html_extract_exprs("spark")
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "i int, html string"
+    ).select("i", F.expr(ex["txts"]).alias("txts"))
+    got = {r["i"]: list(r["txts"]) for r in df.collect()}
+    for i, p in enumerate(pages):
+        assert got[i] == _py_extract_reference(p), (i, p)
+
+
+def test_canonical_bin_lemma_exactly_once():
+    """Pure-math lemma behind join_interval_overlap's duplicate-free
+    emission: for ANY two overlapping intervals of length <= W, the bin
+    floor(max(starts)/W) is touched by BOTH intervals, and it is the
+    ONLY joined bin passing the canonical-bin filter — so each pair is
+    emitted exactly once, and non-overlapping pairs never pass the
+    residual. Hypothesis searches for a counterexample."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    W = 10_000
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        st.integers(0, 200_000),
+        st.integers(0, 200_000),
+        st.integers(0, W),
+        st.integers(0, W),
+    )
+    def check(a0, b0, la, lb):
+        a1, b1 = a0 + la, b0 + lb
+        bins_a = set(range(a0 // W, a1 // W + 1))
+        bins_b = set(range(b0 // W, b1 // W + 1))
+        shared = bins_a & bins_b
+        canonical = max(a0, b0) // W
+        emitted = [
+            bn for bn in shared if bn == canonical and a0 <= b1 and b0 <= a1
+        ]
+        if a0 <= b1 and b0 <= a1:  # overlapping: exactly one emission
+            assert emitted == [canonical]
+        else:  # disjoint: the residual must kill every shared-bin hit
+            assert emitted == []
+
+    check()
