@@ -1351,7 +1351,7 @@ def sim_ivfpq_search(spark, sf_dir):
     (round(dist, 6), codeword), ranking on (round(adc, 6), neighbor);
     centroid means decimal-exact; cell ranking on (round(cos, 6), cell).
     """
-    from xml_to_parquet_spark.io_paths import scratch_dir
+    from xml_to_parquet_spark.io_paths import committed, scratch_dir
     from xml_to_parquet_spark.operators.relational import davg
 
     base = scratch_dir(sf_dir, "ivfpq_index")
@@ -1365,42 +1365,48 @@ def sim_ivfpq_search(spark, sf_dir):
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
         "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), 0D, (acc, v) -> acc + v)"
     )
-
-    # ---- build (once per corpus version) ----
-    expl = emb.select(
-        "label",
-        F.posexplode(F.col("embedding").cast("array<double>")).alias("pos", "val"),
-    )
-    cent = expl.groupBy("label", "pos").agg(davg(F.col("val")).alias("cavg"))
-    cvec = cent.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "cavg"))), lambda s: s.cavg
-        ).alias("cemb")
-    )
-    cvec.write.mode("overwrite").parquet(f"{base}/centroids")
     cb = emb.filter(F.col("vec_id") < PQ_K).select(
         F.col("vec_id").alias("k"), F.posexplode(subs).alias("m", "c")
     )
-    codes = (
-        emb.select("vec_id", "label", F.posexplode(subs).alias("m", "sv"))
-        .join(F.broadcast(cb), "m")
-        .select(
-            "vec_id",
+
+    # ---- build (once per corpus version; _SUCCESS-keyed guard so later
+    # serves in the same process amortize it — an interrupted write has
+    # no commit marker and is rebuilt, never silently reused) ----
+    if not (committed(f"{base}/centroids") and committed(f"{base}/codes")):
+        expl = emb.select(
             "label",
-            "m",
-            "k",
-            F.expr(sq_l2.format(a="sv", b="c")).alias("dist"),
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "val"
+            ),
         )
-        .groupBy("vec_id", "label", "m")
-        .agg(F.min_by("k", F.struct(F.round("dist", 6), "k")).alias("k"))
-        .groupBy("vec_id", "label")
-        .agg(
+        cent = expl.groupBy("label", "pos").agg(davg(F.col("val")).alias("cavg"))
+        cvec = cent.groupBy("label").agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "k"))), lambda s: s.k
-            ).alias("codes")
+                F.array_sort(F.collect_list(F.struct("pos", "cavg"))),
+                lambda s: s.cavg,
+            ).alias("cemb")
         )
-    )
-    codes.write.mode("overwrite").partitionBy("label").parquet(f"{base}/codes")
+        cvec.write.mode("overwrite").parquet(f"{base}/centroids")
+        codes = (
+            emb.select("vec_id", "label", F.posexplode(subs).alias("m", "sv"))
+            .join(F.broadcast(cb), "m")
+            .select(
+                "vec_id",
+                "label",
+                "m",
+                "k",
+                F.expr(sq_l2.format(a="sv", b="c")).alias("dist"),
+            )
+            .groupBy("vec_id", "label", "m")
+            .agg(F.min_by("k", F.struct(F.round("dist", 6), "k")).alias("k"))
+            .groupBy("vec_id", "label")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "k"))), lambda s: s.k
+                ).alias("codes")
+            )
+        )
+        codes.write.mode("overwrite").partitionBy("label").parquet(f"{base}/codes")
 
     # ---- serve (every query batch reads the persisted index) ----
     centroids = spark.read.parquet(f"{base}/centroids")
