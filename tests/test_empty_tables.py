@@ -55,6 +55,15 @@ REPRESENTATIVES = [
     ("sim_random_projection", 0),
     ("mm_audio_wht", 0),
     ("sink_compact_small_files", 0),
+    # r9 operators
+    ("text_html_extract", 0),
+    ("sim_ivfpq_search", 0),
+    ("stream_stream_outer", 0),
+    ("udtf_table_fn", 0),
+    ("text_bm25_topk", 0),
+    ("graph_label_propagation", 0),
+    ("join_interval_overlap", 0),
+    ("dq_drift_histogram", 0),
 ]
 
 

@@ -1409,8 +1409,16 @@ def sim_ivfpq_search(spark, sf_dir):
         codes.write.mode("overwrite").partitionBy("label").parquet(f"{base}/codes")
 
     # ---- serve (every query batch reads the persisted index) ----
-    centroids = spark.read.parquet(f"{base}/centroids")
-    index = spark.read.parquet(f"{base}/codes")
+    # explicit schemas: an EMPTY corpus commits a schema-less (or
+    # partition-less) parquet dir, and schema inference would throw
+    # UNABLE_TO_INFER_SCHEMA on the read-back — zero probed rows must
+    # flow through, not crash (empty-tables contract)
+    centroids = spark.read.schema("label int, cemb array<double>").parquet(
+        f"{base}/centroids"
+    )
+    index = spark.read.schema("vec_id bigint, codes array<bigint>, label int").parquet(
+        f"{base}/codes"
+    )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").cast("array<double>").alias("qe"),
