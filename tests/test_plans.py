@@ -620,3 +620,14 @@ def test_drift_histogram_broadcast_totals_pruned_scan(spark, sf_dir):
     assert broadcast_join_count(df) >= 1
     rs = read_schemas(df)[0]
     assert "props" not in rs and "event_id" not in rs
+
+
+def test_udtf_pruned_scan_no_shuffle(spark, sf_dir):
+    """The LATERAL UDTF must run inside the scan stage: pruned
+    (doc_id, text) read, zero exchanges, BatchEvalPythonUDTF node."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    df = load_all()["udtf_table_fn"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert read_schemas(df) == ["struct<doc_id:bigint,text:string>"]
+    assert "EvalPythonUDTF" in physical_plan(df)

@@ -292,9 +292,14 @@ def udtf_table_fn(spark, sf_dir):
     against the pure-SQL formulation.
 
     Scale shape: the UDTF executes inside the scan stage — per-partition
-    Python workers stream input rows and emit chunk rows, no shuffle, and
+    Python workers stream input rows and emit chunk rows, no shuffle
+    (plan: pruned (doc_id, text) scan → BatchEvalPythonUDTF), and
     per-document memory; output rows scale with chunks exactly like the
-    explode() formulation. The JVM↔Python crossing is the cost vs the
+    explode() formulation. useArrow=True was measured and REJECTED for
+    this operator: the generator yields row-at-a-time, so Arrow's
+    columnar batch conversion is pure overhead here (warm sf0.1: 1.02s
+    Arrow vs 0.43s default pickle batching) — Arrow UDTFs win when eval
+    is vectorizable, not for per-row fan-out. The JVM↔Python crossing is the cost vs the
     all-codegen twin (bench: text_chunk_overlap is the fast path; this
     entry exists to prove the SURFACE, and the oracle proves it loses no
     correctness doing so)."""
