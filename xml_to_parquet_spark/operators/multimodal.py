@@ -652,11 +652,20 @@ def mm_decode_jpeg(spark, sf_dir):
     (tests/test_new_ops_r8.py): constant blocks must decode exactly, the
     max_err column (decoded vs closed-form original) is bounded by the
     quality-90 quant table on every doc, and the Spark path must equal an
-    in-process decode bit-for-bit. Scale shape: identical to the other
-    codecs — map-only, two bounded-Arrow-batch stages, zero shuffles; a
-    production build swaps in chroma/progressive support without touching
-    the Spark plumbing."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    in-process decode bit-for-bit. Scale shape: two bounded-Arrow-batch
+    stages with ONE doc_id-only Exchange up front — the codec costs ~1
+    ms/row of Python CPU, so its parallelism must not be inherited from
+    the scan's split count (a single small parquet file = one task
+    serializing every decode; measured 8.3s → ~1.0s at sf0.1 on
+    local[32]). The shuffled payload is 8 bytes/row against ~1 ms/row of
+    compute; the explicit partition count is AQE-coalesce-exempt, so the
+    fan-out survives tiny inputs. A production build swaps in
+    chroma/progressive support without touching the Spark plumbing."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     encoded = docs.mapInPandas(
         _encode_jpeg_batches, schema="doc_id bigint, jpg binary"
     )
@@ -736,8 +745,16 @@ def mm_decode_jpeg_color(spark, sf_dir):
     the grayscale path (mm_decode_jpeg) cannot: multi-table DQT, SOS
     table mapping, component interleave, and the color transform.
     Rows-only by the same contract; tests/test_new_ops_r8.py proves
-    Spark-vs-in-process bit-parity and the per-channel error bound."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    Spark-vs-in-process bit-parity and the per-channel error bound.
+    Same doc_id-only fan-out Exchange as mm_decode_jpeg: ~2 ms/row of
+    three-component codec CPU must not serialize behind the scan's
+    single split (measured 8.1s → ~1.1s at sf0.1 on local[32], on top
+    of the 2.9× table-driven Huffman rewrite in jpegcodec.py)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     encoded = docs.mapInPandas(
         _encode_jpeg_color_batches, schema="doc_id bigint, jpg binary"
     )
