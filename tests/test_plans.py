@@ -533,12 +533,27 @@ def test_bloom_prefilter_bits_side_broadcasts(spark, sf_dir):
     assert "CartesianProduct" not in n
 
 
-def test_wht_and_gif_are_map_only(spark, sf_dir):
-    """The spectral transform and the GIF decode chain are pure map
-    pipelines: zero exchanges of any kind."""
-    for name in ("mm_audio_wht", "mm_decode_gif"):
+def test_wht_is_map_only(spark, sf_dir):
+    """The fused spectral transform is a pure map pipeline (cheap int64
+    matmul per row — split-inherited parallelism is fine): zero
+    exchanges of any kind."""
+    df = load_all()["mm_audio_wht"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+
+
+def test_codec_chains_have_exactly_the_fanout_exchange(spark, sf_dir):
+    """The GIF and JPEG chains pay exactly ONE Exchange — the doc_id-only
+    round-robin fan-out that decouples the ~1-2 ms/row codec CPU from
+    the scan's split count. Zero round-robins would re-serialize the
+    decode behind a single small-file split; any hash/range exchange
+    would mean the codec stages themselves started shuffling data."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    for name in ("mm_decode_gif", "mm_decode_jpeg", "mm_decode_jpeg_color"):
         df = load_all()[name].fn(spark, sf_dir)
-        assert shuffle_count(df) == 0, name
+        assert shuffle_count(df) == 0, name  # no hash/range/single-part
+        plan = physical_plan(df)
+        assert plan.count("Exchange RoundRobinPartitioning") == 1, name
 
 
 def test_random_projection_broadcasts_query_side(spark, sf_dir):

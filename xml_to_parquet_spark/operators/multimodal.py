@@ -980,10 +980,17 @@ def mm_decode_gif(spark, sf_dir):
     gets a FULL value oracle: the closed-form pixel formula recomputes
     n_px/pix_sum — any bug anywhere in the bit-level chain breaks parity.
 
-    Scale shape: both stages are map-only Arrow-batched mapInPandas (the
-    mm_decode_png chassis — multimodal.py:286); no shuffle at all. Codec:
-    functions/gifcodec.py, stdlib-only."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    Scale shape: both codec stages are map-only Arrow-batched mapInPandas
+    (the mm_decode_png chassis — multimodal.py:286) behind the same
+    doc_id-only fan-out Exchange as the JPEG pair: pure-Python LZW costs
+    ~0.8 ms/row, which must not serialize behind the scan's single split
+    (measured 4.1s → ~0.7s at sf0.1 on local[32]; 8 bytes/row shuffled).
+    Codec: functions/gifcodec.py, stdlib-only."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     encoded = docs.mapInPandas(
         _encode_gif_batches, schema="doc_id bigint, gif binary"
     )
