@@ -304,10 +304,11 @@ def test_bucketed_agg_has_no_exchange(spark, sf_dir):
 
 
 def test_triangle_count_wedges_from_oriented_edges(spark, sf_dir):
-    """r8: the triangle plan must contain no cartesian/nested-loop join —
-    wedge generation and closure are equi-joins (the degree-ordered
-    orientation is what makes that possible), and the only crossJoins are
-    the three 1-row aggregate combiners."""
+    """r8 (intersect form since r9): the triangle plan must contain no
+    cartesian/nested-loop join — the adjacency probes are node-keyed
+    equi-joins (the degree-ordered orientation is what makes that
+    possible), and the only crossJoins are the three 1-row aggregate
+    combiners."""
     df = load_all()["graph_triangle_count"].fn(spark, sf_dir)
     n = node_counts(df)
     assert not n.get("CartesianProduct"), n
