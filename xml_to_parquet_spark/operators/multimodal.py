@@ -310,8 +310,14 @@ def mm_decode_png(spark, sf_dir):
     pixel formula — so a decoder bug anywhere (chunk parse, inflate, filter
     undo, BMP row padding/BGR order) breaks value parity. PNG and BMP
     decode the same image, so pix_sum == bmp_sum doubles as a cross-codec
-    consistency check."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    consistency check. Same doc_id-only fan-out Exchange as the JPEG/GIF
+    chains: zlib is C-speed but the two codec stages still cost ~0.2
+    ms/row, which must not serialize behind a single small-file split."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     encoded = docs.mapInPandas(
         _encode_image_batches, schema="doc_id bigint, png binary, bmp binary"
     )
@@ -461,11 +467,17 @@ def mm_image_phash(spark, sf_dir):
     the closed-form pixel formula — a decoder or bit-packing bug breaks
     value parity on all 500/5000 docs.
 
-    Scale: map-only end-to-end (encode→decode→hash in two mapInPandas
-    stages, zero shuffles); downstream near-dup grouping is an equi-join
-    on hash prefixes (Hamming-ball banding), the same chassis as
-    dedup_simhash."""
-    docs = table(spark, sf_dir, "documents").select("doc_id")
+    Scale: encode→decode→hash in two mapInPandas stages behind the
+    doc_id-only fan-out Exchange shared by every codec chain (decouples
+    per-row codec CPU from the scan's split count — this also feeds
+    mm_image_dedup and mm_caption_dedup, so all three benefit);
+    downstream near-dup grouping is an equi-join on hash prefixes
+    (Hamming-ball banding), the same chassis as dedup_simhash."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     encoded = docs.mapInPandas(
         _encode_image_batches, schema="doc_id bigint, png binary, bmp binary"
     ).select("doc_id", "png")
