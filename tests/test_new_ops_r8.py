@@ -93,6 +93,47 @@ def test_jpeg_rejects_unsupported_profiles():
         decode_jpeg(good[:40])  # truncated before SOS
 
 
+def test_jpeg_corrupt_entropy_never_crashes():
+    """Failure contract of the table-driven scan decoder: flipping any
+    byte INSIDE the entropy segment (markers intact — that path has its
+    own test) must either still decode to the original shape/dtype
+    (JPEG has no checksum, silent wrong pixels are legal) or raise
+    ValueError — never IndexError / struct.error / a hang. Pins the
+    bounds discipline of the inlined bit-buffer loop: LUT indices are
+    masked to 16 bits, reads past the segment end see zero padding, and
+    the AC run guard still fires."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xml_to_parquet_spark.functions.jpegcodec import decode_jpeg, encode_jpeg
+
+    for d, color in ((7, False), (13, True)):
+        img = _doc_image(d)
+        if color:
+            img = np.stack([img, img[::-1], 255 - img], axis=2)
+        good = encode_jpeg(img, 90)
+        sos = good.find(b"\xff\xda")
+        lo, hi = sos + 14, len(good) - 2  # entropy segment bounds
+        want_shape = img.shape
+
+        @settings(max_examples=200, deadline=None)
+        @given(
+            off=st.integers(min_value=0, max_value=hi - lo - 1),
+            flip=st.integers(min_value=1, max_value=255),
+        )
+        def check(off, flip):
+            pos = lo + off
+            bad = good[:pos] + bytes([good[pos] ^ flip]) + good[pos + 1 :]
+            try:
+                out = decode_jpeg(bad)
+            except ValueError:
+                return
+            assert out.shape == want_shape
+            assert out.dtype == np.uint8
+
+        check()
+
+
 def test_jpeg_bytes_are_deterministic_and_stuffed():
     """Same input → same bytes (the dedup-ability contract every codec in
     the column keeps), and no bare 0xFF survives inside the entropy
