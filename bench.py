@@ -45,6 +45,29 @@ win from the sweep: graph_label_propagation 5.15s -> 4.38s (co-locate
 adjacency by node pre-checkpoint so per-round counts partial-aggregate
 map-side); (d) the heaviest r9 addition is LPA at ~4.4s — every other
 r9 operator lands under 2.7s at sf0.1.
+
+Late-round-9 structural wins (all warm, sf0.1, local[32]; each has the
+mechanism in its operator/codec docstring):
+- mm_decode_jpeg_color 11.5s -> ~1.1s and mm_decode_jpeg ~3.0s ->
+  ~1.0s: table-driven Huffman scan decode (16-bit-peek LUT inlined with
+  a locals-only bit buffer, 2.9x on the entropy stage) x the doc_id-only
+  fan-out Exchange that stops ~ms/row codec CPU from serializing behind
+  a single small-file scan split.
+- mm_decode_gif 4.1s -> ~1.0s, mm_decode_png 1.35s -> ~0.95s,
+  mm_image_dedup 3.4s -> ~2.6s: the same codec fan-out applied to the
+  LZW and PNG/phash chains (plan-pinned: exactly one RoundRobin
+  exchange, zero data shuffles).
+- text_bpe_train 8.4s -> ~4.0s: the per-round merge rewrite moved from
+  a pandas UDF to a JVM-side aggregate() fold — no Python crossing
+  anywhere in the 12-round training loop.
+- graph_triangle_count 7.8s -> ~3.8s: adjacency-intersect
+  compact-forward — the ~35M-row wedge materialization no longer flows
+  through an Exchange; wedges exist only transiently inside
+  array_intersect.
+Evaluated and rejected: pagerank broadcast-ranks + dst-prepartition
+(0.6s warm gain, but collects the node-sized rank vector to the driver
+every iteration — wrong trade at scale); src-prepartition alone
+(no measurable gain, SMJ still sorts the edge side per iteration).
 """
 
 from __future__ import annotations
