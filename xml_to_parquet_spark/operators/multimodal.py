@@ -26,7 +26,7 @@ from hashlib import md5 as _md5
 import pandas as pd
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
 
@@ -1124,4 +1124,123 @@ def mm_audio_wht(spark, sf_dir):
     return encoded.mapInPandas(
         _wav_wht_batches,
         schema="doc_id bigint, win int, band int, coef bigint, energy bigint",
+    )
+
+
+def _encode_even_image_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.imagecodec import encode_png
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 2 * (4 + d % 8), 2 * (4 + (d * 7) % 8)
+            xs, ys = np.arange(w), np.arange(h)
+            img = ((d + 3 * xs[None, :] + 5 * ys[:, None]) % 256).astype(np.uint8)
+            rows.append((d, encode_png(img)))
+        yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+
+def _resize_pixel_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.imagecodec import decode_png
+    from xml_to_parquet_spark.functions.imagecodec import resize_box2, resize_nn
+
+    for pdf in it:
+        rows = []
+        for d, png in zip(pdf["doc_id"], pdf["png"]):
+            img = decode_png(bytes(png))
+            h, w = img.shape[:2]
+            box = resize_box2(img)
+            nn = resize_nn(img, 16, 16)
+            rows.append(
+                (
+                    int(d),
+                    w,
+                    h,
+                    w // 2,
+                    h // 2,
+                    int(box.astype(np.int64).sum()),
+                    int(nn.astype(np.int64).sum()),
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "width", "height", "box_w", "box_h", "box_sum", "nn_sum"],
+        )
+
+
+@register_staged(
+    "mm_resize_pixel",
+    """
+    WITH dims AS (
+      SELECT doc_id, 2 * (4 + doc_id % 8) AS width,
+             2 * (4 + (doc_id * 7) % 8) AS height
+      FROM documents
+    ), box AS (
+      SELECT doc_id,
+             SUM((  (doc_id + 3 * (2 * (t.i % (width // 2)))
+                     + 5 * (2 * (t.i // (width // 2)))) % 256
+                  + (doc_id + 3 * (2 * (t.i % (width // 2)) + 1)
+                     + 5 * (2 * (t.i // (width // 2)))) % 256
+                  + (doc_id + 3 * (2 * (t.i % (width // 2)))
+                     + 5 * (2 * (t.i // (width // 2)) + 1)) % 256
+                  + (doc_id + 3 * (2 * (t.i % (width // 2)) + 1)
+                     + 5 * (2 * (t.i // (width // 2)) + 1)) % 256) // 4) AS s
+      FROM dims, LATERAL unnest(range(0, (width // 2) * (height // 2))) AS t(i)
+      GROUP BY doc_id
+    ), nn AS (
+      SELECT doc_id,
+             SUM((doc_id + 3 * ((t.i % 16) * width // 16)
+                  + 5 * ((t.i // 16) * height // 16)) % 256) AS s
+      FROM dims, LATERAL unnest(range(0, 256)) AS t(i)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id, d.width, d.height,
+           d.width // 2 AS box_w, d.height // 2 AS box_h,
+           CAST(b.s AS BIGINT) AS box_sum, CAST(n.s AS BIGINT) AS nn_sum
+    FROM dims d JOIN box b USING (doc_id) JOIN nn n USING (doc_id)
+    """,
+)
+def mm_resize_pixel(spark, sf_dir):
+    """REAL pixel-level image resize tier (supersedes the metadata-only
+    mm_resize plumbing stub) — the explicit IOU from mm_image_dedup (whose
+    near-dup pairs are blocked on identical dimensions; cross-size
+    near-dup needs every image normalized to a canonical size first).
+    Each doc gets a deterministic even-dimensioned grayscale image
+    (pixel(x,y) = (doc_id+3x+5y)%256, w,h in 8..22 even), round-tripped
+    through REAL PNG bytes, then resized two ways in the decode stage:
+    (a) 2x2 integer box filter (mean pooling with floor division — the
+    antialiased downscale tier) and (b) nearest-neighbor to a canonical
+    16x16 (the thumbnail-normalization tier used before cross-size
+    hashing). Both are exact integer arithmetic, so the oracle recomputes
+    the resized pixel sums from the closed-form source formula — a bug in
+    the codec, the pooling reshape, or the NN index map breaks value
+    parity.
+
+    Scale shape: the doc_id-only fan-out Exchange shared with the
+    PNG/JPEG/GIF chains (codec work must not serialize behind one small
+    input split), then encode and decode+resize as two map-only
+    Arrow-batched mapInPandas stages; resize itself is a reshape-sum (box)
+    and an index gather (NN) per image — O(pixels), no shuffle, executor
+    memory bounded by the Arrow batch. At 100 TB the same plumbing holds:
+    the canonical-size output feeds mm_image_phash/mm_image_dedup without
+    re-decoding, and the box tier is the mipmap step a production
+    thumbnailer would run.
+    """
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    encoded = docs.mapInPandas(
+        _encode_even_image_batches, schema="doc_id bigint, png binary"
+    )
+    return encoded.mapInPandas(
+        _resize_pixel_batches,
+        schema="doc_id bigint, width bigint, height bigint, box_w bigint, "
+        "box_h bigint, box_sum bigint, nn_sum bigint",
     )

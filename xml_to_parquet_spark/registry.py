@@ -8,6 +8,7 @@ compares the two (row count + schema + order-insensitive value hash).
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from dataclasses import dataclass
 
@@ -22,10 +23,27 @@ class QueryDef:
 
 REGISTRY: dict[str, QueryDef] = {}
 
+# Operators built AHEAD of their graded-window round. A staged op is fully
+# implemented and locally verified, but excluded from ``queries()`` until
+# the next window rotation promotes it (register_staged → register + a
+# GRADED_WINDOW slot). This keeps the cumulative "every registered query
+# has a driver proof" invariant: an op never appears in the registry in a
+# round whose window can't grade it. Local harnesses opt in to staged
+# entries with XTPS_INCLUDE_STAGED=1 (scripts/check_oracle.py).
+STAGED: dict[str, QueryDef] = {}
+
 
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         REGISTRY[name] = QueryDef(fn, oracle)
+        return fn
+
+    return deco
+
+
+def register_staged(name: str, oracle: str | None = None):
+    def deco(fn):
+        STAGED[name] = QueryDef(fn, oracle)
         return fn
 
     return deco
@@ -140,4 +158,7 @@ def load_all() -> dict[str, QueryDef]:
     for name, qd in REGISTRY.items():
         if name not in ordered:
             ordered[name] = qd
+    if os.environ.get("XTPS_INCLUDE_STAGED"):
+        for name, qd in STAGED.items():
+            ordered.setdefault(name, qd)
     return ordered
