@@ -112,3 +112,49 @@ def test_mm_resize_pixel_box_tier_feeds_cross_size_dedup():
     )
     big = resize_nn(small, 16, 16)  # 2x upscale duplicates each pixel 2x2
     assert np.array_equal(resize_box2(big), small)
+
+
+# ---------------------------------------------------------------------------
+# text_rake_keywords (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def _rake(spark, rows):
+    from xml_to_parquet_spark.operators.text import rake_keywords
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return [r.asDict() for r in rake_keywords(df).collect()]
+
+
+def test_rake_degree_scoring_by_hand(spark):
+    # stopwords include "of", "and": phrases are "deep learning",
+    # "deep model", "fast model".
+    # deg(deep)=2+2=4, deg(learning)=2, deg(model)=2+2=4, deg(fast)=2
+    # scores: deep model=8, deep learning=6, fast model=6 (tie -> lexical)
+    out = _rake(spark, [(1, "deep learning of deep model and fast model")])
+    assert [(r["rnk"], r["phrase"], r["phrase_deg"], r["n_words"]) for r in out] == [
+        (1, "deep model", 8, 2),
+        (2, "deep learning", 6, 2),
+        (3, "fast model", 6, 2),
+    ]
+
+
+def test_rake_consecutive_and_edge_stopwords(spark):
+    out = _rake(spark, [(1, "the the fast scan a")])
+    assert [(r["phrase"], r["phrase_deg"]) for r in out] == [("fast scan", 4)]
+    assert _rake(spark, [(2, "the and of")]) == []
+
+
+def test_rake_repeated_phrase_boosts_degree_once_in_output(spark):
+    # "big join" occurs twice: deg(big)=deg(join)=4, one output row, deg 8
+    out = _rake(spark, [(1, "big join and big join")])
+    assert [(r["rnk"], r["phrase"], r["phrase_deg"]) for r in out] == [
+        (1, "big join", 8)
+    ]
+
+
+def test_rake_top_k_cap(spark):
+    text = "alpha and beta and gamma and delta and epsilon"
+    out = _rake(spark, [(1, text)])
+    assert len(out) == 3  # RAKE_TOP
+    assert [r["phrase"] for r in out] == ["alpha", "beta", "delta"]

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL, STOPWORDS
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1010,4 +1010,118 @@ def text_bm25_topk(spark, sf_dir):
         summed.orderBy(F.desc(F.round("score", 6)), "doc_id")
         .limit(BM25_TOP)
         .select("doc_id", F.round("score", 6).alias("bm25"))
+    )
+
+
+RAKE_TOP = 3  # keywords kept per document
+
+# Cross-engine phrase splitter: stopword tokens collapse to a '|' sentinel
+# (never in the corpus vocabulary), the token array re-joins on spaces,
+# and the string splits at the sentinels — identical semantics for
+# consecutive stopwords / leading '|' in Spark's Java regex split and
+# DuckDB's string_split_regex (both yield empty segments, filtered).
+_RAKE_PHRASES_SPARK = (
+    "split(array_join(transform(split(lower(trim(text)), '\\\\s+'), "
+    f"t -> CASE WHEN t IN ({_SW_SQL}) THEN '|' ELSE t END), ' '), "
+    "'\\\\s*\\\\|\\\\s*')"
+)
+_RAKE_PHRASES_DUCK = (
+    "string_split_regex(array_to_string(list_transform("
+    "string_split_regex(lower(trim(text)), '\\s+'), "
+    f"t -> CASE WHEN t IN ({_SW_SQL}) THEN '|' ELSE t END), ' '), "
+    "'\\s*\\|\\s*')"
+)
+
+
+@register_staged(
+    "text_rake_keywords",
+    f"""
+    WITH phr AS (
+      SELECT doc_id, trim(p) AS phrase
+      FROM documents, LATERAL unnest({_RAKE_PHRASES_DUCK}) AS u(p)
+      WHERE trim(p) <> ''
+    ), stats AS (
+      SELECT doc_id, w.w AS word,
+             SUM(len(string_split(phrase, ' '))) AS deg
+      FROM phr, LATERAL unnest(string_split(phrase, ' ')) AS w(w)
+      GROUP BY 1, 2
+    ), uphr AS (
+      SELECT DISTINCT doc_id, phrase FROM phr
+    ), uw AS (
+      SELECT u.doc_id, u.phrase,
+             CAST(len(string_split(u.phrase, ' ')) AS BIGINT) AS n_words,
+             w.w AS word
+      FROM uphr u, LATERAL unnest(string_split(u.phrase, ' ')) AS w(w)
+    ), pscore AS (
+      SELECT uw.doc_id, uw.phrase, uw.n_words,
+             CAST(SUM(s.deg) AS BIGINT) AS phrase_deg
+      FROM uw JOIN stats s ON s.doc_id = uw.doc_id AND s.word = uw.word
+      GROUP BY 1, 2, 3
+    )
+    SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, phrase, phrase_deg, n_words
+    FROM (
+      SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY phrase_deg DESC, phrase) AS rnk
+      FROM pscore)
+    WHERE rnk <= {RAKE_TOP}
+    """,
+)
+def text_rake_keywords(spark, sf_dir):
+    """RAKE keyword extraction (Rose et al. 2010) — the unsupervised
+    keyword tier of the text ladder: candidate phrases are maximal token
+    runs between stopwords; each word scores by its DEGREE (sum of the
+    lengths of every phrase occurrence containing it — co-occurrence
+    weight), and a phrase scores as the sum of its words' degrees. Top
+    RAKE_TOP phrases per document, ties broken lexicographically. This is
+    the integer deg-only RAKE variant: the classic deg/freq ratio is a
+    float whose cross-engine rounding the tfidf/BM25 chain taught us to
+    avoid, while pure degree keeps every score an exact int64 — full
+    value oracle.
+
+    Scale shape: phrase extraction is map-only (split/transform/explode in
+    codegen, stopword list inlined as a literal — no join against a
+    stopword table). Word-degree stats are a map-side-combinable groupBy
+    on (doc_id, word); phrase scores join stats back on the same compound
+    key (AQE-coalesced, doc-local keys so skew is bounded by document
+    length, never corpus size); the final top-k is a per-doc window over
+    the handful of distinct phrases per document — no global sort, no
+    driver loop. At 100 TB every stage is keyed by doc_id-compound keys,
+    so the whole plan scales with documents, and the phrase dictionary
+    never materializes globally."""
+    return rake_keywords(table(spark, sf_dir, "documents"))
+
+
+def rake_keywords(docs):
+    """Core RAKE plan over any (doc_id, text) DataFrame (unit-testable on
+    handwritten corpora; text_rake_keywords binds it to the documents
+    table)."""
+    from pyspark.sql import Window
+
+    docs = docs.select("doc_id", "text")
+    phrases = (
+        docs.select("doc_id", F.explode(F.expr(_RAKE_PHRASES_SPARK)).alias("p"))
+        .select("doc_id", F.trim("p").alias("phrase"))
+        .filter(F.col("phrase") != "")
+    )
+    pw = F.split("phrase", " ")
+    words = phrases.select(
+        "doc_id", F.size(pw).alias("plen"), F.explode(pw).alias("word")
+    )
+    stats = words.groupBy("doc_id", "word").agg(F.sum("plen").alias("deg"))
+    uw = phrases.distinct().select(
+        "doc_id",
+        "phrase",
+        F.size(pw).cast("long").alias("n_words"),
+        F.explode(pw).alias("word"),
+    )
+    pscore = (
+        uw.join(stats, ["doc_id", "word"])
+        .groupBy("doc_id", "phrase", "n_words")
+        .agg(F.sum("deg").alias("phrase_deg"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("phrase_deg"), "phrase")
+    return (
+        pscore.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RAKE_TOP)
+        .select("doc_id", "rnk", "phrase", "phrase_deg", "n_words")
     )
