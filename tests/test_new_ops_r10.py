@@ -158,3 +158,75 @@ def test_rake_top_k_cap(spark):
     out = _rake(spark, [(1, text)])
     assert len(out) == 3  # RAKE_TOP
     assert [r["phrase"] for r in out] == ["alpha", "beta", "delta"]
+
+
+# ---------------------------------------------------------------------------
+# lake_manifest_prune (operators/sources_io.py)
+# ---------------------------------------------------------------------------
+
+
+def test_manifest_prune_opens_fewer_files_and_stays_sound(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.io_paths import scratch_dir
+    from xml_to_parquet_spark.operators.sources_io import (
+        MANIFEST_FILES,
+        PRUNE_HI,
+        PRUNE_LO,
+        lake_manifest_prune,
+    )
+    from xml_to_parquet_spark.tables import table
+
+    got = {r["o_orderstatus"]: r for r in lake_manifest_prune(spark, sf_dir).collect()}
+
+    # soundness: identical to the full-table scan with the same predicate
+    want = {
+        r["o_orderstatus"]: r
+        for r in (
+            table(spark, sf_dir, "orders")
+            .filter(F.col("o_orderkey").between(PRUNE_LO, PRUNE_HI))
+            .groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("price_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .collect()
+        )
+    }
+    assert {k: r.asDict() for k, r in got.items()} == {
+        k: r.asDict() for k, r in want.items()
+    }
+
+    # effectiveness: the manifest admits only a strict subset of the files
+    man = spark.read.parquet(scratch_dir(sf_dir, "manifest_orders_manifest"))
+    n_total = man.count()
+    n_kept = man.filter(
+        (F.col("max_key") >= PRUNE_LO) & (F.col("min_key") <= PRUNE_HI)
+    ).count()
+    assert n_total == MANIFEST_FILES
+    assert 0 < n_kept < n_total
+
+
+def test_manifest_covers_every_file_exactly_once(spark, sf_dir):
+    """A manifest missing a file (or double-counting one) is silent
+    corruption: per-file min/max rows must tile the table's key space."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.io_paths import scratch_dir
+    from xml_to_parquet_spark.operators.sources_io import lake_manifest_prune
+    from xml_to_parquet_spark.tables import table
+
+    lake_manifest_prune(spark, sf_dir)  # ensure fixture + manifest exist
+    data = spark.read.parquet(scratch_dir(sf_dir, "manifest_orders"))
+    man = spark.read.parquet(scratch_dir(sf_dir, "manifest_orders_manifest"))
+    files_in_data = {
+        r[0]
+        for r in data.select(F.col("_metadata.file_path")).distinct().collect()
+    }
+    files_in_man = [r["file_path"] for r in man.collect()]
+    assert sorted(files_in_man) == sorted(files_in_data)
+    assert data.count() == table(spark, sf_dir, "orders").count()

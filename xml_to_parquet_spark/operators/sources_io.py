@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.io_paths import scratch_dir
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
 _ORACLE = """
@@ -314,5 +314,91 @@ def sink_compact_small_files(spark, sf_dir):
             F.countDistinct("user_id").cast("bigint").alias("n_users"),
             F.min("event_id").alias("min_event"),
             F.max("event_id").alias("max_event"),
+        )
+    )
+
+
+MANIFEST_FILES = 16  # data files in the manifest-tracked table
+PRUNE_LO, PRUNE_HI = 1000, 2500  # o_orderkey range predicate
+
+
+@register_staged(
+    "lake_manifest_prune",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey BETWEEN {PRUNE_LO} AND {PRUNE_HI}
+    GROUP BY 1
+    """,
+)
+def lake_manifest_prune(spark, sf_dir):
+    """Iceberg-style manifest pruning — the lake-format planning step that
+    makes petabyte tables queryable: the orders table is laid out as
+    MANIFEST_FILES range-partitioned data files plus a MANIFEST table
+    recording per-file (path, min, max) of the sort key (what an Iceberg
+    manifest-entry's column-stats map holds). A range predicate is then
+    answered by scanning the manifest FIRST and opening only the data
+    files whose [min,max] intersects the predicate — the other files are
+    never read. The returned aggregate runs over the pruned scan, and the
+    oracle computes it from the FULL table, so unsound pruning (a
+    surviving-file test that drops a file containing matching keys)
+    breaks value parity, not just performance. Pruning effectiveness
+    (files opened < files total) is asserted in pytest.
+
+    Scale shape: planning cost is proportional to the MANIFEST (one row
+    per file — at 100 TB, thousands of rows), not the data; the
+    driver-side file-list collect is the Iceberg/Delta planning step
+    itself and is bounded by file count. Data-file reads after pruning
+    carry the predicate too, so parquet row-group stats prune further
+    WITHIN surviving files. Both fixture and manifest build once per
+    process behind _SUCCESS-keyed guards; a real deployment maintains the
+    manifest incrementally at write time (the sink_compact_small_files
+    maintenance family)."""
+    from xml_to_parquet_spark.io_paths import committed
+
+    data = scratch_dir(sf_dir, "manifest_orders")
+    man = scratch_dir(sf_dir, "manifest_orders_manifest")
+    if not committed(data):
+        (
+            table(spark, sf_dir, "orders")
+            .repartitionByRange(MANIFEST_FILES, "o_orderkey")
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+    if not committed(man):
+        (
+            spark.read.parquet(data)
+            .select(F.col("_metadata.file_path").alias("file_path"), "o_orderkey")
+            .groupBy("file_path")
+            .agg(
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .write.mode("overwrite")
+            .parquet(man)
+        )
+    survivors = [
+        r.file_path
+        for r in spark.read.parquet(man)
+        .filter(
+            (F.col("max_key") >= PRUNE_LO) & (F.col("min_key") <= PRUNE_HI)
+        )
+        .collect()
+    ]
+    pruned = spark.read.parquet(*survivors)
+    return (
+        pruned.filter(F.col("o_orderkey").between(PRUNE_LO, PRUNE_HI))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
         )
     )
