@@ -230,3 +230,89 @@ def test_manifest_covers_every_file_exactly_once(spark, sf_dir):
     files_in_man = [r["file_path"] for r in man.collect()]
     assert sorted(files_in_man) == sorted(files_in_data)
     assert data.count() == table(spark, sf_dir, "orders").count()
+
+
+# ---------------------------------------------------------------------------
+# sim_hnsw_beam (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _clustered_corpus():
+    """60 vectors in 3 tight clusters around orthogonal centers; cluster 2
+    = {0,1,5,11,23,41,59} (7 members — complete under K0=6 so reachability
+    within the cluster is structural, not luck). md5-level draw puts ids
+    27 and 59 in the upper layer: entry 27 (cluster 1), and 59 gives the
+    walk a door into cluster 2."""
+    c2 = {0, 1, 5, 11, 23, 41, 59}
+    rows = []
+    for i in range(60):
+        k = 2 if i in c2 else (i % 2)
+        center = [0.0] * 8
+        center[k] = 1000.0
+        noise = [((i * (j + 3)) % 7) - 3 for j in range(8)]
+        rows.append((i, k, [center[j] + noise[j] for j in range(8)]))
+    return rows
+
+
+def test_hnsw_beam_full_recall_on_navigable_corpus(spark):
+    from xml_to_parquet_spark.operators.similarity import (
+        HNSW_BEAM,
+        hnsw_beam_search,
+    )
+
+    rows = _clustered_corpus()
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<float>")
+    got = hnsw_beam_search(emb).collect()
+
+    # brute-force truth with the op's exact tie rules (round-6, vec_id)
+    vecs = {i: np.array(v, dtype=np.float32).astype(np.float64) for i, _, v in rows}
+    q = (vecs[0] + vecs[1]) / 2
+    scored = sorted(
+        (
+            (-round(float(v @ q / (np.linalg.norm(v) * np.linalg.norm(q))), 6), i)
+            for i, v in vecs.items()
+        )
+    )
+    want = [i for _, i in scored[:HNSW_BEAM]]
+
+    assert [r["vec_id"] for r in got] == want
+    assert [r["rank"] for r in got] == [1, 2, 3, 4]
+    cs = [r["cos"] for r in got]
+    assert cs == sorted(cs, reverse=True)
+
+
+def test_hnsw_beam_monotone_improvement_over_entry(spark, sf_dir):
+    """Each round's candidates include the previous beam, so the best
+    cosine found can never decrease — on ANY corpus, the final best must
+    be at least the entry point's own score."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.functions.vector_fns import cosine
+    from xml_to_parquet_spark.operators.similarity import sim_hnsw_beam
+    from xml_to_parquet_spark.tables import table
+
+    best = max(r["cos"] for r in sim_hnsw_beam(spark, sf_dir).collect())
+    emb = table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("ea"))
+        .crossJoin(
+            emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("eb"))
+        )
+        .select(
+            F.zip_with(
+                "ea", "eb", lambda x, y: (x.cast("double") + y.cast("double")) / 2
+            ).alias("qe")
+        )
+    )
+    entry_cos = (
+        emb.filter(
+            F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+        )
+        .orderBy("vec_id")
+        .limit(1)
+        .crossJoin(q)
+        .select(F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("c"))
+        .collect()[0]["c"]
+    )
+    assert best >= entry_cos

@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.vector_fns import cosine, dot, l2_norm
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -1461,4 +1461,181 @@ def sim_ivfpq_search(spark, sf_dir):
         .select(
             "query_id", "neighbor_id", "cell", F.round("adc", 4).alias("adc_dist"), "rn"
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HNSW-shaped layered beam search (staged r10)
+# ---------------------------------------------------------------------------
+
+HNSW_K1 = 4  # out-degree in the upper layer
+HNSW_K0 = 6  # out-degree in the base layer
+HNSW_BEAM = 4  # beam width
+HNSW_ROUNDS = 2  # expansion rounds per layer (fixed — no early exit)
+
+
+def _hnsw_oracle() -> str:
+    """Unrolled-CTE twin of the fixed-round beam search (the BFS/LPA
+    device): one candidate+score+top-B CTE triple per round, upper layer
+    first."""
+    rounds = []
+    prev = "b_start"
+    for layer, edges in (("1", "E1"), ("0", "E0")):
+        for r in range(1, HNSW_ROUNDS + 1):
+            cur = f"b{layer}_{r}"
+            rounds.append(
+                f"""c_{cur} AS (
+      SELECT DISTINCT vec_id FROM (
+        SELECT vec_id FROM {prev}
+        UNION ALL
+        SELECT e.dst AS vec_id FROM {prev} p JOIN {edges} e ON p.vec_id = e.src)
+    ), s_{cur} AS (
+      SELECT c.vec_id,
+             round(list_cosine_similarity(q.qe, emb.e), 6) AS cos
+      FROM c_{cur} c JOIN emb ON c.vec_id = emb.vec_id CROSS JOIN q
+    ), {cur} AS (
+      SELECT vec_id, cos FROM (
+        SELECT *, row_number() OVER (ORDER BY cos DESC, vec_id) AS rn
+        FROM s_{cur}) WHERE rn <= {HNSW_BEAM}
+    )"""
+            )
+            prev = cur
+    body = ",\n    ".join(rounds)
+    return f"""
+    WITH emb AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+    ), lvl1 AS (
+      SELECT * FROM emb WHERE substr(md5(CAST(vec_id AS VARCHAR)), 1, 1) = '0'
+    ), p1 AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.e, b.e), 6) AS c
+      FROM lvl1 a JOIN lvl1 b ON a.vec_id <> b.vec_id
+    ), E1 AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+        FROM p1) WHERE rn <= {HNSW_K1}
+    ), p0 AS (
+      SELECT a.vec_id AS src, b.vec_id AS dst,
+             round(list_cosine_similarity(a.e, b.e), 6) AS c
+      FROM emb a JOIN emb b ON a.label = b.label AND a.vec_id <> b.vec_id
+    ), E0 AS (
+      SELECT src, dst FROM (
+        SELECT *, row_number() OVER (PARTITION BY src ORDER BY c DESC, dst) AS rn
+        FROM p0) WHERE rn <= {HNSW_K0}
+    ), q AS (
+      SELECT list_transform(range(1, len(a.e) + 1), i -> (a.e[i] + b.e[i]) / 2)
+                 AS qe
+      FROM emb a, emb b WHERE a.vec_id = 0 AND b.vec_id = 1
+    ), b_start AS (
+      SELECT min(vec_id) AS vec_id FROM lvl1
+    ),
+    {body}
+    SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS BIGINT)
+               AS rank, cos
+    FROM {prev}
+    """
+
+
+@register_staged("sim_hnsw_beam", _hnsw_oracle())
+def sim_hnsw_beam(spark, sf_dir):
+    """HNSW-shaped layered beam search — the graph-traversal ANN serving
+    family (alongside the funnel tiers: LSH buckets, IVF cells, IVF-PQ,
+    matryoshka rerank). The index is built DECLARATIVELY so it is
+    deterministic and cross-engine checkable, unlike insertion-order HNSW:
+    layer membership comes from an md5 level draw (P ~ 1/16, the
+    geometric level distribution), the upper layer links each node to its
+    HNSW_K1 nearest peers IN-LAYER, and the base layer links every node to
+    its HNSW_K0 nearest same-label neighbors (the block-pruned
+    sim_knn_graph substrate). Search runs a FIXED-round beam: start at the
+    entry point (min vec_id in the upper layer), expand beam∪neighbors,
+    keep the top-HNSW_BEAM by query cosine, HNSW_ROUNDS rounds per layer,
+    then descend and repeat on the base layer. Fixed rounds instead of
+    greedy convergence keep the plan static and the oracle an unrolled
+    CTE chain (the BFS/LPA device); rounded cosines with vec_id tiebreaks
+    keep ranking bit-deterministic cross-engine.
+
+    Scale shape: index build is the amortized cost (upper layer is ~n/16
+    nodes all-pairs IN-LAYER only; base layer is the label-blocked kNN —
+    both bounded, never global n^2); per-query search touches
+    beam x out-degree rows per round (~28 here) via joins against the
+    edge lists, so a 1000-query batch is one more join key, not a new
+    plan. The only unpartitioned windows are the per-round beam top-Bs
+    over <= BEAM*(K0+1) rows by construction (the pareto_frontier
+    precedent). Query = elementwise midpoint of vectors 0 and 1 — a
+    deterministic OFF-corpus probe, so the search can't trivially land on
+    an exact-match node.
+
+    Honesty note on recall: the synthetic test embeddings are isotropic
+    random vectors (measured within-label and cross-label mean cosine are
+    both ~-0.0003), and on meaningless-neighbor data NO proximity graph
+    is navigable (the Beyer et al. curse-of-dimensionality regime) — so
+    recall against brute force is not a property of THIS corpus. The
+    driver oracle proves the traversal machinery bit-exactly; pytest
+    proves navigability (full recall) on a deterministic clustered corpus
+    where the walk has a gradient to climb."""
+    return hnsw_beam_search(
+        table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    )
+
+
+def hnsw_beam_search(emb):
+    """Core layered beam search over any (vec_id, label, embedding) frame
+    (unit-testable on handwritten clustered corpora)."""
+    lvl1 = emb.filter(
+        F.substring(F.md5(F.col("vec_id").cast("string")), 1, 1) == "0"
+    )
+
+    def _edges(nodes, same_label, k):
+        a, b = nodes.alias("a"), nodes.alias("b")
+        cond = F.col("a.vec_id") != F.col("b.vec_id")
+        if same_label:
+            cond = cond & (F.col("a.label") == F.col("b.label"))
+        pairs = a.join(b, cond).select(
+            F.col("a.vec_id").alias("src"),
+            F.col("b.vec_id").alias("dst"),
+            F.round(
+                cosine(F.col("a.embedding"), F.col("b.embedding")), 6
+            ).alias("c"),
+        )
+        w = W.partitionBy("src").orderBy(F.desc("c"), "dst")
+        return (
+            pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("src", "dst")
+        )
+
+    e1 = _edges(lvl1, same_label=False, k=HNSW_K1)
+    e0 = _edges(emb, same_label=True, k=HNSW_K0)
+    q = (
+        emb.filter(F.col("vec_id") == 0)
+        .select(F.col("embedding").alias("ea"))
+        .crossJoin(emb.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("eb")))
+        .select(
+            F.zip_with(
+                "ea", "eb", lambda x, y: (x.cast("double") + y.cast("double")) / 2
+            ).alias("qe")
+        )
+    )
+    beam = lvl1.agg(F.min("vec_id").alias("vec_id"))
+    wb = W.orderBy(F.desc("cos"), "vec_id")
+    for edges in (e1,) * HNSW_ROUNDS + (e0,) * HNSW_ROUNDS:
+        neigh = beam.join(edges, beam["vec_id"] == edges["src"]).select(
+            F.col("dst").alias("vec_id")
+        )
+        cand = beam.select("vec_id").union(neigh).distinct()
+        scored = (
+            cand.join(emb, "vec_id")
+            .crossJoin(F.broadcast(q))
+            .select(
+                "vec_id",
+                F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
+            )
+        )
+        beam = (
+            scored.withColumn("rn", F.row_number().over(wb))
+            .filter(F.col("rn") <= HNSW_BEAM)
+            .select("vec_id", "cos")
+        )
+    return beam.select(
+        "vec_id", F.row_number().over(wb).cast("bigint").alias("rank"), "cos"
     )
