@@ -316,3 +316,87 @@ def test_hnsw_beam_monotone_improvement_over_entry(spark, sf_dir):
         .collect()[0]["c"]
     )
     assert best >= entry_cos
+
+
+# ---------------------------------------------------------------------------
+# stream_session_window_dynamic (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+
+def _dyn_sessions_batch(spark, rows):
+    """Batch run of the op's exact aggregation over handwritten events
+    (session_window semantics are identical batch vs stream)."""
+    from pyspark.sql import functions as F
+
+    ev = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    gap = F.expr("make_interval(0, 0, 0, 0, 0, 10 + (user_id % 4) * 10, 0)")
+    out = (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
+    return [
+        (r["user_id"], r["session_start"].minute, r["session_end"].minute, r["n_events"])
+        for r in out.collect()
+    ]
+
+
+def test_dynamic_gap_splits_short_key_keeps_long_key(spark):
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    # same 15-min spacing for both users: user 0 (10-min gap) splits into
+    # two sessions, user 2 (30-min gap) keeps one
+    rows = [(0, t(0)), (0, t(15)), (2, t(0)), (2, t(15))]
+    assert _dyn_sessions_batch(spark, rows) == [
+        (0, 0, 10, 1),   # [00:00, 00:10) — closed before the next event
+        (0, 15, 25, 1),
+        (2, 0, 45, 2),   # one merged session, end = last event + 30 min
+    ]
+
+
+def test_dynamic_gap_end_is_last_event_plus_key_gap(spark):
+    from datetime import datetime
+
+    t = lambda m: datetime(2024, 1, 1, 0, m)
+    # user 3 has a 40-min gap: chain 3 events 20 min apart -> one session
+    # whose end is last event + 40 min = 01:20 (minute component 20)
+    rows = [(3, t(0)), (3, t(20)), (3, t(40))]
+    assert _dyn_sessions_batch(spark, rows) == [(3, 0, 20, 3)]
+
+
+def test_stream_matches_batch_for_dynamic_sessions(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.streaming.windows import (
+        stream_session_window_dynamic,
+    )
+    from xml_to_parquet_spark.tables import table
+
+    got = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in stream_session_window_dynamic(spark, sf_dir).collect()
+    )
+    ev = table(spark, sf_dir, "events")
+    gap = F.expr("make_interval(0, 0, 0, 0, 0, 10 + (user_id % 4) * 10, 0)")
+    want = sorted(
+        (r["user_id"], r["session_start"], r["session_end"], r["n_events"])
+        for r in (
+            ev.groupBy(F.session_window("ts", gap), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("session_window.start").alias("session_start"),
+                F.col("session_window.end").alias("session_end"),
+                "n_events",
+            )
+            .collect()
+        )
+    )
+    assert got == want

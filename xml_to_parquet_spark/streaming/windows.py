@@ -20,7 +20,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
 
@@ -286,3 +286,63 @@ def stream_chained_agg(spark, sf_dir):
         .select(F.col("window.start").alias("day_start"), "max_hourly", "total")
     )
     return _drain(daily, ["day_start", "max_hourly", "total"], mode="append")
+
+
+@register_staged(
+    "stream_session_window_dynamic",
+    """
+    WITH g AS (
+      SELECT user_id, ts, 10 + (user_id % 4) * 10 AS gap_min FROM events
+    ), ordered AS (
+      SELECT user_id, ts, gap_min,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > to_minutes(gap_min)
+                  THEN 1 ELSE 0 END AS new_session
+      FROM g
+    ), numbered AS (
+      SELECT user_id, ts, gap_min,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           min(ts)                         AS session_start,
+           max(ts) + to_minutes(gap_min)   AS session_end,
+           count(*)                        AS n_events
+    FROM numbered GROUP BY user_id, session_id, gap_min
+    """,
+)
+def stream_session_window_dynamic(spark, sf_dir):
+    """Session windows with a PER-KEY dynamic gap — the stateful behavior
+    the fixed-gap stream_session_window can't express: each user's
+    inactivity timeout is a function of the key (here 10/20/30/40 min by
+    user_id % 4; a production deployment joins a broadcast per-tenant
+    config dim and passes that column — identical semantics, since
+    session_window accepts any per-row interval expression). Runs
+    genuinely through the streaming engine: readStream → state-merging
+    session windows whose merge threshold differs per key → availableNow
+    drain; the finite replay is batch-deterministic so the op keeps a
+    full value oracle — the gaps-and-islands rewrite with a variable
+    island gap.
+
+    Scale shape: state is one open session struct per active key exactly
+    like the fixed-gap operator (the gap rides along in the window
+    struct, not extra state); the shuffle is the session_window groupBy's
+    hash exchange on user_id, RocksDB-backed off-heap state via the
+    suite-standard scoped confs. The dynamic gap changes NO plan shape —
+    only the merge predicate — which is precisely why it belongs in the
+    engine rather than in per-tenant post-processing jobs."""
+    ev = _events_stream(spark, sf_dir)
+    gap = F.expr("make_interval(0, 0, 0, 0, 0, 10 + (user_id % 4) * 10, 0)")
+    agg = (
+        ev.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+    return _drain(agg, ["user_id", "session_start", "session_end", "n_events"])
