@@ -485,3 +485,68 @@ def test_mixture_sampling_rates_and_determinism(spark, sf_dir):
             assert n_kept == n_total  # weight 4/4 keeps everything
         # hash uniformity: achieved ratio lands near the target
         assert abs(ratio - weight / 4) < 0.25
+
+
+# ---------------------------------------------------------------------------
+# plan pins for the staged ops (promoted to the window at the r10 rotation;
+# pinned here so a regression shows up before promotion, not after)
+# ---------------------------------------------------------------------------
+
+
+def test_plan_least_squares_single_exchange(spark, sf_dir):
+    """Five int64 partials ride ONE combinable hash aggregate: exactly one
+    exchange (on l_returnflag), no window, no sort."""
+    from xml_to_parquet_spark.operators.relational_ext import agg_least_squares
+    from xml_to_parquet_spark.plans.inspect import shuffle_count
+
+    assert shuffle_count(agg_least_squares(spark, sf_dir)) == 1
+
+
+def test_plan_expectation_suite_single_scan(spark, sf_dir):
+    """Adding expectations must add conditional aggregates, not scans: the
+    plan reads the orders parquet exactly once (count(DISTINCT) rides the
+    same scan via expand)."""
+    from xml_to_parquet_spark.operators.relational_ext import dq_expectation_suite
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(dq_expectation_suite(spark, sf_dir))
+    assert plan.count("orders.parquet") == 1, plan[:1500]
+
+
+def test_plan_mixture_sampling_mapside_predicate(spark, sf_dir):
+    """The keep-test is map-only codegen before the one audit exchange on
+    source; no range/single-partition exchange anywhere."""
+    from xml_to_parquet_spark.operators.curation import curate_mixture_sampling
+    from xml_to_parquet_spark.plans.inspect import physical_plan, shuffle_count
+
+    df = curate_mixture_sampling(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    assert "Exchange rangepartitioning" not in physical_plan(df)
+
+
+def test_plan_rake_no_global_sort(spark, sf_dir):
+    """Top-k is per-doc windows over doc-local keys: no global sort
+    exchange; every exchange is a hash partitioning on a doc_id-compound
+    key."""
+    from xml_to_parquet_spark.operators.text import text_rake_keywords
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(text_rake_keywords(spark, sf_dir))
+    assert "Exchange rangepartitioning" not in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_plan_hnsw_index_checkpointed_and_scoring_broadcast(spark, sf_dir):
+    """The edge lists are the INDEX: they must enter the search plan as
+    materialized scans (localCheckpoint — without it every beam round
+    re-derives the full kNN build, measured 9.7s vs ~6s warm at sf0.1),
+    and per-round scoring must broadcast the tiny candidate set, never
+    shuffle the corpus."""
+    from xml_to_parquet_spark.operators.similarity import sim_hnsw_beam
+    from xml_to_parquet_spark.plans.inspect import physical_plan
+
+    plan = physical_plan(sim_hnsw_beam(spark, sf_dir))
+    assert "ExistingRDD" in plan  # checkpointed index scans
+    assert "BroadcastExchange" in plan  # candidate-set broadcast
+    # the full kNN edge build (window over src) must NOT be in-plan
+    assert "hashpartitioning(src" not in plan
