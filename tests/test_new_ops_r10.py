@@ -550,3 +550,38 @@ def test_plan_hnsw_index_checkpointed_and_scoring_broadcast(spark, sf_dir):
     assert "BroadcastExchange" in plan  # candidate-set broadcast
     # the full kNN edge build (window over src) must NOT be in-plan
     assert "hashpartitioning(src" not in plan
+
+
+# ---------------------------------------------------------------------------
+# lake_snapshot_read (operators/sources_io.py)
+# ---------------------------------------------------------------------------
+
+
+def test_snapshot_v1_is_isolated_from_the_append(spark, sf_dir):
+    """Reading manifest v1 after commit 2 has landed must return the
+    pre-append state: immutable files + versioned file list IS snapshot
+    isolation."""
+    from pyspark.sql import functions as F
+
+    from xml_to_parquet_spark.io_paths import scratch_dir
+    from xml_to_parquet_spark.operators.sources_io import (
+        SNAP_SPLIT,
+        lake_snapshot_read,
+    )
+    from xml_to_parquet_spark.tables import table
+
+    rows = {r["version"]: r for r in lake_snapshot_read(spark, sf_dir).collect()}
+    orders = table(spark, sf_dir, "orders")
+    n_v1 = orders.filter(F.col("o_orderkey") < SNAP_SPLIT).count()
+    n_all = orders.count()
+    assert rows[1]["n_orders"] == n_v1
+    assert rows[1]["max_key"] == SNAP_SPLIT - 1
+    assert rows[2]["n_orders"] == n_all
+    assert n_v1 < n_all  # the append really added files v1 must not see
+
+    # and the physical layout: v2's manifest strictly extends v1's
+    m1 = {r.file_path for r in spark.read.parquet(
+        scratch_dir(sf_dir, "snap_manifest_v1")).collect()}
+    m2 = {r.file_path for r in spark.read.parquet(
+        scratch_dir(sf_dir, "snap_manifest_v2")).collect()}
+    assert m1 < m2  # proper subset: append-only commit

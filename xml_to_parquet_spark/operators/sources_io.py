@@ -402,3 +402,99 @@ def lake_manifest_prune(spark, sf_dir):
             F.max("o_orderkey").alias("max_key"),
         )
     )
+
+
+SNAP_V1_FILES = 8  # files in the initial commit
+SNAP_V2_FILES = 4  # files appended by the second commit
+SNAP_SPLIT = 1000  # o_orderkey < SPLIT written at v1, >= SPLIT appended at v2 (non-degenerate at every SF: keys span 0..1499 even at sf0.001)
+
+
+@register_staged(
+    "lake_snapshot_read",
+    f"""
+    WITH v1 AS (
+      SELECT 1 AS version, count(*) AS n, sum(CAST(round(o_totalprice * 100)
+                 AS BIGINT)) AS cents, max(o_orderkey) AS max_key
+      FROM orders WHERE o_orderkey < {SNAP_SPLIT}
+    ), v2 AS (
+      SELECT 2 AS version, count(*) AS n, sum(CAST(round(o_totalprice * 100)
+                 AS BIGINT)) AS cents, max(o_orderkey) AS max_key
+      FROM orders
+    )
+    SELECT CAST(version AS BIGINT) AS version, CAST(n AS BIGINT) AS n_orders,
+           CAST(cents AS BIGINT) AS price_cents, max_key
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2)
+    """,
+)
+def lake_snapshot_read(spark, sf_dir):
+    """Snapshot isolation / time travel via manifest versions — the other
+    half of the lake-metadata story next to lake_manifest_prune: commit 1
+    writes orders below SNAP_SPLIT as SNAP_V1_FILES files plus a manifest
+    listing exactly those files; commit 2 APPENDS the remaining orders as
+    SNAP_V2_FILES new files and writes manifest v2 = v1's entries + the
+    new ones — data files are immutable, a version IS its file list
+    (Iceberg snapshot / Delta transaction-log semantics). Reading "as of
+    v1" lists manifest v1 and scans only those files, returning the
+    pre-append state even though v2 files sit in the same directory; the
+    oracle recomputes both snapshots from the key-split definition, so a
+    snapshot read that leaks post-commit files (or loses committed ones)
+    breaks value parity, not just row counts.
+
+    Scale shape: version resolution costs one manifest read (rows = file
+    count); the data scan is pruned to the version's file list before any
+    IO, and appends never rewrite old files — which is exactly why lake
+    formats scale writes: commit = write new files + swap one small
+    metadata object. Fixtures build once per process behind
+    _SUCCESS-keyed guards."""
+    from xml_to_parquet_spark.io_paths import committed
+
+    data = scratch_dir(sf_dir, "snap_orders")
+    man1 = scratch_dir(sf_dir, "snap_manifest_v1")
+    man2 = scratch_dir(sf_dir, "snap_manifest_v2")
+    orders = table(spark, sf_dir, "orders")
+    if not committed(data):
+        (
+            orders.filter(F.col("o_orderkey") < SNAP_SPLIT)
+            .repartition(SNAP_V1_FILES)
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+        v1_files = (
+            spark.read.parquet(data)
+            .select(F.col("_metadata.file_path").alias("file_path"))
+            .distinct()
+        )
+        v1_files.coalesce(1).write.mode("overwrite").parquet(man1)
+        (
+            orders.filter(F.col("o_orderkey") >= SNAP_SPLIT)
+            .repartition(SNAP_V2_FILES)
+            .write.mode("append")
+            .parquet(data)
+        )
+        all_files = (
+            spark.read.parquet(data)
+            .select(F.col("_metadata.file_path").alias("file_path"))
+            .distinct()
+        )
+        all_files.coalesce(1).write.mode("overwrite").parquet(man2)
+
+    def snapshot(man_path, version):
+        files = [r.file_path for r in spark.read.parquet(man_path).collect()]
+        return (
+            spark.read.parquet(*files)
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("price_cents"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .select(
+                F.lit(version).cast("bigint").alias("version"),
+                "n_orders",
+                "price_cents",
+                "max_key",
+            )
+        )
+
+    return snapshot(man1, 1).unionByName(snapshot(man2, 2))
