@@ -585,3 +585,89 @@ def test_snapshot_v1_is_isolated_from_the_append(spark, sf_dir):
     m2 = {r.file_path for r in spark.read.parquet(
         scratch_dir(sf_dir, "snap_manifest_v2")).collect()}
     assert m1 < m2  # proper subset: append-only commit
+
+
+# ---------------------------------------------------------------------------
+# hypothesis properties for the pure-function tiers (no Spark session)
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@st.composite
+def _gray_images(draw, even=False):
+    step = 2 if even else 1
+    h = draw(st.integers(2, 12)) * step
+    w = draw(st.integers(2, 12)) * step
+    data = draw(
+        st.lists(st.integers(0, 255), min_size=h * w, max_size=h * w)
+    )
+    return np.array(data, dtype=np.uint8).reshape(h, w)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_gray_images())
+def test_prop_resize_nn_same_size_is_identity(img):
+    from xml_to_parquet_spark.functions.imagecodec import resize_nn
+
+    h, w = img.shape
+    assert np.array_equal(resize_nn(img, w, h), img)
+
+
+@settings(max_examples=100, deadline=None)
+@given(_gray_images(even=True))
+def test_prop_box2_bounded_by_block_extremes_and_preserves_mass(img):
+    from xml_to_parquet_spark.functions.imagecodec import resize_box2
+
+    out = resize_box2(img)
+    h, w = img.shape
+    blocks = img.astype(np.int64).reshape(h // 2, 2, w // 2, 2)
+    assert (out >= blocks.min(axis=(1, 3))).all()
+    assert (out <= blocks.max(axis=(1, 3))).all()
+    # floor-mean mass: 4*sum(out) <= sum(img) < 4*sum(out) + 3*n_blocks
+    s, n = int(img.astype(np.int64).sum()), out.size
+    assert 4 * int(out.astype(np.int64).sum()) <= s < 4 * int(out.astype(np.int64).sum()) + 4 * n
+
+
+@settings(max_examples=100, deadline=None)
+@given(_gray_images())
+def test_prop_nn_upscale2x_then_box2_roundtrips(img):
+    from xml_to_parquet_spark.functions.imagecodec import resize_box2, resize_nn
+
+    h, w = img.shape
+    up = resize_nn(img, 2 * w, 2 * h)
+    assert np.array_equal(resize_box2(up), img)
+
+
+_VOCAB = ["scan", "join", "agg", "sort", "the", "a", "of", "and", "row", "key"]
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    st.lists(
+        st.lists(st.sampled_from(_VOCAB), min_size=0, max_size=12).map(" ".join),
+        min_size=1,
+        max_size=4,
+    )
+)
+def test_prop_rake_invariants(spark, texts):
+    """On arbitrary corpora over a stopword-heavy vocabulary: no output
+    phrase contains a stopword token, scores are positive ints with
+    phrase_deg >= n_words, and each doc emits at most RAKE_TOP rows with
+    ranks 1..k."""
+    from xml_to_parquet_spark.functions.text_fns import STOPWORDS
+    from xml_to_parquet_spark.operators.text import RAKE_TOP, rake_keywords
+
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = [r.asDict() for r in rake_keywords(df).collect()]
+    sw = set(STOPWORDS)
+    per_doc = {}
+    for r in out:
+        assert not (set(r["phrase"].split(" ")) & sw), r
+        assert r["n_words"] >= 1 and r["phrase_deg"] >= r["n_words"]
+        per_doc.setdefault(r["doc_id"], []).append(r["rnk"])
+    for doc, rnks in per_doc.items():
+        assert sorted(rnks) == list(range(1, len(rnks) + 1))
+        assert len(rnks) <= RAKE_TOP
