@@ -203,3 +203,35 @@ def test_png_multiple_idat_chunks():
         + _chunk(b"IEND", b"")
     )
     np.testing.assert_array_equal(decode_png(rebuilt), img)
+
+
+def test_png_corrupt_bytes_never_crash():
+    """Failure contract mirrored from the JPEG fuzz: flipping any single
+    byte AFTER the signature (chunk headers, IHDR, deflate stream,
+    filter bytes — everything) must either raise ValueError or decode to
+    an array of the original shape/dtype — never zlib.error,
+    struct.error, IndexError, or a hang. Unlike JPEG, PNG's adler32
+    makes most payload flips loud; header flips exercise the
+    truncation/length guards."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    img = _rng_img((11, 7))
+    good = encode_png(img)
+    want_shape = img.shape
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        off=st.integers(min_value=8, max_value=len(good) - 1),
+        flip=st.integers(min_value=1, max_value=255),
+    )
+    def check(off, flip):
+        bad = good[:off] + bytes([good[off] ^ flip]) + good[off + 1 :]
+        try:
+            out = decode_png(bad)
+        except ValueError:
+            return
+        assert out.shape == want_shape
+        assert out.dtype == np.uint8
+
+    check()

@@ -86,13 +86,17 @@ def decode_png(data: bytes) -> np.ndarray:
         raise ValueError("not a PNG (bad signature)")
     pos, idat, meta = 8, [], None
     while pos < len(data):
+        if pos + 8 > len(data):
+            raise ValueError("truncated PNG chunk header")
         (length,) = struct.unpack_from(">I", data, pos)
         tag = data[pos + 4 : pos + 8]
         payload = data[pos + 8 : pos + 8 + length]
         pos += 12 + length
         if tag == b"IHDR":
+            if len(payload) < 13:
+                raise ValueError("truncated PNG IHDR")
             w, h, depth, color_type, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", payload
+                ">IIBBBBB", payload[:13]
             )
             if depth != 8 or color_type not in _CHANNELS:
                 raise ValueError(f"unsupported PNG: depth={depth} color={color_type}")
@@ -106,7 +110,13 @@ def decode_png(data: bytes) -> np.ndarray:
     if meta is None:
         raise ValueError("PNG missing IHDR")
     w, h, c = meta
-    raw = zlib.decompress(b"".join(idat))
+    try:
+        raw = zlib.decompress(b"".join(idat))
+    except zlib.error as e:
+        # failure CONTRACT: malformed input raises ValueError, never a
+        # library-specific error type, so the mapInPandas chassis can
+        # apply one skip/raise policy (same contract as the JPEG codec)
+        raise ValueError(f"PNG inflate failed: {e}") from e
     stride = w * c
     if len(raw) != h * (stride + 1):
         raise ValueError("PNG data length mismatch")
