@@ -235,3 +235,36 @@ def test_png_corrupt_bytes_never_crash():
         assert out.dtype == np.uint8
 
     check()
+
+
+def test_bmp_truncation_and_pixel_flips_contract():
+    """BMP has no checksum, so the contract splits: truncation anywhere
+    raises ValueError (numpy's short-buffer read or the explicit header
+    guards — never struct.error); single-byte flips INSIDE the intact
+    pixel region must silently decode to the same shape (wrong pixels
+    are legal, crashes are not)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    img = _rng_img((9, 5))
+    good = encode_bmp(img)
+    (pixel_offset,) = __import__("struct").unpack_from("<I", good, 10)
+
+    # (len-1 would only shave the final ROW-PAD byte, which no row read
+    # touches — legal decode; len-2 cuts real pixel data)
+    for cut in (3, 13, 30, 53, pixel_offset + 7, len(good) - 2):
+        with pytest.raises(ValueError):
+            decode_bmp(good[:cut])
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        off=st.integers(min_value=pixel_offset, max_value=len(good) - 1),
+        flip=st.integers(min_value=1, max_value=255),
+    )
+    def check(off, flip):
+        bad = good[:off] + bytes([good[off] ^ flip]) + good[off + 1 :]
+        out = decode_bmp(bad)
+        assert out.shape == (9, 5, 3)
+        assert out.dtype == np.uint8
+
+    check()

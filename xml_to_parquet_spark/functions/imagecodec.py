@@ -204,12 +204,16 @@ def decode_bmp(data: bytes) -> np.ndarray:
     """Decode an uncompressed 24-bit BMP into an (h, w, 3) uint8 RGB array."""
     if data[:2] != b"BM":
         raise ValueError("not a BMP")
+    if len(data) < 54:  # 14-byte file header + 40-byte BITMAPINFOHEADER
+        raise ValueError("truncated BMP header")
     (pixel_offset,) = struct.unpack_from("<I", data, 10)
     hdr_size, w, h, planes, bpp, comp = struct.unpack_from("<IiiHHI", data, 14)
     if bpp != 24 or comp != 0:
         raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
     bottom_up = h > 0
     h = abs(h)
+    if w <= 0 or h == 0:
+        raise ValueError(f"bad BMP dimensions {w}x{h}")
     row_bytes = w * 3
     stride = row_bytes + ((-row_bytes) % 4)
     rows = []
