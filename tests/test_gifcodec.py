@@ -111,3 +111,37 @@ def test_decode_gif89a_with_extension_and_local_table():
         bytes(no_global[: idesc2 + 10]) + local + bytes(no_global[idesc2 + 10 :])
     )
     assert np.array_equal(decode_gif(with_local), img)
+
+
+def test_gif_corrupt_lzw_bytes_never_crash():
+    """Failure-contract fuzz mirroring the JPEG/PNG codecs: flipping any
+    byte from the image-data sub-blocks through the trailer must either
+    raise ValueError (bad LZW code, truncated sub-block, unexpected
+    block, pixel-count mismatch at reshape) or decode to the original
+    shape/dtype — never IndexError/struct.error/KeyError or a hang."""
+    import numpy as np
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from xml_to_parquet_spark.functions.gifcodec import decode_gif, encode_gif
+
+    img = ((np.arange(13 * 9).reshape(13, 9) * 41) % 256).astype(np.uint8)
+    good = encode_gif(img)
+    data_start = good.index(b"\x2c") + 11  # descriptor + LZW min-code byte
+    want_shape = img.shape
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        off=st.integers(min_value=data_start, max_value=len(good) - 1),
+        flip=st.integers(min_value=1, max_value=255),
+    )
+    def check(off, flip):
+        bad = good[:off] + bytes([good[off] ^ flip]) + good[off + 1 :]
+        try:
+            out = decode_gif(bad)
+        except ValueError:
+            return
+        assert out.shape == want_shape
+        assert out.dtype == np.uint8
+
+    check()
