@@ -524,16 +524,21 @@ def test_plan_mixture_sampling_mapside_predicate(spark, sf_dir):
     assert "Exchange rangepartitioning" not in physical_plan(df)
 
 
-def test_plan_rake_no_global_sort(spark, sf_dir):
-    """Top-k is per-doc windows over doc-local keys: no global sort
-    exchange; every exchange is a hash partitioning on a doc_id-compound
-    key."""
+def test_plan_rake_exchanges_are_doc_id_only(spark, sf_dir):
+    """Every clustering key in the RAKE plan has doc_id as a prefix, so
+    the single explicit repartition(doc_id) must satisfy all of them:
+    no compound-key, range, or single-partition exchange anywhere."""
+    import re
+
     from xml_to_parquet_spark.operators.text import text_rake_keywords
     from xml_to_parquet_spark.plans.inspect import physical_plan
 
     plan = physical_plan(text_rake_keywords(spark, sf_dir))
     assert "Exchange rangepartitioning" not in plan
     assert "Exchange SinglePartition" not in plan
+    for ex in re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert ex.startswith("doc_id"), ex
+        assert "word" not in ex and "phrase" not in ex, ex
 
 
 def test_plan_hnsw_index_checkpointed_and_scoring_broadcast(spark, sf_dir):

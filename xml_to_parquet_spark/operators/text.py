@@ -1094,10 +1094,28 @@ def text_rake_keywords(spark, sf_dir):
 def rake_keywords(docs):
     """Core RAKE plan over any (doc_id, text) DataFrame (unit-testable on
     handwritten corpora; text_rake_keywords binds it to the documents
-    table)."""
+    table).
+
+    Shuffle story (all three shapes measured at sf0.1): RAKE is
+    per-document, and every downstream key — word stats (doc_id, word),
+    distinct phrases (doc_id, phrase), the score join, the top-k window
+    (doc_id) — has doc_id as a PREFIX, so ONE explicit
+    repartition(doc_id) satisfies every ClusteredDistribution below it
+    (hash partitioning on a subset of the clustering keys); the naive
+    plan's compound-key exchanges collapse to doc_id-only ones
+    (plan-pinned: no (doc_id, word)/(doc_id, phrase) hash, no range or
+    single-partition exchange; 2.3s vs 2.6s warm — locally the win is
+    modest because 5000 docs are stage-overhead-bound, but at 100 TB a
+    compound-key exchange re-hashes the full exploded word stream where
+    doc_id partitioning moves each document once). Also rejected,
+    measured: a zero-shuffle all-HOF form computing scores inside the
+    row — 3.4s, because higher-order functions evaluate OUTSIDE
+    whole-stage codegen and the nested degree aggregate is cubic per
+    doc (the WHT lesson again); and localCheckpoint'ing the shared
+    phrase branch — no gain, extraction is not the bottleneck."""
     from pyspark.sql import Window
 
-    docs = docs.select("doc_id", "text")
+    docs = docs.select("doc_id", "text").repartition("doc_id")
     phrases = (
         docs.select("doc_id", F.explode(F.expr(_RAKE_PHRASES_SPARK)).alias("p"))
         .select("doc_id", F.trim("p").alias("phrase"))
