@@ -302,9 +302,15 @@ def graph_kcore(spark, sf_dir):
     # other load-bearing ones: each round's edge list feeds BOTH the
     # degree count and the two alive-filters of the next round — without
     # them the lineage doubles per round (measured 7.7s -> ~4.5s)
-    und = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # repartition by u BEFORE each checkpoint (the LPA device): the
+    # stored partitioning then satisfies both the degree groupBy(u) and
+    # the u-side alive-join of the next round, leaving only the v-side
+    # join's exchange — measured 5.6s -> 4.3s warm at sf0.1
+    und = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .localCheckpoint()
+    )
     for _ in range(KCORE_ROUNDS):
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
         alive = deg.filter(F.col("d") >= KCORE_K).select("u")
@@ -312,6 +318,7 @@ def graph_kcore(spark, sf_dir):
             und.join(alive, "u")
             .join(alive.select(F.col("u").alias("v")), "v")
             .select("u", "v")
+            .repartition("u")
             .localCheckpoint()
         )
     return und.groupBy(F.col("u").alias("node")).agg(
@@ -385,9 +392,13 @@ def graph_bfs_distance(spark, sf_dir):
     iterate to fixpoint on an empty frontier (dedup_components' loop);
     fixed rounds are the oracle-mirrorable contract here."""
     e = cooccurrence_edges(spark, sf_dir, checkpoint=False)
-    und = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
+    # u-partitioned at checkpoint (the kcore/LPA device): every round's
+    # frontier join hashes on u, so the 2x-edges side never re-shuffles
+    und = (
+        e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .repartition("u")
+        .localCheckpoint()
+    )
     nodes = und.select(F.col("u").alias("node")).distinct()
     dist = (
         nodes.filter(F.col("node") % BFS_SRC_MOD == 0)
