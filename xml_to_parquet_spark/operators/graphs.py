@@ -91,7 +91,10 @@ def pagerank_fixed(spark, sf_dir):
         )
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_d = edges.join(deg, "src").localCheckpoint()
+    # src-partitioned at checkpoint (the kcore/BFS device): each
+    # iteration's rank join hashes on src, so the edge list never
+    # re-shuffles; only the contribution groupBy(dst) exchanges per round
+    edges_d = edges.join(deg, "src").repartition("src").localCheckpoint()
     n_nodes = deg.count()  # one-time scalar fixing the teleport constant
     base = SCALE // n_nodes
     teleport = ((100 - DAMP_NUM) * base) // DAMP_DEN
