@@ -68,6 +68,20 @@ Evaluated and rejected: pagerank broadcast-ranks + dst-prepartition
 (0.6s warm gain, but collects the node-sized rank vector to the driver
 every iteration — wrong trade at scale); src-prepartition alone
 (no measurable gain, SMJ still sorts the edge side per iteration).
+
+Extended-session outcomes (interleaved median-of-3 A/Bs — single-shot
+ordering had faked a pagerank win that re-measurement killed, see the
+pagerank_fixed NOTE):
+- graph_kcore ~5.1s -> ~4.0s: u-repartition before each round's
+  localCheckpoint, so the stored partitioning satisfies the degree
+  groupBy(u) AND the u-side alive-join; robust across orderings.
+- graph_bfs_distance ~4.7s -> ~4.1s: same device on the undirected
+  edge checkpoint (every frontier join hashes on u); mild, consistent.
+- pagerank src-prepartition: REJECTED again under the interleaved
+  protocol — the per-round big exchange is the contribution
+  groupBy(dst), unreachable from a src partitioning.
+- sim_hnsw_beam (staged) 10.9s -> ~6.4s: per-vector norms, index
+  localCheckpoint, candidate broadcast (docstring).
 """
 
 from __future__ import annotations

@@ -91,10 +91,13 @@ def pagerank_fixed(spark, sf_dir):
         )
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    # src-partitioned at checkpoint (the kcore/BFS device): each
-    # iteration's rank join hashes on src, so the edge list never
-    # re-shuffles; only the contribution groupBy(dst) exchanges per round
-    edges_d = edges.join(deg, "src").repartition("src").localCheckpoint()
+    # NOTE: src-prepartitioning this checkpoint (the kcore/BFS device)
+    # was evaluated twice (r9 and the extended session, the second time
+    # with an interleaved median-of-3 protocol) and rejected both times:
+    # the apparent single-shot gain was session warm-up drift; unlike
+    # kcore's degree groupBy, every pagerank round's big exchange is the
+    # contribution groupBy(dst), which a src partitioning cannot satisfy.
+    edges_d = edges.join(deg, "src").localCheckpoint()
     n_nodes = deg.count()  # one-time scalar fixing the teleport constant
     base = SCALE // n_nodes
     teleport = ((100 - DAMP_NUM) * base) // DAMP_DEN
