@@ -1173,7 +1173,7 @@ def _resize_pixel_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register_staged(
+@register(
     "mm_resize_pixel",
     """
     WITH dims AS (

@@ -1536,7 +1536,7 @@ def _hnsw_oracle() -> str:
     """
 
 
-@register_staged("sim_hnsw_beam", _hnsw_oracle())
+@register("sim_hnsw_beam", _hnsw_oracle())
 def sim_hnsw_beam(spark, sf_dir):
     """HNSW-shaped layered beam search — the graph-traversal ANN serving
     family (alongside the funnel tiers: LSH buckets, IVF cells, IVF-PQ,

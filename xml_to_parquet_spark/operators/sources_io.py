@@ -322,7 +322,7 @@ MANIFEST_FILES = 16  # data files in the manifest-tracked table
 PRUNE_LO, PRUNE_HI = 1000, 2500  # o_orderkey range predicate
 
 
-@register_staged(
+@register(
     "lake_manifest_prune",
     f"""
     SELECT o_orderstatus,

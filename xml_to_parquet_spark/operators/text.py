@@ -1033,7 +1033,7 @@ _RAKE_PHRASES_DUCK = (
 )
 
 
-@register_staged(
+@register(
     "text_rake_keywords",
     f"""
     WITH phr AS (

@@ -56,68 +56,51 @@ def register_staged(name: str, oracle: str | None = None):
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-9 rotation (VERDICT r8 #1): ALL 39 r4-era proofs hit the 4-round
-# staleness bound this round, so the window is almost fully determined:
-# (a) NEW_TARGETS — the operators added this round (r8 verdict items
-#     4-7 plus four frontier fills); every one must occupy a slot in the
-#     round it lands or the "zero never-proven" cumulative claim breaks.
-#     While an op is still being built its slot is held by an r5-era
-#     TEMP fill (marked below) so the 50-slot contract stays green at
-#     every commit; the fill swaps out when the op registers.
-# (b) fills — the 10-query R9_QUEUE owed from r8's mid-round
-#     displacement, then the 29 r4-era remainders. 3 anchors + 8 new +
-#     10 + 29 = 50 exactly; nothing older than r5 survives r9.
-# r10 NOTE: all 42 r5-era proofs age out at r10 (3 anchors + 42 = 45),
-# so r10 must keep new-op count <= 5 or queue r5-era into an R11_QUEUE.
-# Previous windows: r1-r8 lists are in git history.
+# Round-10 rotation (R10_PLAN.md window math, confirmed against
+# CORRECTNESS_r09.json — no forced fill received an unexpected r9 proof):
+# ALL 42 r5-era proofs hit the 4-round staleness bound this round, so the
+# window is fully determined: 3 anchors + 5 new-op slots + the 42 r5-proof
+# holders = 50 exactly. The 5 NEW_TARGETS were built and dual-SF verified
+# late in r9 behind the staged tier (register_staged) and are promoted
+# here; the remaining 4 staged ops (agg_least_squares,
+# dq_expectation_suite, curate_mixture_sampling, lake_snapshot_read) lead
+# the r11 window (r6-era ages out then; budget 4 — exact fit).
+# Previous windows: r1-r9 lists are in git history.
 NEW_TARGETS: list[str] = [
-    # oracle-backed, added r9 (appended as each op lands; slots not yet
-    # filled are held by _TEMP_FILLS below)
-    "text_html_extract",
-    "sim_ivfpq_search",
-    "stream_stream_outer",
-    "udtf_table_fn",
-    "text_bm25_topk",
-    "graph_label_propagation",
-    "join_interval_overlap",
-    "dq_drift_histogram",
-]
-# r5-era proof holders keeping the unbuilt NEW_TARGETS slots warm; the
-# slice below shrinks as NEW_TARGETS grows, so the window is 50 at every
-# commit. All of r5-era rotates at r10 regardless, so a temp slot that
-# survives to round end just freshens an r10 obligation early.
-_PLANNED_NEW = 8
-_TEMP_FILLS = [
-    "agg_cube", "agg_grouping_sets", "agg_min_max_by",
-    "agg_null_semantics", "agg_rollup", "agg_stats",
-    "json_functions", "curate_decontaminate",
+    # oracle-backed, promoted from the staged tier at the r10 rotation
+    "mm_resize_pixel",
+    "text_rake_keywords",
+    "lake_manifest_prune",
+    "sim_hnsw_beam",
+    "stream_session_window_dynamic",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
-ROWS_ONLY_SLOTS: list[str] = []
+# approx_count_distinct is rows-only by contract (sketch estimate has no
+# exact cross-engine oracle; pytest pins its accuracy bounds) but holds an
+# r5 proof that ages out this round, so it takes a deliberate rows-only slot.
+ROWS_ONLY_SLOTS: list[str] = ["approx_count_distinct"]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
-    *_TEMP_FILLS[len(NEW_TARGETS) : _PLANNED_NEW],
-    # fills, stalest-first (latest driver proof round in the header):
-    # --- the R9_QUEUE owed from r8 (r4-era, displaced mid-r8), first
-    "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
-    "agg_string_collect", "exists_correlated_subquery",
-    "explode_unnest", "in_subquery", "join_anti", "join_right",
-    # --- r4-era remainders, ALL 29
-    "q13_customer_distribution", "q15_top_supplier",
-    "q19_discounted_revenue", "q22_global_sales_opportunity",
-    "q6_forecast_revenue", "q8_market_share",
-    "sample_hash_deterministic", "scalar_array_fns2", "scalar_date_fns2",
-    "scalar_levenshtein", "scalar_map_fns", "scalar_string_fns2",
-    "scalar_subquery", "sim_ann_lsh", "sim_embedding_neardup",
-    "sim_embedding_norms", "sim_quantize_int8",
-    "sink_partitioned_parquet", "sink_sorted_parquet",
-    "sink_zorder_parquet", "stream_foreach_batch", "stream_static_join",
-    "text_chunk_overlap", "text_dedup_chunks", "text_fingerprint",
-    "text_ngram_freq", "text_rolling_hash", "udf_broadcast_lookup",
-    "union_by_name",
+    # fills: ALL 42 r5-proof holders, stalest-first — every one ages out
+    # at r10 (MAX_STALENESS = 4), so none is optional.
+    "agg_cube", "agg_grouping_sets", "agg_min_max_by",
+    "agg_null_semantics", "agg_rollup", "agg_stats",
+    "approx_count_distinct", "curate_decontaminate",
+    "curate_quality_filter", "dedup_components", "dedup_exact",
+    "dedup_minhash_verified", "join_asof", "join_asof_forward",
+    "join_asof_nearest", "join_bucketed", "join_range",
+    "join_skew_salted", "json_functions", "q10_returned_items",
+    "q14_promo_revenue", "q18_large_volume_customer",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q9_product_profit", "scalar_date_fns", "scalar_try_arith",
+    "sessionize_events", "set_except_all", "set_intersect_all",
+    "sim_ivf", "sim_topk_cosine", "source_csv_roundtrip", "text_stats",
+    "text_tfidf", "timeseries_rollup", "udf_cogrouped_pandas",
+    "udf_pandas_scalar", "window_moving_avg", "window_range_frame",
+    "window_rank",
 ]
 
 
@@ -158,7 +141,7 @@ def load_all() -> dict[str, QueryDef]:
     for name, qd in REGISTRY.items():
         if name not in ordered:
             ordered[name] = qd
-    if os.environ.get("XTPS_INCLUDE_STAGED"):
+    if os.environ.get("XTPS_INCLUDE_STAGED") == "1":
         for name, qd in STAGED.items():
             ordered.setdefault(name, qd)
     return ordered

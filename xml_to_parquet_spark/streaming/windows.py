@@ -288,7 +288,7 @@ def stream_chained_agg(spark, sf_dir):
     return _drain(daily, ["day_start", "max_hourly", "total"], mode="append")
 
 
-@register_staged(
+@register(
     "stream_session_window_dynamic",
     """
     WITH g AS (
