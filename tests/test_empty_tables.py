@@ -129,3 +129,42 @@ def test_r7b_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows)
     reg = load_all()
     out = reg[name].fn(spark, empty_sf_dir)
     assert out.count() <= max_rows
+
+
+# r10 promotions + the r11 staged tier (ADVICE r9: the lake ops' empty
+# hazards are the zero-file manifest read — spark.read.parquet() with no
+# paths throws — and both now fall back to a schema-only empty scan).
+# lake_snapshot_read emits one global-agg row per snapshot version (2);
+# dq_expectation_suite emits its fixed 7 verdict rows even over zero rows
+# (an expectation's verdict on an empty table is still a verdict).
+REPRESENTATIVES_R10 = [
+    ("mm_resize_pixel", 0),
+    ("text_rake_keywords", 0),
+    ("lake_manifest_prune", 0),
+    ("sim_hnsw_beam", 0),
+    ("stream_session_window_dynamic", 0),
+]
+REPRESENTATIVES_R11_STAGED = [
+    ("lake_snapshot_read", 2),
+    ("agg_least_squares", 1),
+    ("dq_expectation_suite", 7),
+    ("curate_mixture_sampling", 0),
+]
+
+
+@pytest.mark.parametrize("name,max_rows", REPRESENTATIVES_R10)
+def test_r10_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows):
+    reg = load_all()
+    out = reg[name].fn(spark, empty_sf_dir)
+    assert out.count() <= max_rows
+
+
+@pytest.mark.parametrize("name,max_rows", REPRESENTATIVES_R11_STAGED)
+def test_r11_staged_operator_survives_empty_tables(
+    spark, empty_sf_dir, name, max_rows
+):
+    from xml_to_parquet_spark.registry import STAGED
+
+    load_all()  # import side effects populate STAGED
+    out = STAGED[name].fn(spark, empty_sf_dir)
+    assert out.count() <= max_rows

@@ -389,7 +389,15 @@ def lake_manifest_prune(spark, sf_dir):
         )
         .collect()
     ]
-    pruned = spark.read.parquet(*survivors)
+    # Zero surviving files (empty table, or no file overlaps the range) is
+    # a legitimate planning outcome, not an error: scan nothing. An
+    # explicit schema-only fallback mirrors what a lake reader does when a
+    # snapshot's pruned file list is empty (ADVICE r9).
+    pruned = (
+        spark.read.parquet(*survivors)
+        if survivors
+        else table(spark, sf_dir, "orders").filter(F.lit(False))
+    )
     return (
         pruned.filter(F.col("o_orderkey").between(PRUNE_LO, PRUNE_HI))
         .groupBy("o_orderstatus")
@@ -452,7 +460,14 @@ def lake_snapshot_read(spark, sf_dir):
     man1 = scratch_dir(sf_dir, "snap_manifest_v1")
     man2 = scratch_dir(sf_dir, "snap_manifest_v2")
     orders = table(spark, sf_dir, "orders")
-    if not committed(data):
+    # Guard on ALL build artifacts, not just the first: data's _SUCCESS
+    # lands before man1/v2-append/man2, so a failure mid-build would leave
+    # committed(data) true and a data-only guard would skip the rebuild and
+    # then fail reading the missing manifests (ADVICE r9). man2 is written
+    # last, but a man2-only guard would pass with a man1 that a concurrent
+    # cleanup removed — checking all three keeps the guard per-artifact,
+    # matching lake_manifest_prune.
+    if not (committed(data) and committed(man1) and committed(man2)):
         (
             orders.filter(F.col("o_orderkey") < SNAP_SPLIT)
             .repartition(SNAP_V1_FILES)
@@ -480,8 +495,16 @@ def lake_snapshot_read(spark, sf_dir):
 
     def snapshot(man_path, version):
         files = [r.file_path for r in spark.read.parquet(man_path).collect()]
-        return (
+        # empty snapshot (empty source table): scan nothing, emit the
+        # global-agg row over zero rows — same fallback as
+        # lake_manifest_prune's zero-survivor path
+        scan = (
             spark.read.parquet(*files)
+            if files
+            else orders.filter(F.lit(False))
+        )
+        return (
+            scan
             .agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_orders"),
                 F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))

@@ -196,12 +196,23 @@ def stream_dedup_watermark(spark, sf_dir):
     "stream_stream_outer",
     """
     WITH mx AS (
-      SELECT least(
-               date_trunc('milliseconds',
-                   max(ts) FILTER (event_type = 'click')),
-               date_trunc('milliseconds',
-                   max(ts) FILTER (event_type = 'purchase'))
-             ) - INTERVAL 2 HOUR AS wm
+      -- Global watermark = min over BOTH inputs' watermarks. If either
+      -- side saw no data its watermark never advances past -inf and
+      -- nothing is evicted — but SQL least() IGNORES NULL (it is not
+      -- min-with-null-propagation), so the one-sided case must be gated
+      -- explicitly or the oracle would evict on the populated side's max
+      -- alone (ADVICE r9).
+      SELECT CASE
+               WHEN max(ts) FILTER (event_type = 'click') IS NULL
+                 OR max(ts) FILTER (event_type = 'purchase') IS NULL
+               THEN NULL
+               ELSE least(
+                      date_trunc('milliseconds',
+                          max(ts) FILTER (event_type = 'click')),
+                      date_trunc('milliseconds',
+                          max(ts) FILTER (event_type = 'purchase'))
+                    ) - INTERVAL 2 HOUR
+             END AS wm
       FROM events
     ),
     c AS (
