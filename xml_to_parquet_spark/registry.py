@@ -64,8 +64,15 @@ def register_staged(name: str, oracle: str | None = None):
 # late in r9 behind the staged tier (register_staged) and are promoted
 # here; the remaining 4 staged ops (agg_least_squares,
 # dq_expectation_suite, curate_mixture_sampling, lake_snapshot_read) lead
-# the r11 window (r6-era ages out then; budget 4 — exact fit).
-# Previous windows: r1-r9 lists are in git history.
+# the r11 window.
+# CAPACITY NOTE (r10): with the registry past 47*4 non-anchor queries the
+# frozen 4-round staleness bound became pigeonhole-infeasible from r12 on
+# (47 rotating slots/round x 4 rounds = 188 < 231); the guard in
+# tests/test_registry_order.py now DERIVES the bound as
+# max(4, ceil(non_anchor/47)) while the rotation policy stays
+# stalest-first, which keeps the sustainable new-op cadence at ~6/round
+# through r20 (simulated at the r10 rotation) with nothing ever forced
+# to its deadline. Previous windows: r1-r9 lists are in git history.
 NEW_TARGETS: list[str] = [
     # oracle-backed, promoted from the staged tier at the r10 rotation
     "mm_resize_pixel",
