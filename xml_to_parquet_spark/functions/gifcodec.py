@@ -167,18 +167,35 @@ def encode_gif(img: np.ndarray) -> bytes:
 def decode_gif(data: bytes) -> np.ndarray:
     """Decode a GIF87a/89a with a global color table and a single
     non-interlaced image; returns the 2-D uint8 luminance array (palette
-    entries are averaged, exact for gray palettes). Any malformed or
-    TRUNCATED input raises ValueError (the documented contract a caller's
-    quarantine path relies on), never a bare IndexError/struct.error."""
+    entries are averaged, exact for gray palettes). Multi-image GIFs
+    return the FIRST frame (historical contract; use decode_gif_frames
+    for animations). Any malformed or TRUNCATED input raises ValueError
+    (the documented contract a caller's quarantine path relies on), never
+    a bare IndexError/struct.error."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     try:
-        return _decode_gif_body(data)
+        return next(_iter_gif_frames(data))
     except (IndexError, struct.error) as exc:
         raise ValueError(f"truncated or corrupt GIF: {exc}") from exc
 
 
-def _decode_gif_body(data: bytes) -> np.ndarray:
+def decode_gif_frames(data: bytes) -> list[np.ndarray]:
+    """Decode EVERY image block of a GIF87a/89a animation, in stream
+    order — the frame-extraction primitive mm_video_framesample builds
+    on. Same failure contract as decode_gif: ValueError on any malformed
+    or truncated input."""
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    try:
+        return list(_iter_gif_frames(data))
+    except (IndexError, struct.error) as exc:
+        raise ValueError(f"truncated or corrupt GIF: {exc}") from exc
+
+
+def _iter_gif_frames(data: bytes):
+    """Yield each image block's luminance array; raises ValueError inside
+    iteration on structural errors (callers wrap)."""
     sw, sh, flags, _bg, _ar = struct.unpack("<HHBBB", data[6:13])
     pos = 13
     palette = None
@@ -188,11 +205,14 @@ def _decode_gif_body(data: bytes) -> np.ndarray:
             raise ValueError("truncated color table")
         palette = np.frombuffer(data[pos : pos + 3 * n], np.uint8).reshape(n, 3)
         pos += 3 * n
+    n_images = 0
     while True:
         block = data[pos]
         pos += 1
-        if block == 0x3B:  # trailer before any image
-            raise ValueError("no image data")
+        if block == 0x3B:  # trailer
+            if n_images == 0:
+                raise ValueError("no image data")
+            return
         if block == 0x21:  # extension: label + sub-blocks, skip
             pos += 1
             while data[pos]:
@@ -201,7 +221,17 @@ def _decode_gif_body(data: bytes) -> np.ndarray:
             continue
         if block != 0x2C:
             raise ValueError(f"unexpected block 0x{block:02x}")
-        break
+        frame, pos = _read_image_block(data, pos, palette)
+        n_images += 1
+        yield frame
+
+
+def _read_image_block(
+    data: bytes, pos: int, palette: np.ndarray | None
+) -> tuple[np.ndarray, int]:
+    """Parse one image block (descriptor at ``pos``, just past the 0x2C
+    separator); returns (luminance array, position past the block
+    terminator)."""
     _x, _y, w, h, iflags = struct.unpack("<HHHHB", data[pos : pos + 9])
     pos += 9
     if iflags & 0x40:
@@ -225,8 +255,36 @@ def _decode_gif_body(data: bytes) -> np.ndarray:
             raise ValueError("truncated image data sub-block")
         lzw += data[pos + 1 : pos + 1 + ln]
         pos += 1 + ln
+    pos += 1  # block terminator
     indices = np.frombuffer(_lzw_decode(bytes(lzw), w * h), np.uint8)
     if indices.size != w * h:
         raise ValueError("LZW stream shorter than image")
     gray = (palette.astype(np.uint16).sum(axis=1) // 3).astype(np.uint8)
-    return gray[indices].reshape(h, w)
+    return gray[indices].reshape(h, w), pos
+
+
+def encode_gif_anim(frames: list[np.ndarray]) -> bytes:
+    """Encode same-sized 2-D uint8 frames as a multi-image GIF89a with a
+    gray global color table — one image block per frame (GIF's animation
+    container, minus the per-frame delay extensions a viewer would want;
+    decode_gif_frames ignores extensions either way)."""
+    if not frames:
+        raise ValueError("encode_gif_anim expects at least one frame")
+    h, w = frames[0].shape
+    for f in frames:
+        if f.dtype != np.uint8 or f.ndim != 2 or f.shape != (h, w):
+            raise ValueError("encode_gif_anim expects same-sized 2-D uint8 frames")
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    out += _gray_palette()
+    for f in frames:
+        out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out.append(8)  # LZW minimum code size
+        lzw = _lzw_encode(f.tobytes())
+        for i in range(0, len(lzw), 255):
+            block = lzw[i : i + 255]
+            out.append(len(block))
+            out += block
+        out.append(0)  # block terminator
+    out += b"\x3B"
+    return bytes(out)

@@ -1244,3 +1244,112 @@ def mm_resize_pixel(spark, sf_dir):
         schema="doc_id bigint, width bigint, height bigint, box_w bigint, "
         "box_h bigint, box_sum bigint, nn_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Video frame sampling — animated-GIF container, every-k-th frame decode
+# ---------------------------------------------------------------------------
+
+FRAME_STRIDE = 3  # sample every 3rd frame (0, 3, 6, ...)
+
+
+def _encode_anim_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.gifcodec import encode_gif_anim
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n_frames = 4 + d % 9
+            w, h = 8 + (d * 3) % 16, 8 + (d * 5) % 16
+            xs, ys = np.arange(w), np.arange(h)
+            base = (3 * d + 7 * xs[None, :] + 11 * ys[:, None]) % 256
+            frames = [
+                ((base + 5 * f) % 256).astype(np.uint8) for f in range(n_frames)
+            ]
+            rows.append((d, encode_gif_anim(frames)))
+        yield pd.DataFrame(rows, columns=["doc_id", "video"])
+
+
+def _framesample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from xml_to_parquet_spark.functions.gifcodec import decode_gif_frames
+
+    for pdf in it:
+        rows = []
+        for d, blob in zip(pdf["doc_id"], pdf["video"]):
+            frames = decode_gif_frames(bytes(blob))
+            n = len(frames)
+            for f in range(0, n, FRAME_STRIDE):
+                arr = frames[f]
+                h, w = arr.shape
+                rows.append(
+                    (int(d), f, n, w, h, int(arr.astype("int64").sum()))
+                )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "doc_id", "frame_idx", "n_frames", "width", "height", "pix_sum",
+            ],
+        )
+
+
+@register_staged(
+    "mm_video_framesample",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, 4 + doc_id % 9 AS n_frames,
+             8 + (doc_id * 3) % 16 AS width, 8 + (doc_id * 5) % 16 AS height
+      FROM documents
+    ), fr AS (
+      SELECT doc_id, n_frames, width, height, t.f AS frame_idx
+      FROM dims, LATERAL unnest(range(0, n_frames, {FRAME_STRIDE})) AS t(f)
+    ), px AS (
+      SELECT doc_id, frame_idx, n_frames, width, height,
+             (3 * doc_id + 5 * frame_idx + 7 * (t.i % width)
+              + 11 * (t.i // width)) % 256 AS val
+      FROM fr, LATERAL unnest(range(0, width * height)) AS t(i)
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           CAST(n_frames AS BIGINT) AS n_frames, width, height,
+           CAST(sum(val) AS BIGINT) AS pix_sum
+    FROM px GROUP BY 1, 2, 3, 4, 5
+    """,
+)
+def mm_video_framesample(spark, sf_dir):
+    """Video frame sampling — the training-pipeline step that turns a
+    video column into a bounded set of image rows (every k-th frame)
+    before per-frame featurization/dedup. The container here is an
+    animated GIF (multi-image GIF89a through the REAL stdlib LZW codec —
+    functions/gifcodec.py:encode_gif_anim/decode_gif_frames), which keeps
+    the whole chain genuinely decodable and LOSSLESS: each doc carries a
+    4..12-frame animation (frame pixel(f,x,y) = (3*doc_id+5f+7x+11y)%256)
+    as one opaque binary column, and the sampler decodes it and emits
+    frames 0, 3, 6, ... with exact pixel sums, so the closed-form oracle
+    checks the container parse, the per-frame LZW rebuild, AND the stride
+    arithmetic. A production H.264/VP9 path swaps ONLY the codec call
+    inside the second stage (hardware/ffmpeg decode isn't expressible
+    stdlib-only); the Spark-side plumbing — binary column, fan-out,
+    Arrow batch shape, per-frame row explosion — is exactly this.
+
+    Scale shape: same doc_id-only fan-out Exchange as the image codec
+    family (codec CPU decoupled from scan splits; 8 bytes/row shuffled),
+    then two map-only Arrow-batched mapInPandas stages. Frame sampling
+    multiplies rows by ceil(n_frames/k) BEFORE any shuffle-free
+    downstream map — at 100 TB the sampler is the fan-out-bounding knob
+    (stride k caps output rows at frames/k), and per-task memory is one
+    Arrow batch of decoded frames, independent of corpus size."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    encoded = docs.mapInPandas(
+        _encode_anim_batches, schema="doc_id bigint, video binary"
+    )
+    return encoded.mapInPandas(
+        _framesample_batches,
+        schema="doc_id bigint, frame_idx bigint, n_frames bigint, "
+        "width bigint, height bigint, pix_sum bigint",
+    )

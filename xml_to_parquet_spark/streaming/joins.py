@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.registry import register
+from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.streaming.windows import _drain, _events_stream
 
 
@@ -286,4 +286,105 @@ def stream_stream_outer(spark, sf_dir):
         & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
         "leftOuter",
     ).select("click_id", "purchase_id", "user_id")
+    return _drain(joined, ["click_id", "purchase_id", "user_id"], mode="append")
+
+
+@register_staged(
+    "stream_stream_full_outer",
+    """
+    WITH mx AS (
+      SELECT CASE
+               WHEN max(ts) FILTER (event_type = 'click') IS NULL
+                 OR max(ts) FILTER (event_type = 'purchase') IS NULL
+               THEN NULL
+               ELSE least(
+                      date_trunc('milliseconds',
+                          max(ts) FILTER (event_type = 'click')),
+                      date_trunc('milliseconds',
+                          max(ts) FILTER (event_type = 'purchase'))
+                    ) - INTERVAL 2 HOUR
+             END AS wm
+      FROM events
+    ),
+    c AS (
+      SELECT event_id AS click_id, user_id, ts AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id AS p_user_id, ts AS pts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    j AS (
+      SELECT c.click_id, p.purchase_id,
+             coalesce(c.user_id, p.p_user_id) AS user_id, c.cts, p.pts
+      FROM c FULL JOIN p
+        ON p.p_user_id = c.user_id
+       AND p.pts >= c.cts AND p.pts <= c.cts + INTERVAL 1 HOUR
+    )
+    SELECT j.click_id, j.purchase_id, j.user_id
+    FROM j, mx
+    WHERE (j.click_id IS NOT NULL AND j.purchase_id IS NOT NULL)
+       OR (j.purchase_id IS NULL AND j.cts + INTERVAL 1 HOUR < mx.wm)
+       OR (j.click_id IS NULL AND j.pts < mx.wm)
+    """,
+)
+def stream_stream_full_outer(spark, sf_dir):
+    """Stream-stream FULL OUTER join (VERDICT r9 #6): completes the join
+    family — eviction produces output on BOTH state stores, the behavior
+    the left-outer (click-side only) never exercises on the purchase
+    store. Matched pairs are the inner interval join; unmatched CLICKS
+    flush with NULL purchase columns once the global watermark passes
+    cts + 1h (a later purchase could have matched until then); unmatched
+    PURCHASES flush once the watermark passes pts — NOT pts + 1h, because
+    a purchase only matches clicks at or before its own event time, so
+    its match window closes the moment no older click can arrive. The two
+    eviction boundaries differ by exactly the join interval; that
+    asymmetry is the state-watermark calculus made visible, and the
+    oracle encodes it verbatim (empirically pinned: at sf0.001 the
+    pts < wm rule reproduces the engine's 194 evicted purchases exactly,
+    pts + 1h < wm is 1 off). Global watermark = min over the two inputs'
+    ms-truncated maxes minus the 2h delay, NULL-gated for one-sided
+    corpora like the left-outer's oracle (ADVICE r9).
+
+    Scale shape: identical state bound to the inner join — state is
+    hash-partitioned on user_id, each row held only until its side's
+    eviction boundary, and outer emission adds an output path at eviction
+    time, not extra state. RocksDB provider via _drain's scoped confs."""
+    clicks = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("event_id").alias("click_id"),
+            "user_id",
+            F.col("ts").alias("click_ts"),
+        )
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _events_stream(spark, sf_dir)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            F.col("user_id").alias("p_user_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = (
+        clicks.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= F.col("click_ts"))
+            & (
+                F.col("purchase_ts")
+                <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")
+            ),
+            "fullOuter",
+        )
+        .select(
+            "click_id",
+            "purchase_id",
+            F.coalesce("user_id", "p_user_id").alias("user_id"),
+        )
+    )
     return _drain(joined, ["click_id", "purchase_id", "user_id"], mode="append")
