@@ -269,3 +269,267 @@ def test_merge_upsert_rewrites_only_affected_files(spark, sf_dir):
 
     for p in replaced | carried:
         assert os.path.exists(p.removeprefix("file:").split("://")[-1])
+
+
+# ---------------------------------------------------------------------------
+# text_cdc_chunking (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def _cdc_chunks_py(tokens):
+    """Pure-Python mirror of the operator's chunking: returns the list of
+    (n_tokens, chash) per chunk in order."""
+    import hashlib
+
+    from xml_to_parquet_spark.operators.text import CDC_M, CDC_R, ROLL_B, ROLL_P
+
+    vs = [
+        int(hashlib.md5(t.encode()).hexdigest()[:4], 16) for t in tokens
+    ]
+    chunks, cur = [], []
+    for i in range(1, len(vs) + 1):
+        cur.append((len(cur) + 1, vs[i - 1]))
+        cut = (
+            i >= 3
+            and ((vs[i - 3] * ROLL_B * ROLL_B + vs[i - 2] * ROLL_B + vs[i - 1])
+                 % ROLL_P) % CDC_M == CDC_R
+        )
+        if cut:
+            chunks.append(cur)
+            cur = []
+    if cur:
+        chunks.append(cur)
+    return [
+        (len(c), sum(rn * v for rn, v in c) % ROLL_P) for c in chunks
+    ]
+
+
+def test_cdc_chunking_matches_python_mirror(spark, sf_dir):
+    rows = STAGED["text_cdc_chunking"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["chunk_idx"]] = (
+            r["n_tokens"], r["chash"],
+        )
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect()
+    }
+    import re as _re
+
+    checked = 0
+    for d, text in list(docs.items())[:25]:
+        toks = _re.split(r"\s+", text.lower())
+        want = _cdc_chunks_py(toks)
+        got = [by_doc[d][i] for i in sorted(by_doc[d])]
+        assert got == want, d
+        assert sorted(by_doc[d]) == list(range(len(want)))  # contiguous idx
+        assert sum(n for n, _ in got) == len(toks)  # partition covers doc
+        checked += 1
+    assert checked
+
+
+def test_cdc_chunking_shift_resistance():
+    """THE content-defined property: prepending one token re-syncs chunk
+    boundaries within one hash window, so all but the first chunk hashes
+    survive — a fixed-size chunker would shift every boundary."""
+    tokens = [f"tok{i * 2654435761 % 9973}" for i in range(400)]
+    base = _cdc_chunks_py(tokens)
+    shifted = _cdc_chunks_py(["inserted"] + tokens)
+    base_h = [h for _, h in base]
+    shifted_h = {h for _, h in shifted}
+    assert len(base) > 10  # the corpus actually chunks
+    # every chunk except possibly the first overlaps the shifted version
+    surviving = sum(1 for h in base_h[1:] if h in shifted_h)
+    assert surviving == len(base_h) - 1
+
+
+def test_cdc_chunking_single_exchange(spark, sf_dir):
+    """One doc_id hash exchange carries the explode, both windows, and
+    the final (doc_id, chunk_idx) aggregate (subset rule)."""
+    from xml_to_parquet_spark.plans.inspect import shuffle_count
+
+    df = STAGED["text_cdc_chunking"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# sim_mips_topk (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_mips_matches_bruteforce(spark, sf_dir):
+    from xml_to_parquet_spark.operators.similarity import N_QUERIES, TOP_K
+
+    rows = STAGED["sim_mips_topk"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    got = {(r["query_id"], r["rn"]): r["neighbor_id"] for r in rows}
+    for qid in range(N_QUERIES):
+        scored = sorted(
+            (
+                (-round(float(np.dot(emb[qid], v)), 6), vid)
+                for vid, v in emb.items()
+                if vid != qid
+            ),
+        )[:TOP_K]
+        for rn, (_, vid) in enumerate(scored, start=1):
+            assert got[(qid, rn)] == vid, (qid, rn)
+
+
+def test_mips_prune_is_effective_on_skewed_norms(spark, tmp_path):
+    """The isotropic testdata is norm-flat (worst case, prune ~none); on
+    a popularity-skewed corpus — the production case — the Cauchy-Schwarz
+    gate must drop most of the corpus while the result stays exact."""
+    from xml_to_parquet_spark.operators.similarity import (
+        MIPS_SAMPLE_MOD, N_QUERIES, TOP_K,
+    )
+
+    rng = np.random.RandomState(7)
+    n, dim = 512, 16
+    # 12.5% big-norm, aligned so the phase-1 sample (vec_id % 16 == 0)
+    # lands inside the heavy tail — the realistic case (popular items are
+    # never missed by a uniform sample); a sample that misses every
+    # big-norm vector degrades the prune toward brute force, which is
+    # the documented no-worse-than fallback, not what this test pins
+    scale = np.where(np.arange(n) % 8 == 0, 8.0, 0.05)
+    vecs = rng.randn(n, dim) * scale[:, None]
+    rows = [(int(i), [float(x) for x in vecs[i]], 0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf = tmp_path / "mips_sf"
+    df.write.parquet(str(sf / "embeddings.parquet"))
+
+    out = STAGED["sim_mips_topk"].fn(spark, str(sf)).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(str(sf / "embeddings.parquet")).collect()
+    }
+    got = {(r["query_id"], r["rn"]): r["neighbor_id"] for r in out}
+    norms = {vid: float(np.linalg.norm(v)) for vid, v in emb.items()}
+    pruned_total = candidates_total = 0
+    for qid in range(N_QUERIES):
+        scored = sorted(
+            (
+                (-round(float(np.dot(emb[qid], v)), 6), vid)
+                for vid, v in emb.items()
+                if vid != qid
+            ),
+        )[:TOP_K]
+        for rn, (_, vid) in enumerate(scored, start=1):
+            assert got[(qid, rn)] == vid, (qid, rn)
+        # replicate the operator's sample threshold; measure the prune
+        sample_ips = sorted(
+            (
+                round(float(np.dot(emb[qid], emb[vid])), 6)
+                for vid in emb
+                if vid % MIPS_SAMPLE_MOD == 0 and vid != qid
+            ),
+            reverse=True,
+        )
+        t = sample_ips[TOP_K - 1]
+        qn = norms[qid]
+        pruned_total += sum(
+            1 for vid in emb if vid != qid and norms[vid] * qn < t
+        )
+        candidates_total += n - 1
+    assert pruned_total > candidates_total * 0.5, (
+        f"prune dropped only {pruned_total}/{candidates_total}"
+    )
+
+
+def test_mips_survives_corpus_smaller_than_k(spark, tmp_path):
+    """3-vector corpus: the phase-1 sample can't fill TOP_K, the
+    threshold falls back to -inf, and the result is plain brute force."""
+    rows = [
+        (0, [1.0, 0.0], 0), (1, [0.5, 0.5], 0), (2, [0.0, 2.0], 0),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf = tmp_path / "mips_tiny"
+    df.write.parquet(str(sf / "embeddings.parquet"))
+    out = STAGED["sim_mips_topk"].fn(spark, str(sf)).collect()
+    got = {
+        (r["query_id"], r["neighbor_id"]): r["rn"] for r in out
+    }
+    # q0 neighbors ranked by ip: v1 (0.5) > v2 (0.0)
+    assert got[(0, 1)] == 1 and got[(0, 2)] == 2
+    # q2 neighbors: v1 (1.0) > v0 (0.0)
+    assert got[(2, 1)] == 1 and got[(2, 0)] == 2
+
+
+# ---------------------------------------------------------------------------
+# mm_audio_vad (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def test_vad_segments_match_codec_level_recompute(spark, sf_dir):
+    """Independent mirror: synthesize each doc's WAV with the codec,
+    decode it back, window/gate/merge in Python, compare segments."""
+    from xml_to_parquet_spark.functions.audiocodec import decode_wav, encode_wav
+    from xml_to_parquet_spark.operators.multimodal import VAD_MEAN_GATE, VAD_WIN
+
+    rows = STAGED["mm_audio_vad"].fn(spark, sf_dir).collect()
+    by_doc: dict[int, dict[int, tuple]] = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], {})[r["seg_idx"]] = (
+            r["start_win"], r["end_win"], r["n_windows"], r["loud_sum"],
+        )
+    doc_ids = [
+        r["doc_id"]
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id").limit(25).collect()
+    ]
+    for d in doc_ids:
+        n = 256 + d % 512
+        i = np.arange(n)
+        active = (d + i // VAD_WIN) % 3 != 0
+        v = np.where(active, (d + i) % 200 + 500, (d + i) % 50).astype(
+            np.int16
+        )
+        _rate, samples = decode_wav(encode_wav(v, sample_rate=16000))
+        n_win = len(samples) // VAD_WIN
+        loud = (
+            np.abs(samples[: n_win * VAD_WIN].astype("int64"))
+            .reshape(n_win, VAD_WIN).sum(axis=1)
+        )
+        segs, cur = [], None
+        for w in range(n_win):
+            if loud[w] >= VAD_WIN * VAD_MEAN_GATE:
+                if cur is None:
+                    cur = [w, w, 1, int(loud[w])]
+                else:
+                    cur[1], cur[2], cur[3] = w, cur[2] + 1, cur[3] + int(loud[w])
+            elif cur is not None:
+                segs.append(tuple(cur)); cur = None
+        if cur is not None:
+            segs.append(tuple(cur))
+        got = [by_doc.get(d, {}).get(k) for k in range(len(segs))]
+        assert got == segs, d
+        assert len(by_doc.get(d, {})) == len(segs)
+
+
+def test_vad_cadence_bounds(spark, sf_dir):
+    """The 2-active-1-silent fixture cadence bounds every segment at
+    1..2 windows (2 inside the stream, 1 only when clipped at an edge)."""
+    rows = STAGED["mm_audio_vad"].fn(spark, sf_dir).collect()
+    assert rows
+    assert all(r["n_windows"] in (1, 2) for r in rows)
+    one_win = [r for r in rows if r["n_windows"] == 1]
+    for r in one_win:  # clipped segments only at the stream edges
+        d = r["doc_id"]
+        n_win = (256 + d % 512) // 64
+        assert r["start_win"] == 0 or r["end_win"] == n_win - 1
+
+
+def test_vad_single_hash_exchange(spark, sf_dir):
+    """Map-only codec stages; ONE doc_id hash exchange shared by the
+    island window and the (doc_id, seg_idx) aggregate."""
+    from xml_to_parquet_spark.plans.inspect import shuffle_count
+
+    df = STAGED["mm_audio_vad"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1

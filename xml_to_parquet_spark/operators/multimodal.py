@@ -1353,3 +1353,139 @@ def mm_video_framesample(spark, sf_dir):
         schema="doc_id bigint, frame_idx bigint, n_frames bigint, "
         "width bigint, height bigint, pix_sum bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# Voice-activity detection — energy gate + island merge over decoded PCM
+# ---------------------------------------------------------------------------
+
+VAD_WIN = 64  # samples per energy window
+VAD_MEAN_GATE = 300  # active iff mean |sample| >= gate  (integer threshold)
+
+
+def _encode_vad_wav_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.audiocodec import encode_wav
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            n = 256 + d % 512
+            i = np.arange(n)
+            active = (d + i // VAD_WIN) % 3 != 0
+            v = np.where(
+                active, (d + i) % 200 + 500, (d + i) % 50
+            ).astype(np.int16)
+            rows.append((d, encode_wav(v, sample_rate=16000)))
+        yield pd.DataFrame(rows, columns=["doc_id", "wav"])
+
+
+def _vad_energy_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.audiocodec import decode_wav
+
+    for pdf in it:
+        rows = []
+        for d, wav in zip(pdf["doc_id"], pdf["wav"]):
+            _rate, samples = decode_wav(bytes(wav))
+            n_win = samples.shape[0] // VAD_WIN
+            if n_win == 0:
+                continue
+            loud = (
+                np.abs(samples[: n_win * VAD_WIN].astype("int64"))
+                .reshape(n_win, VAD_WIN)
+                .sum(axis=1)
+            )
+            for w in range(n_win):
+                rows.append((int(d), w, int(loud[w])))
+        yield pd.DataFrame(rows, columns=["doc_id", "win", "loud"])
+
+
+@register_staged(
+    "mm_audio_vad",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, (256 + doc_id % 512) // {VAD_WIN} AS n_win FROM documents
+    ), wins AS (
+      SELECT doc_id, t.w AS win FROM dims, LATERAL unnest(range(0, n_win)) AS t(w)
+    ), en AS (
+      SELECT doc_id, win,
+             SUM(CASE WHEN (doc_id + win) % 3 <> 0
+                      THEN (doc_id + win * {VAD_WIN} + t.j) % 200 + 500
+                      ELSE (doc_id + win * {VAD_WIN} + t.j) % 50 END) AS loud
+      FROM wins, LATERAL unnest(range(0, {VAD_WIN})) AS t(j)
+      GROUP BY 1, 2
+    ), act AS (
+      SELECT doc_id, win, loud FROM en
+      WHERE loud >= {VAD_WIN * VAD_MEAN_GATE}
+    ), b AS (
+      SELECT doc_id, win, loud,
+             CASE WHEN win - COALESCE(lag(win) OVER (PARTITION BY doc_id
+                      ORDER BY win), win - 2) > 1 THEN 1 ELSE 0 END AS brk
+      FROM act
+    ), seg AS (
+      SELECT doc_id, win, loud,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY win) - 1 AS seg_idx
+      FROM b
+    )
+    SELECT doc_id, CAST(seg_idx AS BIGINT) AS seg_idx,
+           min(win) AS start_win, max(win) AS end_win,
+           CAST(count(*) AS BIGINT) AS n_windows,
+           CAST(sum(loud) AS BIGINT) AS loud_sum
+    FROM seg GROUP BY 1, 2
+    """,
+)
+def mm_audio_vad(spark, sf_dir):
+    """Voice-activity detection — the speech-pipeline front door (ASR
+    corpus curation drops silence BEFORE the expensive transcription/
+    embedding tiers): decoded PCM is cut into {VAD_WIN}-sample windows,
+    each window's integer loudness Σ|x| is gated by the integer
+    cross-multiplied threshold Σ|x| >= {VAD_WIN}*{VAD_MEAN_GATE} (mean
+    amplitude >= {VAD_MEAN_GATE}, no division), and consecutive active
+    windows merge into speech SEGMENTS via island detection — per
+    segment: start/end window, length, total loudness. The fixture
+    signal alternates genuinely loud and near-silent {VAD_WIN}-sample
+    regions (2-active-1-silent cadence, closed form), round-trips
+    through REAL RIFF/PCM16 WAV bytes, and the oracle recomputes
+    window energies, the gate, AND the island merge from the signal
+    formula — a decoder bug, an off-by-one in the window reshape, or a
+    broken island boundary all break value parity. Trailing samples
+    short of a full window are ignored by definition (documented;
+    exercised — most docs have a partial tail).
+
+    Scale shape: encode/decode+energy are the audio chassis's map-only
+    Arrow-batched stages (window loudness reduces {VAD_WIN} samples to
+    one int inside the batch — the mm_audio_wht fusion lesson); the only
+    exchange is the doc_id hash for the island windows, which the final
+    (doc_id, seg_idx) aggregate reuses (subset rule — the
+    text_cdc_chunking single-repartition shape). Segment state per task
+    is one doc's window run. A production VAD swaps the energy gate for
+    a model score per window; the segmentation plan is unchanged."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    encoded = docs.mapInPandas(
+        _encode_vad_wav_batches, schema="doc_id bigint, wav binary"
+    )
+    energies = encoded.mapInPandas(
+        _vad_energy_batches, schema="doc_id bigint, win bigint, loud bigint"
+    )
+    act = energies.filter(F.col("loud") >= VAD_WIN * VAD_MEAN_GATE)
+    w_doc = Window.partitionBy("doc_id").orderBy("win")
+    brk = F.when(
+        F.col("win") - F.coalesce(F.lag("win").over(w_doc), F.col("win") - 2)
+        > 1,
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    seg = act.withColumn("brk", brk).withColumn(
+        "seg_idx", (F.sum("brk").over(w_doc) - 1).cast("bigint")
+    )
+    return seg.groupBy("doc_id", "seg_idx").agg(
+        F.min("win").alias("start_win"),
+        F.max("win").alias("end_win"),
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("loud").cast("bigint").alias("loud_sum"),
+    )

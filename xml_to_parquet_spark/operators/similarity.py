@@ -1653,3 +1653,101 @@ def hnsw_beam_search(emb):
     return beam.select(
         "vec_id", F.row_number().over(wb).cast("bigint").alias("rank"), "cos"
     )
+
+
+MIPS_SAMPLE_MOD = 16  # phase-1 sample: vec_id % 16 == 0 (~6% of corpus)
+
+
+@register_staged(
+    "sim_mips_topk",
+    f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             round(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                    CAST(e.embedding AS DOUBLE[])), 6) AS ip
+      FROM q CROSS JOIN embeddings e
+      WHERE e.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY ip DESC, neighbor_id) AS rn
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, ip, rn FROM ranked WHERE rn <= {TOP_K}
+    """,
+)
+def sim_mips_topk(spark, sf_dir):
+    """Maximum-inner-product search (MIPS) — the recommender/retrieval
+    serving score (user·item, query·doc with learned magnitudes), which
+    cosine top-k deliberately normalizes away. EXACT, with the LEMP/
+    Cauchy–Schwarz norm prune that makes exact MIPS tractable at scale:
+
+      phase 1  score the queries against a deterministic ~6% sample
+               (vec_id % {MIPS_SAMPLE_MOD} == 0); the sample's k-th best
+               ip is a LOWER bound t on the true k-th best (a subset's
+               k-th best can only be <= the corpus's);
+      phase 2  scan the corpus with the row filter
+               ||q||*||x|| >= t — by Cauchy–Schwarz any vector failing
+               it has ip <= ||q||*||x|| < t and cannot enter the top-k —
+               then score survivors exactly and take the top-k window.
+
+    The prune is an inequality on precomputed norms (no scoring), so the
+    expensive dot product runs only on survivors; correctness does not
+    depend on the sample (a bad sample just prunes less), which is why
+    the oracle is plain brute force. Ranking is on round(ip, 6) with a
+    neighbor_id tiebreak on both engines; the dot product is the same
+    sequential double fold both sides (zip_with/aggregate ≡
+    list_dot_product — the established float-parity device). sqrt appears
+    only in the pruning inequality, never in output values.
+
+    Scale shape: norms are one map-side pass stored with the vectors
+    (production: a column written at index-build time, as sim_ivf_persist
+    does for cells); phase 1 touches sample × queries rows; the
+    threshold is a {N_QUERIES}-row broadcast; phase 2 is a map-side
+    filter AND-ed into the broadcast nested-loop scan, so the corpus
+    never shuffles — only per-partition top-k survivors reach the final
+    per-query window (TakeOrderedAndProject semantics). On skewed-norm
+    corpora (the common case: popularity-correlated magnitudes) the
+    filter removes most rows; on norm-flat corpora it degrades to
+    brute force, never to wrong answers — and the isotropic random test
+    embeddings are exactly that worst case, so prune EFFECTIVENESS is
+    pytest-pinned on a synthetic skewed-norm corpus, not on testdata
+    (the sim_hnsw_beam recall-proof precedent)."""
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", l2_norm(F.col("embedding")).alias("nrm")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qnrm"),
+    )
+    ip = F.round(dot(F.col("qe"), F.col("embedding")), 6)
+
+    sample = emb.filter(F.col("vec_id") % MIPS_SAMPLE_MOD == 0)
+    w = W.partitionBy("query_id").orderBy(F.desc("ip"), "neighbor_id")
+    thresholds = (
+        sample.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ip.alias("ip")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == TOP_K)
+        .select("query_id", F.col("ip").alias("t"))
+    )
+    q_with_t = q.join(thresholds, "query_id", "left").withColumn(
+        "t", F.coalesce("t", F.lit(float("-inf")))
+    )
+    survivors = emb.join(
+        F.broadcast(q_with_t),
+        (F.col("vec_id") != F.col("query_id"))
+        & (F.col("nrm") * F.col("qnrm") >= F.col("t")),
+    )
+    return (
+        survivors.select(
+            "query_id", F.col("vec_id").alias("neighbor_id"), ip.alias("ip")
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= TOP_K)
+        .select("query_id", "neighbor_id", "ip", "rn")
+    )

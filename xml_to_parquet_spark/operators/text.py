@@ -1143,3 +1143,127 @@ def rake_keywords(docs):
         .filter(F.col("rnk") <= RAKE_TOP)
         .select("doc_id", "rnk", "phrase", "phrase_deg", "n_words")
     )
+
+
+# Content-defined chunking: gear-style boundary test over a 3-token
+# rolling window. Expected chunk length = CDC_M tokens (geometric).
+CDC_M = 16
+CDC_R = 0
+
+
+@register_staged(
+    "text_cdc_chunking",
+    f"""
+    WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),
+    vals AS (
+      SELECT doc_id,
+             list_transform(toks, t ->
+               (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096
+             + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256
+             + (strpos('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(md5(t), 4, 1)) - 1)) AS vs
+      FROM tok WHERE len(toks) >= 1
+    ), pos AS (
+      SELECT doc_id, vs, t.i AS i
+      FROM vals, LATERAL unnest(range(1, len(vs) + 1)) AS t(i)
+    ), cut AS (
+      SELECT doc_id, i, vs[i] AS v,
+             CASE WHEN i >= 3
+                   AND ((vs[i-2] * {ROLL_B * ROLL_B} + vs[i-1] * {ROLL_B}
+                         + vs[i]) % {ROLL_P}) % {CDC_M} = {CDC_R}
+                  THEN 1 ELSE 0 END AS c
+      FROM pos
+    ), chk AS (
+      SELECT doc_id, i, v,
+             COALESCE(SUM(c) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS chunk_idx
+      FROM cut
+    ), rn AS (
+      SELECT doc_id, chunk_idx, v,
+             ROW_NUMBER() OVER (PARTITION BY doc_id, chunk_idx ORDER BY i)
+               AS rn
+      FROM chk
+    )
+    SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(rn * v) % {ROLL_P} AS BIGINT) AS chash
+    FROM rn GROUP BY 1, 2
+    """,
+)
+def text_cdc_chunking(spark, sf_dir):
+    """Content-defined chunking — the storage/dedup-grade chunker (FastCDC
+    / rsync lineage) the fixed-size tiers (text_chunk_overlap,
+    curate_pack_chunks) can't replace: a boundary falls AFTER token i iff
+    the rolling hash of the last 3 tokens ((v[i-2]*B² + v[i-1]*B + v[i])
+    mod P) hits a target residue mod CDC_M, so boundaries depend only on
+    LOCAL CONTENT. Insert or delete a token and chunk boundaries re-sync
+    within one 3-token window — downstream chunk-hash dedup
+    (dedup_exact / text_dedup_chunks on chash) still matches every
+    untouched chunk, where a fixed-size chunker would shift every
+    boundary after the edit and match nothing (the shift-resistance
+    property is pytest-pinned). Expected chunk length is CDC_M tokens
+    (geometric); production FastCDC adds min/max chunk bounds, which
+    suppress cuts based on the PREVIOUS cut and therefore need a
+    sequential per-doc scan — deliberately omitted to keep the operator
+    a declarative window/agg plan (documented trade; the bounds change
+    chunk-size tails, not the re-sync property). Per-token values are the
+    md5-derived 16-bit integers every cross-engine hash here uses;
+    chunk content hash = Σ rn·v mod P, order-sensitive and integer-exact.
+
+    Scale shape: ONE exchange total — posexplode is map-side, the first
+    window hashes on doc_id, and chunk_idx/rn windows plus the final
+    (doc_id, chunk_idx) aggregate all reuse that partitioning (subset
+    rule), so tokens cross the wire exactly once (the RAKE
+    single-repartition lesson). State per task is one doc's token run,
+    not the corpus. Capability family parallels the reference's
+    bounded-memory handling of oversized inputs (reference README.md:14,
+    iterparse low-memory streaming; README.md:24 block_size); the
+    chunking mechanism itself is [EXT].
+    """
+    from pyspark.sql import Window
+
+    val = (
+        "(instr('0123456789abcdef', substr(md5(t), 1, 1)) - 1) * 4096"
+        " + (instr('0123456789abcdef', substr(md5(t), 2, 1)) - 1) * 256"
+        " + (instr('0123456789abcdef', substr(md5(t), 3, 1)) - 1) * 16"
+        " + (instr('0123456789abcdef', substr(md5(t), 4, 1)) - 1)"
+    )
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    )
+    toks = (
+        docs.filter(F.size("toks") >= 1)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(f"transform(toks, t -> CAST({val} AS BIGINT))")
+            ).alias("pos", "v"),
+        )
+        .withColumn("i", F.col("pos") + 1)
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("i")
+    rolling = (
+        F.lag("v", 2).over(w_doc) * (ROLL_B * ROLL_B)
+        + F.lag("v", 1).over(w_doc) * ROLL_B
+        + F.col("v")
+    ) % ROLL_P
+    cut = F.when(
+        (F.col("i") >= 3) & (rolling % CDC_M == CDC_R), F.lit(1)
+    ).otherwise(F.lit(0))
+    marked = toks.withColumn("c", cut)
+    w_prev = w_doc.rowsBetween(Window.unboundedPreceding, -1)
+    chunked = marked.withColumn(
+        "chunk_idx", F.coalesce(F.sum("c").over(w_prev), F.lit(0))
+    )
+    w_chunk = Window.partitionBy("doc_id", "chunk_idx").orderBy("i")
+    numbered = chunked.withColumn("rn", F.row_number().over(w_chunk))
+    return (
+        numbered.groupBy("doc_id", F.col("chunk_idx").cast("bigint").alias("chunk_idx"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            (F.sum(F.col("rn") * F.col("v")) % ROLL_P)
+            .cast("bigint")
+            .alias("chash"),
+        )
+    )
