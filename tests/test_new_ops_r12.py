@@ -23,6 +23,8 @@ def reg():
 def test_r12_staged_ops_hidden_from_driver_registry(reg):
     for name in (
         "stream_stream_full_outer", "mm_video_framesample", "lake_merge_upsert",
+        "text_cdc_chunking", "sim_mips_topk", "mm_audio_vad",
+        "join_spatial_grid", "sim_diversity_mmr",
     ):
         assert name in STAGED and name not in reg
 
@@ -533,3 +535,153 @@ def test_vad_single_hash_exchange(spark, sf_dir):
 
     df = STAGED["mm_audio_vad"].fn(spark, sf_dir)
     assert shuffle_count(df) == 1
+
+
+# ---------------------------------------------------------------------------
+# join_spatial_grid (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_spatial_grid_matches_bruteforce(spark, sf_dir):
+    """Grid-binned plan vs naive O(n^2) recompute: identical pair sets
+    with identical Chebyshev distances — duplicates or misses from the
+    cell replication would show immediately."""
+    from xml_to_parquet_spark.operators.relational_ext import (
+        CHEB_R, GRID_SPAN, SPATIAL_PT_MOD,
+    )
+
+    rows = STAGED["join_spatial_grid"].fn(spark, sf_dir).collect()
+    got = {(r["a_id"], r["b_id"]): r["cheb"] for r in rows}
+    assert len(got) == len(rows)  # exactly-once: no duplicate pairs
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").collect()
+    pts = {
+        r["event_id"]: (
+            (r["user_id"] * 37 + r["event_id"] * 13) % GRID_SPAN,
+            (r["event_id"] * 59 + r["user_id"] * 7) % GRID_SPAN,
+        )
+        for r in ev
+        if r["event_id"] % SPATIAL_PT_MOD == 0
+    }
+    ids = sorted(pts)
+    want = {}
+    for i, a in enumerate(ids):
+        ax, ay = pts[a]
+        for b in ids[i + 1:]:
+            bx, by = pts[b]
+            if abs(ax - bx) <= CHEB_R and abs(ay - by) <= CHEB_R:
+                want[(a, b)] = max(abs(ax - bx), abs(ay - by))
+    assert got == want
+    assert want  # non-degenerate at the test SF
+
+
+def test_spatial_grid_is_a_hash_join(spark, sf_dir):
+    """The rewrite's whole point: candidates meet in an equi-join on the
+    cell key — never a nested-loop/cartesian plan."""
+    from xml_to_parquet_spark.plans.inspect import node_counts
+
+    df = STAGED["join_spatial_grid"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert "CartesianProduct" not in n
+    assert "BroadcastNestedLoopJoin" not in n
+    assert (
+        n.get("SortMergeJoin", 0)
+        + n.get("ShuffledHashJoin", 0)
+        + n.get("BroadcastHashJoin", 0)
+        >= 1
+    )
+
+
+# ---------------------------------------------------------------------------
+# sim_diversity_mmr (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def _mmr_py(emb, qid, n_cand, n_picks):
+    """Pure-Python mirror of the operator's greedy MMR."""
+    rels = sorted(
+        (
+            (-round(float(np.dot(emb[qid], v)), 6), vid)
+            for vid, v in emb.items()
+            if vid != qid
+        ),
+    )[:n_cand]
+    cand = [(vid, -negrel) for negrel, vid in rels]
+    sims = {
+        (a, b): round(float(np.dot(emb[a], emb[b])), 6)
+        for a, _ in cand
+        for b, _ in cand
+        if a != b
+    }
+    sel, out = [], []
+    for pick in range(1, n_picks + 1):
+        best = None
+        for cid, rel in cand:
+            if cid in sel:
+                continue
+            ms = max((sims[(cid, s)] for s in sel), default=0.0)
+            score = round(7 * rel - 3 * ms, 6) if sel else round(7 * rel, 6)
+            key = (-score, cid)
+            if best is None or key < best[0]:
+                best = (key, cid, score)
+        sel.append(best[1])
+        out.append((pick, best[1], best[2]))
+    return out
+
+
+def test_mmr_matches_python_mirror(spark, sf_dir):
+    from xml_to_parquet_spark.operators.similarity import (
+        MMR_CAND, MMR_PICKS, N_QUERIES,
+    )
+
+    rows = STAGED["sim_diversity_mmr"].fn(spark, sf_dir).collect()
+    emb = {
+        r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+        for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    }
+    got = {
+        (r["query_id"], r["pick"]): (r["neighbor_id"], r["score"])
+        for r in rows
+    }
+    assert len(got) == N_QUERIES * MMR_PICKS
+    for qid in range(N_QUERIES):
+        for pick, cid, score in _mmr_py(emb, qid, MMR_CAND, MMR_PICKS):
+            g_cid, g_score = got[(qid, pick)]
+            assert g_cid == cid, (qid, pick)
+            assert abs(g_score - score) < 1e-9, (qid, pick)
+
+
+def test_mmr_breaks_up_near_duplicate_cluster(spark, tmp_path, reg):
+    """The property MMR exists for: a query between two topics whose
+    pool is dominated by near-copies of topic A must not fill every slot
+    with A copies — plain relevance ranking would (all candidates tie on
+    rel, so id order yields A1..A4). With lambda = 0.7 the flip needs
+    sim-to-selected to differ by > (7/3) * the rel gap, so the fixture
+    puts the query exactly between orthogonal topics A and B: every
+    candidate ties at rel ~ 0.7071, A-A sim ~ 1.0, A-B sim ~ 0 — slot 2
+    MUST be B."""
+    dim = 8
+    rows = []
+    base_a = np.zeros(dim); base_a[0] = 1.0
+    base_b = np.zeros(dim); base_b[1] = 1.0
+    q = (base_a + base_b) / np.sqrt(2.0)
+    rows.append((0, [float(x) for x in q], 0))  # the query itself
+    for i in range(1, 7):  # topic-A near-dups, rel ~ 0.7071 each
+        v = base_a.copy(); v[2] = 0.001 * i
+        rows.append((int(i), [float(x) for x in v], 0))
+    rows.append((7, [float(x) for x in base_b], 0))  # topic B, same rel
+    for i in range(8, 24):  # filler far from the query
+        v = np.zeros(dim); v[3 + i % 4] = 0.01
+        rows.append((int(i), [float(x) for x in v], 0))
+    df = spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    )
+    sf = tmp_path / "mmr_sf"
+    df.write.parquet(str(sf / "embeddings.parquet"))
+
+    out = STAGED["sim_diversity_mmr"].fn(spark, str(sf)).collect()
+    picks_q0 = {
+        r["pick"]: r["neighbor_id"] for r in out if r["query_id"] == 0
+    }
+    assert picks_q0[1] in range(1, 7)  # most relevant: an A copy
+    assert picks_q0[2] == 7, picks_q0  # diversity kicks in at slot 2

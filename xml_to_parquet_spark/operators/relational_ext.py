@@ -1892,3 +1892,115 @@ def dq_expectation_suite(spark, sf_dir):
             F.col("observed") <= F.col("threshold")
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Spatial grid join — 2-D proximity pairs via cell binning + one-side
+# replication (the geospatial radius-join shape)
+# ---------------------------------------------------------------------------
+
+GRID_SPAN = 1000  # points live on a [0, 1000) x [0, 1000) plane
+CHEB_R = 16  # pair iff Chebyshev (L-inf) distance <= R; cell width == R
+SPATIAL_PT_MOD = 5  # points = events with event_id % 5 == 0
+
+
+@register_staged(
+    "join_spatial_grid",
+    f"""
+    WITH pts AS (
+      SELECT event_id AS id,
+             (user_id * 37 + event_id * 13) % {GRID_SPAN} AS x,
+             (event_id * 59 + user_id * 7) % {GRID_SPAN} AS y
+      FROM events WHERE event_id % {SPATIAL_PT_MOD} = 0
+    )
+    SELECT a.id AS a_id, b.id AS b_id,
+           greatest(abs(a.x - b.x), abs(a.y - b.y)) AS cheb
+    FROM pts a JOIN pts b
+      ON a.id < b.id
+     AND abs(a.x - b.x) <= {CHEB_R} AND abs(a.y - b.y) <= {CHEB_R}
+    """,
+)
+def join_spatial_grid(spark, sf_dir):
+    """Spatial proximity self-join — the geospatial radius-join shape
+    (store/competitor proximity, sensor clustering, geo-dedup): all point
+    pairs within Chebyshev distance CHEB_R on a {GRID_SPAN}x{GRID_SPAN}
+    plane (points derived deterministically from events). The naive form
+    is a quadratic inequality join; the scale rewrite extends
+    join_interval_overlap's binning to 2-D: the plane is tiled into
+    cells of width CHEB_R, the LEFT side keeps only its home cell, the
+    RIGHT side replicates into its 3x3 cell neighborhood (bounded 9x
+    fan-out), candidates meet in an equi-join on (cell_x, cell_y), and
+    the exact |dx|<=R AND |dy|<=R predicate runs as a codegen residual.
+    Exactly-once by construction: a qualifying pair (a.id < b.id) meets
+    in precisely ONE cell — a's unique home cell, which b's replicas
+    cover because cell width == R — so no distinct / post-join dedup.
+    The oracle is the naive inequality join, proving the grid plan loses
+    and invents nothing.
+
+    Scale shape: one shuffle per side on the compound cell key (hash
+    join, never a nested loop — the plan a 100 TB geo table needs);
+    replication factor is a constant 9 on one side only (choose the
+    smaller side in production — here the join is a self-join so it's
+    symmetric); per-cell occupancy is bounded by point density x R², the
+    knob a real deployment tunes by picking cell width ~ radius. Skewed
+    hot cells (urban centers) would AQE-split like any skewed hash key
+    (join_skew_aqe's device)."""
+    pts = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_id") % SPATIAL_PT_MOD == 0)
+        .select(
+            F.col("event_id").alias("id"),
+            ((F.col("user_id") * 37 + F.col("event_id") * 13) % GRID_SPAN)
+            .alias("x"),
+            ((F.col("event_id") * 59 + F.col("user_id") * 7) % GRID_SPAN)
+            .alias("y"),
+        )
+    )
+    left = pts.select(
+        F.col("id").alias("a_id"),
+        F.col("x").alias("ax"),
+        F.col("y").alias("ay"),
+        F.floor(F.col("x") / CHEB_R).alias("cx"),
+        F.floor(F.col("y") / CHEB_R).alias("cy"),
+    )
+    right = (
+        pts.select(
+            F.col("id").alias("b_id"),
+            F.col("x").alias("bx"),
+            F.col("y").alias("by"),
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("x") / CHEB_R) - 1,
+                    F.floor(F.col("x") / CHEB_R) + 1,
+                )
+            ).alias("rcx"),
+            F.col("y").alias("_y2"),
+        )
+        .select(
+            "b_id", "bx", "by", "rcx",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("_y2") / CHEB_R) - 1,
+                    F.floor(F.col("_y2") / CHEB_R) + 1,
+                )
+            ).alias("rcy"),
+        )
+    )
+    return (
+        left.join(
+            right,
+            (F.col("cx") == F.col("rcx"))
+            & (F.col("cy") == F.col("rcy"))
+            & (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("ax") - F.col("bx")) <= CHEB_R)
+            & (F.abs(F.col("ay") - F.col("by")) <= CHEB_R),
+        )
+        .select(
+            "a_id",
+            "b_id",
+            F.greatest(
+                F.abs(F.col("ax") - F.col("bx")),
+                F.abs(F.col("ay") - F.col("by")),
+            ).alias("cheb"),
+        )
+    )

@@ -1751,3 +1751,195 @@ def sim_mips_topk(spark, sf_dir):
         .filter(F.col("rn") <= TOP_K)
         .select("query_id", "neighbor_id", "ip", "rn")
     )
+
+
+MMR_CAND = 12  # stage-1 relevance pool per query
+MMR_PICKS = 4  # greedy diversity picks
+# lambda = 0.7 as the exact rational 7/10: score = (7*rel - 3*maxsim)/10,
+# kept unscaled (x10) so both engines compute the same doubles
+
+
+def _mmr_oracle() -> str:
+    ctes = [
+        f"""q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+               WHERE vec_id < {N_QUERIES})""",
+        f"""scored AS (
+          SELECT q.query_id, e.vec_id AS cid,
+                 round(list_dot_product(CAST(q.qe AS DOUBLE[]),
+                                        CAST(e.embedding AS DOUBLE[])), 6)
+                   AS rel
+          FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id
+        )""",
+        f"""cand AS (
+          SELECT query_id, cid, rel FROM (
+            SELECT *, row_number() OVER (PARTITION BY query_id
+                       ORDER BY rel DESC, cid) AS rr FROM scored)
+          WHERE rr <= {MMR_CAND}
+        )""",
+        """pairs AS (
+          SELECT a.query_id, a.cid AS a, b.cid AS b,
+                 round(list_dot_product(CAST(ea.embedding AS DOUBLE[]),
+                                        CAST(eb.embedding AS DOUBLE[])), 6)
+                   AS sim
+          FROM cand a JOIN cand b
+            ON b.query_id = a.query_id AND b.cid <> a.cid
+          JOIN embeddings ea ON ea.vec_id = a.cid
+          JOIN embeddings eb ON eb.vec_id = b.cid
+        )""",
+        """p1 AS (
+          SELECT query_id, cid, round(7 * rel, 6) AS score, 1 AS pick
+          FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY rel DESC, cid) AS rn FROM cand)
+          WHERE rn = 1
+        )""",
+        "sel1 AS (SELECT query_id, cid FROM p1)",
+    ]
+    for k in range(2, MMR_PICKS + 1):
+        ctes.append(
+            f"""m{k} AS (
+              SELECT c.query_id, c.cid, c.rel, max(p.sim) AS ms
+              FROM cand c
+              JOIN pairs p ON p.query_id = c.query_id AND p.a = c.cid
+              JOIN sel{k - 1} s ON s.query_id = p.query_id AND s.cid = p.b
+              WHERE NOT EXISTS (SELECT 1 FROM sel{k - 1} x
+                                WHERE x.query_id = c.query_id
+                                  AND x.cid = c.cid)
+              GROUP BY 1, 2, 3
+            )"""
+        )
+        ctes.append(
+            f"""p{k} AS (
+              SELECT query_id, cid, round(7 * rel - 3 * ms, 6) AS score,
+                     {k} AS pick
+              FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                         ORDER BY round(7 * rel - 3 * ms, 6) DESC, cid)
+                       AS rn FROM m{k})
+              WHERE rn = 1
+            )"""
+        )
+        ctes.append(
+            f"""sel{k} AS (SELECT query_id, cid FROM sel{k - 1}
+                 UNION ALL SELECT query_id, cid FROM p{k})"""
+        )
+    picks = " UNION ALL ".join(
+        f"SELECT * FROM p{k}" for k in range(1, MMR_PICKS + 1)
+    )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT query_id, CAST(pick AS BIGINT) AS pick,
+               cid AS neighbor_id, score
+        FROM ({picks})
+        """
+    )
+
+
+@register_staged("sim_diversity_mmr", _mmr_oracle())
+def sim_diversity_mmr(spark, sf_dir):
+    """Maximal Marginal Relevance re-ranking — the retrieval-serving step
+    between ANN top-k and the prompt (RAG context assembly, search result
+    diversification): from a {MMR_CAND}-candidate relevance pool, greedily
+    pick {MMR_PICKS} results maximizing
+    lambda*rel(q,c) - (1-lambda)*max_sim(c, selected) with lambda = 0.7 —
+    near-duplicate passages that would waste context slots score low the
+    moment one of them is picked. Greedy selection is inherently
+    sequential in the PICK dimension, so like the BFS / HNSW iterative
+    precedents the {MMR_PICKS} rounds are UNROLLED — Spark runs them as
+    chained DataFrame steps, the oracle as chained CTEs, both on
+    round(dot, 6) doubles with cid tiebreaks (the established
+    sequential-fold float-parity device). Pick 1 is pure argmax rel
+    (max-sim over an empty selected set is defined as 0; sims can be
+    negative, so this is a definition, not a simplification — both
+    engines encode it identically). Scores are kept x10 (7*rel - 3*ms)
+    to stay in exact small-integer multiples of the rounded inputs.
+
+    Scale shape: stage 1 is the brute-force/ANN top-k plan (corpus
+    never shuffles; per-partition top-k into one window) — swap in any
+    ladder tier (IVF/HNSW) for the pool at scale. Everything after
+    operates on {N_QUERIES} x {MMR_CAND} rows: the candidate pool and
+    its pairwise-sim matrix are broadcast-sized BY CONSTRUCTION (that is
+    the point of pooling before diversifying), so the {MMR_PICKS}
+    unrolled rounds cost {MMR_PICKS} tiny broadcast joins, not corpus
+    passes. A 100 TB deployment runs this per query batch; candidate
+    count, not corpus size, is the only dimension in the greedy loop."""
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    scored = emb.join(
+        F.broadcast(q), F.col("vec_id") != F.col("query_id")
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("cid"),
+        "embedding",
+        F.round(dot(F.col("qe"), F.col("embedding")), 6).alias("rel"),
+    )
+    w_rel = W.partitionBy("query_id").orderBy(F.desc("rel"), "cid")
+    cand = (
+        scored.withColumn("rr", F.row_number().over(w_rel))
+        .filter(F.col("rr") <= MMR_CAND)
+        .select("query_id", "cid", "embedding", "rel")
+        .localCheckpoint()  # tiny; cuts the corpus scan out of every round
+    )
+    a = cand.select("query_id", F.col("cid").alias("a"), F.col("embedding").alias("ea"))
+    b = cand.select(
+        F.col("query_id").alias("qb"), F.col("cid").alias("b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = (
+        a.join(b, (F.col("query_id") == F.col("qb")) & (F.col("a") != F.col("b")))
+        .select(
+            "query_id", "a", "b",
+            F.round(dot(F.col("ea"), F.col("eb")), 6).alias("sim"),
+        )
+        .localCheckpoint()
+    )
+    p1 = (
+        cand.withColumn("rn", F.row_number().over(w_rel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "query_id", "cid",
+            F.round(7 * F.col("rel"), 6).alias("score"),
+            F.lit(1).cast("bigint").alias("pick"),
+        )
+    )
+    sel = p1.select("query_id", "cid")
+    picks = [p1]
+    for k in range(2, MMR_PICKS + 1):
+        ms = (
+            pairs.join(
+                F.broadcast(sel.select(F.col("query_id").alias("qs"), F.col("cid").alias("s"))),
+                (F.col("query_id") == F.col("qs")) & (F.col("b") == F.col("s")),
+            )
+            .groupBy("query_id", F.col("a").alias("cid"))
+            .agg(F.max("sim").alias("ms"))
+        )
+        remaining = cand.join(
+            F.broadcast(
+                sel.select(
+                    F.col("query_id").alias("qx"), F.col("cid").alias("sx")
+                )
+            ),
+            (F.col("query_id") == F.col("qx")) & (F.col("cid") == F.col("sx")),
+            "left_anti",
+        ).select("query_id", "cid", "rel")
+        score = F.round(7 * F.col("rel") - 3 * F.col("ms"), 6)
+        w_sc = W.partitionBy("query_id").orderBy(F.desc("score"), "cid")
+        pk = (
+            remaining.join(ms, ["query_id", "cid"])
+            .withColumn("score", score)
+            .withColumn("rn", F.row_number().over(w_sc))
+            .filter(F.col("rn") == 1)
+            .select(
+                "query_id", "cid", "score",
+                F.lit(k).cast("bigint").alias("pick"),
+            )
+        )
+        pk = pk.localCheckpoint()  # freeze the greedy state per round
+        picks.append(pk)
+        sel = sel.unionByName(pk.select("query_id", "cid"))
+    out = picks[0]
+    for pk in picks[1:]:
+        out = out.unionByName(pk)
+    return out.select("query_id", "pick", F.col("cid").alias("neighbor_id"), "score")
