@@ -685,3 +685,91 @@ def test_mmr_breaks_up_near_duplicate_cluster(spark, tmp_path, reg):
     }
     assert picks_q0[1] in range(1, 7)  # most relevant: an A copy
     assert picks_q0[2] == 7, picks_q0  # diversity kicks in at slot 2
+
+
+# ---------------------------------------------------------------------------
+# graph_scc_bounded (operators/graphs.py)
+# ---------------------------------------------------------------------------
+
+
+def test_scc_planted_rings_collapse(spark, sf_dir):
+    """Every planted 4-ring (nodes 4k..4k+3 for k < 64) is pairwise
+    mutually reachable within 4 hops, so all four members must share
+    scc_id == the ring minimum 4k — unless organic noise edges merge a
+    ring with something SMALLER, which can only lower the id (never
+    split the ring)."""
+    from xml_to_parquet_spark.operators.graphs import SCC_RING_NODES
+
+    rows = STAGED["graph_scc_bounded"].fn(spark, sf_dir).collect()
+    scc = {r["node"]: r["scc_id"] for r in rows}
+    assert len(scc) == len(rows)
+    for k in range(SCC_RING_NODES // 4):
+        members = [4 * k, 4 * k + 1, 4 * k + 2, 4 * k + 3]
+        ids = {scc[m] for m in members}
+        assert len(ids) == 1, f"ring {k} split: { {m: scc[m] for m in members} }"
+        assert ids.pop() <= 4 * k
+
+
+def test_scc_bounded_python_mirror(spark, sf_dir):
+    """Independent recompute: k-hop bounded mutual reachability via BFS
+    from every node over the SAME edge set, on the smallest SF."""
+    from xml_to_parquet_spark.operators.graphs import (
+        SCC_HOPS, SCC_NODES, SCC_RING_NODES, SCC_SAMPLE_MOD,
+    )
+
+    small = "/root/testdata/sf0.001"
+    rows = STAGED["graph_scc_bounded"].fn(spark, small).collect()
+    got = {r["node"]: r["scc_id"] for r in rows}
+
+    li = spark.read.parquet(f"{small}/lineitem.parquet").collect()
+    edges = set()
+    for r in li:
+        if r["l_orderkey"] % SCC_SAMPLE_MOD != 0:
+            continue
+        a = (r["l_orderkey"] * 7 + r["l_linenumber"] * 11) % SCC_NODES
+        b = (r["l_orderkey"] * 13 + r["l_suppkey"] * 5 + 3) % SCC_NODES
+        if a != b:
+            edges.add((a, b))
+    for i in range(SCC_RING_NODES):
+        edges.add((i, (i - i % 4) + (i % 4 + 1) % 4))
+    adj: dict[int, set] = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+
+    def reach_k(src):
+        seen = {src}
+        frontier = {src}
+        for _ in range(SCC_HOPS):
+            frontier = {
+                w for v in frontier for w in adj.get(v, ()) if w not in seen
+            }
+            seen |= frontier
+        return seen
+
+    nodes = {a for a, _ in edges} | {b for _, b in edges}
+    fwd = {v: reach_k(v) for v in nodes}
+    want = {}
+    for v in nodes:
+        mutual = {w for w in fwd[v] if v in fwd.get(w, ())}
+        want[v] = min(mutual | {v})
+    assert got == want
+
+
+def test_scc_path_graph_stays_singleton():
+    """Sanity on the definition itself (no Spark): a directed path has
+    no cycles, so bounded mutual reachability must leave every node its
+    own scc_id — the property that separates SCC from weak
+    connectivity."""
+    adj = {i: {i + 1} for i in range(10)}
+
+    def reach_k(src, k=4):
+        seen, frontier = {src}, {src}
+        for _ in range(k):
+            frontier = {w for v in frontier for w in adj.get(v, ()) if w not in seen}
+            seen |= frontier
+        return seen
+
+    for v in range(11):
+        fwd = reach_k(v)
+        mutual = {w for w in fwd if v in reach_k(w)}
+        assert min(mutual | {v}) == v
