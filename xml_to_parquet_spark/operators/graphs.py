@@ -671,3 +671,103 @@ def graph_scc_bounded(spark, sf_dir):
             ).alias("scc_id")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction — resource-allocation index over common neighbors
+# ---------------------------------------------------------------------------
+
+LP_SCALE = 10**12  # RA mass is sum of SCALE // deg(w): exact scaled longs
+LP_DEG_CAP = 96  # wedge centers above this degree contribute no candidates
+LP_TOPK = 100
+
+
+def _link_predict_oracle() -> str:
+    return f"""
+    WITH {COOC_EDGES_CTE},
+    dir AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS d FROM dir GROUP BY 1),
+    ctr AS (
+      SELECT dir.w, dir.x, deg.d FROM dir JOIN deg ON deg.w = dir.w
+      WHERE deg.d <= {LP_DEG_CAP}
+    ),
+    wedge AS (
+      SELECT a.x AS u, b.x AS v, a.d
+      FROM ctr a JOIN ctr b ON a.w = b.w AND a.x < b.x
+    ),
+    cand AS (
+      SELECT u, v, CAST(count(*) AS BIGINT) AS cn,
+             CAST(sum({LP_SCALE} // d) AS BIGINT) AS ra_num
+      FROM wedge
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.u = wedge.u AND e.v = wedge.v)
+      GROUP BY 1, 2
+    )
+    SELECT u, v, cn, ra_num,
+           round(CAST(ra_num AS DOUBLE) / {LP_SCALE}, 6) AS ra_score
+    FROM cand
+    ORDER BY ra_num DESC, cn DESC, u ASC, v ASC
+    LIMIT {LP_TOPK}
+    """
+
+
+@register_staged("graph_link_predict", _link_predict_oracle())
+def graph_link_predict(spark, sf_dir):
+    """Link prediction over the part co-occurrence graph: score every
+    NON-adjacent pair by the resource-allocation index
+    RA(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w) (Zhou, Lü & Zhang 2009 — the
+    strongest of the classical local similarity indices), emit the top
+    LP_TOPK predicted edges. RA mass is exact scaled-long arithmetic
+    (LP_SCALE // deg, positive operands so Spark's `div` and DuckDB's
+    `//` agree), so ra_num is bit-identical across engines and the one
+    float op — ra_score = ra_num / LP_SCALE — divides identical int64s
+    LAST. Ranking (ra_num DESC, cn DESC, u, v) is a deterministic total
+    order because (u, v) is unique per candidate.
+
+    Scale shape: candidate pairs come from WEDGE enumeration keyed on
+    the center node — two center-keyed hash joins, never an all-pairs
+    scan — with per-center fan-out C(deg, 2) bounded by the LP_DEG_CAP
+    degree cap (Suri–Vassilvitskii's last-reducer fix applied to link
+    prediction; principled here, not just pragmatic: a hub center
+    contributes only 1/deg ≈ 0 RA mass per wedge, so capping drops the
+    quadratically-expensive, lowest-signal centers — the same reasoning
+    that makes RA beat raw common-neighbor counts). Existing edges leave
+    via a left-anti hash join against the (u, v)-canonical edge list;
+    the pair aggregate is map-side combinable; the final top-k is
+    TakeOrderedAndProject (never a global sort). At 100 TB the cap and
+    the per-pair partial aggregation are exactly the two devices a
+    production people-you-may-know job runs on."""
+    e = cooccurrence_edges(spark, sf_dir)
+    dirdf = e.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        e.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    deg = dirdf.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ctr = dirdf.join(deg.filter(F.col("d") <= LP_DEG_CAP), "w")
+    a = ctr.select("w", F.col("x").alias("u"), "d")
+    b = ctr.select("w", F.col("x").alias("v"))
+    wedge = a.join(b, "w").filter(F.col("u") < F.col("v"))
+    ex = e.select(F.col("u").alias("eu"), F.col("v").alias("ev"))
+    cand = (
+        wedge.join(
+            ex,
+            (F.col("u") == F.col("eu")) & (F.col("v") == F.col("ev")),
+            "left_anti",
+        )
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("cn"),
+            F.sum(F.expr(f"CAST({LP_SCALE} AS BIGINT) div d"))
+            .cast("bigint")
+            .alias("ra_num"),
+        )
+    )
+    return (
+        cand.orderBy(F.desc("ra_num"), F.desc("cn"), "u", "v")
+        .limit(LP_TOPK)
+        .select(
+            "u",
+            "v",
+            "cn",
+            "ra_num",
+            F.round(F.col("ra_num") / LP_SCALE, 6).alias("ra_score"),
+        )
+    )

@@ -2004,3 +2004,310 @@ def join_spatial_grid(spark, sf_dir):
             ).alias("cheb"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov–Smirnov distance — exact distribution-shift monitor
+# ---------------------------------------------------------------------------
+
+KS_REF_TYPE = "view"  # reference distribution; every other type compares to it
+
+
+@register_staged(
+    "dq_ks_distance",
+    f"""
+    WITH ev AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    ref AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS cref
+      FROM ev WHERE event_type = '{KS_REF_TYPE}' GROUP BY 1
+    ),
+    cur AS (
+      SELECT event_type, x, CAST(count(*) AS BIGINT) AS ccur
+      FROM ev WHERE event_type <> '{KS_REF_TYPE}' GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM cur),
+    grid AS (
+      SELECT event_type, x,
+             CAST(sum(cref) AS BIGINT) AS cref,
+             CAST(sum(ccur) AS BIGINT) AS ccur
+      FROM (
+        SELECT t.event_type, r.x, r.cref, CAST(0 AS BIGINT) AS ccur
+        FROM types t, ref r
+        UNION ALL
+        SELECT event_type, x, CAST(0 AS BIGINT) AS cref, ccur FROM cur
+      ) GROUP BY 1, 2
+    ),
+    scored AS (
+      SELECT event_type, x,
+             CAST(sum(cref) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumref,
+             CAST(sum(ccur) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cumcur,
+             CAST(sum(cref) OVER (PARTITION BY event_type) AS BIGINT) AS n_ref,
+             CAST(sum(ccur) OVER (PARTITION BY event_type) AS BIGINT) AS n_cur
+      FROM grid
+    ),
+    d AS (
+      SELECT event_type, x, n_ref, n_cur,
+             abs(n_cur * cumref - n_ref * cumcur) AS ks_num
+      FROM scored
+    ),
+    pick AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY ks_num DESC, x ASC) AS rn
+      FROM d
+    )
+    SELECT event_type, n_ref, n_cur, ks_num,
+           x AS ks_at_x_scaled,
+           round(ks_num / (n_ref * n_cur), 6) AS ks_stat
+    FROM pick WHERE rn = 1 AND n_ref > 0 AND n_cur > 0
+    """,
+)
+def dq_ks_distance(spark, sf_dir):
+    """EXACT two-sample Kolmogorov–Smirnov distance between each event
+    type's `value` distribution and the reference type's ('view') — the
+    classic training/serving distribution-shift monitor, computed without
+    any float ECDF: values are fixed-point int64 (cents), and the KS
+    supremum is maximized over the scaled integer
+    D_num(x) = |n_cur·cumref(x) − n_ref·cumcur(x)| (the ECDF difference
+    times n_ref·n_cur), so Spark and DuckDB compare identical integers;
+    the single float op — ks_stat = D_num / (n_ref·n_cur) — divides two
+    identical int64s LAST (the proven device). The argmax x is
+    deterministic (min x among maxima). Both totals and cumulatives ride
+    ONE window partition per type (unbounded frame for n, running frame
+    for the ECDF), so no totals join exists.
+
+    Scale shape: the raw table collapses FIRST through a map-side-
+    combinable groupBy on (type, value-cent) — at 100 TB the window input
+    is |value domain| rows per type (bounded fixed-point grid, ~10^3
+    here, ≤10^6 for any real 2-decimal metric), not event rows; the
+    per-type window sort is over that tiny grid. One-sided corpora emit
+    nothing (gated on n_ref>0 AND n_cur>0) rather than a divide-by-zero,
+    matching the oracle exactly."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    ref = (
+        ev.filter(F.col("event_type") == KS_REF_TYPE)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cref"))
+    )
+    cur = (
+        ev.filter(F.col("event_type") != KS_REF_TYPE)
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ccur"))
+    )
+    types = cur.select("event_type").distinct()
+    grid = (
+        F.broadcast(types)
+        .crossJoin(ref)
+        .select(
+            "event_type", "x", "cref", F.lit(0).cast("bigint").alias("ccur")
+        )
+        .unionByName(
+            cur.select(
+                "event_type", "x", F.lit(0).cast("bigint").alias("cref"), "ccur"
+            )
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cref").alias("cref"), F.sum("ccur").alias("ccur"))
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type")
+    scored = grid.select(
+        "event_type",
+        "x",
+        F.sum("cref").over(wcum).alias("cumref"),
+        F.sum("ccur").over(wcum).alias("cumcur"),
+        F.sum("cref").over(wall).alias("n_ref"),
+        F.sum("ccur").over(wall).alias("n_cur"),
+    ).withColumn(
+        "ks_num",
+        F.abs(F.col("n_cur") * F.col("cumref") - F.col("n_ref") * F.col("cumcur")),
+    )
+    wpick = W.partitionBy("event_type").orderBy(F.desc("ks_num"), F.asc("x"))
+    return (
+        scored.withColumn("rn", F.row_number().over(wpick))
+        .filter((F.col("rn") == 1) & (F.col("n_ref") > 0) & (F.col("n_cur") > 0))
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "ks_num",
+            F.col("x").alias("ks_at_x_scaled"),
+            F.round(F.col("ks_num") / (F.col("n_ref") * F.col("n_cur")), 6).alias(
+                "ks_stat"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured schema drift — JSON key-set inference between time halves
+# ---------------------------------------------------------------------------
+
+DRIFT_SPLIT = "2024-01-16 00:00:00"  # the simulated producer-v2 deploy time
+DRIFT_PP_NUM, DRIFT_PP_DEN = 1, 20  # drifted iff presence ratio moves > 5pp
+
+
+def _drift_payload_sql() -> str:
+    """The derived JSON payload, shared verbatim (modulo dialect) by both
+    engines: a producer emitting {"k":1} plus type-gated fields, with a
+    v2 field deployed, a legacy field retired, and an experiment key
+    ramped 30%→50% at DRIFT_SPLIT — the tpch_derived device
+    (deterministically derive the relation the op needs; the DETECTOR
+    below is what's under test and is fully data-driven)."""
+    return f"""
+      SELECT event_type, ts,
+             '{{"k":1'
+             || CASE WHEN event_type = 'purchase'
+                     THEN ',"amount":' ||
+                          CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN CAST(round(value * 100) AS BIGINT) >= 750
+                     THEN ',"flag":true' ELSE '' END
+             || CASE WHEN user_id % 7 = 0
+                     THEN ',"sess":' || CAST(user_id AS VARCHAR)
+                     ELSE '' END
+             || CASE WHEN ts >= TIMESTAMP '{DRIFT_SPLIT}'
+                     THEN ',"v2":"b"' ELSE '' END
+             || CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
+                      AND event_type = 'signup'
+                     THEN ',"legacy":0' ELSE '' END
+             || CASE WHEN user_id % 10 <
+                          CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}'
+                               THEN 3 ELSE 5 END
+                     THEN ',"exp":1' ELSE '' END
+             || '}}' AS payload
+      FROM events
+    """
+
+
+@register_staged(
+    "dq_schema_drift",
+    f"""
+    WITH pay AS ({_drift_payload_sql()}),
+    keyed AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{DRIFT_SPLIT}' THEN 1 ELSE 2 END AS half,
+             unnest(json_keys(payload)) AS prop_key
+      FROM pay
+    ),
+    kc AS (
+      SELECT event_type, prop_key,
+             CAST(count(*) FILTER (half = 1) AS BIGINT) AS c1,
+             CAST(count(*) FILTER (half = 2) AS BIGINT) AS c2
+      FROM keyed GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT event_type,
+             CAST(count(*) FILTER (ts < TIMESTAMP '{DRIFT_SPLIT}') AS BIGINT)
+                 AS n1,
+             CAST(count(*) FILTER (ts >= TIMESTAMP '{DRIFT_SPLIT}') AS BIGINT)
+                 AS n2
+      FROM events GROUP BY 1
+    )
+    SELECT kc.event_type, kc.prop_key, kc.c1, tot.n1, kc.c2, tot.n2,
+           CASE WHEN kc.c1 = 0 AND kc.c2 > 0 THEN 'added'
+                WHEN kc.c1 > 0 AND kc.c2 = 0 THEN 'removed'
+                WHEN {DRIFT_PP_DEN} * abs(kc.c1 * tot.n2 - kc.c2 * tot.n1)
+                     > {DRIFT_PP_NUM} * tot.n1 * tot.n2 THEN 'drifted'
+                ELSE 'stable' END AS status
+    FROM kc JOIN tot ON tot.event_type = kc.event_type
+    """,
+)
+def dq_schema_drift(spark, sf_dir):
+    """Semi-structured SCHEMA-DRIFT monitor: infer each event type's JSON
+    key set from the payloads themselves (no declared schema — the
+    real-world shape of event-bus / webhook feeds), split the corpus at a
+    deploy boundary, and classify every (event_type, key) as
+    added / removed / drifted / stable. The payload simulates a producer
+    migration (a v2 field appears, a legacy field retires, and an
+    experiment key ramps 30%→50% of users at DRIFT_SPLIT — exercising
+    every status) via a derived relation both engines compute identically
+    (the tpch_derived device); the DETECTOR — key-set inference via
+    from_json→map_keys (Spark) vs json_keys (DuckDB), presence counts,
+    and the integer drift test 20·|c1·n2 − c2·n1| > n1·n2 (presence ratio
+    moved more than 5 percentage points, no float division) — is fully
+    data-driven. Output is the long-format audit a schema registry or
+    ingestion circuit-breaker consumes.
+
+    Scale shape: one scan, key explode (bounded by keys-per-doc, ≤7
+    here), then a map-side-combinable groupBy on (type, key) whose output
+    is |observed schema| rows — at 100 TB the shuffle carries the SCHEMA,
+    not the data; per-type totals are a 5-row broadcast join. Adding a
+    monitored feed adds rows, never scans."""
+    split = F.lit(DRIFT_SPLIT).cast("timestamp")
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("bigint")
+    payload = F.concat(
+        F.lit('{"k":1'),
+        F.when(
+            F.col("event_type") == "purchase",
+            F.concat(F.lit(',"amount":'), cents.cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(cents >= 750, F.lit(',"flag":true')).otherwise(F.lit("")),
+        F.when(
+            F.col("user_id") % 7 == 0,
+            F.concat(F.lit(',"sess":'), F.col("user_id").cast("string")),
+        ).otherwise(F.lit("")),
+        F.when(F.col("ts") >= split, F.lit(',"v2":"b"')).otherwise(F.lit("")),
+        F.when(
+            (F.col("ts") < split) & (F.col("event_type") == "signup"),
+            F.lit(',"legacy":0'),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("user_id") % 10
+            < F.when(F.col("ts") < split, F.lit(3)).otherwise(F.lit(5)),
+            F.lit(',"exp":1'),
+        ).otherwise(F.lit("")),
+        F.lit("}"),
+    )
+    keyed = ev.select(
+        "event_type",
+        F.when(F.col("ts") < split, F.lit(1)).otherwise(F.lit(2)).alias("half"),
+        F.explode(
+            F.map_keys(F.from_json(payload, "map<string,string>"))
+        ).alias("prop_key"),
+    )
+    kc = keyed.groupBy("event_type", "prop_key").agg(
+        F.count_if(F.col("half") == 1).cast("bigint").alias("c1"),
+        F.count_if(F.col("half") == 2).cast("bigint").alias("c2"),
+    )
+    tot = ev.groupBy("event_type").agg(
+        F.count_if(F.col("ts") < split).cast("bigint").alias("n1"),
+        F.count_if(F.col("ts") >= split).cast("bigint").alias("n2"),
+    )
+    joined = kc.join(F.broadcast(tot), "event_type")
+    drift_num = DRIFT_PP_DEN * F.abs(
+        F.col("c1") * F.col("n2") - F.col("c2") * F.col("n1")
+    )
+    return joined.select(
+        "event_type",
+        "prop_key",
+        "c1",
+        "n1",
+        "c2",
+        "n2",
+        F.when((F.col("c1") == 0) & (F.col("c2") > 0), F.lit("added"))
+        .when((F.col("c1") > 0) & (F.col("c2") == 0), F.lit("removed"))
+        .when(
+            drift_num > DRIFT_PP_NUM * F.col("n1") * F.col("n2"), F.lit("drifted")
+        )
+        .otherwise(F.lit("stable"))
+        .alias("status"),
+    )
