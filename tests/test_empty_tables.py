@@ -168,3 +168,37 @@ def test_r11_staged_operator_survives_empty_tables(
     load_all()  # import side effects populate STAGED
     out = STAGED[name].fn(spark, empty_sf_dir)
     assert out.count() <= max_rows
+
+
+# r12/r13 staged tiers. graph_scc_bounded keeps its 64 PLANTED 4-rings
+# (spark.range, independent of table data) over empty lineitem, so its
+# empty-input contract is exactly the 256 ring nodes, each still getting
+# an scc_id — the one staged op whose empty-tables result is non-empty by
+# design. stream_timer_timeout's empty stream must drain cleanly with a
+# never-advancing watermark (no timers fire, zero rows).
+REPRESENTATIVES_R12_R13_STAGED = [
+    ("stream_stream_full_outer", 0),
+    ("mm_video_framesample", 0),
+    ("lake_merge_upsert", 0),
+    ("text_cdc_chunking", 0),
+    ("sim_mips_topk", 0),
+    ("mm_audio_vad", 0),
+    ("join_spatial_grid", 0),
+    ("sim_diversity_mmr", 0),
+    ("graph_scc_bounded", 256),
+    ("dq_ks_distance", 0),
+    ("dq_schema_drift", 0),
+    ("graph_link_predict", 0),
+    ("stream_timer_timeout", 0),
+]
+
+
+@pytest.mark.parametrize("name,max_rows", REPRESENTATIVES_R12_R13_STAGED)
+def test_r12_r13_staged_operator_survives_empty_tables(
+    spark, empty_sf_dir, name, max_rows
+):
+    from xml_to_parquet_spark.registry import STAGED
+
+    load_all()
+    out = STAGED[name].fn(spark, empty_sf_dir)
+    assert out.count() <= max_rows

@@ -34,7 +34,12 @@ def events_pd(sf_dir):
 
 
 def test_r13_staged_ops_hidden_from_driver_registry(reg):
-    for name in ("dq_ks_distance", "dq_schema_drift", "graph_link_predict"):
+    for name in (
+        "dq_ks_distance",
+        "dq_schema_drift",
+        "graph_link_predict",
+        "stream_timer_timeout",
+    ):
         assert name in STAGED and name not in reg
 
 
@@ -221,3 +226,55 @@ def test_link_predict_scores_are_ra_semantics(reg, spark, sf_dir):
         assert r["u"] < r["v"]
         assert r["cn"] >= 1
         assert r["ra_num"] >= r["cn"] * (LP_SCALE // LP_DEG_CAP)
+
+
+# ---------------------------------------------------------------------------
+# stream_timer_timeout (streaming/stateful.py)
+# ---------------------------------------------------------------------------
+
+
+def test_timer_timeout_matches_exact_python_recompute(reg, spark, sf_dir, events_pd):
+    """Full replay-contract recompute: a user is emitted iff their last
+    event (floored to the timer API's ms resolution) + 2h sits STRICTLY
+    below the final watermark (ms-truncated max event time - 30min)."""
+    from xml_to_parquet_spark.streaming.stateful import TIMER_GAP_MS
+
+    ns = pd.DatetimeIndex(events_pd["ts"]).as_unit("ns").asi8
+    wm_ms = int(ns.max()) // 1_000_000 - 30 * 60 * 1000
+    expect = {}
+    for uid, grp in events_pd.groupby("user_id"):
+        last_us = int(pd.DatetimeIndex(grp["ts"]).as_unit("ns").asi8.max()) // 1000
+        if last_us // 1000 + TIMER_GAP_MS < wm_ms:
+            expect[int(uid)] = (len(grp), last_us)
+    got = {
+        r["user_id"]: (r["n_events"], r["last_ts_us"])
+        for r in STAGED["stream_timer_timeout"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert got, "no user ever timed out — the scenario is degenerate"
+    n_users = events_pd["user_id"].nunique()
+    assert len(got) < n_users, "every user timed out — the gap never binds"
+
+
+def test_timer_fires_strictly_below_watermark(spark, tmp_path):
+    """Empirical pin of the boundary the oracle encodes: a timer at
+    exactly the final watermark does NOT fire; one 1ms older does.
+    (Spark fires event-time timers with timeoutTimestamp < watermark.)"""
+    import datetime
+
+    T = datetime.datetime(2024, 1, 10, 12, 0, 0)  # ms-aligned max ts
+    wm = T - datetime.timedelta(minutes=30)
+    gap = datetime.timedelta(hours=2)
+    pdf = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "ts": [wm - gap, wm - gap - datetime.timedelta(milliseconds=1), T],
+            "user_id": [1, 2, 3],
+            "event_type": ["view"] * 3,
+            "value": [1.0] * 3,
+            "props": ['{"k":1}'] * 3,
+        }
+    )
+    pdf.to_parquet(tmp_path / "events.parquet")
+    out = STAGED["stream_timer_timeout"].fn(spark, str(tmp_path)).collect()
+    assert sorted(r["user_id"] for r in out) == [2]
