@@ -278,3 +278,56 @@ def test_timer_fires_strictly_below_watermark(spark, tmp_path):
     pdf.to_parquet(tmp_path / "events.parquet")
     out = STAGED["stream_timer_timeout"].fn(spark, str(tmp_path)).collect()
     assert sorted(r["user_id"] for r in out) == [2]
+
+
+# ---------------------------------------------------------------------------
+# plan pins (the staged-tier counterpart of tests/test_plans.py)
+# ---------------------------------------------------------------------------
+
+
+def test_ks_distance_plan_pruned_scan_no_data_cartesian(spark, sf_dir):
+    """Events scan must read only (event_type, value); the only
+    nested-loop is the DELIBERATE broadcast cross of the |types| row set
+    against the reference grid (bounded, 4 rows) — never a data-sized
+    cartesian; no sort-merge join anywhere."""
+    from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
+
+    df = STAGED["dq_ks_distance"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("CartesianProduct", 0) == 0
+    assert n.get("BroadcastNestedLoopJoin", 0) <= 1
+    assert not any("SortMergeJoin" in k for k in n)
+    for rs in read_schemas(df):
+        assert "props" not in rs and "event_id" not in rs
+
+
+def test_schema_drift_plan_broadcast_totals_pruned_scan(spark, sf_dir):
+    """The per-type totals join must broadcast (|types| rows) and the
+    scan must NOT read the real props column — the payload is derived,
+    so a props read would mean dead I/O at 100 TB."""
+    from xml_to_parquet_spark.plans.inspect import (
+        broadcast_join_count,
+        node_counts,
+        read_schemas,
+    )
+
+    df = STAGED["dq_schema_drift"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    assert not any("SortMergeJoin" in k for k in node_counts(df))
+    for rs in read_schemas(df):
+        assert "props" not in rs
+
+
+def test_link_predict_plan_hash_joins_topk_no_global_sort(spark, sf_dir):
+    """Wedge enumeration and the anti-join must be hash equi-joins (a
+    cartesian here is the quadratic plan the center key exists to kill);
+    the final top-k must be TakeOrderedAndProject, never a range
+    exchange + global sort."""
+    from xml_to_parquet_spark.plans.inspect import node_counts, physical_plan
+
+    df = STAGED["graph_link_predict"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("CartesianProduct", 0) == 0
+    assert n.get("BroadcastNestedLoopJoin", 0) == 0
+    assert n.get("TakeOrderedAndProject", 0) == 1
+    assert "Exchange rangepartitioning" not in physical_plan(df)
