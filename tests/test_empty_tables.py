@@ -190,6 +190,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("dq_schema_drift", 0),
     ("graph_link_predict", 0),
     ("stream_timer_timeout", 0),
+    ("mine_assoc_rules", 0),
 ]
 
 

@@ -331,3 +331,84 @@ def test_link_predict_plan_hash_joins_topk_no_global_sort(spark, sf_dir):
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
     assert n.get("TakeOrderedAndProject", 0) == 1
     assert "Exchange rangepartitioning" not in physical_plan(df)
+
+
+# ---------------------------------------------------------------------------
+# mine_assoc_rules (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def _assoc_recompute(sf_dir):
+    from xml_to_parquet_spark.operators.relational_ext import AR_MINSUP
+
+    li = pd.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
+    ).drop_duplicates()
+    by_order = defaultdict(set)
+    for o, p in zip(li["l_orderkey"], li["l_partkey"]):
+        by_order[o].add(int(p))
+    n_orders = len(by_order)
+    s_item = defaultdict(int)
+    for parts in by_order.values():
+        for p in parts:
+            s_item[p] += 1
+    s_pair = defaultdict(int)
+    for parts in by_order.values():
+        frequent = [p for p in sorted(parts) if s_item[p] >= AR_MINSUP]
+        for x, y in combinations(frequent, 2):
+            s_pair[(x, y)] += 1
+    out = {}
+    for (x, y), s in s_pair.items():
+        if s < AR_MINSUP:
+            continue
+        for a, c in ((x, y), (y, x)):
+            out[(a, c)] = (
+                s, s_item[a], s_item[c], n_orders,
+                round(s / s_item[a], 6),
+                round(s * n_orders / (s_item[a] * s_item[c]), 6),
+            )
+    return out
+
+
+def test_assoc_rules_match_exact_python_recompute(reg, spark, sf_dir):
+    got = {
+        (r["antecedent"], r["consequent"]): (
+            r["s_pair"], r["s_ante"], r["s_cons"], r["n_orders"],
+            r["confidence"], r["lift"],
+        )
+        for r in STAGED["mine_assoc_rules"].fn(spark, sf_dir).collect()
+    }
+    assert got == _assoc_recompute(sf_dir)
+    assert got, "no rules at this scale — MINSUP degenerate"
+
+
+def test_assoc_rules_semantics(reg, spark, sf_dir):
+    """Rule identities that hold for ANY corpus: both directions of a
+    frequent pair exist, confidence is in (0, 1], support bounds are
+    consistent (pair <= each item <= orders), and lift is symmetric
+    across the two directions of one pair."""
+    rows = STAGED["mine_assoc_rules"].fn(spark, sf_dir).collect()
+    by_dir = {(r["antecedent"], r["consequent"]): r for r in rows}
+    for (a, c), r in by_dir.items():
+        assert (c, a) in by_dir
+        assert 0.0 < r["confidence"] <= 1.0
+        assert r["s_pair"] <= min(r["s_ante"], r["s_cons"]) <= r["n_orders"]
+        assert r["lift"] == by_dir[(c, a)]["lift"]
+
+
+def test_assoc_rules_plan_broadcast_ladder_no_cartesian(spark, sf_dir):
+    """The a-priori ladder must broadcast the frequent-item semi-join and
+    both support lookups; pair generation must be the o-keyed hash
+    self-join, never a cartesian (the 1-row n_orders cross join is the
+    only nested-loop)."""
+    from xml_to_parquet_spark.plans.inspect import (
+        broadcast_join_count,
+        node_counts,
+    )
+
+    df = STAGED["mine_assoc_rules"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert broadcast_join_count(df) >= 3
+    assert n.get("CartesianProduct", 0) == 0
+    assert n.get("BroadcastNestedLoopJoin", 0) <= 1  # the 1-row totals
+    assert not any("SortMergeJoin" in k for k in n)

@@ -2311,3 +2311,117 @@ def dq_schema_drift(spark, sf_dir):
         .otherwise(F.lit("stable"))
         .alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Association-rule mining — a-priori support/confidence/lift over baskets
+# ---------------------------------------------------------------------------
+
+AR_MINSUP = 2  # absolute pair-support floor (see scale note in docstring)
+
+
+@register_staged(
+    "mine_assoc_rules",
+    f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT CAST(count(DISTINCT o) AS BIGINT) AS n_orders FROM li),
+    items AS (
+      SELECT p, CAST(count(*) AS BIGINT) AS s_item FROM li GROUP BY 1
+    ),
+    freq AS (SELECT p FROM items WHERE s_item >= {AR_MINSUP}),
+    fb AS (SELECT li.o, li.p FROM li JOIN freq ON freq.p = li.p),
+    pairs AS (
+      SELECT a.p AS x, b.p AS y, CAST(count(*) AS BIGINT) AS s_pair
+      FROM fb a JOIN fb b ON a.o = b.o AND a.p < b.p
+      GROUP BY 1, 2
+      HAVING count(*) >= {AR_MINSUP}
+    ),
+    rules AS (
+      SELECT x AS antecedent, y AS consequent, s_pair FROM pairs
+      UNION ALL
+      SELECT y AS antecedent, x AS consequent, s_pair FROM pairs
+    )
+    SELECT r.antecedent, r.consequent, r.s_pair,
+           ia.s_item AS s_ante, ic.s_item AS s_cons, n.n_orders,
+           round(r.s_pair / ia.s_item, 6) AS confidence,
+           round((r.s_pair * n.n_orders) / (ia.s_item * ic.s_item), 6) AS lift
+    FROM rules r
+    JOIN items ia ON ia.p = r.antecedent
+    JOIN items ic ON ic.p = r.consequent
+    CROSS JOIN n
+    """,
+)
+def mine_assoc_rules(spark, sf_dir):
+    """Association-rule mining over order baskets (the A-PRIORI shape:
+    Agrawal & Srikant, VLDB'94): emit every rule antecedent→consequent
+    whose PAIR support clears AR_MINSUP, with exact support counts and
+    confidence = supp(a,b)/supp(a), lift = supp(a,b)·N/(supp(a)·supp(b)).
+    All supports are exact int64 counts; each ratio is ONE division of
+    identical integer products in both engines (numerators/denominators
+    stay int64: s_pair·N < 2^63 at any plausible basket scale), so the
+    doubles hash-match — the proven last-op-float device.
+
+    Scale shape: the a-priori ladder in DataFrame form — (1) item
+    supports from a combinable groupBy; (2) the frequent-item filter
+    SEMI-JOINS the basket table BEFORE any pair is generated (here a
+    broadcast of |frequent parts|; at 100 TB item supports are
+    Zipf-concentrated so this prune is the workhorse, discarding the
+    long tail before the quadratic step); (3) pair generation is the
+    per-order self-join with C(basket, 2) bounded fan-out (TPC-H ≤7-item
+    baskets — the same bound triangle counting rides), partially
+    aggregated map-side; (4) rule expansion is a 2× projection union and
+    the support lookups are broadcast hash joins against the item table.
+    AR_MINSUP is absolute here because the synthetic baskets are uniform
+    (support ceiling ~5); production mining sets it RELATIVE
+    (s_pair·DEN >= N·NUM, the integer form) — same plan, one literal.
+    Nothing is driver-side; no candidate set is ever collected (the
+    classic a-priori candidate-generation loop is replaced by the
+    shuffle-side HAVING)."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    n = li.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
+    items = li.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("s_item"))
+    freq = items.filter(F.col("s_item") >= AR_MINSUP).select("p")
+    fb = li.join(F.broadcast(freq), "p")
+    a = fb.select(F.col("o"), F.col("p").alias("x"))
+    b = fb.select(F.col("o"), F.col("p").alias("y"))
+    pairs = (
+        a.join(b, "o")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_pair"))
+        .filter(F.col("s_pair") >= AR_MINSUP)
+    )
+    rules = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "s_pair"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "s_pair"
+        )
+    )
+    ia = items.select(F.col("p").alias("antecedent"), F.col("s_item").alias("s_ante"))
+    ic = items.select(F.col("p").alias("consequent"), F.col("s_item").alias("s_cons"))
+    return (
+        rules.join(F.broadcast(ia), "antecedent")
+        .join(F.broadcast(ic), "consequent")
+        .crossJoin(n)
+        .select(
+            "antecedent",
+            "consequent",
+            "s_pair",
+            "s_ante",
+            "s_cons",
+            "n_orders",
+            F.round(F.col("s_pair") / F.col("s_ante"), 6).alias("confidence"),
+            F.round(
+                (F.col("s_pair") * F.col("n_orders"))
+                / (F.col("s_ante") * F.col("s_cons")),
+                6,
+            ).alias("lift"),
+        )
+    )
