@@ -191,6 +191,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("graph_link_predict", 0),
     ("stream_timer_timeout", 0),
     ("mine_assoc_rules", 0),
+    ("timeseries_interpolate", 0),
 ]
 
 

@@ -412,3 +412,82 @@ def test_assoc_rules_plan_broadcast_ladder_no_cartesian(spark, sf_dir):
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) <= 1  # the 1-row totals
     assert not any("SortMergeJoin" in k for k in n)
+
+
+# ---------------------------------------------------------------------------
+# timeseries_interpolate (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def _interp_recompute(events_pd):
+    out = {}
+    ev = events_pd.copy()
+    ev["bucket"] = ev["ts"].dt.floor("D")
+    for (uid, bucket), grp in ev.groupby(["user_id", "bucket"]):
+        row = grp.loc[grp["event_id"].idxmax()]
+        out[(int(uid), bucket)] = int(round(row["value"] * 100))
+    expect = {}
+    for uid in sorted({u for u, _ in out}):
+        days = sorted(b for u, b in out if u == uid)
+        d0, d1 = days[0], days[-1]
+        obs = {b: out[(uid, b)] for b in days}
+        spine = pd.date_range(d0, d1, freq="D")
+        day_n = {b: (b - pd.Timestamp("1970-01-01")).days for b in spine}
+        for b in spine:
+            if b in obs:
+                expect[(uid, b)] = (False, obs[b])
+                continue
+            prevs = [x for x in days if x < b]
+            nexts = [x for x in days if x > b]
+            if prevs and nexts:
+                pb, nb = prevs[-1], nexts[0]
+                pc, nc = obs[pb], obs[nb]
+                num = (nc - pc) * (day_n[b] - day_n[pb])
+                den = day_n[nb] - day_n[pb]
+                q = int(num / den) if num % den else num // den  # truncate
+                expect[(uid, b)] = (True, pc + q)
+            else:
+                expect[(uid, b)] = (True, None)
+    return expect
+
+
+def test_interpolate_matches_exact_python_recompute(reg, spark, sf_dir, events_pd):
+    got = {
+        (r["user_id"], pd.Timestamp(r["bucket"])): (r["is_gap"], r["cents_interp"])
+        for r in STAGED["timeseries_interpolate"].fn(spark, sf_dir).collect()
+    }
+    assert got == _interp_recompute(events_pd)
+
+
+def test_interpolate_contract_edges_null_and_bounded(reg, spark, sf_dir):
+    """Observed days pass through verbatim (is_gap false); interior gaps
+    land strictly between (or at) their anchors; no value exists outside
+    the observed span (interpolate never extrapolates — the contract
+    difference vs gap_fill's forward fill)."""
+    rows = STAGED["timeseries_interpolate"].fn(spark, sf_dir).collect()
+    assert any(r["is_gap"] for r in rows)
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for rs in by_user.values():
+        rs.sort(key=lambda r: r["bucket"])
+        obs_idx = [i for i, r in enumerate(rs) if not r["is_gap"]]
+        for i, r in enumerate(rs):
+            if r["is_gap"] and (i < obs_idx[0] or i > obs_idx[-1]):
+                assert r["cents_interp"] is None
+            elif r["is_gap"]:
+                lo = max(j for j in obs_idx if j < i)
+                hi = min(j for j in obs_idx if j > i)
+                a, b = rs[lo]["cents_interp"], rs[hi]["cents_interp"]
+                assert min(a, b) - 1 <= r["cents_interp"] <= max(a, b) + 1
+
+
+def test_interpolate_plan_pruned_scan_no_cartesian(spark, sf_dir):
+    from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
+
+    df = STAGED["timeseries_interpolate"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("CartesianProduct", 0) == 0
+    assert n.get("BroadcastNestedLoopJoin", 0) == 0
+    for rs in read_schemas(df):
+        assert "props" not in rs and "event_type" not in rs

@@ -2425,3 +2425,134 @@ def mine_assoc_rules(spark, sf_dir):
             ).alias("lift"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Linear interpolation resample — the gap_fill sibling for continuous
+# metrics (forward fill answers "what was the state"; interpolation
+# answers "what was the level")
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "timeseries_interpolate",
+    """
+    WITH base AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             CAST(round(arg_max(value, event_id) * 100) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    ), spans AS (
+      SELECT user_id, min(bucket) AS b0, max(bucket) AS b1
+      FROM base GROUP BY 1
+    ), spine AS (
+      SELECT user_id,
+             unnest(generate_series(b0, b1, INTERVAL 1 DAY)) AS bucket
+      FROM spans
+    ), joined AS (
+      SELECT s.user_id, s.bucket,
+             date_diff('day', TIMESTAMP '1970-01-01', s.bucket) AS day,
+             b.cents AS obs,
+             b.bucket IS NULL AS is_gap
+      FROM spine s LEFT JOIN base b
+        ON b.user_id = s.user_id AND b.bucket = s.bucket
+    ), anchored AS (
+      SELECT user_id, bucket, day, obs, is_gap,
+             last_value(obs IGNORE NULLS) OVER wp AS prev_c,
+             last_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+                 OVER wp AS prev_d,
+             first_value(obs IGNORE NULLS) OVER wn AS next_c,
+             first_value(CASE WHEN obs IS NOT NULL THEN day END IGNORE NULLS)
+                 OVER wn AS next_d
+      FROM joined
+      WINDOW wp AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wn AS (PARTITION BY user_id ORDER BY day
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, bucket, is_gap,
+           CASE WHEN obs IS NOT NULL THEN obs
+                WHEN prev_c IS NOT NULL AND next_c IS NOT NULL
+                THEN prev_c + ((next_c - prev_c) * (day - prev_d))
+                              // (next_d - prev_d)
+                ELSE NULL END AS cents_interp
+    FROM anchored
+    """,
+)
+def timeseries_interpolate(spark, sf_dir):
+    """LINEAR-interpolation resample (the TimescaleDB `interpolate` /
+    pandas `interpolate` contract, sibling of timeseries_gap_fill's
+    forward fill): per user, a dense daily spine where every missing day
+    gets prev + (next − prev)·(t − t_prev)/(t_next − t_prev) between its
+    surrounding observations, exact in int64 cents — and days outside
+    the observed range stay NULL rather than inventing level.
+    Cross-engine exactness: the delta numerator CAN be negative, and
+    BOTH engines' integer division truncates toward zero (DuckDB
+    `-7 // 2 = -3`, empirically pinned, same as Spark's `div`), so the
+    quotient is identical with no floor/truncate gap to bridge. Both
+    anchors ride one partition's two mirrored windows (last IGNORE NULLS
+    over preceding / first IGNORE NULLS over following).
+
+    Scale shape: identical to gap_fill's — combinable per-day groupBy,
+    bounded spine explode (span-days per user, never a calendar cross
+    join), windows partitioned by user so the sort spreads by key
+    cardinality. The interpolation adds NO pass: both anchor columns and
+    the arithmetic live in the same two window frames over the same
+    exchange."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("bucket")
+    ).agg(
+        F.round(F.expr("max_by(value, event_id)") * 100)
+        .cast("bigint")
+        .alias("cents")
+    )
+    spans = base.groupBy("user_id").agg(
+        F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(
+            F.sequence("b0", "b1", F.expr("INTERVAL 1 DAY"))
+        ).alias("bucket"),
+    )
+    joined = spine.join(base, ["user_id", "bucket"], "left").select(
+        "user_id",
+        "bucket",
+        F.datediff("bucket", F.lit("1970-01-01")).alias("day"),
+        F.col("cents").alias("obs"),
+        F.col("cents").isNull().alias("is_gap"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wn = (
+        W.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(W.currentRow, W.unboundedFollowing)
+    )
+    obs_day = F.when(F.col("obs").isNotNull(), F.col("day"))
+    anchored = joined.select(
+        "user_id",
+        "bucket",
+        "day",
+        "obs",
+        "is_gap",
+        F.last("obs", ignorenulls=True).over(wp).alias("prev_c"),
+        F.last(obs_day, ignorenulls=True).over(wp).alias("prev_d"),
+        F.first("obs", ignorenulls=True).over(wn).alias("next_c"),
+        F.first(obs_day, ignorenulls=True).over(wn).alias("next_d"),
+    )
+    lerp = F.expr("((next_c - prev_c) * (day - prev_d)) div (next_d - prev_d)")
+    return anchored.select(
+        "user_id",
+        "bucket",
+        "is_gap",
+        F.when(F.col("obs").isNotNull(), F.col("obs"))
+        .when(
+            F.col("prev_c").isNotNull() & F.col("next_c").isNotNull(),
+            F.col("prev_c") + lerp,
+        )
+        .alias("cents_interp"),
+    )
