@@ -192,6 +192,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("stream_timer_timeout", 0),
     ("mine_assoc_rules", 0),
     ("timeseries_interpolate", 0),
+    ("mm_image_histogram", 0),
 ]
 
 

@@ -491,3 +491,58 @@ def test_interpolate_plan_pruned_scan_no_cartesian(spark, sf_dir):
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
     for rs in read_schemas(df):
         assert "props" not in rs and "event_type" not in rs
+
+
+# ---------------------------------------------------------------------------
+# mm_image_histogram (operators/multimodal.py)
+# ---------------------------------------------------------------------------
+
+
+def test_image_histogram_matches_exact_python_recompute(reg, spark, sf_dir):
+    """Closed-form recompute of every (doc_id, bucket, count) — a
+    distribution check, which catches pixel-PERMUTATION codec bugs the
+    existing pix_sum parity cannot."""
+    import numpy as np
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+    expect = {}
+    for d in docs["doc_id"].astype(int):
+        w, h = 8 + d % 16, 8 + (d * 7) % 16
+        xs, ys = np.arange(w), np.arange(h)
+        img = (d + 3 * xs[None, :] + 5 * ys[:, None]) % 256
+        counts = np.bincount(img.ravel() >> 4, minlength=16)
+        for b in np.nonzero(counts)[0]:
+            expect[(d, int(b))] = int(counts[b])
+    got = {
+        (r["doc_id"], r["bucket"]): r["n_in_bucket"]
+        for r in STAGED["mm_image_histogram"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    # the band-coverage property: small images must NOT light all buckets
+    per_doc = defaultdict(int)
+    for (d, _b) in got:
+        per_doc[d] += 1
+    assert min(per_doc.values()) < 16
+
+
+def test_image_histogram_counts_conserve_pixels(reg, spark, sf_dir):
+    """Σ bucket counts per image == width*height — histogram conservation,
+    independent of pixel values."""
+    rows = STAGED["mm_image_histogram"].fn(spark, sf_dir).collect()
+    per_doc = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["bucket"] < 16
+        per_doc[r["doc_id"]] += r["n_in_bucket"]
+    for d, tot in per_doc.items():
+        assert tot == (8 + d % 16) * (8 + (d * 7) % 16)
+
+
+def test_image_histogram_plan_single_fanout_exchange(spark, sf_dir):
+    """The mm codec-chassis invariant: exactly ONE round-robin fan-out
+    Exchange, zero data shuffles — the histogram reduction happens inside
+    the Arrow batch, never on the wire."""
+    from xml_to_parquet_spark.plans.inspect import physical_plan, shuffle_count
+
+    df = STAGED["mm_image_histogram"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 0
+    assert physical_plan(df).count("Exchange RoundRobinPartitioning") == 1

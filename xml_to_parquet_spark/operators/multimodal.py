@@ -1489,3 +1489,101 @@ def mm_audio_vad(spark, sf_dir):
         F.count(F.lit(1)).cast("bigint").alias("n_windows"),
         F.sum("loud").cast("bigint").alias("loud_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-image pixel histogram through the REAL PNG codec — the
+# feature-extraction histogram every vision-data pipeline computes
+# ---------------------------------------------------------------------------
+
+HIST_BUCKETS = 16  # 256 gray levels -> 16 buckets of 16 (val >> 4)
+
+
+def _encode_png_only_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.imagecodec import encode_png
+
+    for pdf in it:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            w, h = 8 + d % 16, 8 + (d * 7) % 16
+            xs, ys = np.arange(w), np.arange(h)
+            img = ((d + 3 * xs[None, :] + 5 * ys[:, None]) % 256).astype(np.uint8)
+            rows.append((d, encode_png(img)))
+        yield pd.DataFrame(rows, columns=["doc_id", "png"])
+
+
+def _histogram_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.imagecodec import decode_png
+
+    for pdf in it:
+        out_d, out_b, out_n = [], [], []
+        for d, png in zip(pdf["doc_id"], pdf["png"]):
+            arr = decode_png(bytes(png))
+            counts = np.bincount(
+                (arr.ravel() >> 4).astype("int64"), minlength=HIST_BUCKETS
+            )
+            nz = np.nonzero(counts)[0]
+            out_d.extend([int(d)] * len(nz))
+            out_b.extend(int(b) for b in nz)
+            out_n.extend(int(counts[b]) for b in nz)
+        yield pd.DataFrame(
+            {"doc_id": out_d, "bucket": out_b, "n_in_bucket": out_n}
+        )
+
+
+@register_staged(
+    "mm_image_histogram",
+    """
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS width, 8 + (doc_id * 7) % 16 AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id,
+             (doc_id + 3 * (t.i % width) + 5 * (t.i // width)) % 256 AS val
+      FROM dims, LATERAL unnest(range(0, width * height)) AS t(i)
+    )
+    SELECT doc_id, val // 16 AS bucket, CAST(count(*) AS BIGINT) AS n_in_bucket
+    FROM px GROUP BY 1, 2
+    """,
+)
+def mm_image_histogram(spark, sf_dir):
+    """Per-image intensity HISTOGRAM through the real codec — the
+    summary every vision-data curation pipeline computes per asset
+    (exposure/contrast gates, dedup pre-features, collection dashboards):
+    encode each doc's deterministic grayscale image to genuine PNG bytes,
+    decode them back (inflate + scanline-filter undo), and emit one
+    (doc_id, bucket, count) row per NON-EMPTY 16-level bucket — long
+    format, like mm_feature_extract, so every cell is a hashable scalar.
+    np.bincount over the decoded array is the vectorized per-image step;
+    empty buckets are omitted on both sides (GROUP BY over pixels never
+    sees them), which is itself signal: the formula images cover only a
+    ~56-value band, so small images light up few buckets. The oracle
+    recomputes the histogram from the closed-form pixel formula, so any
+    codec defect (chunk parse, inflate, filter reconstruction) breaks
+    value parity — same proof obligation as mm_decode_png, different
+    reduction (distribution, not sum: a histogram catches pixel
+    PERMUTATION bugs that pix_sum cannot).
+
+    Scale shape: the mm codec chassis — one doc_id-only fan-out Exchange
+    decouples codec CPU from scan splits (plan-pinned family invariant),
+    both codec stages are map-only mapInPandas, and the histogram needs
+    NO shuffle at all (per-image reduction inside the Arrow batch; the
+    long-format explode is row-local). At 100 TB the whole operator is
+    embarrassingly parallel."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    encoded = docs.mapInPandas(
+        _encode_png_only_batches, schema="doc_id bigint, png binary"
+    )
+    return encoded.mapInPandas(
+        _histogram_batches,
+        schema="doc_id bigint, bucket bigint, n_in_bucket bigint",
+    )
