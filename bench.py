@@ -110,6 +110,11 @@ Round-10 measurement work (VERDICT r9 #2/#3):
     a lone CPU-bound swing with no code change as a measurement sample,
     not a regression. Rule learned this round: NEVER run other Spark
     work concurrently with bench (one r10 run was discarded for this).
+(c) late-r10 clean run (quiet machine, after the 6 new staged ops
+    landed — none of them touch bench code paths): 69.07s over 50
+    entries; bpe 3.189 (recycle fix still expressing), q21 3.183,
+    hnsw 5.585, sim_pipeline 5.431 — all inside the revised noise
+    envelope vs the two reference runs above.
 """
 
 from __future__ import annotations
