@@ -193,6 +193,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("mine_assoc_rules", 0),
     ("timeseries_interpolate", 0),
     ("mm_image_histogram", 0),
+    ("text_winnow_fingerprint", 0),
 ]
 
 

@@ -546,3 +546,80 @@ def test_image_histogram_plan_single_fanout_exchange(spark, sf_dir):
     df = STAGED["mm_image_histogram"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0
     assert physical_plan(df).count("Exchange RoundRobinPartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# text_winnow_fingerprint (operators/text.py)
+# ---------------------------------------------------------------------------
+
+
+def _winnow_recompute(sf_dir):
+    import hashlib
+
+    from xml_to_parquet_spark.operators.text import WIN_K, WIN_W
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = set()
+    sel_by_doc = defaultdict(set)
+    for d, text in zip(docs["doc_id"].astype(int), docs["text"]):
+        words = text.split(" ")
+        grams = [
+            " ".join(words[i : i + WIN_K]) for i in range(len(words) - WIN_K + 1)
+        ]
+        hs = [
+            int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in grams
+        ]
+        for e in range(WIN_W - 1, len(hs)):
+            lo = e - WIN_W + 1
+            mh = min(hs[lo : e + 1])
+            pos = max(i for i in range(lo, e + 1) if hs[i] == mh)  # rightmost
+            out.add((d, pos, hs[pos]))
+            sel_by_doc[d].add(pos)
+    return out, sel_by_doc
+
+
+def test_winnow_matches_exact_python_recompute(reg, spark, sf_dir):
+    expect, _sel = _winnow_recompute(sf_dir)
+    got = {
+        (r["doc_id"], r["pos"], r["fp"])
+        for r in STAGED["text_winnow_fingerprint"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+
+
+def test_winnow_local_cover_guarantee_and_density(reg, spark, sf_dir):
+    """The winnowing theorem: every window of WIN_W consecutive k-grams
+    contains at least one selected fingerprint position (so any shared
+    run of >= WIN_W + WIN_K - 1 words is guaranteed to share a
+    fingerprint), and the expected density is ~2/(W+1) of k-grams —
+    check selected <= k-grams and >= the per-window floor."""
+    from xml_to_parquet_spark.operators.text import WIN_K, WIN_W
+
+    _expect, sel_by_doc = _winnow_recompute(sf_dir)
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    n_words = {
+        int(d): len(t.split(" ")) for d, t in zip(docs["doc_id"], docs["text"])
+    }
+    rows = STAGED["text_winnow_fingerprint"].fn(spark, sf_dir).collect()
+    got_by_doc = defaultdict(set)
+    for r in rows:
+        got_by_doc[r["doc_id"]].add(r["pos"])
+    for d, picks in got_by_doc.items():
+        n_g = n_words[d] - WIN_K + 1
+        for e in range(WIN_W - 1, n_g):
+            assert any(e - WIN_W + 1 <= p <= e for p in picks), (d, e)
+
+
+def test_winnow_plan_single_doc_exchange(spark, sf_dir):
+    """The whole chain — lead() windows, the bounded x W membership
+    explode, the per-window MIN, the final distinct — must ride ONE
+    doc_id hash exchange (HashPartitioning(doc_id) satisfies the
+    (doc_id, wend) aggregate and the 3-column distinct by the subset
+    rule); a second exchange means a clustering regression."""
+    from xml_to_parquet_spark.plans.inspect import node_counts, shuffle_count
+
+    df = STAGED["text_winnow_fingerprint"].fn(spark, sf_dir)
+    assert shuffle_count(df) == 1
+    n = node_counts(df)
+    assert n.get("CartesianProduct", 0) == 0
+    assert n.get("BroadcastNestedLoopJoin", 0) == 0

@@ -1267,3 +1267,136 @@ def text_cdc_chunking(spark, sf_dir):
             .alias("chash"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing document fingerprints (Schleimer–Wilkerson–Aiken, SIGMOD'03 —
+# the MOSS algorithm): the fingerprint SELECTION step the rolling-hash /
+# substring tiers don't cover
+# ---------------------------------------------------------------------------
+
+WIN_K = 3  # words per k-gram
+WIN_W = 4  # k-grams per winnowing window
+WIN_POS = 1 << 20  # position packing base: key = h * WIN_POS + (flipped pos)
+
+
+def _winnow_oracle() -> str:
+    from xml_to_parquet_spark.operators.dedup import _hexval
+
+    h = _hexval("md5(g)", "strpos")
+    return f"""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS arr FROM documents
+    ), d2 AS (
+      SELECT doc_id, arr, len(arr) AS n FROM d
+    ), t AS (
+      SELECT doc_id, n, r.i AS idx, arr[r.i + 1] AS w
+      FROM d2, LATERAL unnest(range(0, n)) AS r(i)
+    ), led AS (
+      SELECT doc_id, n, idx,
+             w || ' ' || lead(w, 1) OVER win || ' ' || lead(w, 2) OVER win AS g
+      FROM t WINDOW win AS (PARTITION BY doc_id ORDER BY idx)
+    ), kg AS (
+      SELECT doc_id, n, idx AS gidx,
+             CAST({h} AS BIGINT) AS h
+      FROM led WHERE idx <= n - {WIN_K}
+    ), keyed AS (
+      SELECT doc_id, n, gidx,
+             h * {WIN_POS} + ({WIN_POS} - 1 - gidx) AS key
+      FROM kg
+    ), fanned AS (
+      SELECT doc_id, key,
+             unnest(range(gidx, least(gidx + {WIN_W}, n - {WIN_K} + 1)))
+                 AS wend
+      FROM keyed
+    ), sel AS (
+      SELECT doc_id, wend, min(key) AS mk
+      FROM fanned WHERE wend >= {WIN_W} - 1
+      GROUP BY 1, 2
+    )
+    SELECT DISTINCT doc_id,
+           {WIN_POS} - 1 - (mk % {WIN_POS}) AS pos,
+           mk // {WIN_POS} AS fp
+    FROM sel
+    """
+
+
+@register_staged("text_winnow_fingerprint", _winnow_oracle())
+def text_winnow_fingerprint(spark, sf_dir):
+    """WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken,
+    SIGMOD'03 — the MOSS plagiarism-detector algorithm): hash every
+    WIN_K-word k-gram, slide a WIN_W-gram window, and keep each window's
+    MINIMUM hash (ties → rightmost position, the robust-winnowing rule);
+    deduplicated (doc_id, pos, fp) rows are the document's fingerprint
+    set. Completes the dedup ladder's selection story: rolling-hash /
+    MinHash sample fingerprints GLOBALLY per doc, winnowing GUARANTEES
+    every match of length >= W+K-1 words shares a fingerprint (the
+    local-cover guarantee, pytest-pinned) at density ~2/(W+1) — the
+    property content-plagiarism and near-dup span detection need.
+    Cross-engine exactness: hashes are the md5 _hexval device, and the
+    argmin-with-rightmost-tie collapses to ONE integer min via key
+    packing h·2^20 + (2^20−1−pos) (h < 2^32 so key < 2^52, exact int64;
+    min key ⇔ min hash, then max position) — a plain combinable MIN, no
+    struct ordering or min_by dialect hazards.
+
+    Scale shape: tokenize → two lead() window columns on one doc-keyed
+    sort, a bounded ×W window-membership explode (the
+    join_interval_overlap device — never a range join), then a
+    combinable (doc, window) MIN and a distinct — both partial-aggregate
+    map-side before their exchange. Per-doc cost is linear in words ×
+    W; nothing is quadratic, nothing collects. At 100 TB the doc-keyed
+    exchange is the only data movement, identical to the chunking ops'
+    chassis."""
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split("text", " ").alias("arr")
+    )
+    toks = docs.select(
+        "doc_id",
+        F.size("arr").alias("n"),
+        F.posexplode("arr").alias("idx", "w"),
+    )
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy("doc_id").orderBy("idx")
+    led = toks.select(
+        "doc_id",
+        "n",
+        "idx",
+        F.concat_ws(
+            " ", "w", F.lead("w", 1).over(win), F.lead("w", 2).over(win)
+        ).alias("g"),
+    )
+    from xml_to_parquet_spark.operators.dedup import _hexval
+
+    kg = led.filter(F.col("idx") <= F.col("n") - WIN_K).select(
+        "doc_id",
+        "n",
+        F.col("idx").alias("gidx"),
+        F.expr(f"CAST({_hexval('md5(g)', 'instr')} AS BIGINT)").alias("h"),
+    )
+    keyed = kg.select(
+        "doc_id",
+        "n",
+        "gidx",
+        (F.col("h") * WIN_POS + (WIN_POS - 1 - F.col("gidx"))).alias("key"),
+    )
+    fanned = keyed.select(
+        "doc_id",
+        "key",
+        F.explode(
+            F.sequence(
+                "gidx",
+                F.least(F.col("gidx") + (WIN_W - 1), F.col("n") - WIN_K),
+            )
+        ).alias("wend"),
+    )
+    sel = (
+        fanned.filter(F.col("wend") >= WIN_W - 1)
+        .groupBy("doc_id", "wend")
+        .agg(F.min("key").alias("mk"))
+    )
+    return sel.select(
+        "doc_id",
+        (WIN_POS - 1 - F.col("mk") % WIN_POS).alias("pos"),
+        F.expr(f"mk div {WIN_POS}").alias("fp"),
+    ).distinct()
