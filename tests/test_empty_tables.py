@@ -194,6 +194,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("timeseries_interpolate", 0),
     ("mm_image_histogram", 0),
     ("text_winnow_fingerprint", 0),
+    ("dq_mann_whitney", 0),
 ]
 
 

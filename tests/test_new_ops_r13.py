@@ -623,3 +623,59 @@ def test_winnow_plan_single_doc_exchange(spark, sf_dir):
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# dq_mann_whitney (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def _mw_recompute(events_pd):
+    """Midrank U via the textbook formulation: assign each observation its
+    average rank in the combined sample, sum per group — an entirely
+    different formulation from the op's counts-grid algebra."""
+    ev = events_pd[events_pd["value"].notna()]
+    cents = (ev["value"] * 100).round().astype("int64")
+    out = {}
+    ref_vals = sorted(cents[ev["event_type"] == KS_REF_TYPE])
+    for t in sorted(set(ev["event_type"]) - {KS_REF_TYPE}):
+        cur_vals = sorted(cents[ev["event_type"] == t])
+        n1, n2 = len(ref_vals), len(cur_vals)
+        if not n1 or not n2:
+            continue
+        combined = sorted(ref_vals + cur_vals)
+        # 2x average rank per value (1-based ranks)
+        first = {}
+        for i, v in enumerate(combined):
+            first.setdefault(v, i + 1)
+        from collections import Counter
+
+        cnt = Counter(combined)
+        two_rank = {v: 2 * first[v] + cnt[v] - 1 for v in cnt}
+        r2_ref = sum(two_rank[v] for v in ref_vals)
+        r2_cur = sum(two_rank[v] for v in cur_vals)
+        u2_ref = r2_ref - n1 * (n1 + 1)
+        u2_cur = r2_cur - n2 * (n2 + 1)
+        out[t] = (n1, n2, u2_ref, u2_cur, round(u2_cur / (2 * n1 * n2), 6))
+    return out
+
+
+def test_mann_whitney_matches_exact_python_recompute(reg, spark, sf_dir, events_pd):
+    got = {
+        r["event_type"]: (
+            r["n_ref"], r["n_cur"], r["u2_ref"], r["u2_cur"], r["cles"]
+        )
+        for r in STAGED["dq_mann_whitney"].fn(spark, sf_dir).collect()
+    }
+    assert got == _mw_recompute(events_pd)
+
+
+def test_mann_whitney_self_checking_identity(reg, spark, sf_dir):
+    """Under midranks the identity U_ref + U_cur = n_ref*n_cur is EXACT
+    (ties included) — the statistic audits itself; and CLES is a
+    probability."""
+    rows = STAGED["dq_mann_whitney"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["u2_ref"] + r["u2_cur"] == 2 * r["n_ref"] * r["n_cur"]
+        assert 0.0 <= r["cles"] <= 1.0

@@ -2556,3 +2556,148 @@ def timeseries_interpolate(spark, sf_dir):
         )
         .alias("cents_interp"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann–Whitney rank-sum test — the rank-based two-sample companion to
+# dq_ks_distance (KS asks "do the CDFs differ anywhere"; U asks "does one
+# sample stochastically dominate")
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "dq_mann_whitney",
+    f"""
+    WITH ev AS (
+      SELECT event_type, CAST(round(value * 100) AS BIGINT) AS x
+      FROM events WHERE value IS NOT NULL
+    ),
+    ref AS (
+      SELECT x, CAST(count(*) AS BIGINT) AS cref
+      FROM ev WHERE event_type = '{KS_REF_TYPE}' GROUP BY 1
+    ),
+    cur AS (
+      SELECT event_type, x, CAST(count(*) AS BIGINT) AS ccur
+      FROM ev WHERE event_type <> '{KS_REF_TYPE}' GROUP BY 1, 2
+    ),
+    types AS (SELECT DISTINCT event_type FROM cur),
+    grid AS (
+      SELECT event_type, x,
+             CAST(sum(cref) AS BIGINT) AS cref,
+             CAST(sum(ccur) AS BIGINT) AS ccur
+      FROM (
+        SELECT t.event_type, r.x, r.cref, CAST(0 AS BIGINT) AS ccur
+        FROM types t, ref r
+        UNION ALL
+        SELECT event_type, x, CAST(0 AS BIGINT) AS cref, ccur FROM cur
+      ) GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, x, cref, ccur,
+             CAST(sum(cref + ccur) OVER (PARTITION BY event_type ORDER BY x
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  AS BIGINT) AS below
+      FROM grid
+    ),
+    agg AS (
+      SELECT event_type,
+             CAST(sum(cref) AS BIGINT) AS n_ref,
+             CAST(sum(ccur) AS BIGINT) AS n_cur,
+             CAST(sum(cref * (2 * COALESCE(below, 0) + (cref + ccur) + 1))
+                  AS BIGINT) AS r2_ref,
+             CAST(sum(ccur * (2 * COALESCE(below, 0) + (cref + ccur) + 1))
+                  AS BIGINT) AS r2_cur
+      FROM ranked GROUP BY 1
+    )
+    SELECT event_type, n_ref, n_cur,
+           r2_ref - n_ref * (n_ref + 1) AS u2_ref,
+           r2_cur - n_cur * (n_cur + 1) AS u2_cur,
+           round((r2_cur - n_cur * (n_cur + 1)) / (2 * n_ref * n_cur), 6)
+               AS cles
+    FROM agg WHERE n_ref > 0 AND n_cur > 0
+    """,
+)
+def dq_mann_whitney(spark, sf_dir):
+    """EXACT Mann–Whitney U (Wilcoxon rank-sum) per event type vs the
+    reference distribution — the rank-based location-shift companion to
+    dq_ks_distance's sup-CDF statistic. Tie handling is midrank-exact
+    without a single float: with counts per distinct value, twice the
+    average rank of value x is 2·below(x) + c(x) + 1 (an integer), so
+    2R = Σ c_s(x)·(2·below + c + 1) and 2U = 2R − n_s(n_s+1) are exact
+    int64 in both engines; the common-language effect size
+    CLES = U/(n_ref·n_cur) = P(cur > ref) + ½P(cur = ref) is the ONE
+    float — a division of identical integers, LAST. The engine emits
+    BOTH sides' 2U; their identity 2U_ref + 2U_cur = 2·n_ref·n_cur holds
+    exactly under midranks and is pytest-pinned (a self-checking
+    statistic). below(x) is a prefix-exclusive running sum (window to
+    1 PRECEDING); totals and the R2 reduction ride the same grouped
+    aggregate.
+
+    Scale shape: identical to dq_ks_distance — the raw table collapses
+    through a combinable (type, value-cent) groupBy FIRST, so the window
+    and final aggregate see the bounded value GRID, not event rows; at
+    100 TB the only data-sized operation is the first partial-aggregated
+    count. One-sided corpora emit nothing (n gates), matching the
+    oracle."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("x"),
+        )
+    )
+    ref = (
+        ev.filter(F.col("event_type") == KS_REF_TYPE)
+        .groupBy("x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cref"))
+    )
+    cur = (
+        ev.filter(F.col("event_type") != KS_REF_TYPE)
+        .groupBy("event_type", "x")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ccur"))
+    )
+    types = cur.select("event_type").distinct()
+    grid = (
+        F.broadcast(types)
+        .crossJoin(ref)
+        .select(
+            "event_type", "x", "cref", F.lit(0).cast("bigint").alias("ccur")
+        )
+        .unionByName(
+            cur.select(
+                "event_type", "x", F.lit(0).cast("bigint").alias("cref"), "ccur"
+            )
+        )
+        .groupBy("event_type", "x")
+        .agg(F.sum("cref").alias("cref"), F.sum("ccur").alias("ccur"))
+    )
+    wbelow = (
+        W.partitionBy("event_type")
+        .orderBy("x")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    ranked = grid.withColumn(
+        "below",
+        F.coalesce(
+            F.sum(F.col("cref") + F.col("ccur")).over(wbelow),
+            F.lit(0).cast("bigint"),
+        ),
+    )
+    two_avg_rank = 2 * F.col("below") + (F.col("cref") + F.col("ccur")) + 1
+    agg = ranked.groupBy("event_type").agg(
+        F.sum("cref").cast("bigint").alias("n_ref"),
+        F.sum("ccur").cast("bigint").alias("n_cur"),
+        F.sum(F.col("cref") * two_avg_rank).cast("bigint").alias("r2_ref"),
+        F.sum(F.col("ccur") * two_avg_rank).cast("bigint").alias("r2_cur"),
+    )
+    u2_ref = F.col("r2_ref") - F.col("n_ref") * (F.col("n_ref") + 1)
+    u2_cur = F.col("r2_cur") - F.col("n_cur") * (F.col("n_cur") + 1)
+    return agg.filter((F.col("n_ref") > 0) & (F.col("n_cur") > 0)).select(
+        "event_type",
+        "n_ref",
+        "n_cur",
+        u2_ref.alias("u2_ref"),
+        u2_cur.alias("u2_cur"),
+        F.round(u2_cur / (2 * F.col("n_ref") * F.col("n_cur")), 6).alias("cles"),
+    )
