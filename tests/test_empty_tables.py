@@ -195,6 +195,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("mm_image_histogram", 0),
     ("text_winnow_fingerprint", 0),
     ("dq_mann_whitney", 0),
+    ("er_fellegi_sunter", 0),
 ]
 
 

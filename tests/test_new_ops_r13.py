@@ -679,3 +679,106 @@ def test_mann_whitney_self_checking_identity(reg, spark, sf_dir):
     for r in rows:
         assert r["u2_ref"] + r["u2_cur"] == 2 * r["n_ref"] * r["n_cur"]
         assert 0.0 <= r["cles"] <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# er_fellegi_sunter (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def _lev(a, b):
+    if len(a) > len(b):
+        a, b = b, a
+    prev = list(range(len(a) + 1))
+    for j, cb in enumerate(b, 1):
+        cur = [j]
+        for i, ca in enumerate(a, 1):
+            cur.append(min(prev[i] + 1, cur[i - 1] + 1, prev[i - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def _fs_recompute(sf_dir):
+    import hashlib
+
+    from xml_to_parquet_spark.operators.dedup import (
+        FS_T_MATCH,
+        FS_T_POSSIBLE,
+        FS_W_CITY_DIFF,
+        FS_W_CITY_EXACT,
+        FS_W_NAME_CLOSE,
+        FS_W_NAME_DIFF,
+        FS_W_NAME_EXACT,
+        FS_W_PHONE_DIFF,
+        FS_W_PHONE_EXACT,
+    )
+
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()  # noqa: E731
+    clean = {}
+    for r in cust.itertuples():
+        k = int(r.c_custkey)
+        clean[k] = (r.c_name, md5(f"ph{k}")[:10], int(r.c_nationkey))
+    dirty = {}
+    for k, (name, phone, city) in clean.items():
+        if k % 4:
+            continue
+        if k % 12 == 0:
+            dname, dphone, dcity = name, phone, (city + 7) % 25
+        else:
+            p = 9 + k % 8  # 0-based split point == SQL's substr(name,1,9+k%8)
+            dname = name[:p] + md5(f"nm{k}")[0] + name[p + 1 :]
+            dphone = phone[:9] + "z" if k % 20 == 0 else phone
+            dcity = city
+        dirty[k] = (dname, dphone, dcity)
+    out = {}
+    for rid, (dn, dp, dc) in dirty.items():
+        for ck, (cn, cp, cc) in clean.items():
+            if dp[:2] != cp[:2]:
+                continue
+            a_name = 2 if dn == cn else (1 if _lev(dn, cn) <= 2 else 0)
+            a_phone = 1 if dp == cp else 0
+            a_city = 1 if dc == cc else 0
+            score = (
+                {2: FS_W_NAME_EXACT, 1: FS_W_NAME_CLOSE, 0: FS_W_NAME_DIFF}[a_name]
+                + (FS_W_PHONE_EXACT if a_phone else FS_W_PHONE_DIFF)
+                + (FS_W_CITY_EXACT if a_city else FS_W_CITY_DIFF)
+            )
+            dec = (
+                "match"
+                if score >= FS_T_MATCH
+                else "possible"
+                if score >= FS_T_POSSIBLE
+                else "non_match"
+            )
+            out[(rid, ck)] = (a_name, a_phone, a_city, score, dec)
+    return out
+
+
+def test_fellegi_sunter_matches_exact_python_recompute(reg, spark, sf_dir):
+    got = {
+        (r["rid"], r["cand_custkey"]): (
+            r["a_name"], r["a_phone"], r["a_city"], r["score"], r["decision"]
+        )
+        for r in STAGED["er_fellegi_sunter"].fn(spark, sf_dir).collect()
+    }
+    assert got == _fs_recompute(sf_dir)
+
+
+def test_fellegi_sunter_plant_classes_by_construction(reg, spark, sf_dir):
+    """The decision is evidence-weighted, not single-field: city-moved
+    and name-edited plants still land 'match'; the phone-moved plant
+    lands in the 'possible' review band; random same-block pairs are
+    'non_match' — every class populated, every plant classified
+    per its custkey arithmetic."""
+    rows = STAGED["er_fellegi_sunter"].fn(spark, sf_dir).collect()
+    self_pairs = {r["rid"]: r for r in rows if r["rid"] == r["cand_custkey"]}
+    n_cust = len(pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]))
+    for k in range(0, n_cust, 4):
+        r = self_pairs[k]
+        if k % 20 == 0 and k % 12 != 0:
+            assert r["decision"] == "possible", k
+        else:
+            assert r["decision"] == "match", k
+    classes = {r["decision"] for r in rows}
+    assert classes == {"match", "possible", "non_match"}
