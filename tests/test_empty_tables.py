@@ -196,6 +196,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("text_winnow_fingerprint", 0),
     ("dq_mann_whitney", 0),
     ("er_fellegi_sunter", 0),
+    ("graph_jaccard_neighbors", 0),
 ]
 
 

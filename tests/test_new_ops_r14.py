@@ -1,0 +1,87 @@
+"""Semantic tests for operators BUILT late in round 10 and staged for the
+r14 window rotation (r11 promotes the late-r9 alternates, r12 the eight
+r10-staged ops, r13 the ten late-r10 ops in tests/test_new_ops_r13.py).
+Same staging contract: invisible to queries() until promoted, and each op
+gets a FULL independent Python recompute — a third formulation checked
+against both the Spark implementation and the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+from decimal import ROUND_HALF_UP, Decimal
+
+import pandas as pd
+import pytest
+
+from xml_to_parquet_spark.registry import STAGED, load_all
+
+
+@pytest.fixture(scope="module")
+def reg():
+    return load_all()
+
+
+@pytest.fixture(scope="module")
+def lineitem_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+
+def _round6(x: float) -> float:
+    """Spark's F.round / DuckDB's round are HALF_UP on the shortest decimal
+    repr of the double; Python's round() is half-even — 33/128 = 0.2578125
+    really does land on the boundary, so the recompute must match."""
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def test_r14_staged_ops_hidden_from_driver_registry(reg):
+    for name in ("graph_jaccard_neighbors",):
+        assert name in STAGED and name not in reg
+
+
+# ---------------------------------------------------------------------------
+# graph_jaccard_neighbors (operators/graphs.py)
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_recompute(lineitem_pd):
+    """Exact per-edge neighborhood Jaccard, third formulation: plain
+    Python sets — no SQL, no triangle orientation, no window functions."""
+    baskets = defaultdict(set)
+    for o, p in zip(lineitem_pd["l_orderkey"], lineitem_pd["l_partkey"]):
+        baskets[o].add(p)
+    nbrs: dict[int, set[int]] = defaultdict(set)
+    edges = set()
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, a in enumerate(ps):
+            for b in ps[i + 1 :]:
+                edges.add((a, b))
+                nbrs[a].add(b)
+                nbrs[b].add(a)
+    out = {}
+    for u, v in edges:
+        common = len(nbrs[u] & nbrs[v])
+        union = len(nbrs[u]) + len(nbrs[v]) - common
+        out[(u, v)] = (common, len(nbrs[u]), len(nbrs[v]), _round6(common / union))
+    return out
+
+
+def test_jaccard_neighbors_matches_python_sets(spark, sf_dir, lineitem_pd, reg):
+    expected = _jaccard_recompute(lineitem_pd)
+    got = {
+        (r["u"], r["v"]): (r["common"], r["deg_u"], r["deg_v"], r["jaccard"])
+        for r in STAGED["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_jaccard_neighbors_invariants(spark, sf_dir, reg):
+    rows = STAGED["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["u"] < r["v"]
+        # v ∈ N(u) but v ∉ N(v): the shared-neighbor count excludes the
+        # endpoints, so it is strictly below min(deg) for an existing edge
+        assert 0 <= r["common"] <= min(r["deg_u"], r["deg_v"]) - 1
+        assert 0.0 <= r["jaccard"] < 1.0

@@ -771,3 +771,125 @@ def graph_link_predict(spark, sf_dir):
             F.round(F.col("ra_num") / LP_SCALE, 6).alias("ra_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# per-edge neighborhood Jaccard (edge embeddedness) over the co-occurrence
+# graph — the EXISTING-edge companion to graph_link_predict's non-edge
+# scores, and the statistic behind Jaccard graph sparsification
+# ---------------------------------------------------------------------------
+
+
+def _jaccard_neighbors_oracle() -> str:
+    return f"""
+    WITH {COOC_EDGES_CTE},
+    d AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS dd FROM d GROUP BY 1),
+    com AS (
+      SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS common
+      FROM e JOIN d a ON a.w = e.u
+             JOIN d b ON b.w = e.v AND b.x = a.x
+      GROUP BY 1, 2
+    )
+    SELECT e.u, e.v,
+           COALESCE(c.common, 0) AS common,
+           du.dd AS deg_u, dv.dd AS deg_v,
+           round(COALESCE(c.common, 0) /
+                 CAST(du.dd + dv.dd - COALESCE(c.common, 0) AS DOUBLE), 6)
+               AS jaccard
+    FROM e LEFT JOIN com c ON c.u = e.u AND c.v = e.v
+           JOIN deg du ON du.w = e.u
+           JOIN deg dv ON dv.w = e.v
+    """
+
+
+@register_staged("graph_jaccard_neighbors", _jaccard_neighbors_oracle())
+def graph_jaccard_neighbors(spark, sf_dir):
+    """Edge embeddedness: for every EXISTING co-occurrence edge (u, v),
+    the neighborhood Jaccard J = |N(u)∩N(v)| / |N(u)∪N(v)| — the score
+    behind Jaccard graph sparsification (Satuluri, Parthasarathy &
+    Ruan, SIGMOD'11 local sparsification) and the classic strong-tie /
+    weak-tie split: an edge whose endpoints share no other neighbors
+    (J = 0) is a bridge; an edge inside a dense community has J → 1.
+    graph_link_predict scores NON-adjacent pairs; this scores the edges
+    themselves. |N(u)∩N(v)| is exactly the number of triangles through
+    the edge (no self-loops, u ∉ N(u)), and |N(u)∪N(v)| =
+    deg(u) + deg(v) − |∩| by inclusion–exclusion, so everything up to
+    the final division is exact int64; the one float — J itself —
+    divides identical integers LAST and is round(6)ed in both engines.
+
+    Scale shape — per-edge triangle SUPPORT via the same degree-ordered
+    compact-forward orientation as graph_triangle_count (Suri &
+    Vassilvitskii's last-reducer fix): each triangle materializes once
+    as (s, d, c) from the √m-bounded forward-adjacency intersect, then
+    explodes into its exactly three constituent undirected edges, and a
+    map-side-combinable (u, v) count yields the support. Total fan-out
+    is 3·#triangles + m — linear in the output, never the Σ deg² wedge
+    blow-up the naive center-keyed formulation (which the small-scale
+    DuckDB oracle deliberately pays) hits on hub nodes. Degrees ride
+    two node-keyed equi-joins; the final assembly is one edge-keyed
+    left join (zero-support edges must surface with J = 0, so the
+    support join cannot be inner). Nothing is driver-side; an empty
+    corpus yields an empty edge list and an empty result."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    oriented = ed.select(
+        F.when(
+            F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+        .alias("e")
+    ).select("e.s", "e.d").localCheckpoint()
+    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
+    a_u = adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns"))
+    a_v = adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nd"))
+    # one row per triangle (s, d, c): s→d, s→c, d→c all forward edges
+    tri = (
+        oriented.join(a_u, "s")
+        .join(a_v, "d")
+        .select("s", "d", F.explode(F.array_intersect("ns", "nd")).alias("c"))
+    )
+    # each triangle supports exactly its three undirected edges; orientation
+    # guarantees s<d, s<c, d<c in the (deg, id) order but NOT in raw id
+    # order, so canonicalize with least/greatest before counting
+    incid = (
+        tri.select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .unionAll(tri.select(F.col("s").alias("a"), F.col("c").alias("b")))
+        .unionAll(tri.select(F.col("d").alias("a"), F.col("c").alias("b")))
+        .select(
+            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
+        )
+    )
+    support = incid.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("common")
+    )
+    joined = (
+        edges.join(support, ["u", "v"], "left")
+        .join(du, "u")
+        .join(dv, "v")
+        .select(
+            "u",
+            "v",
+            F.coalesce("common", F.lit(0).cast("bigint")).alias("common"),
+            F.col("du").alias("deg_u"),
+            F.col("dv").alias("deg_v"),
+        )
+    )
+    union_sz = F.col("deg_u") + F.col("deg_v") - F.col("common")
+    return joined.select(
+        "u",
+        "v",
+        "common",
+        "deg_u",
+        "deg_v",
+        F.round(F.col("common") / union_sz.cast("double"), 6).alias("jaccard"),
+    )
