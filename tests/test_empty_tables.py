@@ -197,6 +197,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("dq_mann_whitney", 0),
     ("er_fellegi_sunter", 0),
     ("graph_jaccard_neighbors", 0),
+    ("dedup_containment_incremental", 0),
 ]
 
 

@@ -85,3 +85,106 @@ def test_jaccard_neighbors_invariants(spark, sf_dir, reg):
         # endpoints, so it is strictly below min(deg) for an existing edge
         assert 0 <= r["common"] <= min(r["deg_u"], r["deg_v"]) - 1
         assert 0.0 <= r["jaccard"] < 1.0
+
+
+# ---------------------------------------------------------------------------
+# dedup_containment_incremental (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def documents_pd(sf_dir):
+    return pd.read_parquet(f"{sf_dir}/documents.parquet")
+
+
+def _containment_recompute(documents_pd):
+    """Third formulation: plain Python sets over re-split tokens — no SQL,
+    no joins, no persisted index."""
+    import re
+
+    shingles: dict[int, set[str]] = {}
+    source: dict[int, str] = {}
+    for r in documents_pd.itertuples():
+        toks = re.split(r"\s+", r.text.lower())
+        if len(toks) < 3:
+            continue
+        source[r.doc_id] = r.source
+        shingles[r.doc_id] = {
+            " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+        }
+    # index-side hot stoplist: df > 100 within (source, shingle)
+    df = defaultdict(int)
+    for d, sh in shingles.items():
+        if d % 3 != 0:
+            for s in sh:
+                df[(source[d], s)] += 1
+    hot = {k for k, v in df.items() if v > 100}
+    filt = {
+        d: {s for s in sh if (source[d], s) not in hot}
+        for d, sh in shingles.items()
+    }
+    out = {}
+    for b, bs in filt.items():
+        if b % 3 != 0 or not bs:
+            continue
+        for ix, xs in filt.items():
+            if ix % 3 == 0 or source[ix] != source[b]:
+                continue
+            n = len(bs & xs)
+            if n:
+                out[(b, ix)] = (n, len(bs), _round6(round(n / len(bs), 8)))
+    return out
+
+
+def test_containment_incremental_matches_python_sets(
+    spark, sf_dir, documents_pd, reg
+):
+    expected = {
+        k: (v[0], v[1]) for k, v in _containment_recompute(documents_pd).items()
+    }
+    rows = STAGED["dedup_containment_incremental"].fn(spark, sf_dir).collect()
+    got = {
+        (r["batch_doc"], r["index_doc"]): (r["n_inter"], r["n_sh"])
+        for r in rows
+    }
+    assert got == expected
+    # scores: recompute with HALF_UP at 4 decimals
+    from decimal import ROUND_HALF_UP, Decimal
+
+    for r in rows:
+        want = float(
+            Decimal(repr(r["n_inter"] / r["n_sh"])).quantize(
+                Decimal("0.0001"), ROUND_HALF_UP
+            )
+        )
+        assert r["containment"] == want
+
+
+def test_containment_incremental_interrupted_build_reruns(spark, sf_dir, reg):
+    """A partial artifact (directory exists, no _SUCCESS) must be rebuilt,
+    and the stoplist/index artifacts are guarded INDIVIDUALLY — the
+    per-artifact pattern ADVICE r10 prescribed for the lake ops."""
+    import os
+    import shutil
+
+    from xml_to_parquet_spark.io_paths import committed, scratch_dir
+
+    fn = STAGED["dedup_containment_incremental"].fn
+    baseline = {
+        (r["batch_doc"], r["index_doc"]): r["n_inter"]
+        for r in fn(spark, sf_dir).collect()
+    }
+    idx_dir = scratch_dir(sf_dir, "containment_shingle_index")
+    assert committed(idx_dir)
+    # simulate an interrupted index write: strip the commit marker but
+    # leave partial files behind
+    os.remove(os.path.join(idx_dir, "_SUCCESS"))
+    for f in os.listdir(idx_dir)[:1]:
+        p = os.path.join(idx_dir, f)
+        (shutil.rmtree if os.path.isdir(p) else os.remove)(p)
+    again = {
+        (r["batch_doc"], r["index_doc"]): r["n_inter"]
+        for r in fn(spark, sf_dir).collect()
+    }
+    assert committed(idx_dir)
+    assert again == baseline

@@ -1675,3 +1675,157 @@ def er_fellegi_sunter(spark, sf_dir):
         .when(F.col("score") >= FS_T_POSSIBLE, F.lit("possible"))
         .otherwise(F.lit("non_match")),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental containment probe — dedup_containment's asymmetric score on
+# dedup_minhash_incremental's persisted-index lifecycle
+# ---------------------------------------------------------------------------
+
+# Corpus split for the containment index. NOT the %10 split the minhash
+# index uses: the synthetic corpus plants every near-duplicate pair at a
+# doc_id delta divisible by 10 (measured: all overlapping pairs have
+# doc_a ≡ doc_b mod 10 at every SF), so a %10 batch/index split would
+# never see a planted overlap cross it. The mod-3 split crosses 259 of
+# the 1136 filtered candidate pairs at sf0.01 — including the one
+# genuine containment pair (387 ⊂ 107).
+CONT_INCR_BATCH_PRED = "doc_id % 3 = 0"
+CONT_INCR_INDEX_PRED = "doc_id % 3 <> 0"
+
+
+def _cont_shingles(spark, sf_dir, where: str):
+    docs = (
+        table(spark, sf_dir, "documents")
+        .filter(where)
+        .select("doc_id", "source", F.expr(TOKENS_SQL).alias("toks"))
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return docs.filter(F.size("toks") >= 3).select(
+        "doc_id",
+        "source",
+        F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
+    )
+
+
+def _containment_incremental_oracle() -> str:
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, source, {TOKENS_DUCK} AS toks FROM documents
+    ), sh0 AS (
+      SELECT doc_id, source, unnest(list_distinct({shingles_duck(3)})) AS shingle
+      FROM tok WHERE len(toks) >= 3
+    ), hot AS (
+      SELECT source, shingle FROM sh0 WHERE {CONT_INCR_INDEX_PRED}
+      GROUP BY 1, 2 HAVING count(*) > 100
+    ), sh AS (
+      SELECT s.* FROM sh0 s LEFT JOIN hot h USING (source, shingle)
+      WHERE h.shingle IS NULL
+    ), sizes AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_sh FROM sh
+      WHERE {CONT_INCR_BATCH_PRED} GROUP BY 1
+    ), inter AS (
+      SELECT b.doc_id AS batch_doc, ix.doc_id AS index_doc,
+             CAST(count(*) AS BIGINT) AS n_inter
+      FROM sh b JOIN sh ix ON b.source = ix.source AND b.shingle = ix.shingle
+      WHERE b.{CONT_INCR_BATCH_PRED} AND ix.{CONT_INCR_INDEX_PRED}
+      GROUP BY 1, 2
+    )
+    SELECT batch_doc, index_doc, n_inter, sa.n_sh,
+           round(n_inter / CAST(sa.n_sh AS DOUBLE), 4) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = batch_doc
+    """
+
+
+@register_staged(
+    "dedup_containment_incremental", _containment_incremental_oracle()
+)
+def dedup_containment_incremental(spark, sf_dir):
+    """Incremental CONTAINMENT probe — dedup_containment's asymmetric
+    C(batch, indexed) = |A∩B| / |A| on dedup_minhash_incremental's
+    build-once / probe-many index lifecycle. A streaming-ingest pipeline
+    cannot re-shingle 100 TB per arriving batch; here the standing
+    corpus is shingled ONCE into two persisted artifacts — (a) the
+    hot-shingle stoplist (index-side df > 100: corpus-stable, so a
+    batch never flips a shingle's hotness retroactively) and (b) the
+    stoplist-filtered inverted shingle index — and each batch shingles
+    only ITS documents, drops the PERSISTED stoplist's shingles, and
+    equi-joins the persisted index on (source, shingle). Output: every
+    (batch doc, indexed doc) candidate with the overlap count, the
+    batch doc's filtered shingle count, and containment = n_inter/n_sh
+    (a division of identical int64s, round(4)ed LAST) — unthresholded,
+    because the escalation cut is policy (dedup_containment applies
+    0.5) while the probe's contract is the scored candidate set.
+
+    Both artifacts carry their own _SUCCESS guard, written stoplist
+    FIRST (the index derives from it): an interrupted build re-runs the
+    missing artifact and never serves a stoplist/index mismatch — the
+    per-artifact pattern lake_manifest_prune uses (ADVICE r10).
+
+    Scale shape: batch shingling is map-only over the batch
+    (corpus-size independent); the probe is a (source, shingle)
+    equi-join whose broadcast/shuffle choice AQE makes from the BATCH
+    side; the candidate aggregate partial-combines map-side keyed on
+    the pair. In steady state a graded batch's own shingles append to
+    the index (same layout, append mode) — O(batch), never a rebuild.
+    The split constant is mod-3, not minhash's mod-10: the corpus
+    plants ALL near-dup pairs at id deltas ≡ 0 (mod 10), so a %10
+    split structurally cannot cross one (measured at every SF)."""
+    from xml_to_parquet_spark.io_paths import committed as _committed
+    from xml_to_parquet_spark.io_paths import scratch_dir as _scratch
+
+    hot_dir = _scratch(sf_dir, "containment_hot_stoplist")
+    idx_dir = _scratch(sf_dir, "containment_shingle_index")
+    idx_sh = _cont_shingles(spark, sf_dir, CONT_INCR_INDEX_PRED)
+    if not _committed(hot_dir):
+        (
+            idx_sh.groupBy("source", "shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > 100)
+            .select("source", "shingle")
+            .write.mode("overwrite")
+            .parquet(hot_dir)
+        )
+    hot = spark.read.schema("source string, shingle string").parquet(hot_dir)
+    if not _committed(idx_dir):
+        (
+            idx_sh.join(hot, ["source", "shingle"], "left_anti")
+            # cluster by shingle so probe-side row-group min/max stats
+            # prune; at real scale this is a hash-bucket layout
+            .repartition("source", "shingle")
+            .write.mode("overwrite")
+            .parquet(idx_dir)
+        )
+    index = spark.read.schema(
+        "doc_id bigint, source string, shingle string"
+    ).parquet(idx_dir)
+    batch = _cont_shingles(spark, sf_dir, CONT_INCR_BATCH_PRED).join(
+        hot, ["source", "shingle"], "left_anti"
+    )
+    sizes = batch.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    inter = (
+        batch.join(
+            index.select(
+                F.col("doc_id").alias("index_doc"), "source", "shingle"
+            ),
+            ["source", "shingle"],
+        )
+        .groupBy(F.col("doc_id").alias("batch_doc"), "index_doc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    return (
+        inter.join(
+            sizes.select(F.col("doc_id").alias("batch_doc"), "n_sh"),
+            "batch_doc",
+        )
+        .select(
+            "batch_doc",
+            "index_doc",
+            "n_inter",
+            "n_sh",
+            F.round(F.col("n_inter") / F.col("n_sh").cast("double"), 4).alias(
+                "containment"
+            ),
+        )
+    )
