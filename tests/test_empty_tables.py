@@ -198,6 +198,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("er_fellegi_sunter", 0),
     ("graph_jaccard_neighbors", 0),
     ("dedup_containment_incremental", 0),
+    ("dq_benford", 0),
 ]
 
 

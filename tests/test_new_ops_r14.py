@@ -188,3 +188,56 @@ def test_containment_incremental_interrupted_build_reruns(spark, sf_dir, reg):
     }
     assert committed(idx_dir)
     assert again == baseline
+
+
+# ---------------------------------------------------------------------------
+# dq_benford (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def _benford_recompute(lineitem_pd, orders_pd):
+    """Third formulation: math.log10 directly (the implementation embeds
+    frozen 12-decimal literals instead — agreement here proves the freeze
+    loses nothing at the 6-decimal output precision)."""
+    import math
+
+    out = {}
+    for label, series in (
+        ("l_extendedprice", lineitem_pd["l_extendedprice"]),
+        ("o_totalprice", orders_pd["o_totalprice"]),
+    ):
+        vals = [int(v) for v in series if v >= 1]
+        obs = defaultdict(int)
+        for v in vals:
+            obs[int(str(v)[0])] += 1
+        n = sum(obs.values())
+        for d, o in obs.items():
+            exp = n * float(f"{math.log10(1 + 1 / d):.12f}")
+            out[(label, d)] = (
+                o,
+                n,
+                _round6(exp),
+                _round6((o - exp) ** 2 / exp),
+            )
+    return out
+
+
+def test_benford_matches_python(spark, sf_dir, lineitem_pd, reg):
+    orders_pd = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    expected = _benford_recompute(lineitem_pd, orders_pd)
+    got = {
+        (r["col"], r["digit"]): (r["obs"], r["n"], r["exp_cnt"], r["chi2_term"])
+        for r in STAGED["dq_benford"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_benford_counts_are_complete(spark, sf_dir, reg):
+    rows = STAGED["dq_benford"].fn(spark, sf_dir).collect()
+    by_col = defaultdict(int)
+    for r in rows:
+        assert 1 <= r["digit"] <= 9
+        by_col[r["col"]] += r["obs"]
+    # every qualifying row lands in exactly one digit bucket: the per-digit
+    # counts reassemble each column's reported total
+    assert all(r["n"] == by_col[r["col"]] for r in rows)

@@ -2701,3 +2701,111 @@ def dq_mann_whitney(spark, sf_dir):
         u2_cur.alias("u2_cur"),
         F.round(u2_cur / (2 * F.col("n_ref") * F.col("n_cur")), 6).alias("cles"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit law — fraud/synthetic-data detector for financial
+# columns (Nigrini's digital analysis; the classic audit DQ test)
+# ---------------------------------------------------------------------------
+
+# Expected Benford shares log10(1 + 1/d), frozen as 12-decimal string
+# literals embedded IDENTICALLY into the Spark expression and the DuckDB
+# oracle: both engines parse the same literal and run the same double
+# multiply, so there is no cross-engine libm log10 ulp hazard at all.
+import math as _math
+
+BENFORD_P = {d: f"{_math.log10(1 + 1 / d):.12f}" for d in range(1, 10)}
+_BENFORD_CASE = (
+    "CASE digit "
+    + " ".join(f"WHEN {d} THEN CAST('{p}' AS DOUBLE)" for d, p in BENFORD_P.items())
+    + " END"
+)
+
+
+def _benford_oracle() -> str:
+    def per_col(col_sql: str, src: str, label: str) -> str:
+        return f"""
+      SELECT '{label}' AS col, CAST(substr(CAST(CAST(floor({col_sql}) AS BIGINT)
+                 AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM {src} WHERE {col_sql} >= 1"""
+
+    return f"""
+    WITH d AS ({per_col("l_extendedprice", "lineitem", "l_extendedprice")}
+      UNION ALL {per_col("o_totalprice", "orders", "o_totalprice")}
+    ),
+    c AS (
+      SELECT col, digit, CAST(count(*) AS BIGINT) AS obs FROM d GROUP BY 1, 2
+    ),
+    t AS (SELECT col, CAST(sum(obs) AS BIGINT) AS n FROM c GROUP BY 1),
+    j AS (SELECT c.col, c.digit, c.obs, t.n FROM c JOIN t ON t.col = c.col),
+    e AS (
+      SELECT col, digit, obs, n,
+             CAST(n AS DOUBLE) * {_BENFORD_CASE} AS exp_cnt
+      FROM j
+    )
+    SELECT col, digit, obs, n, round(exp_cnt, 6) AS exp_cnt,
+           round((CAST(obs AS DOUBLE) - exp_cnt) * (CAST(obs AS DOUBLE) - exp_cnt)
+                 / exp_cnt, 6) AS chi2_term
+    FROM e
+    """
+
+
+@register_staged("dq_benford", _benford_oracle())
+def dq_benford(spark, sf_dir):
+    """Benford first-digit conformance per financial column — Nigrini's
+    digital-analysis audit test: genuine multiplicative-growth amounts
+    have first significant digit d with probability log10(1 + 1/d);
+    fabricated or truncated-range data doesn't. Emits, per (column,
+    digit): the observed count, the column total, the Benford-expected
+    count, and the χ² term (obs − exp)²/exp — the per-digit evidence an
+    auditor reads (digit 1 under-representation is the classic
+    fabrication tell). The expected shares are 12-decimal literals
+    frozen at module import and embedded IDENTICALLY in both engines'
+    expressions, so the only floats are one multiply and one
+    squared-difference ratio over bit-identical operands, rounded LAST;
+    everything upstream is exact int64 (first digit via bigint→string,
+    no float log in the data path — values ≥ 1 gate the digit
+    extraction).
+
+    Scale shape: each column contributes a map-only digit projection
+    (scan-pruned to the one column) into a 9-key combinable groupBy —
+    partial aggregation reduces 100 TB to ≤ 9 rows per column
+    map-side; the total-join is 9×2 rows. Adding a column adds one
+    union branch, never a second scan of an unrelated table."""
+    def per_col(tbl: str, col: str):
+        return (
+            _t(spark, sf_dir, tbl)
+            .filter(F.col(col) >= 1)
+            .select(
+                F.lit(col).alias("col"),
+                F.substring(
+                    F.floor(F.col(col)).cast("bigint").cast("string"), 1, 1
+                )
+                .cast("int")
+                .alias("digit"),
+            )
+        )
+
+    d = per_col("lineitem", "l_extendedprice").unionByName(
+        per_col("orders", "o_totalprice")
+    )
+    c = d.groupBy("col", "digit").agg(
+        F.count(F.lit(1)).cast("bigint").alias("obs")
+    )
+    t = c.groupBy("col").agg(F.sum("obs").cast("bigint").alias("n"))
+    j = c.join(F.broadcast(t), "col")
+    exp_cnt = F.col("n").cast("double") * F.expr(_BENFORD_CASE)
+    e = j.select("col", "digit", "obs", "n", exp_cnt.alias("exp_cnt"))
+    obs_d = F.col("obs").cast("double")
+    return e.select(
+        "col",
+        "digit",
+        "obs",
+        "n",
+        F.round(F.col("exp_cnt"), 6).alias("exp_cnt"),
+        F.round(
+            (obs_d - F.col("exp_cnt")) * (obs_d - F.col("exp_cnt"))
+            / F.col("exp_cnt"),
+            6,
+        ).alias("chi2_term"),
+    )
