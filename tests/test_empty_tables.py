@@ -199,6 +199,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("graph_jaccard_neighbors", 0),
     ("dedup_containment_incremental", 0),
     ("dq_benford", 0),
+    ("mine_transition_matrix", 0),
 ]
 
 

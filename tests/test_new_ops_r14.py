@@ -35,7 +35,12 @@ def _round6(x: float) -> float:
 
 
 def test_r14_staged_ops_hidden_from_driver_registry(reg):
-    for name in ("graph_jaccard_neighbors",):
+    for name in (
+        "graph_jaccard_neighbors",
+        "dedup_containment_incremental",
+        "dq_benford",
+        "mine_transition_matrix",
+    ):
         assert name in STAGED and name not in reg
 
 
@@ -241,3 +246,47 @@ def test_benford_counts_are_complete(spark, sf_dir, reg):
     # every qualifying row lands in exactly one digit bucket: the per-digit
     # counts reassemble each column's reported total
     assert all(r["n"] == by_col[r["col"]] for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# mine_transition_matrix (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def _transition_recompute(orders_pd):
+    """Third formulation: Python dict-of-sequences, no SQL windows."""
+    seqs = defaultdict(list)
+    for r in orders_pd.itertuples():
+        seqs[r.o_custkey].append((r.o_orderdate, r.o_orderkey, r.o_orderpriority))
+    cnt = defaultdict(int)
+    for s in seqs.values():
+        s.sort()
+        for (_, _, a), (_, _, b) in zip(s, s[1:]):
+            cnt[(a, b)] += 1
+    n_from = defaultdict(int)
+    for (a, _), c in cnt.items():
+        n_from[a] += c
+    return {
+        k: (c, n_from[k[0]], _round6(c / n_from[k[0]]))
+        for k, c in cnt.items()
+    }
+
+
+def test_transition_matrix_matches_python(spark, sf_dir, reg):
+    orders_pd = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    expected = _transition_recompute(orders_pd)
+    got = {
+        (r["prev_priority"], r["next_priority"]): (r["cnt"], r["n_from"], r["prob"])
+        for r in STAGED["mine_transition_matrix"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_transition_matrix_rows_normalize(spark, sf_dir, reg):
+    rows = STAGED["mine_transition_matrix"].fn(spark, sf_dir).collect()
+    by_prev = defaultdict(list)
+    for r in rows:
+        by_prev[r["prev_priority"]].append(r)
+    for rs in by_prev.values():
+        assert sum(r["cnt"] for r in rs) == rs[0]["n_from"]
+        assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-4

@@ -2809,3 +2809,75 @@ def dq_benford(spark, sf_dir):
             6,
         ).alias("chi2_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# first-order Markov transition matrix over per-customer order sequences —
+# the SEQUENTIAL companion to mine_assoc_rules' co-occurrence baskets
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "mine_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority,
+             lag(o_orderpriority) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ) AS prev_priority
+      FROM orders
+    ),
+    tr AS (
+      SELECT prev_priority, o_orderpriority AS next_priority,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM seq WHERE prev_priority IS NOT NULL GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT prev_priority, CAST(sum(cnt) AS BIGINT) AS n_from
+      FROM tr GROUP BY 1
+    )
+    SELECT tr.prev_priority, tr.next_priority, tr.cnt, tot.n_from,
+           round(tr.cnt / CAST(tot.n_from AS DOUBLE), 6) AS prob
+    FROM tr JOIN tot ON tot.prev_priority = tr.prev_priority
+    """,
+)
+def mine_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over each customer's order
+    sequence: P(next priority | previous priority), estimated from
+    consecutive order pairs ordered by (o_orderdate, o_orderkey) — the
+    orderkey tiebreak makes lag() deterministic in both engines on
+    same-day orders. The sequential counterpart to mine_assoc_rules:
+    baskets ask "what co-occurs", transitions ask "what follows what" —
+    the churn/escalation signal behind next-event prediction and
+    anomalous-sequence detection. Counts are exact int64; the row-
+    normalized probability divides identical integers LAST, round(6)ed.
+
+    Scale shape: ONE shuffle — the per-customer sort window (the
+    canonical sessionize shape: hash-partition by customer, sort within
+    partition; Spark runs lag() without materializing sequences).
+    Transition pairs then collapse through a 25-key combinable groupBy
+    (map-side partials reduce 100 TB of orders to |states|² rows per
+    task), and row totals derive from the 25-row result itself — a
+    second tiny agg joined back broadcast, never a second scan or
+    second window over the data."""
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = _t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(w).alias("prev_priority"),
+    )
+    tr = (
+        seq.filter(F.col("prev_priority").isNotNull())
+        .groupBy("prev_priority", F.col("o_orderpriority").alias("next_priority"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    tot = tr.groupBy("prev_priority").agg(
+        F.sum("cnt").cast("bigint").alias("n_from")
+    )
+    return tr.join(F.broadcast(tot), "prev_priority").select(
+        "prev_priority",
+        "next_priority",
+        "cnt",
+        "n_from",
+        F.round(F.col("cnt") / F.col("n_from").cast("double"), 6).alias("prob"),
+    )
