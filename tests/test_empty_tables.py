@@ -200,6 +200,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("dedup_containment_incremental", 0),
     ("dq_benford", 0),
     ("mine_transition_matrix", 0),
+    ("dq_entropy_profile", 0),
 ]
 
 

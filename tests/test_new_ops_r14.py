@@ -40,6 +40,7 @@ def test_r14_staged_ops_hidden_from_driver_registry(reg):
         "dedup_containment_incremental",
         "dq_benford",
         "mine_transition_matrix",
+        "dq_entropy_profile",
     ):
         assert name in STAGED and name not in reg
 
@@ -290,3 +291,53 @@ def test_transition_matrix_rows_normalize(spark, sf_dir, reg):
     for rs in by_prev.values():
         assert sum(r["cnt"] for r in rs) == rs[0]["n_from"]
         assert abs(sum(r["prob"] for r in rs) - 1.0) < 1e-4
+
+
+# ---------------------------------------------------------------------------
+# dq_entropy_profile (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_entropy_profile_matches_python(spark, sf_dir, reg):
+    """Third formulation: collections.Counter + math.log2 per column."""
+    import math
+
+    from collections import Counter
+
+    from xml_to_parquet_spark.operators.relational_ext import ENTROPY_COLS
+
+    expected = {}
+    for tbl, col in ENTROPY_COLS:
+        s = pd.read_parquet(f"{sf_dir}/{tbl}.parquet")[col].dropna()
+        cnt = Counter(s)
+        n = sum(cnt.values())
+        slog = sum(c * math.log2(c) for c in cnt.values())
+        expected[f"{tbl}.{col}"] = (
+            n,
+            len(cnt),
+            round(math.log2(n) - slog / n, 5),
+            round(1.0 - sum(c * c for c in cnt.values()) / (n * n), 5),
+            round(max(cnt.values()) / n, 5),
+        )
+    got = {
+        r["col"]: (
+            r["n"],
+            r["n_distinct"],
+            round(r["entropy_bits"], 5),
+            round(r["gini"], 5),
+            round(r["top_share"], 5),
+        )
+        for r in STAGED["dq_entropy_profile"].fn(spark, sf_dir).collect()
+    }
+    # compare at 5 decimals: the recompute sums log2 terms in a different
+    # order than either engine, so the 6th decimal may legitimately differ
+    assert got == expected
+
+
+def test_entropy_profile_bounds(spark, sf_dir, reg):
+    import math
+
+    for r in STAGED["dq_entropy_profile"].fn(spark, sf_dir).collect():
+        assert 0.0 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-9
+        assert 0.0 <= r["gini"] < 1.0
+        assert 1.0 / r["n_distinct"] <= r["top_share"] + 1e-9 <= 1.0 + 1e-9
