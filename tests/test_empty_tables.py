@@ -201,6 +201,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("dq_benford", 0),
     ("mine_transition_matrix", 0),
     ("dq_entropy_profile", 0),
+    ("agg_retention_cohort", 0),
 ]
 
 

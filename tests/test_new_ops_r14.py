@@ -41,6 +41,7 @@ def test_r14_staged_ops_hidden_from_driver_registry(reg):
         "dq_benford",
         "mine_transition_matrix",
         "dq_entropy_profile",
+        "agg_retention_cohort",
     ):
         assert name in STAGED and name not in reg
 
@@ -341,3 +342,50 @@ def test_entropy_profile_bounds(spark, sf_dir, reg):
         assert 0.0 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-9
         assert 0.0 <= r["gini"] < 1.0
         assert 1.0 / r["n_distinct"] <= r["top_share"] + 1e-9 <= 1.0 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# agg_retention_cohort (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def _retention_recompute(orders_pd):
+    """Third formulation: per-customer month-index sets in plain Python."""
+    months = defaultdict(set)
+    for r in orders_pd.itertuples():
+        months[r.o_custkey].add(r.o_orderdate.year * 12 + r.o_orderdate.month)
+    cohort = {c: min(ms) for c, ms in months.items()}
+    size = defaultdict(int)
+    for c in cohort.values():
+        size[c] += 1
+    cell = defaultdict(int)
+    for cust, ms in months.items():
+        for m in ms:
+            cell[(cohort[cust], m - cohort[cust])] += 1
+    return {
+        k: (a, size[k[0]], _round6(a / size[k[0]])) for k, a in cell.items()
+    }
+
+
+def test_retention_cohort_matches_python(spark, sf_dir, reg):
+    orders_pd = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    expected = _retention_recompute(orders_pd)
+    got = {
+        (r["cohort_m"], r["month_offset"]): (
+            r["active"],
+            r["cohort_size"],
+            r["retention"],
+        )
+        for r in STAGED["agg_retention_cohort"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_retention_cohort_offset_zero_is_full(spark, sf_dir, reg):
+    """Every cohort is 100% retained at offset 0 by construction (the
+    first order IS activity in the cohort month)."""
+    rows = STAGED["agg_retention_cohort"].fn(spark, sf_dir).collect()
+    zero = [r for r in rows if r["month_offset"] == 0]
+    assert zero and all(r["active"] == r["cohort_size"] for r in zero)
+    assert all(r["month_offset"] >= 0 and r["active"] <= r["cohort_size"]
+               for r in rows)

@@ -2979,3 +2979,91 @@ def dq_entropy_profile(spark, sf_dir):
         F.round(F.lit(1.0) - F.col("sum_sq") / (n_d * n_d), 6).alias("gini"),
         F.round(F.col("max_c") / n_d, 6).alias("top_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# cohort retention matrix — the product-analytics triangle chart
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_retention_cohort",
+    """
+    WITH fe AS (
+      SELECT o_custkey,
+             CAST(min(date_part('year', o_orderdate) * 12
+                      + date_part('month', o_orderdate)) AS BIGINT) AS cohort_m
+      FROM orders GROUP BY 1
+    ),
+    act AS (
+      SELECT DISTINCT o.o_custkey, fe.cohort_m,
+             CAST(date_part('year', o.o_orderdate) * 12
+                  + date_part('month', o.o_orderdate) AS BIGINT)
+                 - fe.cohort_m AS month_offset
+      FROM orders o JOIN fe ON fe.o_custkey = o.o_custkey
+    ),
+    sz AS (
+      SELECT cohort_m, CAST(count(*) AS BIGINT) AS cohort_size
+      FROM fe GROUP BY 1
+    ),
+    m AS (
+      SELECT cohort_m, month_offset, CAST(count(*) AS BIGINT) AS active
+      FROM act GROUP BY 1, 2
+    )
+    SELECT m.cohort_m, m.month_offset, m.active, sz.cohort_size,
+           round(m.active / CAST(sz.cohort_size AS DOUBLE), 6) AS retention
+    FROM m JOIN sz ON sz.cohort_m = m.cohort_m
+    """,
+)
+def agg_retention_cohort(spark, sf_dir):
+    """Cohort retention matrix — the product-analytics triangle chart:
+    customers are cohorted by their FIRST order month and each cell
+    (cohort, month_offset) counts how many of that cohort ordered again
+    offset months later; retention = active / cohort_size. The month
+    index is the exact integer year·12 + month (monotone in the date,
+    so min(index) ≡ index(min date)), making cohort assignment, offset
+    arithmetic, and both counts pure int64 — the retention rate divides
+    identical integers LAST, round(6)ed. 51 cohorts × offsets 0–78 at
+    sf0.01 — a real triangle, not a degenerate single-cohort corpus
+    (the events table's 30-day span collapses to one cohort; orders
+    spans seven years, which is why the cohort key is orders).
+
+    Scale shape: first-touch extraction is a customer-keyed combinable
+    min-aggregate; activity joins orders back to it ON THE SAME KEY —
+    after the first shuffle both sides are hash-partitioned by
+    customer, so AQE reuses the partitioning, and the per-(customer,
+    cohort, offset) dedup rides the same key before anything
+    cohort-keyed exists. Only the final (cohort, offset) aggregate —
+    cardinality |cohorts|·|offsets|, not data-sized — changes key; the
+    cohort-size join is a broadcast of the |cohorts|-row table. The
+    classic mistake at 100 TB is cohorting by a DISTINCT-over-events
+    subquery per month — this plan touches orders exactly twice (once
+    for first-touch, once for activity) with one data-sized shuffle
+    key throughout."""
+    o = _t(spark, sf_dir, "orders")
+    midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
+    fe = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_m"))
+    act = (
+        o.join(fe, "o_custkey")
+        .select(
+            "o_custkey",
+            "cohort_m",
+            (midx - F.col("cohort_m")).alias("month_offset"),
+        )
+        .distinct()
+    )
+    sz = fe.groupBy("cohort_m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_size")
+    )
+    m = act.groupBy("cohort_m", "month_offset").agg(
+        F.count(F.lit(1)).cast("bigint").alias("active")
+    )
+    return m.join(F.broadcast(sz), "cohort_m").select(
+        "cohort_m",
+        "month_offset",
+        "active",
+        "cohort_size",
+        F.round(
+            F.col("active") / F.col("cohort_size").cast("double"), 6
+        ).alias("retention"),
+    )
