@@ -202,6 +202,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("mine_transition_matrix", 0),
     ("dq_entropy_profile", 0),
     ("agg_retention_cohort", 0),
+    ("lake_time_travel_diff", 0),
 ]
 
 

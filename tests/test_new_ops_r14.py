@@ -42,6 +42,7 @@ def test_r14_staged_ops_hidden_from_driver_registry(reg):
         "mine_transition_matrix",
         "dq_entropy_profile",
         "agg_retention_cohort",
+        "lake_time_travel_diff",
     ):
         assert name in STAGED and name not in reg
 
@@ -389,3 +390,52 @@ def test_retention_cohort_offset_zero_is_full(spark, sf_dir, reg):
     assert zero and all(r["active"] == r["cohort_size"] for r in zero)
     assert all(r["month_offset"] >= 0 and r["active"] <= r["cohort_size"]
                for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# lake_time_travel_diff (operators/sources_io.py)
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_diff_matches_python(spark, sf_dir, reg):
+    """Third formulation: recompute the appended slice straight from the
+    orders parquet in pandas."""
+    from xml_to_parquet_spark.operators.sources_io import SNAP_SPLIT
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    add = o[o["o_orderkey"] >= SNAP_SPLIT]
+    expected = {}
+    for st, g in add.groupby("o_orderstatus"):
+        expected[st] = (
+            len(g),
+            int(sum(int(round(p * 100)) for p in g["o_totalprice"])),
+            int(g["o_orderkey"].min()),
+            int(g["o_orderkey"].max()),
+        )
+    got = {
+        r["o_orderstatus"]: (
+            r["n_added"],
+            r["cents_added"],
+            r["min_key"],
+            r["max_key"],
+        )
+        for r in STAGED["lake_time_travel_diff"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_time_travel_diff_scans_only_appended_files(spark, sf_dir, reg):
+    """The incremental property itself: the v2−v1 manifest anti-join must
+    surface exactly the appended commit's files — never the whole table."""
+    from xml_to_parquet_spark.operators.sources_io import (
+        SNAP_V1_FILES,
+        SNAP_V2_FILES,
+        _ensure_snapshot_fixture,
+    )
+
+    _, man1, man2 = _ensure_snapshot_fixture(spark, sf_dir)
+    v1 = {r.file_path for r in spark.read.parquet(man1).collect()}
+    v2 = {r.file_path for r in spark.read.parquet(man2).collect()}
+    assert len(v1) == SNAP_V1_FILES
+    assert v1 < v2  # append-only: v1's files are immutable and retained
+    assert len(v2 - v1) == SNAP_V2_FILES

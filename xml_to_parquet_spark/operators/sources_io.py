@@ -417,6 +417,50 @@ SNAP_V2_FILES = 4  # files appended by the second commit
 SNAP_SPLIT = 1000  # o_orderkey < SPLIT written at v1, >= SPLIT appended at v2 (non-degenerate at every SF: keys span 0..1499 even at sf0.001)
 
 
+def _ensure_snapshot_fixture(spark, sf_dir):
+    """Build (once per process) the two-commit snapshot fixture shared by
+    lake_snapshot_read and lake_time_travel_diff: immutable data files
+    plus one manifest per version. Guard on ALL build artifacts, not just
+    the first: data's _SUCCESS lands before man1/v2-append/man2, so a
+    failure mid-build would leave committed(data) true and a data-only
+    guard would skip the rebuild and then fail reading the missing
+    manifests (ADVICE r9). man2 is written last, but a man2-only guard
+    would pass with a man1 that a concurrent cleanup removed — checking
+    all three keeps the guard per-artifact, matching lake_manifest_prune."""
+    from xml_to_parquet_spark.io_paths import committed
+
+    data = scratch_dir(sf_dir, "snap_orders")
+    man1 = scratch_dir(sf_dir, "snap_manifest_v1")
+    man2 = scratch_dir(sf_dir, "snap_manifest_v2")
+    orders = table(spark, sf_dir, "orders")
+    if not (committed(data) and committed(man1) and committed(man2)):
+        (
+            orders.filter(F.col("o_orderkey") < SNAP_SPLIT)
+            .repartition(SNAP_V1_FILES)
+            .write.mode("overwrite")
+            .parquet(data)
+        )
+        v1_files = (
+            spark.read.parquet(data)
+            .select(F.col("_metadata.file_path").alias("file_path"))
+            .distinct()
+        )
+        v1_files.coalesce(1).write.mode("overwrite").parquet(man1)
+        (
+            orders.filter(F.col("o_orderkey") >= SNAP_SPLIT)
+            .repartition(SNAP_V2_FILES)
+            .write.mode("append")
+            .parquet(data)
+        )
+        all_files = (
+            spark.read.parquet(data)
+            .select(F.col("_metadata.file_path").alias("file_path"))
+            .distinct()
+        )
+        all_files.coalesce(1).write.mode("overwrite").parquet(man2)
+    return data, man1, man2
+
+
 @register_staged(
     "lake_snapshot_read",
     f"""
@@ -454,44 +498,8 @@ def lake_snapshot_read(spark, sf_dir):
     formats scale writes: commit = write new files + swap one small
     metadata object. Fixtures build once per process behind
     _SUCCESS-keyed guards."""
-    from xml_to_parquet_spark.io_paths import committed
-
-    data = scratch_dir(sf_dir, "snap_orders")
-    man1 = scratch_dir(sf_dir, "snap_manifest_v1")
-    man2 = scratch_dir(sf_dir, "snap_manifest_v2")
+    data, man1, man2 = _ensure_snapshot_fixture(spark, sf_dir)
     orders = table(spark, sf_dir, "orders")
-    # Guard on ALL build artifacts, not just the first: data's _SUCCESS
-    # lands before man1/v2-append/man2, so a failure mid-build would leave
-    # committed(data) true and a data-only guard would skip the rebuild and
-    # then fail reading the missing manifests (ADVICE r9). man2 is written
-    # last, but a man2-only guard would pass with a man1 that a concurrent
-    # cleanup removed — checking all three keeps the guard per-artifact,
-    # matching lake_manifest_prune.
-    if not (committed(data) and committed(man1) and committed(man2)):
-        (
-            orders.filter(F.col("o_orderkey") < SNAP_SPLIT)
-            .repartition(SNAP_V1_FILES)
-            .write.mode("overwrite")
-            .parquet(data)
-        )
-        v1_files = (
-            spark.read.parquet(data)
-            .select(F.col("_metadata.file_path").alias("file_path"))
-            .distinct()
-        )
-        v1_files.coalesce(1).write.mode("overwrite").parquet(man1)
-        (
-            orders.filter(F.col("o_orderkey") >= SNAP_SPLIT)
-            .repartition(SNAP_V2_FILES)
-            .write.mode("append")
-            .parquet(data)
-        )
-        all_files = (
-            spark.read.parquet(data)
-            .select(F.col("_metadata.file_path").alias("file_path"))
-            .distinct()
-        )
-        all_files.coalesce(1).write.mode("overwrite").parquet(man2)
 
     def snapshot(man_path, version):
         files = [r.file_path for r in spark.read.parquet(man_path).collect()]
@@ -689,6 +697,69 @@ def lake_merge_upsert(spark, sf_dir):
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
         .cast("bigint")
         .alias("price_cents"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# incremental snapshot consumption — "what changed between v1 and v2"
+# answered from metadata alone
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "lake_time_travel_diff",
+    f"""
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_added,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS cents_added,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey >= {SNAP_SPLIT}
+    GROUP BY 1
+    """,
+)
+def lake_time_travel_diff(spark, sf_dir):
+    """Incremental scan between two snapshots — the Iceberg
+    incremental-read / Delta CDF-lite primitive that lets a downstream
+    pipeline consume a lake table WITHOUT re-reading it: on an
+    append-only table, the rows added between v1 and v2 are exactly the
+    rows in files(v2) − files(v1) (files are immutable; a version IS
+    its file list), so the diff is computed by ANTI-JOINING the two
+    manifests and scanning only the surviving files. The oracle
+    recomputes the added rows from the commit's key-split definition —
+    if the file-set difference leaked a v1 file (double-counting old
+    rows) or dropped an appended one, the value hash breaks, not just
+    a row count.
+
+    Scale shape: THE incremental-consumption device at 100 TB — cost is
+    proportional to the DELTA (the appended files), never the table;
+    the manifest anti-join is file-count-sized (thousands of rows), and
+    the driver-side file-list collect is the same bounded lake-planning
+    step lake_manifest_prune documents. A streaming consumer doing
+    availableNow over a lake table is exactly this op in a loop, cursor
+    = last-consumed snapshot id. Shares the two-commit fixture (and its
+    per-artifact _SUCCESS guards) with lake_snapshot_read."""
+    data, man1, man2 = _ensure_snapshot_fixture(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    v1 = spark.read.parquet(man1)
+    v2 = spark.read.parquet(man2)
+    added_files = [
+        r.file_path for r in v2.join(v1, "file_path", "left_anti").collect()
+    ]
+    # empty diff (empty source: both manifests list the same zero files):
+    # scan nothing — the schema-only fallback every lake reader needs
+    scan = (
+        spark.read.parquet(*added_files)
+        if added_files
+        else orders.filter(F.lit(False))
+    )
+    return scan.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_added"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents_added"),
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
