@@ -439,3 +439,101 @@ def test_time_travel_diff_scans_only_appended_files(spark, sf_dir, reg):
     assert len(v1) == SNAP_V1_FILES
     assert v1 < v2  # append-only: v1's files are immutable and retained
     assert len(v2 - v1) == SNAP_V2_FILES
+
+
+# ---------------------------------------------------------------------------
+# plan pins (the staged-tier counterpart of tests/test_plans.py)
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_neighbors_plan_hash_joins_only(spark, sf_dir, reg):
+    """Per-edge support must come from node-keyed hash joins against the
+    bounded forward adjacency — a cartesian or nested-loop here is the
+    Σdeg² wedge blow-up the orientation exists to kill."""
+    from xml_to_parquet_spark.plans.inspect import node_counts
+
+    df = STAGED["graph_jaccard_neighbors"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("CartesianProduct", 0) == 0
+    assert n.get("BroadcastNestedLoopJoin", 0) == 0
+
+
+def test_containment_incremental_plan_probes_persisted_index(spark, sf_dir, reg):
+    """The probe must read the PERSISTED index parquet (never re-shingle
+    the standing corpus) and drop hot shingles via anti-joins — no
+    cartesian anywhere."""
+    from xml_to_parquet_spark.plans.inspect import formatted_plan, node_counts
+
+    df = STAGED["dedup_containment_incremental"].fn(spark, sf_dir)
+    plan = formatted_plan(df)  # executed plan truncates scan locations
+    assert "containment_shingle_index" in plan
+    assert "containment_hot_stoplist" in plan
+    n = node_counts(df)
+    assert n.get("CartesianProduct", 0) == 0
+
+
+def test_benford_plan_pruned_scans_broadcast_totals(spark, sf_dir, reg):
+    """Each branch's scan must read ONLY its price column (the digit
+    projection collapses map-side), and the per-column totals join is a
+    2-row broadcast."""
+    from xml_to_parquet_spark.plans.inspect import (
+        broadcast_join_count,
+        read_schemas,
+    )
+
+    df = STAGED["dq_benford"].fn(spark, sf_dir)
+    assert broadcast_join_count(df) >= 1
+    for rs in read_schemas(df):
+        assert rs in (
+            "struct<l_extendedprice:double>",
+            "struct<o_totalprice:double>",
+        ), rs
+
+
+def test_transition_matrix_plan_single_lineage_pruned_scan(spark, sf_dir, reg):
+    """Exactly one orders scan (row totals are a window-sum over the
+    25-row aggregate, NOT a self-join that would duplicate the lineage
+    and scan orders twice), the lag window plus the tiny totals window,
+    no joins at all, and the scan pruned to the sequence columns."""
+    from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
+
+    df = STAGED["mine_transition_matrix"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("Window", 0) == 2
+    for k in n:
+        assert "Join" not in k and "Cartesian" not in k, n
+    schemas = read_schemas(df)
+    assert len(schemas) == 1  # ONE scan of orders
+    assert "o_totalprice" not in schemas[0] and "o_orderstatus" not in schemas[0]
+
+
+def test_entropy_profile_plan_single_column_scans_no_joins(spark, sf_dir, reg):
+    """Every branch scans exactly its one profiled column and the whole
+    op is aggregation-only — zero join nodes of any kind."""
+    from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
+
+    df = STAGED["dq_entropy_profile"].fn(spark, sf_dir)
+    n = node_counts(df)
+    for k in n:
+        assert "Join" not in k and "Cartesian" not in k, n
+    for rs in read_schemas(df):
+        # struct<one_column:...>
+        assert rs.count(":") == 1, rs
+
+
+def test_retention_cohort_plan_pruned_scans_broadcast_sizes(spark, sf_dir, reg):
+    """Orders scans must read only (o_custkey, o_orderdate); cohort sizes
+    join broadcast; activity join is a hash equi-join on the customer."""
+    from xml_to_parquet_spark.plans.inspect import (
+        broadcast_join_count,
+        node_counts,
+        read_schemas,
+    )
+
+    df = STAGED["agg_retention_cohort"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert n.get("CartesianProduct", 0) == 0
+    assert n.get("BroadcastNestedLoopJoin", 0) == 0
+    assert broadcast_join_count(df) >= 1
+    for rs in read_schemas(df):
+        assert "o_totalprice" not in rs and "o_orderstatus" not in rs

@@ -2832,13 +2832,15 @@ def dq_benford(spark, sf_dir):
              CAST(count(*) AS BIGINT) AS cnt
       FROM seq WHERE prev_priority IS NOT NULL GROUP BY 1, 2
     ),
-    tot AS (
-      SELECT prev_priority, CAST(sum(cnt) AS BIGINT) AS n_from
-      FROM tr GROUP BY 1
+    nr AS (
+      SELECT prev_priority, next_priority, cnt,
+             CAST(sum(cnt) OVER (PARTITION BY prev_priority) AS BIGINT)
+                 AS n_from
+      FROM tr
     )
-    SELECT tr.prev_priority, tr.next_priority, tr.cnt, tot.n_from,
-           round(tr.cnt / CAST(tot.n_from AS DOUBLE), 6) AS prob
-    FROM tr JOIN tot ON tot.prev_priority = tr.prev_priority
+    SELECT prev_priority, next_priority, cnt, n_from,
+           round(cnt / CAST(n_from AS DOUBLE), 6) AS prob
+    FROM nr
     """,
 )
 def mine_transition_matrix(spark, sf_dir):
@@ -2852,14 +2854,16 @@ def mine_transition_matrix(spark, sf_dir):
     anomalous-sequence detection. Counts are exact int64; the row-
     normalized probability divides identical integers LAST, round(6)ed.
 
-    Scale shape: ONE shuffle — the per-customer sort window (the
-    canonical sessionize shape: hash-partition by customer, sort within
-    partition; Spark runs lag() without materializing sequences).
-    Transition pairs then collapse through a 25-key combinable groupBy
-    (map-side partials reduce 100 TB of orders to |states|² rows per
-    task), and row totals derive from the 25-row result itself — a
-    second tiny agg joined back broadcast, never a second scan or
-    second window over the data."""
+    Scale shape: ONE data-sized shuffle — the per-customer sort window
+    (the canonical sessionize shape: hash-partition by customer, sort
+    within partition; Spark runs lag() without materializing
+    sequences). Transition pairs then collapse through a 25-key
+    combinable groupBy (map-side partials reduce 100 TB of orders to
+    |states|² rows per task), and row totals are a window-sum OVER THE
+    25-ROW AGGREGATE — not a self-join back to tr, which would
+    duplicate the whole lineage and scan orders twice (Spark re-derives
+    unshared subtrees per branch; the plan pin counts exactly one
+    FileScan)."""
     w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     seq = _t(spark, sf_dir, "orders").select(
         "o_custkey",
@@ -2871,10 +2875,10 @@ def mine_transition_matrix(spark, sf_dir):
         .groupBy("prev_priority", F.col("o_orderpriority").alias("next_priority"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
-    tot = tr.groupBy("prev_priority").agg(
-        F.sum("cnt").cast("bigint").alias("n_from")
+    n_from = (
+        F.sum("cnt").over(W.partitionBy("prev_priority")).cast("bigint")
     )
-    return tr.join(F.broadcast(tot), "prev_priority").select(
+    return tr.withColumn("n_from", n_from).select(
         "prev_priority",
         "next_priority",
         "cnt",
