@@ -203,6 +203,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("dq_entropy_profile", 0),
     ("agg_retention_cohort", 0),
     ("lake_time_travel_diff", 0),
+    ("stream_cdc_apply", 0),
 ]
 
 

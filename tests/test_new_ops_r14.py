@@ -43,6 +43,7 @@ def test_r14_staged_ops_hidden_from_driver_registry(reg):
         "dq_entropy_profile",
         "agg_retention_cohort",
         "lake_time_travel_diff",
+        "stream_cdc_apply",
     ):
         assert name in STAGED and name not in reg
 
@@ -537,3 +538,75 @@ def test_retention_cohort_plan_pruned_scans_broadcast_sizes(spark, sf_dir, reg):
     assert broadcast_join_count(df) >= 1
     for rs in read_schemas(df):
         assert "o_totalprice" not in rs and "o_orderstatus" not in rs
+
+
+# ---------------------------------------------------------------------------
+# stream_cdc_apply (streaming/joins.py)
+# ---------------------------------------------------------------------------
+
+
+def test_cdc_apply_matches_python_and_one_shot_merge(spark, sf_dir, reg):
+    """Two equivalences: (a) the streamed-apply final state equals a plain
+    pandas recompute of the change rules; (b) it equals lake_merge_upsert's
+    one-shot CoW merge output — N incremental transactional applies ≡ one
+    merge, proven engine-side, not just via the shared oracle."""
+    from xml_to_parquet_spark.operators.sources_io import MERGE_INS_OFFSET
+
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    rows = []
+    for r in o.itertuples():
+        k = r.o_orderkey
+        if k % 7 == 3:
+            pass  # deleted
+        elif k % 7 == 0:
+            rows.append((k, r.o_orderstatus, r.o_totalprice + 1000))
+        else:
+            rows.append((k, r.o_orderstatus, r.o_totalprice))
+        if k % 11 == 5:
+            rows.append((k + MERGE_INS_OFFSET, "I", float(k)))
+    expected = {}
+    for k, st, p in rows:
+        n, cents, lo, hi = expected.get(st, (0, 0, None, None))
+        expected[st] = (
+            n + 1,
+            cents + int(round(p * 100)),
+            k if lo is None else min(lo, k),
+            k if hi is None else max(hi, k),
+        )
+    got = {
+        r["o_orderstatus"]: (
+            r["n_orders"],
+            r["price_cents"],
+            r["min_key"],
+            r["max_key"],
+        )
+        for r in STAGED["stream_cdc_apply"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    merge = {
+        r["o_orderstatus"]: (
+            r["n_orders"],
+            r["price_cents"],
+            r["min_key"],
+            r["max_key"],
+        )
+        for r in STAGED["lake_merge_upsert"].fn(spark, sf_dir).collect()
+    }
+    assert got == merge
+
+
+def test_cdc_apply_replays_multiple_batches(spark, sf_dir, reg):
+    """The feed fixture must really split into CDC_STREAM_FILES parquet
+    files — with maxFilesPerTrigger=1 that IS the micro-batch count, so a
+    single-batch degenerate replay (which would prove nothing about
+    incremental application) fails here."""
+    import glob
+
+    from xml_to_parquet_spark.io_paths import committed, scratch_dir
+    from xml_to_parquet_spark.streaming.joins import CDC_STREAM_FILES
+
+    STAGED["stream_cdc_apply"].fn(spark, sf_dir).collect()
+    src = scratch_dir(sf_dir, "cdc_stream_src")
+    assert committed(src)
+    parts = glob.glob(f"{src}/part-*.parquet")
+    assert len(parts) == CDC_STREAM_FILES

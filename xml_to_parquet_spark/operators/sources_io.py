@@ -538,10 +538,12 @@ MERGE_FILES = 16  # data files in the merge-target table
 # disjoint key space (offset far above any SF's key range).
 MERGE_INS_OFFSET = 100_000_000
 
-
-@register_staged(
-    "lake_merge_upsert",
-    f"""
+# Final post-merge state, recomputed straight from the change-rule
+# definitions. SHARED by lake_merge_upsert (one-shot CoW merge) and
+# stream_cdc_apply (the same change set applied incrementally across
+# micro-batches): both engines' paths must land on this exact state, so
+# the shared oracle is itself the N-batch ≡ one-shot equivalence proof.
+MERGE_FINAL_STATE_ORACLE = f"""
     WITH base AS (
       SELECT o_orderkey, o_orderstatus,
              CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000
@@ -558,8 +560,10 @@ MERGE_INS_OFFSET = 100_000_000
            CAST(sum(CAST(round(p * 100) AS BIGINT)) AS BIGINT) AS price_cents,
            min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
     FROM final GROUP BY 1
-    """,
-)
+    """
+
+
+@register_staged("lake_merge_upsert", MERGE_FINAL_STATE_ORACLE)
 def lake_merge_upsert(spark, sf_dir):
     """MERGE INTO with copy-on-write file rewrite — the lake-format write
     path that makes CDC/upsert workloads tractable on immutable files

@@ -388,3 +388,136 @@ def stream_stream_full_outer(spark, sf_dir):
         )
     )
     return _drain(joined, ["click_id", "purchase_id", "user_id"], mode="append")
+
+
+# ---------------------------------------------------------------------------
+# streaming CDC apply — foreachBatch + versioned copy-on-write commits
+# ---------------------------------------------------------------------------
+
+CDC_STREAM_FILES = 4  # micro-batches in the availableNow replay
+
+
+def _cdc_apply_oracle() -> str:
+    from xml_to_parquet_spark.operators.sources_io import (
+        MERGE_FINAL_STATE_ORACLE,
+    )
+
+    return MERGE_FINAL_STATE_ORACLE
+
+
+@register_staged("stream_cdc_apply", _cdc_apply_oracle())
+def stream_cdc_apply(spark, sf_dir):
+    """Streaming CDC apply: a change feed consumed with foreachBatch and
+    committed as one copy-on-write table VERSION per micro-batch — the
+    Delta/Iceberg "streaming MERGE INTO" loop. The feed is the orders
+    table staged as CDC_STREAM_FILES files and replayed availableNow
+    with maxFilesPerTrigger=1, so the SAME deterministic change set
+    lake_merge_upsert applies in one shot (updates for keys ≡ 0 mod 7,
+    deletes for 3 mod 7, inserts for 5 mod 11 at a disjoint offset)
+    arrives split across N micro-batches; each batch derives its
+    changes, reads version v[n], merges (deletes anti-joined out,
+    updates coalesced in, inserts unioned), and commits v[n+1] —
+    immutable versions, monotone counter, exactly Structured Streaming's
+    (batch_id × checkpoint) exactly-once contract layered on a lake
+    table. The oracle IS lake_merge_upsert's final-state SQL, shared
+    verbatim: matching it proves N incremental transactional applies ≡
+    the one-shot merge (sound because every source row lands in exactly
+    one batch file and the change classes touch disjoint keys — each
+    key's change applies exactly once, so batch order cannot matter).
+
+    Scale shape: each commit's cost is O(current table) here for
+    clarity; composing with lake_merge_upsert's manifest device (join
+    batch keys → affected files, rewrite only those) makes it
+    O(files-with-matches + batch) per commit — the production shape.
+    What this op pins is the TRANSACTIONAL loop: versions are immutable
+    and serially committed by foreachBatch (Spark runs batches in
+    order), a crash between write and counter bump re-runs the batch
+    against the same v[n] (idempotent re-merge: the rewrite derives
+    only from v[n] + batch), and readers always see a committed
+    version. Replay state is per-call (uuid scratch), so reruns start
+    from v0 — merges are NOT idempotent across a second full replay."""
+    import os
+    import shutil
+    import uuid
+
+    from xml_to_parquet_spark.io_paths import committed, scratch_dir
+    from xml_to_parquet_spark.operators.sources_io import MERGE_INS_OFFSET
+    from xml_to_parquet_spark.tables import table
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    orders = table(spark, sf_dir, "orders").select(*cols)
+
+    # the CDC feed fixture is read-only and shared per process
+    src = scratch_dir(sf_dir, "cdc_stream_src")
+    if not committed(src):
+        orders.repartition(CDC_STREAM_FILES).write.mode("overwrite").parquet(src)
+
+    root = f"/tmp/xml_to_parquet_spark_cdcapply/{uuid.uuid4().hex[:8]}"
+    os.makedirs(root, exist_ok=True)
+    try:
+        # v0 = the pre-CDC table
+        orders.write.mode("overwrite").parquet(f"{root}/v0")
+        version = [0]
+
+        def _apply_batch(bdf, batch_id):
+            upd = bdf.filter(F.col("o_orderkey") % 7 == 0).select(
+                F.col("o_orderkey").alias("u_key"),
+                (F.col("o_totalprice") + 1000).alias("u_price"),
+            )
+            dels = bdf.filter(F.col("o_orderkey") % 7 == 3).select(
+                F.col("o_orderkey").alias("d_key")
+            )
+            ins = bdf.filter(F.col("o_orderkey") % 11 == 5).select(
+                (F.col("o_orderkey") + MERGE_INS_OFFSET).alias("o_orderkey"),
+                F.lit("I").alias("o_orderstatus"),
+                F.col("o_orderkey").cast("double").alias("o_totalprice"),
+            )
+            cur = bdf.sparkSession.read.parquet(f"{root}/v{version[0]}")
+            merged = (
+                cur.join(
+                    F.broadcast(dels),
+                    cur.o_orderkey == dels.d_key,
+                    "left_anti",
+                )
+                .join(
+                    F.broadcast(upd), F.col("o_orderkey") == F.col("u_key"), "left"
+                )
+                .select(
+                    "o_orderkey",
+                    "o_orderstatus",
+                    F.coalesce("u_price", "o_totalprice").alias("o_totalprice"),
+                )
+                .unionByName(ins)
+            )
+            merged.write.mode("overwrite").parquet(f"{root}/v{version[0] + 1}")
+            version[0] += 1
+
+        feed = (
+            spark.readStream.schema(
+                "o_orderkey bigint, o_orderstatus string, o_totalprice double"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            feed.writeStream.foreachBatch(_apply_batch)
+            .option("checkpointLocation", f"{root}/_ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        final = spark.read.parquet(f"{root}/v{version[0]}")
+        return (
+            final.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("price_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .localCheckpoint()  # materialize before the version dirs vanish
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
