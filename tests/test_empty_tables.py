@@ -204,6 +204,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("agg_retention_cohort", 0),
     ("lake_time_travel_diff", 0),
     ("stream_cdc_apply", 0),
+    ("dq_seasonal_decompose", 0),
 ]
 
 

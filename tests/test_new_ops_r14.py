@@ -44,6 +44,7 @@ def test_r14_staged_ops_hidden_from_driver_registry(reg):
         "agg_retention_cohort",
         "lake_time_travel_diff",
         "stream_cdc_apply",
+        "dq_seasonal_decompose",
     ):
         assert name in STAGED and name not in reg
 
@@ -610,3 +611,58 @@ def test_cdc_apply_replays_multiple_batches(spark, sf_dir, reg):
     assert committed(src)
     parts = glob.glob(f"{src}/part-*.parquet")
     assert len(parts) == CDC_STREAM_FILES
+
+
+# ---------------------------------------------------------------------------
+# dq_seasonal_decompose (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_seasonal_decompose_matches_python(spark, sf_dir, reg):
+    """Third formulation: Python dicts over pandas timestamps (weekday()
+    is Monday-0, matching Spark's weekday() and DuckDB's isodow−1)."""
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["value"].notna()]
+    cell_n = defaultdict(int)
+    cell_c = defaultdict(int)
+    for t, ts, v in zip(ev["event_type"], ev["ts"], ev["value"]):
+        k = (t, ts.weekday())
+        cell_n[k] += 1
+        cell_c[k] += int(round(v * 100))
+    tot_n = defaultdict(int)
+    tot_c = defaultdict(int)
+    for (t, _), n in cell_n.items():
+        tot_n[t] += n
+    for (t, _), c in cell_c.items():
+        tot_c[t] += c
+    expected = {}
+    for k in cell_n:
+        t = k[0]
+        dm = cell_c[k] / (100.0 * cell_n[k])
+        am = tot_c[t] / (100.0 * tot_n[t])
+        expected[k] = (cell_n[k], cell_c[k], _round6(dm), _round6(dm - am))
+    got = {
+        (r["event_type"], r["dow"]): (
+            r["n"],
+            r["cents"],
+            r["dow_mean"],
+            r["seasonal_dev"],
+        )
+        for r in STAGED["dq_seasonal_decompose"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_seasonal_devs_weight_to_zero(spark, sf_dir, reg):
+    """Σ n_dow · seasonal_dev ≡ 0 per type by construction (the weighted
+    day-of-week means reassemble the overall mean) — a self-checking
+    identity on the decomposition."""
+    rows = STAGED["dq_seasonal_decompose"].fn(spark, sf_dir).collect()
+    acc = defaultdict(float)
+    tot = defaultdict(int)
+    for r in rows:
+        assert 0 <= r["dow"] <= 6
+        acc[r["event_type"]] += r["n"] * r["seasonal_dev"]
+        tot[r["event_type"]] += r["n"]
+    for t, s in acc.items():
+        assert abs(s) / tot[t] < 1e-5, (t, s)

@@ -3071,3 +3071,81 @@ def agg_retention_cohort(spark, sf_dir):
             F.col("active") / F.col("cohort_size").cast("double"), 6
         ).alias("retention"),
     )
+
+
+# ---------------------------------------------------------------------------
+# fixed-period seasonal decomposition — day-of-week means per metric
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "dq_seasonal_decompose",
+    """
+    WITH ev AS (
+      SELECT event_type, isodow(ts) - 1 AS dow,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    d AS (
+      SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(cents) AS BIGINT) AS cents
+      FROM ev GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(sum(n) AS BIGINT) AS n_all,
+             CAST(sum(cents) AS BIGINT) AS cents_all
+      FROM d GROUP BY 1
+    )
+    SELECT d.event_type, d.dow, d.n, d.cents,
+           round(d.cents / (100.0 * d.n), 6) AS dow_mean,
+           round(d.cents / (100.0 * d.n)
+                 - t.cents_all / (100.0 * t.n_all), 6) AS seasonal_dev
+    FROM d JOIN t ON t.event_type = d.event_type
+    """,
+)
+def dq_seasonal_decompose(spark, sf_dir):
+    """Fixed-period seasonal decomposition of the event value series: per
+    (event_type, ISO day-of-week 0=Mon..6=Sun), the observation count,
+    the exact cent sum, the day-of-week mean, and the seasonal deviation
+    from the type's overall mean — the weekday-effect profile a metrics
+    monitor subtracts before anomaly detection (dq_anomaly_zscore's
+    z-scores fire on every Saturday dip unless this component is removed
+    first; the classical decomposition's seasonal term with a known
+    period, no iterative fitting needed). Values collapse to exact int64
+    cents first; both means and the deviation are divisions/differences
+    of identical integers in both engines, computed LAST and round(6)ed.
+    Day-of-week is weekday()'s Monday-0 convention (DuckDB isodow−1) —
+    NOT dayofweek(), whose Sunday-1 convention differs between engines'
+    locales.
+
+    Scale shape: one map-only (type, dow, cents) projection into a
+    |types|·7-key combinable groupBy — 100 TB collapses map-side; the
+    overall-mean totals derive from the tiny aggregate itself and join
+    broadcast (grid-sized, never a second scan of events)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.expr("weekday(ts)").cast("bigint").alias("dow"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    d = ev.groupBy("event_type", "dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("cents"),
+    )
+    t = d.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("cents").cast("bigint").alias("cents_all"),
+    )
+    dow_mean = F.col("cents") / (F.lit(100.0) * F.col("n"))
+    all_mean = F.col("cents_all") / (F.lit(100.0) * F.col("n_all"))
+    return d.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        "cents",
+        F.round(dow_mean, 6).alias("dow_mean"),
+        F.round(dow_mean - all_mean, 6).alias("seasonal_dev"),
+    )
