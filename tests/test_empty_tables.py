@@ -205,6 +205,7 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("lake_time_travel_diff", 0),
     ("stream_cdc_apply", 0),
     ("dq_seasonal_decompose", 0),
+    ("er_cluster_entities", 0),
 ]
 
 

@@ -45,6 +45,7 @@ def test_r14_staged_ops_hidden_from_driver_registry(reg):
         "lake_time_travel_diff",
         "stream_cdc_apply",
         "dq_seasonal_decompose",
+        "er_cluster_entities",
     ):
         assert name in STAGED and name not in reg
 
@@ -666,3 +667,64 @@ def test_seasonal_devs_weight_to_zero(spark, sf_dir, reg):
         tot[r["event_type"]] += r["n"]
     for t, s in acc.items():
         assert abs(s) / tot[t] < 1e-5, (t, s)
+
+
+# ---------------------------------------------------------------------------
+# er_cluster_entities (operators/dedup.py)
+# ---------------------------------------------------------------------------
+
+
+def test_er_cluster_matches_union_find(spark, sf_dir, reg):
+    """Third formulation: union-find over the FS match pairs taken from
+    the er_fellegi_sunter OUTPUT (so this checks the clustering layer
+    independently of the decision layer, which has its own recompute)."""
+    from xml_to_parquet_spark.operators.dedup import ER_NODE_OFFSET
+
+    fs = STAGED["er_fellegi_sunter"].fn(spark, sf_dir).collect()
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for r in fs:
+        if r["decision"] == "match":
+            union(r["rid"] + ER_NODE_OFFSET, r["cand_custkey"])
+    expected_ent = {m: find(m) for m in list(parent)}
+    sizes = defaultdict(int)
+    for e in expected_ent.values():
+        sizes[e] += 1
+    expected = {
+        m: (e, sizes[e]) for m, e in expected_ent.items()
+    }
+    got = {
+        r["member_id"]: (r["entity_id"], r["n_members"])
+        for r in STAGED["er_cluster_entities"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_er_cluster_true_pairs_land_together(spark, sf_dir, reg):
+    """Every dirty re-entry whose decision class is 'match' must share an
+    entity with its true clean counterpart (same custkey) — the planted
+    ground truth surviving transitive clustering."""
+    from xml_to_parquet_spark.operators.dedup import ER_NODE_OFFSET
+
+    rows = STAGED["er_cluster_entities"].fn(spark, sf_dir).collect()
+    ent = {r["member_id"]: r["entity_id"] for r in rows}
+    checked = 0
+    for m, e in ent.items():
+        if m >= ER_NODE_OFFSET:
+            true_clean = m - ER_NODE_OFFSET
+            if true_clean in ent:
+                assert ent[true_clean] == e, (m, true_clean)
+                checked += 1
+    assert checked > 0

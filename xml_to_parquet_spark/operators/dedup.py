@@ -16,6 +16,7 @@ inside buckets, which is the algorithm's contract.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.text_fns import (
@@ -1828,4 +1829,89 @@ def dedup_containment_incremental(spark, sf_dir):
                 "containment"
             ),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# entity clustering — the RESOLUTION step closing the ER ladder:
+# block (er_blocking_link) → decide (er_fellegi_sunter) → cluster (here)
+# ---------------------------------------------------------------------------
+
+# Dirty records share the clean roster's custkey space (rid IS the picked
+# customer's key), so clustering needs disjoint node ids: dirty nodes are
+# offset far above any SF's key range.
+ER_NODE_OFFSET = 10_000_000
+
+
+def _er_cluster_oracle() -> str:
+    return f"""
+    WITH fs AS ({_fs_oracle()}),
+    pairs AS (
+      SELECT rid + {ER_NODE_OFFSET} AS a, cand_custkey AS b
+      FROM fs WHERE decision = 'match'
+    ),
+    edges AS (
+      SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      WITH RECURSIVE r(node, lab) AS (
+        SELECT node, node FROM nodes
+        UNION
+        SELECT e.b, r.lab FROM r JOIN edges e ON e.a = r.node
+      )
+      SELECT * FROM r
+    ),
+    ent AS (
+      SELECT node AS member_id, CAST(min(lab) AS BIGINT) AS entity_id
+      FROM reach GROUP BY node
+    )
+    SELECT member_id, entity_id,
+           CAST(count(*) OVER (PARTITION BY entity_id) AS BIGINT) AS n_members
+    FROM ent
+    """
+
+
+@register_staged("er_cluster_entities", _er_cluster_oracle())
+def er_cluster_entities(spark, sf_dir):
+    """Entity resolution's final step: Fellegi–Sunter 'match' decisions
+    become edges of a bipartite dirty↔clean graph (dirty record ids
+    offset into a disjoint range) and connected components assign each
+    member a stable entity_id = min member id — transitivity is the
+    point: if two dirty re-entries both match the same clean customer
+    (or one dirty matches two cleans through a shared block), their
+    records MUST land in one entity even though they never compared
+    against each other, which pairwise output alone cannot express
+    (Splink's cluster_pairwise_predictions step). n_members is the
+    review signal — an entity swallowing many members flags an
+    over-permissive threshold. Only 'match' edges cluster; the
+    'possible' band stays out (human review must not be transitively
+    collapsed away).
+
+    Scale shape: reuses connected_components' pointer-jumping min-label
+    propagation — O(log diameter) rounds of node/label-keyed equi-joins
+    with per-round checkpoint (the exact machinery dedup_components
+    runs at corpus scale); the edge list is |matches|-sized, the final
+    member count a window over the entity-sized result. The oracle
+    computes the same fixpoint by recursive transitive closure."""
+    fs = er_fellegi_sunter(spark, sf_dir)
+    pairs = (
+        fs.filter(F.col("decision") == "match")
+        .select(
+            (F.col("rid") + ER_NODE_OFFSET).alias("a"),
+            F.col("cand_custkey").alias("b"),
+        )
+        .localCheckpoint()
+    )
+    edges = pairs.unionAll(
+        pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).localCheckpoint()
+    labels = connected_components(edges, pointer_jump=True, max_rounds=30)
+    ent = labels.select(
+        F.col("node").alias("member_id"),
+        F.col("lab").cast("bigint").alias("entity_id"),
+    )
+    return ent.withColumn(
+        "n_members",
+        F.count(F.lit(1)).over(W.partitionBy("entity_id")).cast("bigint"),
     )
