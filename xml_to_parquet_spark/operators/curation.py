@@ -735,3 +735,97 @@ def curate_mixture_sampling(spark, sf_dir):
             F.sum("keep").cast("bigint") / F.count(F.lit(1)).cast("bigint"), 6
         ).alias("kept_ratio"),
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility — per-language tokens/word budgeting
+# ---------------------------------------------------------------------------
+
+_BPE_ISH_RE = "[A-Za-z]+|[0-9]|[^A-Za-z0-9 ]"
+_WS_RE = "\\s+"
+
+
+def _fertility_oracle() -> str:
+    from xml_to_parquet_spark.operators.text import _lang_case
+
+    return f"""
+    WITH tok AS (
+      SELECT doc_id, text, n_chars, {TOKENS_DUCK} AS toks FROM documents
+    ),
+    m AS (
+      SELECT {_lang_case('duck')} AS lang_guess,
+             len(regexp_extract_all(text, '{_BPE_ISH_RE}')) AS n_bpe,
+             len(string_split_regex(text, '{_WS_RE}')) AS n_ws,
+             n_chars
+      FROM tok
+    )
+    SELECT lang_guess,
+           CAST(count(*) AS BIGINT)     AS n_docs,
+           CAST(sum(n_bpe) AS BIGINT)   AS bpe_tokens,
+           CAST(sum(n_ws) AS BIGINT)    AS ws_words,
+           CAST(sum(n_chars) AS BIGINT) AS chars,
+           round(CAST(sum(n_bpe) AS BIGINT)
+                 / CAST(nullif(CAST(sum(n_ws) AS BIGINT), 0) AS DOUBLE), 6)
+               AS fertility,
+           round(CAST(sum(n_chars) AS BIGINT)
+                 / CAST(nullif(CAST(sum(n_bpe) AS BIGINT), 0) AS DOUBLE), 6)
+               AS chars_per_token
+    FROM m GROUP BY 1
+    """
+
+
+@register_staged("curate_tokenizer_fertility", _fertility_oracle())
+def curate_tokenizer_fertility(spark, sf_dir):
+    """Per-language tokenizer FERTILITY (BPE-ish tokens per whitespace
+    word) and compression (chars per token) — the budgeting table a
+    multilingual training run reads before fixing its data mix: a
+    language whose fertility is 2x English costs 2x the compute per word,
+    and the mix weights (curate_mixture_sampling) are set in TOKENS, not
+    documents. Composes two already-proven primitives — text_lang_id's
+    deterministic marker-argmax language guess and text_token_count's
+    BPE-ish regex pre-tokenizer — into the per-language roll-up
+    (tokenizer_fertility in the sense of Rust et al., ACL'21: how many
+    subwords the tokenizer spends per word). Every aggregate is an exact
+    int64 sum; the two ratios divide identical integers LAST and are
+    round(6)ed, with a nullif guard so an all-empty-text language emits
+    NULL rather than a cross-engine inf/NULL divergence.
+
+    Scale shape: one map-only projection computes (lang, n_bpe, n_ws,
+    n_chars) per document — the regex counts and the marker CASE are all
+    JVM codegen, no Python — then a combinable groupBy on a ≤5-key
+    language column collapses map-side; the shuffle moves |langs| rows
+    per task, nothing data-sized. At 100 TB this is the cheapest shape a
+    corpus pass can have: single scan, single tiny exchange. The scan
+    prunes to (text, n_chars) — doc_id is not read."""
+    from xml_to_parquet_spark.operators.text import _lang_case
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.expr(TOKENS_SQL).alias("toks"),
+        F.expr(
+            f"size(regexp_extract_all(text, '{_BPE_ISH_RE}', 0))"
+        ).alias("n_bpe"),
+        F.size(F.split("text", _WS_RE)).alias("n_ws"),
+        "n_chars",
+    )
+    m = docs.select(
+        F.expr(_lang_case("spark")).alias("lang_guess"), "n_bpe", "n_ws", "n_chars"
+    )
+    agg = m.groupBy("lang_guess").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.sum("n_ws").cast("bigint").alias("ws_words"),
+        F.sum("n_chars").cast("bigint").alias("chars"),
+    )
+    return agg.select(
+        "lang_guess",
+        "n_docs",
+        "bpe_tokens",
+        "ws_words",
+        "chars",
+        F.round(
+            F.col("bpe_tokens") / F.expr("CAST(nullif(ws_words, 0) AS DOUBLE)"), 6
+        ).alias("fertility"),
+        F.round(
+            F.col("chars") / F.expr("CAST(nullif(bpe_tokens, 0) AS DOUBLE)"), 6
+        ).alias("chars_per_token"),
+    )

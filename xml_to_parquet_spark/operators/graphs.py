@@ -893,3 +893,142 @@ def graph_jaccard_neighbors(spark, sf_dir):
         "deg_v",
         F.round(F.col("common") / union_sz.cast("double"), 6).alias("jaccard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# local bridges — zero-embeddedness edges and their detour span
+# ---------------------------------------------------------------------------
+
+
+def _bridges_oracle() -> str:
+    return f"""
+    WITH {COOC_EDGES_CTE},
+    d AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+    com AS (
+      SELECT e.u, e.v, CAST(count(*) AS BIGINT) AS c
+      FROM e JOIN d a ON a.w = e.u
+             JOIN d b ON b.w = e.v AND b.x = a.x
+      GROUP BY 1, 2
+    ),
+    br AS (
+      SELECT e.u, e.v FROM e LEFT JOIN com c ON c.u = e.u AND c.v = e.v
+      WHERE c.c IS NULL
+    ),
+    sp3 AS (
+      SELECT DISTINCT br.u, br.v
+      FROM br JOIN d a ON a.w = br.u AND a.x <> br.v
+              JOIN d b ON b.w = br.v AND b.x <> br.u
+              JOIN e p ON p.u = least(a.x, b.x) AND p.v = greatest(a.x, b.x)
+    )
+    SELECT e.u, e.v,
+           COALESCE(c.c, 0) AS common,
+           CAST(CASE WHEN c.c IS NOT NULL THEN 2
+                     WHEN s.u IS NOT NULL THEN 3
+                     ELSE 0 END AS BIGINT) AS span,
+           CAST(CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS BIGINT)
+               AS is_local_bridge
+    FROM e LEFT JOIN com c ON c.u = e.u AND c.v = e.v
+           LEFT JOIN sp3 s ON s.u = e.u AND s.v = e.v
+    """
+
+
+@register_staged("graph_bridges", _bridges_oracle())
+def graph_bridges(spark, sf_dir):
+    """Local-bridge detection (Granovetter weak ties; Easley & Kleinberg
+    ch.3): an edge (u, v) is a LOCAL BRIDGE iff its endpoints share no
+    other neighbor — removing it leaves no length-2 detour — and its SPAN
+    is the detour distance after removal, reported exactly for 2 (not a
+    bridge: a common neighbor exists), 3 (a u–x–y–v detour exists), or 0
+    meaning "> 3" (the bounded-probe sentinel; an exact unbounded span is
+    an APSP problem no one runs corpus-wide). Weak-tie edges are the
+    information conduits between communities — the sparsification
+    COMPLEMENT of graph_jaccard_neighbors (which scores embedded edges;
+    this op isolates and probes the J = 0 stragglers). Embeddedness is
+    the same per-edge triangle support (exact int64); the span probe is
+    integer set logic — no floats anywhere.
+
+    Scale shape: support rides the degree-ordered compact-forward
+    orientation (√m-bounded adjacency intersect, each triangle counted
+    once then exploded to its 3 edges — never the Σ deg² wedge join the
+    tiny-scale oracle pays). The 3-path probe runs ONLY on the
+    zero-support edge subset (bridge candidates — a small fraction of m
+    in any graph with clustering) and is a chain of node-keyed
+    equi-joins: candidates ⋈ N(u) ⋈ N(x) with an early DISTINCT, then a
+    two-key LEFT SEMI against the v-adjacency — fan-out Σ_bridge
+    two-hop(u), with no hub adjacency array ever collected. At 100 TB
+    the probe's input is the support anti-join's output, so the heavy
+    triangle machinery is shared with jaccard/triangle ops and the
+    bridge-specific cost scales with the bridge count, not m. Nothing
+    driver-side; empty edge set → empty result."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    oriented = ed.select(
+        F.when(
+            F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
+            F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
+        )
+        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
+        .alias("e")
+    ).select("e.s", "e.d").localCheckpoint()
+    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
+    a_u = adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns"))
+    a_v = adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nd"))
+    tri = (
+        oriented.join(a_u, "s")
+        .join(a_v, "d")
+        .select("s", "d", F.explode(F.array_intersect("ns", "nd")).alias("c"))
+    )
+    incid = (
+        tri.select(F.col("s").alias("a"), F.col("d").alias("b"))
+        .unionAll(tri.select(F.col("s").alias("a"), F.col("c").alias("b")))
+        .unionAll(tri.select(F.col("d").alias("a"), F.col("c").alias("b")))
+        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
+    )
+    support = incid.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    withsup = edges.join(support, ["u", "v"], "left")
+    bridges = withsup.filter(F.col("c").isNull()).select("u", "v")
+    # both-directions neighbor list from the materialized canonical edges
+    nbr = edges.select(
+        F.col("u").alias("w"), F.col("v").alias("x")
+    ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("x")))
+    s1 = (
+        bridges.join(nbr, bridges["u"] == nbr["w"])
+        .filter(F.col("x") != F.col("v"))
+        .select("u", "v", "x")
+    )
+    hop2 = nbr.select(F.col("w").alias("x"), F.col("x").alias("y"))
+    s2 = (
+        s1.join(hop2, "x")
+        .filter((F.col("y") != F.col("u")) & (F.col("y") != F.col("v")))
+        .select("u", "v", "y")
+        .distinct()
+    )
+    vnbr = nbr.select(F.col("w").alias("v"), F.col("x").alias("y"))
+    sp3 = s2.join(vnbr, ["v", "y"], "left_semi").select("u", "v").distinct()
+    return (
+        withsup.join(sp3.withColumn("h3", F.lit(1)), ["u", "v"], "left")
+        .select(
+            "u",
+            "v",
+            F.coalesce("c", F.lit(0)).cast("bigint").alias("common"),
+            F.when(F.col("c").isNotNull(), F.lit(2))
+            .when(F.col("h3").isNotNull(), F.lit(3))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("span"),
+            F.when(F.col("c").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("is_local_bridge"),
+        )
+    )
