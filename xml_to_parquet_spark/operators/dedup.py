@@ -1534,10 +1534,10 @@ def _fs_records_sql() -> str:
     """
 
 
-def _fs_oracle() -> str:
-    return f"""
-    WITH clean AS ({_fs_records_sql()}),
-    dirty AS (
+def _fs_dirty_sql() -> str:
+    """Dirty re-entry roster (the tpch_derived corruption device) over a
+    CTE named ``clean`` — shared by the FS oracle and er_survivorship."""
+    return """
       SELECT c_custkey AS rid,
              CASE WHEN c_custkey % 12 = 0 THEN name ELSE
                substr(name, 1, 9 + c_custkey % 8)
@@ -1551,7 +1551,13 @@ def _fs_oracle() -> str:
       FROM (SELECT c_custkey, name, phone, city
             FROM clean JOIN customer USING (c_custkey)
             WHERE c_custkey % 4 = 0) AS picked
-    ),
+    """
+
+
+def _fs_oracle() -> str:
+    return f"""
+    WITH clean AS ({_fs_records_sql()}),
+    dirty AS ({_fs_dirty_sql()}),
     cand AS (
       SELECT d.rid, c.c_custkey AS cand_custkey,
              CASE WHEN d.name = c.name THEN 2
@@ -1581,35 +1587,10 @@ def _fs_oracle() -> str:
     """
 
 
-@register_staged("er_fellegi_sunter", _fs_oracle())
-def er_fellegi_sunter(spark, sf_dir):
-    """Fellegi–Sunter probabilistic record linkage (JASA 1969 — the
-    decision model behind Splink/dedupe.io): blocked candidate pairs get
-    a per-field AGREEMENT VECTOR (name exact / within-edit-2 / differs;
-    derived-phone exact; city exact), the vector maps through a
-    log-likelihood-ratio weight table (scaled-integer literals, the
-    'trained offline, broadcast at serve time' artifact), and the summed
-    score classifies match / possible / non-match — the three-way
-    decision with a human-review band that separates FS from the
-    hard-threshold er_blocking_link. The dirty table is the
-    tpch_derived corruption device: every 4th customer re-enters with a
-    one-char md5-derived name substitution, and every 12th instead moves
-    city — so true pairs arrive with DIFFERENT agreement vectors
-    (2/1/1 exact-ish, 1/1/1 name-edited, 2/1/0 city-moved, 1/0/1
-    phone-moved) and the classifier provably decides on the weighted
-    EVIDENCE, not one field: the first three land 'match', the
-    phone-moved plant lands in the 'possible' human-review band — the
-    three-way decision exercised by construction (pytest pins per-plant
-    class by custkey arithmetic and that all classes are populated).
-
-    Scale shape: candidates come from an equi-join on the 2-hex phone
-    prefix (256 uniform blocks — high-entropy blocking, the
-    er_blocking_link lesson); agreements and levenshtein run in codegen
-    on candidates only; the weight table is constant-folded literals (a
-    real deployment broadcasts it); the decision is a projection. At
-    100 TB: blocking bounds the quadratic, multi-pass blocking unions
-    more candidate sets in front of the SAME scorer — the FS layer
-    itself never rescans the roster."""
+def _fs_rosters(spark, sf_dir):
+    """(clean, dirty) identity rosters — the Spark twins of
+    _fs_records_sql / _fs_dirty_sql, shared by FS scoring and
+    er_survivorship's member-attribute join."""
     c = table(spark, sf_dir, "customer")
     clean = c.select(
         "c_custkey",
@@ -1641,6 +1622,39 @@ def er_fellegi_sunter(spark, sf_dir):
         .otherwise(F.col("city"))
         .alias("city"),
     )
+    return clean, dirty
+
+
+@register_staged("er_fellegi_sunter", _fs_oracle())
+def er_fellegi_sunter(spark, sf_dir):
+    """Fellegi–Sunter probabilistic record linkage (JASA 1969 — the
+    decision model behind Splink/dedupe.io): blocked candidate pairs get
+    a per-field AGREEMENT VECTOR (name exact / within-edit-2 / differs;
+    derived-phone exact; city exact), the vector maps through a
+    log-likelihood-ratio weight table (scaled-integer literals, the
+    'trained offline, broadcast at serve time' artifact), and the summed
+    score classifies match / possible / non-match — the three-way
+    decision with a human-review band that separates FS from the
+    hard-threshold er_blocking_link. The dirty table is the
+    tpch_derived corruption device: every 4th customer re-enters with a
+    one-char md5-derived name substitution, and every 12th instead moves
+    city — so true pairs arrive with DIFFERENT agreement vectors
+    (2/1/1 exact-ish, 1/1/1 name-edited, 2/1/0 city-moved, 1/0/1
+    phone-moved) and the classifier provably decides on the weighted
+    EVIDENCE, not one field: the first three land 'match', the
+    phone-moved plant lands in the 'possible' human-review band — the
+    three-way decision exercised by construction (pytest pins per-plant
+    class by custkey arithmetic and that all classes are populated).
+
+    Scale shape: candidates come from an equi-join on the 2-hex phone
+    prefix (256 uniform blocks — high-entropy blocking, the
+    er_blocking_link lesson); agreements and levenshtein run in codegen
+    on candidates only; the weight table is constant-folded literals (a
+    real deployment broadcasts it); the decision is a projection. At
+    100 TB: blocking bounds the quadratic, multi-pass blocking unions
+    more candidate sets in front of the SAME scorer — the FS layer
+    itself never rescans the roster."""
+    clean, dirty = _fs_rosters(spark, sf_dir)
     d = dirty.alias("d")
     cl = clean.alias("c")
     cand = d.join(
@@ -1914,4 +1928,171 @@ def er_cluster_entities(spark, sf_dir):
     return ent.withColumn(
         "n_members",
         F.count(F.lit(1)).over(W.partitionBy("entity_id")).cast("bigint"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# survivorship — the GOLDEN RECORD per resolved entity
+# ---------------------------------------------------------------------------
+
+
+def _survivorship_oracle() -> str:
+    return f"""
+    WITH ent AS ({_er_cluster_oracle()}),
+    clean AS ({_fs_records_sql()}),
+    dirty AS ({_fs_dirty_sql()}),
+    members AS (
+      SELECT c_custkey AS member_id, 0 AS src_rank, name, phone,
+             CAST(city AS BIGINT) AS city
+      FROM clean
+      UNION ALL
+      SELECT rid + {ER_NODE_OFFSET} AS member_id, 1 AS src_rank, name, phone,
+             CAST(city AS BIGINT) AS city
+      FROM dirty
+    ),
+    m AS (
+      SELECT e.entity_id, mm.member_id, mm.src_rank, mm.name, mm.phone,
+             mm.city
+      FROM ent e JOIN members mm ON mm.member_id = e.member_id
+    ),
+    rep AS (
+      SELECT entity_id, name,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY src_rank ASC, member_id ASC) AS rn
+      FROM m
+    ),
+    ph AS (
+      SELECT entity_id, phone,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY count(*) DESC, phone ASC) AS rn
+      FROM m GROUP BY entity_id, phone
+    ),
+    ci AS (
+      SELECT entity_id, city,
+             row_number() OVER (PARTITION BY entity_id
+                                ORDER BY count(*) DESC, city ASC) AS rn
+      FROM m GROUP BY entity_id, city
+    ),
+    agg AS (
+      SELECT entity_id, CAST(count(*) AS BIGINT) AS n_members,
+             CAST(sum(CASE WHEN src_rank = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_clean,
+             CAST(sum(CASE WHEN src_rank = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dirty
+      FROM m GROUP BY 1
+    )
+    SELECT agg.entity_id, agg.n_members, agg.n_clean, agg.n_dirty,
+           rep.name AS golden_name, ph.phone AS golden_phone,
+           ci.city AS golden_city
+    FROM agg JOIN rep ON rep.entity_id = agg.entity_id AND rep.rn = 1
+             JOIN ph  ON ph.entity_id  = agg.entity_id AND ph.rn  = 1
+             JOIN ci  ON ci.entity_id  = agg.entity_id AND ci.rn  = 1
+    """
+
+
+@register_staged("er_survivorship", _survivorship_oracle())
+def er_survivorship(spark, sf_dir):
+    """Survivorship — the GOLDEN-RECORD construction that ends every MDM
+    entity-resolution pipeline (block → decide → cluster → SURVIVE): per
+    resolved entity, one canonical record assembled from its members
+    under explicit, deterministic precedence rules. Name survives by
+    SOURCE PRIORITY (the curated clean roster outranks dirty re-entries;
+    ties fall to the lowest member id — 'most trusted source' in
+    Talend/Informatica survivorship terms); phone and city survive by
+    MOST-FREQUENT VALUE with a lexicographic tie-break ('majority rules'
+    — corroboration across members beats any single source). Every rule
+    is a total order, so the golden record is unique and reproducible —
+    the property that separates survivorship from 'pick any': an MDM
+    rerun that flips golden values on unchanged input is unauditable.
+    Member counts per source ride along as the review signal.
+
+    Scale shape: the member-attribute join is node-keyed on member_id
+    (entity labels come from the pointer-jumping components run —
+    er_cluster_entities' machinery, shared lineage); the three
+    survivorship picks are entity-keyed window row_numbers over
+    entity-sized groups (members per entity is small by construction —
+    match-decision fan-in, not corpus fan-in), and the frequency picks
+    pre-collapse to (entity, value) grids map-side before ranking. At
+    100 TB nothing here is data-sized except the one members join; the
+    windows run on grids bounded by the entity count. The oracle
+    recomputes the identical picks over the recursive-closure entity
+    table."""
+    ent = er_cluster_entities(spark, sf_dir).select("member_id", "entity_id")
+    clean, dirty = _fs_rosters(spark, sf_dir)
+    members = clean.select(
+        F.col("c_custkey").alias("member_id"),
+        F.lit(0).alias("src_rank"),
+        "name",
+        "phone",
+        F.col("city").cast("bigint").alias("city"),
+    ).unionAll(
+        dirty.select(
+            (F.col("rid") + ER_NODE_OFFSET).alias("member_id"),
+            F.lit(1).alias("src_rank"),
+            "name",
+            "phone",
+            F.col("city").cast("bigint").alias("city"),
+        )
+    )
+    m = ent.join(members, "member_id").localCheckpoint()
+    rep = (
+        m.withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("entity_id").orderBy(
+                    F.asc("src_rank"), F.asc("member_id")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("name").alias("golden_name"))
+    )
+    ph = (
+        m.groupBy("entity_id", "phone")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("entity_id").orderBy(
+                    F.desc("cnt"), F.asc("phone")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("phone").alias("golden_phone"))
+    )
+    ci = (
+        m.groupBy("entity_id", "city")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("entity_id").orderBy(F.desc("cnt"), F.asc("city"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("city").alias("golden_city"))
+    )
+    agg = m.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_members"),
+        F.sum(F.when(F.col("src_rank") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_clean"),
+        F.sum(F.when(F.col("src_rank") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dirty"),
+    )
+    return (
+        agg.join(rep, "entity_id")
+        .join(ph, "entity_id")
+        .join(ci, "entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            "n_clean",
+            "n_dirty",
+            "golden_name",
+            "golden_phone",
+            "golden_city",
+        )
     )

@@ -3149,3 +3149,366 @@ def dq_seasonal_decompose(spark, sf_dir):
         F.round(dow_mean, 6).alias("dow_mean"),
         F.round(dow_mean - all_mean, 6).alias("seasonal_dev"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUSUM changepoint — most likely level-shift day per metric series
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "dq_changepoint_cusum",
+    """
+    WITH ev AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    daily AS (
+      SELECT event_type, day, CAST(sum(cents) AS BIGINT) AS x
+      FROM ev GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+             CAST(sum(x) AS BIGINT) AS cents_all
+      FROM daily GROUP BY 1
+    ),
+    c AS (
+      SELECT d.event_type, d.day, t.n_days, t.cents_all,
+             t.n_days * sum(d.x) OVER w - (row_number() OVER w) * t.cents_all
+                 AS s_scaled
+      FROM daily d JOIN t ON t.event_type = d.event_type
+      WINDOW w AS (PARTITION BY d.event_type ORDER BY d.day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    r AS (
+      SELECT event_type, day AS change_day, n_days, abs(s_scaled) AS s_abs,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY abs(s_scaled) DESC, day ASC) AS rn
+      FROM c
+    )
+    SELECT event_type, change_day, n_days, CAST(s_abs AS BIGINT) AS s_abs,
+           round(s_abs / (100.0 * n_days), 6) AS cusum_dollars
+    FROM r WHERE rn = 1
+    """,
+)
+def dq_changepoint_cusum(spark, sf_dir):
+    """CUSUM changepoint detection per metric series (Page 1954; the
+    offline argmax-|CUSUM| estimator): for each event_type's daily value
+    series, the single most likely level-shift day — the day t maximizing
+    |Σ_{j≤t}(x_j − x̄)|, which for a one-change signal is the maximum-
+    likelihood change location. The monitor companion to
+    dq_seasonal_decompose (remove the weekly term, then ask WHEN the
+    level moved) and dq_drift_histogram (which asks IF two windows
+    differ). Exactness device: multiply the deviation sum through by
+    n_days — S_t = n_days·cumsum_t − t·total — so the running statistic
+    is pure int64 (no mean division inside the scan); ties on |S| break
+    to the earliest day via an explicit (|S| DESC, day ASC) row_number
+    in both engines; the one float (dollars-scale normalization by
+    100·n_days) divides exact integers LAST, round(6)ed.
+
+    Scale shape: daily pre-aggregation collapses the event scan to a
+    (type × day)-sized table map-side (combinable sum); the running sum
+    and both window ranks run over that tiny grid partitioned by type —
+    the shuffle after the first aggregate moves |types|·|days| rows,
+    nothing data-sized. The per-type totals join is grid-sized. At
+    100 TB the only data-sized work is the first combinable groupBy;
+    everything downstream is dashboard-cardinality. A 1000-day series
+    per type keeps every partition trivially in memory."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    daily = ev.groupBy("event_type", "day").agg(
+        F.sum("cents").cast("bigint").alias("x")
+    )
+    t = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("x").cast("bigint").alias("cents_all"),
+    )
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wo = W.partitionBy("event_type").orderBy("day")
+    c = (
+        daily.join(F.broadcast(t), "event_type")
+        .withColumn(
+            "s_scaled",
+            F.col("n_days") * F.sum("x").over(w)
+            - F.row_number().over(wo) * F.col("cents_all"),
+        )
+        .select(
+            "event_type",
+            F.col("day").alias("change_day"),
+            "n_days",
+            F.abs("s_scaled").alias("s_abs"),
+        )
+    )
+    rnw = W.partitionBy("event_type").orderBy(
+        F.desc("s_abs"), F.asc("change_day")
+    )
+    return (
+        c.withColumn("rn", F.row_number().over(rnw))
+        .filter(F.col("rn") == 1)
+        .select(
+            "event_type",
+            "change_day",
+            "n_days",
+            F.col("s_abs").cast("bigint").alias("s_abs"),
+            F.round(F.col("s_abs") / (F.lit(100.0) * F.col("n_days")), 6).alias(
+                "cusum_dollars"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OHLC resampling — open/high/low/close daily bars per metric series
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "timeseries_resample_ohlc",
+    """
+    WITH ev AS (
+      SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    w AS (
+      SELECT event_type, day, cents,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts ASC, event_id ASC) AS ra,
+             row_number() OVER (PARTITION BY event_type, day
+                                ORDER BY ts DESC, event_id DESC) AS rd
+      FROM ev
+    )
+    SELECT event_type, day,
+           CAST(max(CASE WHEN ra = 1 THEN cents END) AS BIGINT) AS open_cents,
+           CAST(max(cents) AS BIGINT)  AS high_cents,
+           CAST(min(cents) AS BIGINT)  AS low_cents,
+           CAST(max(CASE WHEN rd = 1 THEN cents END) AS BIGINT) AS close_cents,
+           CAST(count(*) AS BIGINT)    AS n_events,
+           CAST(sum(cents) AS BIGINT)  AS sum_cents
+    FROM w GROUP BY 1, 2
+    """,
+)
+def timeseries_resample_ohlc(spark, sf_dir):
+    """OHLC bar resampling — the financial/metrics downsample: per
+    (event_type, day), the first (open), max (high), min (low), and last
+    (close) observed value plus volume and turnover. First/last are
+    defined by the TOTAL order (ts, event_id) — event_id uniqueness makes
+    the bar deterministic even when two events share a timestamp (a real
+    occurrence in microsecond feeds; an ORDER BY ts alone would be
+    engine-dependent). Values collapse to exact int64 cents on scan; no
+    floats anywhere in the output.
+
+    Scale shape: the Spark side is ONE combinable groupBy — open/close
+    via min_by/max_by over the (ts, event_id) struct, which partial-
+    aggregates map-side like any min/max (each task keeps one candidate
+    per bar; merges compare structs), so the shuffle moves |bars| rows,
+    never the event stream. This is the declarative-aggregate win over
+    the window formulation the tiny-scale oracle uses (row_number needs
+    a full partition sort; min_by doesn't sort anything). At 100 TB a
+    year of 10k metric series is ~3.7M bars — dashboard-sized output
+    from a single scan + single grid-sized exchange, and the scan prunes
+    to (event_type, ts, event_id, value)."""
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.date_trunc("day", "ts").alias("day"),
+            "ts",
+            "event_id",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    return ev.groupBy("event_type", "day").agg(
+        F.expr("min_by(cents, struct(ts, event_id))")
+        .cast("bigint")
+        .alias("open_cents"),
+        F.max("cents").cast("bigint").alias("high_cents"),
+        F.min("cents").cast("bigint").alias("low_cents"),
+        F.expr("max_by(cents, struct(ts, event_id))")
+        .cast("bigint")
+        .alias("close_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# chi-squared independence — per-cell contribution matrix
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "dq_chisq_independence",
+    """
+    WITH cell AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    rt AS (SELECT pri, CAST(sum(n) AS BIGINT) AS r FROM cell GROUP BY 1),
+    ct AS (SELECT st, CAST(sum(n) AS BIGINT) AS c FROM cell GROUP BY 1),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS big_n FROM cell)
+    SELECT cell.pri, cell.st, cell.n, rt.r AS row_total, ct.c AS col_total,
+           round(rt.r * ct.c / CAST(tot.big_n AS DOUBLE), 6) AS expected,
+           round(
+             CAST(tot.big_n * cell.n - rt.r * ct.c AS DOUBLE)
+             * CAST(tot.big_n * cell.n - rt.r * ct.c AS DOUBLE)
+             / CAST(tot.big_n * rt.r * ct.c AS DOUBLE), 6) AS chisq_contrib
+    FROM cell JOIN rt ON rt.pri = cell.pri
+              JOIN ct ON ct.st = cell.st
+              CROSS JOIN tot
+    """,
+)
+def dq_chisq_independence(spark, sf_dir):
+    """Pearson chi-squared independence CONTRIBUTION MATRIX between two
+    categorical profile columns (order priority × order status): per
+    cell, the observed count, margins, expected count under independence,
+    and the cell's (O−E)²/E term — the DQ cross-tab that flags which
+    specific (category, category) cell drives a dependence alarm (the
+    global statistic is the reader's one-line sum over this ≤15-row
+    grid; emitting per-cell keeps every value an exact-integer derivation
+    — a cross-engine sum of double contributions would be
+    order-dependent, violating the parity contract). Completes the
+    stats-test family: dq_ks_distance (continuous two-sample),
+    dq_mann_whitney (rank two-sample), dq_benford (digit conformance) —
+    this is the categorical independence member. Exactness: the deviation
+    N·O − R·C is computed in int64 (≤ N·O ~ 10^10, far under 2^63), cast
+    to double exactly (< 2^53) before the one squaring, and divided by
+    the exact int64 product N·R·C cast to double — both engines evaluate
+    the identical three-flop tail, round(6)ed.
+
+    Scale shape: one combinable groupBy collapses the orders scan to the
+    |pri|×|st| grid map-side; margins and the grand total derive from
+    the grid itself (never a second scan), and every join is
+    broadcast-sized (≤15 rows). The scan prunes to the two profiled
+    columns. At 100 TB: a single data-sized combinable aggregate,
+    everything else is dashboard arithmetic."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    cell = o.groupBy("pri", "st").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    rt = cell.groupBy("pri").agg(F.sum("n").cast("bigint").alias("r"))
+    ct = cell.groupBy("st").agg(F.sum("n").cast("bigint").alias("c"))
+    tot = cell.agg(F.sum("n").cast("bigint").alias("big_n"))
+    dev = F.col("big_n") * F.col("n") - F.col("r") * F.col("c")
+    return (
+        cell.join(F.broadcast(rt), "pri")
+        .join(F.broadcast(ct), "st")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "pri",
+            "st",
+            "n",
+            F.col("r").alias("row_total"),
+            F.col("c").alias("col_total"),
+            F.round(
+                (F.col("r") * F.col("c")) / F.col("big_n").cast("double"), 6
+            ).alias("expected"),
+            F.round(
+                dev.cast("double")
+                * dev.cast("double")
+                / (F.col("big_n") * F.col("r") * F.col("c")).cast("double"),
+                6,
+            ).alias("chisq_contrib"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# weighted median — exact, by cumulative weight over distinct values
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_weighted_median",
+    """
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents,
+             CAST(round(l_quantity) AS BIGINT) AS w
+      FROM lineitem
+    ),
+    g AS (
+      SELECT flag, cents, CAST(sum(w) AS BIGINT) AS w
+      FROM li GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, cents, w,
+             CAST(sum(w) OVER (PARTITION BY flag ORDER BY cents
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS BIGINT) AS cumw,
+             CAST(sum(w) OVER (PARTITION BY flag) AS BIGINT) AS totw,
+             CAST(sum(w * cents) OVER (PARTITION BY flag) AS BIGINT) AS wc
+      FROM g
+    )
+    SELECT flag,
+           CAST(min(totw) AS BIGINT) AS total_weight,
+           CAST(min(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+               AS median_cents,
+           round(CAST(min(wc) AS BIGINT)
+                 / (100.0 * CAST(min(totw) AS BIGINT)), 6) AS weighted_mean
+    FROM c GROUP BY 1
+    """,
+)
+def agg_weighted_median(spark, sf_dir):
+    """Exact QUANTITY-WEIGHTED median unit price per return flag — the
+    robust center a pricing monitor wants when line items carry different
+    volumes (the unweighted median over-counts one-unit orders; the mean
+    is outlier-fragile; percentile_approx is a sketch with no
+    cross-engine oracle). Lower weighted median: the smallest price p
+    with 2·Σ_{x≤p} w(x) ≥ Σ w. Determinism device: weights collapse per
+    DISTINCT price FIRST (so the cumulative sum's order is the total
+    order on prices — never a tie-dependent row order), and price/weight
+    are exact int64 cents/units throughout; the companion weighted mean
+    divides two exact integers LAST, round(6)ed.
+
+    Scale shape: the data-sized step is one combinable (flag, price)
+    groupBy — at 100 TB the distinct-price grid per flag is bounded by
+    the price domain (~10^7 cents values), orders of magnitude under the
+    row count, and partial aggregation collapses duplicates map-side.
+    The cumulative scan then runs per flag over that bounded grid (window
+    sort on grid rows, not data rows); the final per-flag pick is a
+    combinable conditional min. A true all-data window sort never
+    happens — that is the trap the distinct-first device exists to
+    avoid."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        F.round(F.col("l_quantity")).cast("bigint").alias("w"),
+    )
+    g = li.groupBy("flag", "cents").agg(F.sum("w").cast("bigint").alias("w"))
+    wcum = (
+        W.partitionBy("flag")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "cents",
+        F.sum("w").over(wcum).cast("bigint").alias("cumw"),
+        F.sum("w").over(wall).cast("bigint").alias("totw"),
+        F.sum(F.col("w") * F.col("cents")).over(wall).cast("bigint").alias("wc"),
+    )
+    return c.groupBy("flag").agg(
+        F.min("totw").cast("bigint").alias("total_weight"),
+        F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents")))
+        .cast("bigint")
+        .alias("median_cents"),
+        F.round(
+            F.min("wc").cast("bigint") / (F.lit(100.0) * F.min("totw")), 6
+        ).alias("weighted_mean"),
+    )
