@@ -206,6 +206,13 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("stream_cdc_apply", 0),
     ("dq_seasonal_decompose", 0),
     ("er_cluster_entities", 0),
+    ("curate_tokenizer_fertility", 0),
+    ("graph_bridges", 0),
+    ("dq_changepoint_cusum", 0),
+    ("timeseries_resample_ohlc", 0),
+    ("dq_chisq_independence", 0),
+    ("agg_weighted_median", 0),
+    ("er_survivorship", 0),
 ]
 
 

@@ -3211,7 +3211,8 @@ def dq_changepoint_cusum(spark, sf_dir):
     (type × day)-sized table map-side (combinable sum); the running sum
     and both window ranks run over that tiny grid partitioned by type —
     the shuffle after the first aggregate moves |types|·|days| rows,
-    nothing data-sized. The per-type totals join is grid-sized. At
+    nothing data-sized. Per-type totals are window aggregates over the
+    same grid (single scan lineage — plan-pinned). At
     100 TB the only data-sized work is the first combinable groupBy;
     everything downstream is dashboard-cardinality. A 1000-day series
     per type keeps every partition trivially in memory."""
@@ -3227,10 +3228,11 @@ def dq_changepoint_cusum(spark, sf_dir):
     daily = ev.groupBy("event_type", "day").agg(
         F.sum("cents").cast("bigint").alias("x")
     )
-    t = daily.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_days"),
-        F.sum("x").cast("bigint").alias("cents_all"),
-    )
+    # per-type totals as window aggregates over the daily grid — a
+    # groupBy-then-join formulation lazily recomputes `daily` and scans
+    # events TWICE (measured in the first formulation's plan); this
+    # keeps one scan lineage (the chisq/transition-matrix device)
+    wt = W.partitionBy("event_type")
     w = (
         W.partitionBy("event_type")
         .orderBy("day")
@@ -3238,7 +3240,8 @@ def dq_changepoint_cusum(spark, sf_dir):
     )
     wo = W.partitionBy("event_type").orderBy("day")
     c = (
-        daily.join(F.broadcast(t), "event_type")
+        daily.withColumn("n_days", F.count(F.lit(1)).over(wt).cast("bigint"))
+        .withColumn("cents_all", F.sum("x").over(wt).cast("bigint"))
         .withColumn(
             "s_scaled",
             F.col("n_days") * F.sum("x").over(w)
@@ -3314,9 +3317,12 @@ def timeseries_resample_ohlc(spark, sf_dir):
     via min_by/max_by over the (ts, event_id) struct, which partial-
     aggregates map-side like any min/max (each task keeps one candidate
     per bar; merges compare structs), so the shuffle moves |bars| rows,
-    never the event stream. This is the declarative-aggregate win over
-    the window formulation the tiny-scale oracle uses (row_number needs
-    a full partition sort; min_by doesn't sort anything). At 100 TB a
+    never the event stream. Struct-ordered min_by buffers push Spark to
+    SORT-based aggregation (a per-partition sort on the grouping key —
+    local CPU, plan-pinned to keep its partial_min_by combine), but the
+    exchange stays grid-sized — the property that matters; the window
+    formulation the tiny-scale oracle uses would instead hash-partition
+    EVERY event to rank rows it then throws away. At 100 TB a
     year of 10k metric series is ~3.7M bars — dashboard-sized output
     from a single scan + single grid-sized exchange, and the scan prunes
     to (event_type, ts, event_id, value)."""
@@ -3391,24 +3397,29 @@ def dq_chisq_independence(spark, sf_dir):
     the identical three-flop tail, round(6)ed.
 
     Scale shape: one combinable groupBy collapses the orders scan to the
-    |pri|×|st| grid map-side; margins and the grand total derive from
-    the grid itself (never a second scan), and every join is
-    broadcast-sized (≤15 rows). The scan prunes to the two profiled
+    |pri|×|st| grid map-side; margins and the grand total are WINDOW
+    SUMS over that grid (the transition-matrix single-lineage device —
+    deriving them as separate groupBys would recompute the aggregate,
+    and with lazy evaluation re-SCAN orders, once per margin: measured
+    four scans in the first formulation's plan; this one is pinned to
+    exactly one). No joins at all. The scan prunes to the two profiled
     columns. At 100 TB: a single data-sized combinable aggregate,
-    everything else is dashboard arithmetic."""
+    everything else is dashboard arithmetic on ≤15 rows."""
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
     )
     cell = o.groupBy("pri", "st").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    rt = cell.groupBy("pri").agg(F.sum("n").cast("bigint").alias("r"))
-    ct = cell.groupBy("st").agg(F.sum("n").cast("bigint").alias("c"))
-    tot = cell.agg(F.sum("n").cast("bigint").alias("big_n"))
+    grid = cell.select(
+        "pri",
+        "st",
+        "n",
+        F.sum("n").over(W.partitionBy("pri")).cast("bigint").alias("r"),
+        F.sum("n").over(W.partitionBy("st")).cast("bigint").alias("c"),
+        F.sum("n").over(W.partitionBy()).cast("bigint").alias("big_n"),
+    )
     dev = F.col("big_n") * F.col("n") - F.col("r") * F.col("c")
     return (
-        cell.join(F.broadcast(rt), "pri")
-        .join(F.broadcast(ct), "st")
-        .crossJoin(F.broadcast(tot))
-        .select(
+        grid.select(
             "pri",
             "st",
             "n",
