@@ -213,6 +213,26 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("dq_chisq_independence", 0),
     ("agg_weighted_median", 0),
     ("er_survivorship", 0),
+    # r16 staged set. graph_degree_assortativity keeps its single
+    # global-aggregate row over an empty edge list (n_pairs = 0, null
+    # coefficient) — the agg_least_squares empty-contract shape.
+    ("dq_autocorrelation", 0),
+    ("dq_outlier_mad", 0),
+    ("graph_degree_assortativity", 1),
+    ("text_collocations_pmi", 0),
+    ("text_zipf_rank", 0),
+    ("lake_compaction_plan", 0),
+    ("sim_silhouette", 0),
+    ("mm_image_palette", 0),
+    # r17 staged set. er_blocking_metrics keeps its 3 fixed scheme rows
+    # (every rule's candidate count over empty rosters is still a
+    # verdict, like dq_expectation_suite); covariance gates on n >= 2 so
+    # an empty table emits nothing.
+    ("sim_kmeans_update", 0),
+    ("agg_covariance_matrix", 0),
+    ("er_blocking_metrics", 3),
+    ("lake_clustering_depth", 0),
+    ("graph_harmonic_landmarks", 0),
 ]
 
 

@@ -2096,3 +2096,140 @@ def er_survivorship(spark, sf_dir):
             "golden_city",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# blocking-scheme evaluation — reduction ratio × pairs completeness
+# ---------------------------------------------------------------------------
+
+
+def _blocking_metrics_oracle() -> str:
+    return f"""
+    WITH clean AS ({_fs_records_sql()}),
+    dirty AS ({_fs_dirty_sql()}),
+    tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM dirty) AS n_dirty,
+                   (SELECT CAST(count(*) AS BIGINT) FROM clean) AS n_clean),
+    truth AS (
+      SELECT d.name AS dn, d.phone AS dp, d.city AS dc,
+             c.name AS cn, c.phone AS cp, c.city AS cc
+      FROM dirty d JOIN clean c ON c.c_custkey = d.rid
+    ),
+    cand AS (
+      SELECT 'phone_prefix2' AS scheme, CAST(count(*) AS BIGINT) AS n_candidates
+      FROM dirty d JOIN clean c ON substr(d.phone, 1, 2) = substr(c.phone, 1, 2)
+      UNION ALL
+      SELECT 'city', CAST(count(*) AS BIGINT)
+      FROM dirty d JOIN clean c ON d.city = c.city
+      UNION ALL
+      SELECT 'name_exact', CAST(count(*) AS BIGINT)
+      FROM dirty d JOIN clean c ON d.name = c.name
+    ),
+    found AS (
+      SELECT 'phone_prefix2' AS scheme, CAST(count(*) AS BIGINT) AS true_found
+      FROM truth WHERE substr(dp, 1, 2) = substr(cp, 1, 2)
+      UNION ALL
+      SELECT 'city', CAST(count(*) AS BIGINT) FROM truth WHERE dc = cc
+      UNION ALL
+      SELECT 'name_exact', CAST(count(*) AS BIGINT) FROM truth WHERE dn = cn
+    )
+    SELECT cand.scheme, tot.n_dirty AS n_true_pairs, cand.n_candidates,
+           round(1 - CAST(cand.n_candidates AS DOUBLE)
+                     / (CAST(tot.n_dirty AS DOUBLE)
+                        * CAST(tot.n_clean AS DOUBLE)), 6) AS reduction_ratio,
+           found.true_found,
+           round(CAST(found.true_found AS DOUBLE)
+                 / CAST(tot.n_dirty AS DOUBLE), 6) AS pairs_completeness
+    FROM cand JOIN found USING (scheme) CROSS JOIN tot
+    """
+
+
+@register_staged("er_blocking_metrics", _blocking_metrics_oracle())
+def er_blocking_metrics(spark, sf_dir):
+    """BLOCKING-SCHEME EVALUATION — the analysis every ER deployment
+    runs before linking (Splink's blocking-rule profiler; Christen's
+    RR/PC framework): for each candidate blocking rule, the two numbers
+    that trade off against each other — REDUCTION RATIO (1 − candidate
+    pairs / all pairs: how much of the quadratic the rule kills) and
+    PAIRS COMPLETENESS (what fraction of TRUE matches survive blocking:
+    recall of the candidate generator; the ceiling on any downstream
+    matcher). Ground truth is the FS fixture's planted identity (dirty
+    rid ≡ clean custkey). Three rules with designed contrast: the 2-hex
+    phone prefix (the one er_fellegi_sunter ships: corruptions never
+    touch positions 1–2, so PC = 1.0 with RR ~ 255/256), city equality
+    (the %12 city-moved plants escape the block — PC < 1, the
+    silent-loss failure a profiler exists to expose), and exact name
+    (only the %12 == 0 uncorrupted plants survive — high RR, terrible
+    PC). Counts are exact int64; the two ratios divide exact integers
+    LAST, round(6)ed.
+
+    Scale shape: each rule is ONE equi-join COUNT on its blocking key
+    (AQE-sized hash joins; nothing materializes the pairs — count
+    partials collapse map-side) and truth-pair recall is a key-join +
+    conditional count over the roster. The rosters build once from the
+    shared checkpoint (_fs_rosters). At 100 TB the profiler costs one
+    pass per rule over the blocked join — exactly what it costs in
+    production, which is why RR exists as a planning number."""
+    clean, dirty = _fs_rosters(spark, sf_dir)
+    n_dirty = dirty.agg(F.count(F.lit(1)).cast("bigint").alias("n_dirty"))
+    n_clean = clean.agg(F.count(F.lit(1)).cast("bigint").alias("n_clean"))
+    tot = n_dirty.crossJoin(n_clean)
+    d = dirty.alias("d")
+    c = clean.alias("c")
+    truth = d.join(c, F.expr("c.c_custkey = d.rid")).select(
+        F.col("d.name").alias("dn"),
+        F.col("d.phone").alias("dp"),
+        F.col("d.city").alias("dc"),
+        F.col("c.name").alias("cn"),
+        F.col("c.phone").alias("cp"),
+        F.col("c.city").alias("cc"),
+    )
+
+    def _count(df, scheme):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("cnt")
+        ).select(F.lit(scheme).alias("scheme"), "cnt")
+
+    cand = (
+        _count(
+            d.join(c, F.expr("substr(d.phone, 1, 2) = substr(c.phone, 1, 2)")),
+            "phone_prefix2",
+        )
+        .unionByName(_count(d.join(c, F.expr("d.city = c.city")), "city"))
+        .unionByName(
+            _count(d.join(c, F.expr("d.name = c.name")), "name_exact")
+        )
+        .withColumnRenamed("cnt", "n_candidates")
+    )
+    found = (
+        _count(
+            truth.filter(F.expr("substr(dp, 1, 2) = substr(cp, 1, 2)")),
+            "phone_prefix2",
+        )
+        .unionByName(_count(truth.filter(F.expr("dc = cc")), "city"))
+        .unionByName(_count(truth.filter(F.expr("dn = cn")), "name_exact"))
+        .withColumnRenamed("cnt", "true_found")
+    )
+    return (
+        cand.join(found, "scheme")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "scheme",
+            F.col("n_dirty").alias("n_true_pairs"),
+            "n_candidates",
+            F.round(
+                1
+                - F.col("n_candidates").cast("double")
+                / (
+                    F.col("n_dirty").cast("double")
+                    * F.col("n_clean").cast("double")
+                ),
+                6,
+            ).alias("reduction_ratio"),
+            "true_found",
+            F.round(
+                F.col("true_found").cast("double")
+                / F.col("n_dirty").cast("double"),
+                6,
+            ).alias("pairs_completeness"),
+        )
+    )

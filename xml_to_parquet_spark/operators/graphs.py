@@ -951,15 +951,19 @@ def graph_bridges(spark, sf_dir):
     orientation (√m-bounded adjacency intersect, each triangle counted
     once then exploded to its 3 edges — never the Σ deg² wedge join the
     tiny-scale oracle pays). The 3-path probe runs ONLY on the
-    zero-support edge subset (bridge candidates — a small fraction of m
-    in any graph with clustering) and is a chain of node-keyed
-    equi-joins: candidates ⋈ N(u) ⋈ N(x) with an early DISTINCT, then a
-    two-key LEFT SEMI against the v-adjacency — fan-out Σ_bridge
-    two-hop(u), with no hub adjacency array ever collected. At 100 TB
-    the probe's input is the support anti-join's output, so the heavy
-    triangle machinery is shared with jaccard/triangle ops and the
-    bridge-specific cost scales with the bridge count, not m. Nothing
-    driver-side; empty edge set → empty result."""
+    zero-support edge subset (bridge candidates) and is ROW-LOCAL array
+    logic, never a two-hop edge explode: per (bridge, x ∈ N(u)) the
+    detour test is array_intersect(N(x), N(v)) minus {u} over two
+    joined adjacency arrays — probe rows ∝ Σ_bridge deg(u) (the
+    candidate fan-out itself), where the explode formulation
+    materialized Σ_bridge two-hop(u) rows before its distinct (~70M at
+    sf0.1, 65s measured; this shape runs in ~14s, dominated by the
+    shared triangle tier). The support-decorated edge list checkpoints
+    once so the candidate filter and final span join never re-run the
+    triangle pass. Adjacency arrays are degree-bounded; on a graph with
+    extreme hubs the probe inherits the same cap discussion as
+    jaccard_neighbors. Nothing driver-side; empty edge set → empty
+    result."""
     edges = cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("node"))
@@ -995,7 +999,11 @@ def graph_bridges(spark, sf_dir):
     support = incid.groupBy("u", "v").agg(
         F.count(F.lit(1)).cast("bigint").alias("c")
     )
-    withsup = edges.join(support, ["u", "v"], "left")
+    # materialize the support-decorated edge list ONCE: both the bridge
+    # candidate set and the final span join consume it, and two lazy
+    # branches would re-run the whole triangle pass per side (measured
+    # 70s → ~20s at sf0.1 — the single-lineage lesson at graph scale)
+    withsup = edges.join(support, ["u", "v"], "left").localCheckpoint()
     bridges = withsup.filter(F.col("c").isNull()).select("u", "v")
     # both-directions neighbor list from the materialized canonical edges
     nbr = edges.select(
@@ -1006,15 +1014,34 @@ def graph_bridges(spark, sf_dir):
         .filter(F.col("x") != F.col("v"))
         .select("u", "v", "x")
     )
-    hop2 = nbr.select(F.col("w").alias("x"), F.col("x").alias("y"))
-    s2 = (
-        s1.join(hop2, "x")
-        .filter((F.col("y") != F.col("u")) & (F.col("y") != F.col("v")))
-        .select("u", "v", "y")
+    # span-3 test per (bridge, x): a u–x–y–v detour exists iff
+    # (N(x) ∩ N(v)) \ {u} is non-empty. Intersecting the two FULL
+    # adjacency ARRAYS row-locally replaces the two-hop edge explode —
+    # the first formulation materialized Σ_bridge two-hop(u) rows
+    # (~70M at sf0.1, 65s measured) before its distinct; this one
+    # carries |s1| rows with two bounded arrays each (probe cost
+    # ∝ Σ_bridge deg(u), the s1 size itself). x ∉ N(v) holds
+    # automatically on zero-common-neighbor edges, and y ≠ x/v by
+    # no-self-loops, so the only explicit exclusion is u.
+    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs"))
+    s1x = s1.join(
+        fadj.select(F.col("w").alias("x"), F.col("nbrs").alias("nx")), "x"
+    )
+    s1xv = s1x.join(
+        fadj.select(F.col("w").alias("v"), F.col("nbrs").alias("nv")), "v"
+    )
+    sp3 = (
+        s1xv.filter(
+            F.size(
+                F.array_except(
+                    F.array_intersect("nx", "nv"), F.array(F.col("u"))
+                )
+            )
+            > 0
+        )
+        .select("u", "v")
         .distinct()
     )
-    vnbr = nbr.select(F.col("w").alias("v"), F.col("x").alias("y"))
-    sp3 = s2.join(vnbr, ["v", "y"], "left_semi").select("u", "v").distinct()
     return (
         withsup.join(sp3.withColumn("h3", F.lit(1)), ["u", "v"], "left")
         .select(
@@ -1031,4 +1058,258 @@ def graph_bridges(spark, sf_dir):
             .cast("bigint")
             .alias("is_local_bridge"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity — degree–degree Pearson over the edge list
+# ---------------------------------------------------------------------------
+
+# Shared double tail (identical syntax both engines): Pearson r of the
+# symmetrized (du, dv) edge-endpoint pairs. Marginals are equal by
+# symmetry (every edge contributes both orientations), so s_y = s_x and
+# s_yy = s_xx and the formula collapses to one numerator / one variance.
+_ASSORT_R = (
+    "round((CAST(n_pairs AS DOUBLE) * CAST(s_xy AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+    " / (CAST(n_pairs AS DOUBLE) * CAST(s_xx AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE)), 6)"
+)
+
+
+def _assortativity_oracle() -> str:
+    return f"""
+    WITH {COOC_EDGES_CTE},
+    d AS (SELECT u AS w FROM e UNION ALL SELECT v AS w FROM e),
+    deg AS (SELECT w, CAST(count(*) AS BIGINT) AS deg FROM d GROUP BY 1),
+    pairs AS (
+      SELECT a.deg AS du, b.deg AS dv
+      FROM e JOIN deg a ON a.w = e.u JOIN deg b ON b.w = e.v
+      UNION ALL
+      SELECT a.deg AS du, b.deg AS dv
+      FROM e JOIN deg a ON a.w = e.v JOIN deg b ON b.w = e.u
+    ),
+    s AS (
+      SELECT CAST(count(*) AS BIGINT)        AS n_pairs,
+             CAST(sum(du) AS BIGINT)         AS s_x,
+             CAST(sum(du * dv) AS BIGINT)    AS s_xy,
+             CAST(sum(du * du) AS BIGINT)    AS s_xx
+      FROM pairs
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+           (SELECT CAST(count(*) AS BIGINT) FROM e)   AS n_edges,
+           n_pairs, s_x, s_xy, s_xx,
+           {_ASSORT_R} AS assortativity
+    FROM s
+    """
+
+
+@register_staged("graph_degree_assortativity", _assortativity_oracle())
+def graph_degree_assortativity(spark, sf_dir):
+    """Degree ASSORTATIVITY coefficient (Newman 2002): the Pearson
+    correlation of endpoint degrees over the symmetrized edge list — the
+    one-number answer to "do hubs link to hubs?" that separates social
+    graphs (assortative, r > 0) from web/biology graphs (disassortative,
+    r < 0) and calibrates every null-model comparison downstream.
+    Each undirected edge contributes BOTH orientations (the standard
+    treatment), which makes the two marginals identical, so one set of
+    exact int64 sums (Σd_u, Σd_u·d_v, Σd_u²) determines r. The raw sums
+    are emitted alongside r — the hash pins the exact integer
+    derivation, not just the rounded quotient; the single double tail
+    runs on identically-cast operands in both engines, round(6)ed.
+
+    Scale shape: degrees are one combinable groupBy over the edge list;
+    decorating edges with endpoint degrees is two node-keyed hash joins
+    (co-partitioned on u then v — the LPA/kcore join pattern, never a
+    broadcast of a node-sized table); the moment sums are ONE combinable
+    global aggregate whose partials collapse map-side to a single row
+    per task. The n_nodes/n_edges decorations are 1-row aggregate
+    cross-joins. At 100 TB nothing is ever driver-side and no step
+    materializes more than the decorated edge list. Products fit int64:
+    d_u·d_v ≤ d_max² ~ 10^8 summed over 2m ~ 10^12 edges ≈ 10^20 needs
+    the decimal upgrade only past ~10^4 average degree — far beyond any
+    co-occurrence graph; at graded SFs the headroom is ample."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    deg = (
+        edges.select(F.col("u").alias("w"))
+        .unionAll(edges.select(F.col("v").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    du = deg.select(F.col("w").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("dv"))
+    ed = edges.join(du, "u").join(dv, "v")
+    pairs = ed.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
+        ed.select(F.col("dv").alias("x"), F.col("du").alias("y"))
+    )
+    s = pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("s_x"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("s_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s_xx"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return (
+        n_nodes.crossJoin(n_edges)
+        .crossJoin(s)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_pairs",
+            "s_x",
+            "s_xy",
+            "s_xx",
+            F.expr(_ASSORT_R).alias("assortativity"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# landmark harmonic centrality — exact 3-hop BFS from 16 landmark nodes
+# ---------------------------------------------------------------------------
+
+N_LANDMARKS = 16
+HARMONIC_HOPS = 3
+
+
+def _harmonic_oracle() -> str:
+    return f"""
+    WITH {COOC_EDGES_CTE},
+    d AS (SELECT u AS w, v AS x FROM e UNION ALL SELECT v AS w, u AS x FROM e),
+    lm AS (
+      SELECT w AS lm FROM (SELECT DISTINCT w FROM d) ORDER BY w
+      LIMIT {N_LANDMARKS}
+    ),
+    h1 AS (SELECT DISTINCT lm.lm, d.x FROM lm JOIN d ON d.w = lm.lm),
+    h2 AS (
+      SELECT DISTINCT h1.lm, d.x AS y
+      FROM h1 JOIN d ON d.w = h1.x
+      LEFT JOIN h1 seen ON seen.lm = h1.lm AND seen.x = d.x
+      WHERE d.x <> h1.lm AND seen.lm IS NULL
+    ),
+    h3 AS (
+      SELECT DISTINCT h2.lm, d.x AS z
+      FROM h2 JOIN d ON d.w = h2.y
+      LEFT JOIN h2 s2 ON s2.lm = h2.lm AND s2.y = d.x
+      LEFT JOIN h1 s1 ON s1.lm = h2.lm AND s1.x = d.x
+      WHERE d.x <> h2.lm AND s2.lm IS NULL AND s1.lm IS NULL
+    )
+    SELECT lm.lm AS landmark,
+           CAST((SELECT count(*) FROM h1 WHERE h1.lm = lm.lm) AS BIGINT)
+               AS n_hop1,
+           CAST((SELECT count(*) FROM h2 WHERE h2.lm = lm.lm) AS BIGINT)
+               AS n_hop2,
+           CAST((SELECT count(*) FROM h3 WHERE h3.lm = lm.lm) AS BIGINT)
+               AS n_hop3,
+           CAST(6 * (SELECT count(*) FROM h1 WHERE h1.lm = lm.lm)
+              + 3 * (SELECT count(*) FROM h2 WHERE h2.lm = lm.lm)
+              + 2 * (SELECT count(*) FROM h3 WHERE h3.lm = lm.lm) AS BIGINT)
+               AS harmonic_scaled6,
+           round(CAST(6 * (SELECT count(*) FROM h1 WHERE h1.lm = lm.lm)
+                    + 3 * (SELECT count(*) FROM h2 WHERE h2.lm = lm.lm)
+                    + 2 * (SELECT count(*) FROM h3 WHERE h3.lm = lm.lm)
+                      AS DOUBLE) / 6.0, 6) AS harmonic3
+    FROM lm
+    """
+
+
+@register_staged("graph_harmonic_landmarks", _harmonic_oracle())
+def graph_harmonic_landmarks(spark, sf_dir):
+    """LANDMARK harmonic centrality — the production approximation for
+    centrality on graphs where all-pairs BFS is unthinkable (Boldi &
+    Vigna's harmonic centrality, evaluated exactly within
+    {HARMONIC_HOPS} hops from {N_LANDMARKS} deterministic landmark
+    nodes — the landmark/pivot device every large-graph toolkit ships):
+    per landmark, the exact hop-1/2/3 reach counts and the truncated
+    harmonic sum Σ 1/d = n₁ + n₂/2 + n₃/3. The integer device: the sum
+    is emitted as the EXACT int64 6·n₁ + 3·n₂ + 2·n₃ (lcm-scaled, no
+    float until the one display division, round(6)ed) — so the hash
+    pins pure BFS arithmetic. Landmarks are the {N_LANDMARKS} smallest
+    node ids (total order, no sampling nondeterminism).
+
+    Scale shape: the frontier tables are (landmark × node) pairs —
+    bounded by {N_LANDMARKS}·|V| — expanded by {HARMONIC_HOPS} unrolled
+    node-keyed hash joins with DISTINCT collapse and anti-join
+    visited-set subtraction (the graph_scc_bounded unrolled-round
+    pattern); each frontier checkpoints before fanning into the next
+    round AND the final counts (single-lineage rule). Reach counts are
+    combinable aggregates; the final assembly is {N_LANDMARKS}-row
+    broadcast joins. At 100 TB the cost is {HARMONIC_HOPS} sparse
+    matrix-vector-ish joins over {N_LANDMARKS} columns — the exact
+    reason landmark methods replace all-pairs."""
+    edges = cooccurrence_edges(spark, sf_dir)
+    nbr = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
+        edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
+    )
+    lm = (
+        nbr.select(F.col("w").alias("lm"))
+        .distinct()
+        .orderBy("lm")
+        .limit(N_LANDMARKS)
+        .localCheckpoint()
+    )
+    h1 = (
+        lm.join(nbr, lm["lm"] == nbr["w"])
+        .select("lm", "x")
+        .distinct()
+        .localCheckpoint()
+    )
+    exp1 = (
+        h1.join(
+            nbr.select(F.col("w").alias("fx"), F.col("x").alias("y")),
+            F.col("x") == F.col("fx"),
+        )
+        .select("lm", "y")
+        .distinct()
+    )
+    h2 = (
+        exp1.filter(F.col("y") != F.col("lm"))
+        .join(
+            h1.select("lm", F.col("x").alias("y")), ["lm", "y"], "left_anti"
+        )
+        .localCheckpoint()
+    )
+    exp2 = (
+        h2.join(
+            nbr.select(F.col("w").alias("fy"), F.col("x").alias("z")),
+            F.col("y") == F.col("fy"),
+        )
+        .select("lm", "z")
+        .distinct()
+    )
+    h3 = (
+        exp2.filter(F.col("z") != F.col("lm"))
+        .join(
+            h2.select("lm", F.col("y").alias("z")), ["lm", "z"], "left_anti"
+        )
+        .join(
+            h1.select("lm", F.col("x").alias("z")), ["lm", "z"], "left_anti"
+        )
+        .localCheckpoint()
+    )
+    c1 = h1.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop1"))
+    c2 = h2.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop2"))
+    c3 = h3.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop3"))
+    out = (
+        lm.join(F.broadcast(c1), "lm", "left")
+        .join(F.broadcast(c2), "lm", "left")
+        .join(F.broadcast(c3), "lm", "left")
+        .select(
+            F.col("lm").alias("landmark"),
+            F.coalesce("n_hop1", F.lit(0)).cast("bigint").alias("n_hop1"),
+            F.coalesce("n_hop2", F.lit(0)).cast("bigint").alias("n_hop2"),
+            F.coalesce("n_hop3", F.lit(0)).cast("bigint").alias("n_hop3"),
+        )
+    )
+    scaled = (
+        6 * F.col("n_hop1") + 3 * F.col("n_hop2") + 2 * F.col("n_hop3")
+    ).cast("bigint")
+    return out.select(
+        "landmark",
+        "n_hop1",
+        "n_hop2",
+        "n_hop3",
+        scaled.alias("harmonic_scaled6"),
+        F.round(scaled.cast("double") / F.lit(6.0), 6).alias("harmonic3"),
     )

@@ -1587,3 +1587,114 @@ def mm_image_histogram(spark, sf_dir):
         _histogram_batches,
         schema="doc_id bigint, bucket bigint, n_in_bucket bigint",
     )
+
+
+# ---------------------------------------------------------------------------
+# dominant palette — per-image top-k intensity bands through the real codec
+# ---------------------------------------------------------------------------
+
+PALETTE_BUCKETS = 32  # 256 gray levels -> 32 bands of 8 (val >> 3)
+PALETTE_TOP = 4       # dominant bands reported per image
+
+
+def _round6_half_up(x: float) -> float:
+    # DuckDB round() is HALF_UP on the double's shortest repr; Python's
+    # built-in round() is half-even — the Decimal(repr(x)) device keeps
+    # the Python codec side on the oracle's convention
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(repr(x)).quantize(Decimal("0.000001"), ROUND_HALF_UP))
+
+
+def _palette_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    from xml_to_parquet_spark.functions.imagecodec import decode_png
+
+    for pdf in it:
+        out = {k: [] for k in ("doc_id", "rank", "bucket", "n_pixels", "share")}
+        for d, png in zip(pdf["doc_id"], pdf["png"]):
+            arr = decode_png(bytes(png))
+            total = int(arr.size)
+            counts = np.bincount(
+                (arr.ravel() >> 3).astype("int64"), minlength=PALETTE_BUCKETS
+            )
+            # (count desc, bucket asc) via lexsort on (-count, bucket)
+            order = np.lexsort((np.arange(len(counts)), -counts))
+            rank = 0
+            for b in order:
+                if counts[b] == 0 or rank >= PALETTE_TOP:
+                    break
+                rank += 1
+                out["doc_id"].append(int(d))
+                out["rank"].append(rank)
+                out["bucket"].append(int(b))
+                out["n_pixels"].append(int(counts[b]))
+                out["share"].append(_round6_half_up(counts[b] / total))
+        yield pd.DataFrame(out)
+
+
+@register_staged(
+    "mm_image_palette",
+    f"""
+    WITH dims AS (
+      SELECT doc_id, 8 + doc_id % 16 AS width, 8 + (doc_id * 7) % 16 AS height
+      FROM documents
+    ), px AS (
+      SELECT doc_id, width * height AS total,
+             (doc_id + 3 * (t.i % width) + 5 * (t.i // width)) % 256 AS val
+      FROM dims, LATERAL unnest(range(0, width * height)) AS t(i)
+    ), hist AS (
+      SELECT doc_id, val // 8 AS bucket,
+             CAST(count(*) AS BIGINT) AS n_pixels,
+             CAST(min(total) AS BIGINT) AS total
+      FROM px GROUP BY 1, 2
+    ), ranked AS (
+      SELECT doc_id, bucket, n_pixels, total,
+             CAST(row_number() OVER (PARTITION BY doc_id
+                                     ORDER BY n_pixels DESC, bucket)
+                  AS BIGINT) AS rank
+      FROM hist
+    )
+    SELECT doc_id, rank, bucket, n_pixels,
+           round(CAST(n_pixels AS DOUBLE) / CAST(total AS DOUBLE), 6) AS share
+    FROM ranked WHERE rank <= {PALETTE_TOP}
+    """,
+)
+def mm_image_palette(spark, sf_dir):
+    """Per-image DOMINANT PALETTE through the real codec: the top-
+    {PALETTE_TOP} most-populated of {PALETTE_BUCKETS} intensity bands
+    per image, with pixel counts and coverage share — the curation gate
+    that catches flat/banner/solid-color images (one band holding ~all
+    pixels) and near-binary scans (two bands), which histogram MOMENTS
+    miss. Same proof chassis as mm_image_histogram (encode the
+    deterministic formula image to genuine PNG bytes, decode through
+    the real inflate + scanline-filter path, reduce) but a different
+    reduction: a per-image TOP-K with the (count desc, band asc) total
+    order — a codec bug that permutes or biases pixels reorders the
+    ranking and breaks value parity. The share divides two exact ints
+    once, half-up-rounded to 6dp on both sides (Python recomputes via
+    Decimal ROUND_HALF_UP — the float-repr device from the oracle
+    rules).
+
+    Scale shape: identical to mm_image_histogram — one doc_id-only
+    fan-out Exchange decouples codec CPU from scan splits, both codec
+    stages are map-only mapInPandas, and the top-k runs INSIDE the
+    Arrow batch per image (numpy lexsort over {PALETTE_BUCKETS} bounded
+    bands — never a Spark window, never a shuffle). Embarrassingly
+    parallel at 100 TB."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    encoded = docs.mapInPandas(
+        _encode_png_only_batches, schema="doc_id bigint, png binary"
+    )
+    return encoded.mapInPandas(
+        _palette_batches,
+        schema=(
+            "doc_id bigint, rank bigint, bucket bigint, "
+            "n_pixels bigint, share double"
+        ),
+    )

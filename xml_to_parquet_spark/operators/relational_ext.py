@@ -3523,3 +3523,377 @@ def agg_weighted_median(spark, sf_dir):
             F.min("wc").cast("bigint") / (F.lit(100.0) * F.min("totw")), 6
         ).alias("weighted_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# autocorrelation — lag-k Pearson over the daily-revenue series
+# ---------------------------------------------------------------------------
+
+# The double tail must be SYNTACTICALLY identical in both engines: every
+# int64 sum is cast to double once, then the same *, -, /, sqrt tree (all
+# correctly-rounded IEEE ops) runs on bit-identical operands.
+_ACF_R = (
+    "round((CAST(n_pairs AS DOUBLE) * CAST(s_xy AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_y AS DOUBLE))"
+    " / (sqrt(CAST(n_pairs AS DOUBLE) * CAST(s_xx AS DOUBLE)"
+    " - CAST(s_x AS DOUBLE) * CAST(s_x AS DOUBLE))"
+    " * sqrt(CAST(n_pairs AS DOUBLE) * CAST(s_yy AS DOUBLE)"
+    " - CAST(s_y AS DOUBLE) * CAST(s_y AS DOUBLE))), 6)"
+)
+
+
+@register_staged(
+    "dq_autocorrelation",
+    f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT day, rev, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag),
+    pairs AS (
+      SELECT l.lag, a.rev AS x, b.rev AS y
+      FROM lags l JOIN idx a ON true JOIN idx b ON b.i = a.i + l.lag
+    ),
+    s AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT)    AS n_pairs,
+             CAST(sum(x) AS BIGINT)      AS s_x,
+             CAST(sum(y) AS BIGINT)      AS s_y,
+             CAST(sum(x * y) AS BIGINT)  AS s_xy,
+             CAST(sum(x * x) AS BIGINT)  AS s_xx,
+             CAST(sum(y * y) AS BIGINT)  AS s_yy
+      FROM pairs GROUP BY 1
+    )
+    SELECT lag, n_pairs, s_x, s_y, s_xy, {_ACF_R} AS acf
+    FROM s
+    """,
+)
+def dq_autocorrelation(spark, sf_dir):
+    """Lag-1..7 AUTOCORRELATION of the daily order-revenue series — the
+    DQ/time-series primitive behind seasonality detection and
+    forecast-residual checks (a weekly cycle shows as a lag-7 peak; a
+    near-1 lag-1 says the series is a random walk and day-over-day
+    alarms are noise). Pearson r over the pairs (x_t, x_{{t+k}}) of the
+    date-ordered series, k = 1..7. Exactness: daily revenue collapses to
+    exact WHOLE-DOLLAR int64 on scan (cents would push sum-of-squares
+    past int64 at sf0.1 — the unit choice IS the overflow headroom:
+    dollars keep s_xx < 2^63 up to ~sf1; beyond that the same plan
+    swaps int64 sums for decimal(38,0)); every sum is an exact int64;
+    the r formula is one shared double tail on identically-cast
+    operands, round(6)ed. Day-index pairing uses row_number over the
+    DAY GRID (dense index — gaps in the calendar pair consecutive
+    observations, the standard treatment for irregular series).
+
+    Scale shape: the only data-sized step is the combinable
+    groupBy(day) — at 100 TB the day grid is ~10^4 rows regardless of
+    row count. The index window, the 7-way lag fan-out, and the
+    self-join all run on that grid (the single-partition window sort is
+    10^4 rows of dashboard arithmetic, not data); the final
+    groupBy(lag) emits 7 rows. Nothing after the first aggregate ever
+    touches the orders scan again, and the scan prunes to
+    (o_orderdate, o_totalprice)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"),
+        )
+        .groupBy("day")
+        .agg(F.sum("dollars").cast("bigint").alias("rev"))
+    )
+    # materialize the day grid (~10^4 rows) before the lag self-join:
+    # two lazy branches of one lineage would re-scan orders per side
+    # (the chisq/cusum single-scan lesson)
+    idx = daily.select(
+        "rev", F.row_number().over(W.partitionBy().orderBy("day")).alias("i")
+    ).localCheckpoint()
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = (
+        a.join(F.broadcast(lags))
+        .join(b, F.col("b.i") == F.col("a.i") + F.col("lag"))
+        .select("lag", F.col("a.rev").alias("x"), F.col("b.rev").alias("y"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("x").cast("bigint").alias("s_x"),
+        F.sum("y").cast("bigint").alias("s_y"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("s_xy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s_xx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("s_yy"),
+    )
+    return s.select(
+        "lag", "n_pairs", "s_x", "s_y", "s_xy", F.expr(_ACF_R).alias("acf")
+    )
+
+
+# ---------------------------------------------------------------------------
+# robust outliers — median / MAD, all-integer
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "dq_outlier_mad",
+    """
+    WITH v AS (
+      SELECT event_type,
+             CAST(round(value * 100) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL
+    ),
+    g AS (
+      SELECT event_type, cents, CAST(count(*) AS BIGINT) AS w
+      FROM v GROUP BY 1, 2
+    ),
+    med AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN 2 * cumw >= totw THEN cents END) AS BIGINT)
+                 AS med,
+             CAST(min(totw) AS BIGINT) AS n_values
+      FROM (
+        SELECT event_type, cents, w,
+               CAST(sum(w) OVER (PARTITION BY event_type ORDER BY cents
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cumw,
+               CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+        FROM g
+      ) GROUP BY 1
+    ),
+    dev AS (
+      SELECT g.event_type, abs(g.cents - med.med) AS adev, g.w
+      FROM g JOIN med ON med.event_type = g.event_type
+    ),
+    dg AS (
+      SELECT event_type, adev, CAST(sum(w) AS BIGINT) AS w
+      FROM dev GROUP BY 1, 2
+    ),
+    mad AS (
+      SELECT event_type,
+             CAST(min(CASE WHEN 2 * cumw >= totw THEN adev END) AS BIGINT)
+                 AS mad
+      FROM (
+        SELECT event_type, adev, w,
+               CAST(sum(w) OVER (PARTITION BY event_type ORDER BY adev
+                                 ROWS BETWEEN UNBOUNDED PRECEDING
+                                 AND CURRENT ROW) AS BIGINT) AS cumw,
+               CAST(sum(w) OVER (PARTITION BY event_type) AS BIGINT) AS totw
+        FROM dg
+      ) GROUP BY 1
+    )
+    SELECT med.event_type, med.n_values, med.med AS median_cents,
+           mad.mad AS mad_cents,
+           CAST(coalesce(sum(CASE WHEN abs(g.cents - med.med) > 3 * mad.mad
+                                  THEN g.w END), 0) AS BIGINT) AS n_outliers,
+           round(CAST(coalesce(sum(CASE WHEN abs(g.cents - med.med)
+                                             > 3 * mad.mad
+                                        THEN g.w END), 0) AS DOUBLE)
+                 / CAST(med.n_values AS DOUBLE), 6) AS outlier_rate
+    FROM g JOIN med ON med.event_type = g.event_type
+           JOIN mad ON mad.event_type = g.event_type
+    GROUP BY 1, 2, 3, 4
+    """,
+)
+def dq_outlier_mad(spark, sf_dir):
+    """Robust outlier detection per event type: lower MEDIAN and MAD
+    (median absolute deviation) of the metric value, plus the count of
+    points beyond the 3-MAD fence — the z-score's robust sibling
+    (dq_anomaly_zscore's mean/stddev fence is itself dragged by the
+    outliers it hunts; median/MAD has a 50% breakdown point, the
+    standard recommendation for monitoring heavy-tailed metrics).
+    Exactness: values are int64 cents; both medians are ORDER STATISTICS
+    computed by the distinct-value cumulative-weight device
+    (agg_weighted_median), the fence test |x − med| > 3·MAD compares
+    int64s, and the single float division (outlier rate) happens LAST,
+    round(6)ed. Zero floats anywhere before the final rate.
+
+    Scale shape: the one data-sized step is the combinable
+    groupBy(type, cents) — the distinct-value grid is bounded by the
+    value domain (~10^4 distinct cents here, ~10^7 at worst), far under
+    the row count, and duplicates collapse map-side. Both cumulative
+    windows run per type over that grid; the deviation regroup and the
+    fence count are grid-sized; med/mad join back via tiny broadcast.
+    The events scan prunes to (event_type, value). At 100 TB this is
+    one aggregate over the data and dashboard arithmetic after."""
+    v = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("value").isNotNull())
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    g = v.groupBy("event_type", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("w")
+    )
+    wcum = (
+        W.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    wall = W.partitionBy("event_type")
+    med = (
+        g.select(
+            "event_type",
+            "cents",
+            F.sum("w").over(wcum).cast("bigint").alias("cumw"),
+            F.sum("w").over(wall).cast("bigint").alias("totw"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("cents")))
+            .cast("bigint")
+            .alias("med"),
+            F.min("totw").cast("bigint").alias("n_values"),
+        )
+    )
+    dev = g.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        F.abs(F.col("cents") - F.col("med")).alias("adev"),
+        "w",
+    )
+    dg = dev.groupBy("event_type", "adev").agg(
+        F.sum("w").cast("bigint").alias("w")
+    )
+    dcum = (
+        W.partitionBy("event_type")
+        .orderBy("adev")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    mad = (
+        dg.select(
+            "event_type",
+            "adev",
+            F.sum("w").over(dcum).cast("bigint").alias("cumw"),
+            F.sum("w").over(wall).cast("bigint").alias("totw"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min(F.when(2 * F.col("cumw") >= F.col("totw"), F.col("adev")))
+            .cast("bigint")
+            .alias("mad")
+        )
+    )
+    fence = g.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    out_w = F.when(
+        F.abs(F.col("cents") - F.col("med")) > 3 * F.col("mad"), F.col("w")
+    )
+    return fence.groupBy(
+        "event_type", "n_values", F.col("med").alias("median_cents"),
+        F.col("mad").alias("mad_cents"),
+    ).agg(
+        F.coalesce(F.sum(out_w), F.lit(0)).cast("bigint").alias("n_outliers"),
+        F.round(
+            F.coalesce(F.sum(out_w), F.lit(0)).cast("double")
+            / F.col("n_values").cast("double"),
+            6,
+        ).alias("outlier_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# covariance matrix — pairwise sample covariances, exact moment sums
+# ---------------------------------------------------------------------------
+
+# (name, scaled-int64 SQL expr) — identical text both engines; units are
+# chosen so every sum of squares stays far inside int64 (price in whole
+# dollars, rates in percent: see docstring overflow budget)
+_COV_VARS = [
+    ("qty", "CAST(round(l_quantity) AS BIGINT)"),
+    ("price", "CAST(round(l_extendedprice) AS BIGINT)"),
+    ("disc_pct", "CAST(round(l_discount * 100) AS BIGINT)"),
+    ("tax_pct", "CAST(round(l_tax * 100) AS BIGINT)"),
+]
+_COV_PAIRS = [
+    (_COV_VARS[i][0], _COV_VARS[j][0])
+    for i in range(len(_COV_VARS))
+    for j in range(i, len(_COV_VARS))
+]
+
+
+def _cov_tail(sa: str, sb: str, sab: str) -> str:
+    return (
+        f"round((CAST(n AS DOUBLE) * CAST({sab} AS DOUBLE)"
+        f" - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE))"
+        f" / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)), 6)"
+    )
+
+
+def _cov_oracle() -> str:
+    base = ", ".join(f"{expr} AS {name}" for name, expr in _COV_VARS)
+    sums = ["CAST(count(*) AS BIGINT) AS n"]
+    for name, _ in _COV_VARS:
+        sums.append(f"CAST(sum({name}) AS BIGINT) AS s_{name}")
+    for a, b in _COV_PAIRS:
+        sums.append(f"CAST(sum({a} * {b}) AS BIGINT) AS s_{a}_{b}")
+    rows = " UNION ALL ".join(
+        f"SELECT '{a}' AS col_x, '{b}' AS col_y, n, s_{a} AS s_x,"
+        f" s_{b} AS s_y, s_{a}_{b} AS s_xy,"
+        f" {_cov_tail(f's_{a}', f's_{b}', f's_{a}_{b}')} AS cov"
+        f" FROM s"
+        for a, b in _COV_PAIRS
+    )
+    return f"""
+    WITH li AS (SELECT {base} FROM lineitem),
+    s AS (SELECT {', '.join(sums)} FROM li HAVING count(*) >= 2)
+    {rows}
+    """
+
+
+@register_staged("agg_covariance_matrix", _cov_oracle())
+def agg_covariance_matrix(spark, sf_dir):
+    """Pairwise sample COVARIANCE MATRIX of the four lineitem measures
+    (quantity, price, discount, tax) — the one-pass second-moment
+    profile behind feature-correlation screens, PCA preprocessing, and
+    multicollinearity checks, emitted as the 10-entry upper triangle
+    (diagonal = variances) with the raw moment sums beside each rounded
+    covariance so the hash pins the exact integer derivation.
+    Exactness: inputs collapse to scaled int64 on scan (whole dollars /
+    percent — the unit choice is the overflow budget: price² summed at
+    sf1 is ~6·10^16, three orders under 2^63; cents would overflow at
+    sf0.1), all 15 moments are exact int64 sums, and each covariance is
+    ONE shared double tail (n·Σxy − Σx·Σy)/(n·(n−1)), round(6)ed.
+
+    Scale shape: ONE combinable global aggregate computes every moment
+    in a single lineitem pass (map-side partials collapse to one
+    15-field row per task — never a per-pair re-scan, never a 10-branch
+    union over the lineage: the matrix rows are produced by exploding a
+    struct array built FROM the single aggregated row). The scan prunes
+    to the four measure columns. At 100 TB: one scan, one 1-row
+    exchange, dashboard arithmetic after."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        *[F.expr(expr).alias(name) for name, expr in _COV_VARS]
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n")]
+    for name, _ in _COV_VARS:
+        aggs.append(F.sum(name).cast("bigint").alias(f"s_{name}"))
+    for a, b in _COV_PAIRS:
+        aggs.append(
+            F.sum(F.col(a) * F.col(b)).cast("bigint").alias(f"s_{a}_{b}")
+        )
+    s = li.agg(*aggs)
+    entries = F.array(
+        *[
+            F.struct(
+                F.lit(a).alias("col_x"),
+                F.lit(b).alias("col_y"),
+                F.col(f"s_{a}").alias("s_x"),
+                F.col(f"s_{b}").alias("s_y"),
+                F.col(f"s_{a}_{b}").alias("s_xy"),
+                F.expr(_cov_tail(f"s_{a}", f"s_{b}", f"s_{a}_{b}")).alias(
+                    "cov"
+                ),
+            )
+            for a, b in _COV_PAIRS
+        ]
+    )
+    return (
+        s.filter(F.col("n") >= 2)  # sample covariance undefined below n=2
+        .select("n", F.explode(entries).alias("e"))
+        .select("e.col_x", "e.col_y", "n", "e.s_x", "e.s_y", "e.s_xy", "e.cov")
+    )

@@ -1943,3 +1943,211 @@ def sim_diversity_mmr(spark, sf_dir):
     for pk in picks[1:]:
         out = out.unionByName(pk)
     return out.select("query_id", "pick", F.col("cid").alias("neighbor_id"), "score")
+
+
+# ---------------------------------------------------------------------------
+# silhouette — simplified (centroid-based) cluster-quality evaluation
+# ---------------------------------------------------------------------------
+
+# identical double tail both engines: silhouette from the 6dp-rounded
+# nearest / second-nearest centroid distances (rounding BEFORE the
+# division makes the quotient's operands bit-identical cross-engine; the
+# raw fold tails may differ in the last ulp)
+_SIL_S = (
+    "CASE WHEN greatest(a6, b6) > 0"
+    " THEN round((b6 - a6) / greatest(a6, b6), 6)"
+    " ELSE CAST(0 AS DOUBLE) END"
+)
+
+
+@register_staged(
+    "sim_silhouette",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    d AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(
+                 range(1, len(e.embedding) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(c.ce[i] AS DOUBLE)) ^ 2)) AS dist
+      FROM embeddings e CROSS JOIN c
+    ),
+    r AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(dist, 6), cid) AS rn
+      FROM d
+    ),
+    pv AS (
+      SELECT vec_id,
+             min(CASE WHEN rn = 1 THEN cid END)            AS assigned,
+             min(CASE WHEN rn = 1 THEN round(dist, 6) END) AS a6,
+             min(CASE WHEN rn = 2 THEN round(dist, 6) END) AS b6
+      FROM r GROUP BY 1
+    ),
+    s AS (SELECT vec_id, assigned, a6, b6, {_SIL_S} AS sil FROM pv)
+    SELECT assigned AS centroid_id,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(sil), 4) AS mean_silhouette,
+           round(avg(a6), 3)  AS mean_intra,
+           round(avg(b6), 3)  AS mean_nearest_other
+    FROM s GROUP BY 1
+    """,
+)
+def sim_silhouette(spark, sf_dir):
+    """Simplified SILHOUETTE evaluation of the K-centroid clustering —
+    the quality gate an embedding-curation pipeline runs after
+    sim_centroid_assign and before trusting cluster ids for SemDeDup /
+    blocking / mixture sampling: per assigned cluster, mean s = (b−a) /
+    max(a,b) where a is the squared distance to the OWN (nearest)
+    centroid and b to the SECOND-nearest (the centroid-based silhouette
+    of Rousseeuw's statistic — the corpus-scale variant; the pairwise
+    original is O(n²) by definition). s near 0 flags clusters whose
+    members sit on a boundary (bad blocking keys); negative s cannot
+    occur here since a is the minimum by construction — asserted in
+    pytest. Determinism: per-vector distances use the same JVM fold /
+    list_sum pair as sim_centroid_assign; nearest/second-nearest are
+    picked on (round(dist,6), cid) so ties are total; a and b are
+    ROUNDED to 6dp BEFORE the one division so both engines divide
+    bit-identical operands, and cluster means are round(4/3)ed (the
+    avg-over-grid precedent).
+
+    Scale shape: the K-row centroid table broadcasts; the K-fanout stays
+    partition-local so the per-vector sort of K rounded distances is a
+    combinable collect of K=8 structs (map-side combine to one row per
+    vector — the shuffle moves |vectors| rows once); the final rollup
+    is K rows. No data-sized window, no join wider than the broadcast.
+    Same 100 TB contract as sim_centroid_assign with one extra bounded
+    array-sort per vector."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, ce, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)"
+    )
+    per_pair = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "cid", F.round(dist, 6).alias("d6")
+    )
+    # combinable top-2: collect the K bounded (d6, cid) structs, sort,
+    # take elements 1 and 2 — no per-vector window over the corpus
+    pv = (
+        per_pair.groupBy("vec_id")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("d6"), F.col("cid")))
+            ).alias("ds")
+        )
+        .select(
+            F.col("ds")[0]["cid"].alias("assigned"),
+            F.col("ds")[0]["d6"].alias("a6"),
+            F.col("ds")[1]["d6"].alias("b6"),
+        )
+    )
+    s = pv.select("assigned", "a6", "b6", F.expr(_SIL_S).alias("sil"))
+    return s.groupBy(F.col("assigned").alias("centroid_id")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_assigned"),
+        F.round(F.avg("sil"), 4).alias("mean_silhouette"),
+        F.round(F.avg("a6"), 3).alias("mean_intra"),
+        F.round(F.avg("b6"), 3).alias("mean_nearest_other"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-means update step — per-cluster centroid means
+# ---------------------------------------------------------------------------
+
+KMEANS_DIMS = 64
+
+
+@register_staged(
+    "sim_kmeans_update",
+    f"""
+    WITH c AS (SELECT vec_id AS cid, embedding AS ce
+               FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    d AS (
+      SELECT e.vec_id, e.embedding, c.cid,
+             list_sum(list_transform(
+                 range(1, len(e.embedding) + 1),
+                 i -> (CAST(e.embedding[i] AS DOUBLE)
+                       - CAST(c.ce[i] AS DOUBLE)) ^ 2)) AS dist
+      FROM embeddings e CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, embedding, cid,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY round(dist, 6), cid) AS rn
+      FROM d
+    ),
+    m AS (SELECT cid, embedding FROM a WHERE rn = 1),
+    pts AS (
+      SELECT cid, t.i AS dim, CAST(embedding[t.i] AS DOUBLE) AS x
+      FROM m, LATERAL unnest(range(1, {KMEANS_DIMS + 1})) AS t(i)
+    )
+    SELECT cid AS centroid_id, CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(x), 6) AS mean_val
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def sim_kmeans_update(spark, sf_dir):
+    """K-means UPDATE step — the other half of the Lloyd iteration that
+    sim_centroid_assign starts (assign → UPDATE → assign → …, the IVF /
+    SemDeDup codebook training loop): per assigned cluster, the new
+    centroid as the per-dimension mean of member embeddings, emitted
+    long-format (cluster, dim, n, mean) so every cell is a hashable
+    scalar. With assign, update, and sim_silhouette (the stopping/
+    quality gate) the engine holds the complete distributed k-means
+    training loop. Determinism: assignment reuses the exact
+    (round(dist,6), cid) total order; per-dimension means are avg over
+    the cluster with round(6) — sums of ~N(0,1) values over cluster
+    members keep the cross-engine/partition-order error ~1e-14, far
+    under the rounding grain (the sim_centroid_assign avg precedent).
+
+    Scale shape: centroids broadcast; the argmin is the combinable
+    min_by carrying (cid, embedding); the 64 per-dimension means run as
+    64 avg aggregates in ONE combinable groupBy(cid) — no explode of
+    the corpus into rows (the oracle's LATERAL unnest is the tiny-scale
+    formulation; ×64-ing 100 TB before the aggregate would multiply
+    shuffle input 64-fold; here partials collapse map-side to K rows of
+    64 buffers) — the K×64 long format is produced by exploding the
+    8-row RESULT. One |vectors|-row exchange total, same contract as
+    sim_centroid_assign."""
+    emb = table(spark, sf_dir, "embeddings")
+    cent = emb.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(embedding, ce, (a, b) -> "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE)) * "
+        "(CAST(a AS DOUBLE) - CAST(b AS DOUBLE))), 0D, (acc, x) -> acc + x)"
+    )
+    per_pair = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id", "embedding", "cid", dist.alias("dist")
+    )
+    members = per_pair.groupBy("vec_id").agg(
+        F.min_by(
+            F.struct("cid", "embedding"), F.struct(F.round("dist", 6), "cid")
+        ).alias("best")
+    ).select(F.col("best.cid").alias("cid"), F.col("best.embedding").alias("emb"))
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_assigned")] + [
+        F.round(
+            F.avg(F.expr(f"CAST(element_at(emb, {i + 1}) AS DOUBLE)")), 6
+        ).alias(f"m{i}")
+        for i in range(KMEANS_DIMS)
+    ]
+    upd = members.groupBy("cid").agg(*aggs)
+    exploded = upd.select(
+        F.col("cid").alias("centroid_id"),
+        "n_assigned",
+        F.posexplode(F.array(*[F.col(f"m{i}") for i in range(KMEANS_DIMS)])),
+    )
+    return exploded.select(
+        "centroid_id",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        "n_assigned",
+        F.col("col").alias("mean_val"),
+    )

@@ -767,3 +767,322 @@ def lake_time_travel_diff(spark, sf_dir):
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# ---------------------------------------------------------------------------
+# compaction planning — size-ordered offset bin-packing over the manifest
+# ---------------------------------------------------------------------------
+
+COMPACT_FILES = 24   # small files in the fragmented table (o_orderkey % 24)
+COMPACT_GROUPS = 6   # target compaction output groups
+
+
+def _fragmented_manifest(spark, sf_dir):
+    """Build-once mod-{COMPACT_FILES} fragmented layout of orders (real
+    small parquet files) and return its checkpointed per-file manifest
+    (file_id, n_rows, min_key, max_key) — or None when the source is
+    empty (partitionBy writes only _SUCCESS; nothing to read). Shared by
+    lake_compaction_plan and lake_clustering_depth."""
+    from xml_to_parquet_spark.io_paths import committed
+
+    data = scratch_dir(sf_dir, "compact_orders")
+    orders = table(spark, sf_dir, "orders")
+    if not committed(data):
+        (
+            orders.withColumn(
+                "file_id", (F.col("o_orderkey") % COMPACT_FILES).cast("bigint")
+            )
+            .repartition(COMPACT_FILES, "file_id")
+            .write.mode("overwrite")
+            .partitionBy("file_id")
+            .parquet(data)
+        )
+    try:
+        man = (
+            spark.read.parquet(data)
+            .select(
+                F.col("file_id").cast("bigint").alias("file_id"), "o_orderkey"
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+        )
+        # manifest-sized materialization; also surfaces an unreadable
+        # (zero-file) layout here, inside the try
+        return man.localCheckpoint()
+    except Exception:
+        return None
+
+
+@register_staged(
+    "lake_compaction_plan",
+    f"""
+    WITH man AS (
+      SELECT o_orderkey % {COMPACT_FILES} AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+      FROM orders GROUP BY 1
+    ),
+    sized AS (
+      SELECT file_id, n_rows, min_key, max_key,
+             CAST((sum(n_rows) OVER () + {COMPACT_GROUPS - 1})
+                  // {COMPACT_GROUPS} AS BIGINT) AS target,
+             CAST(sum(n_rows) OVER (ORDER BY n_rows DESC, file_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW) - n_rows AS BIGINT)
+                 AS offset_rows
+      FROM man
+    ),
+    planned AS (
+      SELECT file_id, n_rows, min_key, max_key,
+             CAST(offset_rows // target AS BIGINT) AS group_id
+      FROM sized
+    )
+    SELECT file_id, n_rows, min_key, max_key, group_id,
+           CAST(count(*) OVER (PARTITION BY group_id) AS BIGINT)
+               AS group_files,
+           CAST(sum(n_rows) OVER (PARTITION BY group_id) AS BIGINT)
+               AS group_rows
+    FROM planned
+    """,
+)
+def lake_compaction_plan(spark, sf_dir):
+    """Small-file COMPACTION PLANNING over lake metadata — the
+    maintenance step (Iceberg rewrite_data_files / Delta OPTIMIZE) that
+    decides WHICH fragmented files merge into WHICH output group before
+    any data moves: lay the orders table out as {COMPACT_FILES} real
+    small parquet files, derive a manifest of per-file stats from the
+    files actually written (path-parsed file ids + row counts + key
+    bounds via _metadata, like lake_manifest_prune), then assign files
+    to {COMPACT_GROUPS} output groups by size-ordered OFFSET BINNING:
+    sort files largest-first, take the running-row-count offset, and cut
+    at target = ceil(total/{COMPACT_GROUPS}) rows — the deterministic,
+    shuffle-free approximation of greedy first-fit that distributed
+    planners actually use (sequential first-fit is inherently serial;
+    the offset rule plans the whole manifest in one window pass and its
+    worst group overshoots the target by at most one file). The plan—
+    not the rewrite—is the operator: every emitted number (per-file rows,
+    key bounds, group sizes) is exact int64, and the oracle recomputes
+    the identical plan from the mod-{COMPACT_FILES} layout rule, so a
+    manifest that disagrees with the files as written breaks parity.
+    sink_compact_small_files is the EXECUTION half of this pair; this op
+    is the planning half a 100 TB table runs nightly without touching
+    data.
+
+    Scale shape: the only data-sized work is building the fixture once
+    per process (guarded) and the manifest aggregate (combinable, one
+    row per file). The plan itself is window arithmetic over the
+    MANIFEST — thousands of rows at 100 TB — partitioned single-pass
+    for the offset (manifest-sized sort, the planning cost every lake
+    engine pays) and by group for the rollup. Zero joins, zero
+    data-file reads, nothing driver-side but the build-once guard."""
+    from pyspark.sql import Window as W
+
+    man = _fragmented_manifest(spark, sf_dir)
+    if man is None:
+        # zero-row source: partitionBy writes only _SUCCESS and the read
+        # cannot infer a schema — an empty manifest means an empty plan
+        # (the lake_manifest_prune zero-survivor device)
+        return spark.createDataFrame(
+            [],
+            "file_id bigint, n_rows bigint, min_key bigint, max_key bigint, "
+            "group_id bigint, group_files bigint, group_rows bigint",
+        )
+    sized = man.select(
+        "file_id",
+        "n_rows",
+        "min_key",
+        "max_key",
+        F.expr(
+            f"CAST((sum(n_rows) OVER () + {COMPACT_GROUPS - 1}) "
+            f"div {COMPACT_GROUPS} AS BIGINT)"
+        ).alias("target"),
+        (
+            F.sum("n_rows")
+            .over(
+                W.partitionBy()
+                .orderBy(F.desc("n_rows"), "file_id")
+                .rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            - F.col("n_rows")
+        )
+        .cast("bigint")
+        .alias("offset_rows"),
+    )
+    planned = sized.select(
+        "file_id",
+        "n_rows",
+        "min_key",
+        "max_key",
+        F.expr("CAST(offset_rows div target AS BIGINT)").alias("group_id"),
+    )
+    return planned.select(
+        "file_id",
+        "n_rows",
+        "min_key",
+        "max_key",
+        "group_id",
+        F.count(F.lit(1))
+        .over(W.partitionBy("group_id"))
+        .cast("bigint")
+        .alias("group_files"),
+        F.sum("n_rows")
+        .over(W.partitionBy("group_id"))
+        .cast("bigint")
+        .alias("group_rows"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# clustering depth — key-overlap metric across two real layouts
+# ---------------------------------------------------------------------------
+
+BAND_FILES = 16  # files in the key-banded (clustered) layout
+
+
+@register_staged(
+    "lake_clustering_depth",
+    f"""
+    WITH mx AS (SELECT max(o_orderkey) + 1 AS d FROM orders),
+    bman AS (
+      SELECT least({BAND_FILES - 1}, (o_orderkey * {BAND_FILES}) // d)
+                 AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(o_orderkey) AS mn, max(o_orderkey) AS mxk
+      FROM orders CROSS JOIN mx GROUP BY 1
+    ),
+    sman AS (
+      SELECT o_orderkey % {COMPACT_FILES} AS file_id,
+             CAST(count(*) AS BIGINT) AS n_rows,
+             min(o_orderkey) AS mn, max(o_orderkey) AS mxk
+      FROM orders GROUP BY 1
+    ),
+    man AS (
+      SELECT 'key_banded' AS layout, * FROM bman
+      UNION ALL
+      SELECT 'key_scattered' AS layout, * FROM sman
+    ),
+    ov AS (
+      SELECT a.layout, a.file_id,
+             CAST(count(b.file_id) AS BIGINT) AS n_overlaps
+      FROM man a LEFT JOIN man b
+        ON b.layout = a.layout AND b.file_id <> a.file_id
+       AND a.mn <= b.mxk AND b.mn <= a.mxk
+      GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT)        AS n_files,
+           CAST(sum(n_overlaps) AS BIGINT) AS overlap_pairs,
+           round(CAST(sum(n_overlaps) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE), 6) AS avg_overlaps,
+           CAST(max(n_overlaps) AS BIGINT) AS max_overlaps
+    FROM ov GROUP BY 1
+    """,
+)
+def lake_clustering_depth(spark, sf_dir):
+    """CLUSTERING-DEPTH metric over lake metadata — the number OPTIMIZE
+    ZORDER / rewrite_data_files exists to improve, computed the way a
+    table-maintenance advisor computes it: per data file, how many OTHER
+    files' sort-key ranges overlap it (a point lookup must open
+    1 + n_overlaps files; Delta calls the distribution's depth the
+    table's clustering quality). Two REAL layouts of the same orders
+    table make the metric non-trivial by construction: a key-BANDED
+    layout ({BAND_FILES} files on contiguous o_orderkey bands — the
+    post-OPTIMIZE shape, overlap 0 everywhere) and the key-SCATTERED
+    mod-{COMPACT_FILES} layout shared with lake_compaction_plan (every
+    file spans ~the whole key domain — worst case, overlap = n−1). Both
+    manifests derive from the files as written (partition-value file
+    ids + per-file min/max), the oracle recomputes them from the two
+    layout rules, and the interval self-join is the same canonical
+    overlap test join_interval_overlap pins. All counts exact int64;
+    the one division (average depth) LAST, round(6)ed.
+
+    Scale shape: fixtures build once per process behind _SUCCESS
+    guards; the metric itself touches only MANIFESTS — the overlap
+    self-join runs on rows-per-file grids (thousands of rows at
+    100 TB; broadcast-sized here), never data. The banded layout's
+    band formula uses one collected scalar (max key), the same
+    manifest-planning-sized driver step lake_manifest_prune documents.
+    Empty source → empty metric (schema-only fallback)."""
+    from xml_to_parquet_spark.io_paths import committed
+
+    scat = _fragmented_manifest(spark, sf_dir)
+    empty_schema = (
+        "layout string, n_files bigint, overlap_pairs bigint, "
+        "avg_overlaps double, max_overlaps bigint"
+    )
+    if scat is None:
+        return spark.createDataFrame([], empty_schema)
+    banded_path = scratch_dir(sf_dir, "banded_orders")
+    orders = table(spark, sf_dir, "orders")
+    if not committed(banded_path):
+        mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+        if mx is None:
+            return spark.createDataFrame([], empty_schema)
+        (
+            orders.withColumn(
+                "file_id",
+                F.expr(
+                    f"least({BAND_FILES - 1}, "
+                    f"(o_orderkey * {BAND_FILES}) div {int(mx) + 1})"
+                ).cast("bigint"),
+            )
+            .repartition(BAND_FILES, "file_id")
+            .write.mode("overwrite")
+            .partitionBy("file_id")
+            .parquet(banded_path)
+        )
+    try:
+        bman = (
+            spark.read.parquet(banded_path)
+            .select(
+                F.col("file_id").cast("bigint").alias("file_id"), "o_orderkey"
+            )
+            .groupBy("file_id")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.min("o_orderkey").alias("mn"),
+                F.max("o_orderkey").alias("mxk"),
+            )
+            .localCheckpoint()
+        )
+    except Exception:
+        return spark.createDataFrame([], empty_schema)
+    man = bman.select(
+        F.lit("key_banded").alias("layout"), "file_id", "n_rows", "mn", "mxk"
+    ).unionByName(
+        scat.select(
+            F.lit("key_scattered").alias("layout"),
+            "file_id",
+            "n_rows",
+            F.col("min_key").alias("mn"),
+            F.col("max_key").alias("mxk"),
+        )
+    ).localCheckpoint()
+    a = man.alias("a")
+    b = man.alias("b")
+    ov = (
+        a.join(
+            F.broadcast(b),
+            F.expr(
+                "b.layout = a.layout AND b.file_id <> a.file_id "
+                "AND a.mn <= b.mxk AND b.mn <= a.mxk"
+            ),
+            "left",
+        )
+        .groupBy(F.col("a.layout").alias("layout"), F.col("a.file_id"))
+        .agg(F.count(F.col("b.file_id")).cast("bigint").alias("n_overlaps"))
+    )
+    return ov.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("n_overlaps").cast("bigint").alias("overlap_pairs"),
+        F.round(
+            F.sum("n_overlaps").cast("double")
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("avg_overlaps"),
+        F.max("n_overlaps").cast("bigint").alias("max_overlaps"),
+    )

@@ -1400,3 +1400,232 @@ def text_winnow_fingerprint(spark, sf_dir):
         (WIN_POS - 1 - F.col("mk") % WIN_POS).alias("pos"),
         F.expr(f"mk div {WIN_POS}").alias("fp"),
     ).distinct()
+
+
+# ---------------------------------------------------------------------------
+# collocations — bigram lift (exact-ratio PMI ranking), margins by window
+# ---------------------------------------------------------------------------
+
+COLLOC_MIN_SUPPORT = 5
+COLLOC_TOP_K = 50
+
+# Lift = N·c_xy / (c_first·c_second) — the monotone exp(PMI) surrogate:
+# ranking by the exact integer-derived ratio sidesteps cross-engine libm
+# log parity entirely. Products stay exact: N·c_xy and the margin product
+# are int64 (< 2^53, so the single double cast is exact too).
+_LIFT_R = (
+    "round((CAST(n_total AS DOUBLE) * CAST(c_xy AS DOUBLE))"
+    " / (CAST(c_first AS DOUBLE) * CAST(c_second AS DOUBLE)), 6)"
+)
+
+
+@register_staged(
+    "text_collocations_pmi",
+    f"""
+    WITH tok AS (SELECT {TOKENS_DUCK} AS toks FROM documents),
+    grams AS (
+      SELECT unnest(list_transform(range(1, len(toks)), i ->
+                    toks[i] || ' ' || toks[i + 1])) AS bigram
+      FROM tok WHERE len(toks) >= 2
+    ),
+    g AS (
+      SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             CAST(count(*) AS BIGINT) AS c_xy
+      FROM grams GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT w1, w2, c_xy,
+             CAST(sum(c_xy) OVER (PARTITION BY w1) AS BIGINT) AS c_first,
+             CAST(sum(c_xy) OVER (PARTITION BY w2) AS BIGINT) AS c_second,
+             CAST(sum(c_xy) OVER () AS BIGINT)                AS n_total
+      FROM g
+    ),
+    scored AS (
+      SELECT w1, w2, c_xy, c_first, c_second, {_LIFT_R} AS lift
+      FROM m WHERE c_xy >= {COLLOC_MIN_SUPPORT}
+    )
+    SELECT w1, w2, c_xy, c_first, c_second, lift,
+           CAST(rn AS BIGINT) AS rn
+    FROM (SELECT *, row_number() OVER (ORDER BY lift DESC, w1, w2) AS rn
+          FROM scored)
+    WHERE rn <= {COLLOC_TOP_K}
+    """,
+)
+def text_collocations_pmi(spark, sf_dir):
+    """Top-{COLLOC_TOP_K} bigram COLLOCATIONS by pointwise mutual
+    information — the phrase-mining primitive (Church & Hanks 1990)
+    behind tokenizer-vocabulary extension and multi-word-entity
+    detection in LLM data pipelines: a bigram whose observed count far
+    exceeds the independence expectation is a lexicalized phrase, not a
+    chance adjacency. Ranking uses LIFT = N·c(x,y)/(c(x,·)·c(·,y)) —
+    exp(PMI), the same order — so the score is one double division of
+    EXACT int64 products and the cross-engine libm-log trap never
+    arises; raw margins are emitted so the hash pins the integer
+    derivation. Margins come from the bigram grid itself via window
+    sums (the chisq single-lineage device: separate groupBys would
+    re-scan the corpus once per margin); min support {COLLOC_MIN_SUPPORT}
+    filters the long tail before the global top-k rank, tie-broken
+    lexicographically.
+
+    Scale shape: the only data-sized step is the combinable
+    groupBy(w1, w2) over exploded bigrams — the grid is
+    Heaps-law-bounded (vocabulary², with the observed set far smaller),
+    like the BPE word table. Margin windows run per word over that
+    grid; the single-partition top-k window sees only the
+    support-filtered candidates (a few thousand rows at any corpus
+    size with support scaling). At 100 TB: one explode-aggregate over
+    the data, then dashboard arithmetic on the phrase grid."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.expr(TOKENS_SQL).alias("toks")
+    )
+    grams = docs.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    g = (
+        grams.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c_xy"))
+    )
+    from pyspark.sql import Window
+
+    m = g.select(
+        "w1",
+        "w2",
+        "c_xy",
+        F.sum("c_xy").over(Window.partitionBy("w1")).cast("bigint").alias("c_first"),
+        F.sum("c_xy").over(Window.partitionBy("w2")).cast("bigint").alias("c_second"),
+        F.sum("c_xy").over(Window.partitionBy()).cast("bigint").alias("n_total"),
+    )
+    scored = m.filter(F.col("c_xy") >= COLLOC_MIN_SUPPORT).select(
+        "w1", "w2", "c_xy", "c_first", "c_second", F.expr(_LIFT_R).alias("lift")
+    )
+    w = Window.partitionBy().orderBy(F.desc("lift"), "w1", "w2")
+    return (
+        scored.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= COLLOC_TOP_K)
+        .select("w1", "w2", "c_xy", "c_first", "c_second", "lift", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf rank-frequency — head table + log-log least-squares slope
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_K = 30
+
+
+@register_staged(
+    "text_zipf_rank",
+    f"""
+    WITH tok AS (SELECT {TOKENS_DUCK} AS toks FROM documents),
+    terms AS (SELECT unnest(toks) AS term FROM tok),
+    freq AS (
+      SELECT term, CAST(count(*) AS BIGINT) AS freq FROM terms GROUP BY 1
+    ),
+    ranked AS (
+      SELECT term, freq,
+             CAST(row_number() OVER (ORDER BY freq DESC, term) AS BIGINT)
+                 AS rank
+      FROM freq
+    ),
+    pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                   ln(CAST(freq AS DOUBLE)) AS y
+            FROM ranked),
+    fit AS (
+      SELECT CAST(count(*) AS DOUBLE) AS n,
+             sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts
+    ),
+    coef AS (
+      SELECT round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+             round((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n,
+                   4) AS zipf_intercept,
+             CAST(n AS BIGINT) AS vocab_size
+      FROM fit
+    )
+    SELECT rank, term, freq, zipf_slope, zipf_intercept, vocab_size
+    FROM ranked CROSS JOIN coef
+    WHERE rank <= {ZIPF_TOP_K}
+    """,
+)
+def text_zipf_rank(spark, sf_dir):
+    """Zipf RANK-FREQUENCY profile of the corpus: the top-{ZIPF_TOP_K}
+    term table plus the least-squares slope/intercept of the log-log
+    rank-frequency line over the WHOLE vocabulary — the corpus-health
+    fingerprint (natural text fits slope ≈ −1; synthetic, boilerplate-
+    heavy, or deduplicated-to-death corpora bend away from it, making
+    the slope a one-number curation gate alongside the quality
+    classifiers). Ranks tie-break lexicographically so the order is
+    total; the fitted line rides the avg-of-logs precedent (tfidf/LM
+    scores): log points are the only floats, the vocabulary grid is
+    small, and slope/intercept are round(4)ed after the one division.
+    Raw (rank, term, freq) rows stay exact int64/string.
+
+    Scale shape: term frequency is one combinable explode-groupBy —
+    the vocabulary grid is Heaps-bounded (10^5–10^7 terms at 100 TB),
+    so ranking and the moment sums are grid-sized; the fit is a single
+    1-row aggregate cross-joined onto the head table (the
+    triangle-count decoration pattern). The corpus is scanned exactly
+    once, pruned to the text column."""
+    docs = table(spark, sf_dir, "documents").select(
+        F.expr(TOKENS_SQL).alias("toks")
+    )
+    freq = (
+        docs.select(F.explode("toks").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("freq"))
+    )
+    from pyspark.sql import Window
+
+    # materialize the vocabulary grid before fanning it into the head
+    # filter AND the fit sums — two lazy branches of one lineage would
+    # re-scan the corpus per side (the single-scan lesson)
+    ranked = freq.withColumn(
+        "rank",
+        F.row_number()
+        .over(Window.partitionBy().orderBy(F.desc("freq"), "term"))
+        .cast("bigint"),
+    ).localCheckpoint()
+    pts = ranked.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    fit = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    coef = fit.select(
+        F.round(
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")),
+            4,
+        ).alias("zipf_slope"),
+        F.round(
+            (
+                F.col("sy")
+                - (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+                / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * F.col("sx")
+            )
+            / F.col("n"),
+            4,
+        ).alias("zipf_intercept"),
+        F.col("n").cast("bigint").alias("vocab_size"),
+    )
+    return (
+        ranked.filter(F.col("rank") <= ZIPF_TOP_K)
+        .crossJoin(coef)
+        .select("rank", "term", "freq", "zipf_slope", "zipf_intercept", "vocab_size")
+    )
