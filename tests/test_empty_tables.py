@@ -233,6 +233,20 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("er_blocking_metrics", 3),
     ("lake_clustering_depth", 0),
     ("graph_harmonic_landmarks", 0),
+    # r18 staged set. timeseries_theil_sen keeps its single
+    # global-aggregate row (null slope/intercept over an empty series).
+    ("graph_modularity", 0),
+    ("dq_mutual_information", 0),
+    ("curate_url_dedup", 0),
+    ("timeseries_theil_sen", 1),
+    ("sim_pq_train", 0),
+    # r19 staged set. dq_runs_test filters its single aggregate row out
+    # when there are no up AND down moves; textrank early-returns an
+    # explicit-schema empty frame on a zero-node word graph.
+    ("text_textrank", 0),
+    ("dq_runs_test", 0),
+    ("agg_pythagorean_means", 0),
+    ("mm_video_shot_detect", 0),
 ]
 
 

@@ -829,3 +829,92 @@ def curate_tokenizer_fertility(spark, sf_dir):
             F.col("chars") / F.expr("CAST(nullif(bpe_tokens, 0) AS DOUBLE)"), 6
         ).alias("chars_per_token"),
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization dedup — the crawl-frontier normalization step
+# ---------------------------------------------------------------------------
+
+# Deterministic messy-URL builder: groups of 4 consecutive doc_ids carry
+# 4 surface variants of ONE logical URL (scheme, www-prefix + case,
+# trailing slash, tracking params, param order) — identical text in both
+# engines.
+_URL_MESSY_SQL = (
+    "CASE CAST(doc_id % 4 AS INT) "
+    "WHEN 0 THEN 'https://cdn' || CAST((doc_id - doc_id % 4) % 7 AS STRING)"
+    " || '.example.com/docs/' || CAST(doc_id - doc_id % 4 AS STRING)"
+    " || '?lang=en' "
+    "WHEN 1 THEN 'http://cdn' || CAST((doc_id - doc_id % 4) % 7 AS STRING)"
+    " || '.example.com/docs/' || CAST(doc_id - doc_id % 4 AS STRING)"
+    " || '/?lang=en' "
+    "WHEN 2 THEN 'https://WWW.CDN' || CAST((doc_id - doc_id % 4) % 7 AS STRING)"
+    " || '.example.com/docs/' || CAST(doc_id - doc_id % 4 AS STRING)"
+    " || '?lang=en&utm_source=feed' "
+    "ELSE 'https://cdn' || CAST((doc_id - doc_id % 4) % 7 AS STRING)"
+    " || '.example.com/docs/' || CAST(doc_id - doc_id % 4 AS STRING)"
+    " || '?ref=rss&lang=en' END"
+)
+
+# Canonicalization pipeline (identical regex text in both engines):
+# force https, lowercase, strip www., drop the query, strip one trailing
+# slash — the standard crawl-frontier normal form (scheme+host+path).
+# Regexes use character classes ([.], [?]) instead of backslash escapes:
+# Spark SQL string literals process backslashes, DuckDB's do not, so an
+# escaped pattern cannot be engine-shared verbatim.
+_URL_CANON_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(lower({u}),"
+    " '^http://', 'https://'),"
+    " '^https://www[.]', 'https://'),"
+    " '(/)?[?].*$', '')"
+)
+
+
+@register_staged(
+    "curate_url_dedup",
+    f"""
+    WITH u AS (SELECT doc_id, {_URL_MESSY_SQL} AS url FROM documents),
+    c AS (SELECT doc_id, url,
+                 {_URL_CANON_SQL.format(u='url')} AS canonical
+          FROM u)
+    SELECT canonical AS canonical_url,
+           CAST(min(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(count(*) AS BIGINT)    AS n_variants,
+           CAST(count(DISTINCT url) AS BIGINT) AS n_distinct_surface
+    FROM c GROUP BY 1
+    """,
+)
+def curate_url_dedup(spark, sf_dir):
+    """URL-canonicalization DEDUP — the crawl-frontier step every web
+    corpus runs before content dedup (C4/CommonCrawl lineage: the same
+    page arrives as http/https, with/without www, with/without trailing
+    slash, wrapped in utm/ref tracking params — and surface-form dedup
+    misses all of it): normalize each URL to the canonical
+    scheme+host+path form (force https, lowercase, strip www., drop the
+    query, strip the trailing slash), then keep the smallest doc_id per
+    canonical URL. The fixture plants the messiness deterministically —
+    every group of 4 consecutive doc_ids carries 4 distinct surface
+    variants of one logical URL — so the op provably collapses 4:1 and
+    the surface-variant count per survivor is pinned (n_distinct_surface
+    = group size). Pure string algebra; all counts exact int64; no
+    floats at all.
+
+    Scale shape: canonicalization is a map-only regexp projection
+    (JVM codegen); the dedup is ONE combinable groupBy on the canonical
+    key (min/count partials collapse map-side — at 100 TB the shuffle
+    carries one row per LOGICAL url, not per crawl record). The scan
+    prunes to doc_id. The same plan serves real crawl tables by
+    swapping the planted builder for the url column."""
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    c = docs.select(
+        "doc_id",
+        F.expr(_URL_MESSY_SQL).alias("url"),
+    ).select(
+        "doc_id",
+        "url",
+        F.expr(_URL_CANON_SQL.format(u="url")).alias("canonical"),
+    )
+    return c.groupBy(F.col("canonical").alias("canonical_url")).agg(
+        F.min("doc_id").cast("bigint").alias("keeper_doc_id"),
+        F.count(F.lit(1)).cast("bigint").alias("n_variants"),
+        F.countDistinct("url").cast("bigint").alias("n_distinct_surface"),
+    )

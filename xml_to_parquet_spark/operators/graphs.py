@@ -17,6 +17,7 @@ teleport constant.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.registry import register, register_staged
@@ -493,6 +494,13 @@ def graph_label_propagation(spark, sf_dir):
     deep (the union, not the base, per the Spark 4.1
     rewriteStatsAndConstraints note on cooccurrence_edges). Integer-only
     labels — no float anywhere."""
+    return _lpa_labels(spark, sf_dir)
+
+
+def _lpa_labels(spark, sf_dir):
+    """(node, community) after LPA_ROUNDS synchronous rounds — shared by
+    graph_label_propagation and graph_modularity (which scores this
+    exact clustering)."""
     edges = cooccurrence_edges(spark, sf_dir, checkpoint=False)
     eb = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
@@ -1312,4 +1320,130 @@ def graph_harmonic_landmarks(spark, sf_dir):
         "n_hop3",
         scaled.alias("harmonic_scaled6"),
         F.round(scaled.cast("double") / F.lit(6.0), 6).alias("harmonic3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# modularity — exact-integer Newman Q over the LPA communities
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    # reuse the unrolled LPA CTE chain, then score its final labeling
+    lpa = _lpa_oracle()
+    body = lpa[len("WITH ") : lpa.rindex("\nSELECT")]
+    return f"""
+    WITH {body},
+    lab AS (SELECT node, lbl AS community FROM l{LPA_ROUNDS}),
+    m AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+    deg AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS deg
+      FROM (SELECT u AS w FROM e UNION ALL SELECT v AS w FROM e)
+      GROUP BY 1
+    ),
+    dsum AS (
+      SELECT lab.community, CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg.deg) AS BIGINT) AS d_sum
+      FROM deg JOIN lab ON lab.node = deg.w GROUP BY 1
+    ),
+    ein AS (
+      SELECT lu.community, CAST(count(*) AS BIGINT) AS e_in
+      FROM e JOIN lab lu ON lu.node = e.u
+             JOIN lab lv ON lv.node = e.v
+      WHERE lu.community = lv.community
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT dsum.community, dsum.n_nodes,
+             COALESCE(ein.e_in, 0) AS e_in, dsum.d_sum,
+             CAST(4 * m.m * COALESCE(ein.e_in, 0)
+                  - dsum.d_sum * dsum.d_sum AS BIGINT) AS contrib_scaled,
+             m.m AS m
+      FROM dsum LEFT JOIN ein ON ein.community = dsum.community
+                CROSS JOIN m
+    )
+    SELECT community, n_nodes, e_in, d_sum, contrib_scaled,
+           round(CAST(sum(contrib_scaled) OVER () AS DOUBLE)
+                 / (4.0 * CAST(m AS DOUBLE) * CAST(m AS DOUBLE)), 6)
+               AS q_total
+    FROM per
+    """
+
+
+@register_staged("graph_modularity", _modularity_oracle())
+def graph_modularity(spark, sf_dir):
+    """Newman MODULARITY of the LPA communities — the number that says
+    whether a community detection found structure or noise (Newman &
+    Girvan 2004: Q = Σ_c [e_c/m − (d_c/2m)²]; Q ≈ 0 means the partition
+    is no better than random edge placement — exactly what LPA's
+    coarse collapse on this near-clique co-occurrence graph should
+    score, and the oracle proves it). Completes the graph-clustering
+    loop the way sim_silhouette completes k-means: detect
+    (graph_label_propagation, whose label device is shared verbatim)
+    → SCORE. The integer device: each community's contribution is
+    emitted as the EXACT int64 4m·e_c − d_c² (so the hash pins pure
+    counting — 4m·e_c and d_c² both ≤ 4m² ~ 10^13 at sf0.1, int64-safe
+    to ~10^9 edges), with the single display division Σ/(4m²) LAST,
+    round(6)ed.
+
+    Scale shape: inherits LPA's Pregel rounds (node-keyed hash joins,
+    checkpoint per round); the scoring adds one degree aggregate, two
+    node-keyed label joins over the edge list (co-partitioned — the
+    same key LPA already shuffled on), and two community-grid
+    aggregates. The q_total window runs over the COMMUNITY grid. At
+    100 TB scoring costs one edge-list pass more than LPA itself."""
+    labels = _lpa_labels(spark, sf_dir)
+    edges = cooccurrence_edges(spark, sf_dir)
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    deg = (
+        edges.select(F.col("u").alias("w"))
+        .unionAll(edges.select(F.col("v").alias("w")))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    dsum = (
+        deg.join(labels.withColumnRenamed("node", "w"), "w")
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.sum("deg").cast("bigint").alias("d_sum"),
+        )
+    )
+    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
+    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    ein = (
+        edges.join(lu, "u")
+        .join(lv, "v")
+        .filter(F.col("cu") == F.col("cv"))
+        .groupBy(F.col("cu").alias("community"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+    )
+    per = (
+        dsum.join(ein, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
+            "d_sum",
+            (
+                4 * F.col("m") * F.coalesce("e_in", F.lit(0))
+                - F.col("d_sum") * F.col("d_sum")
+            )
+            .cast("bigint")
+            .alias("contrib_scaled"),
+            "m",
+        )
+    )
+    return per.select(
+        "community",
+        "n_nodes",
+        "e_in",
+        "d_sum",
+        "contrib_scaled",
+        F.round(
+            F.sum("contrib_scaled").over(W.partitionBy()).cast("double")
+            / (F.lit(4.0) * F.col("m").cast("double") * F.col("m").cast("double")),
+            6,
+        ).alias("q_total"),
     )

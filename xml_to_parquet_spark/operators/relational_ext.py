@@ -3542,6 +3542,26 @@ _ACF_R = (
 )
 
 
+def _daily_revenue_grid(spark, sf_dir):
+    """Checkpointed (rev, i) day grid of whole-dollar daily order
+    revenue, dense-indexed by date order — shared by dq_autocorrelation
+    and timeseries_theil_sen. Materialized once (~10^4 rows) so the
+    consumers' self-joins fan out the grid, never re-scan orders (the
+    chisq/cusum single-scan lesson)."""
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderdate").alias("day"),
+            F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"),
+        )
+        .groupBy("day")
+        .agg(F.sum("dollars").cast("bigint").alias("rev"))
+    )
+    return daily.select(
+        "rev", F.row_number().over(W.partitionBy().orderBy("day")).alias("i")
+    ).localCheckpoint()
+
+
 @register_staged(
     "dq_autocorrelation",
     f"""
@@ -3596,21 +3616,7 @@ def dq_autocorrelation(spark, sf_dir):
     groupBy(lag) emits 7 rows. Nothing after the first aggregate ever
     touches the orders scan again, and the scan prunes to
     (o_orderdate, o_totalprice)."""
-    daily = (
-        _t(spark, sf_dir, "orders")
-        .select(
-            F.col("o_orderdate").alias("day"),
-            F.round(F.col("o_totalprice")).cast("bigint").alias("dollars"),
-        )
-        .groupBy("day")
-        .agg(F.sum("dollars").cast("bigint").alias("rev"))
-    )
-    # materialize the day grid (~10^4 rows) before the lag self-join:
-    # two lazy branches of one lineage would re-scan orders per side
-    # (the chisq/cusum single-scan lesson)
-    idx = daily.select(
-        "rev", F.row_number().over(W.partitionBy().orderBy("day")).alias("i")
-    ).localCheckpoint()
+    idx = _daily_revenue_grid(spark, sf_dir)
     lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
     a = idx.alias("a")
     b = idx.alias("b")
@@ -3896,4 +3902,402 @@ def agg_covariance_matrix(spark, sf_dir):
         s.filter(F.col("n") >= 2)  # sample covariance undefined below n=2
         .select("n", F.explode(entries).alias("e"))
         .select("e.col_x", "e.col_y", "n", "e.s_x", "e.s_y", "e.s_xy", "e.cov")
+    )
+
+
+# ---------------------------------------------------------------------------
+# mutual information — categorical dependence in bits, chisq's sibling
+# ---------------------------------------------------------------------------
+
+# identical double tail both engines: PMI of a cell from its exact int64
+# counts (one division then one log2 — both correctly-rounded-ish libm
+# calls on a bit-identical operand, round(6) per the avg-of-logs
+# precedent), and the MI total as the count-weighted sum over the grid
+_PMI_BITS = (
+    "round(log2((CAST(big_n AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))), 6)"
+)
+_MI_TOTAL = (
+    "round(sum(CAST(n AS DOUBLE) * log2((CAST(big_n AS DOUBLE)"
+    " * CAST(n AS DOUBLE)) / (CAST(r AS DOUBLE) * CAST(c AS DOUBLE))))"
+    " OVER () / CAST(big_n AS DOUBLE), 6)"
+)
+
+
+@register_staged(
+    "dq_mutual_information",
+    f"""
+    WITH cell AS (
+      SELECT o_orderpriority AS pri, o_orderstatus AS st,
+             CAST(count(*) AS BIGINT) AS n
+      FROM orders GROUP BY 1, 2
+    ),
+    grid AS (
+      SELECT pri, st, n,
+             CAST(sum(n) OVER (PARTITION BY pri) AS BIGINT) AS r,
+             CAST(sum(n) OVER (PARTITION BY st) AS BIGINT) AS c,
+             CAST(sum(n) OVER () AS BIGINT) AS big_n
+      FROM cell
+    )
+    SELECT pri, st, n, r AS row_total, c AS col_total,
+           {_PMI_BITS} AS pmi_bits,
+           {_MI_TOTAL} AS mi_total
+    FROM grid
+    """,
+)
+def dq_mutual_information(spark, sf_dir):
+    """MUTUAL INFORMATION between two categorical profile columns
+    (order priority × status) in bits — the information-theoretic
+    sibling of dq_chisq_independence over the SAME cross-tab: χ² asks
+    "is the dependence statistically surprising", MI asks "how many
+    bits does one column tell you about the other" (the feature-
+    selection / leakage-screening number; MI = 0 ⟺ independent). Each
+    cell carries its pointwise MI log2(N·n_xy/(r·c)) — the
+    over/under-representation of that specific pair — plus the grid
+    total Σ (n/N)·PMI repeated per row (single grain, window-summed).
+    Exactness: counts and margins are exact int64 window sums over the
+    post-aggregate grid (the chisq single-lineage device — one pinned
+    scan, zero joins); each PMI is ONE division of exact-int products
+    then ONE log2, round(6) per the avg-of-logs precedent; the total
+    sums ≤|grid| doubles.
+
+    Scale shape: identical to dq_chisq_independence — one combinable
+    groupBy collapses the scan to the ≤15-cell grid map-side;
+    everything after is window arithmetic on the grid. At 100 TB: one
+    data-sized aggregate, dashboard math after."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pri"), F.col("o_orderstatus").alias("st")
+    )
+    cell = o.groupBy("pri", "st").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    grid = cell.select(
+        "pri",
+        "st",
+        "n",
+        F.sum("n").over(W.partitionBy("pri")).cast("bigint").alias("r"),
+        F.sum("n").over(W.partitionBy("st")).cast("bigint").alias("c"),
+        F.sum("n").over(W.partitionBy()).cast("bigint").alias("big_n"),
+    )
+    return grid.select(
+        "pri",
+        "st",
+        "n",
+        F.col("r").alias("row_total"),
+        F.col("c").alias("col_total"),
+        F.expr(_PMI_BITS).alias("pmi_bits"),
+        F.expr(_MI_TOTAL).alias("mi_total"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil–Sen — median-of-slopes robust trend over the daily series
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "timeseries_theil_sen",
+    """
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (
+      SELECT rev, row_number() OVER (ORDER BY day) AS i FROM daily
+    ),
+    pairs AS (
+      SELECT a.i AS i, b.i AS j,
+             CAST(b.rev - a.rev AS DOUBLE) / CAST(b.i - a.i AS DOUBLE)
+                 AS slope
+      FROM idx a JOIN idx b ON b.i > a.i
+    ),
+    ranked AS (
+      SELECT slope,
+             row_number() OVER (ORDER BY slope, i, j) AS rn,
+             count(*) OVER () AS n_pairs
+      FROM pairs
+    ),
+    med AS (
+      SELECT CAST(min(n_pairs) AS BIGINT) AS n_pairs,
+             min(CASE WHEN 2 * rn = n_pairs + CAST(n_pairs % 2 AS BIGINT)
+                      THEN slope END) AS slope_med
+      FROM ranked
+    ),
+    resid AS (
+      SELECT CAST(idx.rev AS DOUBLE) - med.slope_med * CAST(idx.i AS DOUBLE)
+                 AS b0,
+             idx.i
+      FROM idx CROSS JOIN med
+    ),
+    rr AS (
+      SELECT b0, row_number() OVER (ORDER BY b0, i) AS rn,
+             count(*) OVER () AS n
+      FROM resid
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM idx) AS n_days,
+           med.n_pairs,
+           round(med.slope_med, 6) AS slope,
+           round((SELECT min(CASE WHEN 2 * rn = n + CAST(n % 2 AS BIGINT)
+                                  THEN b0 END) FROM rr), 6) AS intercept
+    FROM med
+    """,
+)
+def timeseries_theil_sen(spark, sf_dir):
+    """THEIL–SEN trend estimator over the daily-revenue series — the
+    robust regression line (median of all pairwise slopes; 29%
+    breakdown point) that a monitoring stack fits when least squares
+    (agg_least_squares) would be dragged by the exact outliers
+    dq_outlier_mad flags: slope = lower median of (rev_j − rev_i)/(j−i)
+    over all day pairs i < j, intercept = lower median of rev_i −
+    slope·i (the standard Theil–Sen intercept). Determinism: each slope
+    is ONE division of exact int64 differences (bit-identical doubles
+    both engines); the median is an ORDER-STATISTIC pick on the total
+    order (slope, i, j) — never an average of two middles, so no new
+    float op; lower median via the exact integer test 2·rn = n + (n%2).
+
+    Scale shape: the data-sized step is the shared combinable
+    groupBy(day) inside the checkpointed day grid; the O(grid²) pair
+    fan-out (~3·10^6 rows for a decade of days) and both median sorts
+    are GRID arithmetic whose size is calendar-bounded — independent of
+    row count at 100 TB. Orders is scanned exactly once, at the grid
+    checkpoint; the returned plan carries no FileScan."""
+    idx = _daily_revenue_grid(spark, sf_dir)
+    a = idx.alias("a")
+    b = idx.alias("b")
+    pairs = a.join(b, F.col("b.i") > F.col("a.i")).select(
+        F.col("a.i").alias("i"),
+        F.col("b.i").alias("j"),
+        (
+            (F.col("b.rev") - F.col("a.rev")).cast("double")
+            / (F.col("b.i") - F.col("a.i")).cast("double")
+        ).alias("slope"),
+    )
+    wr = W.partitionBy().orderBy("slope", "i", "j")
+    ranked = pairs.select(
+        "slope",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_pairs"),
+    )
+    med = ranked.agg(
+        F.min("n_pairs").cast("bigint").alias("n_pairs"),
+        F.min(
+            F.when(
+                2 * F.col("rn")
+                == F.col("n_pairs") + (F.col("n_pairs") % 2).cast("bigint"),
+                F.col("slope"),
+            )
+        ).alias("slope_med"),
+    ).localCheckpoint()
+    resid = idx.crossJoin(F.broadcast(med)).select(
+        (
+            F.col("rev").cast("double")
+            - F.col("slope_med") * F.col("i").cast("double")
+        ).alias("b0"),
+        "i",
+    )
+    wb = W.partitionBy().orderBy("b0", "i")
+    rr = resid.select(
+        "b0",
+        F.row_number().over(wb).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n"),
+    )
+    icept = rr.agg(
+        F.min(
+            F.when(
+                2 * F.col("rn") == F.col("n") + (F.col("n") % 2).cast("bigint"),
+                F.col("b0"),
+            )
+        ).alias("b0_med")
+    )
+    n_days = idx.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    return (
+        n_days.crossJoin(med)
+        .crossJoin(icept)
+        .select(
+            "n_days",
+            "n_pairs",
+            F.round("slope_med", 6).alias("slope"),
+            F.round("b0_med", 6).alias("intercept"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# runs test — Wald–Wolfowitz randomness check on daily direction
+# ---------------------------------------------------------------------------
+
+# shared double tail: E[R], Var[R], z from the exact int64 counts
+_RUNS_E = (
+    "(1.0 + 2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)"
+    " / CAST(n_up + n_down AS DOUBLE))"
+)
+_RUNS_VAR = (
+    "(2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)"
+    " * (2.0 * CAST(n_up AS DOUBLE) * CAST(n_down AS DOUBLE)"
+    "    - CAST(n_up + n_down AS DOUBLE))"
+    " / (CAST(n_up + n_down AS DOUBLE) * CAST(n_up + n_down AS DOUBLE)"
+    "    * CAST(n_up + n_down - 1 AS DOUBLE)))"
+)
+
+
+@register_staged(
+    "dq_runs_test",
+    f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(sum(CAST(round(o_totalprice) AS BIGINT)) AS BIGINT) AS rev
+      FROM orders GROUP BY 1
+    ),
+    idx AS (SELECT rev, row_number() OVER (ORDER BY day) AS i FROM daily),
+    moves AS (
+      SELECT i, CASE WHEN rev > prev THEN 1 ELSE -1 END AS s
+      FROM (SELECT i, rev, lag(rev) OVER (ORDER BY i) AS prev FROM idx)
+      WHERE prev IS NOT NULL AND rev <> prev
+    ),
+    seq AS (
+      SELECT s, lag(s) OVER (ORDER BY i) AS ps FROM moves
+    ),
+    cnt AS (
+      SELECT CAST(sum(CASE WHEN s = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_up,
+             CAST(sum(CASE WHEN s = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_down,
+             CAST(1 + sum(CASE WHEN ps IS NOT NULL AND s <> ps
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+      FROM seq
+    )
+    SELECT n_up, n_down, n_runs,
+           round({_RUNS_E}, 6) AS expected_runs,
+           round((CAST(n_runs AS DOUBLE) - {_RUNS_E})
+                 / sqrt({_RUNS_VAR}), 6) AS z_score
+    FROM cnt WHERE n_up > 0 AND n_down > 0 AND n_up + n_down > 1
+    """,
+)
+def dq_runs_test(spark, sf_dir):
+    """WALD–WOLFOWITZ RUNS TEST on the daily-revenue direction sequence
+    — the randomness check that completes the stats-test family
+    (KS/Mann–Whitney compare distributions, chisq/MI test dependence,
+    Benford tests digits; the runs test asks whether the SEQUENCE
+    itself is random: too few runs ⇒ trending/sticky, too many ⇒
+    oscillating — either way day-over-day alarms need detrending
+    first, the dq_autocorrelation companion from the nonparametric
+    side). Direction = sign of the day-over-day change (zero changes
+    dropped, the standard treatment); up/down counts and the run count
+    are exact int64 from two grid windows; E[R], Var[R], z are ONE
+    shared double tail on identically-cast operands, round(6)ed.
+
+    Scale shape: the single data-sized step is the combinable
+    groupBy(day); the direction lag, run-boundary lag, and the final
+    1-row aggregate all run on the calendar-bounded day grid (the
+    single-partition windows sort ~10^4 rows of dashboard arithmetic).
+    Orders is scanned once and prunes to (o_orderdate,
+    o_totalprice)."""
+    idx = _daily_revenue_grid(spark, sf_dir)
+    wi = W.partitionBy().orderBy("i")
+    moves = (
+        idx.select("i", "rev", F.lag("rev").over(wi).alias("prev"))
+        .filter(F.col("prev").isNotNull() & (F.col("rev") != F.col("prev")))
+        .select(
+            "i",
+            F.when(F.col("rev") > F.col("prev"), F.lit(1))
+            .otherwise(F.lit(-1))
+            .alias("s"),
+        )
+    )
+    seq = moves.select("s", F.lag("s").over(wi).alias("ps"))
+    cnt = seq.agg(
+        F.sum(F.when(F.col("s") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_up"),
+        F.sum(F.when(F.col("s") == -1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_down"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("ps").isNotNull() & (F.col("s") != F.col("ps")), 1
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    return cnt.filter(
+        (F.col("n_up") > 0)
+        & (F.col("n_down") > 0)
+        & (F.col("n_up") + F.col("n_down") > 1)
+    ).select(
+        "n_up",
+        "n_down",
+        "n_runs",
+        F.round(F.expr(_RUNS_E), 6).alias("expected_runs"),
+        F.round(
+            (F.col("n_runs").cast("double") - F.expr(_RUNS_E))
+            / F.sqrt(F.expr(_RUNS_VAR)),
+            6,
+        ).alias("z_score"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pythagorean means — arithmetic / geometric / harmonic per group
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "agg_pythagorean_means",
+    """
+    WITH li AS (
+      SELECT l_returnflag AS flag,
+             CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+      FROM lineitem WHERE l_extendedprice > 0
+    )
+    SELECT flag,
+           CAST(count(*) AS BIGINT) AS n,
+           round(CAST(sum(cents) AS BIGINT)
+                 / (100.0 * CAST(count(*) AS DOUBLE)), 4) AS arith_mean,
+           round(exp(avg(ln(CAST(cents AS DOUBLE) / 100.0))), 4)
+               AS geo_mean,
+           round(CAST(count(*) AS DOUBLE)
+                 / sum(1.0 / (CAST(cents AS DOUBLE) / 100.0)), 4)
+               AS harmonic_mean
+    FROM li GROUP BY 1
+    """,
+)
+def agg_pythagorean_means(spark, sf_dir):
+    """The three PYTHAGOREAN MEANS of line-item price per return flag —
+    the aggregate trio behind rate averaging done right (harmonic for
+    averaging ratios/speeds, geometric for growth factors, arithmetic
+    for totals; using the wrong one is a classic analytics bug, and
+    AM ≥ GM ≥ HM is the self-check, pytest-pinned). Exactness: the
+    arithmetic mean divides an exact int64 cent sum LAST; the geometric
+    mean rides the avg-of-logs precedent (exp∘avg∘ln, round(4)); the
+    harmonic mean sums per-row reciprocals of identically-derived
+    doubles (cents/100 — bit-identical operands cross-engine) whose
+    partition-order error (~1e-10 absolute on a ~10^0-magnitude sum)
+    sits far below the round(4) grain on a ~10^4-magnitude mean.
+
+    Scale shape: ONE combinable groupBy over a pruned two-column scan —
+    all three means are self-mergeable aggregates (sum, count, sum of
+    logs, sum of reciprocals), so partials collapse map-side and the
+    exchange carries |flags| rows. The textbook 100 TB aggregate."""
+    li = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(F.col("l_extendedprice") > 0)
+        .select(
+            F.col("l_returnflag").alias("flag"),
+            F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+        )
+    )
+    price = F.col("cents").cast("double") / F.lit(100.0)
+    return li.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.round(
+            F.sum("cents").cast("bigint")
+            / (F.lit(100.0) * F.count(F.lit(1)).cast("double")),
+            4,
+        ).alias("arith_mean"),
+        F.round(F.exp(F.avg(F.log(price))), 4).alias("geo_mean"),
+        F.round(
+            F.count(F.lit(1)).cast("double") / F.sum(F.lit(1.0) / price), 4
+        ).alias("harmonic_mean"),
     )

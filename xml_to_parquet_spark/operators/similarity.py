@@ -2151,3 +2151,119 @@ def sim_kmeans_update(spark, sf_dir):
         "n_assigned",
         F.col("col").alias("mean_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook training — per-subspace k-means (assign + update) step
+# ---------------------------------------------------------------------------
+
+
+@register_staged(
+    "sim_pq_train",
+    f"""
+    WITH c AS (SELECT vec_id AS cw, embedding AS ce
+               FROM embeddings WHERE vec_id < {PQ_K}),
+    s AS (SELECT unnest(range(0, {PQ_M})) AS sub),
+    d AS (
+      SELECT e.vec_id, s.sub, c.cw,
+             list_sum(list_transform(range(1, {PQ_SUB + 1}), i ->
+                 (CAST(e.embedding[{PQ_SUB} * s.sub + i] AS DOUBLE)
+                  - CAST(c.ce[{PQ_SUB} * s.sub + i] AS DOUBLE)) ^ 2)) AS dist
+      FROM embeddings e CROSS JOIN s CROSS JOIN c
+    ),
+    a AS (
+      SELECT vec_id, sub, cw,
+             row_number() OVER (PARTITION BY vec_id, sub
+                                ORDER BY round(dist, 6), cw) AS rn
+      FROM d
+    ),
+    m AS (
+      SELECT a.sub, a.cw, e.embedding
+      FROM a JOIN embeddings e ON e.vec_id = a.vec_id WHERE rn = 1
+    ),
+    pts AS (
+      SELECT sub, cw, t.i AS dim,
+             CAST(embedding[{PQ_SUB} * sub + t.i] AS DOUBLE) AS x
+      FROM m, LATERAL unnest(range(1, {PQ_SUB + 1})) AS t(i)
+    )
+    SELECT CAST(sub AS BIGINT) AS subspace, cw AS codeword,
+           CAST(dim AS BIGINT) AS dim,
+           CAST(count(*) AS BIGINT) AS n_assigned,
+           round(avg(x), 6) AS mean_val
+    FROM pts GROUP BY 1, 2, 3
+    """,
+)
+def sim_pq_train(spark, sf_dir):
+    """PRODUCT-QUANTIZATION codebook TRAINING — the per-subspace
+    k-means iteration (Jégou et al. TPAMI'11) that produces the frozen
+    codebooks sim_pq_adc and sim_ivfpq_search SERVE: split the 64-dim
+    space into {PQ_M} independent {PQ_SUB}-dim subspaces, assign every
+    vector's sub-block to its nearest of {PQ_K} codewords (seeded from
+    the first {PQ_K} vectors — the deterministic init), and emit the
+    UPDATE step's new codebooks as per-(subspace, codeword, dim) means,
+    long-format so every cell hashes. sim_kmeans_update is the M=1
+    special case; PQ's whole point is that M independent small
+    k-means problems quantize a space k^M ways at M·k centroid cost.
+    Determinism devices inherited wholesale: sub-block distances are
+    offset-indexed JVM folds over the ORIGINAL array (no sub-array
+    materialization), argmin on (round6, cw), means round(6).
+
+    Scale shape: the {PQ_K}-codeword seed broadcasts; the corpus fans
+    ×{PQ_M} subspaces partition-locally; assignment is the combinable
+    min_by per (vector, subspace); the update is ONE combinable
+    groupBy(subspace, codeword) carrying {PQ_SUB} avg buffers — the
+    K×M×{PQ_SUB} long format explodes from the {PQ_M}·{PQ_K}-row
+    RESULT, never from the corpus. One |vectors|·{PQ_M}-row exchange
+    total. At 100 TB this trains all four codebooks in one pass —
+    the property that makes PQ training feasible where full-space
+    k-means at k^M centroids is not."""
+    emb = table(spark, sf_dir, "embeddings")
+    seed = emb.filter(F.col("vec_id") < PQ_K).select(
+        F.col("vec_id").alias("cw"), F.col("embedding").alias("ce")
+    )
+    subs = spark.range(0, PQ_M).select(F.col("id").cast("int").alias("sub"))
+    dist = F.expr(
+        f"aggregate(sequence(1, {PQ_SUB}), 0D, (acc, i) -> acc"
+        f" + (CAST(element_at(embedding, {PQ_SUB} * sub + i) AS DOUBLE)"
+        f" - CAST(element_at(ce, {PQ_SUB} * sub + i) AS DOUBLE))"
+        f" * (CAST(element_at(embedding, {PQ_SUB} * sub + i) AS DOUBLE)"
+        f" - CAST(element_at(ce, {PQ_SUB} * sub + i) AS DOUBLE)))"
+    )
+    per = (
+        emb.crossJoin(F.broadcast(subs))
+        .crossJoin(F.broadcast(seed))
+        .select("vec_id", "embedding", "sub", "cw", dist.alias("dist"))
+    )
+    assigned = per.groupBy("vec_id", "sub").agg(
+        F.min_by(
+            F.struct("cw", "embedding"), F.struct(F.round("dist", 6), "cw")
+        ).alias("best")
+    ).select(
+        "sub",
+        F.col("best.cw").alias("cw"),
+        F.col("best.embedding").alias("emb"),
+    )
+    aggs = [F.count(F.lit(1)).cast("bigint").alias("n_assigned")] + [
+        F.round(
+            F.avg(
+                F.expr(
+                    f"CAST(element_at(emb, {PQ_SUB} * sub + {d}) AS DOUBLE)"
+                )
+            ),
+            6,
+        ).alias(f"m{d}")
+        for d in range(1, PQ_SUB + 1)
+    ]
+    upd = assigned.groupBy("sub", "cw").agg(*aggs)
+    return upd.select(
+        F.col("sub").cast("bigint").alias("subspace"),
+        F.col("cw").alias("codeword"),
+        "n_assigned",
+        F.posexplode(F.array(*[F.col(f"m{d}") for d in range(1, PQ_SUB + 1)])),
+    ).select(
+        "subspace",
+        "codeword",
+        (F.col("pos") + 1).cast("bigint").alias("dim"),
+        "n_assigned",
+        F.col("col").alias("mean_val"),
+    )

@@ -1629,3 +1629,153 @@ def text_zipf_rank(spark, sf_dir):
         .crossJoin(coef)
         .select("rank", "term", "freq", "zipf_slope", "zipf_intercept", "vocab_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# TextRank — PageRank over the word co-occurrence graph, exact integers
+# ---------------------------------------------------------------------------
+
+TR_SCALE = 10**15
+TR_DAMP_NUM, TR_DAMP_DEN = 85, 100
+TR_ITERS = 3
+TR_TOP_K = 30
+
+
+def _textrank_oracle() -> str:
+    ctes = [
+        f"tok AS (SELECT {TOKENS_DUCK} AS toks FROM documents)",
+        """grams AS (
+          SELECT unnest(list_transform(range(1, len(toks)), i ->
+                        toks[i] || ' ' || toks[i + 1])) AS bigram
+          FROM tok WHERE len(toks) >= 2
+        )""",
+        """e0 AS (
+          SELECT DISTINCT split_part(bigram, ' ', 1) AS a,
+                          split_part(bigram, ' ', 2) AS b
+          FROM grams WHERE split_part(bigram, ' ', 1)
+                           <> split_part(bigram, ' ', 2)
+        )""",
+        "edges AS (SELECT a AS src, b AS dst FROM e0 "
+        "UNION SELECT b AS src, a AS dst FROM e0)",
+        "deg AS (SELECT src, count(*) AS outdeg FROM edges GROUP BY src)",
+        "nn AS (SELECT count(*) AS n FROM deg)",
+        f"base AS (SELECT {TR_SCALE} // n AS b FROM nn)",
+        "r0 AS (SELECT src AS node, (SELECT b FROM base) AS r FROM deg)",
+    ]
+    for i in range(1, TR_ITERS + 1):
+        ctes.append(
+            f"""c{i} AS (
+              SELECT e.dst, sum(r{i - 1}.r // d.outdeg) AS contrib
+              FROM edges e
+              JOIN r{i - 1} ON r{i - 1}.node = e.src
+              JOIN deg d ON d.src = e.src
+              GROUP BY e.dst
+            )"""
+        )
+        ctes.append(
+            f"""r{i} AS (
+              SELECT dst AS node,
+                     CAST(({100 - TR_DAMP_NUM} * (SELECT b FROM base))
+                              // {TR_DAMP_DEN}
+                          + ({TR_DAMP_NUM} * contrib) // {TR_DAMP_DEN}
+                          AS BIGINT) AS r
+              FROM c{i}
+            )"""
+        )
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+        SELECT node AS word, r AS rank_scaled,
+               CAST(rn AS BIGINT) AS rn
+        FROM (SELECT node, r,
+                     row_number() OVER (ORDER BY r DESC, node) AS rn
+              FROM r{TR_ITERS})
+        WHERE rn <= {TR_TOP_K}
+        """
+    )
+
+
+@register_staged("text_textrank", _textrank_oracle())
+def text_textrank(spark, sf_dir):
+    """TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — PageRank
+    over the word co-occurrence graph, the graph-centrality sibling of
+    the frequency-based extractors already shipped (RAKE scores
+    candidate phrases by degree heuristics, tf-idf by counts; TextRank
+    ranks a word by the IMPORTANCE OF ITS NEIGHBORS, surfacing hub
+    terms that glue topics together): adjacent-token pairs form
+    undirected unweighted edges (the window-2 original), and
+    {TR_ITERS} fixed damped-PageRank iterations run in EXACT scaled
+    int64 arithmetic — the pagerank_fixed device verbatim (rank mass
+    scaled by 10^15, r' = 15·base//100 + 85·Σ(r//outdeg)//100), so the
+    oracle's unrolled CTE chain matches bit-for-bit with zero float
+    anywhere. Top-{TR_TOP_K} words by (rank desc, word).
+
+    Scale shape: the corpus-sized step is the bigram explode into a
+    DISTINCT on the Heaps-bounded word-pair grid; every PageRank round
+    is one node-keyed hash join + combinable groupBy(dst) over that
+    grid (checkpointed per round, the Pregel cadence); the top-k window
+    runs on the vocabulary grid. The one driver-side scalar is the
+    node count fixing the teleport constant (the pagerank_fixed
+    precedent). At 100 TB the iterations never touch the corpus —
+    only the vocabulary graph."""
+    from pyspark.sql import Window
+
+    docs = table(spark, sf_dir, "documents").select(
+        F.expr(TOKENS_SQL).alias("toks")
+    )
+    grams = docs.filter(F.size("toks") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "concat_ws(' ', element_at(toks, i), element_at(toks, i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    e0 = (
+        grams.select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("a"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    edges = (
+        e0.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .union(e0.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .distinct()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
+    edges_d = edges.join(deg, "src").localCheckpoint()
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return spark.createDataFrame(
+            [], "word string, rank_scaled bigint, rn bigint"
+        )
+    base = TR_SCALE // n_nodes
+    teleport = ((100 - TR_DAMP_NUM) * base) // TR_DAMP_DEN
+    ranks = deg.select(F.col("src").alias("node"), F.lit(base).alias("r"))
+    for _ in range(TR_ITERS):
+        contrib = (
+            edges_d.join(ranks, edges_d.src == ranks.node)
+            .select("dst", F.expr("r div outdeg").alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("contrib"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            (
+                F.lit(teleport)
+                + F.expr(f"({TR_DAMP_NUM} * contrib) div {TR_DAMP_DEN}")
+            ).alias("r"),
+        ).localCheckpoint()
+    w = Window.partitionBy().orderBy(F.desc("r"), "node")
+    return (
+        ranks.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rn") <= TR_TOP_K)
+        .select(
+            F.col("node").alias("word"),
+            F.col("r").cast("bigint").alias("rank_scaled"),
+            "rn",
+        )
+    )
