@@ -247,6 +247,9 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("dq_runs_test", 0),
     ("agg_pythagorean_means", 0),
     ("mm_video_shot_detect", 0),
+    ("lake_vacuum_plan", 0),
+    ("dq_freshness_lag", 0),
+    ("sim_recall_at_k", 0),
 ]
 
 

@@ -31,6 +31,9 @@ R19_OPS = [
     "dq_runs_test",
     "agg_pythagorean_means",
     "mm_video_shot_detect",
+    "lake_vacuum_plan",
+    "dq_freshness_lag",
+    "sim_recall_at_k",
 ]
 
 
@@ -268,3 +271,173 @@ def test_shot_detect_plan_codec_chassis(spark, sf_dir, reg):
     df = STAGED["mm_video_shot_detect"].fn(spark, sf_dir)
     assert shuffle_count(df) == 0
     assert physical_plan(df).count("Exchange RoundRobinPartitioning") == 1
+
+
+# ---------------------------------------------------------------------------
+# lake_vacuum_plan (operators/sources_io.py)
+# ---------------------------------------------------------------------------
+
+
+def test_vacuum_plan_matches_python(spark, sf_dir, reg):
+    """Third formulation: the residue rules in plain Python — expired =
+    rows of the 3 affected files, live_new = carried updates + inserts."""
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    keys = [int(k) for k in orders["o_orderkey"]]
+    affected = {1, 5, 9}
+    expired = sum(1 for k in keys if k % 24 in affected)
+    carried = len(keys) - expired
+    live_new = sum(1 for k in keys if k % 24 in (1, 5)) + sum(
+        1 for k in keys if k % 11 == 5
+    )
+    got = {
+        r["status"]: (r["n_files"], r["n_rows"])
+        for r in STAGED["lake_vacuum_plan"].fn(spark, sf_dir).collect()
+    }
+    assert got == {
+        "expired": (3, expired),
+        "live_carried": (21, carried),
+        "live_new": (2, live_new),
+    }
+
+
+def test_vacuum_plan_reclaims_and_conserves(spark, sf_dir, reg):
+    """GC bookkeeping identities: expired + carried covers the full v1
+    table, and the delete really shrinks the rewritten data (live_new <
+    expired + inserts iff the delete file held rows)."""
+    rows = {
+        r["status"]: r
+        for r in STAGED["lake_vacuum_plan"].fn(spark, sf_dir).collect()
+    }
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
+    total = len(orders)
+    assert rows["expired"]["n_rows"] + rows["live_carried"]["n_rows"] == total
+    assert rows["expired"]["n_rows"] > 0
+    n_ins = sum(1 for k in orders["o_orderkey"] if int(k) % 11 == 5)
+    assert rows["live_new"]["n_rows"] < rows["expired"]["n_rows"] + n_ins
+
+
+def test_vacuum_plan_is_manifest_and_pruned_reads(spark, sf_dir, reg):
+    """The GC counts read the files as written: the expired/carried
+    branches carry partition filters on file_id (pruned scans of the
+    fragmented layout), and the plan has no data-sized join."""
+    from xml_to_parquet_spark.plans.inspect import node_counts
+
+    df = STAGED["lake_vacuum_plan"].fn(spark, sf_dir)
+    n = node_counts(df)
+    assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n), n
+
+
+# ---------------------------------------------------------------------------
+# dq_freshness_lag (operators/relational_ext.py)
+# ---------------------------------------------------------------------------
+
+
+def test_freshness_lag_matches_python(spark, sf_dir, reg):
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet", columns=["event_type", "ts"])
+    last = {}
+    cnt = Counter()
+    for t, ts in zip(ev["event_type"], ev["ts"]):
+        cnt[t] += 1
+        if t not in last or ts > last[t]:
+            last[t] = ts
+    glob = max(last.values())
+    got = {
+        r["event_type"]: (r["n_events"], r["last_ts"], r["lag_us"], r["is_stale"])
+        for r in STAGED["dq_freshness_lag"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(last)
+    for t in last:
+        lag_us = (glob - last[t]).value // 1000  # pandas ns -> us
+        assert got[t] == (
+            cnt[t],
+            last[t].to_pydatetime(),
+            lag_us,
+            1 if lag_us > 30 * 60 * 1_000_000 else 0,
+        ), t
+
+
+def test_freshness_lag_semantics(spark, sf_dir, reg):
+    """Exactly one stream defines the global clock (lag 0); lags are
+    non-negative; staleness is the documented 30-minute fence."""
+    rows = STAGED["dq_freshness_lag"].fn(spark, sf_dir).collect()
+    assert sum(1 for r in rows if r["lag_us"] == 0) >= 1
+    for r in rows:
+        assert r["lag_us"] >= 0
+        assert r["is_stale"] == (1 if r["lag_us"] > 1_800_000_000 else 0)
+
+
+# ---------------------------------------------------------------------------
+# sim_recall_at_k (operators/similarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_recall_at_k_matches_python(spark, sf_dir, reg):
+    """Third formulation: brute-force and bucket-restricted top-5 in
+    Python (sequential-fold cosines, round6 ordering), then set
+    intersection per query."""
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vecs = {int(r.vec_id): list(r.embedding) for r in emb.itertuples()}
+
+    def cos(a, b):
+        num = 0.0
+        na = 0.0
+        nb = 0.0
+        for x, y in zip(a, b):
+            num += float(x) * float(y)
+            na += float(x) * float(x)
+            nb += float(y) * float(y)
+        return num / math.sqrt(na * nb)
+
+    def bucket(v):
+        return sum(
+            (1 << j) if float(v[2 * j]) > float(v[2 * j + 1]) else 0
+            for j in range(8)
+        )
+
+    buckets = {vid: bucket(v) for vid, v in vecs.items()}
+    expected = {}
+    total = 0
+    for q in range(8):
+        qv = vecs[q]
+        scored = sorted(
+            (
+                (-_round6(cos(qv, v)), vid)
+                for vid, v in vecs.items()
+                if vid != q
+            )
+        )
+        brute = {vid for _, vid in scored[:5]}
+        lscored = sorted(
+            (
+                (-_round6(cos(qv, v)), vid)
+                for vid, v in vecs.items()
+                if vid != q and buckets[vid] == buckets[q]
+            )
+        )
+        lsh = {vid for _, vid in lscored[:5]}
+        hits = len(brute & lsh)
+        total += hits
+        expected[q] = (hits, _round6(hits / 5.0))
+    mean = _round6(total / 40.0)
+    got = {
+        r["query_id"]: (r["n_hits"], r["recall"], r["mean_recall"])
+        for r in STAGED["sim_recall_at_k"].fn(spark, sf_dir).collect()
+    }
+    assert got == {q: (h, rc, mean) for q, (h, rc) in expected.items()}
+
+
+def test_recall_at_k_is_an_honest_eval(spark, sf_dir, reg):
+    """On the ISOTROPIC test embeddings the 8-bit bucketing recalls
+    ~none of the true neighbors (≈4 corpus vectors per bucket at
+    sf0.001) — and the eval must REPORT that instead of flattering the
+    index: mean < 1 strictly, every row carries the identical window
+    mean, and the mean equals Σhits/(8·5) exactly. (Recall CLAIMS for
+    the ladder are proven on the clustered pytest corpus in the HNSW
+    tests; this op is the measurement instrument.)"""
+    rows = STAGED["sim_recall_at_k"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    mean = rows[0]["mean_recall"]
+    assert 0.0 <= mean < 1.0, mean
+    assert len({r["mean_recall"] for r in rows}) == 1
+    assert all(0 <= r["n_hits"] <= 5 for r in rows)
+    assert mean == _round6(sum(r["n_hits"] for r in rows) / 40.0)

@@ -4301,3 +4301,73 @@ def agg_pythagorean_means(spark, sf_dir):
             F.count(F.lit(1)).cast("double") / F.sum(F.lit(1.0) / price), 4
         ).alias("harmonic_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# freshness lag — per-stream ingestion staleness vs the global clock
+# ---------------------------------------------------------------------------
+
+FRESH_STALE_MIN = 30  # staleness alarm threshold (minutes behind global max)
+
+
+@register_staged(
+    "dq_freshness_lag",
+    f"""
+    WITH t AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_events,
+             max(ts) AS last_ts,
+             CAST(epoch_us(max(ts)) AS BIGINT) AS last_us
+      FROM events GROUP BY 1
+    ),
+    g AS (SELECT CAST(max(last_us) AS BIGINT) AS global_us FROM t)
+    SELECT event_type, n_events, last_ts,
+           CAST(global_us - last_us AS BIGINT) AS lag_us,
+           CAST(CASE WHEN global_us - last_us
+                          > {FRESH_STALE_MIN} * 60 * 1000000
+                     THEN 1 ELSE 0 END AS BIGINT) AS is_stale
+    FROM t CROSS JOIN g
+    """,
+)
+def dq_freshness_lag(spark, sf_dir):
+    """Ingestion FRESHNESS monitor — the first data-quality page every
+    pipeline dashboard shows (Monte Carlo / Great Expectations
+    freshness checks): per event stream, the last-seen event time, the
+    lag behind the freshest stream in exact MICROSECONDS, and a
+    staleness verdict at the {FRESH_STALE_MIN}-minute fence — the
+    detector for a silently-dead producer, which no row-level check
+    catches because the problem is the rows that DIDN'T arrive
+    (the batch cousin of stream_timer_timeout's absence-of-data
+    semantics). Exactness: event-time maxima are order statistics;
+    the lag subtracts exact int64 epoch-microseconds; the fence is an
+    integer compare. Zero floats.
+
+    Scale shape: ONE combinable groupBy (count + max partials collapse
+    map-side; the shuffle carries |streams| rows), then a 1-row global
+    max cross-joined back (broadcast). The scan prunes to (event_type,
+    ts). The cheapest possible 100 TB monitor — by design, since it
+    runs every few minutes in production."""
+    t = (
+        _t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.max("ts").alias("last_ts"),
+            F.unix_micros(F.max("ts")).cast("bigint").alias("last_us"),
+        )
+    )
+    g = t.agg(F.max("last_us").cast("bigint").alias("global_us"))
+    return t.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        "n_events",
+        "last_ts",
+        (F.col("global_us") - F.col("last_us")).cast("bigint").alias("lag_us"),
+        F.when(
+            F.col("global_us") - F.col("last_us")
+            > FRESH_STALE_MIN * 60 * 1_000_000,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("is_stale"),
+    )

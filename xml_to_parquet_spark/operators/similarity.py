@@ -2267,3 +2267,90 @@ def sim_pq_train(spark, sf_dir):
         "n_assigned",
         F.col("col").alias("mean_val"),
     )
+
+
+# ---------------------------------------------------------------------------
+# ANN recall evaluation — LSH top-k vs brute-force ground truth
+# ---------------------------------------------------------------------------
+
+
+def _recall_oracle() -> str:
+    # ground truth and candidate rankings are the registered ops' own
+    # oracle texts — the eval composes them verbatim (both are defined
+    # earlier in this module, so the registry already holds them)
+    from xml_to_parquet_spark.registry import REGISTRY
+
+    brute = REGISTRY["sim_topk_cosine"].oracle
+    lsh = REGISTRY["sim_ann_lsh"].oracle
+    return f"""
+    WITH brute AS ({brute}),
+    lsh AS ({lsh}),
+    hits AS (
+      SELECT b.query_id,
+             CAST(count(l.neighbor_id) AS BIGINT) AS n_hits
+      FROM brute b LEFT JOIN lsh l
+        ON l.query_id = b.query_id AND l.neighbor_id = b.neighbor_id
+      GROUP BY 1
+    )
+    SELECT query_id, n_hits,
+           round(CAST(n_hits AS DOUBLE) / {TOP_K}.0, 6) AS recall,
+           round(CAST(sum(n_hits) OVER () AS DOUBLE)
+                 / (CAST(count(*) OVER () AS DOUBLE) * {TOP_K}.0), 6)
+               AS mean_recall
+    FROM hits
+    """
+
+
+@register_staged("sim_recall_at_k", _recall_oracle())
+def sim_recall_at_k(spark, sf_dir):
+    """RECALL@k of the LSH index against brute-force ground truth — the
+    evaluation every ANN deployment runs before trusting an index (the
+    ann-benchmarks protocol): per query, how many of the true top-{TOP_K}
+    cosine neighbors the bucketed search returned, plus the corpus mean —
+    the one number that prices the LSH speedup. Completes the
+    similarity ladder's eval story the way sim_silhouette does
+    clustering's and er_blocking_metrics does blocking's: build →
+    serve → MEASURE. Composition is literal: both rankings come from
+    the REGISTERED ops' own implementations (and the oracle embeds
+    their oracle texts verbatim), so this op also cross-checks that the
+    two rankings agree with themselves across engines. Hit counts are
+    exact int64 from an equi-join on (query, neighbor); the two
+    divisions happen LAST, round(6)ed.
+
+    Scale shape: inherits the composed ops' shapes (broadcast query
+    sides, bucketed candidate join, per-query top-k windows); the eval
+    itself is a (query, neighbor)-keyed left join of two k·|queries|-row
+    frames plus a |queries|-row window — measurement cost is
+    dashboard-sized regardless of corpus size (ground truth at 100 TB
+    is sampled queries for exactly this reason)."""
+    brute = sim_topk_cosine(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    lsh = sim_ann_lsh(spark, sf_dir).select(
+        F.col("query_id").alias("lq"), F.col("neighbor_id").alias("ln")
+    )
+    hits = (
+        brute.join(
+            lsh,
+            (F.col("query_id") == F.col("lq"))
+            & (F.col("neighbor_id") == F.col("ln")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("ln").cast("bigint").alias("n_hits"))
+    )
+    return hits.select(
+        "query_id",
+        "n_hits",
+        F.round(F.col("n_hits").cast("double") / F.lit(float(TOP_K)), 6).alias(
+            "recall"
+        ),
+        F.round(
+            F.sum("n_hits").over(W.partitionBy()).cast("double")
+            / (
+                F.count(F.lit(1)).over(W.partitionBy()).cast("double")
+                * F.lit(float(TOP_K))
+            ),
+            6,
+        ).alias("mean_recall"),
+    )

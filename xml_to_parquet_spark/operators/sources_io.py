@@ -1086,3 +1086,128 @@ def lake_clustering_depth(spark, sf_dir):
         ).alias("avg_overlaps"),
         F.max("n_overlaps").cast("bigint").alias("max_overlaps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# vacuum planning — expired-file identification after a CoW commit
+# ---------------------------------------------------------------------------
+
+VAC_UPD_FILES = (1, 5)  # residue files whose rows get updated (rewritten)
+VAC_DEL_FILE = 9        # residue file whose rows are all deleted
+
+
+@register_staged(
+    "lake_vacuum_plan",
+    f"""
+    WITH r AS (
+      SELECT o_orderkey % {COMPACT_FILES} AS fid,
+             o_orderkey
+      FROM orders
+    ),
+    ins AS (
+      SELECT count(*) AS n FROM orders WHERE o_orderkey % 11 = 5
+    )
+    SELECT 'expired' AS status,
+           CAST(3 AS BIGINT) AS n_files,
+           CAST(count(CASE WHEN fid IN {VAC_UPD_FILES + (VAC_DEL_FILE,)}
+                           THEN 1 END) AS BIGINT) AS n_rows
+    FROM r
+    UNION ALL
+    SELECT 'live_carried',
+           CAST({COMPACT_FILES - 3} AS BIGINT),
+           CAST(count(CASE WHEN fid NOT IN {VAC_UPD_FILES + (VAC_DEL_FILE,)}
+                           THEN 1 END) AS BIGINT)
+    FROM r
+    UNION ALL
+    SELECT 'live_new', CAST(2 AS BIGINT),
+           CAST(count(CASE WHEN fid IN {VAC_UPD_FILES} THEN 1 END)
+                + (SELECT n FROM ins) AS BIGINT)
+    FROM r
+    """,
+)
+def lake_vacuum_plan(spark, sf_dir):
+    """VACUUM / expire-snapshots PLANNING — the retention step that
+    completes the lake-maintenance trio (lake_compaction_plan sizes
+    rewrites, lake_clustering_depth scores layout, VACUUM reclaims
+    space): after a copy-on-write commit rewrites part of the table,
+    the files referenced ONLY by the expired snapshot are
+    garbage-collectable, and the plan is exactly files(v1) − files(v2)
+    plus the bookkeeping a GC report needs (how many files/rows each of
+    expired / live-carried / live-new holds — reclaimed rows are the
+    payoff number). The fixture performs a REAL CoW commit on the
+    shared mod-{COMPACT_FILES} fragmented layout: updates hit the rows
+    of residue files {VAC_UPD_FILES}, a whole-file delete empties
+    residue {VAC_DEL_FILE}, inserts land as a fresh file — so the
+    affected set is exactly 3 files by construction, the oracle derives
+    every count from the residue rules, and the emitted rows come from
+    reading the files as actually written (a rewrite that loses or
+    duplicates rows breaks value parity). All counts exact int64.
+
+    Scale shape: planning is manifest arithmetic (the affected-file set
+    is a residue filter; a general deployment anti-joins two manifest
+    file lists — lake_time_travel_diff's device); the CoW rewrite reads
+    ONLY the 3 affected partition directories (partition-pruned scan)
+    and the GC counts are combinable aggregates over manifest-listed
+    files. Fixtures build once per process behind _SUCCESS guards.
+    Empty source → empty plan."""
+    from xml_to_parquet_spark.io_paths import committed
+
+    man = _fragmented_manifest(spark, sf_dir)
+    empty_schema = "status string, n_files bigint, n_rows bigint"
+    if man is None:
+        return spark.createDataFrame([], empty_schema)
+    data = scratch_dir(sf_dir, "compact_orders")
+    orders = table(spark, sf_dir, "orders")
+    rewrite = scratch_dir(sf_dir, "vacuum_rewrite")
+    ins_dir = scratch_dir(sf_dir, "vacuum_inserts")
+    affected = list(VAC_UPD_FILES) + [VAC_DEL_FILE]
+    if not committed(rewrite):
+        old_rows = (
+            spark.read.parquet(data)
+            .filter(F.col("file_id").isin(affected))
+            .drop("file_id")
+        )
+        # surviving rows all belong to the update files (the delete file
+        # contributes nothing past the filter), so the CoW update applies
+        # to every carried-forward row
+        merged = old_rows.filter(
+            F.col("o_orderkey") % COMPACT_FILES != VAC_DEL_FILE
+        ).withColumn("o_totalprice", F.col("o_totalprice") + F.lit(1000.0))
+        merged.coalesce(1).write.mode("overwrite").parquet(rewrite)
+    if not committed(ins_dir):
+        (
+            orders.filter(F.col("o_orderkey") % 11 == 5)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(ins_dir)
+        )
+    expired_rows = (
+        spark.read.parquet(data)
+        .filter(F.col("file_id").isin(affected))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("expired").alias("status"),
+            F.lit(3).cast("bigint").alias("n_files"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+    carried_rows = (
+        spark.read.parquet(data)
+        .filter(~F.col("file_id").isin(affected))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("live_carried").alias("status"),
+            F.lit(COMPACT_FILES - 3).cast("bigint").alias("n_files"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+    new_rows = (
+        spark.read.parquet(rewrite, ins_dir)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            F.lit("live_new").alias("status"),
+            F.lit(2).cast("bigint").alias("n_files"),
+            F.col("n").alias("n_rows"),
+        )
+    )
+    return expired_rows.unionByName(carried_rows).unionByName(new_rows)
