@@ -75,9 +75,9 @@ def test_lake_snapshot_guard_rebuilds_after_lost_artifact(spark, sf_dir):
     rebuild and crash reading the manifest; the per-artifact guard must
     rebuild and return the exact same snapshots."""
     from xml_to_parquet_spark.io_paths import scratch_dir
-    from xml_to_parquet_spark.registry import STAGED
+    from xml_to_parquet_spark.registry import lookup
 
-    fn = STAGED["lake_snapshot_read"].fn
+    fn = lookup("lake_snapshot_read").fn
     before = sorted(map(tuple, fn(spark, sf_dir).collect()))
     man2 = scratch_dir(sf_dir, "snap_manifest_v2")
     shutil.rmtree(man2)  # data + man1 still committed

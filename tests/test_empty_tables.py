@@ -144,6 +144,9 @@ REPRESENTATIVES_R10 = [
     ("sim_hnsw_beam", 0),
     ("stream_session_window_dynamic", 0),
 ]
+# The four r11 ops and the six r12 shape-B ops + stream_timer_timeout were
+# promoted at the r11 rotation; lookup() resolves them through the
+# registered tier now, so these lists keep covering them unchanged.
 REPRESENTATIVES_R11_STAGED = [
     ("lake_snapshot_read", 2),
     ("agg_least_squares", 1),
@@ -163,10 +166,10 @@ def test_r10_operator_survives_empty_tables(spark, empty_sf_dir, name, max_rows)
 def test_r11_staged_operator_survives_empty_tables(
     spark, empty_sf_dir, name, max_rows
 ):
-    from xml_to_parquet_spark.registry import STAGED
+    from xml_to_parquet_spark.registry import lookup
 
-    load_all()  # import side effects populate STAGED
-    out = STAGED[name].fn(spark, empty_sf_dir)
+    load_all()  # import side effects populate the tiers
+    out = lookup(name).fn(spark, empty_sf_dir)
     assert out.count() <= max_rows
 
 
@@ -257,8 +260,8 @@ REPRESENTATIVES_R12_R13_STAGED = [
 def test_r12_r13_staged_operator_survives_empty_tables(
     spark, empty_sf_dir, name, max_rows
 ):
-    from xml_to_parquet_spark.registry import STAGED
+    from xml_to_parquet_spark.registry import lookup
 
     load_all()
-    out = STAGED[name].fn(spark, empty_sf_dir)
+    out = lookup(name).fn(spark, empty_sf_dir)
     assert out.count() <= max_rows

@@ -20,7 +20,7 @@ from xml_to_parquet_spark.operators.relational_ext import (
     DRIFT_SPLIT,
     KS_REF_TYPE,
 )
-from xml_to_parquet_spark.registry import STAGED, load_all
+from xml_to_parquet_spark.registry import STAGED, load_all, lookup
 
 
 @pytest.fixture(scope="module")
@@ -38,9 +38,11 @@ def test_r13_staged_ops_hidden_from_driver_registry(reg):
         "dq_ks_distance",
         "dq_schema_drift",
         "graph_link_predict",
-        "stream_timer_timeout",
     ):
         assert name in STAGED and name not in reg
+    # stream_timer_timeout was pulled forward at the r11 rotation
+    # (VERDICT r10 #4: both streaming completions driver-proven at r11)
+    assert "stream_timer_timeout" not in STAGED and "stream_timer_timeout" in reg
 
 
 # ---------------------------------------------------------------------------
@@ -248,7 +250,7 @@ def test_timer_timeout_matches_exact_python_recompute(reg, spark, sf_dir, events
             expect[int(uid)] = (len(grp), last_us)
     got = {
         r["user_id"]: (r["n_events"], r["last_ts_us"])
-        for r in STAGED["stream_timer_timeout"].fn(spark, sf_dir).collect()
+        for r in lookup("stream_timer_timeout").fn(spark, sf_dir).collect()
     }
     assert got == expect
     assert got, "no user ever timed out — the scenario is degenerate"
@@ -276,7 +278,7 @@ def test_timer_fires_strictly_below_watermark(spark, tmp_path):
         }
     )
     pdf.to_parquet(tmp_path / "events.parquet")
-    out = STAGED["stream_timer_timeout"].fn(spark, str(tmp_path)).collect()
+    out = lookup("stream_timer_timeout").fn(spark, str(tmp_path)).collect()
     assert sorted(r["user_id"] for r in out) == [2]
 
 

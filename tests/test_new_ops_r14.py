@@ -14,7 +14,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import pandas as pd
 import pytest
 
-from xml_to_parquet_spark.registry import STAGED, load_all
+from xml_to_parquet_spark.registry import STAGED, load_all, lookup
 
 
 @pytest.fixture(scope="module")
@@ -592,7 +592,7 @@ def test_cdc_apply_matches_python_and_one_shot_merge(spark, sf_dir, reg):
             r["min_key"],
             r["max_key"],
         )
-        for r in STAGED["lake_merge_upsert"].fn(spark, sf_dir).collect()
+        for r in lookup("lake_merge_upsert").fn(spark, sf_dir).collect()
     }
     assert got == merge
 

@@ -681,7 +681,7 @@ def _mix_keep_pred(engine: str) -> str:
     return f"({hv}) * {MIX_DENOM} < {_HEX32} * {w}"
 
 
-@register_staged(
+@register(
     "curate_mixture_sampling",
     f"""
     WITH kept AS (

@@ -1295,7 +1295,7 @@ def _framesample_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register_staged(
+@register(
     "mm_video_framesample",
     f"""
     WITH dims AS (
@@ -1404,7 +1404,7 @@ def _vad_energy_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(rows, columns=["doc_id", "win", "loud"])
 
 
-@register_staged(
+@register(
     "mm_audio_vad",
     f"""
     WITH dims AS (

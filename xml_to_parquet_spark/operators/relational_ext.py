@@ -1727,7 +1727,7 @@ def dq_drift_histogram(spark, sf_dir):
     )
 
 
-@register_staged(
+@register(
     "agg_least_squares",
     """
     WITH pts AS (
@@ -1799,7 +1799,7 @@ def agg_least_squares(spark, sf_dir):
     )
 
 
-@register_staged(
+@register(
     "dq_expectation_suite",
     """
     WITH m AS (

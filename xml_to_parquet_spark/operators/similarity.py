@@ -1658,7 +1658,7 @@ def hnsw_beam_search(emb):
 MIPS_SAMPLE_MOD = 16  # phase-1 sample: vec_id % 16 == 0 (~6% of corpus)
 
 
-@register_staged(
+@register(
     "sim_mips_topk",
     f"""
     WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings

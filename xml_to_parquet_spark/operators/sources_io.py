@@ -461,7 +461,7 @@ def _ensure_snapshot_fixture(spark, sf_dir):
     return data, man1, man2
 
 
-@register_staged(
+@register(
     "lake_snapshot_read",
     f"""
     WITH v1 AS (
@@ -563,7 +563,7 @@ MERGE_FINAL_STATE_ORACLE = f"""
     """
 
 
-@register_staged("lake_merge_upsert", MERGE_FINAL_STATE_ORACLE)
+@register("lake_merge_upsert", MERGE_FINAL_STATE_ORACLE)
 def lake_merge_upsert(spark, sf_dir):
     """MERGE INTO with copy-on-write file rewrite — the lake-format write
     path that makes CDC/upsert workloads tractable on immutable files

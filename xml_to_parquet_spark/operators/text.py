@@ -1151,7 +1151,7 @@ CDC_M = 16
 CDC_R = 0
 
 
-@register_staged(
+@register(
     "text_cdc_chunking",
     f"""
     WITH tok AS (SELECT doc_id, {TOKENS_DUCK} AS toks FROM documents),

@@ -49,6 +49,18 @@ def register_staged(name: str, oracle: str | None = None):
     return deco
 
 
+def lookup(name: str) -> QueryDef:
+    """Resolve a query across the registered and staged tiers.
+
+    Staged-op tests reference their op through this helper so a promotion
+    (register_staged → register) never requires rewriting the test body —
+    only the hidden-from-registry assertion lists change.
+    """
+    if name in REGISTRY:
+        return REGISTRY[name]
+    return STAGED[name]
+
+
 # Explicit registry ordering. Correctness harnesses may grade a prefix of
 # the registry (round 1 graded exactly the first 50 entries), so the prefix
 # must SAMPLE EVERY CATEGORY rather than follow module import order.
@@ -56,58 +68,60 @@ def register_staged(name: str, oracle: str | None = None):
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-10 rotation (R10_PLAN.md window math, confirmed against
-# CORRECTNESS_r09.json — no forced fill received an unexpected r9 proof):
-# ALL 42 r5-era proofs hit the 4-round staleness bound this round, so the
-# window is fully determined: 3 anchors + 5 new-op slots + the 42 r5-proof
-# holders = 50 exactly. The 5 NEW_TARGETS were built and dual-SF verified
-# late in r9 behind the staged tier (register_staged) and are promoted
-# here; the remaining 4 staged ops (agg_least_squares,
-# dq_expectation_suite, curate_mixture_sampling, lake_snapshot_read) lead
-# the r11 window.
-# CAPACITY NOTE (r10): with the registry past 47*4 non-anchor queries the
-# frozen 4-round staleness bound became pigeonhole-infeasible from r12 on
-# (47 rotating slots/round x 4 rounds = 188 < 231); the guard in
-# tests/test_registry_order.py now DERIVES the bound as
-# max(4, ceil(non_anchor/47)) while the rotation policy stays
-# stalest-first, which keeps the sustainable new-op cadence at ~6/round
-# through r20 (simulated at the r10 rotation) with nothing ever forced
-# to its deadline. Previous windows: r1-r9 lists are in git history.
+# Round-11 rotation (R11_PLAN.md shape B — accelerated, per VERDICT r10
+# #1/#4): promote ELEVEN staged ops (the 4 built late-r9 + the 6 shape-B
+# r12 candidates + stream_timer_timeout, pulled forward from the r13 queue
+# because VERDICT r10 #4 wants both streaming completions driver-proven at
+# r11). Fills: the 43 r6-proof holders split exactly into 36 oracle-backed
+# + 7 rows-only; the window takes ALL 36 oracle-backed ones (stalest-first
+# — every other proof is r7+), so 3 anchors + 11 new + 36 fills = 50 and
+# ROWS_ONLY_SLOTS is empty this round. The 7 rows-only r6-era queries
+# (agg_approx_percentile, agg_hll_mergeable, agg_kll_quantiles,
+# agg_theta_setops, sample_stratified, table_sample, text_freq_items) slip
+# to r12 where the derived staleness bound forces them (7 << 47 capacity;
+# they will take designated ROWS_ONLY_SLOTS there).
+# CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
+# max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
+# 47 rotating slots/round); rotation policy stays stalest-first. Previous
+# windows: r1-r10 lists are in git history.
 NEW_TARGETS: list[str] = [
-    # oracle-backed, promoted from the staged tier at the r10 rotation
-    "mm_resize_pixel",
-    "text_rake_keywords",
-    "lake_manifest_prune",
-    "sim_hnsw_beam",
-    "stream_session_window_dynamic",
+    # oracle-backed, promoted from the staged tier at the r11 rotation
+    "agg_least_squares",
+    "dq_expectation_suite",
+    "curate_mixture_sampling",
+    "lake_snapshot_read",
+    "stream_stream_full_outer",
+    "stream_timer_timeout",
+    "mm_video_framesample",
+    "mm_audio_vad",
+    "lake_merge_upsert",
+    "text_cdc_chunking",
+    "sim_mips_topk",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
-# approx_count_distinct is rows-only by contract (sketch estimate has no
-# exact cross-engine oracle; pytest pins its accuracy bounds) but holds an
-# r5 proof that ages out this round, so it takes a deliberate rows-only slot.
-ROWS_ONLY_SLOTS: list[str] = ["approx_count_distinct"]
+# No rows-only query holds a window slot this round: approx_count_distinct
+# banked its r10 proof, and the 7 rows-only r6-era queries slip to r12
+# (see rotation comment above).
+ROWS_ONLY_SLOTS: list[str] = []
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
-    # fills: ALL 42 r5-proof holders, stalest-first — every one ages out
-    # at r10 (MAX_STALENESS = 4), so none is optional.
-    "agg_cube", "agg_grouping_sets", "agg_min_max_by",
-    "agg_null_semantics", "agg_rollup", "agg_stats",
-    "approx_count_distinct", "curate_decontaminate",
-    "curate_quality_filter", "dedup_components", "dedup_exact",
-    "dedup_minhash_verified", "join_asof", "join_asof_forward",
-    "join_asof_nearest", "join_bucketed", "join_range",
-    "join_skew_salted", "json_functions", "q10_returned_items",
-    "q14_promo_revenue", "q18_large_volume_customer",
-    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
-    "q9_product_profit", "scalar_date_fns", "scalar_try_arith",
-    "sessionize_events", "set_except_all", "set_intersect_all",
-    "sim_ivf", "sim_topk_cosine", "source_csv_roundtrip", "text_stats",
-    "text_tfidf", "timeseries_rollup", "udf_cogrouped_pandas",
-    "udf_pandas_scalar", "window_moving_avg", "window_range_frame",
-    "window_rank",
+    # fills: all 36 oracle-backed r6-proof holders (stalest tier; every
+    # other oracle-backed proof is r7 or newer).
+    "agg_bitmap_distinct", "agg_percentile_array", "agg_skew_kurtosis",
+    "cdc_scd2_build", "curate_dedup_keep_best", "curate_mix_temperature",
+    "dedup_containment", "dedup_ngram_jaccard", "dedup_simhash",
+    "dq_anomaly_zscore", "funnel_conversion", "join_asof_tolerance",
+    "join_null_safe", "join_range_binned", "join_semi", "merge_upsert",
+    "mm_decode_wav", "mm_image_phash", "q12_priority_class",
+    "q17_small_qty_revenue", "q7_volume_shipping", "scalar_url_fns",
+    "set_union_all", "sim_centroid_assign", "sim_matryoshka_truncate",
+    "sim_pq_adc", "sink_schema_evolution", "source_json_roundtrip",
+    "stream_sliding_window", "text_lang_id", "text_pii_redact",
+    "text_quality_gopher", "text_quality_unigram_lm",
+    "udaf_grouped_pandas", "variant_json", "window_ntile_dist",
 ]
 
 

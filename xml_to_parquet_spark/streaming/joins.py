@@ -289,7 +289,7 @@ def stream_stream_outer(spark, sf_dir):
     return _drain(joined, ["click_id", "purchase_id", "user_id"], mode="append")
 
 
-@register_staged(
+@register(
     "stream_stream_full_outer",
     """
     WITH mx AS (

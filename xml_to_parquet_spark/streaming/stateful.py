@@ -251,7 +251,7 @@ def _timeout_state_fn(
     state.setTimeoutTimestamp(last_us // 1000 + TIMER_GAP_MS)
 
 
-@register_staged(
+@register(
     "stream_timer_timeout",
     f"""
     WITH wm AS (
