@@ -1853,8 +1853,21 @@ def dedup_containment_incremental(spark, sf_dir):
 
 # Dirty records share the clean roster's custkey space (rid IS the picked
 # customer's key), so clustering needs disjoint node ids: dirty nodes are
-# offset far above any SF's key range.
+# offset above the clean key range. The constant covers custkeys < 10M
+# (TPC-H-style rosters up to ~sf67); it is NOT universal — the oracle SQL
+# bakes the same literal in, so the Spark side enforces the precondition
+# loudly at runtime (a 1-row max over the match-sized pair list) instead
+# of silently merging unrelated entities past the bound (ADVICE r10).
 ER_NODE_OFFSET = 10_000_000
+
+
+def _assert_er_node_ranges_disjoint(max_clean_key) -> None:
+    if max_clean_key is not None and max_clean_key >= ER_NODE_OFFSET:
+        raise ValueError(
+            f"clean key {max_clean_key} >= ER_NODE_OFFSET {ER_NODE_OFFSET}: "
+            "dirty/clean node id ranges collide; raise the offset (and its "
+            "oracle literal) for this roster"
+        )
 
 
 def _er_cluster_oracle() -> str:
@@ -1917,6 +1930,10 @@ def er_cluster_entities(spark, sf_dir):
         )
         .localCheckpoint()
     )
+    # Disjointness precondition (see ER_NODE_OFFSET): 1-row agg over the
+    # already-checkpointed match-sized pair list; survivorship inherits
+    # the guarantee (its inner join keeps only matched member ids).
+    _assert_er_node_ranges_disjoint(pairs.agg(F.max("b")).collect()[0][0])
     edges = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
     ).localCheckpoint()

@@ -72,7 +72,12 @@ def bucket_fixture(spark, sf_dir) -> tuple[str, str]:
     Shared by join_bucketed and agg_bucketed_reuse — the write-time cost
     of the layout amortizes across every operator that exploits it."""
     sf_tag = os.path.basename(sf_dir.rstrip("/")).replace(".", "_")
-    wh = f"/tmp/xml_to_parquet_spark_buckets/pid{os.getpid()}/{sf_tag}"
+    # same configurable root as io_paths.scratch_dir (ADVICE r10), but a
+    # sibling of the per-sf scratch tree: the bucket warehouse is a Spark
+    # catalog LOCATION keyed by pid+sf, not a per-operator fixture dir
+    from xml_to_parquet_spark.io_paths import scratch_root
+
+    wh = f"{scratch_root()}/pid{os.getpid()}/buckets/{sf_tag}"
     li_tbl, o_tbl = f"b_lineitem_{sf_tag}", f"b_orders_{sf_tag}"
     spark.sql(f"CREATE DATABASE IF NOT EXISTS bucketdb LOCATION '{wh}'")
     existing = {r.tableName for r in spark.sql("SHOW TABLES IN bucketdb").collect()}

@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.io_paths import scratch_dir
+from xml_to_parquet_spark.io_paths import has_data_files, scratch_dir
 from xml_to_parquet_spark.registry import register, register_staged
 from xml_to_parquet_spark.tables import table
 
@@ -797,24 +797,26 @@ def _fragmented_manifest(spark, sf_dir):
             .partitionBy("file_id")
             .parquet(data)
         )
-    try:
-        man = (
-            spark.read.parquet(data)
-            .select(
-                F.col("file_id").cast("bigint").alias("file_id"), "o_orderkey"
-            )
-            .groupBy("file_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.min("o_orderkey").alias("min_key"),
-                F.max("o_orderkey").alias("max_key"),
-            )
-        )
-        # manifest-sized materialization; also surfaces an unreadable
-        # (zero-file) layout here, inside the try
-        return man.localCheckpoint()
-    except Exception:
+    if not has_data_files(data):
+        # empty source: partitionBy committed only _SUCCESS, so there is
+        # no layout to read (any OTHER read failure propagates loudly —
+        # ADVICE r10: a blanket except here would grade a genuine IO bug
+        # as an empty compaction plan)
         return None
+    man = (
+        spark.read.parquet(data)
+        .select(
+            F.col("file_id").cast("bigint").alias("file_id"), "o_orderkey"
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+    # manifest-sized materialization
+    return man.localCheckpoint()
 
 
 @register_staged(
@@ -1035,22 +1037,23 @@ def lake_clustering_depth(spark, sf_dir):
             .partitionBy("file_id")
             .parquet(banded_path)
         )
-    try:
-        bman = (
-            spark.read.parquet(banded_path)
-            .select(
-                F.col("file_id").cast("bigint").alias("file_id"), "o_orderkey"
-            )
-            .groupBy("file_id")
-            .agg(
-                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.min("o_orderkey").alias("mn"),
-                F.max("o_orderkey").alias("mxk"),
-            )
-            .localCheckpoint()
-        )
-    except Exception:
+    if not has_data_files(banded_path):
+        # empty source committed only _SUCCESS (see _fragmented_manifest;
+        # ADVICE r10 — genuine read failures must propagate)
         return spark.createDataFrame([], empty_schema)
+    bman = (
+        spark.read.parquet(banded_path)
+        .select(
+            F.col("file_id").cast("bigint").alias("file_id"), "o_orderkey"
+        )
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").alias("mn"),
+            F.max("o_orderkey").alias("mxk"),
+        )
+        .localCheckpoint()
+    )
     man = bman.select(
         F.lit("key_banded").alias("layout"), "file_id", "n_rows", "mn", "mxk"
     ).unionByName(

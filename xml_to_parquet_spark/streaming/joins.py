@@ -104,7 +104,11 @@ def stream_foreach_batch(spark, sf_dir):
     import shutil
     import uuid
 
-    out = f"/tmp/xml_to_parquet_spark_febatch/{uuid.uuid4().hex[:8]}"
+    from xml_to_parquet_spark.io_paths import scratch_dir
+
+    # per-call root under the shared configurable scratch location
+    # (ADVICE r10: no side-channel /tmp roots outside io_paths)
+    out = scratch_dir(sf_dir, f"febatch_{uuid.uuid4().hex[:8]}")
     os.makedirs(out, exist_ok=True)
     try:
         ev = _events_stream(spark, sf_dir).select("event_type", "value")
@@ -452,7 +456,9 @@ def stream_cdc_apply(spark, sf_dir):
     if not committed(src):
         orders.repartition(CDC_STREAM_FILES).write.mode("overwrite").parquet(src)
 
-    root = f"/tmp/xml_to_parquet_spark_cdcapply/{uuid.uuid4().hex[:8]}"
+    # per-call root under the shared configurable scratch location
+    # (ADVICE r10: no side-channel /tmp roots outside io_paths)
+    root = scratch_dir(sf_dir, f"cdcapply_{uuid.uuid4().hex[:8]}")
     os.makedirs(root, exist_ok=True)
     try:
         # v0 = the pre-CDC table
