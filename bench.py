@@ -115,6 +115,25 @@ Round-10 measurement work (VERDICT r9 #2/#3):
     entries; bpe 3.189 (recycle fix still expressing), q21 3.183,
     hnsw 5.585, sim_pipeline 5.431 — all inside the revised noise
     envelope vs the two reference runs above.
+
+Round-11 two-quiet-run adjudication (VERDICT r10 #3: the three entries
+enveloped as noise at r10 must either read back at r9 levels or carry a
+two-quiet-run table — they do BOTH; same code, nothing else running,
+runs ~12 min apart, 54 entries, totals 77.71s / 75.64s):
+    entry               r9     r10(official)  r11-runA  r11-runB
+    sim_pipeline        5.37   6.44           5.779     5.766
+    mm_caption_dedup    4.64   5.49           4.642     4.514
+    dedup_semdedup      3.72   4.40           3.623     3.575
+The r10 readings were machine-sample noise as adjudicated: both quiet
+runs agree within 3% of each other and sit at/below the r9 baselines,
+with zero code change to those ops since r8. Cross-check against the
+stable cluster: this machine sample is uniformly faster than the r10
+official artifact (common-50 sum ratio 0.775; q1 0.55->0.38, q6
+0.26->0.17), and NOT ONE of the 50 common entries reads above its r10
+value — so the 2.76s text_bpe_train / 2.82s q21 here are sample speed,
+not new structural wins. The four r11 bench additions read
+stream_stream_full_outer 2.08/2.17, stream_timer_timeout 2.81/2.73,
+mm_video_framesample 1.51/1.41, text_cdc_chunking 1.37/1.30.
 """
 
 from __future__ import annotations
@@ -208,6 +227,15 @@ BENCH_QUERIES = [
     "pagerank_fixed",
     "sim_hnsw_beam",
     "text_rake_keywords",
+    # r11 additions (VERDICT r10 #7: bench entry for every promoted op
+    # >1s warm at sf0.1 — promotion-time medians-of-3:
+    # stream_stream_full_outer 2.27s, stream_timer_timeout 2.82s,
+    # mm_video_framesample 1.43s, text_cdc_chunking 1.20s; the other
+    # seven r11 promotions measured 0.26-0.70s, below the entry bar)
+    "stream_stream_full_outer",
+    "stream_timer_timeout",
+    "mm_video_framesample",
+    "text_cdc_chunking",
 ]
 
 # Timed-loop session recycling (VERDICT r9 #2/#3): accumulated JVM session
