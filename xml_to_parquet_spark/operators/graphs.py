@@ -955,91 +955,63 @@ def graph_bridges(spark, sf_dir):
     the same per-edge triangle support (exact int64); the span probe is
     integer set logic — no floats anywhere.
 
-    Scale shape: support rides the degree-ordered compact-forward
-    orientation (√m-bounded adjacency intersect, each triangle counted
-    once then exploded to its 3 edges — never the Σ deg² wedge join the
-    tiny-scale oracle pays). The 3-path probe runs ONLY on the
-    zero-support edge subset (bridge candidates) and is ROW-LOCAL array
-    logic, never a two-hop edge explode: per (bridge, x ∈ N(u)) the
-    detour test is array_intersect(N(x), N(v)) minus {u} over two
-    joined adjacency arrays — probe rows ∝ Σ_bridge deg(u) (the
-    candidate fan-out itself), where the explode formulation
-    materialized Σ_bridge two-hop(u) rows before its distinct (~70M at
-    sf0.1, 65s measured; this shape runs in ~14s, dominated by the
-    shared triangle tier). The support-decorated edge list checkpoints
-    once so the candidate filter and final span join never re-run the
-    triangle pass. Adjacency arrays are degree-bounded; on a graph with
-    extreme hubs the probe inherits the same cap discussion as
-    jaccard_neighbors. Nothing driver-side; empty edge set → empty
-    result."""
+    Scale shape: support is computed ROW-LOCALLY as
+    size(array_intersect(N(u), N(v))) over the full adjacency arrays —
+    two node-keyed joins decorate each edge with its endpoint
+    neighborhoods and the intersect runs inside codegen, so the wedge
+    work (Σ_v deg(v)², ~300M int ops at sf0.1) is pure map-side CPU and
+    NOTHING triangle-sized ever crosses an Exchange. The previous
+    formulation (compact-forward triangle enumeration, then exploding
+    each triangle to its 3 edges and re-aggregating) shuffled 3·T ≈ 36M
+    incidence rows to build the same per-edge counts and measured ~14s
+    at sf0.1; this shape measures ~6s (the explode→groupBy Exchange was
+    the cost, not the intersect flops). Per-edge DECORATION is what
+    forces the choice: pure triangle COUNTING keeps compact-forward's
+    m^1.5 bound with nothing exploded (graph_triangle_count), but
+    spreading counts back onto edges pays the T-row shuffle, and
+    shuffle rows cost orders more than row-local flops. On a graph with
+    extreme hubs the adjacency arrays inherit the same degree-cap
+    discussion as jaccard_neighbors (deg ≤ 222 here). The 3-path probe
+    runs ONLY on the zero-support subset: per (bridge, x ∈ N(u)) the
+    detour test is array_intersect(N(x), N(v)) minus {u} — probe rows
+    ∝ Σ_bridge deg(u), never a two-hop edge explode (the first
+    formulation materialized ~70M two-hop rows, 65s measured). The
+    adjacency table and the support-decorated edge list each checkpoint
+    once — both fan into 2+ consumers, and lazy branches would re-run
+    the build per side (the single-lineage lesson at graph scale).
+    x ∉ N(v) holds automatically on zero-common-neighbor edges and
+    y ≠ x/v by no-self-loops, so the only explicit exclusion is u.
+    Nothing driver-side; empty edge set → empty result."""
     edges = cooccurrence_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ed = edges.join(du, "u").join(dv, "v")
-    oriented = ed.select(
-        F.when(
-            F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
-            F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-        )
-        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-        .alias("e")
-    ).select("e.s", "e.d").localCheckpoint()
-    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
-    a_u = adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns"))
-    a_v = adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nd"))
-    tri = (
-        oriented.join(a_u, "s")
-        .join(a_v, "d")
-        .select("s", "d", F.explode(F.array_intersect("ns", "nd")).alias("c"))
-    )
-    incid = (
-        tri.select(F.col("s").alias("a"), F.col("d").alias("b"))
-        .unionAll(tri.select(F.col("s").alias("a"), F.col("c").alias("b")))
-        .unionAll(tri.select(F.col("d").alias("a"), F.col("c").alias("b")))
-        .select(F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v"))
-    )
-    support = incid.groupBy("u", "v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("c")
-    )
-    # materialize the support-decorated edge list ONCE: both the bridge
-    # candidate set and the final span join consume it, and two lazy
-    # branches would re-run the whole triangle pass per side (measured
-    # 70s → ~20s at sf0.1 — the single-lineage lesson at graph scale)
-    withsup = edges.join(support, ["u", "v"], "left").localCheckpoint()
-    bridges = withsup.filter(F.col("c").isNull()).select("u", "v")
-    # both-directions neighbor list from the materialized canonical edges
     nbr = edges.select(
         F.col("u").alias("w"), F.col("v").alias("x")
     ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("x")))
-    s1 = (
-        bridges.join(nbr, bridges["u"] == nbr["w"])
-        .filter(F.col("x") != F.col("v"))
-        .select("u", "v", "x")
+    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs")).localCheckpoint()
+    au = fadj.select(F.col("w").alias("u"), F.col("nbrs").alias("nu"))
+    av = fadj.select(F.col("w").alias("v"), F.col("nbrs").alias("nv"))
+    # arrays are dropped before the checkpoint: only (u, v, c) persists;
+    # the tiny bridge subset re-joins the adjacency when the probe needs
+    # the neighborhoods again
+    withsup = (
+        edges.join(au, "u")
+        .join(av, "v")
+        .select(
+            "u",
+            "v",
+            F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("c"),
+        )
+        .localCheckpoint()
     )
-    # span-3 test per (bridge, x): a u–x–y–v detour exists iff
-    # (N(x) ∩ N(v)) \ {u} is non-empty. Intersecting the two FULL
-    # adjacency ARRAYS row-locally replaces the two-hop edge explode —
-    # the first formulation materialized Σ_bridge two-hop(u) rows
-    # (~70M at sf0.1, 65s measured) before its distinct; this one
-    # carries |s1| rows with two bounded arrays each (probe cost
-    # ∝ Σ_bridge deg(u), the s1 size itself). x ∉ N(v) holds
-    # automatically on zero-common-neighbor edges, and y ≠ x/v by
-    # no-self-loops, so the only explicit exclusion is u.
-    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs"))
+    bridges = withsup.filter(F.col("c") == 0).select("u", "v")
+    b2 = bridges.join(au, "u").join(av, "v")
+    s1 = b2.select("u", "v", "nv", F.explode("nu").alias("x")).filter(
+        F.col("x") != F.col("v")
+    )
     s1x = s1.join(
         fadj.select(F.col("w").alias("x"), F.col("nbrs").alias("nx")), "x"
     )
-    s1xv = s1x.join(
-        fadj.select(F.col("w").alias("v"), F.col("nbrs").alias("nv")), "v"
-    )
     sp3 = (
-        s1xv.filter(
+        s1x.filter(
             F.size(
                 F.array_except(
                     F.array_intersect("nx", "nv"), F.array(F.col("u"))
@@ -1055,13 +1027,13 @@ def graph_bridges(spark, sf_dir):
         .select(
             "u",
             "v",
-            F.coalesce("c", F.lit(0)).cast("bigint").alias("common"),
-            F.when(F.col("c").isNotNull(), F.lit(2))
+            F.col("c").alias("common"),
+            F.when(F.col("c") > 0, F.lit(2))
             .when(F.col("h3").isNotNull(), F.lit(3))
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("span"),
-            F.when(F.col("c").isNull(), F.lit(1))
+            F.when(F.col("c") == 0, F.lit(1))
             .otherwise(F.lit(0))
             .cast("bigint")
             .alias("is_local_bridge"),
