@@ -826,70 +826,45 @@ def graph_jaccard_neighbors(spark, sf_dir):
     the final division is exact int64; the one float — J itself —
     divides identical integers LAST and is round(6)ed in both engines.
 
-    Scale shape — per-edge triangle SUPPORT via the same degree-ordered
-    compact-forward orientation as graph_triangle_count (Suri &
-    Vassilvitskii's last-reducer fix): each triangle materializes once
-    as (s, d, c) from the √m-bounded forward-adjacency intersect, then
-    explodes into its exactly three constituent undirected edges, and a
-    map-side-combinable (u, v) count yields the support. Total fan-out
-    is 3·#triangles + m — linear in the output, never the Σ deg² wedge
-    blow-up the naive center-keyed formulation (which the small-scale
-    DuckDB oracle deliberately pays) hits on hub nodes. Degrees ride
-    two node-keyed equi-joins; the final assembly is one edge-keyed
-    left join (zero-support edges must surface with J = 0, so the
-    support join cannot be inner). Nothing is driver-side; an empty
-    corpus yields an empty edge list and an empty result."""
+    Scale shape — per-edge triangle SUPPORT computed ROW-LOCALLY:
+    two node-keyed hash joins decorate each edge with its endpoint
+    adjacency arrays, and |N(u)∩N(v)| is size(array_intersect(nu, nv))
+    inside codegen — the wedge work (Σ_v deg(v)², ~300M int ops at
+    sf0.1) is pure map-side CPU and nothing triangle-sized ever crosses
+    an Exchange. Degrees fall out for free (size(nu)/size(nv)), so the
+    separate degree aggregate, the zero-support left join, and the
+    compact-forward tier (orient → intersect forward lists → explode
+    each triangle to its 3 edges → re-aggregate, a 3·#triangles-row
+    shuffle ≈ 36M rows at sf0.1) all disappear — per-edge DECORATION
+    paid the T-row explode-back shuffle that pure counting
+    (graph_triangle_count) avoids. Measured wall-clock at sf0.1 is
+    PARITY (~3.7s both shapes — the explode tier here ran once into the
+    sink; graph_bridges, which consumed the support twice, gained 2×
+    from the same device); the win claimed is the Exchange elimination,
+    which is what matters on a real shuffle-bound cluster, plus the
+    simpler two-join plan. The adjacency table checkpoints once — it fans
+    into the u- and v-side joins, and lazy branches would re-run the
+    groupBy per side. On a graph with extreme hubs the arrays inherit
+    the degree-cap discussion (deg ≤ 222 here); the small-scale DuckDB
+    oracle deliberately pays the naive center-keyed wedge join instead.
+    Nothing is driver-side; an empty corpus yields an empty edge list
+    and an empty result."""
     edges = cooccurrence_edges(spark, sf_dir)
-    deg = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-    )
-    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
-    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
-    ed = edges.join(du, "u").join(dv, "v")
-    oriented = ed.select(
-        F.when(
-            F.struct(F.col("du"), F.col("u")) < F.struct(F.col("dv"), F.col("v")),
-            F.struct(F.col("u").alias("s"), F.col("v").alias("d")),
-        )
-        .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
-        .alias("e")
-    ).select("e.s", "e.d").localCheckpoint()
-    adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
-    a_u = adj.select(F.col("s").alias("s"), F.col("nbrs").alias("ns"))
-    a_v = adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nd"))
-    # one row per triangle (s, d, c): s→d, s→c, d→c all forward edges
-    tri = (
-        oriented.join(a_u, "s")
-        .join(a_v, "d")
-        .select("s", "d", F.explode(F.array_intersect("ns", "nd")).alias("c"))
-    )
-    # each triangle supports exactly its three undirected edges; orientation
-    # guarantees s<d, s<c, d<c in the (deg, id) order but NOT in raw id
-    # order, so canonicalize with least/greatest before counting
-    incid = (
-        tri.select(F.col("s").alias("a"), F.col("d").alias("b"))
-        .unionAll(tri.select(F.col("s").alias("a"), F.col("c").alias("b")))
-        .unionAll(tri.select(F.col("d").alias("a"), F.col("c").alias("b")))
-        .select(
-            F.least("a", "b").alias("u"), F.greatest("a", "b").alias("v")
-        )
-    )
-    support = incid.groupBy("u", "v").agg(
-        F.count(F.lit(1)).cast("bigint").alias("common")
-    )
+    nbr = edges.select(
+        F.col("u").alias("w"), F.col("v").alias("x")
+    ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("x")))
+    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs")).localCheckpoint()
+    au = fadj.select(F.col("w").alias("u"), F.col("nbrs").alias("nu"))
+    av = fadj.select(F.col("w").alias("v"), F.col("nbrs").alias("nv"))
     joined = (
-        edges.join(support, ["u", "v"], "left")
-        .join(du, "u")
-        .join(dv, "v")
+        edges.join(au, "u")
+        .join(av, "v")
         .select(
             "u",
             "v",
-            F.coalesce("common", F.lit(0).cast("bigint")).alias("common"),
-            F.col("du").alias("deg_u"),
-            F.col("dv").alias("deg_v"),
+            F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("common"),
+            F.size("nu").cast("bigint").alias("deg_u"),
+            F.size("nv").cast("bigint").alias("deg_v"),
         )
     )
     union_sz = F.col("deg_u") + F.col("deg_v") - F.col("common")
