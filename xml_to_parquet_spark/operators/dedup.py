@@ -487,8 +487,16 @@ def connected_components(
     Scale shape per round: joins and aggs all keyed on node/label —
     co-partitioned after the first shuffle; label state lineage is cut per
     round (localCheckpoint), the standard guard against iterative-plan
-    blowup. Convergence is checked with a limit(1).count(), not a full
-    materialize."""
+    blowup. Convergence rides the SAME checkpoint: the round carries its
+    old label through to a `changed` flag computed in the final
+    projection, so the check is a filter + limit(1).count() over the
+    already-materialized partitions — no per-round label-vs-label join
+    (which re-shuffled both node-keyed tables just to ask "anything
+    new?"). Pre-partitioning the loop inputs (edges by b once, labels by
+    node per round) was MEASURED AND REJECTED: the extra edge-list
+    materialization plus the per-round repartition cost ~+1s across all
+    three consumers at sf0.1 — the exchanges they remove are smaller
+    than the materializations they add at match-graph sizes."""
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
@@ -500,6 +508,7 @@ def connected_components(
         )
         new_labels = labels.join(neighbor_min, "node", "left").select(
             "node",
+            F.col("lab").alias("old_lab"),
             F.least(F.col("lab"), F.coalesce("nlab", F.col("lab"))).alias("lab"),
         )
         if pointer_jump:
@@ -510,17 +519,14 @@ def connected_components(
                 parent, new_labels.lab == parent.p_node, "left"
             ).select(
                 "node",
+                "old_lab",
                 F.least(F.col("lab"), F.coalesce("p_lab", F.col("lab"))).alias("lab"),
             )
-        new_labels = new_labels.localCheckpoint()
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lab") != F.col("o.lab"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        new_labels = new_labels.select(
+            "node", "lab", (F.col("lab") != F.col("old_lab")).alias("changed")
+        ).localCheckpoint()
+        changed = new_labels.filter("changed").limit(1).count()
+        labels = new_labels.select("node", "lab")
         if changed == 0:
             return labels
     raise RuntimeError(
@@ -2051,7 +2057,13 @@ def er_survivorship(spark, sf_dir):
             F.col("city").cast("bigint").alias("city"),
         )
     )
-    m = ent.join(members, "member_id").localCheckpoint()
+    # entity_id-prepartition before the checkpoint: all four consumers
+    # (three survivorship windows/grids + the member-count aggregate) and
+    # the three final joins cluster on entity_id, so the stored
+    # HashPartitioning satisfies every downstream ClusteredDistribution
+    # (incl. the (entity_id, value) grids — partitioning on a key prefix
+    # clusters the superset) and ONE shuffle replaces four
+    m = ent.join(members, "member_id").repartition("entity_id").localCheckpoint()
     rep = (
         m.withColumn(
             "rn",
