@@ -505,11 +505,15 @@ def _lpa_labels(spark, sf_dir):
     eb = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
         .unionAll(edges.select(F.col("v").alias("node"), F.col("u").alias("nbr")))
-        # co-locate each node's adjacency before checkpointing: the per-round
-        # (node, lbl) count then partial-aggregates to ~labels-per-node rows
-        # map-side before its exchange (measured 5.15s -> 4.38s warm at
-        # sf0.1; the win grows with duplicate-label density at scale)
-        .repartition("node")
+        # co-locate the adjacency by the JOIN side before checkpointing:
+        # each round joins labels on lnode == nbr, and the label table
+        # checkpoints node-partitioned out of its groupBy(node) (alias-
+        # aware partitioning survives the rename) — so an nbr-partitioned
+        # adjacency makes the per-round join exchange-free on BOTH sides.
+        # Interleaved A/B at sf0.1: nbr 4.52s vs node 4.95s median-of-3
+        # (node-side co-location was the r9 shape, 5.15 -> 4.38 then; the
+        # (node, lbl) count partial-aggregates map-side under either key)
+        .repartition("nbr")
         .localCheckpoint()
     )
     labels = eb.select("node").distinct().select(
