@@ -501,6 +501,17 @@ def _lpa_labels(spark, sf_dir):
     """(node, community) after LPA_ROUNDS synchronous rounds — shared by
     graph_label_propagation and graph_modularity (which scores this
     exact clustering)."""
+    labels, _ = _lpa_labels_and_adj(spark, sf_dir)
+    return labels
+
+
+def _lpa_labels_and_adj(spark, sf_dir):
+    """(labels, eb): the LPA result plus the checkpointed both-directions
+    adjacency it propagated over — graph_modularity scores the labels
+    directly off eb (each undirected edge appears in both orientations,
+    so community-internal rows count 2·e_in exactly) instead of paying
+    the lineitem self-join + distinct + checkpoint of a second
+    cooccurrence_edges build."""
     edges = cooccurrence_edges(spark, sf_dir, checkpoint=False)
     eb = (
         edges.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
@@ -535,7 +546,10 @@ def _lpa_labels(spark, sf_dir):
             .select(F.col("node").alias("lnode"), "lbl")
             .localCheckpoint()
         )
-    return labels.select(F.col("lnode").alias("node"), F.col("lbl").alias("community"))
+    return (
+        labels.select(F.col("lnode").alias("node"), F.col("lbl").alias("community")),
+        eb,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1338,20 +1352,22 @@ def graph_modularity(spark, sf_dir):
     round(6)ed.
 
     Scale shape: inherits LPA's Pregel rounds (node-keyed hash joins,
-    checkpoint per round); the scoring adds one degree aggregate, two
-    node-keyed label joins over the edge list (co-partitioned — the
-    same key LPA already shuffled on), and two community-grid
-    aggregates. The q_total window runs over the COMMUNITY grid. At
-    100 TB scoring costs one edge-list pass more than LPA itself."""
-    labels = _lpa_labels(spark, sf_dir)
-    edges = cooccurrence_edges(spark, sf_dir)
-    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
-    deg = (
-        edges.select(F.col("u").alias("w"))
-        .unionAll(edges.select(F.col("v").alias("w")))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    checkpoint per round); the scoring then reuses LPA's OWN
+    checkpointed both-directions adjacency (_lpa_labels_and_adj) —
+    degrees are a node-count over it, e_in falls out of the doubled
+    orientation (each in-community undirected edge appears exactly
+    twice, so cnt div 2 is exact int64), and the label joins ride the
+    same node/nbr keys LPA already partitioned on. A second
+    cooccurrence_edges build (lineitem self-join + distinct +
+    checkpoint, ~2s and one full extra Exchange at sf0.1) is gone. The
+    q_total window runs over the COMMUNITY grid. At 100 TB scoring
+    costs one edge-list pass more than LPA itself."""
+    labels, eb = _lpa_labels_and_adj(spark, sf_dir)
+    deg = eb.groupBy(F.col("node").alias("w")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("deg")
     )
+    # m = half the doubled adjacency row count — integer div, exact
+    m = eb.agg(F.expr("CAST(count(1) div 2 AS BIGINT)").alias("m"))
     dsum = (
         deg.join(labels.withColumnRenamed("node", "w"), "w")
         .groupBy("community")
@@ -1360,14 +1376,16 @@ def graph_modularity(spark, sf_dir):
             F.sum("deg").cast("bigint").alias("d_sum"),
         )
     )
-    lu = labels.select(F.col("node").alias("u"), F.col("community").alias("cu"))
-    lv = labels.select(F.col("node").alias("v"), F.col("community").alias("cv"))
+    ln = labels.select(F.col("node"), F.col("community").alias("cu"))
+    lb = labels.select(
+        F.col("node").alias("nbr"), F.col("community").alias("cv")
+    )
     ein = (
-        edges.join(lu, "u")
-        .join(lv, "v")
+        eb.join(ln, "node")
+        .join(lb, "nbr")
         .filter(F.col("cu") == F.col("cv"))
         .groupBy(F.col("cu").alias("community"))
-        .agg(F.count(F.lit(1)).cast("bigint").alias("e_in"))
+        .agg(F.expr("CAST(count(1) div 2 AS BIGINT)").alias("e_in"))
     )
     per = (
         dsum.join(ein, "community", "left")
