@@ -1202,15 +1202,17 @@ def graph_harmonic_landmarks(spark, sf_dir):
     node ids (total order, no sampling nondeterminism).
 
     Scale shape: the frontier tables are (landmark × node) pairs —
-    bounded by {N_LANDMARKS}·|V| — expanded by {HARMONIC_HOPS} unrolled
-    node-keyed hash joins with DISTINCT collapse and anti-join
-    visited-set subtraction (the graph_scc_bounded unrolled-round
-    pattern); each frontier checkpoints before fanning into the next
-    round AND the final counts (single-lineage rule). Reach counts are
-    combinable aggregates; the final assembly is {N_LANDMARKS}-row
-    broadcast joins. At 100 TB the cost is {HARMONIC_HOPS} sparse
-    matrix-vector-ish joins over {N_LANDMARKS} columns — the exact
-    reason landmark methods replace all-pairs."""
+    bounded by {N_LANDMARKS}·|V| — expanded by unrolled node-keyed hash
+    joins; hops 1–2 use DISTINCT collapse + anti-join visited-set
+    subtraction (the graph_scc_bounded unrolled-round pattern, frontier
+    checkpointed before fanning into the next round AND the counts —
+    single-lineage rule). The LAST hop needs only a cardinality, so it
+    never materializes a row set: n₃ = |reach≤3| − |reach≤2| via a
+    per-landmark bitmap_construct_agg count (see inline comment) — the
+    biggest fan-out of the walk crosses no row Exchange. Final assembly
+    is {N_LANDMARKS}-row broadcast joins. At 100 TB the cost is
+    {HARMONIC_HOPS} sparse matrix-vector-ish joins over {N_LANDMARKS}
+    columns — the exact reason landmark methods replace all-pairs."""
     edges = cooccurrence_edges(spark, sf_dir)
     nbr = edges.select(F.col("u").alias("w"), F.col("v").alias("x")).unionAll(
         edges.select(F.col("v").alias("w"), F.col("u").alias("x"))
@@ -1243,36 +1245,51 @@ def graph_harmonic_landmarks(spark, sf_dir):
         )
         .localCheckpoint()
     )
-    exp2 = (
-        h2.join(
-            nbr.select(F.col("w").alias("fy"), F.col("x").alias("z")),
-            F.col("y") == F.col("fy"),
-        )
-        .select("lm", "z")
-        .distinct()
+    # hop-3 by CARDINALITY, not by set rows: n₃ = |reach≤3| − |reach≤2|,
+    # and |reach≤3| is a per-landmark BITMAP count over
+    # reach≤2 ∪ N(hop-2 frontier). The hop-3 expansion fans out to
+    # Σ_{y ∈ h2} deg(y) rows (~36M at sf0.1 — the dense-graph tail where
+    # hop 2 already reaches most nodes); the previous shape pushed all
+    # of them through a distinct + two anti-joins (row Exchanges of the
+    # full fan-out), where bitmap_construct_agg collapses them INSIDE
+    # the partial hash aggregate to ≤ partitions × landmarks × buckets
+    # bitmap rows (16 landmarks × one 4 KB bucket per 32768 node ids) —
+    # the exchange carries kilobytes. Exact, integer-only: duplicate
+    # targets OR into the same bit.
+    reach2 = (
+        lm.select("lm", F.col("lm").alias("member"))
+        .unionAll(h1.select("lm", F.col("x").alias("member")))
+        .unionAll(h2.select("lm", F.col("y").alias("member")))
     )
-    h3 = (
-        exp2.filter(F.col("z") != F.col("lm"))
-        .join(
-            h2.select("lm", F.col("y").alias("z")), ["lm", "z"], "left_anti"
-        )
-        .join(
-            h1.select("lm", F.col("x").alias("z")), ["lm", "z"], "left_anti"
-        )
-        .localCheckpoint()
+    exp2 = h2.join(
+        nbr.select(F.col("w").alias("fy"), F.col("x").alias("member")),
+        F.col("y") == F.col("fy"),
+    ).select("lm", "member")
+    le3 = (
+        reach2.unionAll(exp2)
+        .groupBy("lm", F.bitmap_bucket_number("member").alias("bkt"))
+        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("member")).alias("bm"))
+        .groupBy("lm")
+        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_le3"))
     )
     c1 = h1.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop1"))
     c2 = h2.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop2"))
-    c3 = h3.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop3"))
     out = (
         lm.join(F.broadcast(c1), "lm", "left")
         .join(F.broadcast(c2), "lm", "left")
-        .join(F.broadcast(c3), "lm", "left")
+        .join(F.broadcast(le3), "lm", "left")
         .select(
             F.col("lm").alias("landmark"),
             F.coalesce("n_hop1", F.lit(0)).cast("bigint").alias("n_hop1"),
             F.coalesce("n_hop2", F.lit(0)).cast("bigint").alias("n_hop2"),
-            F.coalesce("n_hop3", F.lit(0)).cast("bigint").alias("n_hop3"),
+            (
+                F.coalesce("n_le3", F.lit(1))
+                - F.lit(1)
+                - F.coalesce("n_hop1", F.lit(0))
+                - F.coalesce("n_hop2", F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_hop3"),
         )
     )
     scaled = (
