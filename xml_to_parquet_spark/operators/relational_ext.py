@@ -4058,30 +4058,64 @@ def timeseries_theil_sen(spark, sf_dir):
     groupBy(day) inside the checkpointed day grid; the O(grid²) pair
     fan-out (~3·10^6 rows for a decade of days) and both median sorts
     are GRID arithmetic whose size is calendar-bounded — independent of
-    row count at 100 TB. Orders is scanned exactly once, at the grid
-    checkpoint; the returned plan carries no FileScan."""
+    row count at 100 TB. The slope median — the only sort whose input
+    is grid² — is an exact BANDED selection instead of a global
+    single-partition window over all pairs: approx_percentile brackets
+    [p45, p55] (accuracy 10000 → rank error < n/10000, far inside the
+    0.05·n half-band, and exact outright for n ≤ 10000, so the lower
+    median provably lies in the band), a strict count-below fixes the
+    band rows' global ranks, and only the ~10% in-band slice pays the
+    serial rank sort. The pair generator re-runs per pass, but it is
+    broadcast-NLJ codegen over the checkpointed grid — no scan, no
+    shuffle. Orders is scanned exactly once, at the grid checkpoint;
+    the returned plan carries no FileScan."""
     idx = _daily_revenue_grid(spark, sf_dir)
     a = idx.alias("a")
     b = idx.alias("b")
+    # try_divide, not /: the banded selection below FILTERS on slope, and
+    # Catalyst pushes those predicates into the pair join's condition,
+    # where conjunct evaluation order is not guaranteed — ANSI division
+    # would throw on the j == i pairs the b.i > a.i conjunct exists to
+    # drop. try_divide yields NULL there instead; every row that survives
+    # the join has j > i, so surviving slopes are identical.
     pairs = a.join(b, F.col("b.i") > F.col("a.i")).select(
         F.col("a.i").alias("i"),
         F.col("b.i").alias("j"),
-        (
-            (F.col("b.rev") - F.col("a.rev")).cast("double")
-            / (F.col("b.i") - F.col("a.i")).cast("double")
+        F.try_divide(
+            (F.col("b.rev") - F.col("a.rev")).cast("double"),
+            (F.col("b.i") - F.col("a.i")).cast("double"),
         ).alias("slope"),
     )
-    wr = W.partitionBy().orderBy("slope", "i", "j")
-    ranked = pairs.select(
-        "slope",
-        F.row_number().over(wr).alias("rn"),
-        F.count(F.lit(1)).over(W.partitionBy()).alias("n_pairs"),
+    stats = (
+        pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.expr(
+                "approx_percentile(slope, array(0.45D, 0.55D), 10000)"
+            ).alias("pct"),
+        )
+        .select(
+            "n_pairs",
+            F.col("pct")[0].alias("lo"),
+            F.col("pct")[1].alias("hi"),
+        )
+        .localCheckpoint()
     )
+    withb = pairs.crossJoin(F.broadcast(stats))
+    below = withb.filter(F.col("slope") < F.col("lo")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_below")
+    )
+    band = withb.filter(
+        (F.col("slope") >= F.col("lo")) & (F.col("slope") <= F.col("hi"))
+    )
+    wr = W.partitionBy().orderBy("slope", "i", "j")
+    ranked = band.select(
+        "slope", "n_pairs", F.row_number().over(wr).alias("rb")
+    ).crossJoin(F.broadcast(below))
     med = ranked.agg(
         F.min("n_pairs").cast("bigint").alias("n_pairs"),
         F.min(
             F.when(
-                2 * F.col("rn")
+                2 * (F.col("rb") + F.col("n_below"))
                 == F.col("n_pairs") + (F.col("n_pairs") % 2).cast("bigint"),
                 F.col("slope"),
             )
