@@ -99,11 +99,17 @@ def pagerank_fixed(spark, sf_dir):
     # kcore's degree groupBy, every pagerank round's big exchange is the
     # contribution groupBy(dst), which a src partitioning cannot satisfy.
     edges_d = edges.join(deg, "src").localCheckpoint()
-    n_nodes = deg.count()  # one-time scalar fixing the teleport constant
+    # one-time scalar fixing the teleport constant — read from the
+    # CHECKPOINTED decorated edges: deg sits upstream of the checkpoint,
+    # so counting it directly re-ran the full lineitem scan + union +
+    # degree aggregate a second time (and the rank init a third, in the
+    # first iteration's lineage) for a node-sized answer
+    nodes = edges_d.select("src").distinct()
+    n_nodes = nodes.count()
     base = SCALE // n_nodes
     teleport = ((100 - DAMP_NUM) * base) // DAMP_DEN
 
-    ranks = deg.select(F.col("src").alias("node"), F.lit(base).alias("r"))
+    ranks = nodes.select(F.col("src").alias("node"), F.lit(base).alias("r"))
     for _ in range(N_ITERS):
         contrib = (
             edges_d.join(ranks, edges_d.src == ranks.node)
