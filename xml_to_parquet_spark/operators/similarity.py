@@ -1627,6 +1627,8 @@ def hnsw_beam_search(emb):
                 "ea", "eb", lambda x, y: (x.cast("double") + y.cast("double")) / 2
             ).alias("qe")
         )
+        # 1-row probe, referenced by every round's scoring join
+        .localCheckpoint()
     )
     beam = lvl1.agg(F.min("vec_id").alias("vec_id"))
     wb = W.orderBy(F.desc("cos"), "vec_id")
@@ -1649,6 +1651,14 @@ def hnsw_beam_search(emb):
             scored.withColumn("rn", F.row_number().over(wb))
             .filter(F.col("rn") <= HNSW_BEAM)
             .select("vec_id", "cos")
+            # each round references the previous beam TWICE (neighbor
+            # expansion + the candidate union), so an un-cut lineage
+            # doubles per round — 2^(2*HNSW_ROUNDS) re-evaluations of the
+            # first round's corpus join by the final action. The beam is
+            # <= HNSW_BEAM rows; checkpointing it is the same single-
+            # lineage rule as the LPA/BFS loops (interleaved A/B at
+            # sf0.1: 5.35s vs 6.25s median-of-3)
+            .localCheckpoint()
         )
     return beam.select(
         "vec_id", F.row_number().over(wb).cast("bigint").alias("rank"), "cos"
