@@ -1632,7 +1632,8 @@ def hnsw_beam_search(emb):
     )
     beam = lvl1.agg(F.min("vec_id").alias("vec_id"))
     wb = W.orderBy(F.desc("cos"), "vec_id")
-    for edges in (e1,) * HNSW_ROUNDS + (e0,) * HNSW_ROUNDS:
+    layer_plan = (e1,) * HNSW_ROUNDS + (e0,) * HNSW_ROUNDS
+    for rnd, edges in enumerate(layer_plan):
         neigh = beam.join(edges, beam["vec_id"] == edges["src"]).select(
             F.col("dst").alias("vec_id")
         )
@@ -1647,19 +1648,21 @@ def hnsw_beam_search(emb):
                 F.round(cosine(F.col("qe"), F.col("embedding")), 6).alias("cos"),
             )
         )
-        beam = (
-            scored.withColumn("rn", F.row_number().over(wb))
-            .filter(F.col("rn") <= HNSW_BEAM)
-            .select("vec_id", "cos")
-            # each round references the previous beam TWICE (neighbor
-            # expansion + the candidate union), so an un-cut lineage
-            # doubles per round — 2^(2*HNSW_ROUNDS) re-evaluations of the
-            # first round's corpus join by the final action. The beam is
-            # <= HNSW_BEAM rows; checkpointing it is the same single-
-            # lineage rule as the LPA/BFS loops (interleaved A/B at
-            # sf0.1: 5.35s vs 6.25s median-of-3)
-            .localCheckpoint()
-        )
+        beam = scored.withColumn("rn", F.row_number().over(wb)).filter(
+            F.col("rn") <= HNSW_BEAM
+        ).select("vec_id", "cos")
+        # each round references the previous beam TWICE (neighbor
+        # expansion + the candidate union), so an un-cut lineage doubles
+        # per round — 2^(2*HNSW_ROUNDS) re-evaluations of the first
+        # round's corpus join by the final action. The beam is
+        # <= HNSW_BEAM rows; checkpointing it is the same single-lineage
+        # rule as the LPA/BFS loops (interleaved A/B at sf0.1: 5.35s vs
+        # 6.25s median-of-3). The LAST round stays lazy: the final select
+        # references it exactly once, and keeping it in the returned plan
+        # preserves the inspectable scoring shape (broadcast candidate
+        # set + checkpointed index scans) the plan pin asserts.
+        if rnd < len(layer_plan) - 1:
+            beam = beam.localCheckpoint()
     return beam.select(
         "vec_id", F.row_number().over(wb).cast("bigint").alias("rank"), "cos"
     )
