@@ -134,6 +134,36 @@ value — so the 2.76s text_bpe_train / 2.82s q21 here are sample speed,
 not new structural wins. The four r11 bench additions read
 stream_stream_full_outer 2.08/2.17, stream_timer_timeout 2.81/2.73,
 mm_video_framesample 1.51/1.41, text_cdc_chunking 1.37/1.30.
+
+Round-11 continuation (perf rewrites; every change interleaved-A/B'd or
+stage-profiled, mechanisms in the operator docstrings):
+- sim_hnsw_beam 7.34 (r10 official) -> ~5.6: each beam round referenced
+  the previous beam twice, doubling lineage per round — per-round beam
+  localCheckpoint (last round lazy for the plan pin).
+- pagerank_fixed 3.79 -> ~2.9 and text_textrank ~4.5 -> ~2.0: the
+  teleport node count (and rank init) sat UPSTREAM of the edge-list
+  checkpoint, re-running the full build for a node-sized answer.
+- graph_bridges 14.0 -> ~7.4 and graph_jaccard_neighbors (parity, plan
+  win): per-edge triangle support via row-local
+  size(array_intersect(N(u), N(v))) — the 3T-row explode-back Exchange
+  is gone; pure counting (graph_triangle_count) keeps compact-forward.
+- graph_modularity ~10.5 -> ~6.1: score off LPA's own checkpointed
+  adjacency instead of a second cooccurrence_edges build; _lpa_labels
+  now partitions its adjacency by the JOIN side (nbr), making the
+  per-round label join exchange-free (4.52 vs 4.95 interleaved).
+- timeseries_theil_sen ~4.9 -> ~2.6: exact banded median selection
+  (approx_percentile bracket + strict count-below + in-band rank) in
+  place of a single-partition window over all grid-squared pairs.
+- graph_harmonic_landmarks 6.1 -> 5.6 interleaved: hop-3 needs only a
+  cardinality — per-landmark bitmap_construct_agg collapses the ~36M-row
+  fan-out inside the partial aggregate.
+- connected_components: convergence check fused into the round
+  checkpoint (no per-round label-vs-label join); loop-input
+  pre-partitioning was measured and REJECTED (+1s — materializations
+  outweigh the removed exchanges at match-graph sizes).
+Full quiet-machine run after the rewrites: 92.99s/54 entries; common-50
+vs r10 official ≈ 0.95x on a sample whose CPU-bound stable-cluster
+entries read high (triangle_count 4.25, kcore 4.0 — no code change).
 """
 
 from __future__ import annotations
