@@ -459,6 +459,10 @@ def test_jaccard_neighbors_plan_hash_joins_only(spark, sf_dir, reg):
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
+    # the r11 row-local shape: support is array_intersect inside codegen —
+    # no Generate (explode) anywhere means nothing triangle-sized can be
+    # flowing toward an Exchange (the rejected 3T-row explode-back shape)
+    assert n.get("Generate", 0) == 0, n
 
 
 def test_containment_incremental_plan_probes_persisted_index(spark, sf_dir, reg):

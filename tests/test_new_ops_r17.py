@@ -444,5 +444,10 @@ def test_harmonic_landmarks_plan_checkpointed_frontiers(spark, sf_dir, reg):
     )
 
     df = STAGED["graph_harmonic_landmarks"].fn(spark, sf_dir)
-    assert "FileScan" not in physical_plan(df)
+    plan = physical_plan(df)
+    assert "FileScan" not in plan
     assert broadcast_join_count(df) >= 3
+    # r11 shape: hop-3 is a CARDINALITY via per-landmark bitmaps — the
+    # biggest fan-out of the walk collapses inside the partial aggregate
+    # instead of crossing a row Exchange as a distinct + anti-join set
+    assert "bitmap_construct_agg" in plan
