@@ -161,9 +161,16 @@ stage-profiled, mechanisms in the operator docstrings):
   checkpoint (no per-round label-vs-label join); loop-input
   pre-partitioning was measured and REJECTED (+1s — materializations
   outweigh the removed exchanges at match-graph sizes).
-Full quiet-machine run after the rewrites: 92.99s/54 entries; common-50
-vs r10 official ≈ 0.95x on a sample whose CPU-bound stable-cluster
-entries read high (triangle_count 4.25, kcore 4.0 — no code change).
+Two full quiet-machine runs after the rewrites (~1h apart, nothing else
+running): totals 92.99s / 87.48s over 54 entries; common-50 vs r10
+official ≈ 0.95x. This machine sample reads HIGH on CPU-bound entries
+with zero code change (graph_triangle_count 4.25/4.22 vs 3.38 r10,
+graph_kcore 4.00/3.88 vs 3.38), so judge the watched three against that
+cluster: sim_pipeline 7.17/6.11, mm_caption_dedup 5.08/5.42,
+dedup_semdedup 3.67/3.68 (untouched code; the early-r11 quiet table
+5.78/4.6/3.6 remains the authoritative quiet reading). The rewrites
+express in both runs: sim_hnsw_beam 5.56/5.21 (was 7.34),
+pagerank_fixed 2.93/2.66 (was 3.79), dedup_components 1.58/1.78.
 """
 
 from __future__ import annotations
