@@ -21,12 +21,12 @@ def reg():
 
 
 def test_r12_staged_ops_hidden_from_driver_registry(reg):
-    # six of the original eight were promoted at the r11 rotation (shape B)
-    for name in ("join_spatial_grid", "sim_diversity_mmr"):
-        assert name in STAGED and name not in reg
+    # the full original-r12 cohort is now promoted: six at the r11 shape-B
+    # rotation, the last two leftovers at the r12 rotation
     for name in (
         "stream_stream_full_outer", "mm_video_framesample", "lake_merge_upsert",
         "text_cdc_chunking", "sim_mips_topk", "mm_audio_vad",
+        "join_spatial_grid", "sim_diversity_mmr",
     ):
         assert name not in STAGED and name in reg
 
@@ -552,7 +552,7 @@ def test_spatial_grid_matches_bruteforce(spark, sf_dir):
         CHEB_R, GRID_SPAN, SPATIAL_PT_MOD,
     )
 
-    rows = STAGED["join_spatial_grid"].fn(spark, sf_dir).collect()
+    rows = lookup("join_spatial_grid").fn(spark, sf_dir).collect()
     got = {(r["a_id"], r["b_id"]): r["cheb"] for r in rows}
     assert len(got) == len(rows)  # exactly-once: no duplicate pairs
 
@@ -582,7 +582,7 @@ def test_spatial_grid_is_a_hash_join(spark, sf_dir):
     cell key — never a nested-loop/cartesian plan."""
     from xml_to_parquet_spark.plans.inspect import node_counts
 
-    df = STAGED["join_spatial_grid"].fn(spark, sf_dir)
+    df = lookup("join_spatial_grid").fn(spark, sf_dir)
     n = node_counts(df)
     assert "CartesianProduct" not in n
     assert "BroadcastNestedLoopJoin" not in n
@@ -636,7 +636,7 @@ def test_mmr_matches_python_mirror(spark, sf_dir):
         MMR_CAND, MMR_PICKS, N_QUERIES,
     )
 
-    rows = STAGED["sim_diversity_mmr"].fn(spark, sf_dir).collect()
+    rows = lookup("sim_diversity_mmr").fn(spark, sf_dir).collect()
     emb = {
         r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
         for r in spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
@@ -681,7 +681,7 @@ def test_mmr_breaks_up_near_duplicate_cluster(spark, tmp_path, reg):
     sf = tmp_path / "mmr_sf"
     df.write.parquet(str(sf / "embeddings.parquet"))
 
-    out = STAGED["sim_diversity_mmr"].fn(spark, str(sf)).collect()
+    out = lookup("sim_diversity_mmr").fn(spark, str(sf)).collect()
     picks_q0 = {
         r["pick"]: r["neighbor_id"] for r in out if r["query_id"] == 0
     }
@@ -702,7 +702,7 @@ def test_scc_planted_rings_collapse(spark, sf_dir):
     split the ring)."""
     from xml_to_parquet_spark.operators.graphs import SCC_RING_NODES
 
-    rows = STAGED["graph_scc_bounded"].fn(spark, sf_dir).collect()
+    rows = lookup("graph_scc_bounded").fn(spark, sf_dir).collect()
     scc = {r["node"]: r["scc_id"] for r in rows}
     assert len(scc) == len(rows)
     for k in range(SCC_RING_NODES // 4):
@@ -720,7 +720,7 @@ def test_scc_bounded_python_mirror(spark, sf_dir):
     )
 
     small = "/root/testdata/sf0.001"
-    rows = STAGED["graph_scc_bounded"].fn(spark, small).collect()
+    rows = lookup("graph_scc_bounded").fn(spark, small).collect()
     got = {r["node"]: r["scc_id"] for r in rows}
 
     li = spark.read.parquet(f"{small}/lineitem.parquet").collect()

@@ -34,15 +34,17 @@ def events_pd(sf_dir):
 
 
 def test_r13_staged_ops_hidden_from_driver_registry(reg):
+    # er_fellegi_sunter leads the r13 promotion queue; everything else in
+    # this file was promoted at the r11 (stream_timer_timeout, pulled
+    # forward per VERDICT r10 #4) or r12 rotation
+    assert "er_fellegi_sunter" in STAGED and "er_fellegi_sunter" not in reg
     for name in (
+        "stream_timer_timeout",
         "dq_ks_distance",
         "dq_schema_drift",
         "graph_link_predict",
     ):
-        assert name in STAGED and name not in reg
-    # stream_timer_timeout was pulled forward at the r11 rotation
-    # (VERDICT r10 #4: both streaming completions driver-proven at r11)
-    assert "stream_timer_timeout" not in STAGED and "stream_timer_timeout" in reg
+        assert name not in STAGED and name in reg
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +87,7 @@ def test_ks_distance_matches_exact_python_recompute(reg, spark, sf_dir, events_p
         r["event_type"]: (
             r["n_ref"], r["n_cur"], r["ks_num"], r["ks_at_x_scaled"], r["ks_stat"]
         )
-        for r in STAGED["dq_ks_distance"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_ks_distance").fn(spark, sf_dir).collect()
     }
     assert got == _ks_recompute(events_pd)
 
@@ -94,7 +96,7 @@ def test_ks_distance_stat_bounds_and_self_zero(reg, spark, sf_dir):
     """0 <= KS <= 1 always; and the statistic is genuinely discriminative
     scaffolding: ks_num is the UNNORMALIZED sup over the integer grid, so
     it must be attained at the reported argmax."""
-    for r in STAGED["dq_ks_distance"].fn(spark, sf_dir).collect():
+    for r in lookup("dq_ks_distance").fn(spark, sf_dir).collect():
         assert 0.0 <= r["ks_stat"] <= 1.0
         assert r["ks_num"] <= r["n_ref"] * r["n_cur"]
 
@@ -147,7 +149,7 @@ def test_schema_drift_matches_exact_python_recompute(reg, spark, sf_dir, events_
         (r["event_type"], r["prop_key"]): (
             r["c1"], r["n1"], r["c2"], r["n2"], r["status"]
         )
-        for r in STAGED["dq_schema_drift"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_schema_drift").fn(spark, sf_dir).collect()
     }
     assert got == expect
 
@@ -157,7 +159,7 @@ def test_schema_drift_exercises_every_status(reg, spark, sf_dir):
     v2 added everywhere, signup.legacy removed, the 30%→50% experiment
     ramp drifted, and the always-present k stable — so the status column
     is demonstrably computed, not constant."""
-    rows = STAGED["dq_schema_drift"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_schema_drift").fn(spark, sf_dir).collect()
     by_status = defaultdict(set)
     for r in rows:
         by_status[r["status"]].add((r["event_type"], r["prop_key"]))
@@ -210,7 +212,7 @@ def test_link_predict_matches_exact_python_recompute(reg, spark, sf_dir):
     expect, edges = _link_predict_recompute(sf_dir)
     got = [
         (r["u"], r["v"], r["cn"], r["ra_num"], r["ra_score"])
-        for r in STAGED["graph_link_predict"].fn(spark, sf_dir).collect()
+        for r in lookup("graph_link_predict").fn(spark, sf_dir).collect()
     ]
     # the top-k ORDER is part of the contract (deterministic total order)
     assert got == expect
@@ -222,7 +224,7 @@ def test_link_predict_scores_are_ra_semantics(reg, spark, sf_dir):
     """RA score decomposes as sum of 1/deg over common capped centers:
     cn bounds give cn/LP_DEG_CAP <= ra_score (every center degree is at
     most the cap), and ra_num must be positive with u < v canonical."""
-    rows = STAGED["graph_link_predict"].fn(spark, sf_dir).collect()
+    rows = lookup("graph_link_predict").fn(spark, sf_dir).collect()
     assert rows, "no candidates at this scale"
     for r in rows:
         assert r["u"] < r["v"]
@@ -294,7 +296,7 @@ def test_ks_distance_plan_pruned_scan_no_data_cartesian(spark, sf_dir):
     cartesian; no sort-merge join anywhere."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["dq_ks_distance"].fn(spark, sf_dir)
+    df = lookup("dq_ks_distance").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) <= 1
@@ -313,7 +315,7 @@ def test_schema_drift_plan_broadcast_totals_pruned_scan(spark, sf_dir):
         read_schemas,
     )
 
-    df = STAGED["dq_schema_drift"].fn(spark, sf_dir)
+    df = lookup("dq_schema_drift").fn(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     assert not any("SortMergeJoin" in k for k in node_counts(df))
     for rs in read_schemas(df):
@@ -327,7 +329,7 @@ def test_link_predict_plan_hash_joins_topk_no_global_sort(spark, sf_dir):
     exchange + global sort."""
     from xml_to_parquet_spark.plans.inspect import node_counts, physical_plan
 
-    df = STAGED["graph_link_predict"].fn(spark, sf_dir)
+    df = lookup("graph_link_predict").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
@@ -378,7 +380,7 @@ def test_assoc_rules_match_exact_python_recompute(reg, spark, sf_dir):
             r["s_pair"], r["s_ante"], r["s_cons"], r["n_orders"],
             r["confidence"], r["lift"],
         )
-        for r in STAGED["mine_assoc_rules"].fn(spark, sf_dir).collect()
+        for r in lookup("mine_assoc_rules").fn(spark, sf_dir).collect()
     }
     assert got == _assoc_recompute(sf_dir)
     assert got, "no rules at this scale — MINSUP degenerate"
@@ -389,7 +391,7 @@ def test_assoc_rules_semantics(reg, spark, sf_dir):
     frequent pair exist, confidence is in (0, 1], support bounds are
     consistent (pair <= each item <= orders), and lift is symmetric
     across the two directions of one pair."""
-    rows = STAGED["mine_assoc_rules"].fn(spark, sf_dir).collect()
+    rows = lookup("mine_assoc_rules").fn(spark, sf_dir).collect()
     by_dir = {(r["antecedent"], r["consequent"]): r for r in rows}
     for (a, c), r in by_dir.items():
         assert (c, a) in by_dir
@@ -408,7 +410,7 @@ def test_assoc_rules_plan_broadcast_ladder_no_cartesian(spark, sf_dir):
         node_counts,
     )
 
-    df = STAGED["mine_assoc_rules"].fn(spark, sf_dir)
+    df = lookup("mine_assoc_rules").fn(spark, sf_dir)
     n = node_counts(df)
     assert broadcast_join_count(df) >= 3
     assert n.get("CartesianProduct", 0) == 0
@@ -456,7 +458,7 @@ def _interp_recompute(events_pd):
 def test_interpolate_matches_exact_python_recompute(reg, spark, sf_dir, events_pd):
     got = {
         (r["user_id"], pd.Timestamp(r["bucket"])): (r["is_gap"], r["cents_interp"])
-        for r in STAGED["timeseries_interpolate"].fn(spark, sf_dir).collect()
+        for r in lookup("timeseries_interpolate").fn(spark, sf_dir).collect()
     }
     assert got == _interp_recompute(events_pd)
 
@@ -466,7 +468,7 @@ def test_interpolate_contract_edges_null_and_bounded(reg, spark, sf_dir):
     land strictly between (or at) their anchors; no value exists outside
     the observed span (interpolate never extrapolates — the contract
     difference vs gap_fill's forward fill)."""
-    rows = STAGED["timeseries_interpolate"].fn(spark, sf_dir).collect()
+    rows = lookup("timeseries_interpolate").fn(spark, sf_dir).collect()
     assert any(r["is_gap"] for r in rows)
     by_user = defaultdict(list)
     for r in rows:
@@ -487,7 +489,7 @@ def test_interpolate_contract_edges_null_and_bounded(reg, spark, sf_dir):
 def test_interpolate_plan_pruned_scan_no_cartesian(spark, sf_dir):
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["timeseries_interpolate"].fn(spark, sf_dir)
+    df = lookup("timeseries_interpolate").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
@@ -517,7 +519,7 @@ def test_image_histogram_matches_exact_python_recompute(reg, spark, sf_dir):
             expect[(d, int(b))] = int(counts[b])
     got = {
         (r["doc_id"], r["bucket"]): r["n_in_bucket"]
-        for r in STAGED["mm_image_histogram"].fn(spark, sf_dir).collect()
+        for r in lookup("mm_image_histogram").fn(spark, sf_dir).collect()
     }
     assert got == expect
     # the band-coverage property: small images must NOT light all buckets
@@ -530,7 +532,7 @@ def test_image_histogram_matches_exact_python_recompute(reg, spark, sf_dir):
 def test_image_histogram_counts_conserve_pixels(reg, spark, sf_dir):
     """Σ bucket counts per image == width*height — histogram conservation,
     independent of pixel values."""
-    rows = STAGED["mm_image_histogram"].fn(spark, sf_dir).collect()
+    rows = lookup("mm_image_histogram").fn(spark, sf_dir).collect()
     per_doc = defaultdict(int)
     for r in rows:
         assert 0 <= r["bucket"] < 16
@@ -545,7 +547,7 @@ def test_image_histogram_plan_single_fanout_exchange(spark, sf_dir):
     the Arrow batch, never on the wire."""
     from xml_to_parquet_spark.plans.inspect import physical_plan, shuffle_count
 
-    df = STAGED["mm_image_histogram"].fn(spark, sf_dir)
+    df = lookup("mm_image_histogram").fn(spark, sf_dir)
     assert shuffle_count(df) == 0
     assert physical_plan(df).count("Exchange RoundRobinPartitioning") == 1
 
@@ -584,7 +586,7 @@ def test_winnow_matches_exact_python_recompute(reg, spark, sf_dir):
     expect, _sel = _winnow_recompute(sf_dir)
     got = {
         (r["doc_id"], r["pos"], r["fp"])
-        for r in STAGED["text_winnow_fingerprint"].fn(spark, sf_dir).collect()
+        for r in lookup("text_winnow_fingerprint").fn(spark, sf_dir).collect()
     }
     assert got == expect
 
@@ -602,7 +604,7 @@ def test_winnow_local_cover_guarantee_and_density(reg, spark, sf_dir):
     n_words = {
         int(d): len(t.split(" ")) for d, t in zip(docs["doc_id"], docs["text"])
     }
-    rows = STAGED["text_winnow_fingerprint"].fn(spark, sf_dir).collect()
+    rows = lookup("text_winnow_fingerprint").fn(spark, sf_dir).collect()
     got_by_doc = defaultdict(set)
     for r in rows:
         got_by_doc[r["doc_id"]].add(r["pos"])
@@ -620,7 +622,7 @@ def test_winnow_plan_single_doc_exchange(spark, sf_dir):
     rule); a second exchange means a clustering regression."""
     from xml_to_parquet_spark.plans.inspect import node_counts, shuffle_count
 
-    df = STAGED["text_winnow_fingerprint"].fn(spark, sf_dir)
+    df = lookup("text_winnow_fingerprint").fn(spark, sf_dir)
     assert shuffle_count(df) == 1
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
@@ -667,7 +669,7 @@ def test_mann_whitney_matches_exact_python_recompute(reg, spark, sf_dir, events_
         r["event_type"]: (
             r["n_ref"], r["n_cur"], r["u2_ref"], r["u2_cur"], r["cles"]
         )
-        for r in STAGED["dq_mann_whitney"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_mann_whitney").fn(spark, sf_dir).collect()
     }
     assert got == _mw_recompute(events_pd)
 
@@ -676,7 +678,7 @@ def test_mann_whitney_self_checking_identity(reg, spark, sf_dir):
     """Under midranks the identity U_ref + U_cur = n_ref*n_cur is EXACT
     (ties included) — the statistic audits itself; and CLES is a
     probability."""
-    rows = STAGED["dq_mann_whitney"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_mann_whitney").fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["u2_ref"] + r["u2_cur"] == 2 * r["n_ref"] * r["n_cur"]

@@ -620,7 +620,7 @@ def _scc_oracle() -> str:
     """
 
 
-@register_staged("graph_scc_bounded", _scc_oracle())
+@register("graph_scc_bounded", _scc_oracle())
 def graph_scc_bounded(spark, sf_dir):
     """Bounded-hop strongly-connected components: two nodes share an
     scc_id iff they can reach EACH OTHER within SCC_HOPS directed hops —
@@ -742,7 +742,7 @@ def _link_predict_oracle() -> str:
     """
 
 
-@register_staged("graph_link_predict", _link_predict_oracle())
+@register("graph_link_predict", _link_predict_oracle())
 def graph_link_predict(spark, sf_dir):
     """Link prediction over the part co-occurrence graph: score every
     NON-adjacent pair by the resource-allocation index

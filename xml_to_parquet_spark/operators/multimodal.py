@@ -1536,7 +1536,7 @@ def _histogram_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register_staged(
+@register(
     "mm_image_histogram",
     """
     WITH dims AS (

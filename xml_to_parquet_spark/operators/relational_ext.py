@@ -1904,7 +1904,7 @@ CHEB_R = 16  # pair iff Chebyshev (L-inf) distance <= R; cell width == R
 SPATIAL_PT_MOD = 5  # points = events with event_id % 5 == 0
 
 
-@register_staged(
+@register(
     "join_spatial_grid",
     f"""
     WITH pts AS (
@@ -2013,7 +2013,7 @@ def join_spatial_grid(spark, sf_dir):
 KS_REF_TYPE = "view"  # reference distribution; every other type compares to it
 
 
-@register_staged(
+@register(
     "dq_ks_distance",
     f"""
     WITH ev AS (
@@ -2197,7 +2197,7 @@ def _drift_payload_sql() -> str:
     """
 
 
-@register_staged(
+@register(
     "dq_schema_drift",
     f"""
     WITH pay AS ({_drift_payload_sql()}),
@@ -2320,7 +2320,7 @@ def dq_schema_drift(spark, sf_dir):
 AR_MINSUP = 2  # absolute pair-support floor (see scale note in docstring)
 
 
-@register_staged(
+@register(
     "mine_assoc_rules",
     f"""
     WITH li AS (
@@ -2434,7 +2434,7 @@ def mine_assoc_rules(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "timeseries_interpolate",
     """
     WITH base AS (
@@ -2565,7 +2565,7 @@ def timeseries_interpolate(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "dq_mann_whitney",
     f"""
     WITH ev AS (

@@ -1848,7 +1848,7 @@ def _mmr_oracle() -> str:
     )
 
 
-@register_staged("sim_diversity_mmr", _mmr_oracle())
+@register("sim_diversity_mmr", _mmr_oracle())
 def sim_diversity_mmr(spark, sf_dir):
     """Maximal Marginal Relevance re-ranking — the retrieval-serving step
     between ANN top-k and the prompt (RAG context assembly, search result

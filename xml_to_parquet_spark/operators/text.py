@@ -1321,7 +1321,7 @@ def _winnow_oracle() -> str:
     """
 
 
-@register_staged("text_winnow_fingerprint", _winnow_oracle())
+@register("text_winnow_fingerprint", _winnow_oracle())
 def text_winnow_fingerprint(spark, sf_dir):
     """WINNOWING fingerprint selection (Schleimer–Wilkerson–Aiken,
     SIGMOD'03 — the MOSS plagiarism-detector algorithm): hash every

@@ -68,60 +68,65 @@ def lookup(name: str) -> QueryDef:
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-11 rotation (R11_PLAN.md shape B — accelerated, per VERDICT r10
-# #1/#4): promote ELEVEN staged ops (the 4 built late-r9 + the 6 shape-B
-# r12 candidates + stream_timer_timeout, pulled forward from the r13 queue
-# because VERDICT r10 #4 wants both streaming completions driver-proven at
-# r11). Fills: the 43 r6-proof holders split exactly into 36 oracle-backed
-# + 7 rows-only; the window takes ALL 36 oracle-backed ones (stalest-first
-# — every other proof is r7+), so 3 anchors + 11 new + 36 fills = 50 and
-# ROWS_ONLY_SLOTS is empty this round. The 7 rows-only r6-era queries
-# (agg_approx_percentile, agg_hll_mergeable, agg_kll_quantiles,
-# agg_theta_setops, sample_stratified, table_sample, text_freq_items) slip
-# to r12 where the derived staleness bound forces them (7 << 47 capacity;
-# they will take designated ROWS_ONLY_SLOTS there).
+# Round-12 rotation (R12_PLAN.md, per VERDICT r11 #1): promote ELEVEN
+# stalest-staged ops (the 3 r12 leftovers join_spatial_grid /
+# sim_diversity_mmr / graph_scc_bounded + 8 of the r13 tier), and take the
+# 7 FORCED rows-only r6-era queries in designated ROWS_ONLY_SLOTS — their
+# r6 proofs hit the derived staleness bound at r13, and the bound math
+# (registry comment r11, VERDICT r11 "What's missing" #2) only works if
+# r12 actually banks them. Fills: 29 of the 45 oracle-backed r7-proof
+# holders (the stalest tier; ties broken alphabetically), so
+# 3 anchors + 11 new + 7 rows-only + 29 fills = 50. The remaining 16 r7
+# holders lead the r13 fill list (latest=7 stays inside the bound through
+# r13).
 # CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
 # max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
 # 47 rotating slots/round); rotation policy stays stalest-first. Previous
-# windows: r1-r10 lists are in git history.
+# windows: r1-r11 lists are in git history.
 NEW_TARGETS: list[str] = [
-    # oracle-backed, promoted from the staged tier at the r11 rotation
-    "agg_least_squares",
-    "dq_expectation_suite",
-    "curate_mixture_sampling",
-    "lake_snapshot_read",
-    "stream_stream_full_outer",
-    "stream_timer_timeout",
-    "mm_video_framesample",
-    "mm_audio_vad",
-    "lake_merge_upsert",
-    "text_cdc_chunking",
-    "sim_mips_topk",
+    # oracle-backed, promoted from the staged tier at the r12 rotation
+    "join_spatial_grid",
+    "sim_diversity_mmr",
+    "graph_scc_bounded",
+    "dq_ks_distance",
+    "dq_schema_drift",
+    "graph_link_predict",
+    "mine_assoc_rules",
+    "timeseries_interpolate",
+    "mm_image_histogram",
+    "text_winnow_fingerprint",
+    "dq_mann_whitney",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
-# No rows-only query holds a window slot this round: approx_count_distinct
-# banked its r10 proof, and the 7 rows-only r6-era queries slip to r12
-# (see rotation comment above).
-ROWS_ONLY_SLOTS: list[str] = []
+# The 7 rows-only r6-era queries take their FORCED designated slots this
+# round (r6 contract precedent: deliberate rows-only proof slots).
+ROWS_ONLY_SLOTS: list[str] = [
+    "agg_approx_percentile",
+    "agg_hll_mergeable",
+    "agg_kll_quantiles",
+    "agg_theta_setops",
+    "sample_stratified",
+    "table_sample",
+    "text_freq_items",
+]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
-    # fills: all 36 oracle-backed r6-proof holders (stalest tier; every
-    # other oracle-backed proof is r7 or newer).
-    "agg_bitmap_distinct", "agg_percentile_array", "agg_skew_kurtosis",
-    "cdc_scd2_build", "curate_dedup_keep_best", "curate_mix_temperature",
-    "dedup_containment", "dedup_ngram_jaccard", "dedup_simhash",
-    "dq_anomaly_zscore", "funnel_conversion", "join_asof_tolerance",
-    "join_null_safe", "join_range_binned", "join_semi", "merge_upsert",
-    "mm_decode_wav", "mm_image_phash", "q12_priority_class",
-    "q17_small_qty_revenue", "q7_volume_shipping", "scalar_url_fns",
-    "set_union_all", "sim_centroid_assign", "sim_matryoshka_truncate",
-    "sim_pq_adc", "sink_schema_evolution", "source_json_roundtrip",
-    "stream_sliding_window", "text_lang_id", "text_pii_redact",
-    "text_quality_gopher", "text_quality_unigram_lm",
-    "udaf_grouped_pandas", "variant_json", "window_ntile_dist",
+    *ROWS_ONLY_SLOTS,
+    # fills: 29 of the 45 oracle-backed r7-proof holders (stalest tier;
+    # alphabetical among equal staleness — the other 16 lead r13's fills).
+    "agg_distinct", "agg_having", "agg_percentile", "agg_pushdown_stats",
+    "curate_mix_sources", "curate_pack_sequences", "curate_pipeline",
+    "dedup_minhash_incremental", "dedup_normalized", "dedup_semdedup",
+    "dedup_substring", "dedup_substring_removal", "distinct_rows",
+    "dq_profile", "join_bloom_pruned", "join_left", "lateral_topk",
+    "mm_decode_meta", "mm_feature_extract", "mm_frame_sample",
+    "mm_image_dedup", "mm_resize", "orderby_limit", "pivot_status",
+    "q11_important_stock", "q16_parts_supplier_relationship",
+    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
+    "q2_min_cost_supplier",
 ]
 
 
