@@ -273,6 +273,21 @@ BENCH_QUERIES = [
     "stream_timer_timeout",
     "mm_video_framesample",
     "text_cdc_chunking",
+    # r12 additions (VERDICT r11 #4: bench entry for every promoted op
+    # >1s warm at sf0.1 — promotion-time medians-of-3 on a quiet machine:
+    # graph_link_predict 3.35s, mine_assoc_rules 2.20s,
+    # sim_diversity_mmr 1.69s; dq_ks_distance 0.66s,
+    # text_winnow_fingerprint 0.83s and dq_schema_drift 0.86s read BELOW
+    # the bar on this sample but ~1.3-1.4s on the r11-plan sample and are
+    # named in VERDICT r11 #4, so they enter too. The other five r12
+    # promotions measured 0.27-0.92s (graph_scc_bounded 0.92s the
+    # closest), below the entry bar on both samples)
+    "graph_link_predict",
+    "mine_assoc_rules",
+    "sim_diversity_mmr",
+    "dq_ks_distance",
+    "text_winnow_fingerprint",
+    "dq_schema_drift",
 ]
 
 # Timed-loop session recycling (VERDICT r9 #2/#3): accumulated JVM session

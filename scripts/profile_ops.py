@@ -4,6 +4,7 @@ Usage: python scripts/profile_ops.py <sf_dir> op1 op2 ... [--reps N]
 Warm-up pass per op, then REPS interleaved timed passes (noop sink),
 printing per-op medians — the bench protocol without the full entry list.
 """
+import argparse
 import json
 import os
 import statistics
@@ -16,13 +17,20 @@ from xml_to_parquet_spark import get_spark
 from xml_to_parquet_spark.registry import load_all
 
 
+def parse_args(argv=None):
+    # argparse handles both --reps=N and --reps N (ADVICE r11: the manual
+    # split('=') parser crashed on the space-separated form and swallowed
+    # the bare N as an op name)
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("sf_dir")
+    parser.add_argument("ops", nargs="+")
+    parser.add_argument("--reps", type=int, default=3)
+    return parser.parse_args(argv)
+
+
 def main() -> None:
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
-    reps = 3
-    for a in sys.argv[1:]:
-        if a.startswith("--reps"):
-            reps = int(a.split("=")[1])
-    sf_dir, ops = args[0], args[1:]
+    args = parse_args()
+    sf_dir, ops, reps = args.sf_dir, args.ops, args.reps
     spark = get_spark()
     reg = load_all()
     for name in ops:

@@ -609,3 +609,38 @@ def test_survivorship_plan_no_cartesian(spark, sf_dir, reg):
     df = STAGED["er_survivorship"].fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
+
+
+# ---------------------------------------------------------------------------
+# full-adjacency hub-degree guard (VERDICT r11 #5): the degree-cap caveat
+# on graph_bridges / graph_jaccard_neighbors is a runtime-enforced
+# precondition now (the ER_NODE_OFFSET pattern), not a docstring promise
+# ---------------------------------------------------------------------------
+
+
+def test_full_adjacency_hub_guard_raises_past_cap(spark, monkeypatch):
+    from xml_to_parquet_spark.operators import graphs
+
+    # star: hub 0 with 6 leaves → max degree 6 in the symmetric adjacency
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "u int, v int"
+    )
+    adj = graphs._checkpointed_full_adjacency(edges)
+    assert adj.count() == 7  # hub + 6 leaves, fine under the real cap
+    monkeypatch.setattr(graphs, "ADJ_DEG_CAP", 5)
+    with pytest.raises(ValueError, match="ADJ_DEG_CAP"):
+        graphs._checkpointed_full_adjacency(edges)
+
+
+def test_full_adjacency_hub_guard_boundary_and_empty(spark, monkeypatch):
+    from xml_to_parquet_spark.operators import graphs
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 7)], "u int, v int"
+    )
+    # at exactly the cap the build must succeed (the bound is >, not >=)
+    monkeypatch.setattr(graphs, "ADJ_DEG_CAP", 6)
+    assert graphs._checkpointed_full_adjacency(edges).count() == 7
+    # empty edge list → empty adjacency, no spurious raise (max is NULL)
+    empty = spark.createDataFrame([], "u int, v int")
+    assert graphs._checkpointed_full_adjacency(empty).count() == 0

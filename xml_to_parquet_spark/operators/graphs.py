@@ -811,6 +811,39 @@ def graph_link_predict(spark, sf_dir):
 # scores, and the statistic behind Jaccard graph sparsification
 # ---------------------------------------------------------------------------
 
+# Hub-degree cap for the FULL-adjacency ops (graph_jaccard_neighbors,
+# graph_bridges). collect_list of the complete neighborhood per node is the
+# device that kills the 3·T-row explode-back Exchange, but the array row
+# costs ~8·deg bytes — a power-law hub at deg 10^8 would concentrate a
+# GiB-scale row on one task. ADJ_DEG_CAP bounds the worst row at ~800 KB
+# (450× the deg ≤ 222 observed here); beyond it the right tool is the
+# compact-forward explode tier (graph_triangle_count's shape), not a
+# silent OOM. Runtime-enforced precondition, not a docstring promise —
+# the ER_NODE_OFFSET guard pattern (VERDICT r11 #5, dedup.py).
+ADJ_DEG_CAP = 100_000
+
+
+def _checkpointed_full_adjacency(edges):
+    """Build the symmetric (w, nbrs[]) full-adjacency table from an
+    undirected edge list, checkpoint it (it always fans into the u- and
+    v-side decoration joins — lazy branches would re-run the groupBy per
+    side), and enforce the ADJ_DEG_CAP precondition with a one-number
+    aggregate over the already-materialized node-sized table (combinable
+    max, no extra scan of anything data-sized)."""
+    nbr = edges.select(
+        F.col("u").alias("w"), F.col("v").alias("x")
+    ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("x")))
+    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs")).localCheckpoint()
+    max_deg = fadj.agg(F.max(F.size("nbrs"))).collect()[0][0]
+    if max_deg is not None and max_deg > ADJ_DEG_CAP:
+        raise ValueError(
+            f"max degree {max_deg} exceeds ADJ_DEG_CAP {ADJ_DEG_CAP}: "
+            "full-adjacency arrays would concentrate hub-sized rows on "
+            "single tasks; use the compact-forward/explode tier for this "
+            "graph or raise the cap deliberately"
+        )
+    return fadj
+
 
 def _jaccard_neighbors_oracle() -> str:
     return f"""
@@ -868,16 +901,15 @@ def graph_jaccard_neighbors(spark, sf_dir):
     which is what matters on a real shuffle-bound cluster, plus the
     simpler two-join plan. The adjacency table checkpoints once — it fans
     into the u- and v-side joins, and lazy branches would re-run the
-    groupBy per side. On a graph with extreme hubs the arrays inherit
-    the degree-cap discussion (deg ≤ 222 here); the small-scale DuckDB
-    oracle deliberately pays the naive center-keyed wedge join instead.
-    Nothing is driver-side; an empty corpus yields an empty edge list
-    and an empty result."""
+    groupBy per side. Hub safety is an ENFORCED precondition, not a
+    docstring caveat: _checkpointed_full_adjacency raises past
+    ADJ_DEG_CAP (deg ≤ 222 here, 450× headroom) — beyond it the
+    compact-forward explode tier is the right shape. The small-scale
+    DuckDB oracle deliberately pays the naive center-keyed wedge join
+    instead. Nothing is driver-side; an empty corpus yields an empty
+    edge list and an empty result."""
     edges = cooccurrence_edges(spark, sf_dir)
-    nbr = edges.select(
-        F.col("u").alias("w"), F.col("v").alias("x")
-    ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("x")))
-    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs")).localCheckpoint()
+    fadj = _checkpointed_full_adjacency(edges)
     au = fadj.select(F.col("w").alias("u"), F.col("nbrs").alias("nu"))
     av = fadj.select(F.col("w").alias("v"), F.col("nbrs").alias("nv"))
     joined = (
@@ -968,9 +1000,10 @@ def graph_bridges(spark, sf_dir):
     forces the choice: pure triangle COUNTING keeps compact-forward's
     m^1.5 bound with nothing exploded (graph_triangle_count), but
     spreading counts back onto edges pays the T-row shuffle, and
-    shuffle rows cost orders more than row-local flops. On a graph with
-    extreme hubs the adjacency arrays inherit the same degree-cap
-    discussion as jaccard_neighbors (deg ≤ 222 here). The 3-path probe
+    shuffle rows cost orders more than row-local flops. Hub safety is
+    an ENFORCED precondition via _checkpointed_full_adjacency's
+    ADJ_DEG_CAP guard (deg ≤ 222 here), same as jaccard_neighbors — a
+    power-law hub graph raises instead of OOMing. The 3-path probe
     runs ONLY on the zero-support subset: per (bridge, x ∈ N(u)) the
     detour test is array_intersect(N(x), N(v)) minus {u} — probe rows
     ∝ Σ_bridge deg(u), never a two-hop edge explode (the first
@@ -982,10 +1015,7 @@ def graph_bridges(spark, sf_dir):
     y ≠ x/v by no-self-loops, so the only explicit exclusion is u.
     Nothing driver-side; empty edge set → empty result."""
     edges = cooccurrence_edges(spark, sf_dir)
-    nbr = edges.select(
-        F.col("u").alias("w"), F.col("v").alias("x")
-    ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("x")))
-    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs")).localCheckpoint()
+    fadj = _checkpointed_full_adjacency(edges)
     au = fadj.select(F.col("w").alias("u"), F.col("nbrs").alias("nu"))
     av = fadj.select(F.col("w").alias("v"), F.col("nbrs").alias("nv"))
     # arrays are dropped before the checkpoint: only (u, v, c) persists;

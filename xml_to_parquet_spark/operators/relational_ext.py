@@ -4065,7 +4065,14 @@ def timeseries_theil_sen(spark, sf_dir):
     0.05·n half-band, and exact outright for n ≤ 10000, so the lower
     median provably lies in the band), a strict count-below fixes the
     band rows' global ranks, and only the ~10% in-band slice pays the
-    serial rank sort. The pair generator re-runs per pass, but it is
+    serial rank sort. Tie-degeneracy bound (ADVICE r11): the in-band
+    slice is ≤ 0.1·n plus the largest slope tie-group straddling a band
+    edge — duplicate slopes at the median inflate the band toward the
+    old full single-partition window (a silent perf cliff, never a
+    correctness one). Impossible on this calendar-bounded revenue grid
+    (slopes are distinct-denominator rationals), but reuse on tie-heavy
+    data (e.g. integer series with few levels) must not assume the 10%
+    slice. The pair generator re-runs per pass, but it is
     broadcast-NLJ codegen over the checkpointed grid — no scan, no
     shuffle. Orders is scanned exactly once, at the grid checkpoint;
     the returned plan carries no FileScan."""
