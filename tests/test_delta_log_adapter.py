@@ -191,3 +191,139 @@ def test_log_failure_modes(spark, delta_table, tmp_path):
     _commit(holey, 2, [_add("y.parquet")])
     with pytest.raises(ValueError, match="non-contiguous"):
         list_delta_versions(holey)
+
+
+# ---------------------------------------------------------------------------
+# checkpoint parquet files + log retention (the long-lived-table path)
+# ---------------------------------------------------------------------------
+
+
+def _write_checkpoint(table, version, active_paths, tombstones=()):
+    """Single-part checkpoint per PROTOCOL.md: one action per row, the
+    non-null `add` rows being exactly the version's active file set;
+    `remove` rows are VACUUM tombstones a snapshot reader must ignore."""
+    rows = [
+        {"add": {"path": p, "size": 1, "dataChange": True},
+         "remove": None, "protocol": None}
+        for p in active_paths
+    ]
+    rows += [
+        {"add": None, "remove": {"path": p, "deletionTimestamp": 0},
+         "protocol": None}
+        for p in tombstones
+    ]
+    rows.append({"add": None, "remove": None,
+                 "protocol": {"minReaderVersion": 1, "minWriterVersion": 2}})
+    pq.write_table(
+        pa.Table.from_pylist(rows),
+        os.path.join(table, "_delta_log",
+                     f"{version:020d}.checkpoint.parquet"),
+    )
+
+
+def _build_four_commit_table(root):
+    """Commits: 0 adds f0+f1, 1 adds f2, 2 removes f0 / adds f3,
+    3 removes f1. Key ranges: f_i holds {2i, 2i+1}."""
+    table = str(root)
+    os.makedirs(table, exist_ok=True)
+    for i in range(4):
+        pq.write_table(
+            pa.Table.from_pylist([{"k": 2 * i}, {"k": 2 * i + 1}]),
+            os.path.join(table, f"f{i}.parquet"),
+        )
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "cp-fixture", "format": {"provider": "parquet"},
+                      "partitionColumns": [], "configuration": {}}},
+        _add("f0.parquet"), _add("f1.parquet"),
+    ])
+    _commit(table, 1, [_add("f2.parquet")])
+    _commit(table, 2, [_remove("f0.parquet"), _add("f3.parquet")])
+    _commit(table, 3, [_remove("f1.parquet")])
+    return table
+
+
+@pytest.fixture()
+def cp_table(tmp_path):
+    """The four-commit table with a checkpoint at v2 (tombstone for the
+    removed f0, as real writers emit) and commits 0-1 CLEANED — the
+    normal log-retention state of any long-lived Delta table."""
+    table = _build_four_commit_table(tmp_path / "cp")
+    _write_checkpoint(table, 2,
+                      ["f1.parquet", "f2.parquet", "f3.parquet"],
+                      tombstones=["f0.parquet"])
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    return table
+
+
+def _basenames(files):
+    return {os.path.basename(f) for f in files}
+
+
+def test_checkpoint_seed_matches_pure_json_replay(tmp_path):
+    """On a table that still has its full JSON log, adding a checkpoint
+    must not change any snapshot — seeded replay ≡ from-zero replay."""
+    twin = _build_four_commit_table(tmp_path / "json_only")
+    cp = _build_four_commit_table(tmp_path / "with_cp")
+    _write_checkpoint(cp, 2, ["f1.parquet", "f2.parquet", "f3.parquet"],
+                      tombstones=["f0.parquet"])
+    for v in (2, 3):
+        assert _basenames(delta_active_files(cp, v)) == _basenames(
+            delta_active_files(twin, v)
+        )
+
+
+def test_log_cleaned_table_reads_from_checkpoint(spark, cp_table):
+    """With commits 0-1 gone the checkpoint is the ONLY seed: versions
+    2..3 stay readable and correct, proving the seed path is real."""
+    assert list_delta_versions(cp_table) == [2, 3]
+    assert _basenames(delta_active_files(cp_table, 2)) == {
+        "f1.parquet", "f2.parquet", "f3.parquet"
+    }
+    got = {r["k"] for r in read_delta_snapshot(spark, cp_table, 3).collect()}
+    assert got == {4, 5, 6, 7}
+
+
+def test_versions_before_oldest_seed_are_refused(cp_table):
+    """Time travel below the retained history must refuse, not guess."""
+    with pytest.raises(ValueError, match="not in Delta log"):
+        delta_active_files(cp_table, 1)
+
+
+def test_checkpoint_tombstones_are_not_active(cp_table):
+    """The v2 checkpoint carries f0's remove tombstone; a snapshot read
+    must treat it as bookkeeping, never as an active file."""
+    assert "f0.parquet" not in _basenames(delta_active_files(cp_table, 2))
+
+
+def test_hole_after_checkpoint_still_refused(tmp_path):
+    """A checkpoint excuses missing history BEFORE it, never a hole in
+    the tail after it."""
+    table = str(tmp_path / "holey_tail")
+    os.makedirs(os.path.join(table, "_delta_log"))
+    pq.write_table(pa.Table.from_pylist([{"k": 0}]),
+                   os.path.join(table, "x.parquet"))
+    _write_checkpoint(table, 2, ["x.parquet"])
+    _commit(table, 4, [_add("x.parquet")])  # v3 missing
+    with pytest.raises(ValueError, match="non-contiguous"):
+        list_delta_versions(table)
+
+
+def test_stale_last_checkpoint_hint_tolerated(cp_table):
+    """_last_checkpoint is a listing hint; one that lags the log (or even
+    dangles) must not mask newer commits."""
+    with open(os.path.join(cp_table, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        json.dump({"version": 2, "size": 5}, fh)
+    assert list_delta_versions(cp_table) == [2, 3]
+
+
+def test_multipart_checkpoint_refused(cp_table):
+    """Seeding from one slice of a multi-part checkpoint would silently
+    drop files — refuse loudly instead."""
+    with open(os.path.join(cp_table, "_delta_log", "_last_checkpoint"),
+              "w") as fh:
+        json.dump({"version": 2, "size": 5, "parts": 2}, fh)
+    with pytest.raises(ValueError, match="multi-part"):
+        list_delta_versions(cp_table)

@@ -18,17 +18,33 @@ Semantics implemented (the subset the lake_* ops model):
     data file, `remove` retires it (Delta's logical delete);
   * snapshot isolation/time travel: `read_delta_snapshot(..., version=N)`
     scans exactly version N's active files, unaffected by later commits;
+  * checkpoint parquet files (`<v>.checkpoint.parquet`): a checkpoint is
+    the RECONCILED action state at version v — rows whose `add` struct is
+    non-null are exactly v's active files — so replay seeds from the
+    newest checkpoint ≤ the target version and applies only the JSON
+    commits after it. This is what makes a long-lived table readable:
+    log retention deletes old JSON commits, so a real table usually has
+    NO commit 0 — versions at/after a checkpoint stay readable, versions
+    before the oldest seed are honestly refused;
+  * `_last_checkpoint` is treated as the protocol says readers may — a
+    listing-avoidance HINT. This adapter lists the log directory anyway
+    (it must, for the JSON commits), so the hint is only validated
+    (multi-part checkpoints are refused loudly), never trusted over the
+    listing — a stale pointer after a newer un-pointed checkpoint is the
+    documented normal state, not an error;
   * the scan itself is a plain Spark parquet read over the active file
     list — predicate pushdown, column pruning, and partition-level
     parallelism all apply downstream, and log replay costs O(actions),
     never a data scan (the same cost shape as lake_snapshot_read's
-    manifest read).
+    manifest read). Checkpoint reads are pyarrow, driver-side,
+    action-count-sized.
 
-Out of scope, documented: checkpoint parquet files (an every-10-commits
-read optimization — replaying JSON commits is always correct without
-them), deletion vectors, column mapping, and the writer path. Reads
-enforce only protocol invariants this adapter relies on: monotone
-contiguous versions and at most one metaData schema.
+Out of scope, documented: multi-part checkpoints (refused with a clear
+error when `_last_checkpoint` declares `parts`), deletion vectors,
+column mapping, and the writer path. Reads enforce only protocol
+invariants this adapter relies on: a replay path with no holes (every
+readable version is a checkpoint seed plus a contiguous JSON tail) and
+at most one metaData schema.
 """
 
 from __future__ import annotations
@@ -40,32 +56,86 @@ import re
 from pyspark.sql import DataFrame, SparkSession
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 
 
-def list_delta_versions(table_path: str) -> list[int]:
-    """Sorted commit versions present in ``<table>/_delta_log``.
-
-    Raises FileNotFoundError when the directory is missing (not a Delta
-    table) and ValueError when versions are non-contiguous from 0 —
-    replaying a log with holes would silently produce a wrong snapshot,
-    the one failure mode a lake reader must never have.
-    """
+def _log_dir(table_path: str) -> str:
     log_dir = os.path.join(table_path, "_delta_log")
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"no _delta_log under {table_path}")
-    versions = sorted(
-        int(m.group(1))
-        for f in os.listdir(log_dir)
-        if (m := _COMMIT_RE.match(f))
-    )
-    if not versions:
-        raise ValueError(f"empty _delta_log under {table_path}")
-    if versions != list(range(len(versions))):
+    return log_dir
+
+
+def _listed_versions(log_dir: str) -> tuple[set[int], set[int]]:
+    """(JSON commit versions, checkpoint versions) from one listing."""
+    json_v, cp_v = set(), set()
+    for f in os.listdir(log_dir):
+        if m := _COMMIT_RE.match(f):
+            json_v.add(int(m.group(1)))
+        elif m := _CHECKPOINT_RE.match(f):
+            cp_v.add(int(m.group(1)))
+    return json_v, cp_v
+
+
+def _validate_last_checkpoint_hint(log_dir: str, cp_versions: set[int]) -> None:
+    """`_last_checkpoint` is a listing-avoidance hint; we list anyway, so
+    only refuse what the adapter genuinely cannot serve: a multi-part
+    checkpoint (its parts are NOT each a complete state — seeding from
+    one slice would silently drop files). A stale or dangling pointer is
+    tolerated — the listing is authoritative."""
+    hint_path = os.path.join(log_dir, "_last_checkpoint")
+    if not os.path.exists(hint_path):
+        return
+    with open(hint_path) as fh:
+        hint = json.load(fh)
+    if hint.get("parts"):
         raise ValueError(
-            f"non-contiguous Delta log versions {versions} under "
-            f"{table_path}: refusing to replay a log with holes"
+            f"multi-part checkpoint (parts={hint['parts']}) in {log_dir}: "
+            "out of scope for this adapter — refusing rather than seeding "
+            "from a partial state"
         )
-    return versions
+
+
+def list_delta_versions(table_path: str) -> list[int]:
+    """Sorted READABLE versions of the table at ``<table>/_delta_log``.
+
+    A version V is readable iff a replay path exists: V is itself a
+    checkpoint, or V-1 is readable and V's JSON commit is present —
+    i.e. some checkpoint (or commit 0) seeds a contiguous JSON tail up
+    to V. On a log with no checkpoints this reduces to the original
+    contiguous-from-0 rule. With checkpoints, missing JSON BELOW the
+    oldest checkpoint is the normal log-retention state (those versions
+    are simply not listed); a hole that makes the LATEST version
+    unreachable still raises — replaying past a hole would silently
+    produce a wrong snapshot, the one failure mode a lake reader must
+    never have.
+
+    Raises FileNotFoundError when the directory is missing (not a Delta
+    table) and ValueError when the log is empty or the latest version is
+    non-contiguous with every available seed.
+    """
+    log_dir = _log_dir(table_path)
+    json_v, cp_v = _listed_versions(log_dir)
+    if not json_v and not cp_v:
+        raise ValueError(f"empty _delta_log under {table_path}")
+    _validate_last_checkpoint_hint(log_dir, cp_v)
+    latest = max(json_v | cp_v)
+    readable: list[int] = []
+    reachable = False
+    for v in range(latest + 1):
+        reachable = v in cp_v or (reachable and v in json_v) or (
+            v == 0 and v in json_v
+        )
+        if reachable:
+            readable.append(v)
+    if latest not in readable:
+        raise ValueError(
+            f"non-contiguous Delta log under {table_path}: version "
+            f"{latest} is unreachable from any checkpoint or commit 0 "
+            f"(json={sorted(json_v)}, checkpoints={sorted(cp_v)}); "
+            "refusing to replay a log with holes"
+        )
+    return readable
 
 
 def delta_active_files(table_path: str, version: int | None = None) -> list[str]:
@@ -82,11 +152,25 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
         version = versions[-1]
     if version not in versions:
         raise ValueError(
-            f"version {version} not in Delta log (have 0..{versions[-1]})"
+            f"version {version} not in Delta log (readable: {versions})"
         )
-    log_dir = os.path.join(table_path, "_delta_log")
+    log_dir = _log_dir(table_path)
+    _, cp_v = _listed_versions(log_dir)
     active: dict[str, None] = {}  # insertion-ordered set of relative paths
-    for v in range(version + 1):
+    # Seed from the newest checkpoint ≤ the target. Readability (checked
+    # above) guarantees the JSON tail after it is complete: any replay
+    # chain to `version` must either cross every intermediate version via
+    # JSON or re-seed at a later checkpoint — and there is none later
+    # than the max. Versions below the oldest seed were never listed.
+    seed = max((c for c in cp_v if c <= version), default=None)
+    start = 0
+    if seed is not None:
+        for p in _checkpoint_active_paths(
+            os.path.join(log_dir, f"{seed:020d}.checkpoint.parquet")
+        ):
+            active[p] = None
+        start = seed + 1
+    for v in range(start, version + 1):
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
             for line in fh:
                 line = line.strip()
@@ -101,6 +185,36 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
                     # later versions
                     active.pop(action["remove"]["path"], None)
     return [os.path.join(table_path, p) for p in active]
+
+
+def _checkpoint_active_paths(cp_file: str) -> list[str]:
+    """Active data-file paths from one single-part checkpoint parquet.
+
+    A checkpoint row is one action; rows whose `add` struct is non-null
+    ARE the snapshot's active file set (remove rows are VACUUM
+    tombstones, irrelevant to a snapshot read; protocol/metaData/txn
+    rows carry no files). Driver-side pyarrow read, action-count-sized —
+    same cost class as the JSON replay it replaces.
+    """
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    table = pq.read_table(cp_file)
+    if "add" not in table.column_names:
+        return []  # checkpoint of an empty table: no add actions at all
+    adds = table.column("add")
+    if not pa.types.is_struct(adds.type):
+        return []  # all-null add column (no active files) infers null type
+    paths: list[str] = []
+    for chunk in adds.chunks:
+        path_col = chunk.field("path")
+        # parent-struct validity, NOT the child's: Arrow permits non-null
+        # child values under a null struct row
+        valid = chunk.is_valid()
+        for i in range(len(chunk)):
+            if valid[i].as_py():
+                paths.append(path_col[i].as_py())
+    return paths
 
 
 def read_delta_snapshot(
