@@ -327,3 +327,149 @@ def test_multipart_checkpoint_refused(cp_table):
         json.dump({"version": 2, "size": 5, "parts": 2}, fh)
     with pytest.raises(ValueError, match="multi-part"):
         list_delta_versions(cp_table)
+
+
+# ---------------------------------------------------------------------------
+# partitioned tables — partition values live in the LOG, not the data files
+# ---------------------------------------------------------------------------
+
+_PART_SCHEMA = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "long", "nullable": True, "metadata": {}},
+        {"name": "region", "type": "string", "nullable": True, "metadata": {}},
+        {"name": "year", "type": "integer", "nullable": True, "metadata": {}},
+    ],
+})
+
+
+def _add_part(path, pv):
+    a = _add(path)
+    a["add"]["partitionValues"] = pv
+    return a
+
+
+@pytest.fixture()
+def part_table(tmp_path):
+    """Two partition columns (region: string, year: int). The DATA files
+    hold only `k` — a reader that ignores add.partitionValues returns a
+    table with the partition columns silently missing."""
+    table = str(tmp_path / "part")
+    os.makedirs(table, exist_ok=True)
+    for name, ks in [("pa.parquet", [1, 2]), ("pb.parquet", [3]),
+                     ("pc.parquet", [4, 5]), ("pd.parquet", [6])]:
+        pq.write_table(pa.Table.from_pylist([{"k": k} for k in ks]),
+                       os.path.join(table, name))
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "part-fixture",
+                      "format": {"provider": "parquet"},
+                      "schemaString": _PART_SCHEMA,
+                      "partitionColumns": ["region", "year"],
+                      "configuration": {}}},
+        _add_part("pa.parquet", {"region": "emea", "year": "2024"}),
+        _add_part("pb.parquet", {"region": "emea", "year": "2025"}),
+        _add_part("pc.parquet", {"region": "apac", "year": "2024"}),
+    ])
+    _commit(table, 1, [_add_part("pd.parquet", {"region": "", "year": "2025"})])
+    return table
+
+
+def test_partition_columns_attached_and_typed(spark, part_table):
+    df = read_delta_snapshot(spark, part_table)
+    assert dict(df.dtypes)["region"] == "string"
+    assert dict(df.dtypes)["year"] == "int"
+    got = {(r["k"], r["region"], r["year"]) for r in df.collect()}
+    assert got == {
+        (1, "emea", 2024), (2, "emea", 2024), (3, "emea", 2025),
+        (4, "apac", 2024), (5, "apac", 2024),
+        (6, None, 2025),  # "" is Delta's null encoding
+    }
+
+
+def test_partition_isolation_across_versions(spark, part_table):
+    """v0 predates the null-region append — its groups only."""
+    got = {(r["k"], r["region"]) for r in
+           read_delta_snapshot(spark, part_table, 0).collect()}
+    assert got == {(1, "emea"), (2, "emea"), (3, "emea"),
+                   (4, "apac"), (5, "apac")}
+
+
+def test_partition_filter_prunes_driver_side(spark, part_table):
+    """The filter must cut whole partition groups BEFORE any scan exists:
+    the pruned plan's FileScan lists only the matching files."""
+    df = read_delta_snapshot(spark, part_table,
+                             partition_filter={"region": "emea",
+                                               "year": "2024"})
+    assert {r["k"] for r in df.collect()} == {1, 2}
+    scanned = {os.path.basename(f) for f in df.inputFiles()}
+    assert scanned == {"pa.parquet"}
+
+
+def test_partition_filter_failure_modes(spark, part_table, tmp_path):
+    with pytest.raises(ValueError, match="not partition"):
+        read_delta_snapshot(spark, part_table,
+                            partition_filter={"nope": "1"})
+    with pytest.raises(ValueError, match="matches no partition"):
+        read_delta_snapshot(spark, part_table,
+                            partition_filter={"region": "mars"})
+    # unpartitioned table + a filter is a caller bug, not an empty result
+    flat = str(tmp_path / "flat")
+    os.makedirs(flat, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"k": 0}]),
+                   os.path.join(flat, "f.parquet"))
+    _commit(flat, 0, [_add("f.parquet")])
+    with pytest.raises(ValueError, match="unpartitioned"):
+        read_delta_snapshot(spark, flat, partition_filter={"region": "x"})
+
+
+def test_partition_values_without_metadata_refused(spark, tmp_path):
+    """partitionValues present but the retained log never declared
+    partitionColumns: reading would silently drop columns — refuse."""
+    table = str(tmp_path / "nometa")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"k": 0}]),
+                   os.path.join(table, "f.parquet"))
+    _commit(table, 0, [_add_part("f.parquet", {"region": "emea"})])
+    with pytest.raises(ValueError, match="partitionValues"):
+        read_delta_snapshot(spark, table)
+
+
+def test_partitioned_checkpoint_roundtrips_partition_values(spark, tmp_path):
+    """A checkpoint must carry partitionValues and metaData through the
+    seeded path: clean the JSON prefix and the partitioned read still
+    reconstructs columns (map<string,string> through real parquet)."""
+    table = str(tmp_path / "part_cp")
+    os.makedirs(table, exist_ok=True)
+    for name, ks in [("x.parquet", [1]), ("y.parquet", [2])]:
+        pq.write_table(pa.Table.from_pylist([{"k": k} for k in ks]),
+                       os.path.join(table, name))
+    meta_row = {"id": "part-cp", "schemaString": _PART_SCHEMA,
+                "partitionColumns": ["region", "year"]}
+    rows = [
+        {"add": {"path": "x.parquet",
+                 "partitionValues": [("region", "emea"), ("year", "2024")]},
+         "metaData": None},
+        {"add": {"path": "y.parquet",
+                 "partitionValues": [("region", "apac"), ("year", "2025")]},
+         "metaData": None},
+        {"add": None, "metaData": meta_row},
+    ]
+    schema = pa.schema([
+        ("add", pa.struct([
+            ("path", pa.string()),
+            ("partitionValues", pa.map_(pa.string(), pa.string())),
+        ])),
+        ("metaData", pa.struct([
+            ("id", pa.string()),
+            ("schemaString", pa.string()),
+            ("partitionColumns", pa.list_(pa.string())),
+        ])),
+    ])
+    os.makedirs(os.path.join(table, "_delta_log"))
+    pq.write_table(pa.Table.from_pylist(rows, schema=schema),
+                   os.path.join(table, "_delta_log",
+                                f"{3:020d}.checkpoint.parquet"))
+    got = {(r["k"], r["region"], r["year"]) for r in
+           read_delta_snapshot(spark, table, 3).collect()}
+    assert got == {(1, "emea", 2024), (2, "apac", 2025)}

@@ -32,6 +32,11 @@ Semantics implemented (the subset the lake_* ops model):
     (multi-part checkpoints are refused loudly), never trusted over the
     listing — a stale pointer after a newer un-pointed checkpoint is the
     documented normal state, not an error;
+  * partitioned tables: partition column values live ONLY in the log
+    (`add.partitionValues` — the data files never contain them), so the
+    reader attaches them per partition-value group as typed literals
+    (types from metaData.schemaString) and prunes groups driver-side via
+    ``partition_filter`` before a single scan is planned;
   * the scan itself is a plain Spark parquet read over the active file
     list — predicate pushdown, column pruning, and partition-level
     parallelism all apply downstream, and log replay costs O(actions),
@@ -138,15 +143,12 @@ def list_delta_versions(table_path: str) -> list[int]:
     return readable
 
 
-def delta_active_files(table_path: str, version: int | None = None) -> list[str]:
-    """Replay the log through ``version`` (default: latest) and return the
-    snapshot's active data-file paths, absolute, in first-added order.
-
-    Pure metadata work: cost ∝ number of log actions, independent of
-    table data size — the property that makes lake commits cheap at
-    100 TB (a commit is new files + one small log object; old data is
-    never rewritten or rescanned to read history).
-    """
+def _replay(
+    table_path: str, version: int | None
+) -> tuple[dict[str, dict], dict | None]:
+    """Replay through ``version``: (active adds keyed by relative path,
+    each mapped to its partitionValues dict; the table's metaData action
+    or None). The single replay loop every public reader shares."""
     versions = list_delta_versions(table_path)
     if version is None:
         version = versions[-1]
@@ -156,7 +158,8 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
         )
     log_dir = _log_dir(table_path)
     _, cp_v = _listed_versions(log_dir)
-    active: dict[str, None] = {}  # insertion-ordered set of relative paths
+    active: dict[str, dict] = {}  # insertion-ordered: rel path -> partitionValues
+    meta: dict | None = None
     # Seed from the newest checkpoint ≤ the target. Readability (checked
     # above) guarantees the JSON tail after it is complete: any replay
     # chain to `version` must either cross every intermediate version via
@@ -165,10 +168,11 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
     seed = max((c for c in cp_v if c <= version), default=None)
     start = 0
     if seed is not None:
-        for p in _checkpoint_active_paths(
+        adds, meta = _checkpoint_state(
             os.path.join(log_dir, f"{seed:020d}.checkpoint.parquet")
-        ):
-            active[p] = None
+        )
+        for p, pv in adds:
+            active[p] = pv
         start = seed + 1
     for v in range(start, version + 1):
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
@@ -178,47 +182,76 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    active[action["add"]["path"]] = None
+                    active[action["add"]["path"]] = (
+                        action["add"].get("partitionValues") or {}
+                    )
                 elif "remove" in action:
                     # logical delete: the file stays on disk (old
                     # snapshots still reference it) but leaves this and
                     # later versions
                     active.pop(action["remove"]["path"], None)
+                elif "metaData" in action:
+                    meta = action["metaData"]
+    return active, meta
+
+
+def delta_active_files(table_path: str, version: int | None = None) -> list[str]:
+    """Replay the log through ``version`` (default: latest) and return the
+    snapshot's active data-file paths, absolute, in first-added order.
+
+    Pure metadata work: cost ∝ number of log actions, independent of
+    table data size — the property that makes lake commits cheap at
+    100 TB (a commit is new files + one small log object; old data is
+    never rewritten or rescanned to read history).
+    """
+    active, _ = _replay(table_path, version)
     return [os.path.join(table_path, p) for p in active]
 
 
-def _checkpoint_active_paths(cp_file: str) -> list[str]:
-    """Active data-file paths from one single-part checkpoint parquet.
+def _checkpoint_state(cp_file: str) -> tuple[list[tuple[str, dict]], dict | None]:
+    """(active (path, partitionValues) pairs, metaData action or None)
+    from one single-part checkpoint parquet.
 
     A checkpoint row is one action; rows whose `add` struct is non-null
     ARE the snapshot's active file set (remove rows are VACUUM
-    tombstones, irrelevant to a snapshot read; protocol/metaData/txn
-    rows carry no files). Driver-side pyarrow read, action-count-sized —
-    same cost class as the JSON replay it replaces.
+    tombstones, irrelevant to a snapshot read; protocol/txn rows carry
+    no files; the metaData row carries the schema and partition columns
+    a partitioned read needs). Driver-side pyarrow read,
+    action-count-sized — same cost class as the JSON replay it replaces.
     """
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     table = pq.read_table(cp_file)
+    meta: dict | None = None
+    if "metaData" in table.column_names and pa.types.is_struct(
+        table.column("metaData").type
+    ):
+        for row in table.column("metaData").to_pylist():
+            if row is not None:
+                meta = row
+                break
     if "add" not in table.column_names:
-        return []  # checkpoint of an empty table: no add actions at all
-    adds = table.column("add")
-    if not pa.types.is_struct(adds.type):
-        return []  # all-null add column (no active files) infers null type
-    paths: list[str] = []
-    for chunk in adds.chunks:
-        path_col = chunk.field("path")
-        # parent-struct validity, NOT the child's: Arrow permits non-null
-        # child values under a null struct row
-        valid = chunk.is_valid()
-        for i in range(len(chunk)):
-            if valid[i].as_py():
-                paths.append(path_col[i].as_py())
-    return paths
+        return [], meta  # checkpoint of an empty table: no add actions
+    adds_col = table.column("add")
+    if not pa.types.is_struct(adds_col.type):
+        return [], meta  # all-null add column infers null type
+    adds: list[tuple[str, dict]] = []
+    for row in adds_col.to_pylist():
+        # to_pylist returns None for rows where the parent struct is null
+        # (protocol/metaData/remove rows), regardless of child buffers
+        if row is not None:
+            # map<string,string> materializes as a list of (k, v) pairs;
+            # dict() normalizes that and a plain dict alike
+            adds.append((row["path"], dict(row.get("partitionValues") or {})))
+    return adds, meta
 
 
 def read_delta_snapshot(
-    spark: SparkSession, table_path: str, version: int | None = None
+    spark: SparkSession,
+    table_path: str,
+    version: int | None = None,
+    partition_filter: dict[str, str] | None = None,
 ) -> DataFrame:
     """Spark DataFrame over one Delta snapshot (default: latest version).
 
@@ -227,11 +260,91 @@ def read_delta_snapshot(
     pushdown and column pruning behave exactly as on a native table; the
     log replay above it is driver-side metadata only (file-list-sized,
     the Iceberg planning pattern the lake_* ops already use).
+
+    Partitioned tables: Delta stores partition column VALUES only in the
+    log (`add.partitionValues`) — the data files do not contain those
+    columns at all, so a naive multi-file read would silently drop them.
+    Here each partition-value group becomes one scan with its partition
+    columns attached as literals (cast per the metaData schemaString,
+    Delta's canonical string encoding, "" meaning null), unioned by
+    name. Literal partition columns constant-fold under Catalyst, and
+    ``partition_filter`` ({column: string-encoded value}) prunes whole
+    groups driver-side BEFORE any scan is built — the log-only partition
+    pruning that makes a 100 TB partitioned read list only the files it
+    touches.
     """
-    files = delta_active_files(table_path, version)
-    if not files:
+    active, meta = _replay(table_path, version)
+    if not active:
         raise ValueError(
             f"Delta snapshot {version} of {table_path} has no active "
             "files; cannot infer a schema from an empty file list"
         )
-    return spark.read.parquet(*files)
+    part_cols = list((meta or {}).get("partitionColumns") or [])
+    if not part_cols:
+        if partition_filter:
+            raise ValueError(
+                f"partition_filter {partition_filter} on an unpartitioned "
+                f"table (metaData declares no partitionColumns)"
+            )
+        if any(pv for pv in active.values()):
+            raise ValueError(
+                f"table {table_path} has add actions with partitionValues "
+                "but no metaData declaring partitionColumns in the "
+                "retained log — refusing to read partition columns as "
+                "data-only"
+            )
+        return spark.read.parquet(
+            *[os.path.join(table_path, p) for p in active]
+        )
+    if partition_filter and (bad := set(partition_filter) - set(part_cols)):
+        raise ValueError(
+            f"partition_filter keys {sorted(bad)} are not partition "
+            f"columns {part_cols}"
+        )
+    part_types = _partition_column_types(meta, part_cols)
+    groups: dict[tuple, list[str]] = {}
+    for p, pv in active.items():
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(os.path.join(table_path, p))
+    if partition_filter:
+        groups = {
+            key: files
+            for key, files in groups.items()
+            if all(
+                key[part_cols.index(c)] == v
+                for c, v in partition_filter.items()
+            )
+        }
+        if not groups:
+            raise ValueError(
+                f"partition_filter {partition_filter} matches no partition "
+                f"of snapshot {version}"
+            )
+    from pyspark.sql import functions as F
+
+    out: DataFrame | None = None
+    for key, files in groups.items():
+        df = spark.read.parquet(*files)
+        for c, raw in zip(part_cols, key):
+            # Delta's string encoding: missing key or "" is null
+            lit = F.lit(None) if raw in (None, "") else F.lit(raw)
+            df = df.withColumn(c, lit.cast(part_types[c]))
+        out = df if out is None else out.unionByName(df)
+    return out
+
+
+def _partition_column_types(meta: dict, part_cols: list[str]) -> dict[str, str]:
+    """Partition column -> Spark type, from metaData.schemaString (a
+    Spark-JSON StructType, per PROTOCOL.md). Falls back to string when
+    the schemaString is absent — values then stay in Delta's canonical
+    string encoding rather than failing the read."""
+    schema_str = (meta or {}).get("schemaString")
+    types = {c: "string" for c in part_cols}
+    if schema_str:
+        from pyspark.sql.types import StructType
+
+        schema = StructType.fromJson(json.loads(schema_str))
+        for f in schema.fields:
+            if f.name in types:
+                types[f.name] = f.dataType.simpleString()
+    return types
