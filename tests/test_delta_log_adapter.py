@@ -473,3 +473,146 @@ def test_partitioned_checkpoint_roundtrips_partition_values(spark, tmp_path):
     got = {(r["k"], r["region"], r["year"]) for r in
            read_delta_snapshot(spark, table, 3).collect()}
     assert got == {(1, "emea", 2024), (2, "apac", 2025)}
+
+
+# ---------------------------------------------------------------------------
+# add.stats zone-map file skipping + incremental (streaming) consumption
+# ---------------------------------------------------------------------------
+
+
+def _add_stats(path, min_k, max_k, n):
+    a = _add(path)
+    a["add"]["stats"] = json.dumps({
+        "numRecords": n,
+        "minValues": {"k": min_k},
+        "maxValues": {"k": max_k},
+        "nullCount": {"k": 0},
+    })
+    return a
+
+
+@pytest.fixture()
+def stats_table(tmp_path):
+    """Three files with disjoint k ranges and exact per-file stats, plus
+    one file with NO stats (an old writer) that pruning must keep."""
+    table = str(tmp_path / "stats")
+    os.makedirs(table, exist_ok=True)
+    ranges = {"s0.parquet": [0, 9], "s1.parquet": [10, 19],
+              "s2.parquet": [20, 29]}
+    for name, (lo, hi) in ranges.items():
+        pq.write_table(pa.Table.from_pylist([{"k": lo}, {"k": hi}]),
+                       os.path.join(table, name))
+    pq.write_table(pa.Table.from_pylist([{"k": 100}]),
+                   os.path.join(table, "nostats.parquet"))
+    _commit(table, 0, [
+        _add_stats("s0.parquet", 0, 9, 2),
+        _add_stats("s1.parquet", 10, 19, 2),
+        _add_stats("s2.parquet", 20, 29, 2),
+        _add("nostats.parquet"),
+    ])
+    return table
+
+
+def test_stats_filter_skips_provably_excluded_files(spark, stats_table):
+    """k >= 15 can only live in s1, s2 — and in the stats-less file,
+    which MUST survive (keep-on-missing is the soundness rule)."""
+    df = read_delta_snapshot(spark, stats_table, stats_filter=[("k", ">=", 15)])
+    scanned = {os.path.basename(f) for f in df.inputFiles()}
+    assert scanned == {"s1.parquet", "s2.parquet", "nostats.parquet"}
+    # the scan is a superset by design; the real predicate still applies
+    assert {r["k"] for r in df.filter("k >= 15").collect()} == {19, 20, 29, 100}
+
+
+def test_stats_filter_equality_and_conjunction(spark, stats_table):
+    df = read_delta_snapshot(spark, stats_table, stats_filter=[("k", "=", 12)])
+    assert {os.path.basename(f) for f in df.inputFiles()} == {
+        "s1.parquet", "nostats.parquet"}
+    df = read_delta_snapshot(
+        spark, stats_table, stats_filter=[("k", ">", 9), ("k", "<", 20)])
+    assert {os.path.basename(f) for f in df.inputFiles()} == {
+        "s1.parquet", "nostats.parquet"}
+
+
+def test_stats_filter_boundary_semantics(spark, stats_table):
+    """Strict vs non-strict at an exact file boundary (max(s0) = 9):
+    k > 9 may drop s0, k >= 9 may not."""
+    gt = read_delta_snapshot(spark, stats_table, stats_filter=[("k", ">", 9)])
+    assert "s0.parquet" not in {os.path.basename(f) for f in gt.inputFiles()}
+    ge = read_delta_snapshot(spark, stats_table, stats_filter=[("k", ">=", 9)])
+    assert "s0.parquet" in {os.path.basename(f) for f in ge.inputFiles()}
+
+
+def test_stats_filter_failure_modes(spark, stats_table):
+    with pytest.raises(ValueError, match="numeric"):
+        read_delta_snapshot(spark, stats_table,
+                            stats_filter=[("k", "=", "12")])
+    with pytest.raises(ValueError, match="op"):
+        read_delta_snapshot(spark, stats_table,
+                            stats_filter=[("k", "!=", 12)])
+    # the stats-less file survives even an impossible predicate —
+    # keep-on-missing beats "prunes every file"
+    df = read_delta_snapshot(spark, stats_table, stats_filter=[("k", "<", -5)])
+    assert {os.path.basename(f) for f in df.inputFiles()} == {"nostats.parquet"}
+
+
+def test_stats_filter_pruning_everything_is_refused(spark, tmp_path):
+    """When every file has stats and the predicate excludes them all, an
+    empty scan has no schema — refuse with a clear error."""
+    table = str(tmp_path / "allstats")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"k": 1}]),
+                   os.path.join(table, "only.parquet"))
+    _commit(table, 0, [_add_stats("only.parquet", 1, 1, 1)])
+    with pytest.raises(ValueError, match="prunes every file"):
+        read_delta_snapshot(spark, table, stats_filter=[("k", ">", 5)])
+
+
+def test_stats_keep_on_missing_column(spark, stats_table):
+    """A predicate on a column absent from every stats dict prunes
+    nothing."""
+    df = read_delta_snapshot(spark, stats_table,
+                             stats_filter=[("other", ">", 1e9)])
+    assert len(df.inputFiles()) == 4
+
+
+def test_incremental_files_window(spark, tmp_path):
+    """Appends in (since, to] surface once each; dataChange=false
+    rewrites (compaction) are invisible; a real delete refuses."""
+    table = str(tmp_path / "incr")
+    os.makedirs(table, exist_ok=True)
+    for i in range(4):
+        pq.write_table(pa.Table.from_pylist([{"k": i}]),
+                       os.path.join(table, f"g{i}.parquet"))
+    _commit(table, 0, [_add("g0.parquet")])
+    _commit(table, 1, [_add("g1.parquet")])
+    compact_add = _add("g2.parquet")
+    compact_add["add"]["dataChange"] = False
+    compact_rm = _remove("g0.parquet")
+    compact_rm["remove"]["dataChange"] = False
+    _commit(table, 2, [compact_rm, compact_add])
+    _commit(table, 3, [_add("g3.parquet")])
+
+    from xml_to_parquet_spark.sources.delta_log import delta_incremental_files
+
+    got = delta_incremental_files(table, 0)
+    assert [(v, os.path.basename(p)) for v, p in got] == [
+        (1, "g1.parquet"), (3, "g3.parquet")]
+    assert delta_incremental_files(table, 0, 1) == [
+        (1, os.path.join(table, "g1.parquet"))]
+    assert delta_incremental_files(table, 3) == []
+
+    _commit(table, 4, [_remove("g1.parquet")])  # dataChange defaults true
+    with pytest.raises(ValueError, match="append-only"):
+        delta_incremental_files(table, 3)
+    # but a window before the delete still works
+    assert delta_incremental_files(table, 2, 3) == [
+        (3, os.path.join(table, "g3.parquet"))]
+
+
+def test_incremental_below_retained_history_refused(cp_table):
+    """cp_table has JSON only for v3 — an increment from v0 needs the
+    cleaned commits and must refuse, not silently skip them."""
+    from xml_to_parquet_spark.sources.delta_log import delta_incremental_files
+
+    with pytest.raises(ValueError, match="not retained"):
+        delta_incremental_files(cp_table, 0)

@@ -37,6 +37,16 @@ Semantics implemented (the subset the lake_* ops model):
     reader attaches them per partition-value group as typed literals
     (types from metaData.schemaString) and prunes groups driver-side via
     ``partition_filter`` before a single scan is planned;
+  * per-file zone-map skipping: ``stats_filter`` prunes files by the
+    minValues/maxValues recorded in ``add.stats`` — numeric predicates
+    only (string stats may be writer-truncated, which would make string
+    pruning unsound), keep-on-missing, so it can skip work but never
+    rows;
+  * incremental consumption: ``delta_incremental_files(since, to)``
+    returns the data-changing adds of a version window — the
+    streaming-from-Delta micro-batch planner — skipping
+    ``dataChange: false`` rewrites and refusing windows containing real
+    deletes (those need a CDC feed, not an append replay);
   * the scan itself is a plain Spark parquet read over the active file
     list — predicate pushdown, column pruning, and partition-level
     parallelism all apply downstream, and log replay costs O(actions),
@@ -147,8 +157,9 @@ def _replay(
     table_path: str, version: int | None
 ) -> tuple[dict[str, dict], dict | None]:
     """Replay through ``version``: (active adds keyed by relative path,
-    each mapped to its partitionValues dict; the table's metaData action
-    or None). The single replay loop every public reader shares."""
+    each mapped to {"partitionValues": dict, "stats": dict|None}; the
+    table's metaData action or None). The single replay loop every
+    public reader shares."""
     versions = list_delta_versions(table_path)
     if version is None:
         version = versions[-1]
@@ -171,8 +182,8 @@ def _replay(
         adds, meta = _checkpoint_state(
             os.path.join(log_dir, f"{seed:020d}.checkpoint.parquet")
         )
-        for p, pv in adds:
-            active[p] = pv
+        for p, entry in adds:
+            active[p] = entry
         start = seed + 1
     for v in range(start, version + 1):
         with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
@@ -182,8 +193,9 @@ def _replay(
                     continue
                 action = json.loads(line)
                 if "add" in action:
-                    active[action["add"]["path"]] = (
-                        action["add"].get("partitionValues") or {}
+                    active[action["add"]["path"]] = _add_entry(
+                        action["add"].get("partitionValues"),
+                        action["add"].get("stats"),
                     )
                 elif "remove" in action:
                     # logical delete: the file stays on disk (old
@@ -193,6 +205,12 @@ def _replay(
                 elif "metaData" in action:
                     meta = action["metaData"]
     return active, meta
+
+
+def _add_entry(partition_values, stats) -> dict:
+    """Normalized per-add replay entry. `stats` is PROTOCOL.md's JSON
+    STRING (kept lazy: parsed only if a stats_filter asks)."""
+    return {"partitionValues": dict(partition_values or {}), "stats": stats}
 
 
 def delta_active_files(table_path: str, version: int | None = None) -> list[str]:
@@ -242,8 +260,11 @@ def _checkpoint_state(cp_file: str) -> tuple[list[tuple[str, dict]], dict | None
         # (protocol/metaData/remove rows), regardless of child buffers
         if row is not None:
             # map<string,string> materializes as a list of (k, v) pairs;
-            # dict() normalizes that and a plain dict alike
-            adds.append((row["path"], dict(row.get("partitionValues") or {})))
+            # dict() (inside _add_entry) normalizes that and a dict alike
+            adds.append(
+                (row["path"],
+                 _add_entry(row.get("partitionValues"), row.get("stats")))
+            )
     return adds, meta
 
 
@@ -252,6 +273,7 @@ def read_delta_snapshot(
     table_path: str,
     version: int | None = None,
     partition_filter: dict[str, str] | None = None,
+    stats_filter: list[tuple[str, str, float]] | None = None,
 ) -> DataFrame:
     """Spark DataFrame over one Delta snapshot (default: latest version).
 
@@ -272,6 +294,17 @@ def read_delta_snapshot(
     groups driver-side BEFORE any scan is built — the log-only partition
     pruning that makes a 100 TB partitioned read list only the files it
     touches.
+
+    ``stats_filter`` ([(column, op, numeric_literal)], op in
+    = < <= > >=) prunes individual FILES by the per-file
+    minValues/maxValues in ``add.stats`` — Delta's zone-map device. A
+    file is dropped only when its [min, max] provably excludes every
+    matching row; files with missing/partial stats are always kept, so
+    the filter can only skip work, never rows. Restricted to NUMERIC
+    literals on purpose: writers may truncate long string stats, which
+    would make string range pruning unsound, while numeric stats are
+    always exact. The predicate still belongs in `.filter()` too — this
+    only shrinks the file list the scan is planned over.
     """
     active, meta = _replay(table_path, version)
     if not active:
@@ -279,6 +312,20 @@ def read_delta_snapshot(
             f"Delta snapshot {version} of {table_path} has no active "
             "files; cannot infer a schema from an empty file list"
         )
+    if stats_filter:
+        _validate_stats_filter(stats_filter)
+        survivors = {
+            p: entry
+            for p, entry in active.items()
+            if _stats_file_survives(entry["stats"], stats_filter)
+        }
+        if not survivors:
+            raise ValueError(
+                f"stats_filter {stats_filter} prunes every file of "
+                f"snapshot {version}; an empty scan has no schema — "
+                "drop the filter or relax it"
+            )
+        active = survivors
     part_cols = list((meta or {}).get("partitionColumns") or [])
     if not part_cols:
         if partition_filter:
@@ -286,7 +333,7 @@ def read_delta_snapshot(
                 f"partition_filter {partition_filter} on an unpartitioned "
                 f"table (metaData declares no partitionColumns)"
             )
-        if any(pv for pv in active.values()):
+        if any(a["partitionValues"] for a in active.values()):
             raise ValueError(
                 f"table {table_path} has add actions with partitionValues "
                 "but no metaData declaring partitionColumns in the "
@@ -303,8 +350,8 @@ def read_delta_snapshot(
         )
     part_types = _partition_column_types(meta, part_cols)
     groups: dict[tuple, list[str]] = {}
-    for p, pv in active.items():
-        key = tuple(pv.get(c) for c in part_cols)
+    for p, entry in active.items():
+        key = tuple(entry["partitionValues"].get(c) for c in part_cols)
         groups.setdefault(key, []).append(os.path.join(table_path, p))
     if partition_filter:
         groups = {
@@ -330,6 +377,111 @@ def read_delta_snapshot(
             lit = F.lit(None) if raw in (None, "") else F.lit(raw)
             df = df.withColumn(c, lit.cast(part_types[c]))
         out = df if out is None else out.unionByName(df)
+    return out
+
+
+_STATS_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _validate_stats_filter(stats_filter) -> None:
+    for pred in stats_filter:
+        col, op, lit = pred
+        if op not in _STATS_OPS:
+            raise ValueError(f"stats_filter op {op!r} not in {_STATS_OPS}")
+        if isinstance(lit, bool) or not isinstance(lit, (int, float)):
+            raise ValueError(
+                f"stats_filter literal {lit!r} for {col} must be numeric "
+                "(string stats may be writer-truncated; pruning on them "
+                "would be unsound)"
+            )
+
+
+def _stats_file_survives(stats_json, stats_filter) -> bool:
+    """True unless the file's [min, max] provably excludes every row
+    matching ALL predicates. Missing stats / missing column stats /
+    non-numeric recorded bounds keep the file — skipping is an
+    optimization that must never be able to drop a matching row."""
+    if not stats_json:
+        return True
+    try:
+        stats = json.loads(stats_json) if isinstance(stats_json, str) else stats_json
+    except (ValueError, TypeError):
+        return True
+    mins = stats.get("minValues") or {}
+    maxs = stats.get("maxValues") or {}
+    for col, op, lit in stats_filter:
+        lo, hi = mins.get(col), maxs.get(col)
+        if isinstance(lo, bool) or not isinstance(lo, (int, float)):
+            lo = None
+        if isinstance(hi, bool) or not isinstance(hi, (int, float)):
+            hi = None
+        if op == "=" and (
+            (lo is not None and lit < lo) or (hi is not None and lit > hi)
+        ):
+            return False
+        if op == "<" and lo is not None and lo >= lit:
+            return False
+        if op == "<=" and lo is not None and lo > lit:
+            return False
+        if op == ">" and hi is not None and hi <= lit:
+            return False
+        if op == ">=" and hi is not None and hi < lit:
+            return False
+    return True
+
+
+def delta_incremental_files(
+    table_path: str, since_version: int, to_version: int | None = None
+) -> list[tuple[int, str]]:
+    """(version, absolute path) for every data-CHANGING file added in
+    (since_version, to_version] — the micro-batch planner of
+    streaming-from-Delta: a reader that has consumed through
+    ``since_version`` processes exactly these files to catch up, each
+    file exactly once (Delta appends are immutable; a row's file is its
+    one delivery). Adds with ``dataChange: false`` (compaction /
+    clustering rewrites) are SKIPPED — their rows were already delivered
+    by the original files — and a remove with ``dataChange: true`` in
+    the window raises, because deletes cannot be represented as an
+    append-only increment (that is what CDC feeds are for; the lake_*
+    ops' stream_cdc_apply models that consumption path).
+
+    Requires the JSON commits in the window: increments are
+    PER-VERSION facts that a checkpoint (a reconciled state) cannot
+    reconstruct — asking below the retained history raises.
+    """
+    versions = list_delta_versions(table_path)
+    if to_version is None:
+        to_version = versions[-1]
+    log_dir = _log_dir(table_path)
+    json_v, _ = _listed_versions(log_dir)
+    need = range(since_version + 1, to_version + 1)
+    if missing := [v for v in need if v not in json_v]:
+        raise ValueError(
+            f"incremental read needs JSON commits {list(need)} but "
+            f"{missing} are not retained (checkpoints cannot reconstruct "
+            "per-version increments)"
+        )
+    out: list[tuple[int, str]] = []
+    for v in need:
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    if action["add"].get("dataChange", True):
+                        out.append(
+                            (v, os.path.join(table_path, action["add"]["path"]))
+                        )
+                elif "remove" in action:
+                    if action["remove"].get("dataChange", True):
+                        raise ValueError(
+                            f"version {v} removes "
+                            f"{action['remove']['path']} with "
+                            "dataChange=true: a delete cannot be served "
+                            "as an append-only increment"
+                        )
     return out
 
 
