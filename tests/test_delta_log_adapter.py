@@ -616,3 +616,73 @@ def test_incremental_below_retained_history_refused(cp_table):
 
     with pytest.raises(ValueError, match="not retained"):
         delta_incremental_files(cp_table, 0)
+
+
+# ---------------------------------------------------------------------------
+# schema evolution — the table schema is metaData, not a sampled data file
+# ---------------------------------------------------------------------------
+
+
+def _schema_str(fields):
+    return json.dumps({"type": "struct", "fields": [
+        {"name": n, "type": t, "nullable": True, "metadata": {}}
+        for n, t in fields
+    ]})
+
+
+def test_schema_evolution_old_files_read_as_null(spark, tmp_path):
+    """Commit 0 writes (k); commit 1 ADDS column v via a new metaData and
+    a file that has it. The snapshot must carry v for every row — null
+    for pre-evolution files — instead of inheriting whichever file Spark
+    happens to sample."""
+    table = str(tmp_path / "evolve")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"k": 1}]),
+                   os.path.join(table, "old.parquet"))
+    pq.write_table(pa.Table.from_pylist([{"k": 2, "v": "new"}]),
+                   os.path.join(table, "new.parquet"))
+    _commit(table, 0, [
+        {"metaData": {"id": "e", "partitionColumns": [],
+                      "schemaString": _schema_str([("k", "long")])}},
+        _add("old.parquet"),
+    ])
+    _commit(table, 1, [
+        {"metaData": {"id": "e", "partitionColumns": [],
+                      "schemaString": _schema_str([("k", "long"),
+                                                   ("v", "string")])}},
+        _add("new.parquet"),
+    ])
+    df = read_delta_snapshot(spark, table)
+    assert dict(df.dtypes) == {"k": "bigint", "v": "string"}
+    got = {(r["k"], r["v"]) for r in df.collect()}
+    assert got == {(1, None), (2, "new")}
+    # time travel BEFORE the evolution serves the old schema
+    v0 = read_delta_snapshot(spark, table, 0)
+    assert v0.columns == ["k"]
+
+
+def test_schema_evolution_under_partitioning(spark, tmp_path):
+    """Evolution composes with partition columns: the declared data
+    schema (minus partition cols) drives every group scan."""
+    table = str(tmp_path / "evolve_part")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"k": 1}]),
+                   os.path.join(table, "old.parquet"))
+    pq.write_table(pa.Table.from_pylist([{"k": 2, "v": 9}]),
+                   os.path.join(table, "new.parquet"))
+    _commit(table, 0, [
+        {"metaData": {"id": "ep", "partitionColumns": ["region"],
+                      "schemaString": _schema_str([("k", "long"),
+                                                   ("region", "string")])}},
+        _add_part("old.parquet", {"region": "emea"}),
+    ])
+    _commit(table, 1, [
+        {"metaData": {"id": "ep", "partitionColumns": ["region"],
+                      "schemaString": _schema_str([("k", "long"),
+                                                   ("v", "long"),
+                                                   ("region", "string")])}},
+        _add_part("new.parquet", {"region": "apac"}),
+    ])
+    df = read_delta_snapshot(spark, table)
+    got = {(r["k"], r["v"], r["region"]) for r in df.collect()}
+    assert got == {(1, None, "emea"), (2, 9, "apac")}

@@ -54,12 +54,16 @@ Semantics implemented (the subset the lake_* ops model):
     manifest read). Checkpoint reads are pyarrow, driver-side,
     action-count-sized.
 
+  * schema evolution: the TABLE schema is the latest metaData.schemaString
+    in the replay (a schema change commits a new metaData action), and
+    the scan reads under it explicitly — files written before a column
+    was added surface it as null, never as a sampling-dependent schema.
+
 Out of scope, documented: multi-part checkpoints (refused with a clear
 error when `_last_checkpoint` declares `parts`), deletion vectors,
-column mapping, and the writer path. Reads enforce only protocol
-invariants this adapter relies on: a replay path with no holes (every
-readable version is a checkpoint seed plus a contiguous JSON tail) and
-at most one metaData schema.
+column mapping, and the writer path. Reads enforce only the protocol
+invariant this adapter relies on: a replay path with no holes (every
+readable version is a checkpoint seed plus a contiguous JSON tail).
 """
 
 from __future__ import annotations
@@ -340,8 +344,8 @@ def read_delta_snapshot(
                 "retained log — refusing to read partition columns as "
                 "data-only"
             )
-        return spark.read.parquet(
-            *[os.path.join(table_path, p) for p in active]
+        return _read_files(
+            spark, meta, [], [os.path.join(table_path, p) for p in active]
         )
     if partition_filter and (bad := set(partition_filter) - set(part_cols)):
         raise ValueError(
@@ -371,13 +375,38 @@ def read_delta_snapshot(
 
     out: DataFrame | None = None
     for key, files in groups.items():
-        df = spark.read.parquet(*files)
+        df = _read_files(spark, meta, part_cols, files)
         for c, raw in zip(part_cols, key):
             # Delta's string encoding: missing key or "" is null
             lit = F.lit(None) if raw in (None, "") else F.lit(raw)
             df = df.withColumn(c, lit.cast(part_types[c]))
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def _read_files(
+    spark: SparkSession, meta: dict | None, part_cols: list[str], files: list[str]
+) -> DataFrame:
+    """Parquet scan over one snapshot's files, under the TABLE schema.
+
+    The schema of a Delta table is metaData.schemaString, NOT whatever a
+    sample data file happens to contain — files written before a column
+    was added simply lack it, and Spark's explicit-schema parquet read
+    fills those as nulls, which is exactly Delta's schema-evolution
+    semantics. Without the explicit schema the read would take its
+    schema from an arbitrary file and either drop the new column or fail
+    depending on which file Spark samples. Partition columns are carved
+    out (they are never in the data files; the caller attaches them as
+    typed literals). Falls back to inference when the retained log has
+    no schemaString."""
+    schema_str = (meta or {}).get("schemaString")
+    if not schema_str:
+        return spark.read.parquet(*files)
+    from pyspark.sql.types import StructType
+
+    full = StructType.fromJson(json.loads(schema_str))
+    data_fields = [f for f in full.fields if f.name not in set(part_cols)]
+    return spark.read.schema(StructType(data_fields)).parquet(*files)
 
 
 _STATS_OPS = ("=", "<", "<=", ">", ">=")
