@@ -686,3 +686,49 @@ def test_schema_evolution_under_partitioning(spark, tmp_path):
     df = read_delta_snapshot(spark, table)
     got = {(r["k"], r["v"], r["region"]) for r in df.collect()}
     assert got == {(1, None, "emea"), (2, 9, "apac")}
+
+
+# ---------------------------------------------------------------------------
+# stats-pruning soundness property — skipping may lose work, never rows
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from xml_to_parquet_spark.sources.delta_log import _stats_file_survives
+
+_OPS = ["=", "<", "<=", ">", ">="]
+
+
+def _matches(op, x, lit):
+    return {"=": x == lit, "<": x < lit, "<=": x <= lit,
+            ">": x > lit, ">=": x >= lit}[op]
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    lo=st.integers(-50, 50), span=st.integers(0, 30),
+    op=st.sampled_from(_OPS), lit=st.integers(-60, 60),
+    probe=st.integers(0, 30),
+)
+def test_stats_pruning_is_sound(lo, span, op, lit, probe):
+    """For every file [lo, hi] and predicate (k, op, lit): if ANY value
+    inside the file's recorded bounds matches the predicate, the file
+    must survive pruning. (The converse — pruning every non-matching
+    file — is an optimization goal, not a soundness requirement.)"""
+    hi = lo + span
+    stats = json.dumps({"minValues": {"k": lo}, "maxValues": {"k": hi}})
+    survives = _stats_file_survives(stats, [("k", op, lit)])
+    x = lo + (probe % (span + 1))  # an arbitrary value the file may hold
+    if _matches(op, x, lit):
+        assert survives, (lo, hi, op, lit, x)
+
+
+@settings(max_examples=100, deadline=None)
+@given(op=st.sampled_from(_OPS), lit=st.integers(-60, 60))
+def test_stats_pruning_keeps_on_malformed(op, lit):
+    """Missing, empty, truncated-to-garbage, or non-numeric stats must
+    always keep the file."""
+    for s in (None, "", "not json", json.dumps({}),
+              json.dumps({"minValues": {"k": "txt"}, "maxValues": {"k": True}})):
+        assert _stats_file_survives(s, [("k", op, lit)])
