@@ -34,11 +34,11 @@ def events_pd(sf_dir):
 
 
 def test_r13_staged_ops_hidden_from_driver_registry(reg):
-    # er_fellegi_sunter leads the r13 promotion queue; everything else in
-    # this file was promoted at the r11 (stream_timer_timeout, pulled
-    # forward per VERDICT r10 #4) or r12 rotation
-    assert "er_fellegi_sunter" in STAGED and "er_fellegi_sunter" not in reg
+    # every op in this file is now promoted: stream_timer_timeout at the
+    # r11 rotation (pulled forward per VERDICT r10 #4), the dq/graph ops
+    # at r12, and er_fellegi_sunter at the r13 rotation
     for name in (
+        "er_fellegi_sunter",
         "stream_timer_timeout",
         "dq_ks_distance",
         "dq_schema_drift",
@@ -764,7 +764,7 @@ def test_fellegi_sunter_matches_exact_python_recompute(reg, spark, sf_dir):
         (r["rid"], r["cand_custkey"]): (
             r["a_name"], r["a_phone"], r["a_city"], r["score"], r["decision"]
         )
-        for r in STAGED["er_fellegi_sunter"].fn(spark, sf_dir).collect()
+        for r in lookup("er_fellegi_sunter").fn(spark, sf_dir).collect()
     }
     assert got == _fs_recompute(sf_dir)
 
@@ -775,7 +775,7 @@ def test_fellegi_sunter_plant_classes_by_construction(reg, spark, sf_dir):
     lands in the 'possible' review band; random same-block pairs are
     'non_match' — every class populated, every plant classified
     per its custkey arithmetic."""
-    rows = STAGED["er_fellegi_sunter"].fn(spark, sf_dir).collect()
+    rows = lookup("er_fellegi_sunter").fn(spark, sf_dir).collect()
     self_pairs = {r["rid"]: r for r in rows if r["rid"] == r["cand_custkey"]}
     n_cust = len(pd.read_parquet(f"{sf_dir}/customer.parquet", columns=["c_custkey"]))
     for k in range(0, n_cust, 4):

@@ -35,6 +35,8 @@ def _round6(x: float) -> float:
 
 
 def test_r14_staged_ops_hidden_from_driver_registry(reg):
+    # the full r14 tier was promoted EARLY, at the r13 rotation (tier-drain
+    # mode, R13_PLAN.md): every op in this file is now registered
     for name in (
         "graph_jaccard_neighbors",
         "dedup_containment_incremental",
@@ -47,7 +49,7 @@ def test_r14_staged_ops_hidden_from_driver_registry(reg):
         "dq_seasonal_decompose",
         "er_cluster_entities",
     ):
-        assert name in STAGED and name not in reg
+        assert name not in STAGED and name in reg
 
 
 # ---------------------------------------------------------------------------
@@ -82,13 +84,13 @@ def test_jaccard_neighbors_matches_python_sets(spark, sf_dir, lineitem_pd, reg):
     expected = _jaccard_recompute(lineitem_pd)
     got = {
         (r["u"], r["v"]): (r["common"], r["deg_u"], r["deg_v"], r["jaccard"])
-        for r in STAGED["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+        for r in lookup("graph_jaccard_neighbors").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
 
 def test_jaccard_neighbors_invariants(spark, sf_dir, reg):
-    rows = STAGED["graph_jaccard_neighbors"].fn(spark, sf_dir).collect()
+    rows = lookup("graph_jaccard_neighbors").fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["u"] < r["v"]
@@ -153,7 +155,7 @@ def test_containment_incremental_matches_python_sets(
     expected = {
         k: (v[0], v[1]) for k, v in _containment_recompute(documents_pd).items()
     }
-    rows = STAGED["dedup_containment_incremental"].fn(spark, sf_dir).collect()
+    rows = lookup("dedup_containment_incremental").fn(spark, sf_dir).collect()
     got = {
         (r["batch_doc"], r["index_doc"]): (r["n_inter"], r["n_sh"])
         for r in rows
@@ -180,7 +182,7 @@ def test_containment_incremental_interrupted_build_reruns(spark, sf_dir, reg):
 
     from xml_to_parquet_spark.io_paths import committed, scratch_dir
 
-    fn = STAGED["dedup_containment_incremental"].fn
+    fn = lookup("dedup_containment_incremental").fn
     baseline = {
         (r["batch_doc"], r["index_doc"]): r["n_inter"]
         for r in fn(spark, sf_dir).collect()
@@ -238,13 +240,13 @@ def test_benford_matches_python(spark, sf_dir, lineitem_pd, reg):
     expected = _benford_recompute(lineitem_pd, orders_pd)
     got = {
         (r["col"], r["digit"]): (r["obs"], r["n"], r["exp_cnt"], r["chi2_term"])
-        for r in STAGED["dq_benford"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_benford").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
 
 def test_benford_counts_are_complete(spark, sf_dir, reg):
-    rows = STAGED["dq_benford"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_benford").fn(spark, sf_dir).collect()
     by_col = defaultdict(int)
     for r in rows:
         assert 1 <= r["digit"] <= 9
@@ -283,13 +285,13 @@ def test_transition_matrix_matches_python(spark, sf_dir, reg):
     expected = _transition_recompute(orders_pd)
     got = {
         (r["prev_priority"], r["next_priority"]): (r["cnt"], r["n_from"], r["prob"])
-        for r in STAGED["mine_transition_matrix"].fn(spark, sf_dir).collect()
+        for r in lookup("mine_transition_matrix").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
 
 def test_transition_matrix_rows_normalize(spark, sf_dir, reg):
-    rows = STAGED["mine_transition_matrix"].fn(spark, sf_dir).collect()
+    rows = lookup("mine_transition_matrix").fn(spark, sf_dir).collect()
     by_prev = defaultdict(list)
     for r in rows:
         by_prev[r["prev_priority"]].append(r)
@@ -332,7 +334,7 @@ def test_entropy_profile_matches_python(spark, sf_dir, reg):
             round(r["gini"], 5),
             round(r["top_share"], 5),
         )
-        for r in STAGED["dq_entropy_profile"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_entropy_profile").fn(spark, sf_dir).collect()
     }
     # compare at 5 decimals: the recompute sums log2 terms in a different
     # order than either engine, so the 6th decimal may legitimately differ
@@ -342,7 +344,7 @@ def test_entropy_profile_matches_python(spark, sf_dir, reg):
 def test_entropy_profile_bounds(spark, sf_dir, reg):
     import math
 
-    for r in STAGED["dq_entropy_profile"].fn(spark, sf_dir).collect():
+    for r in lookup("dq_entropy_profile").fn(spark, sf_dir).collect():
         assert 0.0 <= r["entropy_bits"] <= math.log2(r["n_distinct"]) + 1e-9
         assert 0.0 <= r["gini"] < 1.0
         assert 1.0 / r["n_distinct"] <= r["top_share"] + 1e-9 <= 1.0 + 1e-9
@@ -380,7 +382,7 @@ def test_retention_cohort_matches_python(spark, sf_dir, reg):
             r["cohort_size"],
             r["retention"],
         )
-        for r in STAGED["agg_retention_cohort"].fn(spark, sf_dir).collect()
+        for r in lookup("agg_retention_cohort").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -388,7 +390,7 @@ def test_retention_cohort_matches_python(spark, sf_dir, reg):
 def test_retention_cohort_offset_zero_is_full(spark, sf_dir, reg):
     """Every cohort is 100% retained at offset 0 by construction (the
     first order IS activity in the cohort month)."""
-    rows = STAGED["agg_retention_cohort"].fn(spark, sf_dir).collect()
+    rows = lookup("agg_retention_cohort").fn(spark, sf_dir).collect()
     zero = [r for r in rows if r["month_offset"] == 0]
     assert zero and all(r["active"] == r["cohort_size"] for r in zero)
     assert all(r["month_offset"] >= 0 and r["active"] <= r["cohort_size"]
@@ -422,7 +424,7 @@ def test_time_travel_diff_matches_python(spark, sf_dir, reg):
             r["min_key"],
             r["max_key"],
         )
-        for r in STAGED["lake_time_travel_diff"].fn(spark, sf_dir).collect()
+        for r in lookup("lake_time_travel_diff").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -455,7 +457,7 @@ def test_jaccard_neighbors_plan_hash_joins_only(spark, sf_dir, reg):
     Σdeg² wedge blow-up the orientation exists to kill."""
     from xml_to_parquet_spark.plans.inspect import node_counts
 
-    df = STAGED["graph_jaccard_neighbors"].fn(spark, sf_dir)
+    df = lookup("graph_jaccard_neighbors").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
@@ -471,7 +473,7 @@ def test_containment_incremental_plan_probes_persisted_index(spark, sf_dir, reg)
     cartesian anywhere."""
     from xml_to_parquet_spark.plans.inspect import formatted_plan, node_counts
 
-    df = STAGED["dedup_containment_incremental"].fn(spark, sf_dir)
+    df = lookup("dedup_containment_incremental").fn(spark, sf_dir)
     plan = formatted_plan(df)  # executed plan truncates scan locations
     assert "containment_shingle_index" in plan
     assert "containment_hot_stoplist" in plan
@@ -488,7 +490,7 @@ def test_benford_plan_pruned_scans_broadcast_totals(spark, sf_dir, reg):
         read_schemas,
     )
 
-    df = STAGED["dq_benford"].fn(spark, sf_dir)
+    df = lookup("dq_benford").fn(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
     for rs in read_schemas(df):
         assert rs in (
@@ -504,7 +506,7 @@ def test_transition_matrix_plan_single_lineage_pruned_scan(spark, sf_dir, reg):
     no joins at all, and the scan pruned to the sequence columns."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["mine_transition_matrix"].fn(spark, sf_dir)
+    df = lookup("mine_transition_matrix").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("Window", 0) == 2
     for k in n:
@@ -519,7 +521,7 @@ def test_entropy_profile_plan_single_column_scans_no_joins(spark, sf_dir, reg):
     op is aggregation-only — zero join nodes of any kind."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["dq_entropy_profile"].fn(spark, sf_dir)
+    df = lookup("dq_entropy_profile").fn(spark, sf_dir)
     n = node_counts(df)
     for k in n:
         assert "Join" not in k and "Cartesian" not in k, n
@@ -537,7 +539,7 @@ def test_retention_cohort_plan_pruned_scans_broadcast_sizes(spark, sf_dir, reg):
         read_schemas,
     )
 
-    df = STAGED["agg_retention_cohort"].fn(spark, sf_dir)
+    df = lookup("agg_retention_cohort").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) == 0
@@ -586,7 +588,7 @@ def test_cdc_apply_matches_python_and_one_shot_merge(spark, sf_dir, reg):
             r["min_key"],
             r["max_key"],
         )
-        for r in STAGED["stream_cdc_apply"].fn(spark, sf_dir).collect()
+        for r in lookup("stream_cdc_apply").fn(spark, sf_dir).collect()
     }
     assert got == expected
     merge = {
@@ -611,7 +613,7 @@ def test_cdc_apply_replays_multiple_batches(spark, sf_dir, reg):
     from xml_to_parquet_spark.io_paths import committed, scratch_dir
     from xml_to_parquet_spark.streaming.joins import CDC_STREAM_FILES
 
-    STAGED["stream_cdc_apply"].fn(spark, sf_dir).collect()
+    lookup("stream_cdc_apply").fn(spark, sf_dir).collect()
     src = scratch_dir(sf_dir, "cdc_stream_src")
     assert committed(src)
     parts = glob.glob(f"{src}/part-*.parquet")
@@ -653,7 +655,7 @@ def test_seasonal_decompose_matches_python(spark, sf_dir, reg):
             r["dow_mean"],
             r["seasonal_dev"],
         )
-        for r in STAGED["dq_seasonal_decompose"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_seasonal_decompose").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -662,7 +664,7 @@ def test_seasonal_devs_weight_to_zero(spark, sf_dir, reg):
     """Σ n_dow · seasonal_dev ≡ 0 per type by construction (the weighted
     day-of-week means reassemble the overall mean) — a self-checking
     identity on the decomposition."""
-    rows = STAGED["dq_seasonal_decompose"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_seasonal_decompose").fn(spark, sf_dir).collect()
     acc = defaultdict(float)
     tot = defaultdict(int)
     for r in rows:
@@ -684,7 +686,7 @@ def test_er_cluster_matches_union_find(spark, sf_dir, reg):
     independently of the decision layer, which has its own recompute)."""
     from xml_to_parquet_spark.operators.dedup import ER_NODE_OFFSET
 
-    fs = STAGED["er_fellegi_sunter"].fn(spark, sf_dir).collect()
+    fs = lookup("er_fellegi_sunter").fn(spark, sf_dir).collect()
     parent: dict[int, int] = {}
 
     def find(x):
@@ -711,7 +713,7 @@ def test_er_cluster_matches_union_find(spark, sf_dir, reg):
     }
     got = {
         r["member_id"]: (r["entity_id"], r["n_members"])
-        for r in STAGED["er_cluster_entities"].fn(spark, sf_dir).collect()
+        for r in lookup("er_cluster_entities").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -722,7 +724,7 @@ def test_er_cluster_true_pairs_land_together(spark, sf_dir, reg):
     ground truth surviving transitive clustering."""
     from xml_to_parquet_spark.operators.dedup import ER_NODE_OFFSET
 
-    rows = STAGED["er_cluster_entities"].fn(spark, sf_dir).collect()
+    rows = lookup("er_cluster_entities").fn(spark, sf_dir).collect()
     ent = {r["member_id"]: r["entity_id"] for r in rows}
     checked = 0
     for m, e in ent.items():

@@ -16,7 +16,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import pandas as pd
 import pytest
 
-from xml_to_parquet_spark.registry import STAGED, load_all
+from xml_to_parquet_spark.registry import STAGED, load_all, lookup
 
 
 @pytest.fixture(scope="module")
@@ -473,7 +473,7 @@ def test_survivorship_matches_python(spark, sf_dir, reg):
         members[k + ER_NODE_OFFSET] = (1, n, p, c)
     ent = {
         r["member_id"]: r["entity_id"]
-        for r in STAGED["er_cluster_entities"].fn(spark, sf_dir).collect()
+        for r in lookup("er_cluster_entities").fn(spark, sf_dir).collect()
     }
     groups = defaultdict(list)
     for m, e in ent.items():

@@ -1631,7 +1631,7 @@ def _fs_rosters(spark, sf_dir):
     return clean, dirty
 
 
-@register_staged("er_fellegi_sunter", _fs_oracle())
+@register("er_fellegi_sunter", _fs_oracle())
 def er_fellegi_sunter(spark, sf_dir):
     """Fellegi–Sunter probabilistic record linkage (JASA 1969 — the
     decision model behind Splink/dedupe.io): blocked candidate pairs get
@@ -1757,7 +1757,7 @@ def _containment_incremental_oracle() -> str:
     """
 
 
-@register_staged(
+@register(
     "dedup_containment_incremental", _containment_incremental_oracle()
 )
 def dedup_containment_incremental(spark, sf_dir):
@@ -1905,7 +1905,7 @@ def _er_cluster_oracle() -> str:
     """
 
 
-@register_staged("er_cluster_entities", _er_cluster_oracle())
+@register("er_cluster_entities", _er_cluster_oracle())
 def er_cluster_entities(spark, sf_dir):
     """Entity resolution's final step: Fellegi–Sunter 'match' decisions
     become edges of a bipartite dirty↔clean graph (dirty record ids

@@ -868,7 +868,7 @@ def _jaccard_neighbors_oracle() -> str:
     """
 
 
-@register_staged("graph_jaccard_neighbors", _jaccard_neighbors_oracle())
+@register("graph_jaccard_neighbors", _jaccard_neighbors_oracle())
 def graph_jaccard_neighbors(spark, sf_dir):
     """Edge embeddedness: for every EXISTING co-occurrence edge (u, v),
     the neighborhood Jaccard J = |N(u)∩N(v)| / |N(u)∪N(v)| — the score

@@ -2750,7 +2750,7 @@ def _benford_oracle() -> str:
     """
 
 
-@register_staged("dq_benford", _benford_oracle())
+@register("dq_benford", _benford_oracle())
 def dq_benford(spark, sf_dir):
     """Benford first-digit conformance per financial column — Nigrini's
     digital-analysis audit test: genuine multiplicative-growth amounts
@@ -2817,7 +2817,7 @@ def dq_benford(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "mine_transition_matrix",
     """
     WITH seq AS (
@@ -2928,7 +2928,7 @@ def _entropy_oracle() -> str:
     """
 
 
-@register_staged("dq_entropy_profile", _entropy_oracle())
+@register("dq_entropy_profile", _entropy_oracle())
 def dq_entropy_profile(spark, sf_dir):
     """Categorical distribution profile per column: Shannon entropy
     (bits), Gini impurity, and top-value concentration — the three
@@ -2990,7 +2990,7 @@ def dq_entropy_profile(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "agg_retention_cohort",
     """
     WITH fe AS (
@@ -3078,7 +3078,7 @@ def agg_retention_cohort(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "dq_seasonal_decompose",
     """
     WITH ev AS (

@@ -712,7 +712,7 @@ def lake_merge_upsert(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "lake_time_travel_diff",
     f"""
     SELECT o_orderstatus,

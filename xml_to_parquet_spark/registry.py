@@ -68,65 +68,67 @@ def lookup(name: str) -> QueryDef:
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-12 rotation (R12_PLAN.md, per VERDICT r11 #1): promote ELEVEN
-# stalest-staged ops (the 3 r12 leftovers join_spatial_grid /
-# sim_diversity_mmr / graph_scc_bounded + 8 of the r13 tier), and take the
-# 7 FORCED rows-only r6-era queries in designated ROWS_ONLY_SLOTS — their
-# r6 proofs hit the derived staleness bound at r13, and the bound math
-# (registry comment r11, VERDICT r11 "What's missing" #2) only works if
-# r12 actually banks them. Fills: 29 of the 45 oracle-backed r7-proof
-# holders (the stalest tier; ties broken alphabetically), so
-# 3 anchors + 11 new + 7 rows-only + 29 fills = 50. The remaining 16 r7
-# holders lead the r13 fill list (latest=7 stays inside the bound through
-# r13).
+# Round-13 rotation (R13_PLAN.md, per VERDICT r12 #1): promote ELEVEN
+# stalest-staged ops (the r13 leftover er_fellegi_sunter + the full r14
+# tier), and take the 2 FORCED rows-only slots curate_pack_bpe /
+# text_bpe_train — their r7 proofs pass the derived staleness bound at
+# r13 but fail at r14, so r13 is the LAST round that can bank them (same
+# r6/r12 contract precedent). Fills: ALL 16 remaining oracle-backed
+# r7-proof holders (mandatory — they fail the bound at r14) + the first
+# 18 alphabetical of the 45 oracle-backed r8-proof holders, so
+# 3 anchors + 11 new + 2 rows-only + 34 fills = 50. Pigeonhole check for
+# r14 (R13_PLAN.md): 27 r8 oracle holders remain after this window, all
+# failing the bound at r14 → r14 = 11 promotions + 2 rows-only (the jpeg
+# pair, r8 proofs) + 27 r8 + 7 r9 fills = exactly 47 non-anchor slots.
 # CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
 # max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
 # 47 rotating slots/round); rotation policy stays stalest-first. Previous
-# windows: r1-r11 lists are in git history.
+# windows: r1-r12 lists are in git history.
 NEW_TARGETS: list[str] = [
-    # oracle-backed, promoted from the staged tier at the r12 rotation
-    "join_spatial_grid",
-    "sim_diversity_mmr",
-    "graph_scc_bounded",
-    "dq_ks_distance",
-    "dq_schema_drift",
-    "graph_link_predict",
-    "mine_assoc_rules",
-    "timeseries_interpolate",
-    "mm_image_histogram",
-    "text_winnow_fingerprint",
-    "dq_mann_whitney",
+    # oracle-backed, promoted from the staged tier at the r13 rotation
+    "er_fellegi_sunter",
+    "graph_jaccard_neighbors",
+    "dedup_containment_incremental",
+    "dq_benford",
+    "mine_transition_matrix",
+    "dq_entropy_profile",
+    "agg_retention_cohort",
+    "lake_time_travel_diff",
+    "stream_cdc_apply",
+    "dq_seasonal_decompose",
+    "er_cluster_entities",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
-# The 7 rows-only r6-era queries take their FORCED designated slots this
-# round (r6 contract precedent: deliberate rows-only proof slots).
+# The 2 rows-only r7-proof queries take their FORCED designated slots this
+# round (r6 contract precedent: deliberate rows-only proof slots; r13 is
+# the last round where their r7 proofs still pass the staleness bound).
 ROWS_ONLY_SLOTS: list[str] = [
-    "agg_approx_percentile",
-    "agg_hll_mergeable",
-    "agg_kll_quantiles",
-    "agg_theta_setops",
-    "sample_stratified",
-    "table_sample",
-    "text_freq_items",
+    "curate_pack_bpe",
+    "text_bpe_train",
 ]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
     *ROWS_ONLY_SLOTS,
-    # fills: 29 of the 45 oracle-backed r7-proof holders (stalest tier;
-    # alphabetical among equal staleness — the other 16 lead r13's fills).
-    "agg_distinct", "agg_having", "agg_percentile", "agg_pushdown_stats",
-    "curate_mix_sources", "curate_pack_sequences", "curate_pipeline",
-    "dedup_minhash_incremental", "dedup_normalized", "dedup_semdedup",
-    "dedup_substring", "dedup_substring_removal", "distinct_rows",
-    "dq_profile", "join_bloom_pruned", "join_left", "lateral_topk",
-    "mm_decode_meta", "mm_feature_extract", "mm_frame_sample",
-    "mm_image_dedup", "mm_resize", "orderby_limit", "pivot_status",
-    "q11_important_stock", "q16_parts_supplier_relationship",
-    "q20_potential_promotion", "q21_suppliers_who_kept_waiting",
-    "q2_min_cost_supplier",
+    # fills: ALL 16 remaining oracle-backed r7-proof holders (mandatory
+    # at r13 — their proofs fail the bound at r14) ...
+    "recursive_cte", "scalar_math_fns", "scalar_string_fns",
+    "scan_dpp_partitioned", "set_except", "set_intersect",
+    "sim_knn_graph", "stream_dedup", "stream_session_window",
+    "stream_stateful_counter", "stream_stream_join", "stream_tws_spend",
+    "text_quality_classifier", "topk_per_group", "unpivot_stack",
+    "window_lag_lead",
+    # ... + the first 18 alphabetical of the 45 oracle-backed r8-proof
+    # holders (stalest tier after r7; the other 27 are mandatory r14
+    # fills per the pigeonhole note above).
+    "agg_bucketed_reuse", "agg_count_if_filter", "agg_mode_deterministic",
+    "curate_pack_chunks", "dedup_bloom_prefilter", "dedup_prefix_filter",
+    "dq_constraints", "er_blocking_link", "event_pattern_match",
+    "filter_predicates", "graph_bfs_distance", "graph_kcore",
+    "graph_triangle_count", "incremental_agg_maintenance", "join_cross",
+    "join_full_outer", "join_skew_aqe", "mm_audio_chunk",
 ]
 
 

@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.streaming.windows import _drain, _events_stream
 
 
@@ -409,7 +409,7 @@ def _cdc_apply_oracle() -> str:
     return MERGE_FINAL_STATE_ORACLE
 
 
-@register_staged("stream_cdc_apply", _cdc_apply_oracle())
+@register("stream_cdc_apply", _cdc_apply_oracle())
 def stream_cdc_apply(spark, sf_dir):
     """Streaming CDC apply: a change feed consumed with foreachBatch and
     committed as one copy-on-write table VERSION per micro-batch — the
