@@ -410,9 +410,14 @@ def test_partition_filter_failure_modes(spark, part_table, tmp_path):
     with pytest.raises(ValueError, match="not partition"):
         read_delta_snapshot(spark, part_table,
                             partition_filter={"nope": "1"})
-    with pytest.raises(ValueError, match="matches no partition"):
-        read_delta_snapshot(spark, part_table,
-                            partition_filter={"region": "mars"})
+    # a filter matching zero partitions is an empty RESULT (the schema is
+    # declared in metaData), not an error — ADVICE r12, same contract as
+    # the equivalent .filter(); pinned further in tests/test_advice_r13.py
+    empty = read_delta_snapshot(spark, part_table,
+                                partition_filter={"region": "mars"})
+    assert empty.count() == 0
+    assert dict(empty.dtypes) == {"k": "bigint", "region": "string",
+                                  "year": "int"}
     # unpartitioned table + a filter is a caller bug, not an empty result
     flat = str(tmp_path / "flat")
     os.makedirs(flat, exist_ok=True)

@@ -105,8 +105,17 @@ def _validate_last_checkpoint_hint(log_dir: str, cp_versions: set[int]) -> None:
     hint_path = os.path.join(log_dir, "_last_checkpoint")
     if not os.path.exists(hint_path):
         return
-    with open(hint_path) as fh:
-        hint = json.load(fh)
+    try:
+        with open(hint_path) as fh:
+            hint = json.load(fh)
+    except (json.JSONDecodeError, OSError):
+        # A torn write from a crashed writer leaves an empty/corrupt hint
+        # — a transient state real tables exhibit. The hint is only a
+        # listing-avoidance device and the listing is authoritative, so an
+        # unparseable hint is treated as absent (ADVICE r12). This cannot
+        # mask a multi-part checkpoint: its part files never match
+        # _CHECKPOINT_RE, so seeding from a partial state stays impossible.
+        return
     if hint.get("parts"):
         raise ValueError(
             f"multi-part checkpoint (parts={hint['parts']}) in {log_dir}: "
@@ -324,6 +333,14 @@ def read_delta_snapshot(
             if _stats_file_survives(entry["stats"], stats_filter)
         }
         if not survivors:
+            # A filter legitimately matching zero files is an empty
+            # RESULT, not an error — when metaData.schemaString is present
+            # the schema is known without any file, so behave like the
+            # equivalent .filter(): empty DataFrame, correct schema
+            # (ADVICE r12). Only the schema-inference fallback (no
+            # schemaString in the retained log) still has to refuse.
+            if (empty := _empty_snapshot_df(spark, meta)) is not None:
+                return empty
             raise ValueError(
                 f"stats_filter {stats_filter} prunes every file of "
                 f"snapshot {version}; an empty scan has no schema — "
@@ -355,18 +372,36 @@ def read_delta_snapshot(
     part_types = _partition_column_types(meta, part_cols)
     groups: dict[tuple, list[str]] = {}
     for p, entry in active.items():
-        key = tuple(entry["partitionValues"].get(c) for c in part_cols)
+        # Normalize the group key at construction: a null partition value
+        # has THREE raw encodings (missing key -> None, JSON null -> None,
+        # "" per Delta's canonical string encoding) that must form ONE
+        # group — different writers use different encodings for the same
+        # null partition (ADVICE r12).
+        key = tuple(
+            _norm_part_value(entry["partitionValues"].get(c))
+            for c in part_cols
+        )
         groups.setdefault(key, []).append(os.path.join(table_path, p))
     if partition_filter:
+        # the same normalization applies to filter values, so
+        # partition_filter={"col": ""} matches null-partition files
+        # whichever encoding their writer chose
+        norm_filter = {
+            c: _norm_part_value(v) for c, v in partition_filter.items()
+        }
         groups = {
             key: files
             for key, files in groups.items()
             if all(
                 key[part_cols.index(c)] == v
-                for c, v in partition_filter.items()
+                for c, v in norm_filter.items()
             )
         }
         if not groups:
+            # empty RESULT, not an error, when the schema is known —
+            # same contract as the stats_filter branch above (ADVICE r12)
+            if (empty := _empty_snapshot_df(spark, meta)) is not None:
+                return empty
             raise ValueError(
                 f"partition_filter {partition_filter} matches no partition "
                 f"of snapshot {version}"
@@ -377,11 +412,40 @@ def read_delta_snapshot(
     for key, files in groups.items():
         df = _read_files(spark, meta, part_cols, files)
         for c, raw in zip(part_cols, key):
-            # Delta's string encoding: missing key or "" is null
-            lit = F.lit(None) if raw in (None, "") else F.lit(raw)
+            # keys are normalized above: None IS the null marker
+            lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(part_types[c]))
         out = df if out is None else out.unionByName(df)
     return out
+
+
+def _norm_part_value(raw):
+    """Canonical null marker for a partition value: Delta encodes null as
+    "" in partitionValues, but a missing key or a JSON null mean the same
+    thing — one canonical form (None) so grouping and partition_filter
+    comparison cannot split null-partition files by writer encoding."""
+    return None if raw in (None, "") else raw
+
+
+def _empty_snapshot_df(spark: SparkSession, meta: dict | None) -> DataFrame | None:
+    """Empty DataFrame under the declared table schema, columns ordered
+    exactly as a non-empty read would return them (data fields in
+    schemaString order, then partition columns in metaData order, typed
+    per _partition_column_types). None when the retained log carries no
+    schemaString — the schema-inference path genuinely cannot represent
+    an empty scan."""
+    schema_str = (meta or {}).get("schemaString")
+    if not schema_str:
+        return None
+    from pyspark.sql.types import StructType, _parse_datatype_string
+
+    full = StructType.fromJson(json.loads(schema_str))
+    part_cols = list((meta or {}).get("partitionColumns") or [])
+    fields = [f for f in full.fields if f.name not in set(part_cols)]
+    schema = StructType(fields)
+    for c, t in _partition_column_types(meta, part_cols).items():
+        schema = schema.add(c, _parse_datatype_string(t))
+    return spark.createDataFrame([], schema)
 
 
 def _read_files(
