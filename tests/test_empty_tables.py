@@ -209,6 +209,9 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("stream_cdc_apply", 0),
     ("dq_seasonal_decompose", 0),
     ("er_cluster_entities", 0),
+    # r13 direct registration: a Delta table built from an empty source
+    # has zero add actions — the op short-circuits to an empty result
+    ("lake_delta_snapshot", 0),
     ("curate_tokenizer_fertility", 0),
     ("graph_bridges", 0),
     ("dq_changepoint_cusum", 0),

