@@ -310,7 +310,52 @@ BENCH_QUERIES = [
     "dq_ks_distance",
     "text_winnow_fingerprint",
     "dq_schema_drift",
+    # r13 additions (VERDICT r12 #4: bench entry for every promoted op
+    # >1s warm at sf0.1 on EITHER the promotion-time sample or the
+    # R13_PLAN late-r12 sample — the r12 precedent). Promotion-time
+    # medians-of-3 on a quiet r13 container (stable cluster ~1.3x the
+    # r12 official): er_cluster_entities 4.58s,
+    # graph_jaccard_neighbors 5.58s, stream_cdc_apply 3.26s,
+    # dedup_containment_incremental 1.41s, er_fellegi_sunter 1.37s,
+    # dq_entropy_profile 1.15s; agg_retention_cohort 0.945s,
+    # dq_benford 0.896s and mine_transition_matrix 0.727s read below
+    # the bar HERE but >1s on the late-r12 sample (1.24/1.15/1.05), so
+    # they enter per the either-sample rule. Excluded:
+    # dq_seasonal_decompose 0.578s and lake_time_travel_diff 0.778s
+    # (below on both samples) and lake_delta_snapshot 0.712s (new op,
+    # one sample, below the bar).
+    "er_fellegi_sunter",
+    "graph_jaccard_neighbors",
+    "dedup_containment_incremental",
+    "dq_benford",
+    "mine_transition_matrix",
+    "dq_entropy_profile",
+    "agg_retention_cohort",
+    "stream_cdc_apply",
+    "er_cluster_entities",
 ]
+
+# Self-adjudicating machine-sample normalization (VERDICT r12 #3): two
+# consecutive rounds ran on degraded containers whose artifacts could
+# only be read against the stable scan-bound cluster via header
+# archaeology. The artifact now carries its own factor:
+# "stable_ratio_vs_prev" = geometric mean of this run's stable-cluster
+# entries over the PREVIOUS round's official readings (BENCH_r12.json).
+# The cluster is the scan-bound + conversion set every adjudication
+# since r10 has used — entries whose round-over-round movement tracks
+# the MACHINE, not the code. A judge divides any suspicious entry by
+# this factor before calling it a regression; ~1.0 means a comparable
+# container, >1.2 means this sample is uniformly slow.
+STABLE_CLUSTER_PREV = {
+    # r12 official (BENCH_r12.json); bump each round to the new official
+    "q1_pricing_summary": 0.516,
+    "q6_forecast_revenue": 0.244,
+    "window_rank": 0.456,
+    "convert_200_xml_files": 1.473,
+    "convert_8mb_xml_40k_items": 2.192,
+    "convert_tar_10k_members": 2.746,
+}
+STABLE_PREV_ROUND = 12
 
 # Timed-loop session recycling (VERDICT r9 #2/#3): accumulated JVM session
 # state taxes mid-list entries — r9's driver artifact showed q21 at 3.79s
@@ -506,6 +551,18 @@ def main():
         times[key] = round(statistics.median(fn(spark) for _ in range(reps)), 3)
 
     total = round(sum(times.values()), 3)
+    # machine-sample self-adjudication (see STABLE_CLUSTER_PREV): only
+    # meaningful at the official SF the previous round measured
+    ratios = [
+        times[k] / prev
+        for k, prev in STABLE_CLUSTER_PREV.items()
+        if k in times and times[k] > 0
+    ]
+    stable_ratio = (
+        round(statistics.geometric_mean(ratios), 3)
+        if ratios and sf == 0.1
+        else None
+    )
     print(
         json.dumps(
             {
@@ -516,6 +573,8 @@ def main():
                 "sf": sf,
                 "reps": reps,
                 "agg": "median",
+                "stable_ratio_vs_prev": stable_ratio,
+                "stable_prev_round": STABLE_PREV_ROUND,
             }
         )
     )
