@@ -193,6 +193,32 @@ swings track the machine sample, and runB recovers the r10 reading —
 CLOSED as sample noise per the r10/r11 precedent. On samples this hot
 the round-over-round signal is the stable cluster ratio plus plan
 shape, not CPU-bound wall-clock.
+
+Round-13 two-quiet-run adjudication (VERDICT r12 #2: the three r12
+counter-movers mm_decode_png 0.46->4.68, mm_audio_wht 0.48->3.64,
+stream_tumbling_window 0.60->3.41 vs r11 official, plus the two
+fold-ins sessionize_events 0.28->0.74 and sim_ivf 0.55->1.63 — all
+untouched code). Two isolated profile_ops runs (median-of-3, quiet
+r13 container, ~30 min apart, load < 1.2 at start, nothing else
+running); the stable triplet on the same runs reads q1
+0.679/0.865, q6 0.336/0.408, window_rank 0.533/0.613 — i.e. this
+container is ~2.1-2.5x the r11 sample, ~1.3x the r12 official:
+    entry                   r11    r12(official)  r13-runA  r13-runB
+    mm_decode_png           0.46   4.68           0.700     0.904
+    mm_audio_wht            0.48   3.64           0.670     0.830
+    stream_tumbling_window  0.60   3.41           1.184     1.524
+    sessionize_events       0.28   0.74           0.649     0.754
+    sim_ivf                 0.55   1.63           1.355     1.563
+Normalized by the in-run stable factor (~2.2 vs r11), every entry
+reads at/below its r11 level (png 0.32, wht 0.30, tumbling 0.54,
+sessionize 0.30, ivf 0.62 vs 0.55 — the one mild residue, inside the
+documented CPU-bound spread), both runs agree within the protocol
+envelope, and none of the five functions changed since r10/r11
+(`git log -S`). ALL FIVE CLOSED as r12 container CPU steal — exactly
+what VERDICT r12's "expectation is they close as noise" predicted,
+now proven rather than presumed. The stable_ratio_vs_prev field this
+round's artifact carries makes the next such adjudication a one-field
+read instead of a header dig.
 """
 
 from __future__ import annotations
