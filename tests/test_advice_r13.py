@@ -2,11 +2,12 @@
 Delta log adapter, sources/delta_log.py):
 
 1. A corrupt or empty `_last_checkpoint` (a torn write from a crashed
-   writer) is treated as an ABSENT hint instead of crashing every read:
-   the file is only a listing-avoidance device and the listing is
-   authoritative. Safe because multi-part checkpoint part files never
-   match _CHECKPOINT_RE, so a corrupt hint can never cause seeding from
-   a partial checkpoint.
+   writer) no longer crashes any read. The closure then GENERALIZED
+   mid-r13: multi-part checkpoints became supported (seeded from the
+   listing, completeness verified there), which removed the hint's only
+   consumer — the adapter now never opens `_last_checkpoint` at all, so
+   every hint failure mode (corrupt, stale, dangling, adversarial) is
+   structurally inert rather than defensively handled.
 2. Null partition values have three raw encodings (missing key, JSON
    null, "" — Delta's canonical string encoding) that different writers
    mix freely; grouping and partition_filter now normalize all three to
@@ -102,14 +103,16 @@ def test_corrupt_last_checkpoint_hint_treated_as_absent(
     assert read_delta_snapshot(spark, healthy_table).count() == 1
 
 
-def test_valid_multipart_hint_still_refused(healthy_table):
-    """The corrupt-hint tolerance must not weaken the multi-part
-    refusal: a PARSEABLE hint declaring parts still raises."""
+def test_any_hint_content_is_inert(spark, healthy_table):
+    """The closure generalized mid-r13: multi-part checkpoints became
+    SUPPORTED (seeded from the listing with completeness verified
+    there), so `_last_checkpoint` lost its only consumer — ANY hint
+    content, parseable or not, changes nothing about a read."""
     hint = os.path.join(healthy_table, "_delta_log", "_last_checkpoint")
     with open(hint, "w") as fh:
-        json.dump({"version": 0, "size": 2, "parts": 2}, fh)
-    with pytest.raises(ValueError, match="multi-part"):
-        list_delta_versions(healthy_table)
+        json.dump({"version": 99, "size": 2, "parts": 7}, fh)
+    assert list_delta_versions(healthy_table) == [0]
+    assert read_delta_snapshot(spark, healthy_table).count() == 1
 
 
 # ---------------------------------------------------------------------------

@@ -319,14 +319,119 @@ def test_stale_last_checkpoint_hint_tolerated(cp_table):
     assert list_delta_versions(cp_table) == [2, 3]
 
 
-def test_multipart_checkpoint_refused(cp_table):
-    """Seeding from one slice of a multi-part checkpoint would silently
-    drop files — refuse loudly instead."""
+def _write_multipart_checkpoint(table, version, active_paths, n_parts,
+                                tombstones=()):
+    """Complete multi-part checkpoint per PROTOCOL.md
+    (`<v>.checkpoint.<i>.<n>.parquet`): the action rows PARTITIONED
+    round-robin across n parts — one part is NOT a snapshot, their
+    union is. metaData lands in whichever part the round-robin drops it
+    (real writers scatter it into an arbitrary part)."""
+    rows = [
+        {"add": {"path": p, "size": 1, "dataChange": True},
+         "remove": None, "metaData": None}
+        for p in active_paths
+    ]
+    rows += [
+        {"add": None, "remove": {"path": p, "deletionTimestamp": 0},
+         "metaData": None}
+        for p in tombstones
+    ]
+    rows.append({"add": None, "remove": None,
+                 "metaData": {"id": "cp-fixture",
+                              "partitionColumns": []}})
+    parts = [rows[i::n_parts] for i in range(n_parts)]
+    for i, part_rows in enumerate(parts, start=1):
+        pq.write_table(
+            pa.Table.from_pylist(part_rows),
+            os.path.join(
+                table, "_delta_log",
+                f"{version:020d}.checkpoint.{i:010d}.{n_parts:010d}.parquet",
+            ),
+        )
+
+
+@pytest.fixture()
+def multipart_cp_table(tmp_path):
+    """The four-commit table with a COMPLETE 3-part checkpoint at v2 and
+    commits 0-1 cleaned — the log-retention state of a large table whose
+    checkpoint outgrew one file."""
+    table = _build_four_commit_table(tmp_path / "mpcp")
+    _write_multipart_checkpoint(
+        table, 2, ["f1.parquet", "f2.parquet", "f3.parquet"], 3,
+        tombstones=["f0.parquet"],
+    )
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    return table
+
+
+def test_multipart_checkpoint_seeds_replay(spark, multipart_cp_table):
+    """A complete multi-part set is a first-class seed: the log-cleaned
+    table reads exactly like its single-part twin."""
+    assert list_delta_versions(multipart_cp_table) == [2, 3]
+    assert _basenames(delta_active_files(multipart_cp_table, 2)) == {
+        "f1.parquet", "f2.parquet", "f3.parquet",
+    }
+    got = {r["k"] for r in
+           read_delta_snapshot(spark, multipart_cp_table, 3).collect()}
+    assert got == {4, 5, 6, 7}  # f2 + f3 after v3 removed f1
+
+
+def test_multipart_matches_single_part_and_pure_json(tmp_path):
+    """Three tables, same commits: full-JSON replay, single-part seed,
+    multi-part seed — every snapshot's file set must be identical."""
+    json_only = _build_four_commit_table(tmp_path / "json_only")
+    single = _build_four_commit_table(tmp_path / "single")
+    _write_checkpoint(single, 2, ["f1.parquet", "f2.parquet", "f3.parquet"],
+                      tombstones=["f0.parquet"])
+    multi = _build_four_commit_table(tmp_path / "multi")
+    _write_multipart_checkpoint(
+        multi, 2, ["f1.parquet", "f2.parquet", "f3.parquet"], 2,
+        tombstones=["f0.parquet"],
+    )
+    for v in (2, 3):
+        want = _basenames(delta_active_files(json_only, v))
+        assert _basenames(delta_active_files(single, v)) == want
+        assert _basenames(delta_active_files(multi, v)) == want
+
+
+def test_incomplete_multipart_set_is_never_a_seed(tmp_path):
+    """A torn multi-part write (part 2 of 3 missing — a concurrent
+    writer mid-checkpoint, or a partial upload): the set must not seed.
+    With the JSON log intact the replay reads AROUND it from commit 0;
+    with the log cleaned the affected versions are refused, never
+    silently served from a partial state."""
+    table = _build_four_commit_table(tmp_path / "torn")
+    _write_multipart_checkpoint(
+        table, 2, ["f1.parquet", "f2.parquet", "f3.parquet"], 3,
+        tombstones=["f0.parquet"],
+    )
+    os.remove(os.path.join(
+        table, "_delta_log",
+        f"{2:020d}.checkpoint.{2:010d}.{3:010d}.parquet",
+    ))
+    # full JSON retained: read-around — all four versions replay from 0
+    assert list_delta_versions(table) == [0, 1, 2, 3]
+    assert _basenames(delta_active_files(table, 3)) == {
+        "f2.parquet", "f3.parquet",
+    }
+    # log cleaned below the torn checkpoint: the latest version has no
+    # replay path — refuse, don't guess
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    with pytest.raises(ValueError, match="non-contiguous"):
+        list_delta_versions(table)
+
+
+def test_multipart_hint_is_ignored_not_refused(cp_table):
+    """`_last_checkpoint` declaring parts is no longer a refusal: the
+    hint has NO consumer (completeness is verified from the listing), so
+    even a hint describing a checkpoint that does not exist changes
+    nothing."""
     with open(os.path.join(cp_table, "_delta_log", "_last_checkpoint"),
               "w") as fh:
         json.dump({"version": 2, "size": 5, "parts": 2}, fh)
-    with pytest.raises(ValueError, match="multi-part"):
-        list_delta_versions(cp_table)
+    assert list_delta_versions(cp_table) == [2, 3]
 
 
 # ---------------------------------------------------------------------------

@@ -18,20 +18,23 @@ Semantics implemented (the subset the lake_* ops model):
     data file, `remove` retires it (Delta's logical delete);
   * snapshot isolation/time travel: `read_delta_snapshot(..., version=N)`
     scans exactly version N's active files, unaffected by later commits;
-  * checkpoint parquet files (`<v>.checkpoint.parquet`): a checkpoint is
-    the RECONCILED action state at version v — rows whose `add` struct is
+  * checkpoint parquet files — single-part (`<v>.checkpoint.parquet`)
+    AND complete multi-part sets (`<v>.checkpoint.<i>.<n>.parquet`,
+    every part 1..n present; the parts PARTITION the reconciled state,
+    so an incomplete set is never a seed and is read around exactly as
+    if a concurrent writer were mid-checkpoint): a checkpoint is the
+    RECONCILED action state at version v — rows whose `add` struct is
     non-null are exactly v's active files — so replay seeds from the
     newest checkpoint ≤ the target version and applies only the JSON
     commits after it. This is what makes a long-lived table readable:
     log retention deletes old JSON commits, so a real table usually has
     NO commit 0 — versions at/after a checkpoint stay readable, versions
     before the oldest seed are honestly refused;
-  * `_last_checkpoint` is treated as the protocol says readers may — a
-    listing-avoidance HINT. This adapter lists the log directory anyway
-    (it must, for the JSON commits), so the hint is only validated
-    (multi-part checkpoints are refused loudly), never trusted over the
-    listing — a stale pointer after a newer un-pointed checkpoint is the
-    documented normal state, not an error;
+  * `_last_checkpoint` is NEVER read. It is purely a listing-avoidance
+    hint and this adapter lists the log directory anyway (it must, for
+    the JSON commits), so a stale, dangling, corrupt, or torn hint file
+    cannot affect any read — checkpoint completeness is always verified
+    from the listing itself;
   * partitioned tables: partition column values live ONLY in the log
     (`add.partitionValues` — the data files never contain them), so the
     reader attaches them per partition-value group as typed literals
@@ -59,9 +62,8 @@ Semantics implemented (the subset the lake_* ops model):
     the scan reads under it explicitly — files written before a column
     was added surface it as null, never as a sampling-dependent schema.
 
-Out of scope, documented: multi-part checkpoints (refused with a clear
-error when `_last_checkpoint` declares `parts`), deletion vectors,
-column mapping, and the writer path. Reads enforce only the protocol
+Out of scope, documented: deletion vectors, column mapping, and the
+writer path. Reads enforce only the protocol
 invariant this adapter relies on: a replay path with no holes (every
 readable version is a checkpoint seed plus a contiguous JSON tail).
 """
@@ -76,6 +78,9 @@ from pyspark.sql import DataFrame, SparkSession
 
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+_MULTIPART_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
 
 
 def _log_dir(table_path: str) -> str:
@@ -85,43 +90,48 @@ def _log_dir(table_path: str) -> str:
     return log_dir
 
 
-def _listed_versions(log_dir: str) -> tuple[set[int], set[int]]:
-    """(JSON commit versions, checkpoint versions) from one listing."""
-    json_v, cp_v = set(), set()
+def _listed_versions(log_dir: str) -> tuple[set[int], dict[int, list[str]]]:
+    """(JSON commit versions, usable checkpoint seeds) from one listing.
+
+    A seed maps a version to the ORDERED checkpoint file list holding its
+    complete reconciled state: a single-part `<v>.checkpoint.parquet`, or
+    a COMPLETE multi-part set `<v>.checkpoint.<i>.<n>.parquet` with every
+    part 1..n present (PROTOCOL.md: the parts PARTITION the state — one
+    slice is NOT a snapshot, so an incomplete set is never a seed).
+    Incomplete sets are simply unusable — which is also the correct
+    read-around behavior while a concurrent writer is mid-checkpoint:
+    readability falls back to JSON replay exactly as if the torn
+    checkpoint did not exist. When a version offers both a single-part
+    file and a complete multi-part set, the fewest-files form wins
+    (identical state, least IO). `_last_checkpoint` is NEVER read: it is
+    purely a listing-avoidance hint and this adapter lists anyway, so a
+    corrupt, stale, dangling, or even adversarial hint file cannot affect
+    any read (ADVICE r12 generalized — the hint-parsing failure mode is
+    gone because the hint has no consumer)."""
+    json_v: set[int] = set()
+    single: set[int] = set()
+    parts: dict[tuple[int, int], set[int]] = {}
     for f in os.listdir(log_dir):
         if m := _COMMIT_RE.match(f):
             json_v.add(int(m.group(1)))
         elif m := _CHECKPOINT_RE.match(f):
-            cp_v.add(int(m.group(1)))
-    return json_v, cp_v
-
-
-def _validate_last_checkpoint_hint(log_dir: str, cp_versions: set[int]) -> None:
-    """`_last_checkpoint` is a listing-avoidance hint; we list anyway, so
-    only refuse what the adapter genuinely cannot serve: a multi-part
-    checkpoint (its parts are NOT each a complete state — seeding from
-    one slice would silently drop files). A stale or dangling pointer is
-    tolerated — the listing is authoritative."""
-    hint_path = os.path.join(log_dir, "_last_checkpoint")
-    if not os.path.exists(hint_path):
-        return
-    try:
-        with open(hint_path) as fh:
-            hint = json.load(fh)
-    except (json.JSONDecodeError, OSError):
-        # A torn write from a crashed writer leaves an empty/corrupt hint
-        # — a transient state real tables exhibit. The hint is only a
-        # listing-avoidance device and the listing is authoritative, so an
-        # unparseable hint is treated as absent (ADVICE r12). This cannot
-        # mask a multi-part checkpoint: its part files never match
-        # _CHECKPOINT_RE, so seeding from a partial state stays impossible.
-        return
-    if hint.get("parts"):
-        raise ValueError(
-            f"multi-part checkpoint (parts={hint['parts']}) in {log_dir}: "
-            "out of scope for this adapter — refusing rather than seeding "
-            "from a partial state"
-        )
+            single.add(int(m.group(1)))
+        elif m := _MULTIPART_RE.match(f):
+            v, i, n = (int(m.group(k)) for k in (1, 2, 3))
+            if 1 <= i <= n:
+                parts.setdefault((v, n), set()).add(i)
+    seeds: dict[int, list[str]] = {
+        v: [f"{v:020d}.checkpoint.parquet"] for v in single
+    }
+    for (v, n), have in sorted(parts.items(), key=lambda kv: kv[0][1]):
+        if have == set(range(1, n + 1)) and (
+            v not in seeds or n < len(seeds[v])
+        ):
+            seeds[v] = [
+                f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
+                for i in range(1, n + 1)
+            ]
+    return json_v, seeds
 
 
 def list_delta_versions(table_path: str) -> list[int]:
@@ -146,8 +156,7 @@ def list_delta_versions(table_path: str) -> list[int]:
     json_v, cp_v = _listed_versions(log_dir)
     if not json_v and not cp_v:
         raise ValueError(f"empty _delta_log under {table_path}")
-    _validate_last_checkpoint_hint(log_dir, cp_v)
-    latest = max(json_v | cp_v)
+    latest = max(json_v | set(cp_v))
     readable: list[int] = []
     reachable = False
     for v in range(latest + 1):
@@ -193,7 +202,7 @@ def _replay(
     start = 0
     if seed is not None:
         adds, meta = _checkpoint_state(
-            os.path.join(log_dir, f"{seed:020d}.checkpoint.parquet")
+            [os.path.join(log_dir, f) for f in cp_v[seed]]
         )
         for p, entry in adds:
             active[p] = entry
@@ -239,9 +248,15 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
     return [os.path.join(table_path, p) for p in active]
 
 
-def _checkpoint_state(cp_file: str) -> tuple[list[tuple[str, dict]], dict | None]:
+def _checkpoint_state(
+    cp_files: list[str],
+) -> tuple[list[tuple[str, dict]], dict | None]:
     """(active (path, partitionValues) pairs, metaData action or None)
-    from one single-part checkpoint parquet.
+    from one checkpoint — a single-part file, or every part of a
+    complete multi-part set (the caller guarantees completeness; the
+    parts PARTITION the reconciled action state, so their concatenation
+    is exactly the single-part content, in any part order — action rows
+    are keyed, never positional).
 
     A checkpoint row is one action; rows whose `add` struct is non-null
     ARE the snapshot's active file set (remove rows are VACUUM
@@ -253,31 +268,34 @@ def _checkpoint_state(cp_file: str) -> tuple[list[tuple[str, dict]], dict | None
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    table = pq.read_table(cp_file)
-    meta: dict | None = None
-    if "metaData" in table.column_names and pa.types.is_struct(
-        table.column("metaData").type
-    ):
-        for row in table.column("metaData").to_pylist():
-            if row is not None:
-                meta = row
-                break
-    if "add" not in table.column_names:
-        return [], meta  # checkpoint of an empty table: no add actions
-    adds_col = table.column("add")
-    if not pa.types.is_struct(adds_col.type):
-        return [], meta  # all-null add column infers null type
     adds: list[tuple[str, dict]] = []
-    for row in adds_col.to_pylist():
-        # to_pylist returns None for rows where the parent struct is null
-        # (protocol/metaData/remove rows), regardless of child buffers
-        if row is not None:
-            # map<string,string> materializes as a list of (k, v) pairs;
-            # dict() (inside _add_entry) normalizes that and a dict alike
-            adds.append(
-                (row["path"],
-                 _add_entry(row.get("partitionValues"), row.get("stats")))
-            )
+    meta: dict | None = None
+    for cp_file in cp_files:
+        table = pq.read_table(cp_file)
+        if meta is None and "metaData" in table.column_names and pa.types.is_struct(
+            table.column("metaData").type
+        ):
+            for row in table.column("metaData").to_pylist():
+                if row is not None:
+                    meta = row
+                    break
+        if "add" not in table.column_names:
+            continue  # part with no add actions (or empty-table checkpoint)
+        adds_col = table.column("add")
+        if not pa.types.is_struct(adds_col.type):
+            continue  # all-null add column infers null type
+        for row in adds_col.to_pylist():
+            # to_pylist returns None for rows where the parent struct is
+            # null (protocol/metaData/remove rows), regardless of child
+            # buffers
+            if row is not None:
+                # map<string,string> materializes as a list of (k, v)
+                # pairs; dict() (inside _add_entry) normalizes that and a
+                # dict alike
+                adds.append(
+                    (row["path"],
+                     _add_entry(row.get("partitionValues"), row.get("stats")))
+                )
     return adds, meta
 
 
