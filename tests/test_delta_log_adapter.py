@@ -940,3 +940,160 @@ def test_lake_delta_snapshot_partition_column_is_log_borne(spark, sf_dir):
     df = read_delta_snapshot(spark, root, version=0)
     assert "o_orderstatus" in df.columns
     assert dict(df.dtypes)["o_orderstatus"] == "string"
+
+
+# ---------------------------------------------------------------------------
+# column mapping, 'name' mode — data files / partitionValues / stats all
+# speak stable PHYSICAL names; callers keep speaking logical names
+# ---------------------------------------------------------------------------
+
+_CM_SCHEMA = json.dumps({
+    "type": "struct",
+    "fields": [
+        {"name": "k", "type": "long", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-aaa111",
+                      "delta.columnMapping.id": 1}},
+        {"name": "region", "type": "string", "nullable": True,
+         "metadata": {"delta.columnMapping.physicalName": "col-bbb222",
+                      "delta.columnMapping.id": 2}},
+    ],
+})
+
+
+def _cm_meta(mode="name", schema=_CM_SCHEMA):
+    return {"metaData": {"id": "cm-fixture",
+                         "format": {"provider": "parquet"},
+                         "schemaString": schema,
+                         "partitionColumns": ["region"],
+                         "configuration": {
+                             "delta.columnMapping.mode": mode,
+                             "delta.columnMapping.maxColumnId": "2",
+                         }}}
+
+
+def _cm_add(path, region_phys_value, lo, hi, n):
+    """add action in physical-name vocabulary: partitionValues and stats
+    keyed by col-bbb222 / col-aaa111, exactly as a mapping-mode writer
+    commits them."""
+    return {"add": {
+        "path": path,
+        "partitionValues": {"col-bbb222": region_phys_value},
+        "size": 1, "modificationTime": 0, "dataChange": True,
+        "stats": json.dumps({"numRecords": n,
+                             "minValues": {"col-aaa111": lo},
+                             "maxValues": {"col-aaa111": hi}}),
+    }}
+
+
+@pytest.fixture()
+def cm_table(tmp_path):
+    """Mapping-mode table: the parquet files contain a column literally
+    named col-aaa111 — the logical name 'k' exists only in the schema."""
+    table = str(tmp_path / "cm")
+    os.makedirs(table, exist_ok=True)
+    for name, ks in [("a.parquet", [1, 2]), ("b.parquet", [10, 11]),
+                     ("c.parquet", [20, 21])]:
+        pq.write_table(
+            pa.Table.from_pylist([{"col-aaa111": k} for k in ks]),
+            os.path.join(table, name),
+        )
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _cm_meta(),
+        _cm_add("a.parquet", "emea", 1, 2, 2),
+        _cm_add("b.parquet", "emea", 10, 11, 2),
+        _cm_add("c.parquet", "apac", 20, 21, 2),
+    ])
+    return table
+
+
+def test_column_mapping_reads_logical_names(spark, cm_table):
+    df = read_delta_snapshot(spark, cm_table)
+    assert set(df.columns) == {"k", "region"}
+    got = {(r["k"], r["region"]) for r in df.collect()}
+    assert got == {(1, "emea"), (2, "emea"), (10, "emea"), (11, "emea"),
+                   (20, "apac"), (21, "apac")}
+
+
+def test_column_mapping_partition_filter_speaks_logical(spark, cm_table):
+    df = read_delta_snapshot(spark, cm_table,
+                             partition_filter={"region": "apac"})
+    assert {r["k"] for r in df.collect()} == {20, 21}
+    assert {os.path.basename(f) for f in df.inputFiles()} == {"c.parquet"}
+
+
+def test_column_mapping_stats_filter_speaks_logical(spark, cm_table):
+    """stats_filter on logical 'k' must translate to the physical stats
+    key — and actually skip the provably excluded files."""
+    df = read_delta_snapshot(spark, cm_table,
+                             stats_filter=[("k", ">=", 10)])
+    assert {os.path.basename(f) for f in df.inputFiles()} == {
+        "b.parquet", "c.parquet",
+    }
+    assert {r["k"] for r in df.filter("k >= 10").collect()} == {10, 11, 20, 21}
+
+
+def test_column_mapping_pushdown_survives_the_rename(spark, cm_table):
+    """The logical->physical alias is a projection Catalyst folds into
+    the scan: a filter on the LOGICAL name must reach PushedFilters."""
+    df = read_delta_snapshot(spark, cm_table).filter("k >= 10").select("k")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # hyphenated physical names come back backtick-quoted in the plan
+    assert ("PushedFilters: [IsNotNull(`col-aaa111`), "
+            "GreaterThanOrEqual(`col-aaa111`,10)") in plan
+
+
+def test_column_mapping_id_mode_refused(spark, tmp_path):
+    table = str(tmp_path / "cmid")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"col-aaa111": 1}]),
+                   os.path.join(table, "a.parquet"))
+    _commit(table, 0, [_cm_meta(mode="id"),
+                       _cm_add("a.parquet", "emea", 1, 1, 1)])
+    with pytest.raises(ValueError, match="'id' mode"):
+        read_delta_snapshot(spark, table)
+
+
+def test_column_mapping_nested_physical_name_refused(spark, tmp_path):
+    nested = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "s", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-top"},
+             "type": {"type": "struct", "fields": [
+                 {"name": "inner", "type": "long", "nullable": True,
+                  "metadata": {
+                      "delta.columnMapping.physicalName": "col-inner"}},
+             ]}},
+        ],
+    })
+    table = str(tmp_path / "cmnested")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"col-top": {"col-inner": 1}}]),
+                   os.path.join(table, "a.parquet"))
+    _commit(table, 0, [
+        _cm_meta(schema=nested),
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="NESTED"):
+        read_delta_snapshot(spark, table)
+
+
+def test_column_mapping_missing_physical_name_refused(spark, tmp_path):
+    bare = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long", "nullable": True,
+                    "metadata": {}}],
+    })
+    table = str(tmp_path / "cmbare")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"k": 1}]),
+                   os.path.join(table, "a.parquet"))
+    _commit(table, 0, [
+        _cm_meta(schema=bare),
+        {"add": {"path": "a.parquet", "partitionValues": {},
+                 "size": 1, "modificationTime": 0, "dataChange": True}},
+    ])
+    with pytest.raises(ValueError, match="physicalName"):
+        read_delta_snapshot(spark, table)

@@ -60,10 +60,20 @@ Semantics implemented (the subset the lake_* ops model):
   * schema evolution: the TABLE schema is the latest metaData.schemaString
     in the replay (a schema change commits a new metaData action), and
     the scan reads under it explicitly — files written before a column
-    was added surface it as null, never as a sampling-dependent schema.
+    was added surface it as null, never as a sampling-dependent schema;
 
-Out of scope, documented: deletion vectors, column mapping, and the
-writer path. Reads enforce only the protocol
+  * column mapping, 'name' mode: when metaData.configuration sets
+    `delta.columnMapping.mode=name` (the rename/drop-safe layout), the
+    data files, add.partitionValues and add.stats all speak the stable
+    PHYSICAL names in each field's `delta.columnMapping.physicalName`
+    metadata — the scan reads under the physical schema and aliases back
+    to logical names (a zero-cost projection), partition and stats
+    lookups translate logical -> physical, and callers keep speaking
+    logical names everywhere. 'id' mode (parquet field-id resolution)
+    and nested-field renames are refused loudly, not served wrong.
+
+Out of scope, documented: deletion vectors, column mapping's 'id' mode
+and nested-field renames, and the writer path. Reads enforce only the protocol
 invariant this adapter relies on: a replay path with no holes (every
 readable version is a checkpoint seed plus a contiguous JSON tail).
 """
@@ -343,12 +353,22 @@ def read_delta_snapshot(
             f"Delta snapshot {version} of {table_path} has no active "
             "files; cannot infer a schema from an empty file list"
         )
+    mapping = _column_mapping(meta)  # logical -> physical, or None
+
+    def _phys(col: str) -> str:
+        return mapping.get(col, col) if mapping else col
+
     if stats_filter:
         _validate_stats_filter(stats_filter)
+        # callers speak LOGICAL names; add.stats is keyed by the
+        # physical names under column mapping
+        phys_stats_filter = [
+            (_phys(col), op, lit) for col, op, lit in stats_filter
+        ]
         survivors = {
             p: entry
             for p, entry in active.items()
-            if _stats_file_survives(entry["stats"], stats_filter)
+            if _stats_file_survives(entry["stats"], phys_stats_filter)
         }
         if not survivors:
             # A filter legitimately matching zero files is an empty
@@ -380,7 +400,8 @@ def read_delta_snapshot(
                 "data-only"
             )
         return _read_files(
-            spark, meta, [], [os.path.join(table_path, p) for p in active]
+            spark, meta, [], [os.path.join(table_path, p) for p in active],
+            mapping,
         )
     if partition_filter and (bad := set(partition_filter) - set(part_cols)):
         raise ValueError(
@@ -396,7 +417,7 @@ def read_delta_snapshot(
         # group — different writers use different encodings for the same
         # null partition (ADVICE r12).
         key = tuple(
-            _norm_part_value(entry["partitionValues"].get(c))
+            _norm_part_value(entry["partitionValues"].get(_phys(c)))
             for c in part_cols
         )
         groups.setdefault(key, []).append(os.path.join(table_path, p))
@@ -428,7 +449,7 @@ def read_delta_snapshot(
 
     out: DataFrame | None = None
     for key, files in groups.items():
-        df = _read_files(spark, meta, part_cols, files)
+        df = _read_files(spark, meta, part_cols, files, mapping)
         for c, raw in zip(part_cols, key):
             # keys are normalized above: None IS the null marker
             lit = F.lit(None) if raw is None else F.lit(raw)
@@ -467,7 +488,11 @@ def _empty_snapshot_df(spark: SparkSession, meta: dict | None) -> DataFrame | No
 
 
 def _read_files(
-    spark: SparkSession, meta: dict | None, part_cols: list[str], files: list[str]
+    spark: SparkSession,
+    meta: dict | None,
+    part_cols: list[str],
+    files: list[str],
+    mapping: dict[str, str] | None = None,
 ) -> DataFrame:
     """Parquet scan over one snapshot's files, under the TABLE schema.
 
@@ -480,15 +505,106 @@ def _read_files(
     depending on which file Spark samples. Partition columns are carved
     out (they are never in the data files; the caller attaches them as
     typed literals). Falls back to inference when the retained log has
-    no schemaString."""
+    no schemaString.
+
+    Under column mapping (``mapping``: logical -> physical), the data
+    files store PHYSICAL column names (rename/drop-safe GUIDs), so the
+    scan reads under the physical schema and immediately aliases back to
+    the logical names — the rename is a zero-cost projection Catalyst
+    folds into the scan."""
     schema_str = (meta or {}).get("schemaString")
     if not schema_str:
         return spark.read.parquet(*files)
-    from pyspark.sql.types import StructType
+    from pyspark.sql.types import StructField, StructType
 
     full = StructType.fromJson(json.loads(schema_str))
     data_fields = [f for f in full.fields if f.name not in set(part_cols)]
+    if mapping:
+        from pyspark.sql import functions as F
+
+        phys = StructType([
+            StructField(mapping[f.name], f.dataType, f.nullable)
+            for f in data_fields
+        ])
+        return spark.read.schema(phys).parquet(*files).select(
+            *[F.col(mapping[f.name]).alias(f.name) for f in data_fields]
+        )
     return spark.read.schema(StructType(data_fields)).parquet(*files)
+
+
+def _column_mapping(meta: dict | None) -> dict[str, str] | None:
+    """Logical -> physical column-name map when the table has column
+    mapping enabled (PROTOCOL.md: `delta.columnMapping.mode` in
+    metaData.configuration; each schema field then carries its stable
+    physical name in `delta.columnMapping.physicalName` metadata, and
+    data files / add.partitionValues / add.stats all speak PHYSICAL
+    names). Returns None in the default 'none' mode.
+
+    Supported: 'name' mode on FLAT schemas — the rename is a projection.
+    Refused loudly rather than served wrong: 'id' mode (resolution is by
+    parquet field id, which a name-keyed read cannot honor — a renamed
+    column would silently read as null) and nested fields carrying their
+    own physicalName (rewriting names inside struct/array/map types is a
+    type surgery this adapter does not claim)."""
+    conf = (meta or {}).get("configuration") or {}
+    mode = conf.get("delta.columnMapping.mode") or "none"
+    if mode == "none":
+        return None
+    if mode != "name":
+        raise ValueError(
+            f"columnMapping mode {mode!r} is not served: 'id' mode "
+            "resolves by parquet field id, which a name-keyed scan "
+            "cannot honor — refusing rather than reading renamed "
+            "columns as null"
+        )
+    schema_str = meta.get("schemaString")
+    if not schema_str:
+        raise ValueError(
+            "columnMapping=name but the retained log carries no "
+            "metaData.schemaString to map from"
+        )
+    mapping: dict[str, str] = {}
+    for f in json.loads(schema_str).get("fields", []):
+        if _has_nested_physical_name(f.get("type")):
+            raise ValueError(
+                f"columnMapping=name with a NESTED physicalName under "
+                f"field {f.get('name')!r}: nested-type renames are out "
+                "of scope for this adapter — refusing rather than "
+                "serving wrong nested names"
+            )
+        phys = (f.get("metadata") or {}).get(
+            "delta.columnMapping.physicalName"
+        )
+        if not phys:
+            raise ValueError(
+                f"columnMapping=name but field {f.get('name')!r} lacks "
+                "delta.columnMapping.physicalName metadata — the log is "
+                "inconsistent; refusing rather than guessing the "
+                "physical name"
+            )
+        mapping[f["name"]] = phys
+    return mapping
+
+
+def _has_nested_physical_name(t) -> bool:
+    """True when a Spark-JSON type tree contains a field-level
+    physicalName below the top level (nested column mapping)."""
+    if not isinstance(t, dict):
+        return False
+    if t.get("type") == "struct":
+        for f in t.get("fields", []):
+            if (f.get("metadata") or {}).get("delta.columnMapping.physicalName"):
+                return True
+            if _has_nested_physical_name(f.get("type")):
+                return True
+        return False
+    if t.get("type") == "array":
+        return _has_nested_physical_name(t.get("elementType"))
+    if t.get("type") == "map":
+        return _has_nested_physical_name(t.get("keyType")) or (
+            _has_nested_physical_name(t.get("valueType"))
+        )
+    return False
 
 
 _STATS_OPS = ("=", "<", "<=", ">", ">=")
