@@ -219,6 +219,18 @@ what VERDICT r12's "expectation is they close as noise" predicted,
 now proven rather than presumed. The stable_ratio_vs_prev field this
 round's artifact carries makes the next such adjudication a one-field
 read instead of a header dig.
+
+Round-13 new-entry baseline caveat: the 9 r13 additions have no prior
+official reading, and three same-code samples taken within one hour on
+the quiet r13 container already span the documented 2-4x CPU-bound
+envelope in BOTH directions — dedup_containment_incremental
+1.41 / 5.81 / 3.17, dq_benford 0.90 / 2.53 / 2.71,
+graph_jaccard_neighbors 5.58 / 7.00 / 10.12 (promotion-time profile /
+in-bench / post-bench isolated profile; the stable cluster read flat
+across all three, ratio-vs-r12 0.74). Plan shapes are pinned (PLANS.md
++ the registry-wide smell gate), so judge the r14 readings of these
+entries against the spread above plus the emitted stable ratio, not
+against any single r13 number.
 """
 
 from __future__ import annotations
