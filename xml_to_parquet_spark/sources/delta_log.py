@@ -72,10 +72,30 @@ Semantics implemented (the subset the lake_* ops model):
     logical names everywhere. 'id' mode (parquet field-id resolution)
     and nested-field renames are refused loudly, not served wrong.
 
-Out of scope, documented: deletion vectors, column mapping's 'id' mode
-and nested-field renames, and the writer path. Reads enforce only the protocol
-invariant this adapter relies on: a replay path with no holes (every
-readable version is a checkpoint seed plus a contiguous JSON tail).
+  * deletion vectors (row-level deletes): an `add` carrying a
+    `deletionVector` descriptor marks SOME of its rows deleted; the
+    descriptor's RoaringBitmapArray (decoded in delta_dv.py from the
+    public PROTOCOL.md + RoaringFormatSpec layouts, CRC-verified) holds
+    the deleted 0-based row indexes. The scan applies them as a
+    LEFT-ANTI join of `_metadata.row_index` against the decoded
+    positions — bitmap bytes (the compressed-deleted-set size) are the
+    only driver-side state; positions materialize on executors via
+    mapInPandas and the join broadcasts when the descriptors' summed
+    cardinality is small. Snapshot isolation holds: each version joins
+    against exactly its own replayed descriptors;
+
+  * protocol gating: `protocol` actions are replayed like metaData and
+    reads REFUSE tables whose minReaderVersion / readerFeatures demand
+    semantics this adapter does not implement (e.g. v2Checkpoint's
+    sidecar files) — per PROTOCOL.md a reader that ignores an unknown
+    reader feature can silently return wrong rows, the one failure mode
+    a lake reader must never have.
+
+Out of scope, documented: column mapping's 'id' mode and nested-field
+renames, and the writer path. Reads enforce the protocol invariants
+this adapter relies on: a replay path with no holes (every readable
+version is a checkpoint seed plus a contiguous JSON tail) and a
+reader-feature set it fully implements.
 """
 
 from __future__ import annotations
@@ -189,9 +209,11 @@ def _replay(
     table_path: str, version: int | None
 ) -> tuple[dict[str, dict], dict | None]:
     """Replay through ``version``: (active adds keyed by relative path,
-    each mapped to {"partitionValues": dict, "stats": dict|None}; the
-    table's metaData action or None). The single replay loop every
-    public reader shares."""
+    each mapped to {"partitionValues": dict, "stats": dict|None,
+    "deletionVector": dict|None}; the table's metaData action or None).
+    The single replay loop every public reader shares. Refuses snapshots
+    whose replayed `protocol` action demands reader features this
+    adapter does not implement."""
     versions = list_delta_versions(table_path)
     if version is None:
         version = versions[-1]
@@ -203,6 +225,7 @@ def _replay(
     _, cp_v = _listed_versions(log_dir)
     active: dict[str, dict] = {}  # insertion-ordered: rel path -> partitionValues
     meta: dict | None = None
+    protocol: dict | None = None
     # Seed from the newest checkpoint ≤ the target. Readability (checked
     # above) guarantees the JSON tail after it is complete: any replay
     # chain to `version` must either cross every intermediate version via
@@ -211,7 +234,7 @@ def _replay(
     seed = max((c for c in cp_v if c <= version), default=None)
     start = 0
     if seed is not None:
-        adds, meta = _checkpoint_state(
+        adds, meta, protocol = _checkpoint_state(
             [os.path.join(log_dir, f) for f in cp_v[seed]]
         )
         for p, entry in adds:
@@ -228,6 +251,7 @@ def _replay(
                     active[action["add"]["path"]] = _add_entry(
                         action["add"].get("partitionValues"),
                         action["add"].get("stats"),
+                        action["add"].get("deletionVector"),
                     )
                 elif "remove" in action:
                     # logical delete: the file stays on disk (old
@@ -236,13 +260,59 @@ def _replay(
                     active.pop(action["remove"]["path"], None)
                 elif "metaData" in action:
                     meta = action["metaData"]
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+    _check_reader_protocol(protocol, table_path)
     return active, meta
 
 
-def _add_entry(partition_values, stats) -> dict:
+def _add_entry(partition_values, stats, deletion_vector=None) -> dict:
     """Normalized per-add replay entry. `stats` is PROTOCOL.md's JSON
-    STRING (kept lazy: parsed only if a stats_filter asks)."""
-    return {"partitionValues": dict(partition_values or {}), "stats": stats}
+    STRING (kept lazy: parsed only if a stats_filter asks);
+    `deletionVector` is the raw descriptor dict or None (decoded lazily
+    by the scan, and only for descriptors with nonzero cardinality)."""
+    return {
+        "partitionValues": dict(partition_values or {}),
+        "stats": stats,
+        "deletionVector": dict(deletion_vector) if deletion_vector else None,
+    }
+
+
+# Reader features this adapter fully implements; anything else refuses.
+# 'deletionVectors' and 'columnMapping' are served above/below;
+# 'timestampNtz' is a pure type (Spark's TimestampNTZType reads it);
+# 'vacuumProtocolCheck' constrains VACUUM, demanding nothing of a reader.
+_SUPPORTED_READER_FEATURES = frozenset(
+    {"deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck"}
+)
+
+
+def _check_reader_protocol(protocol: dict | None, table_path: str) -> None:
+    """Refuse tables whose `protocol` action demands reader capabilities
+    this adapter lacks (PROTOCOL.md: readers MUST refuse, not ignore,
+    unknown reader features — e.g. serving a v2Checkpoint table without
+    reading sidecar files would silently drop active files). Tables with
+    no retained protocol action, or minReaderVersion <= 2 (base + column
+    mapping, both handled or refused precisely elsewhere), pass."""
+    if not protocol:
+        return
+    min_reader = int(protocol.get("minReaderVersion") or 1)
+    if min_reader <= 2:
+        return
+    if min_reader > 3:
+        raise ValueError(
+            f"table {table_path} requires minReaderVersion {min_reader}; "
+            "this adapter implements reader protocol 3 — refusing rather "
+            "than misreading a newer table"
+        )
+    features = set(protocol.get("readerFeatures") or [])
+    if unsupported := features - _SUPPORTED_READER_FEATURES:
+        raise ValueError(
+            f"table {table_path} requires reader features "
+            f"{sorted(unsupported)} this adapter does not implement "
+            f"(supported: {sorted(_SUPPORTED_READER_FEATURES)}); refusing "
+            "rather than serving a silently-wrong snapshot"
+        )
 
 
 def delta_active_files(table_path: str, version: int | None = None) -> list[str]:
@@ -253,6 +323,11 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
     table data size — the property that makes lake commits cheap at
     100 TB (a commit is new files + one small log object; old data is
     never rewritten or rescanned to read history).
+
+    Note: a FILE list cannot express row-level deletes — an active file
+    may carry a deletionVector whose rows must be dropped at scan time.
+    read_delta_snapshot applies them; callers scanning this list
+    directly are reading the physical files, deleted rows included.
     """
     active, _ = _replay(table_path, version)
     return [os.path.join(table_path, p) for p in active]
@@ -260,35 +335,44 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
 
 def _checkpoint_state(
     cp_files: list[str],
-) -> tuple[list[tuple[str, dict]], dict | None]:
-    """(active (path, partitionValues) pairs, metaData action or None)
-    from one checkpoint — a single-part file, or every part of a
-    complete multi-part set (the caller guarantees completeness; the
-    parts PARTITION the reconciled action state, so their concatenation
-    is exactly the single-part content, in any part order — action rows
-    are keyed, never positional).
+) -> tuple[list[tuple[str, dict]], dict | None, dict | None]:
+    """(active (path, partitionValues) pairs, metaData action or None,
+    protocol action or None) from one checkpoint — a single-part file,
+    or every part of a complete multi-part set (the caller guarantees
+    completeness; the parts PARTITION the reconciled action state, so
+    their concatenation is exactly the single-part content, in any part
+    order — action rows are keyed, never positional).
 
     A checkpoint row is one action; rows whose `add` struct is non-null
     ARE the snapshot's active file set (remove rows are VACUUM
-    tombstones, irrelevant to a snapshot read; protocol/txn rows carry
-    no files; the metaData row carries the schema and partition columns
-    a partitioned read needs). Driver-side pyarrow read,
-    action-count-sized — same cost class as the JSON replay it replaces.
-    """
+    tombstones, irrelevant to a snapshot read; txn rows carry no files;
+    the metaData row carries the schema and partition columns a
+    partitioned read needs; the protocol row gates readability). An
+    add row's `deletionVector` struct survives into the replay entry —
+    a checkpointed DV is as binding as a JSON one. Driver-side pyarrow
+    read, action-count-sized — same cost class as the JSON replay it
+    replaces."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     adds: list[tuple[str, dict]] = []
     meta: dict | None = None
+    protocol: dict | None = None
+    def _first_struct_row(table, col):
+        if col in table.column_names and pa.types.is_struct(
+            table.column(col).type
+        ):
+            for row in table.column(col).to_pylist():
+                if row is not None:
+                    return row
+        return None
+
     for cp_file in cp_files:
         table = pq.read_table(cp_file)
-        if meta is None and "metaData" in table.column_names and pa.types.is_struct(
-            table.column("metaData").type
-        ):
-            for row in table.column("metaData").to_pylist():
-                if row is not None:
-                    meta = row
-                    break
+        if meta is None:
+            meta = _first_struct_row(table, "metaData")
+        if protocol is None:
+            protocol = _first_struct_row(table, "protocol")
         if "add" not in table.column_names:
             continue  # part with no add actions (or empty-table checkpoint)
         adds_col = table.column("add")
@@ -304,9 +388,10 @@ def _checkpoint_state(
                 # dict alike
                 adds.append(
                     (row["path"],
-                     _add_entry(row.get("partitionValues"), row.get("stats")))
+                     _add_entry(row.get("partitionValues"), row.get("stats"),
+                                row.get("deletionVector")))
                 )
-    return adds, meta
+    return adds, meta, protocol
 
 
 def read_delta_snapshot(
@@ -354,6 +439,17 @@ def read_delta_snapshot(
             "files; cannot infer a schema from an empty file list"
         )
     mapping = _column_mapping(meta)  # logical -> physical, or None
+    # Row-level deletes: abs data-file path -> deletionVector descriptor,
+    # for every active add whose DV actually deletes something. Built
+    # from THIS version's replay, so time travel joins each snapshot
+    # against exactly its own deleted sets.
+    dv_map = {
+        os.path.abspath(os.path.join(table_path, p)): entry["deletionVector"]
+        for p, entry in active.items()
+        if entry.get("deletionVector")
+        and int(entry["deletionVector"].get("cardinality") or 0) > 0
+    }
+    with_rowpos = bool(dv_map)
 
     def _phys(col: str) -> str:
         return mapping.get(col, col) if mapping else col
@@ -399,10 +495,13 @@ def read_delta_snapshot(
                 "retained log — refusing to read partition columns as "
                 "data-only"
             )
-        return _read_files(
+        df = _read_files(
             spark, meta, [], [os.path.join(table_path, p) for p in active],
-            mapping,
+            mapping, with_rowpos=with_rowpos,
         )
+        if dv_map:
+            df = _apply_deletion_vectors(spark, df, dv_map, table_path)
+        return df
     if partition_filter and (bad := set(partition_filter) - set(part_cols)):
         raise ValueError(
             f"partition_filter keys {sorted(bad)} are not partition "
@@ -449,12 +548,15 @@ def read_delta_snapshot(
 
     out: DataFrame | None = None
     for key, files in groups.items():
-        df = _read_files(spark, meta, part_cols, files, mapping)
+        df = _read_files(spark, meta, part_cols, files, mapping,
+                         with_rowpos=with_rowpos)
         for c, raw in zip(part_cols, key):
             # keys are normalized above: None IS the null marker
             lit = F.lit(None) if raw is None else F.lit(raw)
             df = df.withColumn(c, lit.cast(part_types[c]))
         out = df if out is None else out.unionByName(df)
+    if dv_map:
+        out = _apply_deletion_vectors(spark, out, dv_map, table_path)
     return out
 
 
@@ -493,6 +595,7 @@ def _read_files(
     part_cols: list[str],
     files: list[str],
     mapping: dict[str, str] | None = None,
+    with_rowpos: bool = False,
 ) -> DataFrame:
     """Parquet scan over one snapshot's files, under the TABLE schema.
 
@@ -511,25 +614,134 @@ def _read_files(
     files store PHYSICAL column names (rename/drop-safe GUIDs), so the
     scan reads under the physical schema and immediately aliases back to
     the logical names — the rename is a zero-cost projection Catalyst
-    folds into the scan."""
+    folds into the scan.
+
+    ``with_rowpos`` (the deletion-vector path) additionally selects the
+    parquet reader's hidden `_metadata.file_path` / `_metadata.row_index`
+    columns as `__dv_fp` / `__dv_rowidx` — the per-file row ordinal a DV's
+    deleted positions are defined against."""
+    from pyspark.sql import functions as F
+
+    rowpos_cols = (
+        [
+            F.col("_metadata.file_path").alias("__dv_fp"),
+            F.col("_metadata.row_index").alias("__dv_rowidx"),
+        ]
+        if with_rowpos
+        else []
+    )
     schema_str = (meta or {}).get("schemaString")
     if not schema_str:
-        return spark.read.parquet(*files)
+        df = spark.read.parquet(*files)
+        return df.select("*", *rowpos_cols) if rowpos_cols else df
     from pyspark.sql.types import StructField, StructType
 
     full = StructType.fromJson(json.loads(schema_str))
     data_fields = [f for f in full.fields if f.name not in set(part_cols)]
     if mapping:
-        from pyspark.sql import functions as F
-
         phys = StructType([
             StructField(mapping[f.name], f.dataType, f.nullable)
             for f in data_fields
         ])
         return spark.read.schema(phys).parquet(*files).select(
-            *[F.col(mapping[f.name]).alias(f.name) for f in data_fields]
+            *[F.col(mapping[f.name]).alias(f.name) for f in data_fields],
+            *rowpos_cols,
         )
-    return spark.read.schema(StructType(data_fields)).parquet(*files)
+    df = spark.read.schema(StructType(data_fields)).parquet(*files)
+    return df.select("*", *rowpos_cols) if rowpos_cols else df
+
+
+# Path characters whose Hadoop-URI form is identity — the anti-join
+# compares `_metadata.file_path` (a URI) against plain absolute paths,
+# which is only sound when no character needed percent-escaping. Delta
+# writers name data files with UUID-hex + dashes and encode partition
+# directories themselves, so real tables pass; anything exotic refuses
+# loudly instead of silently resurrecting deleted rows on a mismatch.
+_DV_SAFE_PATH_RE = re.compile(r"^[A-Za-z0-9/._\-=+]+$")
+
+# Broadcast the decoded deleted-positions side while its row count (the
+# summed descriptor cardinality, known from metadata alone) stays well
+# under executor-memory scale; beyond that the anti-join shuffles both
+# sides on (file, row_index) like any large join.
+_DV_BROADCAST_MAX_CARDINALITY = 4_000_000
+
+
+def _apply_deletion_vectors(
+    spark: SparkSession, df: DataFrame, dv_map: dict[str, dict],
+    table_path: str,
+) -> DataFrame:
+    """Drop each file's DV-deleted row indexes from a snapshot scan.
+
+    Shape: the descriptors' bitmap BYTES (compressed-deleted-set-sized,
+    CRC-verified — delta_dv.load_dv_bytes) are the only driver-side
+    state; they ship to executors as a binary column and a mapInPandas
+    decode (delta_dv.decode_dv_positions, vectorized numpy) materializes
+    the (file, row_index) deleted set distributed — the driver never
+    holds positions. The scan side carries `_metadata.row_index`, and a
+    LEFT-ANTI join removes deleted rows; the deleted side broadcasts
+    when the descriptors' summed cardinality (metadata, no decode
+    needed) is small, which is every realistic DV workload — DVs exist
+    precisely because the deleted fraction is tiny relative to the data.
+    """
+    from pyspark.sql import functions as F
+
+    from . import delta_dv
+
+    for path in dv_map:
+        if not _DV_SAFE_PATH_RE.match(path):
+            raise ValueError(
+                f"data file path {path!r} contains characters that "
+                "percent-escape in Spark's _metadata.file_path URI; the "
+                "deletion-vector row join cannot be proven sound for it "
+                "— refusing rather than risking resurrected rows"
+            )
+    payload = [
+        (
+            path,
+            bytes(delta_dv.load_dv_bytes(desc, table_path)),
+            int(desc.get("cardinality") or 0),
+        )
+        for path, desc in dv_map.items()
+    ]
+    total_card = sum(card for _, _, card in payload)
+    blobs = spark.createDataFrame(
+        payload, schema="__dv_file string, __dv_blob binary, __dv_card long"
+    ).repartition(min(len(payload), 32))
+
+    def _positions(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for path, blob, card in zip(
+                pdf["__dv_file"], pdf["__dv_blob"], pdf["__dv_card"]
+            ):
+                pos = delta_dv.decode_dv_positions(bytes(blob))
+                if len(pos) != card:
+                    raise ValueError(
+                        f"deletion vector for {path} decodes to "
+                        f"{len(pos)} positions but its descriptor "
+                        f"declares cardinality {card}"
+                    )
+                yield pd.DataFrame({"__dv_file": path, "__dv_pos": pos})
+
+    deleted = blobs.mapInPandas(
+        _positions, schema="__dv_file string, __dv_pos long"
+    )
+    if total_card <= _DV_BROADCAST_MAX_CARDINALITY:
+        deleted = F.broadcast(deleted)
+    # `_metadata.file_path` is a URI ("file:/abs/path"); strip the scheme
+    # to compare against the replay's absolute paths (guarded above to
+    # contain no escaping characters).
+    scan_path = F.regexp_replace(
+        F.col("__dv_fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
+    )
+    out = df.join(
+        deleted,
+        (scan_path == deleted["__dv_file"])
+        & (F.col("__dv_rowidx") == deleted["__dv_pos"]),
+        "left_anti",
+    )
+    return out.drop("__dv_fp", "__dv_rowidx")
 
 
 def _column_mapping(meta: dict | None) -> dict[str, str] | None:
@@ -698,6 +910,18 @@ def delta_incremental_files(
                 action = json.loads(line)
                 if "add" in action:
                     if action["add"].get("dataChange", True):
+                        dv = action["add"].get("deletionVector") or {}
+                        if int(dv.get("cardinality") or 0) > 0:
+                            raise ValueError(
+                                f"version {v} adds "
+                                f"{action['add']['path']} with a "
+                                "deletion vector: its rows are the file "
+                                "MINUS the deleted set, which an "
+                                "append-only file increment cannot "
+                                "express (a DV commit is a row-level "
+                                "delete — consume it via CDC, not "
+                                "incremental files)"
+                            )
                         out.append(
                             (v, os.path.join(table_path, action["add"]["path"]))
                         )
@@ -709,6 +933,10 @@ def delta_incremental_files(
                             "dataChange=true: a delete cannot be served "
                             "as an append-only increment"
                         )
+                elif "protocol" in action:
+                    # a mid-window protocol upgrade to features this
+                    # adapter lacks invalidates the increments after it
+                    _check_reader_protocol(action["protocol"], table_path)
     return out
 
 
