@@ -50,6 +50,13 @@ Semantics implemented (the subset the lake_* ops model):
     streaming-from-Delta micro-batch planner — skipping
     ``dataChange: false`` rewrites and refusing windows containing real
     deletes (those need a CDC feed, not an append replay);
+  * change data feed: ``delta_changes(since, to)`` serves that CDC feed
+    — `cdc` actions' `_change_data` files verbatim (they carry
+    `_change_type` physically), with insert/delete synthesis for
+    commits that lack them, `_commit_version`/`_commit_timestamp`
+    stamping, and loud refusal of the shapes only writer-recorded
+    change data can describe (DV rewrites without cdc files, mid-window
+    schema changes);
   * the scan itself is a plain Spark parquet read over the active file
     list — predicate pushdown, column pruning, and partition-level
     parallelism all apply downstream, and log replay costs O(actions),
@@ -596,6 +603,7 @@ def _read_files(
     files: list[str],
     mapping: dict[str, str] | None = None,
     with_rowpos: bool = False,
+    extra_fields: tuple = (),
 ) -> DataFrame:
     """Parquet scan over one snapshot's files, under the TABLE schema.
 
@@ -619,7 +627,12 @@ def _read_files(
     ``with_rowpos`` (the deletion-vector path) additionally selects the
     parquet reader's hidden `_metadata.file_path` / `_metadata.row_index`
     columns as `__dv_fp` / `__dv_rowidx` — the per-file row ordinal a DV's
-    deleted positions are defined against."""
+    deleted positions are defined against.
+
+    ``extra_fields`` (StructFields) extend the explicit read schema
+    beyond the table columns — the change-data-feed path reads the
+    `_change_type` column cdc files physically carry. They are metadata
+    columns, never subject to column mapping."""
     from pyspark.sql import functions as F
 
     rowpos_cols = (
@@ -639,15 +652,21 @@ def _read_files(
     full = StructType.fromJson(json.loads(schema_str))
     data_fields = [f for f in full.fields if f.name not in set(part_cols)]
     if mapping:
-        phys = StructType([
-            StructField(mapping[f.name], f.dataType, f.nullable)
-            for f in data_fields
-        ])
+        phys = StructType(
+            [
+                StructField(mapping[f.name], f.dataType, f.nullable)
+                for f in data_fields
+            ]
+            + list(extra_fields)
+        )
         return spark.read.schema(phys).parquet(*files).select(
             *[F.col(mapping[f.name]).alias(f.name) for f in data_fields],
+            *[F.col(f.name) for f in extra_fields],
             *rowpos_cols,
         )
-    df = spark.read.schema(StructType(data_fields)).parquet(*files)
+    df = spark.read.schema(
+        StructType(data_fields + list(extra_fields))
+    ).parquet(*files)
     return df.select("*", *rowpos_cols) if rowpos_cols else df
 
 
@@ -937,6 +956,245 @@ def delta_incremental_files(
                     # a mid-window protocol upgrade to features this
                     # adapter lacks invalidates the increments after it
                     _check_reader_protocol(action["protocol"], table_path)
+    return out
+
+
+def delta_changes(
+    spark: SparkSession,
+    table_path: str,
+    since_version: int,
+    to_version: int | None = None,
+) -> DataFrame:
+    """Change-data-feed read: every row-level change committed in
+    ``(since_version, to_version]``, as a DataFrame of the table columns
+    plus `_change_type` (insert / delete / update_preimage /
+    update_postimage), `_commit_version`, and `_commit_timestamp` —
+    the consumption path `delta_incremental_files` refuses deletes for.
+
+    Semantics follow Delta's own CDF reader (PROTOCOL.md "Add CDC
+    File"): a commit that records `cdc` actions is described EXACTLY by
+    its `_change_data` files (which physically carry `_change_type`;
+    the commit's add/remove actions are the state effect, not the
+    change set — using both would double-count). A commit with no cdc
+    actions synthesizes: `add` with dataChange=true -> every row of the
+    file as `insert`; `remove` with dataChange=true -> every LIVE row
+    of the file at removal time as `delete` (the file's prior replay
+    entry supplies its partition values AND its deletion vector, so
+    rows a DV had already deleted are not re-deleted). Refused loudly,
+    never served wrong: a no-cdc commit that rewrites a file with a
+    deletion vector (the masked row-level delete — only its cdc files
+    can say which rows), a schema or partition-column change inside the
+    window (the frames would not union), and windows below the retained
+    JSON history (per-version facts, like incremental reads).
+
+    Scale shape: per version the work is O(actions) driver-side
+    metadata plus ordinary parquet scans of only the files that changed
+    — never a table scan; partition values attach as literals exactly
+    like snapshot reads, and synthesized deletes reuse the DV anti-join
+    machinery. dataChange=false housekeeping (compaction) contributes
+    nothing, matching the no-rewrite-no-change contract.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StringType, StructField
+
+    versions = list_delta_versions(table_path)
+    if to_version is None:
+        to_version = versions[-1]
+    if since_version not in versions:
+        raise ValueError(
+            f"CDF base version {since_version} is not readable "
+            f"(readable: {versions}); the window's deletes need the "
+            "active state at its start"
+        )
+    log_dir = _log_dir(table_path)
+    json_v, _ = _listed_versions(log_dir)
+    need = range(since_version + 1, to_version + 1)
+    if missing := [v for v in need if v not in json_v]:
+        raise ValueError(
+            f"CDF read needs JSON commits {list(need)} but {missing} "
+            "are not retained (checkpoints cannot reconstruct "
+            "per-version change sets)"
+        )
+    state, meta = _replay(table_path, since_version)
+    part_cols = list((meta or {}).get("partitionColumns") or [])
+    mapping = _column_mapping(meta)
+    base_schema = (meta or {}).get("schemaString")
+    ct_field = StructField("_change_type", StringType(), True)
+    frames: list[DataFrame] = []
+    for v in need:
+        adds: list[dict] = []
+        removes: list[dict] = []
+        cdcs: list[dict] = []
+        file_actions: list[tuple[str, dict]] = []  # in commit order
+        commit_ts = None
+        with open(os.path.join(log_dir, f"{v:020d}.json")) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds.append(action["add"])
+                    file_actions.append(("add", action["add"]))
+                elif "remove" in action:
+                    removes.append(action["remove"])
+                    file_actions.append(("remove", action["remove"]))
+                elif "cdc" in action:
+                    cdcs.append(action["cdc"])
+                elif "metaData" in action:
+                    m = action["metaData"]
+                    if m.get("schemaString") != base_schema or list(
+                        m.get("partitionColumns") or []
+                    ) != part_cols:
+                        raise ValueError(
+                            f"version {v} changes the table schema or "
+                            "partitioning inside the CDF window; change "
+                            "frames across a schema change do not union "
+                            "— split the window at the change"
+                        )
+                    meta = m
+                elif "protocol" in action:
+                    _check_reader_protocol(action["protocol"], table_path)
+                elif "commitInfo" in action:
+                    commit_ts = action["commitInfo"].get("timestamp")
+        if cdcs:
+            df = _scan_change_batch(
+                spark, meta, part_cols, mapping, table_path,
+                [(c["path"], c.get("partitionValues"), None) for c in cdcs],
+                extra_fields=(ct_field,),
+            )
+        else:
+            parts: list[DataFrame] = []
+            inserts = [a for a in adds if a.get("dataChange", True)]
+            for a in inserts:
+                dv = a.get("deletionVector") or {}
+                if int(dv.get("cardinality") or 0) > 0:
+                    raise ValueError(
+                        f"version {v} rewrites {a['path']} with a "
+                        "deletion vector but records no cdc files: only "
+                        "the writer's change data can say which rows "
+                        "changed — enable change data feed on the writer"
+                    )
+            if inserts:
+                parts.append(
+                    _scan_change_batch(
+                        spark, meta, part_cols, mapping, table_path,
+                        [(a["path"], a.get("partitionValues"), None)
+                         for a in inserts],
+                        change_type="insert",
+                    )
+                )
+            deletes = [r for r in removes if r.get("dataChange", True)]
+            if deletes:
+                del_entries = []
+                for r in deletes:
+                    prior = state.get(r["path"])
+                    if prior is None:
+                        raise ValueError(
+                            f"version {v} removes {r['path']} which is "
+                            f"not active at version {v - 1}; the log is "
+                            "inconsistent"
+                        )
+                    del_entries.append(
+                        (r["path"], prior["partitionValues"],
+                         prior["deletionVector"])
+                    )
+                parts.append(
+                    _scan_change_batch(
+                        spark, meta, part_cols, mapping, table_path,
+                        del_entries, change_type="delete",
+                    )
+                )
+            if not parts:
+                df = None  # housekeeping-only version: no changes
+            elif len(parts) == 1:
+                df = parts[0]
+            else:
+                df = parts[0].unionByName(parts[1])
+        if df is not None:
+            df = df.withColumn("_commit_version", F.lit(v).cast("long"))
+            ts_col = (
+                F.timestamp_millis(F.lit(int(commit_ts)))
+                if commit_ts is not None
+                else F.lit(None).cast("timestamp")
+            )
+            frames.append(df.withColumn("_commit_timestamp", ts_col))
+        # advance the active state to version v (cdc or not, the
+        # add/remove actions ARE the state effect) — in COMMIT ORDER,
+        # because a remove + re-add of the same path within one commit
+        # (the standard DV / rewrite shape) must leave the re-add active
+        for kind, a in file_actions:
+            if kind == "add":
+                state[a["path"]] = _add_entry(
+                    a.get("partitionValues"), a.get("stats"),
+                    a.get("deletionVector"),
+                )
+            else:
+                state.pop(a["path"], None)
+    if not frames:
+        empty = _empty_snapshot_df(spark, meta)
+        if empty is None:
+            raise ValueError(
+                f"CDF window ({since_version}, {to_version}] of "
+                f"{table_path} has no changes and the retained log has "
+                "no schemaString to shape an empty result"
+            )
+        return (
+            empty.withColumn("_change_type", F.lit(None).cast("string"))
+            .withColumn("_commit_version", F.lit(None).cast("long"))
+            .withColumn("_commit_timestamp", F.lit(None).cast("timestamp"))
+        )
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _scan_change_batch(
+    spark: SparkSession,
+    meta: dict | None,
+    part_cols: list[str],
+    mapping: dict[str, str] | None,
+    table_path: str,
+    entries: list[tuple],
+    extra_fields: tuple = (),
+    change_type: str | None = None,
+) -> DataFrame:
+    """One CDF batch: scan ``entries`` ((rel path, partitionValues,
+    deletionVector|None)) under the table schema, attach partition
+    literals per group exactly like a snapshot read, apply any deletion
+    vectors, and stamp a synthesized `_change_type` when the files do
+    not physically carry one (cdc files do; add/remove files do not)."""
+    from pyspark.sql import functions as F
+
+    def _phys(col: str) -> str:
+        return mapping.get(col, col) if mapping else col
+
+    part_types = _partition_column_types(meta, part_cols) if part_cols else {}
+    dv_map = {
+        os.path.abspath(os.path.join(table_path, p)): d
+        for p, _, d in entries
+        if d and int(d.get("cardinality") or 0) > 0
+    }
+    with_rowpos = bool(dv_map)
+    groups: dict[tuple, list[str]] = {}
+    for p, pv, _ in entries:
+        key = tuple(
+            _norm_part_value((pv or {}).get(_phys(c))) for c in part_cols
+        )
+        groups.setdefault(key, []).append(os.path.join(table_path, p))
+    out: DataFrame | None = None
+    for key, files in groups.items():
+        df = _read_files(spark, meta, part_cols, files, mapping,
+                         with_rowpos=with_rowpos, extra_fields=extra_fields)
+        for c, raw in zip(part_cols, key):
+            lit = F.lit(None) if raw is None else F.lit(raw)
+            df = df.withColumn(c, lit.cast(part_types[c]))
+        out = df if out is None else out.unionByName(df)
+    if dv_map:
+        out = _apply_deletion_vectors(spark, out, dv_map, table_path)
+    if change_type is not None:
+        out = out.withColumn("_change_type", F.lit(change_type))
     return out
 
 
