@@ -1,0 +1,242 @@
+"""Decode-only Apache Avro reader (object container files + datums).
+
+Iceberg's table metadata is JSON, but its manifest lists and manifests
+are Avro object container files — the one reason the lake story stopped
+at Delta ("Iceberg manifests are Avro, unreadable stdlib-only"). This
+module removes that constraint from first principles: the Avro 1.11
+specification (avro.apache.org/docs/current/specification) defines both
+layers completely, and every piece is stdlib-decodable:
+
+  * object container file: magic ``Obj\\x01``, a file-metadata map
+    (``avro.schema`` = the writer's schema as JSON, ``avro.codec``), a
+    16-byte sync marker, then data blocks — each a record count, a
+    byte length, the (possibly deflate-compressed) encoded records, and
+    the sync marker again (verified; a mismatch means a torn file);
+  * binary datum encoding: int/long are zigzag varints; float/double
+    little-endian IEEE; bytes/string length-prefixed; records are their
+    fields in declaration order; enums an int index; arrays and maps are
+    blocks terminated by a zero count (a negative count carries a block
+    byte size to enable skipping — honored here); unions a long branch
+    index then the branch datum; fixed is raw bytes.
+
+Scope: reading with the WRITER's schema only (exactly what a container
+file consumer needs — the schema ships inside the file), codecs null
+and deflate (zlib, the two the spec requires/recommends; snappy is
+refused loudly). No writer path. Schemas may reference previously
+defined named types by full name, which Iceberg's manifest schemas use.
+
+Decoding is driver-side and manifest-sized — the same O(metadata) cost
+class as the Delta log replay; data files are never touched here.
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+import zlib
+
+_MAGIC = b"Obj\x01"
+
+
+class AvroError(ValueError):
+    """Malformed or unsupported Avro bytes — never guessed around."""
+
+
+class _Cursor:
+    """Sequential reader over one decoded block (or the file header)."""
+
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes, pos: int = 0):
+        self.buf = buf
+        self.pos = pos
+
+    def take(self, n: int) -> bytes:
+        if self.pos + n > len(self.buf):
+            raise AvroError(
+                f"truncated Avro data: wanted {n} bytes at {self.pos}, "
+                f"have {len(self.buf) - self.pos}"
+            )
+        out = self.buf[self.pos : self.pos + n]
+        self.pos += n
+        return out
+
+    def at_end(self) -> bool:
+        return self.pos >= len(self.buf)
+
+    def read_long(self) -> int:
+        """Zigzag-encoded variable-length integer (int and long alike)."""
+        shift = 0
+        accum = 0
+        while True:
+            byte = self.take(1)[0]
+            accum |= (byte & 0x7F) << shift
+            if not byte & 0x80:
+                break
+            shift += 7
+            if shift > 70:
+                raise AvroError("varint longer than 10 bytes")
+        return (accum >> 1) ^ -(accum & 1)
+
+    def read_bytes(self) -> bytes:
+        n = self.read_long()
+        if n < 0:
+            raise AvroError(f"negative bytes length {n}")
+        return self.take(n)
+
+
+def _decode(schema, cur: _Cursor, names: dict):
+    """One datum under the writer's ``schema`` (parsed-JSON form)."""
+    if isinstance(schema, list):  # union: branch index, then the datum
+        idx = cur.read_long()
+        if not 0 <= idx < len(schema):
+            raise AvroError(f"union branch {idx} outside {len(schema)} branches")
+        return _decode(schema[idx], cur, names)
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return None
+        if t == "boolean":
+            return cur.take(1) != b"\x00"
+        if t in ("int", "long"):
+            return cur.read_long()
+        if t == "float":
+            return struct.unpack("<f", cur.take(4))[0]
+        if t == "double":
+            return struct.unpack("<d", cur.take(8))[0]
+        if t == "bytes":
+            return cur.read_bytes()
+        if t == "string":
+            return cur.read_bytes().decode("utf-8")
+        if t in names:  # reference to a previously defined named type
+            return _decode(names[t], cur, names)
+        raise AvroError(f"unknown Avro type {t!r}")
+    if not isinstance(schema, dict):
+        raise AvroError(f"malformed schema node {schema!r}")
+    t = schema["type"]
+    if isinstance(t, (dict, list)):  # {"type": {...}} wrapper
+        return _decode(t, cur, names)
+    if t == "record":
+        _register_name(schema, names)
+        return {
+            f["name"]: _decode(f["type"], cur, names)
+            for f in schema["fields"]
+        }
+    if t == "enum":
+        _register_name(schema, names)
+        idx = cur.read_long()
+        symbols = schema["symbols"]
+        if not 0 <= idx < len(symbols):
+            raise AvroError(f"enum index {idx} outside {symbols}")
+        return symbols[idx]
+    if t == "array":
+        out = []
+        while (count := cur.read_long()) != 0:
+            if count < 0:  # negative count: block byte size follows
+                count = -count
+                cur.read_long()
+            for _ in range(count):
+                out.append(_decode(schema["items"], cur, names))
+        return out
+    if t == "map":
+        out = {}
+        while (count := cur.read_long()) != 0:
+            if count < 0:
+                count = -count
+                cur.read_long()
+            for _ in range(count):
+                key = cur.read_bytes().decode("utf-8")
+                out[key] = _decode(schema["values"], cur, names)
+        return out
+    if t == "fixed":
+        _register_name(schema, names)
+        return cur.take(schema["size"])
+    return _decode(t, cur, names)  # primitive spelled as {"type": "long"}
+
+
+def _register_name(schema: dict, names: dict) -> None:
+    name = schema.get("name")
+    if not name:
+        return
+    namespace = schema.get("namespace")
+    full = f"{namespace}.{name}" if namespace and "." not in name else name
+    names.setdefault(full, schema)
+    names.setdefault(name, schema)
+
+
+def _collect_names(schema, names: dict) -> None:
+    """Pre-register every named type so forward-order references resolve
+    regardless of which record appears first in a datum."""
+    if isinstance(schema, list):
+        for s in schema:
+            _collect_names(s, names)
+        return
+    if not isinstance(schema, dict):
+        return
+    t = schema.get("type")
+    if t in ("record", "enum", "fixed"):
+        _register_name(schema, names)
+    if t == "record":
+        for f in schema.get("fields", []):
+            _collect_names(f.get("type"), names)
+    elif t == "array":
+        _collect_names(schema.get("items"), names)
+    elif t == "map":
+        _collect_names(schema.get("values"), names)
+    elif isinstance(t, (dict, list)):
+        _collect_names(t, names)
+
+
+def read_container(data: bytes) -> tuple[dict, list]:
+    """(writer schema as parsed JSON, decoded records) from one Avro
+    object container file. Sync markers are VERIFIED per block — a
+    mismatch is a torn or corrupt file and refuses, never truncates
+    silently. Codecs: null, deflate (raw zlib per the spec)."""
+    cur = _Cursor(data)
+    if cur.take(4) != _MAGIC:
+        raise AvroError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while (count := cur.read_long()) != 0:
+        if count < 0:
+            count = -count
+            cur.read_long()
+        for _ in range(count):
+            key = cur.read_bytes().decode("utf-8")
+            meta[key] = cur.read_bytes()
+    sync = cur.take(16)
+    try:
+        schema = json.loads(meta["avro.schema"])
+    except KeyError:
+        raise AvroError("container file carries no avro.schema") from None
+    codec = meta.get("avro.codec", b"null").decode("utf-8")
+    if codec not in ("null", "deflate"):
+        raise AvroError(
+            f"Avro codec {codec!r} is not served (null and deflate are); "
+            "refusing rather than returning garbage"
+        )
+    names: dict = {}
+    _collect_names(schema, names)
+    records: list = []
+    while not cur.at_end():
+        n_records = cur.read_long()
+        block = cur.read_bytes()
+        if cur.take(16) != sync:
+            raise AvroError(
+                "sync marker mismatch mid-file: torn or corrupt container"
+            )
+        if codec == "deflate":
+            block = zlib.decompress(block, wbits=-15)
+        bcur = _Cursor(block)
+        for _ in range(n_records):
+            records.append(_decode(schema, bcur, names))
+        if not bcur.at_end():
+            raise AvroError(
+                f"block declared {n_records} records but "
+                f"{len(block) - bcur.pos} bytes remain"
+            )
+    return schema, records
+
+
+def read_container_file(path: str) -> tuple[dict, list]:
+    with open(path, "rb") as fh:
+        return read_container(fh.read())

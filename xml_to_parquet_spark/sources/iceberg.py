@@ -1,0 +1,422 @@
+"""Read-only adapter for Apache Iceberg tables (HadoopTables layout).
+
+The Delta adapter (delta_log.py) covered the JSON-logged half of the
+lake-format story; Iceberg was documented out of scope for one reason
+only — its manifests are Avro. avro_codec.py removes that constraint
+from the public Avro spec, so this module now reads the REAL Iceberg
+metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
+
+  * table metadata: `metadata/v<N>.metadata.json` (the newest N, or the
+    one `version-hint.text` names) — schemas keyed by schema-id,
+    partition specs, and the snapshot list; every snapshot is readable,
+    giving time travel by snapshot id exactly like Delta's by-version;
+  * manifest list (Avro): one row per manifest — content kind
+    (data/deletes), partition-summary and count fields; read driver-side
+    through avro_codec, O(manifests);
+  * manifests (Avro): `manifest_entry` rows — status
+    (EXISTING/ADDED/DELETED; DELETED entries are files removed as of
+    this snapshot and are skipped), and the `data_file` struct: path,
+    format, partition values, record count, and per-file column bounds;
+  * the scan: an ordinary Spark parquet read over the live data files
+    under the CURRENT Iceberg schema translated field-by-field, with
+    each field's Iceberg ID attached as `parquet.field.id` metadata and
+    `spark.sql.parquet.fieldId.read.enabled` set — Iceberg resolves
+    columns BY FIELD ID, never by name, which is what makes renames
+    safe; a name-based read would silently null a renamed column;
+  * partition pruning: `partition_filter` matches the manifest entries'
+    partition structs driver-side before any scan is planned (identity
+    transforms — the stored value IS the column value; for
+    bucket/truncate specs the caller must pass the TRANSFORMED value,
+    matching what the manifest stores);
+  * zone-map pruning: `stats_filter` decodes `lower_bounds` /
+    `upper_bounds` (the spec's single-value binary serialization,
+    little-endian for numerics) for NUMERIC predicates only,
+    keep-on-missing — same soundness contract as the Delta adapter;
+  * v2 row-level deletes: POSITION delete files (content=1) are read as
+    ordinary parquet (file_path, pos) and applied as a left-anti join
+    against `_metadata.file_path`/`_metadata.row_index` — the same
+    machinery as Delta deletion vectors, and sound without sequence
+    numbers because position deletes reference an immutable file path
+    (a rewritten file gets a new path, so a stale delete row matches
+    nothing). EQUALITY deletes (content=2) are refused loudly: applying
+    them correctly requires sequence-number scoping between delete and
+    data files, and serving them unscoped would delete resurrected rows.
+
+Out of scope, documented: the writer path, non-parquet data files
+(AVRO/ORC data file_format is refused per file, not guessed), nested
+list/map column types in the read schema, and equality deletes.
+Everything metadata-side is driver-side and manifest-sized; the scan is
+a plain Catalyst FileScan with pushdown and pruning intact.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .avro_codec import read_container_file
+
+_VMETA_RE = re.compile(r"^v(\d+)\.metadata\.json$")
+
+
+def _metadata_dir(table_path: str) -> str:
+    d = os.path.join(table_path, "metadata")
+    if not os.path.isdir(d):
+        raise FileNotFoundError(f"no metadata/ directory under {table_path}")
+    return d
+
+
+def load_iceberg_metadata(table_path: str) -> dict:
+    """The CURRENT table-metadata JSON: the file `version-hint.text`
+    names when present (the HadoopTables commit protocol makes the hint
+    authoritative), else the highest `v<N>.metadata.json` — unlike
+    Delta's `_last_checkpoint`, the hint here is load-bearing, but a
+    missing or unparsable one still falls back to the listing."""
+    d = _metadata_dir(table_path)
+    hint = os.path.join(d, "version-hint.text")
+    if os.path.isfile(hint):
+        try:
+            with open(hint) as fh:
+                n = int(fh.read().strip())
+            path = os.path.join(d, f"v{n}.metadata.json")
+            if os.path.isfile(path):
+                with open(path) as fh:
+                    return json.load(fh)
+        except (ValueError, OSError):
+            pass  # torn hint: the listing below is still authoritative
+    versions = sorted(
+        int(m.group(1)) for f in os.listdir(d) if (m := _VMETA_RE.match(f))
+    )
+    if not versions:
+        raise ValueError(f"no v*.metadata.json under {d}")
+    with open(os.path.join(d, f"v{versions[-1]}.metadata.json")) as fh:
+        return json.load(fh)
+
+
+def list_iceberg_snapshots(table_path: str) -> list[dict]:
+    """[{snapshot-id, timestamp-ms, operation}] oldest-first — the
+    time-travel surface, mirroring list_delta_versions."""
+    meta = load_iceberg_metadata(table_path)
+    out = []
+    for s in meta.get("snapshots") or []:
+        out.append(
+            {
+                "snapshot-id": s["snapshot-id"],
+                "timestamp-ms": s.get("timestamp-ms"),
+                "operation": (s.get("summary") or {}).get("operation"),
+            }
+        )
+    return sorted(out, key=lambda s: (s["timestamp-ms"] or 0, s["snapshot-id"]))
+
+
+def _resolve_path(uri: str, table_path: str) -> str:
+    """Metadata stores file locations as URIs; serve local paths only."""
+    if uri.startswith("file:"):
+        return "/" + uri.split(":", 1)[1].lstrip("/")
+    if "://" in uri:
+        raise ValueError(
+            f"non-local Iceberg file URI {uri!r}: this adapter reads the "
+            "local filesystem only"
+        )
+    return uri if os.path.isabs(uri) else os.path.join(table_path, uri)
+
+
+def _snapshot(meta: dict, snapshot_id: int | None) -> dict:
+    snaps = meta.get("snapshots") or []
+    if not snaps:
+        raise ValueError("table has no snapshots")
+    if snapshot_id is None:
+        snapshot_id = meta.get("current-snapshot-id")
+        if snapshot_id in (None, -1):
+            raise ValueError("table metadata has no current-snapshot-id")
+    for s in snaps:
+        if s["snapshot-id"] == snapshot_id:
+            return s
+    raise ValueError(
+        f"snapshot {snapshot_id} not in table (have: "
+        f"{[s['snapshot-id'] for s in snaps]})"
+    )
+
+
+def _current_schema(meta: dict) -> dict:
+    if "schemas" in meta:
+        sid = meta.get("current-schema-id", 0)
+        for s in meta["schemas"]:
+            if s.get("schema-id") == sid:
+                return s
+        raise ValueError(f"current-schema-id {sid} not among schemas")
+    if "schema" in meta:  # format v1 single-schema field
+        return meta["schema"]
+    raise ValueError("table metadata carries no schema")
+
+
+_PRIMITIVES = {
+    "boolean": "boolean",
+    "int": "int",
+    "long": "long",
+    "float": "float",
+    "double": "double",
+    "date": "date",
+    "string": "string",
+    "binary": "binary",
+    "timestamp": "timestamp_ntz",
+    "timestamptz": "timestamp",
+}
+
+
+def _spark_type(t):
+    from pyspark.sql.types import _parse_datatype_string
+
+    if isinstance(t, str):
+        if t in _PRIMITIVES:
+            return _parse_datatype_string(_PRIMITIVES[t])
+        if t.startswith("decimal"):
+            return _parse_datatype_string(t)
+        if t.startswith("fixed"):
+            return _parse_datatype_string("binary")
+        raise ValueError(f"Iceberg type {t!r} is not served by this adapter")
+    if isinstance(t, dict) and t.get("type") == "struct":
+        return _spark_struct(t)
+    raise ValueError(
+        f"Iceberg nested type {t!r} (list/map) is out of scope for this "
+        "adapter's read schema"
+    )
+
+
+def _spark_struct(schema: dict):
+    """Iceberg struct -> Spark StructType, each field carrying its
+    Iceberg field ID as `parquet.field.id` metadata so the scan resolves
+    columns by ID (the Iceberg contract), not by name."""
+    from pyspark.sql.types import StructField, StructType
+
+    fields = []
+    for f in schema["fields"]:
+        fields.append(
+            StructField(
+                f["name"],
+                _spark_type(f["type"]),
+                not f.get("required", False),
+                metadata={"parquet.field.id": f["id"]},
+            )
+        )
+    return StructType(fields)
+
+
+def _as_int_map(raw) -> dict[int, bytes]:
+    """Normalize the two physical encodings of Iceberg's int-keyed maps
+    (Avro maps need string keys, so the spec encodes map<int, bytes> as
+    an array of {key, value} records; a plain dict also appears when a
+    writer uses string-keyed maps)."""
+    if not raw:
+        return {}
+    if isinstance(raw, dict):
+        return {int(k): v for k, v in raw.items()}
+    return {int(kv["key"]): kv["value"] for kv in raw}
+
+
+_NUMERIC_DECODERS = {
+    "int": lambda b: struct.unpack("<i", b)[0],
+    "long": lambda b: struct.unpack("<q", b)[0],
+    "float": lambda b: struct.unpack("<f", b)[0],
+    "double": lambda b: struct.unpack("<d", b)[0],
+    "date": lambda b: struct.unpack("<i", b)[0],
+}
+
+
+def _decode_bound(type_name, raw):
+    """Single-value binary serialization (spec Appendix D), numeric types
+    only — None for anything else or malformed, which KEEPS the file."""
+    dec = _NUMERIC_DECODERS.get(type_name) if isinstance(type_name, str) else None
+    if dec is None or raw is None:
+        return None
+    try:
+        return dec(bytes(raw))
+    except struct.error:
+        return None
+
+
+def _live_entries(meta: dict, snapshot: dict, table_path: str):
+    """(data entries, position-delete entries) across the snapshot's
+    manifests. Equality-delete manifests/files refuse loudly."""
+    ml_uri = snapshot.get("manifest-list")
+    if not ml_uri:
+        raise ValueError(
+            "snapshot carries no manifest-list (v1 inline `manifests` "
+            "lists are not written by current writers and are not served)"
+        )
+    _, manifests = read_container_file(_resolve_path(ml_uri, table_path))
+    data_entries: list[dict] = []
+    delete_entries: list[dict] = []
+    for m in manifests:
+        manifest_content = m.get("content") or 0  # v1: absent -> data
+        _, entries = read_container_file(
+            _resolve_path(m["manifest_path"], table_path)
+        )
+        for e in entries:
+            if e.get("status") == 2:  # DELETED: removed as of this snapshot
+                continue
+            df = e["data_file"]
+            file_content = df.get("content") or 0
+            if file_content == 0 and manifest_content == 0:
+                data_entries.append(df)
+            elif file_content == 1:
+                delete_entries.append(df)
+            else:
+                raise ValueError(
+                    f"equality delete file {df.get('file_path')!r}: "
+                    "correct application needs sequence-number scoping "
+                    "this adapter does not implement — refusing rather "
+                    "than deleting resurrected rows"
+                )
+    return data_entries, delete_entries
+
+
+def iceberg_data_files(
+    table_path: str, snapshot_id: int | None = None
+) -> list[str]:
+    """The snapshot's live data-file paths — metadata-only, O(manifest
+    entries), the Iceberg planning cost shape. Like delta_active_files,
+    a FILE list cannot express row-level (position) deletes; the
+    snapshot read applies those."""
+    meta = load_iceberg_metadata(table_path)
+    snapshot = _snapshot(meta, snapshot_id)
+    data_entries, _ = _live_entries(meta, snapshot, table_path)
+    return [_resolve_path(e["file_path"], table_path) for e in data_entries]
+
+
+def read_iceberg_snapshot(
+    spark: SparkSession,
+    table_path: str,
+    snapshot_id: int | None = None,
+    partition_filter: dict | None = None,
+    stats_filter: list[tuple[str, str, float]] | None = None,
+) -> DataFrame:
+    """Spark DataFrame over one Iceberg snapshot (default: current).
+
+    The plan is an ordinary parquet FileScan over the live files under
+    the current schema (resolved by parquet field ID — renames are
+    safe), minus position-deleted rows via the same
+    `_metadata.row_index` anti-join the Delta adapter uses for deletion
+    vectors. `partition_filter` ({spec-field-name: value}) and
+    `stats_filter` ([(column, op, numeric)], op in = < <= > >=) prune
+    manifest entries driver-side before the scan is planned; both can
+    only skip work, never rows (keep-on-missing bounds, exact partition
+    match)."""
+    from pyspark.sql import functions as F
+
+    meta = load_iceberg_metadata(table_path)
+    snapshot = _snapshot(meta, snapshot_id)
+    schema = _current_schema(meta)
+    data_entries, delete_entries = _live_entries(meta, snapshot, table_path)
+    for e in data_entries:
+        fmt = (e.get("file_format") or "PARQUET").upper()
+        if fmt != "PARQUET":
+            raise ValueError(
+                f"data file {e['file_path']!r} has format {fmt}; this "
+                "adapter scans parquet only"
+            )
+    if partition_filter:
+        data_entries = [
+            e
+            for e in data_entries
+            if all(
+                (e.get("partition") or {}).get(k) == v
+                for k, v in partition_filter.items()
+            )
+        ]
+    if stats_filter:
+        _validate_stats_filter(stats_filter)
+        by_name = {f["name"]: f for f in schema["fields"]}
+        preds = []
+        for col, op, lit in stats_filter:
+            f = by_name.get(col)
+            if f is None:
+                raise ValueError(f"stats_filter column {col!r} not in schema")
+            preds.append((f["id"], f["type"], op, lit))
+        data_entries = [
+            e for e in data_entries if _entry_survives(e, preds)
+        ]
+    spark_schema = _spark_struct(schema)
+    if not data_entries:
+        return spark.createDataFrame([], spark_schema)
+    files = [_resolve_path(e["file_path"], table_path) for e in data_entries]
+    # Iceberg readers resolve parquet columns by field ID; Spark does the
+    # same when the requested schema carries parquet.field.id metadata
+    # and this conf is on. Session-scoped by design: it only affects
+    # reads whose schema asks for IDs.
+    spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+    reader = spark.read.schema(spark_schema)
+    if not delete_entries:
+        return reader.parquet(*files)
+    df = reader.parquet(*files).select(
+        "*",
+        F.col("_metadata.file_path").alias("__ib_fp"),
+        F.col("_metadata.row_index").alias("__ib_rowidx"),
+    )
+    del_files = [
+        _resolve_path(e["file_path"], table_path) for e in delete_entries
+    ]
+    # position delete files: (file_path, pos) rows, paths as written by
+    # the original writer — normalize both sides to plain absolute paths
+    deletes = (
+        spark.read.parquet(*del_files)
+        .select(
+            F.regexp_replace(
+                F.col("file_path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
+            ).alias("__del_path"),
+            F.col("pos").alias("__del_pos"),
+        )
+    )
+    total_deletes = sum(int(e.get("record_count") or 0) for e in delete_entries)
+    if total_deletes <= 4_000_000:
+        deletes = F.broadcast(deletes)
+    scan_path = F.regexp_replace(
+        F.col("__ib_fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
+    )
+    out = df.join(
+        deletes,
+        (scan_path == deletes["__del_path"])
+        & (F.col("__ib_rowidx") == deletes["__del_pos"]),
+        "left_anti",
+    )
+    return out.drop("__ib_fp", "__ib_rowidx")
+
+
+_STATS_OPS = ("=", "<", "<=", ">", ">=")
+
+
+def _validate_stats_filter(stats_filter) -> None:
+    for col, op, lit in stats_filter:
+        if op not in _STATS_OPS:
+            raise ValueError(f"stats_filter op {op!r} not in {_STATS_OPS}")
+        if isinstance(lit, bool) or not isinstance(lit, (int, float)):
+            raise ValueError(
+                f"stats_filter literal {lit!r} for {col} must be numeric"
+            )
+
+
+def _entry_survives(entry: dict, preds: list[tuple]) -> bool:
+    """Keep unless [lower, upper] provably excludes every matching row —
+    the Delta stats_filter contract, decoded from Iceberg's bound maps."""
+    lowers = _as_int_map(entry.get("lower_bounds"))
+    uppers = _as_int_map(entry.get("upper_bounds"))
+    for fid, type_name, op, lit in preds:
+        lo = _decode_bound(type_name, lowers.get(fid))
+        hi = _decode_bound(type_name, uppers.get(fid))
+        if op == "=" and (
+            (lo is not None and lit < lo) or (hi is not None and lit > hi)
+        ):
+            return False
+        if op == "<" and lo is not None and lo >= lit:
+            return False
+        if op == "<=" and lo is not None and lo > lit:
+            return False
+        if op == ">" and hi is not None and hi <= lit:
+            return False
+        if op == ">=" and hi is not None and hi < lit:
+            return False
+    return True
