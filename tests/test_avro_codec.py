@@ -259,3 +259,41 @@ def test_truncated_refused():
     data = encode_container(_FULL_SCHEMA, [_sample(1)])
     with pytest.raises(AvroError):
         read_container(data[: len(data) - 20])
+
+
+# ---------------------------------------------------------------------------
+# property: arbitrary values survive the container round-trip
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_VALUE = st.fixed_dictionaries(
+    {
+        "b": st.booleans(),
+        "i": st.integers(-(2**31), 2**31 - 1),
+        "l": st.integers(-(2**63), 2**63 - 1),
+        "f": st.just(0.5),
+        "d": st.floats(allow_nan=False, allow_infinity=False),
+        "s": st.text(max_size=40),
+        "by": st.binary(max_size=40),
+        "opt": st.none() | st.integers(-(2**63), 2**63 - 1),
+        "arr": st.lists(st.integers(-(2**63), 2**63 - 1), max_size=8),
+        "m": st.dictionaries(st.text(min_size=1, max_size=8),
+                             st.text(max_size=8), max_size=6),
+        "e": st.sampled_from(["RED", "GREEN", "BLUE"]),
+        "fx": st.just(bytes(8)),
+        "nested": st.fixed_dictionaries(
+            {"x": st.integers(-(2**63), 2**63 - 1)}),
+        "again": st.fixed_dictionaries(
+            {"x": st.integers(-(2**63), 2**63 - 1)}),
+    }
+)
+
+
+@settings(max_examples=60, deadline=None)
+@given(records=st.lists(_VALUE, max_size=5),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_property_roundtrip(records, codec):
+    _, got = read_container(encode_container(_FULL_SCHEMA, records, codec))
+    assert got == records

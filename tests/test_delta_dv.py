@@ -232,6 +232,27 @@ def test_bad_magic_refused():
         delta_dv.decode_dv_positions(struct.pack("<iq", 99, 0))
 
 
+# property: arbitrary position sets survive serialize -> decode, across
+# container-codec boundaries (sparse arrays, dense bitmaps, runs)
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    positions=st.lists(
+        st.integers(0, (1 << 34) - 1), max_size=300, unique=True
+    ),
+    dense_block=st.booleans(),
+)
+def test_property_treemap_roundtrip(positions, dense_block):
+    if dense_block:
+        # force one >4096-cardinality container (the bitmap codec)
+        positions = sorted(set(positions) | set(range(70000, 75000)))
+    got = delta_dv.decode_dv_positions(_serialize_treemap(positions))
+    assert got.tolist() == sorted(set(positions))
+
+
 # ---------------------------------------------------------------------------
 # descriptor loading: files, offsets, CRC, inline, Z85 paths
 # ---------------------------------------------------------------------------

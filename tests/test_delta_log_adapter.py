@@ -1043,14 +1043,68 @@ def test_column_mapping_pushdown_survives_the_rename(spark, cm_table):
             "GreaterThanOrEqual(`col-aaa111`,10)") in plan
 
 
-def test_column_mapping_id_mode_refused(spark, tmp_path):
+def test_column_mapping_id_mode_resolves_by_field_id(spark, tmp_path):
+    """id-mode data files resolve by PARQUET FIELD ID: this fixture
+    file's column is named something the log has never heard of, which
+    any name-based read would surface as null — the field id (1, per
+    delta.columnMapping.id) must win and deliver the real values, while
+    partitionValues/stats keep translating through physicalName."""
     table = str(tmp_path / "cmid")
+    os.makedirs(table, exist_ok=True)
+    schema = pa.schema([
+        pa.field("drifted-name", pa.int64(),
+                 metadata={b"PARQUET:field_id": b"1"}),
+    ])
+    pq.write_table(pa.table({"drifted-name": [1, 2]}, schema=schema),
+                   os.path.join(table, "a.parquet"))
+    pq.write_table(pa.table({"drifted-name": [10, 11]}, schema=schema),
+                   os.path.join(table, "b.parquet"))
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        _cm_meta(mode="id"),
+        _cm_add("a.parquet", "emea", 1, 2, 2),
+        _cm_add("b.parquet", "apac", 10, 11, 2),
+    ])
+    df = read_delta_snapshot(spark, table)
+    assert set(df.columns) == {"k", "region"}
+    got = {(r["k"], r["region"]) for r in df.collect()}
+    assert got == {(1, "emea"), (2, "emea"), (10, "apac"), (11, "apac")}
+    # logical-vocabulary pruning still works in id mode
+    pruned = read_delta_snapshot(spark, table, stats_filter=[("k", ">=", 10)])
+    assert {os.path.basename(f) for f in pruned.inputFiles()} == {"b.parquet"}
+    only = read_delta_snapshot(spark, table,
+                               partition_filter={"region": "apac"})
+    assert {r["k"] for r in only.collect()} == {10, 11}
+
+
+def test_column_mapping_id_mode_without_ids_refused(spark, tmp_path):
+    no_ids = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-aaa111"}},
+            {"name": "region", "type": "string", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-bbb222"}},
+        ],
+    })
+    table = str(tmp_path / "cmidless")
     os.makedirs(table, exist_ok=True)
     pq.write_table(pa.Table.from_pylist([{"col-aaa111": 1}]),
                    os.path.join(table, "a.parquet"))
-    _commit(table, 0, [_cm_meta(mode="id"),
+    _commit(table, 0, [_cm_meta(mode="id", schema=no_ids),
                        _cm_add("a.parquet", "emea", 1, 1, 1)])
-    with pytest.raises(ValueError, match="'id' mode"):
+    with pytest.raises(ValueError, match="delta.columnMapping.id"):
+        read_delta_snapshot(spark, table)
+
+
+def test_column_mapping_unknown_mode_refused(spark, tmp_path):
+    table = str(tmp_path / "cmweird")
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"col-aaa111": 1}]),
+                   os.path.join(table, "a.parquet"))
+    _commit(table, 0, [_cm_meta(mode="someday"),
+                       _cm_add("a.parquet", "emea", 1, 1, 1)])
+    with pytest.raises(ValueError, match="someday"):
         read_delta_snapshot(spark, table)
 
 

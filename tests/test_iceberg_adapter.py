@@ -20,6 +20,7 @@ import pytest
 
 from tests.test_avro_codec import encode_container
 from xml_to_parquet_spark.sources.iceberg import (
+    iceberg_added_files,
     iceberg_data_files,
     list_iceberg_snapshots,
     load_iceberg_metadata,
@@ -421,6 +422,67 @@ def test_unknown_snapshot_and_missing_table_refused(spark, ice_table, tmp_path):
         read_iceberg_snapshot(spark, ice_table, snapshot_id=999)
     with pytest.raises(FileNotFoundError):
         list_iceberg_snapshots(str(tmp_path / "nope"))
+
+
+def test_incremental_appends(ice_table, tmp_path):
+    """(None, 101] is the initial append: exactly d0+d1, stamped with
+    the adding snapshot. A window crossing the delete snapshot refuses —
+    deletes cannot be an append-only increment."""
+    got = iceberg_added_files(ice_table, None, 101)
+    assert [(s, os.path.basename(p)) for s, p in got] == [
+        (101, "d0.parquet"), (101, "d1.parquet"),
+    ]
+    with pytest.raises(ValueError, match="delete"):
+        iceberg_added_files(ice_table, 101, 202)
+    with pytest.raises(ValueError, match="not in table"):
+        iceberg_added_files(ice_table, 999)
+
+
+def test_incremental_appends_second_snapshot(spark, ice_table, tmp_path):
+    """A genuine second append (d2) yields exactly d2 for (101, 303] —
+    the reused first-append manifest (added_snapshot_id=101) must not
+    re-deliver d0/d1."""
+    import shutil
+
+    table = str(tmp_path / "app")
+    shutil.copytree(ice_table, table)
+    md = os.path.join(table, "metadata")
+    d2 = os.path.join(table, "data", "d2.parquet")
+    pq.write_table(pa.table(
+        {"k": [100], "p": ["c"]}, schema=_pq_schema()), d2)
+    m3 = os.path.join(md, "m3.avro")
+    _write_avro(m3, _MANIFEST_ENTRY, [
+        _data_entry(f"file://{d2}", "c", 1, 100, 100, status=1)])
+    # live manifests carry forward: the first append's data manifest AND
+    # the delete manifest, exactly as a real writer's new manifest list
+    m0 = os.path.join(md, "m0.avro")
+    m1 = os.path.join(md, "m1-deletes.avro")
+    snap303 = os.path.join(md, "snap-303.avro")
+    _write_avro(snap303, _MANIFEST_FILE, [
+        _manifest_row(m0, 0, 101),
+        _manifest_row(m1, 1, 202),
+        _manifest_row(m3, 0, 303),
+    ])
+    meta = load_iceberg_metadata(table)
+    meta["snapshots"].append(
+        {"snapshot-id": 303, "timestamp-ms": 3000, "sequence-number": 3,
+         "summary": {"operation": "append"},
+         "manifest-list": f"file://{snap303}", "schema-id": 0})
+    meta["current-snapshot-id"] = 303
+    with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    got = iceberg_added_files(table, 202)  # (202, current=303]
+    assert [(s, os.path.basename(p)) for s, p in got] == [
+        (303, "d2.parquet")]
+    # the snapshot read at 303 sees all three files, with the carried
+    # delete manifest still masking d0's deleted rows
+    rows = {(r["k"], r["p"])
+            for r in read_iceberg_snapshot(spark, table, 303).collect()}
+    assert rows == {(0, "a"), (2, "a"), (4, "a")} | {
+        (k, "b") for k in range(5, 10)
+    } | {(100, "c")}
 
 
 def test_remote_uri_refused(ice_table, tmp_path):

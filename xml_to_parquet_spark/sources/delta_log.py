@@ -6,12 +6,12 @@ hand-rolled manifest layout. This module de-risks the "real table
 format" gap by reading the REAL on-disk protocol of a public lake
 format: Delta Lake's `_delta_log` (delta-io PROTOCOL.md — versioned
 JSON-lines commit files whose `add`/`remove` actions define each
-snapshot's data-file set). Delta is chosen over Iceberg deliberately:
-Delta commits are plain JSON (stdlib-writable and -readable, so the
-fixture in tests/test_delta_log_adapter.py is genuine protocol bytes),
-while Iceberg manifests are Avro — unreadable without a third-party
-codec this environment doesn't ship, so an "Iceberg reader" here could
-only parse the metadata.json half and would overclaim.
+snapshot's data-file set). Delta came first deliberately: its commits
+are plain JSON (stdlib-writable and -readable, so the fixture in
+tests/test_delta_log_adapter.py is genuine protocol bytes). Iceberg's
+manifests are Avro — originally documented out of scope for that
+reason, since closed from first principles by sources/avro_codec.py +
+sources/iceberg.py.
 
 Semantics implemented (the subset the lake_* ops model):
   * a table version IS the replay of actions 0..N — `add` activates a
@@ -69,15 +69,18 @@ Semantics implemented (the subset the lake_* ops model):
     the scan reads under it explicitly — files written before a column
     was added surface it as null, never as a sampling-dependent schema;
 
-  * column mapping, 'name' mode: when metaData.configuration sets
-    `delta.columnMapping.mode=name` (the rename/drop-safe layout), the
+  * column mapping, 'name' AND 'id' modes: when metaData.configuration
+    sets `delta.columnMapping.mode` (the rename/drop-safe layouts), the
     data files, add.partitionValues and add.stats all speak the stable
     PHYSICAL names in each field's `delta.columnMapping.physicalName`
     metadata — the scan reads under the physical schema and aliases back
     to logical names (a zero-cost projection), partition and stats
     lookups translate logical -> physical, and callers keep speaking
-    logical names everywhere. 'id' mode (parquet field-id resolution)
-    and nested-field renames are refused loudly, not served wrong.
+    logical names everywhere. In 'id' mode the parquet columns resolve
+    BY FIELD ID (`delta.columnMapping.id` attached as the read schema's
+    `parquet.field.id` metadata, honored by Spark's fieldId resolution)
+    — the protocol's actual contract, immune to physical-name drift.
+    Nested-field renames are refused loudly, not served wrong.
 
   * deletion vectors (row-level deletes): an `add` carrying a
     `deletionVector` descriptor marks SOME of its rows deleted; the
@@ -98,11 +101,11 @@ Semantics implemented (the subset the lake_* ops model):
     reader feature can silently return wrong rows, the one failure mode
     a lake reader must never have.
 
-Out of scope, documented: column mapping's 'id' mode and nested-field
-renames, and the writer path. Reads enforce the protocol invariants
-this adapter relies on: a replay path with no holes (every readable
-version is a checkpoint seed plus a contiguous JSON tail) and a
-reader-feature set it fully implements.
+Out of scope, documented: nested-field renames under column mapping,
+and the writer path. Reads enforce the protocol invariants this adapter
+relies on: a replay path with no holes (every readable version is a
+checkpoint seed plus a contiguous JSON tail) and a reader-feature set
+it fully implements.
 """
 
 from __future__ import annotations
@@ -445,7 +448,7 @@ def read_delta_snapshot(
             f"Delta snapshot {version} of {table_path} has no active "
             "files; cannot infer a schema from an empty file list"
         )
-    mapping = _column_mapping(meta)  # logical -> physical, or None
+    mapping = _column_mapping(meta)  # column-mapping descriptor, or None
     # Row-level deletes: abs data-file path -> deletionVector descriptor,
     # for every active add whose DV actually deletes something. Built
     # from THIS version's replay, so time travel joins each snapshot
@@ -459,7 +462,7 @@ def read_delta_snapshot(
     with_rowpos = bool(dv_map)
 
     def _phys(col: str) -> str:
-        return mapping.get(col, col) if mapping else col
+        return mapping["physical"].get(col, col) if mapping else col
 
     if stats_filter:
         _validate_stats_filter(stats_filter)
@@ -652,15 +655,28 @@ def _read_files(
     full = StructType.fromJson(json.loads(schema_str))
     data_fields = [f for f in full.fields if f.name not in set(part_cols)]
     if mapping:
+        phys_names = mapping["physical"]
+        ids = mapping["ids"]
         phys = StructType(
             [
-                StructField(mapping[f.name], f.dataType, f.nullable)
+                StructField(
+                    phys_names[f.name], f.dataType, f.nullable,
+                    metadata=(
+                        {"parquet.field.id": ids[f.name]}
+                        if f.name in ids
+                        else None
+                    ),
+                )
                 for f in data_fields
             ]
             + list(extra_fields)
         )
+        if mapping["mode"] == "id":
+            # id-mode files resolve by parquet field id, not name; the
+            # conf only affects reads whose schema carries id metadata
+            spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
         return spark.read.schema(phys).parquet(*files).select(
-            *[F.col(mapping[f.name]).alias(f.name) for f in data_fields],
+            *[F.col(phys_names[f.name]).alias(f.name) for f in data_fields],
             *[F.col(f.name) for f in extra_fields],
             *rowpos_cols,
         )
@@ -763,58 +779,69 @@ def _apply_deletion_vectors(
     return out.drop("__dv_fp", "__dv_rowidx")
 
 
-def _column_mapping(meta: dict | None) -> dict[str, str] | None:
-    """Logical -> physical column-name map when the table has column
-    mapping enabled (PROTOCOL.md: `delta.columnMapping.mode` in
-    metaData.configuration; each schema field then carries its stable
-    physical name in `delta.columnMapping.physicalName` metadata, and
-    data files / add.partitionValues / add.stats all speak PHYSICAL
-    names). Returns None in the default 'none' mode.
+def _column_mapping(meta: dict | None) -> dict | None:
+    """Column-mapping descriptor when the table has it enabled
+    (PROTOCOL.md: `delta.columnMapping.mode` in metaData.configuration;
+    each schema field then carries its stable physical name in
+    `delta.columnMapping.physicalName` metadata, and data files /
+    add.partitionValues / add.stats all speak PHYSICAL names). Returns
+    None in the default 'none' mode, else {"mode": "name"|"id",
+    "physical": {logical: physical name}, "ids": {logical: field id}}.
 
-    Supported: 'name' mode on FLAT schemas — the rename is a projection.
-    Refused loudly rather than served wrong: 'id' mode (resolution is by
-    parquet field id, which a name-keyed read cannot honor — a renamed
-    column would silently read as null) and nested fields carrying their
-    own physicalName (rewriting names inside struct/array/map types is a
-    type surgery this adapter does not claim)."""
+    Both modes are served on FLAT schemas. 'name' resolves parquet
+    columns by physical name; 'id' resolves them BY PARQUET FIELD ID
+    (`delta.columnMapping.id`, written into the files' parquet field_id
+    metadata) — the read schema carries each field's id as
+    `parquet.field.id` metadata and Spark's fieldId resolution honors
+    it, so a physical-name drift between log and files cannot misread.
+    Refused loudly rather than served wrong: nested fields carrying
+    their own physicalName (rewriting names inside struct/array/map
+    types is a type surgery this adapter does not claim)."""
     conf = (meta or {}).get("configuration") or {}
     mode = conf.get("delta.columnMapping.mode") or "none"
     if mode == "none":
         return None
-    if mode != "name":
+    if mode not in ("name", "id"):
         raise ValueError(
-            f"columnMapping mode {mode!r} is not served: 'id' mode "
-            "resolves by parquet field id, which a name-keyed scan "
-            "cannot honor — refusing rather than reading renamed "
-            "columns as null"
+            f"columnMapping mode {mode!r} is not a protocol mode "
+            "(none/name/id); refusing rather than guessing"
         )
     schema_str = meta.get("schemaString")
     if not schema_str:
         raise ValueError(
-            "columnMapping=name but the retained log carries no "
+            f"columnMapping={mode} but the retained log carries no "
             "metaData.schemaString to map from"
         )
-    mapping: dict[str, str] = {}
+    physical: dict[str, str] = {}
+    ids: dict[str, int] = {}
     for f in json.loads(schema_str).get("fields", []):
         if _has_nested_physical_name(f.get("type")):
             raise ValueError(
-                f"columnMapping=name with a NESTED physicalName under "
+                f"columnMapping={mode} with a NESTED physicalName under "
                 f"field {f.get('name')!r}: nested-type renames are out "
                 "of scope for this adapter — refusing rather than "
                 "serving wrong nested names"
             )
-        phys = (f.get("metadata") or {}).get(
-            "delta.columnMapping.physicalName"
-        )
+        fmeta = f.get("metadata") or {}
+        phys = fmeta.get("delta.columnMapping.physicalName")
         if not phys:
             raise ValueError(
-                f"columnMapping=name but field {f.get('name')!r} lacks "
+                f"columnMapping={mode} but field {f.get('name')!r} lacks "
                 "delta.columnMapping.physicalName metadata — the log is "
                 "inconsistent; refusing rather than guessing the "
                 "physical name"
             )
-        mapping[f["name"]] = phys
-    return mapping
+        physical[f["name"]] = phys
+        fid = fmeta.get("delta.columnMapping.id")
+        if mode == "id":
+            if fid is None:
+                raise ValueError(
+                    f"columnMapping=id but field {f.get('name')!r} lacks "
+                    "delta.columnMapping.id metadata — id-mode resolution "
+                    "has nothing to resolve by"
+                )
+            ids[f["name"]] = int(fid)
+    return {"mode": mode, "physical": physical, "ids": ids}
 
 
 def _has_nested_physical_name(t) -> bool:
@@ -1168,7 +1195,7 @@ def _scan_change_batch(
     from pyspark.sql import functions as F
 
     def _phys(col: str) -> str:
-        return mapping.get(col, col) if mapping else col
+        return mapping["physical"].get(col, col) if mapping else col
 
     part_types = _partition_column_types(meta, part_cols) if part_cols else {}
     dv_map = {

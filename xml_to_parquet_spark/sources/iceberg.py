@@ -288,6 +288,77 @@ def iceberg_data_files(
     return [_resolve_path(e["file_path"], table_path) for e in data_entries]
 
 
+def iceberg_added_files(
+    table_path: str,
+    from_snapshot_id: int | None,
+    to_snapshot_id: int | None = None,
+) -> list[tuple[int, str]]:
+    """(snapshot-id, absolute data-file path) for every file added by
+    the snapshots after ``from_snapshot_id`` (None: from the table's
+    beginning) through ``to_snapshot_id`` (None: current) — the
+    streaming-from-Iceberg micro-batch planner, mirroring
+    delta_incremental_files: appends are immutable files, so a reader
+    that has consumed through `from` catches up by processing exactly
+    these, each once.
+
+    Only `append` snapshots can be served this way: delete / overwrite /
+    replace operations change or remove rows in files already delivered,
+    which an append-only increment cannot express — those windows refuse
+    loudly (consume them as snapshots diffs or a CDC feed instead).
+    Added files are the manifests this snapshot itself added
+    (added_snapshot_id == snapshot-id) restricted to entries with ADDED
+    status; metadata-only, O(manifest entries)."""
+    meta = load_iceberg_metadata(table_path)
+    ordered = list_iceberg_snapshots(table_path)
+    ids = [s["snapshot-id"] for s in ordered]
+    if to_snapshot_id is None:
+        to_snapshot_id = meta.get("current-snapshot-id")
+    if to_snapshot_id not in ids:
+        raise ValueError(f"snapshot {to_snapshot_id} not in table ({ids})")
+    start = 0
+    if from_snapshot_id is not None:
+        if from_snapshot_id not in ids:
+            raise ValueError(
+                f"snapshot {from_snapshot_id} not in table ({ids})"
+            )
+        start = ids.index(from_snapshot_id) + 1
+    window = ordered[start : ids.index(to_snapshot_id) + 1]
+    out: list[tuple[int, str]] = []
+    for s in window:
+        if s["operation"] != "append":
+            raise ValueError(
+                f"snapshot {s['snapshot-id']} is a "
+                f"{s['operation'] or 'unknown'} operation: only appends "
+                "can be served as an incremental file list"
+            )
+        snap = _snapshot(meta, s["snapshot-id"])
+        _, manifests = read_container_file(
+            _resolve_path(snap["manifest-list"], table_path)
+        )
+        for m in manifests:
+            if m.get("added_snapshot_id") != s["snapshot-id"]:
+                continue  # carried forward from an earlier snapshot
+            if (m.get("content") or 0) != 0:
+                raise ValueError(
+                    f"append snapshot {s['snapshot-id']} added a DELETE "
+                    "manifest: the log is inconsistent"
+                )
+            _, entries = read_container_file(
+                _resolve_path(m["manifest_path"], table_path)
+            )
+            for e in entries:
+                if e.get("status") == 1:  # ADDED by this snapshot
+                    out.append(
+                        (
+                            s["snapshot-id"],
+                            _resolve_path(
+                                e["data_file"]["file_path"], table_path
+                            ),
+                        )
+                    )
+    return out
+
+
 def read_iceberg_snapshot(
     spark: SparkSession,
     table_path: str,
