@@ -591,9 +591,9 @@ def _one_file_table(tmp_path, protocol):
 def test_unknown_reader_feature_refused(tmp_path):
     table = _one_file_table(tmp_path, {
         "minReaderVersion": 3, "minWriterVersion": 7,
-        "readerFeatures": ["deletionVectors", "v2Checkpoint"],
+        "readerFeatures": ["deletionVectors", "someFutureFeature"],
     })
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="someFutureFeature"):
         delta_active_files(table)
 
 
@@ -620,9 +620,9 @@ def test_protocol_upgrade_in_incremental_window_refused(tmp_path):
     })
     _commit(table, 1, [
         {"protocol": {"minReaderVersion": 3, "minWriterVersion": 7,
-                      "readerFeatures": ["v2Checkpoint"]}},
+                      "readerFeatures": ["someFutureFeature"]}},
         {"add": {"path": "f.parquet", "partitionValues": {}, "size": 1,
                  "modificationTime": 0, "dataChange": True}},
     ])
-    with pytest.raises(ValueError, match="v2Checkpoint"):
+    with pytest.raises(ValueError, match="someFutureFeature"):
         delta_incremental_files(table, 0, 1)

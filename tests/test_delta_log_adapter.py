@@ -1151,3 +1151,165 @@ def test_column_mapping_missing_physical_name_refused(spark, tmp_path):
     ])
     with pytest.raises(ValueError, match="physicalName"):
         read_delta_snapshot(spark, table)
+
+
+# ---------------------------------------------------------------------------
+# V2 checkpoints — top-level <v>.checkpoint.<uniqueId>.{json,parquet} with
+# file actions in _delta_log/_sidecars/ (the v2Checkpoint reader feature)
+# ---------------------------------------------------------------------------
+
+_V2_PROTOCOL = {"minReaderVersion": 3, "minWriterVersion": 7,
+                "readerFeatures": ["v2Checkpoint"],
+                "writerFeatures": ["v2Checkpoint"]}
+
+_V2_META = {"id": "v2-fixture", "format": {"provider": "parquet"},
+            "schemaString": json.dumps({
+                "type": "struct",
+                "fields": [{"name": "k", "type": "long",
+                            "nullable": True, "metadata": {}}]}),
+            "partitionColumns": []}
+
+
+def _write_v2_checkpoint(table, version, active_adds, fmt="parquet",
+                         n_sidecars=2, unique="aaaa-bbbb"):
+    """V2 checkpoint per PROTOCOL.md: `active_adds` are raw add dicts,
+    PARTITIONED across `n_sidecars` sidecar parquet files; the top-level
+    file carries checkpointMetadata/protocol/metaData + sidecar refs."""
+    log = os.path.join(table, "_delta_log")
+    sidedir = os.path.join(log, "_sidecars")
+    os.makedirs(sidedir, exist_ok=True)
+    chunks = [c for c in
+              (active_adds[i::n_sidecars] for i in range(n_sidecars)) if c]
+    names = []
+    for i, chunk in enumerate(chunks):
+        name = f"v{version}-part{i}.parquet"
+        pq.write_table(
+            pa.Table.from_pylist([{"add": a} for a in chunk]),
+            os.path.join(sidedir, name),
+        )
+        names.append(name)
+    if fmt == "json":
+        top = os.path.join(log, f"{version:020d}.checkpoint.{unique}.json")
+        with open(top, "w") as fh:
+            fh.write(json.dumps(
+                {"checkpointMetadata": {"version": version}}) + "\n")
+            fh.write(json.dumps({"protocol": _V2_PROTOCOL}) + "\n")
+            fh.write(json.dumps({"metaData": _V2_META}) + "\n")
+            for n in names:
+                fh.write(json.dumps({"sidecar": {
+                    "path": n, "sizeInBytes": 1,
+                    "modificationTime": 0}}) + "\n")
+    else:
+        top = os.path.join(log, f"{version:020d}.checkpoint.{unique}.parquet")
+        rows = [
+            {"checkpointMetadata": {"version": version}, "protocol": None,
+             "metaData": None, "sidecar": None},
+            {"checkpointMetadata": None, "protocol": _V2_PROTOCOL,
+             "metaData": None, "sidecar": None},
+            {"checkpointMetadata": None, "protocol": None,
+             "metaData": _V2_META, "sidecar": None},
+        ] + [
+            {"checkpointMetadata": None, "protocol": None, "metaData": None,
+             "sidecar": {"path": n, "sizeInBytes": 1, "modificationTime": 0}}
+            for n in names
+        ]
+        pq.write_table(pa.Table.from_pylist(rows), top)
+    return top
+
+
+def _plain_add(path):
+    return {"path": path, "size": 1, "dataChange": True}
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "json"])
+def test_v2_checkpoint_seeds_log_cleaned_table(spark, tmp_path, fmt):
+    """With commits 0-1 cleaned, the v2 top-level + sidecars are the
+    ONLY seed — versions 2 and 3 must read exactly like the pure-JSON
+    twin, and the metaData carried by the top-level file supplies the
+    explicit read schema."""
+    table = _build_four_commit_table(tmp_path / fmt)
+    _write_v2_checkpoint(
+        table, 2,
+        [_plain_add(p) for p in ("f1.parquet", "f2.parquet", "f3.parquet")],
+        fmt=fmt,
+    )
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    assert list_delta_versions(table) == [2, 3]
+    assert _basenames(delta_active_files(table, 2)) == {
+        "f1.parquet", "f2.parquet", "f3.parquet",
+    }
+    got = {r["k"] for r in read_delta_snapshot(spark, table, 3).collect()}
+    assert got == {4, 5, 6, 7}
+
+
+def test_v2_checkpoint_feature_in_protocol_reads(tmp_path):
+    """A table declaring the v2Checkpoint reader feature is no longer
+    refused — the feature is implemented."""
+    table = str(tmp_path)
+    pq.write_table(pa.Table.from_pylist([{"k": 1}]),
+                   os.path.join(table, "f.parquet"))
+    _commit(table, 0, [
+        {"protocol": _V2_PROTOCOL},
+        {"metaData": _V2_META},
+        _add("f.parquet"),
+    ])
+    assert _basenames(delta_active_files(table)) == {"f.parquet"}
+
+
+def test_classic_seed_preferred_over_v2(spark, tmp_path):
+    """When a version has BOTH a classic checkpoint and a v2 one, the
+    classic seeds. Proven behaviorally: the v2 checkpoint here is TORN
+    (its sidecar deleted) — the read must still succeed through the
+    classic file."""
+    table = _build_four_commit_table(tmp_path / "both")
+    _write_checkpoint(table, 2, ["f1.parquet", "f2.parquet", "f3.parquet"],
+                      tombstones=["f0.parquet"])
+    _write_v2_checkpoint(
+        table, 2,
+        [_plain_add(p) for p in ("f1.parquet", "f2.parquet", "f3.parquet")],
+        n_sidecars=1,
+    )
+    os.remove(os.path.join(table, "_delta_log", "_sidecars",
+                           "v2-part0.parquet"))
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    assert _basenames(delta_active_files(table, 2)) == {
+        "f1.parquet", "f2.parquet", "f3.parquet",
+    }
+
+
+def test_v2_missing_sidecar_fails_loudly(tmp_path):
+    """A v2 checkpoint whose sidecar is gone must error, never serve the
+    partial state as a snapshot."""
+    table = _build_four_commit_table(tmp_path / "torn")
+    _write_v2_checkpoint(
+        table, 2,
+        [_plain_add(p) for p in ("f1.parquet", "f2.parquet", "f3.parquet")],
+        n_sidecars=1,
+    )
+    os.remove(os.path.join(table, "_delta_log", "_sidecars",
+                           "v2-part0.parquet"))
+    for v in (0, 1):
+        os.remove(os.path.join(table, "_delta_log", f"{v:020d}.json"))
+    with pytest.raises(FileNotFoundError):
+        delta_active_files(table, 2)
+
+
+def test_v2_sidecar_deletion_vector_applies(spark, tmp_path):
+    """An add row inside a SIDECAR carrying a deletionVector is as
+    binding as one in a JSON commit."""
+    from tests.test_delta_dv import _serialize_treemap, _z85_encode
+
+    table = str(tmp_path)
+    os.makedirs(table, exist_ok=True)
+    pq.write_table(pa.Table.from_pylist([{"k": k} for k in range(4)]),
+                   os.path.join(table, "f.parquet"))
+    blob = _serialize_treemap([1])
+    dv = {"storageType": "i", "pathOrInlineDv": _z85_encode(blob),
+          "sizeInBytes": len(blob), "cardinality": 1}
+    _write_v2_checkpoint(table, 0, [dict(_plain_add("f.parquet"),
+                                         deletionVector=dv)],
+                         n_sidecars=1)
+    got = {r["k"] for r in read_delta_snapshot(spark, table, 0).collect()}
+    assert got == {0, 2, 3}

@@ -18,11 +18,14 @@ Semantics implemented (the subset the lake_* ops model):
     data file, `remove` retires it (Delta's logical delete);
   * snapshot isolation/time travel: `read_delta_snapshot(..., version=N)`
     scans exactly version N's active files, unaffected by later commits;
-  * checkpoint parquet files — single-part (`<v>.checkpoint.parquet`)
-    AND complete multi-part sets (`<v>.checkpoint.<i>.<n>.parquet`,
+  * checkpoint files — single-part (`<v>.checkpoint.parquet`),
+    complete multi-part sets (`<v>.checkpoint.<i>.<n>.parquet`,
     every part 1..n present; the parts PARTITION the reconciled state,
     so an incomplete set is never a seed and is read around exactly as
-    if a concurrent writer were mid-checkpoint): a checkpoint is the
+    if a concurrent writer were mid-checkpoint), AND V2 checkpoints
+    (`<v>.checkpoint.<uniqueId>.{json,parquet}` whose file actions live
+    in `_delta_log/_sidecars/` parquet files; the v2Checkpoint reader
+    feature): a checkpoint is the
     RECONCILED action state at version v — rows whose `add` struct is
     non-null are exactly v's active files — so replay seeds from the
     newest checkpoint ≤ the target version and applies only the JSON
@@ -96,10 +99,11 @@ Semantics implemented (the subset the lake_* ops model):
 
   * protocol gating: `protocol` actions are replayed like metaData and
     reads REFUSE tables whose minReaderVersion / readerFeatures demand
-    semantics this adapter does not implement (e.g. v2Checkpoint's
-    sidecar files) — per PROTOCOL.md a reader that ignores an unknown
-    reader feature can silently return wrong rows, the one failure mode
-    a lake reader must never have.
+    semantics this adapter does not implement — per PROTOCOL.md a
+    reader that ignores an unknown reader feature can silently return
+    wrong rows, the one failure mode a lake reader must never have.
+    Served features: deletionVectors, columnMapping (name+id),
+    v2Checkpoint, timestampNtz, vacuumProtocolCheck.
 
 Out of scope, documented: nested-field renames under column mapping,
 and the writer path. Reads enforce the protocol invariants this adapter
@@ -120,6 +124,13 @@ _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
 _MULTIPART_RE = re.compile(
     r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+# V2 checkpoints: <v>.checkpoint.<uniqueId>.{json,parquet} — ONE middle
+# segment (multi-part has two; dots are excluded from uniqueId so the
+# two shapes cannot collide), carrying non-file actions plus `sidecar`
+# actions whose files under _delta_log/_sidecars/ hold the file actions
+_V2_CHECKPOINT_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9A-Za-z-]+)\.(json|parquet)$"
 )
 
 
@@ -151,6 +162,7 @@ def _listed_versions(log_dir: str) -> tuple[set[int], dict[int, list[str]]]:
     json_v: set[int] = set()
     single: set[int] = set()
     parts: dict[tuple[int, int], set[int]] = {}
+    v2: dict[int, str] = {}
     for f in os.listdir(log_dir):
         if m := _COMMIT_RE.match(f):
             json_v.add(int(m.group(1)))
@@ -160,6 +172,12 @@ def _listed_versions(log_dir: str) -> tuple[set[int], dict[int, list[str]]]:
             v, i, n = (int(m.group(k)) for k in (1, 2, 3))
             if 1 <= i <= n:
                 parts.setdefault((v, n), set()).add(i)
+        elif m := _V2_CHECKPOINT_RE.match(f):
+            v = int(m.group(1))
+            # several v2 checkpoints may coexist for one version (each a
+            # complete state); pick deterministically
+            if v not in v2 or f < v2[v]:
+                v2[v] = f
     seeds: dict[int, list[str]] = {
         v: [f"{v:020d}.checkpoint.parquet"] for v in single
     }
@@ -171,6 +189,11 @@ def _listed_versions(log_dir: str) -> tuple[set[int], dict[int, list[str]]]:
                 f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet"
                 for i in range(1, n + 1)
             ]
+    for v, f in v2.items():
+        # classic forms are preferred when both exist (identical state;
+        # the classic path needs no sidecar fan-out), so a v2 file seeds
+        # only versions with no classic checkpoint
+        seeds.setdefault(v, [f])
     return json_v, seeds
 
 
@@ -289,20 +312,22 @@ def _add_entry(partition_values, stats, deletion_vector=None) -> dict:
 
 
 # Reader features this adapter fully implements; anything else refuses.
-# 'deletionVectors' and 'columnMapping' are served above/below;
-# 'timestampNtz' is a pure type (Spark's TimestampNTZType reads it);
-# 'vacuumProtocolCheck' constrains VACUUM, demanding nothing of a reader.
+# 'deletionVectors', 'columnMapping' and 'v2Checkpoint' are served
+# above/below; 'timestampNtz' is a pure type (Spark's TimestampNTZType
+# reads it); 'vacuumProtocolCheck' constrains VACUUM, demanding nothing
+# of a reader.
 _SUPPORTED_READER_FEATURES = frozenset(
-    {"deletionVectors", "columnMapping", "timestampNtz", "vacuumProtocolCheck"}
+    {"deletionVectors", "columnMapping", "timestampNtz",
+     "vacuumProtocolCheck", "v2Checkpoint"}
 )
 
 
 def _check_reader_protocol(protocol: dict | None, table_path: str) -> None:
     """Refuse tables whose `protocol` action demands reader capabilities
     this adapter lacks (PROTOCOL.md: readers MUST refuse, not ignore,
-    unknown reader features — e.g. serving a v2Checkpoint table without
-    reading sidecar files would silently drop active files). Tables with
-    no retained protocol action, or minReaderVersion <= 2 (base + column
+    unknown reader features — serving a table under an unimplemented
+    feature can silently drop or resurrect rows). Tables with no
+    retained protocol action, or minReaderVersion <= 2 (base + column
     mapping, both handled or refused precisely elsewhere), pass."""
     if not protocol:
         return
@@ -343,15 +368,53 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
     return [os.path.join(table_path, p) for p in active]
 
 
+def _first_struct_row(table, col):
+    """First non-null struct row of an action column (metaData/protocol
+    appear exactly once per checkpoint). None for absent or all-null
+    columns (an all-null column infers a null, non-struct type)."""
+    import pyarrow as pa
+
+    if col in table.column_names and pa.types.is_struct(
+        table.column(col).type
+    ):
+        for row in table.column(col).to_pylist():
+            if row is not None:
+                return row
+    return None
+
+
+def _parquet_add_rows(table) -> list[tuple[str, dict]]:
+    """(path, replay entry) for every non-null `add` row of a checkpoint
+    or sidecar parquet table. to_pylist returns None for rows where the
+    parent struct is null (protocol/metaData/remove rows) regardless of
+    child buffers; map<string,string> materializes as (k, v) pairs,
+    which dict() inside _add_entry normalizes alongside plain dicts."""
+    import pyarrow as pa
+
+    if "add" not in table.column_names:
+        return []  # part with no add actions (or empty-table checkpoint)
+    adds_col = table.column("add")
+    if not pa.types.is_struct(adds_col.type):
+        return []  # all-null add column infers null type
+    return [
+        (row["path"],
+         _add_entry(row.get("partitionValues"), row.get("stats"),
+                    row.get("deletionVector")))
+        for row in adds_col.to_pylist()
+        if row is not None
+    ]
+
+
 def _checkpoint_state(
     cp_files: list[str],
 ) -> tuple[list[tuple[str, dict]], dict | None, dict | None]:
     """(active (path, partitionValues) pairs, metaData action or None,
     protocol action or None) from one checkpoint — a single-part file,
-    or every part of a complete multi-part set (the caller guarantees
+    every part of a complete multi-part set (the caller guarantees
     completeness; the parts PARTITION the reconciled action state, so
     their concatenation is exactly the single-part content, in any part
-    order — action rows are keyed, never positional).
+    order — action rows are keyed, never positional), or a V2 top-level
+    file (routed to _v2_checkpoint_state, which follows its sidecars).
 
     A checkpoint row is one action; rows whose `add` struct is non-null
     ARE the snapshot's active file set (remove rows are VACUUM
@@ -362,45 +425,89 @@ def _checkpoint_state(
     a checkpointed DV is as binding as a JSON one. Driver-side pyarrow
     read, action-count-sized — same cost class as the JSON replay it
     replaces."""
-    import pyarrow as pa
     import pyarrow.parquet as pq
 
+    if len(cp_files) == 1 and _V2_CHECKPOINT_RE.match(
+        os.path.basename(cp_files[0])
+    ):
+        return _v2_checkpoint_state(cp_files[0])
     adds: list[tuple[str, dict]] = []
     meta: dict | None = None
     protocol: dict | None = None
-    def _first_struct_row(table, col):
-        if col in table.column_names and pa.types.is_struct(
-            table.column(col).type
-        ):
-            for row in table.column(col).to_pylist():
-                if row is not None:
-                    return row
-        return None
-
     for cp_file in cp_files:
         table = pq.read_table(cp_file)
         if meta is None:
             meta = _first_struct_row(table, "metaData")
         if protocol is None:
             protocol = _first_struct_row(table, "protocol")
-        if "add" not in table.column_names:
-            continue  # part with no add actions (or empty-table checkpoint)
-        adds_col = table.column("add")
-        if not pa.types.is_struct(adds_col.type):
-            continue  # all-null add column infers null type
-        for row in adds_col.to_pylist():
-            # to_pylist returns None for rows where the parent struct is
-            # null (protocol/metaData/remove rows), regardless of child
-            # buffers
-            if row is not None:
-                # map<string,string> materializes as a list of (k, v)
-                # pairs; dict() (inside _add_entry) normalizes that and a
-                # dict alike
-                adds.append(
-                    (row["path"],
-                     _add_entry(row.get("partitionValues"), row.get("stats"),
-                                row.get("deletionVector")))
-                )
+        adds.extend(_parquet_add_rows(table))
+    return adds, meta, protocol
+
+
+def _v2_checkpoint_state(
+    top_path: str,
+) -> tuple[list[tuple[str, dict]], dict | None, dict | None]:
+    """Reconciled state from a V2 checkpoint (PROTOCOL.md "V2
+    Checkpoints"): the top-level `<v>.checkpoint.<uniqueId>.{json,
+    parquet}` file carries the non-file actions (protocol, metaData,
+    checkpointMetadata) plus `sidecar` actions; the file actions live in
+    the referenced parquet files under `_delta_log/_sidecars/`, which
+    together hold the same row set a classic checkpoint would. File
+    actions directly in the top-level file (the no-sidecar variant) are
+    honored too. A missing sidecar fails loudly — a partial state must
+    never be served as a snapshot."""
+    import pyarrow.parquet as pq
+
+    adds: list[tuple[str, dict]] = []
+    meta: dict | None = None
+    protocol: dict | None = None
+    sidecars: list[str] = []
+    if top_path.endswith(".json"):
+        with open(top_path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                if "add" in action:
+                    adds.append(
+                        (action["add"]["path"],
+                         _add_entry(action["add"].get("partitionValues"),
+                                    action["add"].get("stats"),
+                                    action["add"].get("deletionVector")))
+                    )
+                elif "metaData" in action:
+                    meta = action["metaData"]
+                elif "protocol" in action:
+                    protocol = action["protocol"]
+                elif "sidecar" in action:
+                    sidecars.append(action["sidecar"]["path"])
+    else:
+        table = pq.read_table(top_path)
+        meta = _first_struct_row(table, "metaData")
+        protocol = _first_struct_row(table, "protocol")
+        adds.extend(_parquet_add_rows(table))
+        import pyarrow as pa
+
+        if "sidecar" in table.column_names and pa.types.is_struct(
+            table.column("sidecar").type
+        ):
+            sidecars.extend(
+                row["path"]
+                for row in table.column("sidecar").to_pylist()
+                if row is not None
+            )
+    sidecar_dir = os.path.join(os.path.dirname(top_path), "_sidecars")
+    for sp in sidecars:
+        if sp.startswith("file:"):
+            sp = "/" + sp.split(":", 1)[1].lstrip("/")
+        elif "://" in sp:
+            raise ValueError(
+                f"sidecar at non-local URI {sp!r}: this adapter reads "
+                "the local filesystem only"
+            )
+        path = sp if os.path.isabs(sp) else os.path.join(sidecar_dir, sp)
+        adds.extend(_parquet_add_rows(pq.read_table(path)))
     return adds, meta, protocol
 
 
