@@ -310,3 +310,47 @@ def test_compaction_contributes_nothing(spark, tmp_path):
 def test_base_version_must_be_readable(spark, cdf_table):
     with pytest.raises(ValueError, match="not readable"):
         delta_changes(spark, cdf_table, 99, None)
+
+
+def test_cdf_under_column_mapping(spark, tmp_path):
+    """cdc files in a column-mapped table store PHYSICAL column names
+    (plus the literal _change_type, which is never mapped): the change
+    frame must come back in logical vocabulary."""
+    table = str(tmp_path)
+    cm_schema = json.dumps({
+        "type": "struct",
+        "fields": [
+            {"name": "k", "type": "long", "nullable": True,
+             "metadata": {"delta.columnMapping.physicalName": "col-xyz",
+                          "delta.columnMapping.id": 1}},
+        ],
+    })
+    meta = {"metaData": {"id": "cm-cdf", "format": {"provider": "parquet"},
+                         "schemaString": cm_schema, "partitionColumns": [],
+                         "configuration": {
+                             "delta.columnMapping.mode": "name",
+                             "delta.enableChangeDataFeed": "true"}}}
+    pq.write_table(pa.table({"col-xyz": [1, 2]}),
+                   os.path.join(table, "f.parquet"))
+    os.makedirs(os.path.join(table, "_change_data"))
+    pq.write_table(
+        pa.table({"col-xyz": [2, 20],
+                  "_change_type": ["update_preimage", "update_postimage"]}),
+        os.path.join(table, "_change_data", "cdc-v1.parquet"),
+    )
+    pq.write_table(pa.table({"col-xyz": [1, 20]}),
+                   os.path.join(table, "g.parquet"))
+    _commit(table, 0, [
+        {"protocol": {"minReaderVersion": 2, "minWriterVersion": 5}},
+        meta,
+        _add("f.parquet"),
+    ])
+    _commit(table, 1, [
+        {"cdc": {"path": "_change_data/cdc-v1.parquet",
+                 "partitionValues": {}, "size": 1, "dataChange": False}},
+        _remove("f.parquet"),
+        _add("g.parquet"),
+    ])
+    got = {(r["k"], r["_change_type"], r["_commit_version"])
+           for r in delta_changes(spark, table, 0, 1).collect()}
+    assert got == {(2, "update_preimage", 1), (20, "update_postimage", 1)}

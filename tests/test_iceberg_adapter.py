@@ -436,6 +436,8 @@ def test_incremental_appends(ice_table, tmp_path):
         iceberg_added_files(ice_table, 101, 202)
     with pytest.raises(ValueError, match="not in table"):
         iceberg_added_files(ice_table, 999)
+    with pytest.raises(ValueError, match="runs forward"):
+        iceberg_added_files(ice_table, 202, 101)
 
 
 def test_incremental_appends_second_snapshot(spark, ice_table, tmp_path):

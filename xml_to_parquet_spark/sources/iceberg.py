@@ -322,7 +322,13 @@ def iceberg_added_files(
                 f"snapshot {from_snapshot_id} not in table ({ids})"
             )
         start = ids.index(from_snapshot_id) + 1
-    window = ordered[start : ids.index(to_snapshot_id) + 1]
+    end = ids.index(to_snapshot_id) + 1
+    if end < start:
+        raise ValueError(
+            f"snapshot {to_snapshot_id} predates {from_snapshot_id}: an "
+            "incremental window runs forward"
+        )
+    window = ordered[start:end]
     out: list[tuple[int, str]] = []
     for s in window:
         if s["operation"] != "append":
