@@ -56,6 +56,8 @@ _DATA_FILE = {
         {"name": "upper_bounds", "type": ["null",
                                           {"type": "array", "items": "k126_v127",
                                            "logicalType": "map"}]},
+        {"name": "equality_ids", "type": ["null",
+                                          {"type": "array", "items": "int"}]},
     ],
 }
 
@@ -130,25 +132,27 @@ def _data_entry(path, part, n, lo, hi, status=1, content=0):
             "file_size_in_bytes": 1,
             "lower_bounds": lob,
             "upper_bounds": upb,
+            "equality_ids": None,
         },
     }
 
 
-def _delete_entry(path, n):
+def _delete_entry(path, n, content=1, equality_ids=None, part=None):
     return {
         "status": 1,
         "snapshot_id": None,
         "sequence_number": None,
         "file_sequence_number": None,
         "data_file": {
-            "content": 1,
+            "content": content,
             "file_path": path,
             "file_format": "PARQUET",
-            "partition": {"p": None},
+            "partition": {"p": part},
             "record_count": n,
             "file_size_in_bytes": 1,
             "lower_bounds": None,
             "upper_bounds": None,
+            "equality_ids": equality_ids,
         },
     }
 
@@ -158,14 +162,14 @@ def _write_avro(path, schema, records, codec="null"):
         fh.write(encode_container(schema, records, codec))
 
 
-def _manifest_row(path, content, snap_id):
+def _manifest_row(path, content, snap_id, seq=1):
     return {
         "manifest_path": f"file://{path}",
         "manifest_length": os.path.getsize(path),
         "partition_spec_id": 0,
         "content": content,
-        "sequence_number": 1,
-        "min_sequence_number": 1,
+        "sequence_number": seq,
+        "min_sequence_number": seq,
         "added_snapshot_id": snap_id,
         "added_files_count": 1,
         "existing_files_count": 0,
@@ -387,33 +391,119 @@ def test_deleted_status_entries_are_skipped(spark, ice_table, tmp_path):
     assert got == {(k, "a") for k in range(5)}
 
 
-def test_equality_deletes_refused(spark, ice_table, tmp_path):
+def _append_snapshot(table, snap_id, manifest_rows, ts, op="overwrite"):
+    md = os.path.join(table, "metadata")
+    snap = os.path.join(md, f"snap-{snap_id}.avro")
+    _write_avro(snap, _MANIFEST_FILE, manifest_rows)
+    meta = load_iceberg_metadata(table)
+    meta["snapshots"].append(
+        {"snapshot-id": snap_id, "timestamp-ms": ts, "sequence-number": 4,
+         "summary": {"operation": op},
+         "manifest-list": f"file://{snap}", "schema-id": 0})
+    meta["current-snapshot-id"] = snap_id
+    with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("2")
+
+
+def test_equality_deletes_with_sequence_scoping(spark, ice_table, tmp_path):
+    """An equality delete (k in {2, 7}) at sequence 2 removes matching
+    rows ONLY from files at sequence < 2: d0/d1 (seq 1) lose k=2 and
+    k=7, while d2 (written at seq 2, same as the delete) keeps its k=2
+    row — and the carried position deletes still apply."""
     import shutil
 
     table = str(tmp_path / "eq")
     shutil.copytree(ice_table, table)
     md = os.path.join(table, "metadata")
-    m_eq = os.path.join(md, "m-eq.avro")
-    entry = _delete_entry("file:///nowhere/eq.parquet", 1)
-    entry["data_file"]["content"] = 2
-    _write_avro(m_eq, _MANIFEST_ENTRY, [entry])
-    snap = os.path.join(md, "snap-404.avro")
-    d0 = os.path.join(ice_table, "data", "d0.parquet")
+    d2 = os.path.join(table, "data", "d2.parquet")
+    pq.write_table(pa.table({"k": [2], "p": ["c"]}, schema=_pq_schema()), d2)
+    eq1 = os.path.join(table, "data", "eq1.parquet")
+    pq.write_table(pa.table(
+        {"k": [2, 7]},
+        schema=pa.schema([pa.field("k", pa.int64(),
+                                   metadata={b"PARQUET:field_id": b"1"})])),
+        eq1)
+    m4 = os.path.join(md, "m4.avro")
+    _write_avro(m4, _MANIFEST_ENTRY,
+                [_data_entry(f"file://{d2}", "c", 1, 2, 2)])
+    m5 = os.path.join(md, "m5-eq.avro")
+    _write_avro(m5, _MANIFEST_ENTRY,
+                [_delete_entry(f"file://{eq1}", 2, content=2,
+                               equality_ids=[1])])
+    _append_snapshot(table, 404, [
+        _manifest_row(os.path.join(md, "m0.avro"), 0, 101, seq=1),
+        _manifest_row(os.path.join(md, "m1-deletes.avro"), 1, 202, seq=1),
+        _manifest_row(m4, 0, 404, seq=2),
+        _manifest_row(m5, 1, 404, seq=2),
+    ], ts=4000)
+    got = _rows(read_iceberg_snapshot(spark, table))
+    assert got == {(0, "a"), (4, "a")} | {
+        (k, "b") for k in (5, 6, 8, 9)
+    } | {(2, "c")}
+
+
+def test_equality_delete_null_safe_matching(spark, tmp_path):
+    """A delete row with a NULL key matches data rows with NULL there
+    (the spec's null-safe equality), never every row."""
+    table = str(tmp_path)
+    md = os.path.join(table, "metadata")
+    data = os.path.join(table, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    d0 = os.path.join(data, "d0.parquet")
+    pq.write_table(pa.table({"k": pa.array([None, 1, 2], pa.int64()),
+                             "p": ["a"] * 3}, schema=_pq_schema()), d0)
+    eq = os.path.join(data, "eq.parquet")
+    pq.write_table(pa.table(
+        {"k": pa.array([None], pa.int64())},
+        schema=pa.schema([pa.field("k", pa.int64(),
+                                   metadata={b"PARQUET:field_id": b"1"})])),
+        eq)
+    m0 = os.path.join(md, "m0.avro")
+    _write_avro(m0, _MANIFEST_ENTRY, [{
+        "status": 1, "snapshot_id": None, "sequence_number": None,
+        "file_sequence_number": None,
+        "data_file": {"content": 0, "file_path": f"file://{d0}",
+                      "file_format": "PARQUET", "partition": {"p": "a"},
+                      "record_count": 3, "file_size_in_bytes": 1,
+                      "lower_bounds": None, "upper_bounds": None,
+                      "equality_ids": None}}])
+    m1 = os.path.join(md, "m1.avro")
+    _write_avro(m1, _MANIFEST_ENTRY,
+                [_delete_entry(f"file://{eq}", 1, content=2,
+                               equality_ids=[1])])
+    snap = os.path.join(md, "snap-1.avro")
     _write_avro(snap, _MANIFEST_FILE, [
-        {**_manifest_row(os.path.join(md, "m0.avro"), 0, 101)},
-        {**_manifest_row(m_eq, 1, 404)},
+        _manifest_row(m0, 0, 1, seq=1),
+        _manifest_row(m1, 1, 1, seq=2),
     ])
-    meta = load_iceberg_metadata(table)
-    meta["snapshots"].append(
-        {"snapshot-id": 404, "timestamp-ms": 4000, "sequence-number": 4,
-         "summary": {"operation": "overwrite"},
-         "manifest-list": f"file://{snap}", "schema-id": 0})
-    meta["current-snapshot-id"] = 404
-    with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
-        json.dump(meta, fh)
-    with open(os.path.join(md, "version-hint.text"), "w") as fh:
-        fh.write("2")
-    with pytest.raises(ValueError, match="equality delete"):
+    snapshots = [{"snapshot-id": 1, "timestamp-ms": 1000,
+                  "sequence-number": 2, "summary": {"operation": "delete"},
+                  "manifest-list": f"file://{snap}", "schema-id": 0}]
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(_metadata_json(table, snapshots, 1), fh)
+    got = {(r["k"], r["p"])
+           for r in read_iceberg_snapshot(spark, table).collect()}
+    assert got == {(1, "a"), (2, "a")}
+
+
+def test_partition_scoped_equality_delete_refused(spark, ice_table, tmp_path):
+    import shutil
+
+    table = str(tmp_path / "eqpart")
+    shutil.copytree(ice_table, table)
+    md = os.path.join(table, "metadata")
+    m_eq = os.path.join(md, "m-eq.avro")
+    _write_avro(m_eq, _MANIFEST_ENTRY,
+                [_delete_entry("file:///nowhere/eq.parquet", 1, content=2,
+                               equality_ids=[1], part="a")])
+    _append_snapshot(table, 404, [
+        _manifest_row(os.path.join(md, "m0.avro"), 0, 101, seq=1),
+        _manifest_row(m_eq, 1, 404, seq=2),
+    ], ts=4000)
+    with pytest.raises(ValueError, match="PARTITION-SCOPED"):
         read_iceberg_snapshot(spark, table)
 
 

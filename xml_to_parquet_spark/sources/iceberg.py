@@ -32,21 +32,29 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     `upper_bounds` (the spec's single-value binary serialization,
     little-endian for numerics) for NUMERIC predicates only,
     keep-on-missing — same soundness contract as the Delta adapter;
-  * v2 row-level deletes: POSITION delete files (content=1) are read as
-    ordinary parquet (file_path, pos) and applied as a left-anti join
-    against `_metadata.file_path`/`_metadata.row_index` — the same
-    machinery as Delta deletion vectors, and sound without sequence
-    numbers because position deletes reference an immutable file path
-    (a rewritten file gets a new path, so a stale delete row matches
-    nothing). EQUALITY deletes (content=2) are refused loudly: applying
-    them correctly requires sequence-number scoping between delete and
-    data files, and serving them unscoped would delete resurrected rows.
+  * v2 row-level deletes, BOTH kinds: POSITION delete files (content=1)
+    are read as ordinary parquet (file_path, pos) and applied as a
+    left-anti join against `_metadata.file_path`/`_metadata.row_index`
+    — the same machinery as Delta deletion vectors, and sound without
+    sequence numbers because position deletes reference an immutable
+    file path (a rewritten file gets a new path, so a stale delete row
+    matches nothing). EQUALITY deletes (content=2) apply with the
+    spec's full sequence-number scoping: each data row carries its
+    file's data sequence number (entries inherit their manifest's when
+    null), and a delete row removes rows matching its `equality_ids`
+    columns NULL-SAFELY only in files whose sequence is STRICTLY less
+    than the delete's — rows written at or after the delete survive,
+    the ordering that makes concurrent upsert streams correct.
+    PARTITION-SCOPED equality deletes (a non-null partition struct on
+    the delete entry) are refused loudly: honoring the scope needs
+    transform evaluation this adapter does not claim.
 
 Out of scope, documented: the writer path, non-parquet data files
-(AVRO/ORC data file_format is refused per file, not guessed), nested
-list/map column types in the read schema, and equality deletes.
-Everything metadata-side is driver-side and manifest-sized; the scan is
-a plain Catalyst FileScan with pushdown and pruning intact.
+(AVRO/ORC file_format is refused per file, not guessed), nested
+list/map column types in the read schema, and partition-scoped
+equality deletes. Everything metadata-side is driver-side and
+manifest-sized; the scan is a plain Catalyst FileScan with pushdown
+and pruning intact.
 """
 
 from __future__ import annotations
@@ -240,8 +248,15 @@ def _decode_bound(type_name, raw):
 
 
 def _live_entries(meta: dict, snapshot: dict, table_path: str):
-    """(data entries, position-delete entries) across the snapshot's
-    manifests. Equality-delete manifests/files refuse loudly."""
+    """(data entries, delete entries) across the snapshot's manifests.
+    Each entry is the `data_file` struct augmented with `__seq` — its
+    DATA SEQUENCE NUMBER, inherited from the manifest's
+    `sequence_number` when the entry's own is null (the spec's
+    inheritance rule for entries added by the manifest's snapshot;
+    format v1 has no sequence numbers, so everything reads as 0, which
+    only matters to equality deletes — a v2 feature). Delete entries
+    keep their `content` kind (1 = position, 2 = equality) for the
+    read path to route."""
     ml_uri = snapshot.get("manifest-list")
     if not ml_uri:
         raise ValueError(
@@ -253,24 +268,28 @@ def _live_entries(meta: dict, snapshot: dict, table_path: str):
     delete_entries: list[dict] = []
     for m in manifests:
         manifest_content = m.get("content") or 0  # v1: absent -> data
+        manifest_seq = m.get("sequence_number") or 0
         _, entries = read_container_file(
             _resolve_path(m["manifest_path"], table_path)
         )
         for e in entries:
             if e.get("status") == 2:  # DELETED: removed as of this snapshot
                 continue
-            df = e["data_file"]
+            df = dict(e["data_file"])
+            seq = e.get("sequence_number")
+            df["__seq"] = int(seq) if seq is not None else int(manifest_seq)
             file_content = df.get("content") or 0
             if file_content == 0 and manifest_content == 0:
                 data_entries.append(df)
-            elif file_content == 1:
+            elif file_content in (1, 2) and manifest_content == 1:
                 delete_entries.append(df)
             else:
                 raise ValueError(
-                    f"equality delete file {df.get('file_path')!r}: "
-                    "correct application needs sequence-number scoping "
-                    "this adapter does not implement — refusing rather "
-                    "than deleting resurrected rows"
+                    f"manifest {m['manifest_path']!r} (content "
+                    f"{manifest_content}) carries an entry of content "
+                    f"{file_content} for {df.get('file_path')!r}: the "
+                    "log is inconsistent — refusing rather than guessing "
+                    "which kind it is"
                 )
     return data_entries, delete_entries
 
@@ -421,6 +440,33 @@ def read_iceberg_snapshot(
     if not data_entries:
         return spark.createDataFrame([], spark_schema)
     files = [_resolve_path(e["file_path"], table_path) for e in data_entries]
+    pos_entries = [
+        e for e in delete_entries if (e.get("content") or 0) == 1
+    ]
+    eq_entries = [
+        e for e in delete_entries if (e.get("content") or 0) == 2
+    ]
+    for e in delete_entries:
+        fmt = (e.get("file_format") or "PARQUET").upper()
+        if fmt != "PARQUET":
+            raise ValueError(
+                f"delete file {e['file_path']!r} has format {fmt}; this "
+                "adapter scans parquet only"
+            )
+    for e in eq_entries:
+        part = e.get("partition") or {}
+        if any(v is not None for v in part.values()):
+            raise ValueError(
+                f"equality delete {e['file_path']!r} is PARTITION-SCOPED: "
+                "restricting its match to one partition needs transform "
+                "evaluation this adapter does not claim — refusing "
+                "rather than deleting rows outside the delete's scope"
+            )
+        if not e.get("equality_ids"):
+            raise ValueError(
+                f"equality delete {e['file_path']!r} carries no "
+                "equality_ids; there is nothing sound to match on"
+            )
     # Iceberg readers resolve parquet columns by field ID; Spark does the
     # same when the requested schema carries parquet.field.id metadata
     # and this conf is on. Session-scoped by design: it only affects
@@ -434,33 +480,115 @@ def read_iceberg_snapshot(
         F.col("_metadata.file_path").alias("__ib_fp"),
         F.col("_metadata.row_index").alias("__ib_rowidx"),
     )
-    del_files = [
-        _resolve_path(e["file_path"], table_path) for e in delete_entries
-    ]
-    # position delete files: (file_path, pos) rows, paths as written by
-    # the original writer — normalize both sides to plain absolute paths
-    deletes = (
-        spark.read.parquet(*del_files)
-        .select(
-            F.regexp_replace(
-                F.col("file_path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
-            ).alias("__del_path"),
-            F.col("pos").alias("__del_pos"),
-        )
-    )
-    total_deletes = sum(int(e.get("record_count") or 0) for e in delete_entries)
-    if total_deletes <= 4_000_000:
-        deletes = F.broadcast(deletes)
     scan_path = F.regexp_replace(
         F.col("__ib_fp"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
     )
-    out = df.join(
-        deletes,
-        (scan_path == deletes["__del_path"])
-        & (F.col("__ib_rowidx") == deletes["__del_pos"]),
-        "left_anti",
+    helper_cols = ["__ib_fp", "__ib_rowidx"]
+    if pos_entries:
+        # position delete files: (file_path, pos) rows, paths as written
+        # by the original writer — normalize both sides to plain
+        # absolute paths
+        del_files = [
+            _resolve_path(e["file_path"], table_path) for e in pos_entries
+        ]
+        deletes = (
+            spark.read.parquet(*del_files)
+            .select(
+                F.regexp_replace(
+                    F.col("file_path"), r"^[a-zA-Z][a-zA-Z0-9+.\-]*:/*", "/"
+                ).alias("__del_path"),
+                F.col("pos").alias("__del_pos"),
+            )
+        )
+        total = sum(int(e.get("record_count") or 0) for e in pos_entries)
+        if total <= _DELETE_BROADCAST_MAX_ROWS:
+            deletes = F.broadcast(deletes)
+        df = df.join(
+            deletes,
+            (scan_path == deletes["__del_path"])
+            & (F.col("__ib_rowidx") == deletes["__del_pos"]),
+            "left_anti",
+        )
+    if eq_entries:
+        df = _apply_equality_deletes(
+            spark, df, scan_path, schema, data_entries, files, eq_entries,
+            table_path,
+        )
+        helper_cols.append("__ib_seq")
+    return df.drop(*helper_cols)
+
+
+_DELETE_BROADCAST_MAX_ROWS = 4_000_000
+
+
+def _apply_equality_deletes(
+    spark, df, scan_path, schema, data_entries, files, eq_entries,
+    table_path,
+):
+    """Equality deletes with the spec's sequence-number scoping: a
+    delete row removes data rows whose `equality_ids` columns match
+    null-safely AND whose data file's sequence number is STRICTLY less
+    than the delete file's — a row written in the same or a later
+    snapshot than the delete is untouched (that ordering is what makes
+    concurrent upsert streams correct).
+
+    Shape: each data row gets its file's sequence number via a
+    file-count-sized broadcast map on `_metadata.file_path`; delete
+    files (read under field-id resolution like everything else) union
+    per distinct equality_ids set and apply as one LEFT-ANTI broadcast
+    hash join each — the null-safe equality terms are the hash keys and
+    the sequence comparison rides along as a join filter."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructField, StructType
+
+    seq_df = spark.createDataFrame(
+        [(p, int(e["__seq"])) for p, e in zip(files, data_entries)],
+        schema="__ib_path string, __ib_seq long",
     )
-    return out.drop("__ib_fp", "__ib_rowidx")
+    df = df.join(
+        F.broadcast(seq_df), scan_path == seq_df["__ib_path"], "left"
+    ).drop("__ib_path")
+    by_id = {f["id"]: f for f in schema["fields"]}
+    groups: dict[tuple, list[dict]] = {}
+    for e in eq_entries:
+        groups.setdefault(tuple(sorted(e["equality_ids"])), []).append(e)
+    for ids, group in groups.items():
+        fields = []
+        for fid in ids:
+            f = by_id.get(fid)
+            if f is None:
+                raise ValueError(
+                    f"equality delete references field id {fid}, which is "
+                    "not in the current schema"
+                )
+            fields.append(f)
+        eq_schema = StructType([
+            StructField(f["name"], _spark_type(f["type"]), True,
+                        metadata={"parquet.field.id": f["id"]})
+            for f in fields
+        ])
+        deletes = None
+        for e in group:
+            one = (
+                spark.read.schema(eq_schema)
+                .parquet(_resolve_path(e["file_path"], table_path))
+                .select(
+                    *[F.col(f["name"]).alias(f"__eq_{f['name']}")
+                      for f in fields]
+                )
+                .withColumn("__eq_seq", F.lit(int(e["__seq"])))
+            )
+            deletes = one if deletes is None else deletes.unionByName(one)
+        total = sum(int(e.get("record_count") or 0) for e in group)
+        if total <= _DELETE_BROADCAST_MAX_ROWS:
+            deletes = F.broadcast(deletes)
+        cond = F.col("__ib_seq") < F.col("__eq_seq")
+        for f in fields:
+            cond = cond & F.col(f["name"]).eqNullSafe(
+                F.col(f"__eq_{f['name']}")
+            )
+        df = df.join(deletes, cond, "left_anti")
+    return df
 
 
 _STATS_OPS = ("=", "<", "<=", ">", ">=")
