@@ -40,38 +40,46 @@ _KV = {
 
 _BOUNDS = ["null", {"type": "array", "items": _KV, "logicalType": "map"}]
 
-_DATA_FILE = {
-    "type": "record",
-    "name": "r2",
-    "fields": [
-        {"name": "content", "type": "int"},
-        {"name": "file_path", "type": "string"},
-        {"name": "file_format", "type": "string"},
-        {"name": "partition", "type": {
-            "type": "record", "name": "r102",
-            "fields": [{"name": "p", "type": ["null", "string"]}]}},
-        {"name": "record_count", "type": "long"},
-        {"name": "file_size_in_bytes", "type": "long"},
-        {"name": "lower_bounds", "type": _BOUNDS},
-        {"name": "upper_bounds", "type": ["null",
-                                          {"type": "array", "items": "k126_v127",
-                                           "logicalType": "map"}]},
-        {"name": "equality_ids", "type": ["null",
-                                          {"type": "array", "items": "int"}]},
-    ],
-}
+def _manifest_entry_schema(partition_fields):
+    """manifest_entry Avro schema; the data_file partition record has
+    the given fields — [] for manifests under the unpartitioned spec
+    (whose partition record is genuinely empty on disk)."""
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": partition_fields}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds", "type": _BOUNDS},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "array", "items": "k126_v127",
+                                       "logicalType": "map"}]},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ],
+            }},
+        ],
+    }
 
-_MANIFEST_ENTRY = {
-    "type": "record",
-    "name": "manifest_entry",
-    "fields": [
-        {"name": "status", "type": "int"},
-        {"name": "snapshot_id", "type": ["null", "long"]},
-        {"name": "sequence_number", "type": ["null", "long"]},
-        {"name": "file_sequence_number", "type": ["null", "long"]},
-        {"name": "data_file", "type": _DATA_FILE},
-    ],
-}
+
+_MANIFEST_ENTRY = _manifest_entry_schema(
+    [{"name": "p", "type": ["null", "string"]}]
+)
+_MANIFEST_ENTRY_UNPART = _manifest_entry_schema([])
 
 _MANIFEST_FILE = {
     "type": "record",
@@ -162,11 +170,11 @@ def _write_avro(path, schema, records, codec="null"):
         fh.write(encode_container(schema, records, codec))
 
 
-def _manifest_row(path, content, snap_id, seq=1):
+def _manifest_row(path, content, snap_id, seq=1, spec_id=0):
     return {
         "manifest_path": f"file://{path}",
         "manifest_length": os.path.getsize(path),
-        "partition_spec_id": 0,
+        "partition_spec_id": spec_id,
         "content": content,
         "sequence_number": seq,
         "min_sequence_number": seq,
@@ -206,9 +214,15 @@ def _metadata_json(table, snapshots, current, schemas=None, current_schema=0):
         "last-column-id": 2,
         "schemas": schemas or [_ICE_SCHEMA],
         "current-schema-id": current_schema,
-        "partition-specs": [{"spec-id": 0, "fields": [
-            {"name": "p", "transform": "identity",
-             "source-id": 2, "field-id": 1000}]}],
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "p", "transform": "identity",
+                 "source-id": 2, "field-id": 1000}]},
+            {"spec-id": 1, "fields": []},  # the unpartitioned spec
+            {"spec-id": 2, "fields": [
+                {"name": "p_bucket", "transform": "bucket[4]",
+                 "source-id": 2, "field-id": 1001}]},
+        ],
         "default-spec-id": 0,
         "snapshots": snapshots,
         "current-snapshot-id": current,
@@ -429,14 +443,16 @@ def test_equality_deletes_with_sequence_scoping(spark, ice_table, tmp_path):
     _write_avro(m4, _MANIFEST_ENTRY,
                 [_data_entry(f"file://{d2}", "c", 1, 2, 2)])
     m5 = os.path.join(md, "m5-eq.avro")
-    _write_avro(m5, _MANIFEST_ENTRY,
+    _write_avro(m5, _MANIFEST_ENTRY_UNPART,
                 [_delete_entry(f"file://{eq1}", 2, content=2,
                                equality_ids=[1])])
     _append_snapshot(table, 404, [
         _manifest_row(os.path.join(md, "m0.avro"), 0, 101, seq=1),
         _manifest_row(os.path.join(md, "m1-deletes.avro"), 1, 202, seq=1),
         _manifest_row(m4, 0, 404, seq=2),
-        _manifest_row(m5, 1, 404, seq=2),
+        # the GLOBAL equality delete: written under the unpartitioned
+        # spec — that, not its partition values, is what makes it global
+        _manifest_row(m5, 1, 404, seq=2, spec_id=1),
     ], ts=4000)
     got = _rows(read_iceberg_snapshot(spark, table))
     assert got == {(0, "a"), (4, "a")} | {
@@ -471,13 +487,13 @@ def test_equality_delete_null_safe_matching(spark, tmp_path):
                       "lower_bounds": None, "upper_bounds": None,
                       "equality_ids": None}}])
     m1 = os.path.join(md, "m1.avro")
-    _write_avro(m1, _MANIFEST_ENTRY,
+    _write_avro(m1, _MANIFEST_ENTRY_UNPART,
                 [_delete_entry(f"file://{eq}", 1, content=2,
                                equality_ids=[1])])
     snap = os.path.join(md, "snap-1.avro")
     _write_avro(snap, _MANIFEST_FILE, [
         _manifest_row(m0, 0, 1, seq=1),
-        _manifest_row(m1, 1, 1, seq=2),
+        _manifest_row(m1, 1, 1, seq=2, spec_id=1),
     ])
     snapshots = [{"snapshot-id": 1, "timestamp-ms": 1000,
                   "sequence-number": 2, "summary": {"operation": "delete"},
@@ -489,21 +505,58 @@ def test_equality_delete_null_safe_matching(spark, tmp_path):
     assert got == {(1, "a"), (2, "a")}
 
 
-def test_partition_scoped_equality_delete_refused(spark, ice_table, tmp_path):
+def _eq_delete_table(ice_table, tmp_path, part, spec_id, ks=(2, 7)):
+    """Copy of the module table plus one equality-delete of `ks`,
+    written under `spec_id` with partition value `part`."""
     import shutil
 
     table = str(tmp_path / "eqpart")
     shutil.copytree(ice_table, table)
     md = os.path.join(table, "metadata")
+    eq = os.path.join(table, "data", "eqp.parquet")
+    pq.write_table(pa.table(
+        {"k": pa.array(list(ks), pa.int64())},
+        schema=pa.schema([pa.field("k", pa.int64(),
+                                   metadata={b"PARQUET:field_id": b"1"})])),
+        eq)
     m_eq = os.path.join(md, "m-eq.avro")
     _write_avro(m_eq, _MANIFEST_ENTRY,
-                [_delete_entry("file:///nowhere/eq.parquet", 1, content=2,
-                               equality_ids=[1], part="a")])
+                [_delete_entry(f"file://{eq}", len(ks), content=2,
+                               equality_ids=[1], part=part)])
     _append_snapshot(table, 404, [
         _manifest_row(os.path.join(md, "m0.avro"), 0, 101, seq=1),
-        _manifest_row(m_eq, 1, 404, seq=2),
+        _manifest_row(m_eq, 1, 404, seq=2, spec_id=spec_id),
     ], ts=4000)
-    with pytest.raises(ValueError, match="PARTITION-SCOPED"):
+    return table
+
+
+def test_partition_scoped_equality_delete_identity(spark, ice_table, tmp_path):
+    """A delete of k in {2, 7} SCOPED to partition p=a (identity
+    transform): k=2 lives in p=a and dies; k=7 lives in p=b and
+    SURVIVES despite matching the equality columns."""
+    table = _eq_delete_table(ice_table, tmp_path, part="a", spec_id=0)
+    got = _rows(read_iceberg_snapshot(spark, table))
+    assert got == {(k, "a") for k in (0, 1, 3, 4)} | {
+        (k, "b") for k in range(5, 10)
+    }
+
+
+def test_null_partition_scope_is_not_global(spark, ice_table, tmp_path):
+    """A delete under the PARTITIONED spec with a NULL partition value
+    scopes to the null partition — it must not delete anything from
+    p=a/p=b. (Treating null values as 'global' would be the unsound
+    reading; global means the unpartitioned SPEC.)"""
+    table = _eq_delete_table(ice_table, tmp_path, part=None, spec_id=0)
+    got = _rows(read_iceberg_snapshot(spark, table))
+    assert got == {(k, "a") for k in range(5)} | {
+        (k, "b") for k in range(5, 10)
+    }
+
+
+def test_nonidentity_scoped_equality_delete_refused(spark, ice_table,
+                                                    tmp_path):
+    table = _eq_delete_table(ice_table, tmp_path, part="a", spec_id=2)
+    with pytest.raises(ValueError, match="bucket"):
         read_iceberg_snapshot(spark, table)
 
 

@@ -44,17 +44,21 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     null), and a delete row removes rows matching its `equality_ids`
     columns NULL-SAFELY only in files whose sequence is STRICTLY less
     than the delete's — rows written at or after the delete survive,
-    the ordering that makes concurrent upsert streams correct.
-    PARTITION-SCOPED equality deletes (a non-null partition struct on
-    the delete entry) are refused loudly: honoring the scope needs
+    the ordering that makes concurrent upsert streams correct. A
+    delete's SCOPE is its manifest's partition SPEC, never its
+    partition values: an unpartitioned spec means global, a partitioned
+    spec scopes the delete to its partition tuple (a NULL tuple value
+    scopes to the null partition, not to everything) — identity
+    transforms scope as null-safe literal terms on the source columns;
+    non-identity transforms refuse, since honoring their scope needs
     transform evaluation this adapter does not claim.
 
 Out of scope, documented: the writer path, non-parquet data files
 (AVRO/ORC file_format is refused per file, not guessed), nested
-list/map column types in the read schema, and partition-scoped
-equality deletes. Everything metadata-side is driver-side and
-manifest-sized; the scan is a plain Catalyst FileScan with pushdown
-and pruning intact.
+list/map column types in the read schema, and equality-delete scopes
+under non-identity partition transforms. Everything metadata-side is
+driver-side and manifest-sized; the scan is a plain Catalyst FileScan
+with pushdown and pruning intact.
 """
 
 from __future__ import annotations
@@ -278,6 +282,7 @@ def _live_entries(meta: dict, snapshot: dict, table_path: str):
             df = dict(e["data_file"])
             seq = e.get("sequence_number")
             df["__seq"] = int(seq) if seq is not None else int(manifest_seq)
+            df["__spec_id"] = int(m.get("partition_spec_id") or 0)
             file_content = df.get("content") or 0
             if file_content == 0 and manifest_content == 0:
                 data_entries.append(df)
@@ -454,19 +459,20 @@ def read_iceberg_snapshot(
                 "adapter scans parquet only"
             )
     for e in eq_entries:
-        part = e.get("partition") or {}
-        if any(v is not None for v in part.values()):
-            raise ValueError(
-                f"equality delete {e['file_path']!r} is PARTITION-SCOPED: "
-                "restricting its match to one partition needs transform "
-                "evaluation this adapter does not claim — refusing "
-                "rather than deleting rows outside the delete's scope"
-            )
         if not e.get("equality_ids"):
             raise ValueError(
                 f"equality delete {e['file_path']!r} carries no "
                 "equality_ids; there is nothing sound to match on"
             )
+        # A delete's SCOPE is its manifest's partition spec, never its
+        # partition values: an unpartitioned spec (no fields) means
+        # GLOBAL; a partitioned spec scopes the delete to its partition
+        # tuple — including a NULL tuple value, which scopes to the
+        # null partition, NOT to everything. Resolved here, driver-side,
+        # into (source column, value) pairs for identity transforms;
+        # non-identity transforms refuse (honoring their scope needs
+        # transform evaluation this adapter does not claim).
+        e["__scope"] = _eq_delete_scope(meta, schema, e)
     # Iceberg readers resolve parquet columns by field ID; Spark does the
     # same when the requested schema carries parquet.field.id metadata
     # and this conf is on. Session-scoped by design: it only affects
@@ -521,6 +527,51 @@ def read_iceberg_snapshot(
 _DELETE_BROADCAST_MAX_ROWS = 4_000_000
 
 
+def _eq_delete_scope(meta: dict, schema: dict, entry: dict) -> tuple:
+    """((source column name, partition value), ...) scoping one equality
+    delete, resolved from its manifest's partition spec. Empty tuple =
+    GLOBAL (the spec has no fields). Identity transforms scope as a
+    null-safe equality on the source column (identity-partition columns
+    are present in Iceberg data rows); any other transform refuses."""
+    spec_id = entry.get("__spec_id", 0)
+    specs = meta.get("partition-specs")
+    if specs is None:
+        raise ValueError(
+            "equality deletes present but table metadata carries no "
+            "partition-specs to resolve their scope against"
+        )
+    by_id = {s.get("spec-id"): s for s in specs}
+    spec = by_id.get(spec_id)
+    if spec is None:
+        raise ValueError(
+            f"equality delete {entry['file_path']!r} references partition "
+            f"spec {spec_id}, which is not in partition-specs"
+        )
+    fields = spec.get("fields") or []
+    if not fields:
+        return ()
+    src_by_id = {f["id"]: f["name"] for f in schema["fields"]}
+    part = entry.get("partition") or {}
+    scope = []
+    for f in fields:
+        if f.get("transform") != "identity":
+            raise ValueError(
+                f"equality delete {entry['file_path']!r} is scoped by a "
+                f"{f.get('transform')!r}-transformed partition field "
+                f"{f.get('name')!r}: honoring that scope needs transform "
+                "evaluation this adapter does not claim — refusing "
+                "rather than deleting rows outside the delete's scope"
+            )
+        src = src_by_id.get(f.get("source-id"))
+        if src is None:
+            raise ValueError(
+                f"partition spec field {f.get('name')!r} sources field id "
+                f"{f.get('source-id')}, which is not in the current schema"
+            )
+        scope.append((src, part.get(f["name"])))
+    return tuple(scope)
+
+
 def _apply_equality_deletes(
     spark, df, scan_path, schema, data_entries, files, eq_entries,
     table_path,
@@ -551,8 +602,11 @@ def _apply_equality_deletes(
     by_id = {f["id"]: f for f in schema["fields"]}
     groups: dict[tuple, list[dict]] = {}
     for e in eq_entries:
-        groups.setdefault(tuple(sorted(e["equality_ids"])), []).append(e)
-    for ids, group in groups.items():
+        # one anti-join per distinct (match columns, partition scope):
+        # deletes sharing both union into a single delete side
+        key = (tuple(sorted(e["equality_ids"])), e["__scope"])
+        groups.setdefault(key, []).append(e)
+    for (ids, scope), group in groups.items():
         fields = []
         for fid in ids:
             f = by_id.get(fid)
@@ -587,6 +641,11 @@ def _apply_equality_deletes(
             cond = cond & F.col(f["name"]).eqNullSafe(
                 F.col(f"__eq_{f['name']}")
             )
+        # partition scope: identity source columns are in the data rows,
+        # so the scope is extra null-safe literal terms — a NULL scope
+        # value scopes to the null partition, never to everything
+        for src_col, value in scope:
+            cond = cond & F.col(src_col).eqNullSafe(F.lit(value))
         df = df.join(deletes, cond, "left_anti")
     return df
 
