@@ -127,7 +127,11 @@ def test_gif_corrupt_lzw_bytes_never_crash():
 
     img = ((np.arange(13 * 9).reshape(13, 9) * 41) % 256).astype(np.uint8)
     good = encode_gif(img)
-    data_start = good.index(b"\x2c") + 11  # descriptor + LZW min-code byte
+    # the image separator sits past the 13-byte header+LSD AND the
+    # 768-byte gray palette — a bare index() finds palette entry 44
+    # (0x2C,0x2C,0x2C) instead and fuzzes the descriptor it meant to skip
+    data_start = good.index(b"\x2c", 13 + 768) + 11  # descriptor + min-code
+    assert good[13 + 768] == 0x2C
     want_shape = img.shape
 
     @settings(max_examples=300, deadline=None)
@@ -145,3 +149,26 @@ def test_gif_corrupt_lzw_bytes_never_crash():
         assert out.dtype == np.uint8
 
     check()
+
+
+def test_gif_lzw_longer_than_image_raises():
+    """Regression pin for the r13-judge counterexample (off=786, flip=1):
+    flipping the image-descriptor width low byte (13x9 -> 13x8) leaves an
+    LZW stream that encodes MORE pixels than the header's w*h. The
+    decoder must raise ValueError, never silently truncate to a
+    plausible wrong image."""
+    img = ((np.arange(13 * 9).reshape(13, 9) * 41) % 256).astype(np.uint8)
+    good = encode_gif(img)
+    off, flip = 786, 1  # descriptor width low byte: 9 -> 8
+    assert good[13 + 768] == 0x2C
+    bad = good[:off] + bytes([good[off] ^ flip]) + good[off + 1 :]
+    with pytest.raises(ValueError, match="longer than image"):
+        decode_gif(bad)
+    # the raw-LZW layer enforces the same contract directly: decoding a
+    # 117-pixel stream while claiming 104 pixels must raise, both when
+    # the overrun lands mid-entry and when data codes follow a clean cut
+    stream = _lzw_encode(img.tobytes())
+    with pytest.raises(ValueError, match="longer than image"):
+        _lzw_decode(stream, img.size - 13)
+    with pytest.raises(ValueError, match="longer than image"):
+        _lzw_decode(stream, img.size - 1)

@@ -114,6 +114,7 @@ def _lzw_decode(data: bytes, n_expected: int) -> bytes:
     table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
     out = bytearray()
     prev: bytes | None = None
+    saw_eoi = False
     while len(out) < n_expected:
         code = br.read(width)
         if code == _CLEAR:
@@ -122,6 +123,7 @@ def _lzw_decode(data: bytes, n_expected: int) -> bytes:
             prev = None
             continue
         if code == _EOI:
+            saw_eoi = True
             break
         if prev is None:
             entry = table[code]
@@ -140,7 +142,27 @@ def _lzw_decode(data: bytes, n_expected: int) -> bytes:
         # len+1 — the standard GIF "early change" synchronization
         if len(table) + 1 == (1 << width) and width < 12:
             width += 1
-    return bytes(out[:n_expected])
+    # Failure contract (found by hypothesis, off=786 flip=1 in a 13x9
+    # fixture whose descriptor width byte was flipped to 13x8): a stream
+    # that encodes MORE pixels than the caller's w*h must raise, never
+    # silently truncate to a plausible wrong image. Two overrun shapes:
+    if len(out) > n_expected:
+        # the final multi-byte entry ran past the pixel count
+        raise ValueError("LZW stream longer than image")
+    if not saw_eoi:
+        # exactly n_expected pixels without reaching EOI: the stream must
+        # now end (bit-level padding shorter than one code is fine) or
+        # yield EOI, optionally after CLEARs — any further data code means
+        # the stream encodes more pixels than the descriptor claims.
+        while br.pos + width <= len(br.data) * 8:
+            code = br.read(width)
+            if code == _CLEAR:
+                width = 9
+                continue
+            if code == _EOI:
+                break
+            raise ValueError("LZW stream longer than image")
+    return bytes(out)
 
 
 def encode_gif(img: np.ndarray) -> bytes:
