@@ -154,37 +154,52 @@ def _decode(schema, cur: _Cursor, names: dict):
     return _decode(t, cur, names)  # primitive spelled as {"type": "long"}
 
 
-def _register_name(schema: dict, names: dict) -> None:
+def _register_name(schema: dict, names: dict, ns: str | None = None) -> str | None:
+    """Register a named type under its FULLNAME per the spec's name
+    resolution: a dotted `name` IS the fullname; else an explicit
+    `namespace` applies; else the ENCLOSING namespace ``ns`` is
+    inherited (ADVICE r13 — a nested record without its own namespace
+    attribute lives in its enclosing type's namespace). Returns the
+    namespace the type's CHILDREN inherit. The short name also registers
+    (setdefault — first definition wins) so unqualified references keep
+    resolving."""
     name = schema.get("name")
     if not name:
-        return
-    namespace = schema.get("namespace")
-    full = f"{namespace}.{name}" if namespace and "." not in name else name
+        return ns
+    if "." in name:
+        namespace = name.rsplit(".", 1)[0]
+        full = name
+    else:
+        namespace = schema.get("namespace", ns)
+        full = f"{namespace}.{name}" if namespace else name
     names.setdefault(full, schema)
     names.setdefault(name, schema)
+    return namespace
 
 
-def _collect_names(schema, names: dict) -> None:
+def _collect_names(schema, names: dict, ns: str | None = None) -> None:
     """Pre-register every named type so forward-order references resolve
-    regardless of which record appears first in a datum."""
+    regardless of which record appears first in a datum, threading the
+    enclosing namespace so nested named types register under their
+    inherited fullname."""
     if isinstance(schema, list):
         for s in schema:
-            _collect_names(s, names)
+            _collect_names(s, names, ns)
         return
     if not isinstance(schema, dict):
         return
     t = schema.get("type")
     if t in ("record", "enum", "fixed"):
-        _register_name(schema, names)
+        ns = _register_name(schema, names, ns)
     if t == "record":
         for f in schema.get("fields", []):
-            _collect_names(f.get("type"), names)
+            _collect_names(f.get("type"), names, ns)
     elif t == "array":
-        _collect_names(schema.get("items"), names)
+        _collect_names(schema.get("items"), names, ns)
     elif t == "map":
-        _collect_names(schema.get("values"), names)
+        _collect_names(schema.get("values"), names, ns)
     elif isinstance(t, (dict, list)):
-        _collect_names(t, names)
+        _collect_names(t, names, ns)
 
 
 def read_container(data: bytes) -> tuple[dict, list]:

@@ -74,6 +74,12 @@ from .avro_codec import read_container_file
 
 _VMETA_RE = re.compile(r"^v(\d+)\.metadata\.json$")
 
+# Path characters whose Hadoop-URI form is identity — the row-level
+# delete joins compare `_metadata.file_path` (a URI) against plain
+# absolute paths, sound only when no character needed percent-escaping
+# (mirrors delta_log._DV_SAFE_PATH_RE).
+_SAFE_PATH_RE = re.compile(r"^[A-Za-z0-9/._\-=+]+$")
+
 
 def _metadata_dir(table_path: str) -> str:
     d = os.path.join(table_path, "metadata")
@@ -111,18 +117,54 @@ def load_iceberg_metadata(table_path: str) -> dict:
 
 def list_iceberg_snapshots(table_path: str) -> list[dict]:
     """[{snapshot-id, timestamp-ms, operation}] oldest-first — the
-    time-travel surface, mirroring list_delta_versions."""
+    time-travel surface, mirroring list_delta_versions.
+
+    Order is the metadata's own lineage, not wall clocks (ADVICE r13):
+    the `snapshot-log` sequence is authoritative where present, and
+    snapshots outside it are appended by walking `parent-snapshot-id`
+    chains; only snapshots with neither signal fall back to
+    timestamp-ms. Writer clock skew therefore cannot reorder history —
+    which matters because iceberg_added_files slices windows out of
+    this order."""
     meta = load_iceberg_metadata(table_path)
-    out = []
+    by_id = {}
     for s in meta.get("snapshots") or []:
-        out.append(
-            {
-                "snapshot-id": s["snapshot-id"],
-                "timestamp-ms": s.get("timestamp-ms"),
-                "operation": (s.get("summary") or {}).get("operation"),
-            }
-        )
-    return sorted(out, key=lambda s: (s["timestamp-ms"] or 0, s["snapshot-id"]))
+        by_id[s["snapshot-id"]] = {
+            "snapshot-id": s["snapshot-id"],
+            "timestamp-ms": s.get("timestamp-ms"),
+            "operation": (s.get("summary") or {}).get("operation"),
+            "__parent": s.get("parent-snapshot-id"),
+        }
+    ordered: list[int] = []
+    placed: set[int] = set()
+    for entry in meta.get("snapshot-log") or []:
+        sid = entry.get("snapshot-id")
+        if sid in by_id and sid not in placed:
+            ordered.append(sid)
+            placed.add(sid)
+    # snapshots the log does not cover: append any whose parent is
+    # already placed (or expired / absent), candidates timestamp-ordered
+    # only as the within-step tiebreak
+    remaining = [sid for sid in by_id if sid not in placed]
+    while remaining:
+        ready = [
+            sid
+            for sid in remaining
+            if by_id[sid]["__parent"] not in remaining
+        ]
+        if not ready:  # parent cycle — degenerate metadata; timestamps
+            ready = remaining
+        ready.sort(key=lambda i: (by_id[i]["timestamp-ms"] or 0, i))
+        sid = ready[0]
+        ordered.append(sid)
+        placed.add(sid)
+        remaining.remove(sid)
+    out = []
+    for sid in ordered:
+        s = dict(by_id[sid])
+        s.pop("__parent")
+        out.append(s)
+    return out
 
 
 def _resolve_path(uri: str, table_path: str) -> str:
@@ -216,6 +258,18 @@ def _spark_struct(schema: dict):
             )
         )
     return StructType(fields)
+
+
+def _partition_specs(meta: dict) -> dict[int, dict]:
+    """{spec-id: spec} from v2 `partition-specs`, falling back to the v1
+    single `partition-spec` field (under `default-spec-id`, default 0)."""
+    specs = meta.get("partition-specs")
+    if specs is not None:
+        return {int(s.get("spec-id", 0)): s for s in specs}
+    if "partition-spec" in meta:
+        sid = int(meta.get("default-spec-id", 0))
+        return {sid: {"spec-id": sid, "fields": meta["partition-spec"]}}
+    return {}
 
 
 def _as_int_map(raw) -> dict[int, bytes]:
@@ -421,14 +475,37 @@ def read_iceberg_snapshot(
                 "adapter scans parquet only"
             )
     if partition_filter:
-        data_entries = [
-            e
-            for e in data_entries
-            if all(
-                (e.get("partition") or {}).get(k) == v
-                for k, v in partition_filter.items()
+        # Validate keys against the table's partition spec(s) — a typo'd
+        # key must raise, not silently prune every file (ADVICE r13; the
+        # Delta adapter has the same contract). A key that IS a spec
+        # field but absent from a particular entry's spec (multi-spec
+        # table) KEEPS that entry: pruning can only skip work, never
+        # rows.
+        specs = _partition_specs(meta)
+        known = {
+            f["name"] for s in specs.values() for f in (s.get("fields") or [])
+        }
+        unknown = sorted(set(partition_filter) - known)
+        if unknown:
+            raise ValueError(
+                f"partition_filter keys {unknown} are not fields of any "
+                f"partition spec (have: {sorted(known)})"
             )
-        ]
+
+        def _keeps(e: dict) -> bool:
+            spec = specs.get(e.get("__spec_id", 0))
+            spec_fields = {
+                f["name"] for f in ((spec or {}).get("fields") or [])
+            }
+            part = e.get("partition") or {}
+            for k, v in partition_filter.items():
+                if k not in spec_fields:
+                    continue  # this entry's spec lacks the field: keep
+                if part.get(k) != v:
+                    return False
+            return True
+
+        data_entries = [e for e in data_entries if _keeps(e)]
     if stats_filter:
         _validate_stats_filter(stats_filter)
         by_name = {f["name"]: f for f in schema["fields"]}
@@ -481,6 +558,22 @@ def read_iceberg_snapshot(
     reader = spark.read.schema(spark_schema)
     if not delete_entries:
         return reader.parquet(*files)
+    # The delete joins compare `_metadata.file_path` (a URI) against
+    # plain paths, which is only sound when no character percent-escapes
+    # in the URI form (ADVICE r13; same guard as the Delta adapter's
+    # deletion-vector join). A space/%/non-ASCII path would silently
+    # resurrect position-deleted rows and null `__ib_seq` so equality
+    # deletes never fire — refuse loudly instead.
+    for p in files + [
+        _resolve_path(e["file_path"], table_path) for e in delete_entries
+    ]:
+        if not _SAFE_PATH_RE.match(p):
+            raise ValueError(
+                f"file path {p!r} contains characters that percent-escape "
+                "in Spark's _metadata.file_path URI; the row-level delete "
+                "joins cannot be proven sound for it — refusing rather "
+                "than risking resurrected or surviving deleted rows"
+            )
     df = reader.parquet(*files).select(
         "*",
         F.col("_metadata.file_path").alias("__ib_fp"),
@@ -534,13 +627,12 @@ def _eq_delete_scope(meta: dict, schema: dict, entry: dict) -> tuple:
     null-safe equality on the source column (identity-partition columns
     are present in Iceberg data rows); any other transform refuses."""
     spec_id = entry.get("__spec_id", 0)
-    specs = meta.get("partition-specs")
-    if specs is None:
+    by_id = _partition_specs(meta)
+    if not by_id:
         raise ValueError(
             "equality deletes present but table metadata carries no "
             "partition-specs to resolve their scope against"
         )
-    by_id = {s.get("spec-id"): s for s in specs}
     spec = by_id.get(spec_id)
     if spec is None:
         raise ValueError(
