@@ -212,6 +212,9 @@ REPRESENTATIVES_R12_R13_STAGED = [
     # r13 direct registration: a Delta table built from an empty source
     # has zero add actions — the op short-circuits to an empty result
     ("lake_delta_snapshot", 0),
+    # r14 direct registration: likewise, an Iceberg fixture over an
+    # empty source writes no metadata tree — empty result
+    ("lake_iceberg_snapshot", 0),
     ("curate_tokenizer_fertility", 0),
     ("graph_bridges", 0),
     ("dq_changepoint_cusum", 0),

@@ -644,3 +644,147 @@ def test_remote_uri_refused(ice_table, tmp_path):
         fh.write("2")
     with pytest.raises(ValueError, match="non-local"):
         iceberg_data_files(table)
+
+
+# ---------------------------------------------------------------------------
+# lake_iceberg_snapshot — the registered driver-proof query over this
+# adapter (VERDICT r13 #3): independent pandas recompute + scan-set pins
+# ---------------------------------------------------------------------------
+
+
+def _iceberg_op_fixture(spark, sf_dir):
+    from xml_to_parquet_spark.operators.sources_io import (
+        _ensure_iceberg_fixture,
+    )
+
+    root = _ensure_iceberg_fixture(spark, sf_dir)
+    assert root is not None
+    return root
+
+
+def test_lake_iceberg_snapshot_matches_pandas_recompute(spark, sf_dir):
+    """Third formulation: plain pandas over the source table and the
+    fixture's key-split/modulus rules — no Spark, no DuckDB, no
+    manifests."""
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.sources_io import (
+        ICE_EQ_MOD,
+        ICE_POS_MOD,
+        SNAP_SPLIT,
+    )
+    from xml_to_parquet_spark.registry import lookup
+
+    _iceberg_op_fixture(spark, sf_dir)
+    got = {
+        (r["snap"], r["o_orderstatus"]): (
+            r["n_orders"], r["price_cents"], r["min_key"], r["max_key"]
+        )
+        for r in lookup("lake_iceberg_snapshot").fn(spark, sf_dir).collect()
+    }
+    orders = pd.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+
+    def expect(sub):
+        out = {}
+        for s, g in sub.groupby("o_orderstatus"):
+            cents = int((g["o_totalprice"] * 100).round().astype("int64").sum())
+            out[s] = (len(g), cents, int(g["o_orderkey"].min()),
+                      int(g["o_orderkey"].max()))
+        return out
+
+    k, st = orders["o_orderkey"], orders["o_orderstatus"]
+    head = orders[k < SNAP_SPLIT]
+    cur_f = orders[
+        (st == "F")
+        & ~((k < SNAP_SPLIT) & (k % ICE_POS_MOD == 3))
+        & (k % ICE_EQ_MOD != 4)
+    ]
+    cur_tail = orders[(k >= SNAP_SPLIT)
+                      & ((k % ICE_EQ_MOD != 4) | (st == "O"))]
+    want = {}
+    for label, sub in [("s101_head", head), ("cur_F", cur_f),
+                       ("cur_tail", cur_tail)]:
+        for s, tup in expect(sub).items():
+            want[(label, s)] = tup
+    assert got == want
+
+
+def test_lake_iceberg_snapshot_scan_sets(spark, sf_dir):
+    """The three reads plan over exactly the file sets the manifests
+    dictate: snapshot 101 → only head_* files; current + partition F →
+    head_F and tail_F only (the O re-add is partition-pruned); current +
+    stats tail filter → tail_* plus the re-add, never a head file."""
+    from xml_to_parquet_spark.operators.sources_io import SNAP_SPLIT
+
+    root = _iceberg_op_fixture(spark, sf_dir)
+
+    def scanned(df):
+        return {
+            os.path.relpath(f.removeprefix("file:"), root).split(os.sep)[1]
+            for f in df.inputFiles()
+        }
+
+    DELETE_DIRS = {"posdel", "eqdel"}  # delete files legitimately read
+    # by the anti-join side; the pins below are about DATA files only
+
+    def data_dirs(df):
+        return scanned(df) - DELETE_DIRS
+
+    s101 = read_iceberg_snapshot(spark, root, snapshot_id=101)
+    assert data_dirs(s101) and all(
+        d.startswith("head_") for d in data_dirs(s101)
+    )
+    assert scanned(s101) == data_dirs(s101)  # 101 predates the deletes
+    cur_f = read_iceberg_snapshot(
+        spark, root, partition_filter={"o_orderstatus": "F"}
+    )
+    assert data_dirs(cur_f) == {"head_F", "tail_F"}
+    cur_tail = read_iceberg_snapshot(
+        spark, root, stats_filter=[("o_orderkey", ">=", SNAP_SPLIT)]
+    )
+    got = data_dirs(cur_tail)
+    assert all(d.startswith("tail_") or d == "readd_O" for d in got)
+    assert any(d.startswith("tail_") for d in got)
+
+
+def test_lake_iceberg_fixture_files_carry_field_ids(spark, sf_dir):
+    """The Spark-written fixture data files carry REAL parquet field IDs
+    (fieldId.write from the attached schema metadata) — the substrate
+    the adapter's by-id column resolution runs on."""
+    import glob
+
+    root = _iceberg_op_fixture(spark, sf_dir)
+    f = sorted(glob.glob(os.path.join(root, "data", "head_*", "*.parquet")))[0]
+    sch = pq.read_schema(f)
+    ids = {
+        name: sch.field(name).metadata.get(b"PARQUET:field_id")
+        for name in sch.names
+    }
+    assert ids == {
+        "o_orderkey": b"1", "o_orderstatus": b"2", "o_totalprice": b"3"
+    }
+
+
+def test_lake_iceberg_sequence_scoped_readd_survives(spark, sf_dir):
+    """The full-table current read: every o_orderkey % ICE_EQ_MOD == 4
+    key is gone EXCEPT status-'O' rows, which the seq-3 re-add restores
+    exactly once — the upsert invariant that breaks under either missing
+    seq scoping (re-adds deleted too) or ignored equality deletes
+    (originals double-count)."""
+    import pandas as pd
+
+    from xml_to_parquet_spark.operators.sources_io import ICE_EQ_MOD
+
+    root = _iceberg_op_fixture(spark, sf_dir)
+    cur = read_iceberg_snapshot(spark, root).toPandas()
+    matches = cur[cur["o_orderkey"] % ICE_EQ_MOD == 4]
+    assert set(matches["o_orderstatus"].unique()) <= {"O"}
+    # exactly once: keys unique among the re-added survivors
+    assert matches["o_orderkey"].is_unique
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    want_o = orders[(orders["o_orderkey"] % ICE_EQ_MOD == 4)
+                    & (orders["o_orderstatus"] == "O")]
+    assert len(matches) == len(want_o)

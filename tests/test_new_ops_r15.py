@@ -40,8 +40,10 @@ R15_OPS = [
 
 
 def test_r15_staged_ops_hidden_from_driver_registry(reg):
+    # the full r15 tier was promoted at the r14 rotation (tier-drain
+    # mode, R14_PLAN.md): every op in this file is now registered
     for name in R15_OPS:
-        assert name in STAGED and name not in reg
+        assert name not in STAGED and name in reg
 
 
 # ---------------------------------------------------------------------------

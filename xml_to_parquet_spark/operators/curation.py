@@ -774,7 +774,7 @@ def _fertility_oracle() -> str:
     """
 
 
-@register_staged("curate_tokenizer_fertility", _fertility_oracle())
+@register("curate_tokenizer_fertility", _fertility_oracle())
 def curate_tokenizer_fertility(spark, sf_dir):
     """Per-language tokenizer FERTILITY (BPE-ish tokens per whitespace
     word) and compression (chars per token) — the budgeting table a

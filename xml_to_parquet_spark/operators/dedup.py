@@ -2013,7 +2013,7 @@ def _survivorship_oracle() -> str:
     """
 
 
-@register_staged("er_survivorship", _survivorship_oracle())
+@register("er_survivorship", _survivorship_oracle())
 def er_survivorship(spark, sf_dir):
     """Survivorship — the GOLDEN-RECORD construction that ends every MDM
     entity-resolution pipeline (block → decide → cluster → SURVIVE): per

@@ -971,7 +971,7 @@ def _bridges_oracle() -> str:
     """
 
 
-@register_staged("graph_bridges", _bridges_oracle())
+@register("graph_bridges", _bridges_oracle())
 def graph_bridges(spark, sf_dir):
     """Local-bridge detection (Granovetter weak ties; Easley & Kleinberg
     ch.3): an edge (u, v) is a LOCAL BRIDGE iff its endpoints share no
@@ -1113,7 +1113,7 @@ def _assortativity_oracle() -> str:
     """
 
 
-@register_staged("graph_degree_assortativity", _assortativity_oracle())
+@register("graph_degree_assortativity", _assortativity_oracle())
 def graph_degree_assortativity(spark, sf_dir):
     """Degree ASSORTATIVITY coefficient (Newman 2002): the Pearson
     correlation of endpoint degrees over the symmetrized edge list — the

@@ -3156,7 +3156,7 @@ def dq_seasonal_decompose(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "dq_changepoint_cusum",
     """
     WITH ev AS (
@@ -3277,7 +3277,7 @@ def dq_changepoint_cusum(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "timeseries_resample_ohlc",
     """
     WITH ev AS (
@@ -3356,7 +3356,7 @@ def timeseries_resample_ohlc(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "dq_chisq_independence",
     """
     WITH cell AS (
@@ -3443,7 +3443,7 @@ def dq_chisq_independence(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "agg_weighted_median",
     """
     WITH li AS (
@@ -3562,7 +3562,7 @@ def _daily_revenue_grid(spark, sf_dir):
     ).localCheckpoint()
 
 
-@register_staged(
+@register(
     "dq_autocorrelation",
     f"""
     WITH daily AS (
@@ -3643,7 +3643,7 @@ def dq_autocorrelation(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "dq_outlier_mad",
     """
     WITH v AS (

@@ -1055,6 +1055,486 @@ def lake_delta_snapshot(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# lake_iceberg_snapshot — the Iceberg adapter's driver proof (VERDICT r13 #3)
+# ---------------------------------------------------------------------------
+
+ICE_POS_MOD = 7   # position-delete rule: o_orderkey % 7 == 3 in the head F file
+ICE_EQ_MOD = 11   # equality-delete rule: o_orderkey % 11 == 4, any status
+
+
+def _ice_entry_schema(partition_fields):
+    """manifest_entry writer schema (field names per iceberg.apache.org/
+    spec); the data_file partition record carries the given fields — []
+    under the unpartitioned spec, whose partition record is genuinely
+    empty on disk."""
+    kv = {
+        "type": "record",
+        "name": "k126_v127",
+        "fields": [
+            {"name": "key", "type": "int"},
+            {"name": "value", "type": "bytes"},
+        ],
+    }
+    return {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+            {"name": "sequence_number", "type": ["null", "long"]},
+            {"name": "file_sequence_number", "type": ["null", "long"]},
+            {"name": "data_file", "type": {
+                "type": "record",
+                "name": "r2",
+                "fields": [
+                    {"name": "content", "type": "int"},
+                    {"name": "file_path", "type": "string"},
+                    {"name": "file_format", "type": "string"},
+                    {"name": "partition", "type": {
+                        "type": "record", "name": "r102",
+                        "fields": partition_fields}},
+                    {"name": "record_count", "type": "long"},
+                    {"name": "file_size_in_bytes", "type": "long"},
+                    {"name": "lower_bounds",
+                     "type": ["null", {"type": "array", "items": kv,
+                                       "logicalType": "map"}]},
+                    {"name": "upper_bounds",
+                     "type": ["null", {"type": "array", "items": "k126_v127",
+                                       "logicalType": "map"}]},
+                    {"name": "equality_ids",
+                     "type": ["null", {"type": "array", "items": "int"}]},
+                ],
+            }},
+        ],
+    }
+
+
+_ICE_MANIFEST_FILE_SCHEMA = {
+    "type": "record",
+    "name": "manifest_file",
+    "fields": [
+        {"name": "manifest_path", "type": "string"},
+        {"name": "manifest_length", "type": "long"},
+        {"name": "partition_spec_id", "type": "int"},
+        {"name": "content", "type": "int"},
+        {"name": "sequence_number", "type": "long"},
+        {"name": "min_sequence_number", "type": "long"},
+        {"name": "added_snapshot_id", "type": "long"},
+        {"name": "added_files_count", "type": "int"},
+        {"name": "existing_files_count", "type": "int"},
+        {"name": "deleted_files_count", "type": "int"},
+        {"name": "added_rows_count", "type": "long"},
+        {"name": "existing_rows_count", "type": "long"},
+        {"name": "deleted_rows_count", "type": "long"},
+    ],
+}
+
+
+def _ensure_iceberg_fixture(spark, sf_dir):
+    """Build (once per process) a GENUINE Apache Iceberg v2 table derived
+    from orders — metadata.json + Avro manifest lists/manifests written
+    by avro_codec's own encoder, over Spark-written parquet data files
+    carrying REAL parquet field IDs — and return its root (None when
+    orders is empty).
+
+    Layout (identity-partitioned on o_orderstatus, spec 0; spec 1 is the
+    unpartitioned spec that scopes the equality delete globally):
+      snapshot 101 (seq 1, append):    head — orders below SNAP_SPLIT,
+                                       one file per status, per-file
+                                       o_orderkey bounds in the manifest;
+      snapshot 202 (seq 2, append):    tail — orders >= SNAP_SPLIT;
+      snapshot 303 (seq 3, overwrite): a POSITION delete of the head F
+        file's rows with o_orderkey % ICE_POS_MOD == 3 (positions read
+        back from the real file, so the delete references genuine row
+        indices), an EQUALITY delete (equality_ids=[o_orderkey]) of all
+        keys with o_orderkey % ICE_EQ_MOD == 4, and a same-snapshot
+        RE-ADD of the 'O'-status matches — the upsert shape whose
+        correctness hinges on sequence-number scoping (the seq-3 re-add
+        must survive the seq-3 delete; seq-1/2 rows must not). The 303
+        manifest list is deflate-coded to exercise that codec in the
+        driver path.
+
+    Guard: sentinel written LAST; a torn build rebuilds from scratch
+    (same discipline as _ensure_delta_fixture)."""
+    import glob as _glob
+    import json as _json
+    import os
+    import shutil
+    import struct as _struct
+
+    from xml_to_parquet_spark.sources.avro_codec import write_container
+
+    root = scratch_dir(sf_dir, "iceberg_orders")
+    sentinel = os.path.join(root, "_FIXTURE_SUCCESS")
+    if os.path.exists(sentinel):
+        return root if os.path.isdir(os.path.join(root, "metadata")) else None
+    shutil.rmtree(root, ignore_errors=True)
+    md = os.path.join(root, "metadata")
+    data = os.path.join(root, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    orders = (
+        table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        # Iceberg resolves columns by field ID; Spark's parquet writer
+        # stamps these into the footers (fieldId.write.enabled default)
+        .withMetadata("o_orderkey", {"parquet.field.id": 1})
+        .withMetadata("o_orderstatus", {"parquet.field.id": 2})
+        .withMetadata("o_totalprice", {"parquet.field.id": 3})
+    )
+    statuses = sorted(
+        r.o_orderstatus
+        for r in orders.select("o_orderstatus").distinct().collect()
+    )
+    if not statuses:
+        open(sentinel, "w").close()
+        return None
+
+    def _write_file(df, rel):
+        """One real parquet file + its manifest stats (count, o_orderkey
+        bounds) — the read-back is manifest-sized (one row)."""
+        out = os.path.join(data, rel)
+        df.coalesce(1).write.mode("overwrite").parquet(out)
+        paths = _glob.glob(os.path.join(out, "*.parquet"))
+        assert len(paths) == 1, paths
+        r = (
+            spark.read.parquet(paths[0])
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.min("o_orderkey").alias("lo"),
+                F.max("o_orderkey").alias("hi"),
+            )
+            .collect()[0]
+        )
+        return paths[0], int(r.n), r.lo, r.hi
+
+    def _entry(path, n, lo, hi, content=0, part=None, equality_ids=None):
+        bounds = None
+        if lo is not None:
+            bounds = [{"key": 1, "value": _struct.pack("<q", int(lo))}]
+        ubounds = None
+        if hi is not None:
+            ubounds = [{"key": 1, "value": _struct.pack("<q", int(hi))}]
+        return {
+            "status": 1,
+            "snapshot_id": None,
+            "sequence_number": None,  # inherit the manifest's
+            "file_sequence_number": None,
+            "data_file": {
+                "content": content,
+                "file_path": path,
+                "file_format": "PARQUET",
+                "partition": part if part is not None else {},
+                "record_count": n,
+                "file_size_in_bytes": os.path.getsize(path),
+                "lower_bounds": bounds,
+                "upper_bounds": ubounds,
+                "equality_ids": equality_ids,
+            },
+        }
+
+    part_schema = _ice_entry_schema(
+        [{"name": "o_orderstatus", "type": ["null", "string"]}]
+    )
+    unpart_schema = _ice_entry_schema([])
+
+    head = orders.filter(F.col("o_orderkey") < SNAP_SPLIT)
+    tail = orders.filter(F.col("o_orderkey") >= SNAP_SPLIT)
+    head_entries, tail_entries = [], []
+    head_f_path = None
+    for s in statuses:
+        p, n, lo, hi = _write_file(
+            head.filter(F.col("o_orderstatus") == s), f"head_{s}"
+        )
+        head_entries.append(_entry(p, n, lo, hi, part={"o_orderstatus": s}))
+        if s == "F":
+            head_f_path = p
+        p, n, lo, hi = _write_file(
+            tail.filter(F.col("o_orderstatus") == s), f"tail_{s}"
+        )
+        tail_entries.append(_entry(p, n, lo, hi, part={"o_orderstatus": s}))
+
+    # position deletes: genuine row indices of the head F file's matches
+    pos_dir = os.path.join(data, "posdel")
+    if head_f_path is not None:
+        (
+            spark.read.parquet(head_f_path)
+            .select(
+                F.col("_metadata.row_index").alias("pos"), "o_orderkey"
+            )
+            .filter(F.col("o_orderkey") % ICE_POS_MOD == 3)
+            .select(F.lit(head_f_path).alias("file_path"), "pos")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(pos_dir)
+        )
+    else:
+        head.limit(0).select(
+            F.lit("").alias("file_path"), F.lit(0).cast("long").alias("pos")
+        ).coalesce(1).write.mode("overwrite").parquet(pos_dir)
+    pos_path = _glob.glob(os.path.join(pos_dir, "*.parquet"))[0]
+    pos_n = spark.read.parquet(pos_path).count()
+
+    # equality delete: o_orderkey values, read back under field id 1
+    eq_dir = os.path.join(data, "eqdel")
+    (
+        orders.filter(F.col("o_orderkey") % ICE_EQ_MOD == 4)
+        .select("o_orderkey")
+        .coalesce(1)
+        .write.mode("overwrite")
+        .parquet(eq_dir)
+    )
+    eq_path = _glob.glob(os.path.join(eq_dir, "*.parquet"))[0]
+    eq_n = spark.read.parquet(eq_path).count()
+
+    # same-snapshot re-add: the 'O'-status matches survive via seq scoping
+    readd_path, readd_n, readd_lo, readd_hi = _write_file(
+        orders.filter(
+            (F.col("o_orderkey") % ICE_EQ_MOD == 4)
+            & (F.col("o_orderstatus") == "O")
+        ),
+        "readd_O",
+    )
+
+    def _manifest(rel, schema, entries):
+        p = os.path.join(md, rel)
+        write_container(p, schema, entries)
+        return p
+
+    m_head = _manifest("m-head.avro", part_schema, head_entries)
+    m_tail = _manifest("m-tail.avro", part_schema, tail_entries)
+    m_readd = _manifest(
+        "m-readd.avro",
+        part_schema,
+        [_entry(readd_path, readd_n, readd_lo, readd_hi,
+                part={"o_orderstatus": "O"})],
+    )
+    m_posdel = _manifest(
+        "m-posdel.avro",
+        part_schema,
+        [_entry(pos_path, pos_n, content=1, lo=None, hi=None,
+                part={"o_orderstatus": "F"})],
+    )
+    m_eqdel = _manifest(
+        "m-eqdel.avro",
+        unpart_schema,
+        [_entry(eq_path, eq_n, content=2, lo=None, hi=None,
+                equality_ids=[1])],
+    )
+
+    def _mrow(path, content, snap_id, seq, spec_id=0):
+        return {
+            "manifest_path": path,
+            "manifest_length": os.path.getsize(path),
+            "partition_spec_id": spec_id,
+            "content": content,
+            "sequence_number": seq,
+            "min_sequence_number": seq,
+            "added_snapshot_id": snap_id,
+            "added_files_count": 1,
+            "existing_files_count": 0,
+            "deleted_files_count": 0,
+            "added_rows_count": 1,
+            "existing_rows_count": 0,
+            "deleted_rows_count": 0,
+        }
+
+    l101 = os.path.join(md, "snap-101.avro")
+    write_container(
+        l101, _ICE_MANIFEST_FILE_SCHEMA, [_mrow(m_head, 0, 101, 1)]
+    )
+    l202 = os.path.join(md, "snap-202.avro")
+    write_container(
+        l202,
+        _ICE_MANIFEST_FILE_SCHEMA,
+        [_mrow(m_head, 0, 101, 1), _mrow(m_tail, 0, 202, 2)],
+    )
+    l303 = os.path.join(md, "snap-303.avro")
+    write_container(
+        l303,
+        _ICE_MANIFEST_FILE_SCHEMA,
+        [
+            _mrow(m_head, 0, 101, 1),
+            _mrow(m_tail, 0, 202, 2),
+            _mrow(m_readd, 0, 303, 3),
+            _mrow(m_posdel, 1, 303, 3),
+            _mrow(m_eqdel, 1, 303, 3, spec_id=1),
+        ],
+        codec="deflate",
+    )
+    snapshots = [
+        {"snapshot-id": 101, "timestamp-ms": 1000, "sequence-number": 1,
+         "summary": {"operation": "append"}, "manifest-list": l101,
+         "schema-id": 0},
+        {"snapshot-id": 202, "parent-snapshot-id": 101,
+         "timestamp-ms": 2000, "sequence-number": 2,
+         "summary": {"operation": "append"}, "manifest-list": l202,
+         "schema-id": 0},
+        {"snapshot-id": 303, "parent-snapshot-id": 202,
+         "timestamp-ms": 3000, "sequence-number": 3,
+         "summary": {"operation": "overwrite"}, "manifest-list": l303,
+         "schema-id": 0},
+    ]
+    meta = {
+        "format-version": 2,
+        "table-uuid": "a7e9c9a0-1c3b-4d5e-8f00-0123456789ab",
+        "location": root,
+        "last-sequence-number": 3,
+        "last-updated-ms": 3000,
+        "last-column-id": 3,
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "o_orderkey", "required": False,
+                 "type": "long"},
+                {"id": 2, "name": "o_orderstatus", "required": False,
+                 "type": "string"},
+                {"id": 3, "name": "o_totalprice", "required": False,
+                 "type": "double"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "o_orderstatus", "transform": "identity",
+                 "source-id": 2, "field-id": 1000}]},
+            {"spec-id": 1, "fields": []},
+        ],
+        "default-spec-id": 0,
+        "snapshots": snapshots,
+        "snapshot-log": [
+            {"snapshot-id": 101, "timestamp-ms": 1000},
+            {"snapshot-id": 202, "timestamp-ms": 2000},
+            {"snapshot-id": 303, "timestamp-ms": 3000},
+        ],
+        "current-snapshot-id": 303,
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        _json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("1")
+    open(sentinel, "w").close()
+    return root
+
+
+@register(
+    "lake_iceberg_snapshot",
+    f"""
+    SELECT 's101_head' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders WHERE o_orderkey < {SNAP_SPLIT}
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'cur_F' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderstatus = 'F'
+      AND NOT (o_orderkey < {SNAP_SPLIT}
+               AND o_orderkey % {ICE_POS_MOD} = 3)
+      AND o_orderkey % {ICE_EQ_MOD} <> 4
+    GROUP BY o_orderstatus
+    UNION ALL
+    SELECT 'cur_tail' AS snap, o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS price_cents,
+           min(o_orderkey) AS min_key, max(o_orderkey) AS max_key
+    FROM orders
+    WHERE o_orderkey >= {SNAP_SPLIT}
+      AND (o_orderkey % {ICE_EQ_MOD} <> 4 OR o_orderstatus = 'O')
+    GROUP BY o_orderstatus
+    """,
+)
+def lake_iceberg_snapshot(spark, sf_dir):
+    """The REAL Apache Iceberg v2 protocol under the driver's value
+    oracle (VERDICT r13 #3 — the Iceberg adapter stops being
+    registry-invisible, the same promotion lake_delta_snapshot gave the
+    Delta adapter at r13): reads three views of a genuine metadata tree
+    (metadata.json + Avro manifest lists/manifests written by
+    avro_codec's encoder, parquet data files with real field IDs) through
+    sources/iceberg.py's read_iceberg_snapshot and aggregates each. The
+    three lines prove distinct protocol behaviors BY VALUE against an
+    oracle that recomputes them from the fixture's key-split rules on
+    the source table:
+
+      * s101_head — TIME TRAVEL: snapshot 101 predates both the tail
+        append and every delete, so its manifest replay must see exactly
+        the below-split files — leaking the 202 append or the 303
+        deletes breaks the hash;
+      * cur_F — manifest PARTITION PRUNING by value + BOTH v2 delete
+        kinds: partition_filter {{o_orderstatus: F}} prunes to the F
+        files driver-side, the POSITION delete (genuine row indices of
+        the head F file, applied via the `_metadata.row_index` anti-join)
+        removes the %{ICE_POS_MOD}=={3} rows, and the globally-scoped
+        EQUALITY delete removes the %{ICE_EQ_MOD}=={4} keys;
+      * cur_tail — zone-map MANIFEST PRUNING + sequence-number scoping:
+        stats_filter on the per-file o_orderkey bounds plans the scan
+        over the appended-and-re-added files only (the residual filter
+        keeps the predicate semantic — pruning skips work, never rows),
+        and the seq-3 re-add of the 'O' matches SURVIVES the seq-3
+        equality delete while the seq-1/2 originals do not: a reader
+        without strict seq scoping loses the re-added rows, one ignoring
+        equality deletes double-counts them.
+
+    Scale shape: metadata replay is O(manifest entries) driver-side —
+    the Iceberg planning cost class; each read is a plain Catalyst
+    parquet FileScan over the surviving file list (field-id resolved, so
+    renames stay safe) with the delete anti-joins broadcast at
+    delete-file size. At 100 TB the cur_tail pattern is the load-bearing
+    one: manifest bounds cap the scan by the predicate's files, never
+    the table, and equality-delete application stays proportional to the
+    delete files, not the data. Fixture builds once per process behind a
+    written-last sentinel; protocol bytes and failure modes stay
+    pytest-proven in tests/test_iceberg_adapter.py."""
+    from xml_to_parquet_spark.sources.iceberg import read_iceberg_snapshot
+
+    root = _ensure_iceberg_fixture(spark, sf_dir)
+    orders = table(spark, sf_dir, "orders")
+    empty = orders.filter(F.lit(False)).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    if root is None:
+        s101, cur_f, cur_tail = empty, empty, empty
+    else:
+        s101 = read_iceberg_snapshot(spark, root, snapshot_id=101)
+        cur_f = read_iceberg_snapshot(
+            spark, root, partition_filter={"o_orderstatus": "F"}
+        )
+        cur_tail = read_iceberg_snapshot(
+            spark, root, stats_filter=[("o_orderkey", ">=", SNAP_SPLIT)]
+        ).filter(F.col("o_orderkey") >= SNAP_SPLIT)
+
+    def _snap(df, label):
+        return (
+            df.groupBy("o_orderstatus")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+                F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+                .cast("bigint")
+                .alias("price_cents"),
+                F.min("o_orderkey").alias("min_key"),
+                F.max("o_orderkey").alias("max_key"),
+            )
+            .select(
+                F.lit(label).alias("snap"), "o_orderstatus",
+                "n_orders", "price_cents", "min_key", "max_key",
+            )
+        )
+
+    return (
+        _snap(s101, "s101_head")
+        .unionByName(_snap(cur_f, "cur_F"))
+        .unionByName(_snap(cur_tail, "cur_tail"))
+    )
+
+
+# ---------------------------------------------------------------------------
 # compaction planning — size-ordered offset bin-packing over the manifest
 # ---------------------------------------------------------------------------
 
@@ -1104,7 +1584,7 @@ def _fragmented_manifest(spark, sf_dir):
     return man.localCheckpoint()
 
 
-@register_staged(
+@register(
     "lake_compaction_plan",
     f"""
     WITH man AS (

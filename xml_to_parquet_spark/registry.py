@@ -68,74 +68,74 @@ def lookup(name: str) -> QueryDef:
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-13 rotation (R13_PLAN.md, per VERDICT r12 #1): promote ELEVEN
-# stalest-staged ops (the r13 leftover er_fellegi_sunter + the full r14
-# tier) PLUS the new lake_delta_snapshot (VERDICT r12 #5: the Delta-log
-# adapter gets a registry-visible driver proof — depth work made
-# gradable, not a breadth op), and take the 2 FORCED rows-only slots
-# curate_pack_bpe / text_bpe_train — their r7 proofs pass the derived
-# staleness bound at r13 but fail at r14, so r13 is the LAST round that
-# can bank them (same r6/r12 contract precedent). Fills: ALL 16
-# remaining oracle-backed r7-proof holders (mandatory — they fail the
-# bound at r14) + the first 17 alphabetical of the 45 oracle-backed
-# r8-proof holders (mm_audio_chunk yields its slot to
-# lake_delta_snapshot; r8 proofs still pass the bound at r14), so
-# 3 anchors + 12 new + 2 rows-only + 33 fills = 50. Pigeonhole check for
-# r14 (R13_PLAN.md): 28 r8 oracle holders remain after this window, all
-# mandatory r14 fills → r14 = 11 promotions + 2 rows-only (the jpeg
-# pair, r8 proofs) + 28 r8 + 6 r9 fills = exactly 47 non-anchor slots.
+# Round-14 rotation (R14_PLAN.md, per VERDICT r13 #2/#3): promote ELEVEN
+# stalest-staged ops (the full r15 tier + the first 4 alphabetical of
+# the r16 tier) PLUS the new lake_iceberg_snapshot (VERDICT r13 #3: the
+# Iceberg adapter gets a registry-visible driver proof, exactly the
+# promotion lake_delta_snapshot gave the Delta adapter at r13 — depth
+# made gradable, not a breadth op), and take the 2 FORCED rows-only
+# slots mm_decode_jpeg / mm_decode_jpeg_color (r8 proofs; r14 is their
+# scheduled slot per R13_PLAN — deferring again would burn r15/r16
+# slack). Fills: ALL 28 remaining oracle-backed r8-proof holders
+# (stalest tier; taking all 28 now keeps r15/r16 slack) + the first 5
+# alphabetical of the 47 r9-proof holders — dq_drift_histogram yields
+# its planned 6th slot to lake_iceberg_snapshot (r9 proofs pass the
+# bound at r15, nothing is lost; same yield trick as r13's
+# mm_audio_chunk), so 3 anchors + 12 new + 2 rows-only + 33 fills = 50.
 # CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
 # max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
 # 47 rotating slots/round); rotation policy stays stalest-first. Previous
-# windows: r1-r12 lists are in git history.
+# windows: r1-r13 lists are in git history.
 NEW_TARGETS: list[str] = [
-    # oracle-backed, promoted from the staged tier at the r13 rotation
-    "er_fellegi_sunter",
-    "graph_jaccard_neighbors",
-    "dedup_containment_incremental",
-    "dq_benford",
-    "mine_transition_matrix",
-    "dq_entropy_profile",
-    "agg_retention_cohort",
-    "lake_time_travel_diff",
-    "stream_cdc_apply",
-    "dq_seasonal_decompose",
-    "er_cluster_entities",
-    # VERDICT r12 #5: the Delta-log adapter's driver proof, registered
+    # oracle-backed, promoted from the staged tier at the r14 rotation
+    "curate_tokenizer_fertility",
+    "graph_bridges",
+    "dq_changepoint_cusum",
+    "timeseries_resample_ohlc",
+    "dq_chisq_independence",
+    "agg_weighted_median",
+    "er_survivorship",
+    "dq_autocorrelation",
+    "dq_outlier_mad",
+    "graph_degree_assortativity",
+    "lake_compaction_plan",
+    # VERDICT r13 #3: the Iceberg adapter's driver proof, registered
     # directly into this window (depth made gradable; not a breadth op)
-    "lake_delta_snapshot",
+    "lake_iceberg_snapshot",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
-# The 2 rows-only r7-proof queries take their FORCED designated slots this
-# round (r6 contract precedent: deliberate rows-only proof slots; r13 is
-# the last round where their r7 proofs still pass the staleness bound).
+# The 2 rows-only r8-proof queries take their FORCED designated slots
+# this round (r6 contract precedent: deliberate rows-only proof slots;
+# R14_PLAN schedules the jpeg pair here — the last slot that keeps
+# r15/r16 slack under the rising bound).
 ROWS_ONLY_SLOTS: list[str] = [
-    "curate_pack_bpe",
-    "text_bpe_train",
+    "mm_decode_jpeg",
+    "mm_decode_jpeg_color",
 ]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
     *ROWS_ONLY_SLOTS,
-    # fills: ALL 16 remaining oracle-backed r7-proof holders (mandatory
-    # at r13 — their proofs fail the bound at r14) ...
-    "recursive_cte", "scalar_math_fns", "scalar_string_fns",
-    "scan_dpp_partitioned", "set_except", "set_intersect",
-    "sim_knn_graph", "stream_dedup", "stream_session_window",
-    "stream_stateful_counter", "stream_stream_join", "stream_tws_spend",
-    "text_quality_classifier", "topk_per_group", "unpivot_stack",
-    "window_lag_lead",
-    # ... + the first 17 alphabetical of the 45 oracle-backed r8-proof
-    # holders (stalest tier after r7; the other 28 are mandatory r14
-    # fills per the pigeonhole note above).
-    "agg_bucketed_reuse", "agg_count_if_filter", "agg_mode_deterministic",
-    "curate_pack_chunks", "dedup_bloom_prefilter", "dedup_prefix_filter",
-    "dq_constraints", "er_blocking_link", "event_pattern_match",
-    "filter_predicates", "graph_bfs_distance", "graph_kcore",
-    "graph_triangle_count", "incremental_agg_maintenance", "join_cross",
-    "join_full_outer", "join_skew_aqe",
+    # fills: ALL 28 remaining oracle-backed r8-proof holders (the
+    # stalest tier; mechanically re-derived from the CORRECTNESS
+    # artifacts at rotation time) ...
+    "mm_audio_chunk", "mm_audio_wht", "mm_caption_dedup", "mm_decode_gif",
+    "pagerank_fixed", "pareto_frontier", "scalar_array_fns",
+    "scalar_case_when", "scalar_regexp_split", "scalar_xpath_fns",
+    "sim_ivf_persist", "sim_pipeline", "sim_quantized_topk",
+    "sim_random_projection", "sim_two_stage_rerank",
+    "sink_compact_small_files", "source_orc_roundtrip",
+    "stream_chained_agg", "stream_dedup_watermark", "stream_tumbling_window",
+    "stream_watermark_late_data", "text_perplexity_bigram",
+    "text_token_count", "timeseries_gap_fill", "udf_arrow_map",
+    "window_count_distinct", "window_first_last", "window_running_sum",
+    # ... + the first 5 alphabetical of the 47 oracle-backed r9-proof
+    # holders (dq_drift_histogram yielded its planned slot to
+    # lake_iceberg_snapshot per the NEW_TARGETS note above).
+    "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
+    "agg_string_collect",
 ]
 
 

@@ -202,6 +202,134 @@ def _collect_names(schema, names: dict, ns: str | None = None) -> None:
         _collect_names(t, names, ns)
 
 
+def _zigzag(n: int) -> bytes:
+    """Avro int/long wire form: zigzag then LEB128 varint."""
+    u = (n << 1) ^ (n >> 63) if n < 0 else n << 1
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _enc_len_bytes(b: bytes) -> bytes:
+    return _zigzag(len(b)) + b
+
+
+def encode_datum(schema, value, names: dict | None = None, ns: str | None = None) -> bytes:
+    """Binary-encode one datum under the writer's ``schema`` — the exact
+    inverse of _decode, sharing its name registry and namespace
+    inheritance. Exists so OPERATORS can synthesize genuine Iceberg
+    manifest fixtures (the same reason gifcodec has an encoder); the
+    decode path stays the operator surface under test, and the test
+    suite cross-checks this encoder against an independently written one
+    (tests/test_avro_codec.py)."""
+    if names is None:
+        names = {}
+        _collect_names(schema, names)
+    if isinstance(schema, list):  # union: first branch accepting the value
+        for i, branch in enumerate(schema):
+            bt = branch if isinstance(branch, str) else branch.get("type")
+            if value is None and bt == "null":
+                return _zigzag(i)
+            if value is not None and bt != "null":
+                return _zigzag(i) + encode_datum(branch, value, names, ns)
+        raise AvroError(f"no union branch in {schema!r} accepts {value!r}")
+    if isinstance(schema, str):
+        t = schema
+        if t == "null":
+            return b""
+        if t == "boolean":
+            return b"\x01" if value else b"\x00"
+        if t in ("int", "long"):
+            return _zigzag(int(value))
+        if t == "float":
+            return struct.pack("<f", value)
+        if t == "double":
+            return struct.pack("<d", value)
+        if t == "bytes":
+            return _enc_len_bytes(bytes(value))
+        if t == "string":
+            return _enc_len_bytes(value.encode("utf-8"))
+        if ns and f"{ns}.{t}" in names:
+            return encode_datum(names[f"{ns}.{t}"], value, names, ns)
+        if t in names:
+            return encode_datum(names[t], value, names, ns)
+        raise AvroError(f"unknown Avro type {t!r}")
+    if not isinstance(schema, dict):
+        raise AvroError(f"malformed schema node {schema!r}")
+    t = schema["type"]
+    if isinstance(t, (dict, list)):
+        return encode_datum(t, value, names, ns)
+    if t == "record":
+        ns = _register_name(schema, names, ns)
+        return b"".join(
+            encode_datum(f["type"], value[f["name"]], names, ns)
+            for f in schema["fields"]
+        )
+    if t == "enum":
+        _register_name(schema, names, ns)
+        return _zigzag(schema["symbols"].index(value))
+    if t == "array":
+        if not value:
+            return _zigzag(0)
+        body = b"".join(encode_datum(schema["items"], v, names, ns) for v in value)
+        return _zigzag(len(value)) + body + _zigzag(0)
+    if t == "map":
+        if not value:
+            return _zigzag(0)
+        body = b"".join(
+            _enc_len_bytes(k.encode("utf-8"))
+            + encode_datum(schema["values"], v, names, ns)
+            for k, v in value.items()
+        )
+        return _zigzag(len(value)) + body + _zigzag(0)
+    if t == "fixed":
+        _register_name(schema, names, ns)
+        if len(value) != schema["size"]:
+            raise AvroError(
+                f"fixed {schema.get('name')} wants {schema['size']} bytes, "
+                f"got {len(value)}"
+            )
+        return bytes(value)
+    return encode_datum(t, value, names, ns)
+
+
+_WRITER_SYNC = b"xtps-avro-sync16"  # deterministic fixtures, byte-stable
+
+
+def write_container(path: str, schema, records, codec: str = "null") -> None:
+    """Write one Avro object container file (codec null or deflate) —
+    the writer half backing fixture synthesis; read_container is its
+    verified inverse."""
+    if codec not in ("null", "deflate"):
+        raise AvroError(f"codec {codec!r} not supported by this writer")
+    meta = {
+        "avro.schema": json.dumps(schema).encode("utf-8"),
+        "avro.codec": codec.encode("utf-8"),
+    }
+    out = bytearray(_MAGIC)
+    out += _zigzag(len(meta))
+    for k, v in meta.items():
+        out += _enc_len_bytes(k.encode("utf-8")) + _enc_len_bytes(v)
+    out += _zigzag(0)
+    out += _WRITER_SYNC
+    if records:
+        names: dict = {}
+        _collect_names(schema, names)
+        body = b"".join(encode_datum(schema, r, names) for r in records)
+        if codec == "deflate":
+            comp = zlib.compressobj(wbits=-15)
+            body = comp.compress(body) + comp.flush()
+        out += _zigzag(len(records)) + _enc_len_bytes(body) + _WRITER_SYNC
+    with open(path, "wb") as fh:
+        fh.write(bytes(out))
+
+
 def read_container(data: bytes) -> tuple[dict, list]:
     """(writer schema as parsed JSON, decoded records) from one Avro
     object container file. Sync markers are VERIFIED per block — a
