@@ -231,6 +231,31 @@ across all three, ratio-vs-r12 0.74). Plan shapes are pinned (PLANS.md
 + the registry-wide smell gate), so judge the r14 readings of these
 entries against the spread above plus the emitted stable ratio, not
 against any single r13 number.
+
+Round-14 two-quiet-run adjudication (VERDICT r13 #5: pareto_frontier
+0.571->0.898 raw vs the r12 official — ~2.0x normalized on the faster
+r13 container — plus the fold-in text_rake_keywords 1.888->2.285; both
+untouched code since r8/r10, re-verified `git log -S` this round). Two
+isolated profile_ops runs (median-of-3, quiet r14 container, 32 min
+apart, load < 1.4 / 0.15 at start, nothing else running); the stable
+triplet on the same runs reads q1 0.574/0.607, q6 0.261/0.288,
+window_rank 0.428/0.466 — runA ~1.2x, runB ~1.35x the r13 official
+(~1.7-1.9x the r11 sample):
+    entry               r11    r12    r13(official)  r14-runA  r14-runB
+    pareto_frontier     0.348  0.571  0.898          0.848     1.047
+    text_rake_keywords  1.372  1.888  2.285          2.116     2.107
+Normalized to the r11-sample scale by each round's own stable factor,
+pareto_frontier reads 0.35 / 0.34 / 0.59 / 0.48 / 0.55 across
+r11->r14B — centered ~0.45 with no monotone growth (r13's normalized
+reading is the HIGHEST; both r14 quiet runs sit below it), i.e. a
+±40% CPU-bound sample spread around a flat level, well inside the
+documented 2-4x same-code envelope. text_rake_keywords normalizes to
+1.37 / 1.11 / 1.50 / 1.20 / 1.11 — the r14 readings are at/below the
+r12 level; returned outright. BOTH CLOSED as container-sample noise:
+no code change, no monotone trend, both quiet runs agree within the
+protocol envelope. (pareto_frontier's absolute numbers stay tiny —
+sub-second on every sample — so a ±0.2s swing reads as a large ratio;
+the table above is the durable record.)
 """
 
 from __future__ import annotations
@@ -371,6 +396,24 @@ BENCH_QUERIES = [
     "agg_retention_cohort",
     "stream_cdc_apply",
     "er_cluster_entities",
+    # r14 additions (VERDICT r13 #6: bench entry for every r14 promotion
+    # >1s warm at sf0.1 on EITHER promotion-time sample — two quiet
+    # medians-of-3 this round, runA ~1.2x / runB ~1.35x the r13 official
+    # per the stable triplet): graph_bridges 8.93 (the planned ~7.4 on
+    # the r13 container — CPU-bound wedge intersects, already 2x-optimized
+    # at r11), er_survivorship 5.40, graph_degree_assortativity 3.64,
+    # agg_weighted_median 1.98/2.15, lake_iceberg_snapshot 1.79/1.91
+    # (new op: manifest replay + three snapshot reads), dq_outlier_mad
+    # 1.51/1.67. Excluded, below the bar on BOTH quiet samples:
+    # dq_autocorrelation 0.69/0.81, curate_tokenizer_fertility 0.67/0.73,
+    # lake_compaction_plan 0.58/0.64, dq_changepoint_cusum 0.59/0.63,
+    # timeseries_resample_ohlc 0.45/0.53, dq_chisq_independence 0.45/0.50.
+    "graph_bridges",
+    "er_survivorship",
+    "graph_degree_assortativity",
+    "agg_weighted_median",
+    "lake_iceberg_snapshot",
+    "dq_outlier_mad",
 ]
 
 # Self-adjudicating machine-sample normalization (VERDICT r12 #3): two
@@ -385,15 +428,20 @@ BENCH_QUERIES = [
 # this factor before calling it a regression; ~1.0 means a comparable
 # container, >1.2 means this sample is uniformly slow.
 STABLE_CLUSTER_PREV = {
-    # r12 official (BENCH_r12.json); bump each round to the new official
-    "q1_pricing_summary": 0.516,
-    "q6_forecast_revenue": 0.244,
-    "window_rank": 0.456,
-    "convert_200_xml_files": 1.473,
-    "convert_8mb_xml_40k_items": 2.192,
-    "convert_tar_10k_members": 2.746,
+    # r13 official (BENCH_r13.json); bump each round to the new official.
+    # q1 is DERIVED, not read: the driver's artifact stores only the
+    # tail of the JSON line and the cut fell before q1 — solving the
+    # artifact's own stable_ratio_vs_prev (0.795 geomean over these six
+    # vs the r12 officials) for the missing member gives 0.505; the
+    # other five are read directly from the tail.
+    "q1_pricing_summary": 0.505,
+    "q6_forecast_revenue": 0.209,
+    "window_rank": 0.328,
+    "convert_200_xml_files": 1.169,
+    "convert_8mb_xml_40k_items": 1.464,
+    "convert_tar_10k_members": 2.170,
 }
-STABLE_PREV_ROUND = 12
+STABLE_PREV_ROUND = 13
 
 # Timed-loop session recycling (VERDICT r9 #2/#3): accumulated JVM session
 # state taxes mid-list entries — r9's driver artifact showed q21 at 3.79s

@@ -105,7 +105,7 @@ def test_tokenizer_fertility_matches_python(spark, sf_dir, reg):
             r["fertility"],
             r["chars_per_token"],
         )
-        for r in STAGED["curate_tokenizer_fertility"].fn(spark, sf_dir).collect()
+        for r in lookup("curate_tokenizer_fertility").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -115,7 +115,7 @@ def test_tokenizer_fertility_partitions_corpus(spark, sf_dir, reg):
     language bucket) and fertility ≥ 1 wherever defined (the BPE-ish
     pre-tokenizer never merges across whitespace, so it emits at least
     one token per word)."""
-    rows = STAGED["curate_tokenizer_fertility"].fn(spark, sf_dir).collect()
+    rows = lookup("curate_tokenizer_fertility").fn(spark, sf_dir).collect()
     docs = pd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
     assert sum(r["n_docs"] for r in rows) == len(docs)
     for r in rows:
@@ -168,7 +168,7 @@ def test_bridges_match_python_sets(spark, sf_dir, reg):
         expected[(u, v)] = (0, span, 1)
     got = {
         (r["u"], r["v"]): (r["common"], r["span"], r["is_local_bridge"])
-        for r in STAGED["graph_bridges"].fn(spark, sf_dir).collect()
+        for r in lookup("graph_bridges").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -181,7 +181,7 @@ def test_bridges_invariants(spark, sf_dir, reg):
     the dedicated test below)."""
     edges, nbrs = _cooc_graph(sf_dir)
     n_bridges = sum(1 for u, v in edges if not (nbrs[u] & nbrs[v]))
-    rows = STAGED["graph_bridges"].fn(spark, sf_dir).collect()
+    rows = lookup("graph_bridges").fn(spark, sf_dir).collect()
     assert {r["span"] for r in rows} <= {0, 2, 3}
     for r in rows:
         assert (r["common"] > 0) == (r["span"] == 2), r
@@ -209,7 +209,7 @@ def test_bridges_span_classes_at_sf001(spark, reg):
     assert expected  # the fixture really exercises the branch
     got = {
         (r["u"], r["v"]): r["span"]
-        for r in STAGED["graph_bridges"].fn(spark, sf01).collect()
+        for r in lookup("graph_bridges").fn(spark, sf01).collect()
         if r["is_local_bridge"]
     }
     assert got == expected
@@ -253,7 +253,7 @@ def test_changepoint_cusum_matches_python(spark, sf_dir, reg):
             r["s_abs"],
             r["cusum_dollars"],
         )
-        for r in STAGED["dq_changepoint_cusum"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_changepoint_cusum").fn(spark, sf_dir).collect()
     }
     assert got == _cusum_recompute(sf_dir)
 
@@ -267,7 +267,7 @@ def test_changepoint_last_day_never_wins(spark, sf_dir, reg):
     last_day = {
         t: g["ts"].max().normalize() for t, g in ev.groupby("event_type")
     }
-    for r in STAGED["dq_changepoint_cusum"].fn(spark, sf_dir).collect():
+    for r in lookup("dq_changepoint_cusum").fn(spark, sf_dir).collect():
         if r["s_abs"] > 0:
             assert r["change_day"] != last_day[r["event_type"]], r
 
@@ -305,13 +305,13 @@ def test_ohlc_matches_python(spark, sf_dir, reg):
             r["n_events"],
             r["sum_cents"],
         )
-        for r in STAGED["timeseries_resample_ohlc"].fn(spark, sf_dir).collect()
+        for r in lookup("timeseries_resample_ohlc").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
 
 def test_ohlc_bar_invariants(spark, sf_dir, reg):
-    for r in STAGED["timeseries_resample_ohlc"].fn(spark, sf_dir).collect():
+    for r in lookup("timeseries_resample_ohlc").fn(spark, sf_dir).collect():
         assert r["low_cents"] <= r["open_cents"] <= r["high_cents"], r
         assert r["low_cents"] <= r["close_cents"] <= r["high_cents"], r
         assert (
@@ -357,7 +357,7 @@ def test_chisq_matches_python(spark, sf_dir, reg):
             r["expected"],
             r["chisq_contrib"],
         )
-        for r in STAGED["dq_chisq_independence"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_chisq_independence").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -366,7 +366,7 @@ def test_chisq_margins_consistent(spark, sf_dir, reg):
     """Observed and expected counts share margins: Σ n over a row equals
     its row_total, and Σ expected over a row reassembles it too (to
     rounding) — the defining property of the independence model."""
-    rows = STAGED["dq_chisq_independence"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_chisq_independence").fn(spark, sf_dir).collect()
     by_row = defaultdict(lambda: [0, 0.0, None])
     for r in rows:
         b = by_row[r["pri"]]
@@ -414,7 +414,7 @@ def test_weighted_median_matches_python(spark, sf_dir, reg):
         expected[f] = (tot, med, _round6(wc[f] / (100.0 * tot)))
     got = {
         r["flag"]: (r["total_weight"], r["median_cents"], r["weighted_mean"])
-        for r in STAGED["agg_weighted_median"].fn(spark, sf_dir).collect()
+        for r in lookup("agg_weighted_median").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -428,7 +428,7 @@ def test_weighted_median_halving_property(spark, sf_dir, reg):
     )
     li["cents"] = (li["l_extendedprice"] * 100).round().astype("int64")
     li["w"] = li["l_quantity"].round().astype("int64")
-    for r in STAGED["agg_weighted_median"].fn(spark, sf_dir).collect():
+    for r in lookup("agg_weighted_median").fn(spark, sf_dir).collect():
         g = li[li["l_returnflag"] == r["flag"]]
         below = int(g.loc[g["cents"] < r["median_cents"], "w"].sum())
         at_or_below = int(g.loc[g["cents"] <= r["median_cents"], "w"].sum())
@@ -508,7 +508,7 @@ def test_survivorship_matches_python(spark, sf_dir, reg):
             r["golden_phone"],
             r["golden_city"],
         )
-        for r in STAGED["er_survivorship"].fn(spark, sf_dir).collect()
+        for r in lookup("er_survivorship").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -519,7 +519,7 @@ def test_survivorship_prefers_clean_source(spark, sf_dir, reg):
     survive name precedence), and member counts partition."""
     clean, _ = _rosters_recompute(sf_dir)
     clean_names = {n for n, _, _ in clean.values()}
-    rows = STAGED["er_survivorship"].fn(spark, sf_dir).collect()
+    rows = lookup("er_survivorship").fn(spark, sf_dir).collect()
     assert rows
     for r in rows:
         assert r["n_members"] == r["n_clean"] + r["n_dirty"], r
@@ -537,7 +537,7 @@ def test_fertility_plan_pruned_map_only(spark, sf_dir, reg):
     the ≤5-key language aggregate — no joins, no window, no Python."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["curate_tokenizer_fertility"].fn(spark, sf_dir)
+    df = lookup("curate_tokenizer_fertility").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("Window", 0) == 0
     assert not any(
@@ -561,7 +561,7 @@ def test_ohlc_plan_single_grid_exchange(spark, sf_dir, reg):
         shuffle_count,
     )
 
-    df = STAGED["timeseries_resample_ohlc"].fn(spark, sf_dir)
+    df = lookup("timeseries_resample_ohlc").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("Window", 0) == 0
     assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n), n
@@ -581,7 +581,7 @@ def test_chisq_plan_single_scan_no_joins(spark, sf_dir, reg):
     there are no joins at all."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["dq_chisq_independence"].fn(spark, sf_dir)
+    df = lookup("dq_chisq_independence").fn(spark, sf_dir)
     rs = read_schemas(df)
     assert rs == ["struct<o_orderstatus:string,o_orderpriority:string>"], rs
     n = node_counts(df)
@@ -596,7 +596,7 @@ def test_cusum_and_weighted_median_plans_grid_windows(spark, sf_dir, reg):
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
     for name in ("dq_changepoint_cusum", "agg_weighted_median"):
-        df = STAGED[name].fn(spark, sf_dir)
+        df = lookup(name).fn(spark, sf_dir)
         n = node_counts(df)
         assert not any(
             k.endswith("Join") or k == "CartesianProduct" for k in n
@@ -608,7 +608,7 @@ def test_cusum_and_weighted_median_plans_grid_windows(spark, sf_dir, reg):
 def test_survivorship_plan_no_cartesian(spark, sf_dir, reg):
     from xml_to_parquet_spark.plans.inspect import node_counts
 
-    df = STAGED["er_survivorship"].fn(spark, sf_dir)
+    df = lookup("er_survivorship").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("CartesianProduct", 0) == 0
 

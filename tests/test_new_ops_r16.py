@@ -16,7 +16,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import pandas as pd
 import pytest
 
-from xml_to_parquet_spark.registry import STAGED, load_all
+from xml_to_parquet_spark.registry import STAGED, load_all, lookup
 
 
 @pytest.fixture(scope="module")
@@ -100,13 +100,13 @@ def test_autocorrelation_matches_python(spark, sf_dir, reg):
         expected[lag] = (n, sx, sy, sxy, _round6(r))
     got = {
         r["lag"]: (r["n_pairs"], r["s_x"], r["s_y"], r["s_xy"], r["acf"])
-        for r in STAGED["dq_autocorrelation"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_autocorrelation").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
 
 def test_autocorrelation_bounds_and_lags(spark, sf_dir, reg):
-    rows = STAGED["dq_autocorrelation"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_autocorrelation").fn(spark, sf_dir).collect()
     assert sorted(r["lag"] for r in rows) == list(range(1, 8))
     for r in rows:
         assert -1.0 <= r["acf"] <= 1.0, r
@@ -160,7 +160,7 @@ def test_outlier_mad_matches_python(spark, sf_dir, reg):
             r["n_outliers"],
             r["outlier_rate"],
         )
-        for r in STAGED["dq_outlier_mad"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_outlier_mad").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -168,7 +168,7 @@ def test_outlier_mad_matches_python(spark, sf_dir, reg):
 def test_outlier_mad_robustness_semantics(spark, sf_dir, reg):
     """The 3-MAD fence must be tighter than nothing and looser than
     everything: 0 ≤ n_outliers < n_values, and MAD ≤ the full range."""
-    for r in STAGED["dq_outlier_mad"].fn(spark, sf_dir).collect():
+    for r in lookup("dq_outlier_mad").fn(spark, sf_dir).collect():
         assert 0 <= r["n_outliers"] < r["n_values"], r
         assert r["mad_cents"] >= 0, r
         assert r["outlier_rate"] < 0.5, r  # 50% breakdown point
@@ -211,7 +211,7 @@ def test_assortativity_matches_python(spark, sf_dir, reg):
     r = (float(n) * float(sxy) - float(sx) * float(sx)) / (
         float(n) * float(sxx) - float(sx) * float(sx)
     )
-    [row] = STAGED["graph_degree_assortativity"].fn(spark, sf_dir).collect()
+    [row] = lookup("graph_degree_assortativity").fn(spark, sf_dir).collect()
     assert row["n_nodes"] == len(deg)
     assert row["n_edges"] == len(edges)
     assert row["n_pairs"] == n
@@ -222,7 +222,7 @@ def test_assortativity_matches_python(spark, sf_dir, reg):
 
 
 def test_assortativity_is_a_correlation(spark, sf_dir, reg):
-    [row] = STAGED["graph_degree_assortativity"].fn(spark, sf_dir).collect()
+    [row] = lookup("graph_degree_assortativity").fn(spark, sf_dir).collect()
     assert -1.0 <= row["assortativity"] <= 1.0
     # symmetrized pairs: exactly two per undirected edge
     assert row["n_pairs"] == 2 * row["n_edges"]
@@ -272,7 +272,7 @@ def test_collocations_match_python(spark, sf_dir, reg):
             r["lift"],
             r["rn"],
         )
-        for r in STAGED["text_collocations_pmi"].fn(spark, sf_dir).collect()
+        for r in lookup("text_collocations_pmi").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -281,7 +281,7 @@ def test_collocations_lift_semantics(spark, sf_dir, reg):
     """Every reported pair beats independence (lift > 1 for a planted
     collocation-heavy corpus head) and support ≥ the floor; ranks are
     dense 1..k."""
-    rows = STAGED["text_collocations_pmi"].fn(spark, sf_dir).collect()
+    rows = lookup("text_collocations_pmi").fn(spark, sf_dir).collect()
     assert sorted(r["rn"] for r in rows) == list(range(1, len(rows) + 1))
     for r in rows:
         assert r["c_xy"] >= 5
@@ -308,7 +308,7 @@ def test_zipf_rank_matches_python(spark, sf_dir, reg):
     sxx = sum(a * a for a in xs)
     slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
     intercept = (sy - slope * sx) / n
-    rows = STAGED["text_zipf_rank"].fn(spark, sf_dir).collect()
+    rows = lookup("text_zipf_rank").fn(spark, sf_dir).collect()
     got_head = {r["rank"]: (r["term"], r["freq"]) for r in rows}
     assert got_head == {
         i + 1: (t, c) for i, (t, c) in enumerate(ranked[:30])
@@ -352,10 +352,10 @@ def test_compaction_plan_matches_python(spark, sf_dir, reg):
         grows[g] += n
     got = {
         r["file_id"]: (r["n_rows"], r["min_key"], r["max_key"], r["group_id"])
-        for r in STAGED["lake_compaction_plan"].fn(spark, sf_dir).collect()
+        for r in lookup("lake_compaction_plan").fn(spark, sf_dir).collect()
     }
     assert got == expected
-    for r in STAGED["lake_compaction_plan"].fn(spark, sf_dir).collect():
+    for r in lookup("lake_compaction_plan").fn(spark, sf_dir).collect():
         assert r["group_files"] == gsize[r["group_id"]]
         assert r["group_rows"] == grows[r["group_id"]]
 
@@ -364,7 +364,7 @@ def test_compaction_plan_bin_quality(spark, sf_dir, reg):
     """The offset rule's packing guarantee: every group except possibly
     the last holds ≥ target rows minus one file's worth, and no group
     exceeds target + max_file (the overshoot bound in the docstring)."""
-    rows = STAGED["lake_compaction_plan"].fn(spark, sf_dir).collect()
+    rows = lookup("lake_compaction_plan").fn(spark, sf_dir).collect()
     tot = sum(r["n_rows"] for r in rows)
     target = (tot + 5) // 6
     max_file = max(r["n_rows"] for r in rows)
@@ -421,7 +421,7 @@ def test_silhouette_matches_python(spark, sf_dir, reg):
             r["mean_intra"],
             r["mean_nearest_other"],
         )
-        for r in STAGED["sim_silhouette"].fn(spark, sf_dir).collect()
+        for r in lookup("sim_silhouette").fn(spark, sf_dir).collect()
     }
     assert set(got) == set(expected)
     for cid in got:
@@ -438,7 +438,7 @@ def test_silhouette_matches_python(spark, sf_dir, reg):
 def test_silhouette_invariants(spark, sf_dir, reg):
     """b ≥ a by construction so every mean silhouette is non-negative;
     populations cover the corpus; intra ≤ nearest-other per cluster."""
-    rows = STAGED["sim_silhouette"].fn(spark, sf_dir).collect()
+    rows = lookup("sim_silhouette").fn(spark, sf_dir).collect()
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
     assert sum(r["n_assigned"] for r in rows) == len(emb)
     for r in rows:
@@ -469,13 +469,13 @@ def test_palette_matches_formula_python(spark, sf_dir, reg):
             expected[(d, rank)] = (b, c, _round6(c / total))
     got = {
         (r["doc_id"], r["rank"]): (r["bucket"], r["n_pixels"], r["share"])
-        for r in STAGED["mm_image_palette"].fn(spark, sf_dir).collect()
+        for r in lookup("mm_image_palette").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
 
 def test_palette_shares_and_ranks(spark, sf_dir, reg):
-    rows = STAGED["mm_image_palette"].fn(spark, sf_dir).collect()
+    rows = lookup("mm_image_palette").fn(spark, sf_dir).collect()
     by_doc = defaultdict(list)
     for r in rows:
         by_doc[r["doc_id"]].append(r)
@@ -502,7 +502,7 @@ def test_autocorrelation_plan_single_pruned_scan(spark, sf_dir, reg):
     the scan, per the chisq/cusum single-scan lesson)."""
     from xml_to_parquet_spark.plans.inspect import physical_plan
 
-    df = STAGED["dq_autocorrelation"].fn(spark, sf_dir)
+    df = lookup("dq_autocorrelation").fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "FileScan" not in plan, plan
 
@@ -516,7 +516,7 @@ def test_outlier_mad_plan_pruned_scan_broadcast_med(spark, sf_dir, reg):
         read_schemas,
     )
 
-    df = STAGED["dq_outlier_mad"].fn(spark, sf_dir)
+    df = lookup("dq_outlier_mad").fn(spark, sf_dir)
     for s in read_schemas(df):
         assert s == "struct<event_type:string,value:double>", s
     assert broadcast_join_count(df) >= 2
@@ -528,7 +528,7 @@ def test_assortativity_plan_no_window_no_smj(spark, sf_dir, reg):
     list; degree joins stay hash joins."""
     from xml_to_parquet_spark.plans.inspect import node_counts
 
-    df = STAGED["graph_degree_assortativity"].fn(spark, sf_dir)
+    df = lookup("graph_degree_assortativity").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("Window", 0) == 0, n
 
@@ -538,7 +538,7 @@ def test_collocations_and_zipf_single_pruned_text_scan(spark, sf_dir, reg):
     and fit are window/aggregate work on the grid, not re-scans."""
     from xml_to_parquet_spark.plans.inspect import read_schemas
 
-    df = STAGED["text_collocations_pmi"].fn(spark, sf_dir)
+    df = lookup("text_collocations_pmi").fn(spark, sf_dir)
     rs = read_schemas(df)
     assert rs == ["struct<text:string>"], rs
     # zipf fans its vocab grid into head + fit branches, so the corpus
@@ -546,7 +546,7 @@ def test_collocations_and_zipf_single_pruned_text_scan(spark, sf_dir, reg):
     # must carry NO FileScan
     from xml_to_parquet_spark.plans.inspect import physical_plan
 
-    zdf = STAGED["text_zipf_rank"].fn(spark, sf_dir)
+    zdf = lookup("text_zipf_rank").fn(spark, sf_dir)
     assert "FileScan" not in physical_plan(zdf)
 
 
@@ -556,7 +556,7 @@ def test_compaction_plan_is_manifest_only(spark, sf_dir, reg):
     planning never touches data."""
     from xml_to_parquet_spark.plans.inspect import node_counts, physical_plan
 
-    df = STAGED["lake_compaction_plan"].fn(spark, sf_dir)
+    df = lookup("lake_compaction_plan").fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "FileScan" not in plan and "parquet" not in plan.lower(), plan
     n = node_counts(df)
@@ -569,7 +569,7 @@ def test_silhouette_plan_combinable_top2_no_window(spark, sf_dir, reg):
     present before the vec_id exchange."""
     from xml_to_parquet_spark.plans.inspect import node_counts, physical_plan
 
-    df = STAGED["sim_silhouette"].fn(spark, sf_dir)
+    df = lookup("sim_silhouette").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("Window", 0) == 0, n
     assert n.get("SortMergeJoin", 0) == 0, n
@@ -581,6 +581,6 @@ def test_palette_plan_codec_chassis(spark, sf_dir, reg):
     exchange (doc_id-only), zero data shuffles after encode."""
     from xml_to_parquet_spark.plans.inspect import physical_plan, shuffle_count
 
-    df = STAGED["mm_image_palette"].fn(spark, sf_dir)
+    df = lookup("mm_image_palette").fn(spark, sf_dir)
     assert shuffle_count(df) == 0  # no hash/range/single-part exchanges
     assert physical_plan(df).count("Exchange RoundRobinPartitioning") == 1
