@@ -255,7 +255,10 @@ r12 level; returned outright. BOTH CLOSED as container-sample noise:
 no code change, no monotone trend, both quiet runs agree within the
 protocol envelope. (pareto_frontier's absolute numbers stay tiny —
 sub-second on every sample — so a ±0.2s swing reads as a large ratio;
-the table above is the durable record.)
+the table above is the durable record.) The full r14 validation bench
+(stable_ratio_vs_prev 1.011 — a container comparable to r13's) then
+corroborated emphatically: pareto_frontier 0.480 — BELOW its r12
+official — and text_rake_keywords 1.556 vs r12's 1.888.
 """
 
 from __future__ import annotations

@@ -788,3 +788,113 @@ def test_lake_iceberg_sequence_scoped_readd_survives(spark, sf_dir):
     want_o = orders[(orders["o_orderkey"] % ICE_EQ_MOD == 4)
                     & (orders["o_orderstatus"] == "O")]
     assert len(matches) == len(want_o)
+
+
+# ---------------------------------------------------------------------------
+# nested read schemas (r14): struct / list / map translate natively, with
+# field-id resolution at EVERY nesting level
+# ---------------------------------------------------------------------------
+
+
+_NESTED_ICE_SCHEMA = {
+    "type": "struct",
+    "schema-id": 0,
+    "fields": [
+        {"id": 1, "name": "k", "required": False, "type": "long"},
+        {"id": 2, "name": "s", "required": False, "type": {
+            "type": "struct", "fields": [
+                # CURRENT name x2; the data file wrote this as old_x —
+                # only id-based resolution inside the struct surfaces it
+                {"id": 10, "name": "x2", "required": False, "type": "long"},
+                {"id": 11, "name": "y", "required": False, "type": "string"},
+            ]}},
+        {"id": 3, "name": "tags", "required": False, "type": {
+            "type": "list", "element-id": 5, "element": "string",
+            "element-required": False}},
+        {"id": 6, "name": "lst", "required": False, "type": {
+            "type": "list", "element-id": 20,
+            "element": {"type": "struct", "fields": [
+                {"id": 21, "name": "k2", "required": False, "type": "long"},
+            ]},
+            "element-required": False}},
+        {"id": 7, "name": "m", "required": False, "type": {
+            "type": "map", "key-id": 8, "key": "string",
+            "value-id": 9, "value": "double", "value-required": False}},
+    ],
+}
+
+
+def test_nested_types_read_with_field_id_resolution(spark, tmp_path):
+    table = str(tmp_path / "ice_nested")
+    md = os.path.join(table, "metadata")
+    data = os.path.join(table, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    d0 = os.path.join(data, "d0.parquet")
+    inner = pa.struct([
+        pa.field("old_x", pa.int64(), metadata={b"PARQUET:field_id": b"10"}),
+        pa.field("y", pa.string(), metadata={b"PARQUET:field_id": b"11"}),
+    ])
+    elem = pa.field(
+        "element",
+        pa.struct([
+            pa.field("old_k", pa.int64(),
+                     metadata={b"PARQUET:field_id": b"21"}),
+        ]),
+        metadata={b"PARQUET:field_id": b"20"},
+    )
+    sch = pa.schema([
+        pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("s", inner, metadata={b"PARQUET:field_id": b"2"}),
+        pa.field("tags",
+                 pa.list_(pa.field("element", pa.string(),
+                                   metadata={b"PARQUET:field_id": b"5"})),
+                 metadata={b"PARQUET:field_id": b"3"}),
+        pa.field("lst", pa.list_(elem),
+                 metadata={b"PARQUET:field_id": b"6"}),
+        pa.field("m", pa.map_(pa.string(), pa.float64()),
+                 metadata={b"PARQUET:field_id": b"7"}),
+    ])
+    pq.write_table(pa.table({
+        "k": [1, 2],
+        "s": [{"old_x": 10, "y": "a"}, {"old_x": 20, "y": "b"}],
+        "tags": [["t1", "t2"], []],
+        "lst": [[{"old_k": 5}], [{"old_k": 6}, {"old_k": 7}]],
+        "m": [[("a", 1.5)], [("b", 2.5)]],
+    }, schema=sch), d0)
+
+    e = _data_entry(f"file://{d0}", None, 2, 1, 2)
+    e["data_file"]["partition"] = {}
+    m0 = os.path.join(md, "m0.avro")
+    _write_avro(m0, _MANIFEST_ENTRY_UNPART, [e])
+    snap = os.path.join(md, "snap-501.avro")
+    _write_avro(snap, _MANIFEST_FILE, [_manifest_row(m0, 0, 501, spec_id=1)])
+    snapshots = [
+        {"snapshot-id": 501, "timestamp-ms": 1000, "sequence-number": 1,
+         "summary": {"operation": "append"},
+         "manifest-list": f"file://{snap}", "schema-id": 0},
+    ]
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(_metadata_json(table, snapshots, 501,
+                                 schemas=[_NESTED_ICE_SCHEMA]), fh)
+
+    df = read_iceberg_snapshot(spark, table)
+    assert [f.name for f in df.schema.fields] == ["k", "s", "tags", "lst", "m"]
+    rows = {r["k"]: r for r in df.collect()}
+    # nested struct rename (old_x -> x2) resolves BY ID inside the struct
+    assert (rows[1]["s"]["x2"], rows[1]["s"]["y"]) == (10, "a")
+    assert (rows[2]["s"]["x2"], rows[2]["s"]["y"]) == (20, "b")
+    assert rows[1]["tags"] == ["t1", "t2"] and rows[2]["tags"] == []
+    # struct nested in a list element renames by id too (old_k -> k2)
+    assert [x["k2"] for x in rows[1]["lst"]] == [5]
+    assert [x["k2"] for x in rows[2]["lst"]] == [6, 7]
+    assert rows[1]["m"] == {"a": 1.5} and rows[2]["m"] == {"b": 2.5}
+
+
+def test_unknown_nested_type_still_refused():
+    from xml_to_parquet_spark.sources.iceberg import _spark_type
+
+    with pytest.raises(ValueError, match="not served"):
+        _spark_type({"type": "variant"})
+    with pytest.raises(ValueError, match="not served"):
+        _spark_type("uuid")

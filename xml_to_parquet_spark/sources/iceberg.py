@@ -53,12 +53,18 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     non-identity transforms refuse, since honoring their scope needs
     transform evaluation this adapter does not claim.
 
+Nested types read natively (r14): struct fields carry their ids at
+every nesting level, so renames inside structs stay safe; list and map
+translate to ArrayType/MapType — the parquet LIST/MAP wrapper groups
+have exactly one repeated child, so structural matching inside the
+id-resolved field is unambiguous per the parquet spec, and struct
+fields nested in a list element resolve by id again.
+
 Out of scope, documented: the writer path, non-parquet data files
-(AVRO/ORC file_format is refused per file, not guessed), nested
-list/map column types in the read schema, and equality-delete scopes
-under non-identity partition transforms. Everything metadata-side is
-driver-side and manifest-sized; the scan is a plain Catalyst FileScan
-with pushdown and pruning intact.
+(AVRO/ORC file_format is refused per file, not guessed), and
+equality-delete scopes under non-identity partition transforms.
+Everything metadata-side is driver-side and manifest-sized; the scan
+is a plain Catalyst FileScan with pushdown and pruning intact.
 """
 
 from __future__ import annotations
@@ -223,7 +229,7 @@ _PRIMITIVES = {
 
 
 def _spark_type(t):
-    from pyspark.sql.types import _parse_datatype_string
+    from pyspark.sql.types import ArrayType, MapType, _parse_datatype_string
 
     if isinstance(t, str):
         if t in _PRIMITIVES:
@@ -235,9 +241,23 @@ def _spark_type(t):
         raise ValueError(f"Iceberg type {t!r} is not served by this adapter")
     if isinstance(t, dict) and t.get("type") == "struct":
         return _spark_struct(t)
+    if isinstance(t, dict) and t.get("type") == "list":
+        # A parquet LIST group has exactly one element child, so Spark's
+        # structural matching inside the (field-id-resolved) list wrapper
+        # is unambiguous; struct fields NESTED in the element still carry
+        # their own ids via _spark_struct and resolve by id.
+        return ArrayType(
+            _spark_type(t["element"]),
+            containsNull=not t.get("element-required", False),
+        )
+    if isinstance(t, dict) and t.get("type") == "map":
+        return MapType(
+            _spark_type(t["key"]),
+            _spark_type(t["value"]),
+            valueContainsNull=not t.get("value-required", False),
+        )
     raise ValueError(
-        f"Iceberg nested type {t!r} (list/map) is out of scope for this "
-        "adapter's read schema"
+        f"Iceberg type {t!r} is not served by this adapter's read schema"
     )
 
 
