@@ -553,11 +553,91 @@ def test_null_partition_scope_is_not_global(spark, ice_table, tmp_path):
     }
 
 
-def test_nonidentity_scoped_equality_delete_refused(spark, ice_table,
-                                                    tmp_path):
+def test_nonidentity_scope_refuses_on_cross_spec_data(spark, ice_table,
+                                                      tmp_path):
+    """A bucket-scoped delete CAN apply by stored-tuple file matching
+    (r14, tests below) — but only against data files written under the
+    SAME spec. Here the data files are spec-0 (identity), so membership
+    in the delete's bucket is unprovable without evaluating the
+    transform: refuse loudly."""
     table = _eq_delete_table(ice_table, tmp_path, part="a", spec_id=2)
-    with pytest.raises(ValueError, match="bucket"):
+    with pytest.raises(ValueError, match="transform evaluation"):
         read_iceberg_snapshot(spark, table)
+
+
+def _bucket_table(tmp_path, delete_bucket):
+    """Two data files under the bucket[4] spec (stored tuples
+    p_bucket=0 and p_bucket=1) + an equality delete of k in {1, 6}
+    scoped to `delete_bucket` — applied by stored-tuple matching, no
+    transform evaluation."""
+    entry_schema = _manifest_entry_schema(
+        [{"name": "p_bucket", "type": ["null", "int"]}]
+    )
+    table = str(tmp_path / "ice_bucket")
+    md = os.path.join(table, "metadata")
+    data = os.path.join(table, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    d0 = os.path.join(data, "b0.parquet")
+    d1 = os.path.join(data, "b1.parquet")
+    pq.write_table(pa.table(
+        {"k": [0, 1, 2], "p": ["a"] * 3}, schema=_pq_schema()), d0)
+    pq.write_table(pa.table(
+        {"k": [5, 6, 7], "p": ["b"] * 3}, schema=_pq_schema()), d1)
+    eq = os.path.join(data, "eq.parquet")
+    pq.write_table(pa.table(
+        {"k": pa.array([1, 6], pa.int64())},
+        schema=pa.schema([pa.field("k", pa.int64(),
+                                   metadata={b"PARQUET:field_id": b"1"})])),
+        eq)
+
+    def _bentry(path, bucket, n, lo, hi, content=0, equality_ids=None):
+        e = _data_entry(f"file://{path}", None, n, lo, hi, content=content)
+        e["data_file"]["partition"] = {"p_bucket": bucket}
+        e["data_file"]["equality_ids"] = equality_ids
+        if content == 2:
+            e["data_file"]["lower_bounds"] = None
+            e["data_file"]["upper_bounds"] = None
+        return e
+
+    m0 = os.path.join(md, "m0.avro")
+    _write_avro(m0, entry_schema, [
+        _bentry(d0, 0, 3, 0, 2), _bentry(d1, 1, 3, 5, 7)])
+    m_eq = os.path.join(md, "m-eq.avro")
+    _write_avro(m_eq, entry_schema,
+                [_bentry(eq, delete_bucket, 2, 0, 0, content=2,
+                         equality_ids=[1])])
+    snap = os.path.join(md, "snap-601.avro")
+    _write_avro(snap, _MANIFEST_FILE, [
+        _manifest_row(m0, 0, 601, seq=1, spec_id=2),
+        _manifest_row(m_eq, 1, 601, seq=2, spec_id=2),
+    ])
+    snapshots = [
+        {"snapshot-id": 601, "timestamp-ms": 1000, "sequence-number": 2,
+         "summary": {"operation": "overwrite"},
+         "manifest-list": f"file://{snap}", "schema-id": 0},
+    ]
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(_metadata_json(table, snapshots, 601), fh)
+    return table
+
+
+def test_bucket_scoped_equality_delete_applies_by_stored_tuple(
+    spark, tmp_path
+):
+    """k in {1, 6} deleted, scoped to bucket 0: k=1 (in the bucket-0
+    file) dies; k=6 (bucket-1 file) SURVIVES despite matching the
+    equality columns — the file-level stored-tuple scope, no transform
+    evaluated anywhere."""
+    table = _bucket_table(tmp_path, delete_bucket=0)
+    got = _rows(read_iceberg_snapshot(spark, table))
+    assert got == {(0, "a"), (2, "a"), (5, "b"), (6, "b"), (7, "b")}
+
+
+def test_bucket_scoped_delete_with_no_matching_file_noops(spark, tmp_path):
+    table = _bucket_table(tmp_path, delete_bucket=3)
+    got = _rows(read_iceberg_snapshot(spark, table))
+    assert got == {(0, "a"), (1, "a"), (2, "a"), (5, "b"), (6, "b"), (7, "b")}
 
 
 def test_unknown_snapshot_and_missing_table_refused(spark, ice_table, tmp_path):

@@ -50,8 +50,12 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     spec scopes the delete to its partition tuple (a NULL tuple value
     scopes to the null partition, not to everything) — identity
     transforms scope as null-safe literal terms on the source columns;
-    non-identity transforms refuse, since honoring their scope needs
-    transform evaluation this adapter does not claim.
+    non-identity transforms (bucket/truncate/...) scope per FILE by
+    comparing STORED partition tuples under the same spec (data files
+    are partition-pure, so no transform is ever evaluated); a delete
+    under a non-identity spec coexisting with data files of a DIFFERENT
+    spec refuses loudly — membership is unprovable without transform
+    evaluation.
 
 Nested types read natively (r14): struct fields carry their ids at
 every nesting level, so renames inside structs stay safe; list and map
@@ -62,9 +66,11 @@ fields nested in a list element resolve by id again.
 
 Out of scope, documented: the writer path, non-parquet data files
 (AVRO/ORC file_format is refused per file, not guessed), and
-equality-delete scopes under non-identity partition transforms.
-Everything metadata-side is driver-side and manifest-sized; the scan
-is a plain Catalyst FileScan with pushdown and pruning intact.
+equality-delete scopes under non-identity transforms where the DATA
+files were written under a different spec (the same-spec case applies
+by stored-tuple file matching — see above). Everything metadata-side
+is driver-side and manifest-sized; the scan is a plain Catalyst
+FileScan with pushdown and pruning intact.
 """
 
 from __future__ import annotations
@@ -641,11 +647,24 @@ _DELETE_BROADCAST_MAX_ROWS = 4_000_000
 
 
 def _eq_delete_scope(meta: dict, schema: dict, entry: dict) -> tuple:
-    """((source column name, partition value), ...) scoping one equality
-    delete, resolved from its manifest's partition spec. Empty tuple =
-    GLOBAL (the spec has no fields). Identity transforms scope as a
-    null-safe equality on the source column (identity-partition columns
-    are present in Iceberg data rows); any other transform refuses."""
+    """The partition SCOPE of one equality delete, resolved from its
+    manifest's partition spec. Three shapes, each a hashable tuple
+    (deletes sharing scope + equality_ids union into one anti-join):
+
+      ()                              — GLOBAL: the spec has no fields;
+      ("rows", ((src, value), ...))   — all-identity spec: null-safe
+        equality terms on the SOURCE columns (identity-partition values
+        are present in Iceberg data rows), applied row-level — the
+        historical behavior, sound for any data file;
+      ("files", spec_id, ((field, value), ...)) — a spec with any
+        NON-identity transform (bucket/truncate/...): data files are
+        partition-pure, so the scope is decided per FILE by comparing
+        stored partition tuples under the SAME spec — no transform
+        evaluation needed. Data files under a DIFFERENT spec cannot be
+        proven in- or out-of-scope without evaluating the transform, so
+        their coexistence with such a delete refuses loudly at apply
+        time (_file_scope_paths).
+    """
     spec_id = entry.get("__spec_id", 0)
     by_id = _partition_specs(meta)
     if not by_id:
@@ -662,18 +681,16 @@ def _eq_delete_scope(meta: dict, schema: dict, entry: dict) -> tuple:
     fields = spec.get("fields") or []
     if not fields:
         return ()
-    src_by_id = {f["id"]: f["name"] for f in schema["fields"]}
     part = entry.get("partition") or {}
+    if any(f.get("transform") != "identity" for f in fields):
+        return (
+            "files",
+            spec_id,
+            tuple((f["name"], part.get(f["name"])) for f in fields),
+        )
+    src_by_id = {f["id"]: f["name"] for f in schema["fields"]}
     scope = []
     for f in fields:
-        if f.get("transform") != "identity":
-            raise ValueError(
-                f"equality delete {entry['file_path']!r} is scoped by a "
-                f"{f.get('transform')!r}-transformed partition field "
-                f"{f.get('name')!r}: honoring that scope needs transform "
-                "evaluation this adapter does not claim — refusing "
-                "rather than deleting rows outside the delete's scope"
-            )
         src = src_by_id.get(f.get("source-id"))
         if src is None:
             raise ValueError(
@@ -681,7 +698,33 @@ def _eq_delete_scope(meta: dict, schema: dict, entry: dict) -> tuple:
                 f"{f.get('source-id')}, which is not in the current schema"
             )
         scope.append((src, part.get(f["name"])))
-    return tuple(scope)
+    return ("rows", tuple(scope))
+
+
+def _file_scope_paths(
+    scope: tuple, data_entries: list[dict], files: list[str], delete_path: str
+) -> list[str]:
+    """The data-file paths a file-scoped equality delete applies to:
+    same spec, same stored partition tuple (None matches None — the
+    null partition is a partition, not a wildcard). A data file under a
+    DIFFERENT spec refuses: its membership in the delete's partition is
+    unprovable without evaluating the transform."""
+    _, spec_id, tup = scope
+    out = []
+    for path, e in zip(files, data_entries):
+        if e.get("__spec_id", 0) != spec_id:
+            raise ValueError(
+                f"equality delete {delete_path!r} is scoped by a "
+                f"non-identity-transformed spec {spec_id}, but data file "
+                f"{e['file_path']!r} was written under spec "
+                f"{e.get('__spec_id', 0)}: its membership in the delete's "
+                "partition cannot be proven without transform evaluation "
+                "— refusing rather than deleting rows outside the scope"
+            )
+        part = e.get("partition") or {}
+        if all(part.get(k) == v for k, v in tup):
+            out.append(path)
+    return out
 
 
 def _apply_equality_deletes(
@@ -719,6 +762,13 @@ def _apply_equality_deletes(
         key = (tuple(sorted(e["equality_ids"])), e["__scope"])
         groups.setdefault(key, []).append(e)
     for (ids, scope), group in groups.items():
+        scope_paths = None
+        if scope and scope[0] == "files":
+            scope_paths = _file_scope_paths(
+                scope, data_entries, files, group[0]["file_path"]
+            )
+            if not scope_paths:
+                continue  # no surviving file is in the delete's partition
         fields = []
         for fid in ids:
             f = by_id.get(fid)
@@ -753,11 +803,19 @@ def _apply_equality_deletes(
             cond = cond & F.col(f["name"]).eqNullSafe(
                 F.col(f"__eq_{f['name']}")
             )
-        # partition scope: identity source columns are in the data rows,
-        # so the scope is extra null-safe literal terms — a NULL scope
-        # value scopes to the null partition, never to everything
-        for src_col, value in scope:
-            cond = cond & F.col(src_col).eqNullSafe(F.lit(value))
+        if scope and scope[0] == "rows":
+            # identity scope: source columns are in the data rows, so the
+            # scope is extra null-safe literal terms — a NULL scope value
+            # scopes to the null partition, never to everything
+            for src_col, value in scope[1]:
+                cond = cond & F.col(src_col).eqNullSafe(F.lit(value))
+        elif scope_paths is not None:
+            # file scope (non-identity transform): data files are
+            # partition-pure, so membership was decided driver-side from
+            # the manifests; the path term keeps the anti-join from
+            # touching rows of out-of-scope files. Manifest-sized literal
+            # list; Catalyst compiles it to an InSet probe per row.
+            cond = cond & scan_path.isin(scope_paths)
         df = df.join(deletes, cond, "left_anti")
     return df
 
