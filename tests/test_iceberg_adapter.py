@@ -978,3 +978,94 @@ def test_unknown_nested_type_still_refused():
         _spark_type({"type": "variant"})
     with pytest.raises(ValueError, match="not served"):
         _spark_type("uuid")
+
+
+# ---------------------------------------------------------------------------
+# time travel fidelity (r14): a snapshot reads under ITS schema, and
+# as-of-timestamp resolution follows the snapshot-log
+# ---------------------------------------------------------------------------
+
+
+def test_time_travel_reads_the_snapshots_own_schema(spark, tmp_path):
+    """Snapshot 101 was committed under schema 0 (k, p); schema 1 then
+    renamed k->k_renamed and added v. Reading 101 surfaces the OLD
+    column names and no v; reading 202 (committed under schema 1)
+    surfaces k_renamed (old files resolve by field id) and a null v."""
+    table = str(tmp_path / "ice_schemaev")
+    md = os.path.join(table, "metadata")
+    data = os.path.join(table, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    d0 = os.path.join(data, "d0.parquet")
+    pq.write_table(pa.table(
+        {"k": [1, 2], "p": ["a", "b"]}, schema=_pq_schema()), d0)
+    e = _data_entry(f"file://{d0}", None, 2, 1, 2)
+    e["data_file"]["partition"] = {}
+    m0 = os.path.join(md, "m0.avro")
+    _write_avro(m0, _MANIFEST_ENTRY_UNPART, [e])
+    l1 = os.path.join(md, "snap-101.avro")
+    _write_avro(l1, _MANIFEST_FILE, [_manifest_row(m0, 0, 101, spec_id=1)])
+    l2 = os.path.join(md, "snap-202.avro")
+    _write_avro(l2, _MANIFEST_FILE, [_manifest_row(m0, 0, 101, spec_id=1)])
+    schema1 = {
+        "type": "struct", "schema-id": 1,
+        "fields": [
+            {"id": 1, "name": "k_renamed", "required": False, "type": "long"},
+            {"id": 2, "name": "p", "required": False, "type": "string"},
+            {"id": 3, "name": "v", "required": False, "type": "double"},
+        ],
+    }
+    snapshots = [
+        {"snapshot-id": 101, "timestamp-ms": 1000, "sequence-number": 1,
+         "summary": {"operation": "append"},
+         "manifest-list": f"file://{l1}", "schema-id": 0},
+        {"snapshot-id": 202, "parent-snapshot-id": 101,
+         "timestamp-ms": 2000, "sequence-number": 2,
+         "summary": {"operation": "append"},
+         "manifest-list": f"file://{l2}", "schema-id": 1},
+    ]
+    meta = _metadata_json(table, snapshots, 202,
+                          schemas=[_ICE_SCHEMA, schema1], current_schema=1)
+    meta["snapshot-log"] = [
+        {"snapshot-id": 101, "timestamp-ms": 1000},
+        {"snapshot-id": 202, "timestamp-ms": 2000},
+    ]
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+
+    old = read_iceberg_snapshot(spark, table, snapshot_id=101)
+    assert [f.name for f in old.schema.fields] == ["k", "p"]
+    assert {(r["k"], r["p"]) for r in old.collect()} == {(1, "a"), (2, "b")}
+    cur = read_iceberg_snapshot(spark, table)
+    assert [f.name for f in cur.schema.fields] == ["k_renamed", "p", "v"]
+    got = {(r["k_renamed"], r["p"], r["v"]) for r in cur.collect()}
+    assert got == {(1, "a", None), (2, "b", None)}
+
+
+def test_snapshot_as_of_timestamp(ice_table, tmp_path):
+    from xml_to_parquet_spark.sources.iceberg import iceberg_snapshot_as_of
+
+    # the module fixture has snapshots 101@1000 and 202@2000, no
+    # snapshot-log -> lineage fallback
+    assert iceberg_snapshot_as_of(ice_table, 1000) == 101
+    assert iceberg_snapshot_as_of(ice_table, 1999) == 101
+    assert iceberg_snapshot_as_of(ice_table, 2000) == 202
+    assert iceberg_snapshot_as_of(ice_table, 10_000) == 202
+    with pytest.raises(ValueError, match="predates"):
+        iceberg_snapshot_as_of(ice_table, 999)
+    # with a snapshot-log, the LOG is authoritative even under clock skew
+    import shutil
+
+    table = str(tmp_path / "asof_log")
+    shutil.copytree(ice_table, table)
+    meta = load_iceberg_metadata(table)
+    meta["snapshot-log"] = [
+        {"snapshot-id": 101, "timestamp-ms": 1000},
+        {"snapshot-id": 202, "timestamp-ms": 1500},  # log beats snapshot ts
+    ]
+    md = os.path.join(table, "metadata")
+    with open(os.path.join(md, "v2.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    with open(os.path.join(md, "version-hint.text"), "w") as fh:
+        fh.write("2")
+    assert iceberg_snapshot_as_of(table, 1600) == 202

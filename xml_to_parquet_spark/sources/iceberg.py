@@ -17,8 +17,11 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     (EXISTING/ADDED/DELETED; DELETED entries are files removed as of
     this snapshot and are skipped), and the `data_file` struct: path,
     format, partition values, record count, and per-file column bounds;
-  * the scan: an ordinary Spark parquet read over the live data files
-    under the CURRENT Iceberg schema translated field-by-field, with
+  * the scan: an ordinary Spark parquet read over the live data files —
+    a CURRENT read under the current schema (metadata-only renames
+    surface immediately), explicit time travel under the snapshot's
+    recorded schema-id (the table as it was) — translated
+    field-by-field, with
     each field's Iceberg ID attached as `parquet.field.id` metadata and
     `spark.sql.parquet.fieldId.read.enabled` set — Iceberg resolves
     columns BY FIELD ID, never by name, which is what makes renames
@@ -218,6 +221,50 @@ def _current_schema(meta: dict) -> dict:
     if "schema" in meta:  # format v1 single-schema field
         return meta["schema"]
     raise ValueError("table metadata carries no schema")
+
+
+def _schema_for_snapshot(meta: dict, snapshot: dict) -> dict:
+    """Time travel reads the table AS IT WAS: a snapshot's recorded
+    `schema-id` selects its schema from the metadata's schema list (the
+    Iceberg VERSION AS OF contract — a column added after the snapshot
+    must not appear, a column renamed after it keeps its old name).
+    Snapshots without a recorded schema-id (or ids the metadata no
+    longer lists — e.g. v1-era writers) fall back to the current
+    schema, which field-id resolution keeps sound for reads."""
+    sid = snapshot.get("schema-id")
+    if sid is not None:
+        for s in meta.get("schemas") or []:
+            if s.get("schema-id") == sid:
+                return s
+    return _current_schema(meta)
+
+
+def iceberg_snapshot_as_of(table_path: str, timestamp_ms: int) -> int:
+    """The snapshot id current AS OF ``timestamp_ms`` — the newest
+    snapshot-log entry at or before the instant (the log is the
+    authority for as-of resolution; lineage order per
+    list_iceberg_snapshots when the log is absent). Raises if the
+    instant predates the table's first snapshot."""
+    meta = load_iceberg_metadata(table_path)
+    log = meta.get("snapshot-log") or []
+    have = {s["snapshot-id"] for s in meta.get("snapshots") or []}
+    best = None
+    for entry in log:
+        ts = entry.get("timestamp-ms")
+        if ts is not None and ts <= timestamp_ms and entry.get("snapshot-id") in have:
+            best = entry["snapshot-id"]  # log is append-ordered
+    if best is not None:
+        return best
+    for s in list_iceberg_snapshots(table_path):
+        ts = s.get("timestamp-ms")
+        if ts is not None and ts <= timestamp_ms:
+            best = s["snapshot-id"]
+    if best is None:
+        raise ValueError(
+            f"no snapshot at or before timestamp {timestamp_ms} "
+            "(the instant predates the table)"
+        )
+    return best
 
 
 _PRIMITIVES = {
@@ -478,9 +525,11 @@ def read_iceberg_snapshot(
 ) -> DataFrame:
     """Spark DataFrame over one Iceberg snapshot (default: current).
 
-    The plan is an ordinary parquet FileScan over the live files under
-    the current schema (resolved by parquet field ID — renames are
-    safe), minus position-deleted rows via the same
+    The plan is an ordinary parquet FileScan over the live files —
+    current reads under the current schema, explicit time travel under
+    the snapshot's recorded schema-id, both resolved by parquet field
+    ID so renames are safe — minus position-deleted rows via the
+    same
     `_metadata.row_index` anti-join the Delta adapter uses for deletion
     vectors. `partition_filter` ({spec-field-name: value}) and
     `stats_filter` ([(column, op, numeric)], op in = < <= > >=) prune
@@ -491,7 +540,15 @@ def read_iceberg_snapshot(
 
     meta = load_iceberg_metadata(table_path)
     snapshot = _snapshot(meta, snapshot_id)
-    schema = _current_schema(meta)
+    # Schema selection is read-mode-dependent (the Iceberg engine
+    # contract): a CURRENT read serves the table as it is now — current
+    # schema, which metadata-only renames change without a new snapshot
+    # — while explicit TIME TRAVEL serves the table as it was, under the
+    # snapshot's recorded schema-id.
+    if snapshot_id is None:
+        schema = _current_schema(meta)
+    else:
+        schema = _schema_for_snapshot(meta, snapshot)
     data_entries, delete_entries = _live_entries(meta, snapshot, table_path)
     for e in data_entries:
         fmt = (e.get("file_format") or "PARQUET").upper()
