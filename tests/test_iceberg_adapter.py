@@ -565,11 +565,11 @@ def test_nonidentity_scope_refuses_on_cross_spec_data(spark, ice_table,
         read_iceberg_snapshot(spark, table)
 
 
-def _bucket_table(tmp_path, delete_bucket):
+def _bucket_table(tmp_path, delete_bucket, data_buckets=(0, 1)):
     """Two data files under the bucket[4] spec (stored tuples
-    p_bucket=0 and p_bucket=1) + an equality delete of k in {1, 6}
-    scoped to `delete_bucket` — applied by stored-tuple matching, no
-    transform evaluation."""
+    p_bucket=data_buckets[0] and [1]) + an equality delete of k in
+    {1, 6} scoped to `delete_bucket` — applied by stored-tuple
+    matching, no transform evaluation."""
     entry_schema = _manifest_entry_schema(
         [{"name": "p_bucket", "type": ["null", "int"]}]
     )
@@ -602,7 +602,8 @@ def _bucket_table(tmp_path, delete_bucket):
 
     m0 = os.path.join(md, "m0.avro")
     _write_avro(m0, entry_schema, [
-        _bentry(d0, 0, 3, 0, 2), _bentry(d1, 1, 3, 5, 7)])
+        _bentry(d0, data_buckets[0], 3, 0, 2),
+        _bentry(d1, data_buckets[1], 3, 5, 7)])
     m_eq = os.path.join(md, "m-eq.avro")
     _write_avro(m_eq, entry_schema,
                 [_bentry(eq, delete_bucket, 2, 0, 0, content=2,
@@ -1069,3 +1070,77 @@ def test_snapshot_as_of_timestamp(ice_table, tmp_path):
     with open(os.path.join(md, "version-hint.text"), "w") as fh:
         fh.write("2")
     assert iceberg_snapshot_as_of(table, 1600) == 202
+
+
+# ---------------------------------------------------------------------------
+# partition transforms (r14): the spec's seed-0 Murmur3 + source-value
+# pruning — bucket pruning without precomputed bucket numbers
+# ---------------------------------------------------------------------------
+
+
+def test_murmur3_matches_the_spec_vectors():
+    """iceberg.apache.org/spec Appendix B publishes these: hashing the
+    8-byte little-endian long (so int 34 == long 34) and UTF-8 bytes."""
+    import struct as _struct
+
+    from xml_to_parquet_spark.sources.iceberg import murmur3_x86_32
+
+    assert murmur3_x86_32(_struct.pack("<q", 34)) == 2017239379
+    assert murmur3_x86_32(b"iceberg") == 1210000089
+
+
+def test_transform_evaluation_unit_cases():
+    from xml_to_parquet_spark.sources.iceberg import _apply_transform
+
+    assert _apply_transform("identity", "x") == (True, "x")
+    assert _apply_transform("bucket[16]", 34) == (True, 3)
+    assert _apply_transform("bucket[16]", None) == (True, None)
+    assert _apply_transform("truncate[10]", 7) == (True, 0)
+    assert _apply_transform("truncate[10]", -1) == (True, -10)  # floor, not trunc
+    assert _apply_transform("truncate[3]", "iceberg") == (True, "ice")
+    # unevaluable transforms report so (pruning keeps the entry)
+    assert _apply_transform("year", 17000)[0] is False
+    assert _apply_transform("month", 17000)[0] is False
+    with pytest.raises(ValueError, match="non-positive"):
+        _apply_transform("bucket[0]", 1)
+
+
+def test_source_partition_filter_prunes_bucket_entries(spark, tmp_path):
+    """The caller passes the SOURCE value ('a'); the adapter evaluates
+    bucket[4] itself and keeps only the file whose stored tuple matches
+    — the usable form of bucket pruning. Fixture stored tuples are the
+    REAL bucket numbers of the rows' p values, computed with the same
+    published algorithm."""
+    from xml_to_parquet_spark.sources.iceberg import murmur3_x86_32
+
+    def b4(s):
+        return (murmur3_x86_32(s.encode()) & 0x7FFFFFFF) % 4
+
+    assert b4("a") != b4("b")  # distinct buckets make the pin meaningful
+    # delete_bucket=that of neither file: the eq delete no-ops here
+    table = _bucket_table(tmp_path, delete_bucket=(b4("a") + 2) % 4,
+                          data_buckets=(b4("a"), b4("b")))
+    got = _rows(read_iceberg_snapshot(
+        spark, table, source_partition_filter={"p": "a"}))
+    assert got == {(0, "a"), (1, "a"), (2, "a")}
+    got = _rows(read_iceberg_snapshot(
+        spark, table, source_partition_filter={"p": "b"}))
+    assert got == {(5, "b"), (6, "b"), (7, "b")}
+
+
+def test_source_partition_filter_validates(spark, tmp_path):
+    from xml_to_parquet_spark.sources.iceberg import murmur3_x86_32
+
+    def b4(s):
+        return (murmur3_x86_32(s.encode()) & 0x7FFFFFFF) % 4
+
+    table = _bucket_table(tmp_path, delete_bucket=3,
+                          data_buckets=(b4("a"), b4("b")))
+    with pytest.raises(ValueError, match="not in\nthe schema".replace("\n", " ")):
+        read_iceberg_snapshot(spark, table,
+                              source_partition_filter={"typo": 1})
+    # k is a schema column but no spec sources it: the filter could
+    # never prune — raise instead of silently reading as if honored
+    with pytest.raises(ValueError, match="not.*partition sources"):
+        read_iceberg_snapshot(spark, table,
+                              source_partition_filter={"k": 1})

@@ -27,10 +27,13 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     columns BY FIELD ID, never by name, which is what makes renames
     safe; a name-based read would silently null a renamed column;
   * partition pruning: `partition_filter` matches the manifest entries'
-    partition structs driver-side before any scan is planned (identity
-    transforms — the stored value IS the column value; for
-    bucket/truncate specs the caller must pass the TRANSFORMED value,
-    matching what the manifest stores);
+    partition structs driver-side before any scan is planned (stored
+    values: for identity specs that IS the column value; for
+    bucket/truncate the caller passes the transformed value), and
+    `source_partition_filter` takes SOURCE column values instead — the
+    adapter evaluates identity / bucket[N] (the spec's seed-0 Murmur3,
+    vectors pinned) / truncate[W] itself, keeping entries under
+    transforms it cannot evaluate;
   * zone-map pruning: `stats_filter` decodes `lower_bounds` /
     `upper_bounds` (the spec's single-value binary serialization,
     little-endian for numerics) for NUMERIC predicates only,
@@ -333,6 +336,98 @@ def _spark_struct(schema: dict):
     return StructType(fields)
 
 
+def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
+    """32-bit Murmur3, x86 variant (public domain algorithm; Appendix B
+    of the Iceberg spec mandates it with seed 0 for bucket transforms).
+    Returns the SIGNED 32-bit value, matching the spec's test vectors."""
+    c1, c2 = 0xCC9E2D51, 0x1B873593
+    h = seed & 0xFFFFFFFF
+    n = len(data)
+    for i in range(0, n - n % 4, 4):
+        k = int.from_bytes(data[i : i + 4], "little")
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+        h = ((h << 13) | (h >> 19)) & 0xFFFFFFFF
+        h = (h * 5 + 0xE6546B64) & 0xFFFFFFFF
+    tail = data[n - n % 4 :]
+    k = 0
+    if len(tail) >= 3:
+        k ^= tail[2] << 16
+    if len(tail) >= 2:
+        k ^= tail[1] << 8
+    if len(tail) >= 1:
+        k ^= tail[0]
+        k = (k * c1) & 0xFFFFFFFF
+        k = ((k << 15) | (k >> 17)) & 0xFFFFFFFF
+        k = (k * c2) & 0xFFFFFFFF
+        h ^= k
+    h ^= n
+    h ^= h >> 16
+    h = (h * 0x85EBCA6B) & 0xFFFFFFFF
+    h ^= h >> 13
+    h = (h * 0xC2B2AE35) & 0xFFFFFFFF
+    h ^= h >> 16
+    return h - (1 << 32) if h >= (1 << 31) else h
+
+
+def _bucket_hash_bytes(value) -> bytes:
+    """The single-value hash serialization of spec Appendix B: int/long
+    (and date's day-ordinal) hash as the 8-byte little-endian long —
+    which is what makes bucket(34::int) == bucket(34::long) — strings
+    as UTF-8, binary raw."""
+    if isinstance(value, bool):
+        raise ValueError("bucket transform is not defined for booleans")
+    if isinstance(value, int):
+        return struct.pack("<q", value)
+    if isinstance(value, str):
+        return value.encode("utf-8")
+    if isinstance(value, (bytes, bytearray)):
+        return bytes(value)
+    raise ValueError(
+        f"bucket transform not served for value type {type(value).__name__} "
+        "(int/long/date-ordinal/string/binary are)"
+    )
+
+
+_BUCKET_RE = re.compile(r"^bucket\[(\d+)\]$")
+_TRUNCATE_RE = re.compile(r"^truncate\[(\d+)\]$")
+
+
+def _apply_transform(transform: str, value):
+    """Evaluate a partition transform on a SOURCE value, driver-side —
+    the device that lets source_partition_filter prune bucket/truncate
+    manifest entries without the caller precomputing stored values.
+    Returns (True, transformed) when this adapter can evaluate the
+    transform, (False, None) when it cannot (year/month/day/hour/...,
+    where pruning must keep the entry rather than guess)."""
+    if value is None:
+        return True, None  # every transform maps null to null (spec)
+    if transform == "identity":
+        return True, value
+    m = _BUCKET_RE.match(transform or "")
+    if m:
+        n = int(m.group(1))
+        if n <= 0:
+            raise ValueError(f"bucket transform with non-positive N: {transform}")
+        h = murmur3_x86_32(_bucket_hash_bytes(value))
+        return True, (h & 0x7FFFFFFF) % n
+    m = _TRUNCATE_RE.match(transform or "")
+    if m:
+        w = int(m.group(1))
+        if w <= 0:
+            raise ValueError(f"truncate transform with non-positive W: {transform}")
+        if isinstance(value, bool):
+            return False, None
+        if isinstance(value, int):
+            return True, value - (value % w)  # W * floor(v/W), negatives too
+        if isinstance(value, str):
+            return True, value[:w]
+        return False, None
+    return False, None
+
+
 def _partition_specs(meta: dict) -> dict[int, dict]:
     """{spec-id: spec} from v2 `partition-specs`, falling back to the v1
     single `partition-spec` field (under `default-spec-id`, default 0)."""
@@ -522,6 +617,7 @@ def read_iceberg_snapshot(
     snapshot_id: int | None = None,
     partition_filter: dict | None = None,
     stats_filter: list[tuple[str, str, float]] | None = None,
+    source_partition_filter: dict | None = None,
 ) -> DataFrame:
     """Spark DataFrame over one Iceberg snapshot (default: current).
 
@@ -531,11 +627,15 @@ def read_iceberg_snapshot(
     ID so renames are safe — minus position-deleted rows via the
     same
     `_metadata.row_index` anti-join the Delta adapter uses for deletion
-    vectors. `partition_filter` ({spec-field-name: value}) and
-    `stats_filter` ([(column, op, numeric)], op in = < <= > >=) prune
-    manifest entries driver-side before the scan is planned; both can
-    only skip work, never rows (keep-on-missing bounds, exact partition
-    match)."""
+    vectors. `partition_filter` ({spec-field-name: STORED value}),
+    `source_partition_filter` ({source-column-name: SOURCE value} — the
+    adapter evaluates the spec's transform driver-side: identity,
+    bucket[N] via the spec's seed-0 Murmur3, truncate[W]; transforms it
+    cannot evaluate keep the entry), and `stats_filter`
+    ([(column, op, numeric)], op in = < <= > >=) prune manifest entries
+    driver-side before the scan is planned; all three can only skip
+    work, never rows (keep-on-missing bounds, exact tuple match,
+    keep-on-unevaluable transform)."""
     from pyspark.sql import functions as F
 
     meta = load_iceberg_metadata(table_path)
@@ -589,6 +689,54 @@ def read_iceberg_snapshot(
             return True
 
         data_entries = [e for e in data_entries if _keeps(e)]
+    if source_partition_filter:
+        # SOURCE-value pruning: the caller names a data COLUMN and its
+        # value; for every spec field sourcing that column this adapter
+        # evaluates the transform itself (identity / bucket[N] /
+        # truncate[W]) and compares against the STORED partition value —
+        # the usable form of bucket pruning, no precomputed bucket
+        # numbers required. Unknown columns raise; a column no spec
+        # sources raises (the filter would be a silent no-op);
+        # unevaluable transforms (year/month/...) keep the entry.
+        specs = _partition_specs(meta)
+        col_ids = {f["name"]: f["id"] for f in schema["fields"]}
+        unknown = sorted(set(source_partition_filter) - set(col_ids))
+        if unknown:
+            raise ValueError(
+                f"source_partition_filter columns {unknown} are not in "
+                "the schema"
+            )
+        sourced = {
+            sf.get("source-id")
+            for s in specs.values()
+            for sf in (s.get("fields") or [])
+        }
+        unsourced = sorted(
+            c for c in source_partition_filter if col_ids[c] not in sourced
+        )
+        if unsourced:
+            raise ValueError(
+                f"source_partition_filter columns {unsourced} are not "
+                "partition sources in any spec — the filter could never "
+                "prune and would read as if it had been honored"
+            )
+
+        def _keeps_src(e: dict) -> bool:
+            spec = specs.get(e.get("__spec_id", 0))
+            part = e.get("partition") or {}
+            for col, v in source_partition_filter.items():
+                fid = col_ids[col]
+                for sf in ((spec or {}).get("fields") or []):
+                    if sf.get("source-id") != fid:
+                        continue
+                    ok, tv = _apply_transform(sf.get("transform"), v)
+                    if not ok:
+                        continue  # cannot evaluate: keep the entry
+                    if part.get(sf["name"]) != tv:
+                        return False
+            return True
+
+        data_entries = [e for e in data_entries if _keeps_src(e)]
     if stats_filter:
         _validate_stats_filter(stats_filter)
         by_name = {f["name"]: f for f in schema["fields"]}
