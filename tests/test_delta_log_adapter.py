@@ -1313,3 +1313,79 @@ def test_v2_sidecar_deletion_vector_applies(spark, tmp_path):
                          n_sidecars=1)
     got = {r["k"] for r in read_delta_snapshot(spark, table, 0).collect()}
     assert got == {0, 2, 3}
+
+
+# ---------------------------------------------------------------------------
+# delta_version_as_of (r14): timestamp-based time travel, ICT-first
+# ---------------------------------------------------------------------------
+
+
+def _dated_table(tmp_path, stamps, kind="timestamp"):
+    """Minimal 3-commit log whose commitInfo carries the given instants
+    (kind: 'timestamp' | 'ict' | 'none' for mtime fallback)."""
+    table = str(tmp_path / "asof")
+    meta = {"metaData": {"id": "asof-fixture",
+                         "format": {"provider": "parquet"},
+                         "schemaString": json.dumps(
+                             {"type": "struct", "fields": []}),
+                         "partitionColumns": [], "configuration": {}}}
+    for v, ts in enumerate(stamps):
+        actions = []
+        if kind == "timestamp":
+            actions.append({"commitInfo": {"timestamp": ts}})
+        elif kind == "ict":
+            actions.append({"commitInfo": {"inCommitTimestamp": ts,
+                                           "timestamp": ts + 999_999}})
+        if v == 0:
+            actions.append(meta)
+        actions.append(_add(f"f{v}.parquet"))
+        _commit(table, v, actions)
+    return table
+
+
+def test_version_as_of_resolves_commit_timestamps(tmp_path):
+    from xml_to_parquet_spark.sources.delta_log import delta_version_as_of
+
+    table = _dated_table(tmp_path, [1000, 2000, 3000])
+    assert delta_version_as_of(table, 1000) == 0
+    assert delta_version_as_of(table, 1999) == 0
+    assert delta_version_as_of(table, 2500) == 1
+    assert delta_version_as_of(table, 999_999) == 2
+    with pytest.raises(ValueError, match="at or before"):
+        delta_version_as_of(table, 999)
+
+
+def test_version_as_of_prefers_in_commit_timestamp(tmp_path):
+    """ICT is authoritative when present — the wall-clock field beside
+    it is deliberately skewed a million ms and must be ignored."""
+    from xml_to_parquet_spark.sources.delta_log import delta_version_as_of
+
+    table = _dated_table(tmp_path, [1000, 2000, 3000], kind="ict")
+    assert delta_version_as_of(table, 2999) == 1
+
+
+def test_version_as_of_adjusts_non_monotonic_clocks(tmp_path):
+    """Writer clock skew: commit 1 stamped BEFORE commit 0. Adjusted
+    upward (ts[1] = ts[0] + 1) so the mapping stays well-defined:
+    nothing can resolve to a version the instant ordering contradicts."""
+    from xml_to_parquet_spark.sources.delta_log import delta_version_as_of
+
+    table = _dated_table(tmp_path, [5000, 1000, 9000])
+    assert delta_version_as_of(table, 5000) == 0
+    assert delta_version_as_of(table, 5001) == 1  # adjusted instant
+    assert delta_version_as_of(table, 8999) == 1
+    assert delta_version_as_of(table, 9000) == 2
+
+
+def test_version_as_of_mtime_fallback(tmp_path):
+    """Commits without commitInfo (the classic pre-ICT log) fall back to
+    file modification times, pinned here explicitly with os.utime."""
+    from xml_to_parquet_spark.sources.delta_log import delta_version_as_of
+
+    table = _dated_table(tmp_path, [0, 0, 0], kind="none")
+    log = os.path.join(table, "_delta_log")
+    for v, sec in enumerate([10, 20, 30]):
+        os.utime(os.path.join(log, f"{v:020d}.json"), (sec, sec))
+    assert delta_version_as_of(table, 10_000) == 0
+    assert delta_version_as_of(table, 25_000) == 1
+    assert delta_version_as_of(table, 31_000) == 2

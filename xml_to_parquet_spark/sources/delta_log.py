@@ -238,6 +238,70 @@ def list_delta_versions(table_path: str) -> list[int]:
     return readable
 
 
+def delta_version_as_of(table_path: str, timestamp_ms: int) -> int:
+    """The readable version current AS OF ``timestamp_ms`` — Delta's
+    timestamp-based time travel, mirroring iceberg_snapshot_as_of.
+
+    Per-commit instants follow the protocol's precedence:
+    `commitInfo.inCommitTimestamp` (the ICT writer feature — commit time
+    recorded IN the commit, authoritative) > `commitInfo.timestamp`
+    (best-effort wall clock) > the commit file's modification time (the
+    classic pre-ICT behavior). Non-monotonic raw instants are adjusted
+    upward (ts[v] = max(ts[v], ts[v-1] + 1), the reference
+    implementation's rule) so resolution is well-defined under writer
+    clock skew. Versions whose JSON commit the retention policy removed
+    (checkpoint-only seeds) carry no instant; an instant that predates
+    the EARLIEST dated version raises — that history is gone, serving
+    the oldest version instead would silently misrepresent it."""
+    log_dir = _log_dir(table_path)
+    versions = list_delta_versions(table_path)
+    json_v, _ = _listed_versions(log_dir)
+    dated: list[tuple[int, int]] = []
+    for v in versions:
+        if v not in json_v:
+            continue
+        path = os.path.join(log_dir, f"{v:020d}.json")
+        ts = None
+        with open(path) as fh:
+            for line in fh:
+                line = line.strip()
+                if not line:
+                    continue
+                action = json.loads(line)
+                info = action.get("commitInfo")
+                if info is not None:
+                    ts = info.get("inCommitTimestamp", info.get("timestamp"))
+                    break
+        if ts is None:
+            ts = int(os.path.getmtime(path) * 1000)
+        dated.append((v, int(ts)))
+    if not dated:
+        raise ValueError(
+            f"no dated commits under {table_path}: every readable version "
+            "is checkpoint-only (JSON removed by retention), so no "
+            "timestamp can be resolved"
+        )
+    adjusted: list[tuple[int, int]] = []
+    prev = None
+    for v, ts in dated:
+        if prev is not None and ts <= prev:
+            ts = prev + 1
+        adjusted.append((v, ts))
+        prev = ts
+    best = None
+    for v, ts in adjusted:
+        if ts <= timestamp_ms:
+            best = v
+    if best is None:
+        raise ValueError(
+            f"no commit at or before timestamp {timestamp_ms}: the "
+            f"earliest dated version is {adjusted[0][0]} at "
+            f"{adjusted[0][1]} (earlier history, if any, has been "
+            "removed by log retention)"
+        )
+    return best
+
+
 def _replay(
     table_path: str, version: int | None
 ) -> tuple[dict[str, dict], dict | None]:
