@@ -1144,3 +1144,26 @@ def test_source_partition_filter_validates(spark, tmp_path):
     with pytest.raises(ValueError, match="not.*partition sources"):
         read_iceberg_snapshot(spark, table,
                               source_partition_filter={"k": 1})
+
+
+def test_temporal_transform_evaluation():
+    """year/month/day/hour per the spec's epoch-relative definitions,
+    evaluated only from unambiguous datetime inputs — an int could be a
+    day ordinal or epoch micros, so ints report unevaluable (keep)."""
+    import datetime as dt
+
+    from xml_to_parquet_spark.sources.iceberg import _apply_transform
+
+    d = dt.date(2017, 11, 16)
+    assert _apply_transform("year", d) == (True, 47)
+    assert _apply_transform("month", d) == (True, 47 * 12 + 10)
+    assert _apply_transform("day", d) == (True, 17486)
+    t = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert _apply_transform("hour", t) == (True, 17486 * 24 + 22)
+    assert _apply_transform("year", t) == (True, 47)
+    # pre-epoch floors, not truncates
+    assert _apply_transform("year", dt.date(1969, 12, 31)) == (True, -1)
+    assert _apply_transform("day", dt.date(1969, 12, 31)) == (True, -1)
+    # ambiguity refuses to prune
+    assert _apply_transform("year", 17486)[0] is False
+    assert _apply_transform("hour", d)[0] is False

@@ -32,8 +32,9 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     bucket/truncate the caller passes the transformed value), and
     `source_partition_filter` takes SOURCE column values instead — the
     adapter evaluates identity / bucket[N] (the spec's seed-0 Murmur3,
-    vectors pinned) / truncate[W] itself, keeping entries under
-    transforms it cannot evaluate;
+    vectors pinned) / truncate[W] / year / month / day / hour itself
+    (temporal only from unambiguous datetime inputs), keeping entries
+    under anything it cannot evaluate;
   * zone-map pruning: `stats_filter` decodes `lower_bounds` /
     `upper_bounds` (the spec's single-value binary serialization,
     little-endian for numerics) for NUMERIC predicates only,
@@ -424,6 +425,27 @@ def _apply_transform(transform: str, value):
             return True, value - (value % w)  # W * floor(v/W), negatives too
         if isinstance(value, str):
             return True, value[:w]
+        return False, None
+    if transform in ("year", "month", "day", "hour"):
+        # Temporal transforms evaluate only from UNAMBIGUOUS inputs
+        # (datetime.date / datetime.datetime) — an int could be a day
+        # ordinal or epoch micros, and guessing would prune wrong files.
+        import datetime as _dt
+
+        if isinstance(value, _dt.datetime):
+            if transform == "hour":
+                epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
+                secs = (value - epoch).total_seconds()
+                return True, int(secs // 3600)
+            value = value.date()
+        elif transform == "hour":
+            return False, None  # hour of a bare date is undefined
+        if isinstance(value, _dt.date):
+            if transform == "year":
+                return True, value.year - 1970
+            if transform == "month":
+                return True, (value.year - 1970) * 12 + (value.month - 1)
+            return True, (value - _dt.date(1970, 1, 1)).days  # day ordinal
         return False, None
     return False, None
 
