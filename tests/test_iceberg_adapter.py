@@ -1167,3 +1167,37 @@ def test_temporal_transform_evaluation():
     # ambiguity refuses to prune
     assert _apply_transform("year", 17486)[0] is False
     assert _apply_transform("hour", d)[0] is False
+
+
+def test_decimal_bounds_decode_exactly():
+    """Decimal bounds (minimal big-endian two's-complement unscaled per
+    spec Appendix D) decode to EXACT Fractions — boundary comparisons in
+    _entry_survives cannot flip on float representability."""
+    from fractions import Fraction
+
+    from xml_to_parquet_spark.sources.iceberg import (
+        _decode_bound,
+        _entry_survives,
+    )
+
+    # 14.20 as decimal(9, 2): unscaled 1420 -> bytes 0x05 0x8C
+    assert _decode_bound("decimal(9, 2)", b"\x05\x8c") == Fraction(142, 10)
+    # negative: -1.01 -> unscaled -101 -> minimal two's complement 0x9B
+    assert _decode_bound("decimal(9, 2)", b"\x9b") == Fraction(-101, 100)
+    # an entry with decimal bounds [14.20, 20.00] under field id 1
+    entry = {
+        "lower_bounds": [{"key": 1, "value": b"\x05\x8c"}],
+        "upper_bounds": [{"key": 1, "value": b"\x07\xd0"}],
+    }
+    preds_keep = [(1, "decimal(9, 2)", ">=", 14.2)]
+    preds_prune = [(1, "decimal(9, 2)", ">", 20.0)]
+    assert _entry_survives(entry, preds_keep)
+    assert not _entry_survives(entry, preds_prune)
+    # boundary exactness: lit 14.2 (a non-representable float, actually
+    # 14.19999...) must NOT prune a file whose upper bound is exactly
+    # 14.20 under op ">=" — Fraction comparison gets this right
+    assert _entry_survives(
+        {"lower_bounds": None,
+         "upper_bounds": [{"key": 1, "value": b"\x05\x8c"}]},
+        [(1, "decimal(9, 2)", ">=", 14.2)],
+    )

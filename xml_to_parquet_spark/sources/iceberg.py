@@ -36,8 +36,10 @@ metadata tree (iceberg.apache.org/spec, format versions 1 and 2):
     (temporal only from unambiguous datetime inputs), keeping entries
     under anything it cannot evaluate;
   * zone-map pruning: `stats_filter` decodes `lower_bounds` /
-    `upper_bounds` (the spec's single-value binary serialization,
-    little-endian for numerics) for NUMERIC predicates only,
+    `upper_bounds` (the spec's single-value binary serialization:
+    little-endian numerics, and minimal big-endian two's-complement
+    decimals decoded to EXACT Fractions so boundary comparisons cannot
+    flip on float representability) for NUMERIC predicates only,
     keep-on-missing — same soundness contract as the Delta adapter;
   * v2 row-level deletes, BOTH kinds: POSITION delete files (content=1)
     are read as ordinary parquet (file_path, pos) and applied as a
@@ -483,11 +485,29 @@ _NUMERIC_DECODERS = {
 }
 
 
+_DECIMAL_RE = re.compile(r"^decimal\(\s*\d+\s*,\s*(\d+)\s*\)$")
+
+
 def _decode_bound(type_name, raw):
     """Single-value binary serialization (spec Appendix D), numeric types
-    only — None for anything else or malformed, which KEEPS the file."""
-    dec = _NUMERIC_DECODERS.get(type_name) if isinstance(type_name, str) else None
-    if dec is None or raw is None:
+    only — None for anything else or malformed, which KEEPS the file.
+    Decimals (minimal big-endian two's-complement unscaled value) decode
+    to EXACT Fractions so a comparison against the caller's literal can
+    never flip at a float-representability boundary and prune a file
+    that held matching rows."""
+    if not isinstance(type_name, str) or raw is None:
+        return None
+    m = _DECIMAL_RE.match(type_name)
+    if m:
+        from fractions import Fraction
+
+        b = bytes(raw)
+        if not b:
+            return None
+        unscaled = int.from_bytes(b, "big", signed=True)
+        return Fraction(unscaled, 10 ** int(m.group(1)))
+    dec = _NUMERIC_DECODERS.get(type_name)
+    if dec is None:
         return None
     try:
         return dec(bytes(raw))
