@@ -329,3 +329,40 @@ def test_package_encoder_refuses_unknown_codec(tmp_path):
 
     with pytest.raises(AvroError, match="snappy"):
         write_container(str(tmp_path / "x.avro"), "long", [1], codec="snappy")
+
+
+@settings(max_examples=400, deadline=None)
+@given(off=st.integers(min_value=0, max_value=10**6),
+       flip=st.integers(min_value=1, max_value=255),
+       codec=st.sampled_from(["null", "deflate"]))
+def test_corrupt_container_bytes_never_crash(off, flip, codec):
+    """Failure contract mirroring the image/audio codec fuzz suites
+    (the r13 GIF finding's lesson): flipping any single byte of a
+    container — header, embedded schema JSON, block counts, payload,
+    sync — must either raise ValueError (AvroError and friends) or
+    decode to SOMETHING, never KeyError / zlib.error / IndexError /
+    a hang from a forged 2^40 block count."""
+    good = encode_container(_FULL_SCHEMA, [_sample(i) for i in range(3)], codec)
+    off %= len(good)
+    bad = good[:off] + bytes([good[off] ^ flip]) + good[off + 1 :]
+    try:
+        read_container(bad)
+    except ValueError:
+        pass
+
+
+def test_forged_block_counts_refused():
+    """Hand-built corruptions the random fuzz may not land on: a huge
+    array block count inside a datum, and a huge record count on the
+    container block — both provably exceed the remaining bytes."""
+    good = encode_container(
+        {"type": "record", "name": "r",
+         "fields": [{"name": "a",
+                     "type": {"type": "array", "items": "long"}}]},
+        [{"a": [1, 2, 3]}],
+    )
+    # the container path: patch n_records (first varint after the sync)
+    hdr_end = good.index(SYNC) + 16
+    forged = good[:hdr_end] + zz(2**40) + good[hdr_end + len(zz(1)):]
+    with pytest.raises(AvroError):
+        read_container(forged)

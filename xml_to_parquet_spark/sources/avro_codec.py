@@ -113,19 +113,21 @@ def _decode(schema, cur: _Cursor, names: dict):
         raise AvroError(f"unknown Avro type {t!r}")
     if not isinstance(schema, dict):
         raise AvroError(f"malformed schema node {schema!r}")
-    t = schema["type"]
+    t = _node(schema, "type")
     if isinstance(t, (dict, list)):  # {"type": {...}} wrapper
         return _decode(t, cur, names)
     if t == "record":
         _register_name(schema, names)
-        return {
-            f["name"]: _decode(f["type"], cur, names)
-            for f in schema["fields"]
-        }
+        out = {}
+        for f in _node(schema, "fields"):
+            if not isinstance(f, dict):
+                raise AvroError(f"malformed record field {f!r}")
+            out[_node(f, "name")] = _decode(_node(f, "type"), cur, names)
+        return out
     if t == "enum":
         _register_name(schema, names)
         idx = cur.read_long()
-        symbols = schema["symbols"]
+        symbols = _node(schema, "symbols")
         if not 0 <= idx < len(symbols):
             raise AvroError(f"enum index {idx} outside {symbols}")
         return symbols[idx]
@@ -135,8 +137,9 @@ def _decode(schema, cur: _Cursor, names: dict):
             if count < 0:  # negative count: block byte size follows
                 count = -count
                 cur.read_long()
+            _check_block_count(count, cur)
             for _ in range(count):
-                out.append(_decode(schema["items"], cur, names))
+                out.append(_decode(_node(schema, "items"), cur, names))
         return out
     if t == "map":
         out = {}
@@ -144,14 +147,42 @@ def _decode(schema, cur: _Cursor, names: dict):
             if count < 0:
                 count = -count
                 cur.read_long()
+            _check_block_count(count, cur)
             for _ in range(count):
                 key = cur.read_bytes().decode("utf-8")
-                out[key] = _decode(schema["values"], cur, names)
+                out[key] = _decode(_node(schema, "values"), cur, names)
         return out
     if t == "fixed":
         _register_name(schema, names)
-        return cur.take(schema["size"])
+        size = _node(schema, "size")
+        if not isinstance(size, int) or size < 0:
+            raise AvroError(f"malformed fixed size {size!r}")
+        return cur.take(size)
     return _decode(t, cur, names)  # primitive spelled as {"type": "long"}
+
+
+def _node(schema: dict, key: str):
+    """Required schema attribute; a corrupt embedded avro.schema must
+    surface as AvroError, never KeyError (failure-contract discipline —
+    the codec fuzz suites pin this)."""
+    try:
+        return schema[key]
+    except KeyError:
+        raise AvroError(
+            f"malformed schema node: missing {key!r} in {schema!r}"
+        ) from None
+
+
+def _check_block_count(count: int, cur: _Cursor) -> None:
+    """A block count beyond the remaining bytes is provably corrupt —
+    every encoded item consumes at least one bit of future input in any
+    realistic schema, and honoring a forged 2^40 count would spin or
+    OOM before the truncation guard could fire."""
+    if count > len(cur.buf) - cur.pos + 1:
+        raise AvroError(
+            f"block count {count} exceeds the {len(cur.buf) - cur.pos} "
+            "bytes remaining: corrupt block"
+        )
 
 
 def _register_name(schema: dict, names: dict, ns: str | None = None) -> str | None:
@@ -368,7 +399,15 @@ def read_container(data: bytes) -> tuple[dict, list]:
                 "sync marker mismatch mid-file: torn or corrupt container"
             )
         if codec == "deflate":
-            block = zlib.decompress(block, wbits=-15)
+            try:
+                block = zlib.decompress(block, wbits=-15)
+            except zlib.error as exc:
+                raise AvroError(f"corrupt deflate block: {exc}") from exc
+        if n_records < 0 or n_records > len(block) + 1:
+            raise AvroError(
+                f"block declares {n_records} records in {len(block)} "
+                "bytes: corrupt block"
+            )
         bcur = _Cursor(block)
         for _ in range(n_records):
             records.append(_decode(schema, bcur, names))
