@@ -626,3 +626,25 @@ def test_protocol_upgrade_in_incremental_window_refused(tmp_path):
     ])
     with pytest.raises(ValueError, match="someFutureFeature"):
         delta_incremental_files(table, 0, 1)
+
+
+@settings(max_examples=400, deadline=None)
+@given(off=st.integers(min_value=0, max_value=10**6),
+       flip=st.integers(min_value=1, max_value=255),
+       dense=st.booleans())
+def test_dv_corrupt_bytes_never_crash(off, flip, dense):
+    """Failure contract mirroring the codec fuzz suites (the r13 GIF
+    lesson): flipping any byte of a serialized RoaringBitmapArray must
+    either raise ValueError or decode to SOME position array — never
+    struct.error/IndexError (truncated reads are bounds-checked by
+    _unpack) or a crash from a forged container count."""
+    base = {1, 5, 17, 300, 70000, 70001, 2**33, 2**33 + 65537}
+    run_keys = frozenset({0}) if dense else frozenset()
+    good = _serialize_treemap(sorted(base), run_keys=run_keys)
+    off %= len(good)
+    bad = good[:off] + bytes([good[off] ^ flip]) + good[off + 1 :]
+    try:
+        out = delta_dv.decode_dv_positions(bad)
+    except ValueError:
+        return
+    assert out.dtype == np.int64

@@ -169,6 +169,19 @@ _SERIAL_COOKIE_NO_RUN = 12346
 _NO_OFFSET_THRESHOLD = 4  # offsets omitted for run-format with < 4 containers
 
 
+def _unpack(fmt: str, data: bytes, pos: int):
+    """Bounds-checked struct.unpack_from: truncated bitmap bytes surface
+    as the documented ValueError, never struct.error (failure-contract
+    discipline; the DV corruption fuzz pins this)."""
+    need = struct.calcsize(fmt)
+    if pos + need > len(data):
+        raise ValueError(
+            f"deletion vector truncated: wanted {need} bytes at {pos}, "
+            f"have {len(data) - pos}"
+        )
+    return struct.unpack_from(fmt, data, pos)[0]
+
+
 def decode_dv_positions(data: bytes) -> np.ndarray:
     """Sorted int64 row indexes from a serialized RoaringBitmapArray.
 
@@ -195,6 +208,14 @@ def decode_dv_positions(data: bytes) -> np.ndarray:
             raise ValueError("deletion vector truncated before a bitmap key")
         key = struct.unpack_from("<I", data, pos)[0]
         pos += 4
+        if key >= 1 << 31:
+            # (key << 32) | low32 would exceed int64 — no real row index
+            # does (Delta row indexes are int64); numpy would otherwise
+            # promote the addition to float64 and hand back silently
+            # WRONG positions (found by the corruption fuzz)
+            raise ValueError(
+                f"bitmap key {key} exceeds the int64 row-index range"
+            )
         values, pos = _decode_roaring32(data, pos)
         chunks.append(values.astype(np.int64) + (int(key) << 32))
     out = np.concatenate(chunks) if chunks else np.empty(0, dtype=np.int64)
@@ -208,7 +229,7 @@ def _decode_roaring32(data: bytes, pos: int) -> tuple[np.ndarray, int]:
     descriptive header, the offset header (always present without runs;
     present with runs only at >= 4 containers — skipped either way, the
     containers are read sequentially), and the three container codecs."""
-    cookie = struct.unpack_from("<I", data, pos)[0]
+    cookie = _unpack("<I", data, pos)
     if cookie & 0xFFFF == _SERIAL_COOKIE:
         size = (cookie >> 16) + 1
         run_bytes = (size + 7) // 8
@@ -218,7 +239,7 @@ def _decode_roaring32(data: bytes, pos: int) -> tuple[np.ndarray, int]:
         header = pos + 4 + run_bytes
         has_runs = True
     elif cookie == _SERIAL_COOKIE_NO_RUN:
-        size = struct.unpack_from("<I", data, pos + 4)[0]
+        size = _unpack("<I", data, pos + 4)
         header = pos + 8
         has_runs = False
         run_bitset = b""
@@ -233,7 +254,7 @@ def _decode_roaring32(data: bytes, pos: int) -> tuple[np.ndarray, int]:
         key = int(keys_cards[2 * i])
         card = int(keys_cards[2 * i + 1]) + 1
         if has_runs and run_bitset[i // 8] & (1 << (i % 8)):
-            n_runs = struct.unpack_from("<H", data, body)[0]
+            n_runs = _unpack("<H", data, body)
             body += 2
             runs = np.frombuffer(
                 data, dtype="<u2", count=2 * n_runs, offset=body
