@@ -45,20 +45,11 @@ R16_OPS = [
 ]
 
 
-R16_PROMOTED_AT_R14 = {  # first 4 alphabetical, per R14_PLAN.md
-    "dq_autocorrelation",
-    "dq_outlier_mad",
-    "graph_degree_assortativity",
-    "lake_compaction_plan",
-}
-
-
 def test_r16_staged_ops_hidden_from_driver_registry(reg):
+    # The full tier is promoted: first 4 alphabetical at r14 (R14_PLAN),
+    # the 4 leftovers at r15 (R15_PLAN) — none remain staged.
     for name in R16_OPS:
-        if name in R16_PROMOTED_AT_R14:
-            assert name not in STAGED and name in reg
-        else:
-            assert name in STAGED and name not in reg
+        assert name not in STAGED and name in reg
 
 
 # ---------------------------------------------------------------------------

@@ -14,7 +14,7 @@ from hashlib import md5
 import pandas as pd
 import pytest
 
-from xml_to_parquet_spark.registry import STAGED, load_all
+from xml_to_parquet_spark.registry import STAGED, load_all, lookup
 
 
 @pytest.fixture(scope="module")
@@ -41,8 +41,9 @@ R17_OPS = [
 
 
 def test_r17_staged_ops_hidden_from_driver_registry(reg):
+    # The full r17 tier was promoted at the r15 rotation (R15_PLAN.md).
     for name in R17_OPS:
-        assert name in STAGED and name not in reg
+        assert name not in STAGED and name in reg
 
 
 # ---------------------------------------------------------------------------
@@ -67,7 +68,7 @@ def test_kmeans_update_matches_python(spark, sf_dir, reg):
                 acc += d * d
             ds.append((_round6(acc), cid))
         members[min(ds)[1]].append(v)
-    rows = STAGED["sim_kmeans_update"].fn(spark, sf_dir).collect()
+    rows = lookup("sim_kmeans_update").fn(spark, sf_dir).collect()
     got = {(r["centroid_id"], r["dim"]): r for r in rows}
     assert len(got) == len(members) * 64
     for cid, vs in members.items():
@@ -85,7 +86,7 @@ def test_kmeans_update_moves_centroids_toward_members(spark, sf_dir, reg):
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
     lo = min(min(e) for e in emb["embedding"])
     hi = max(max(e) for e in emb["embedding"])
-    rows = STAGED["sim_kmeans_update"].fn(spark, sf_dir).collect()
+    rows = lookup("sim_kmeans_update").fn(spark, sf_dir).collect()
     assert sum(r["n_assigned"] for r in rows) == len(emb) * 64
     for r in rows:
         assert lo <= r["mean_val"] <= hi, r
@@ -139,7 +140,7 @@ def test_covariance_matches_python(spark, sf_dir, reg):
             )
     got = {
         (r["col_x"], r["col_y"]): (r["n"], r["s_x"], r["s_y"], r["s_xy"], r["cov"])
-        for r in STAGED["agg_covariance_matrix"].fn(spark, sf_dir).collect()
+        for r in lookup("agg_covariance_matrix").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -147,7 +148,7 @@ def test_covariance_matches_python(spark, sf_dir, reg):
 def test_covariance_psd_diagonal(spark, sf_dir, reg):
     """Variances (the diagonal) are non-negative and each off-diagonal
     obeys Cauchy–Schwarz |cov(x,y)| ≤ sqrt(var x · var y)."""
-    rows = STAGED["agg_covariance_matrix"].fn(spark, sf_dir).collect()
+    rows = lookup("agg_covariance_matrix").fn(spark, sf_dir).collect()
     cov = {(r["col_x"], r["col_y"]): r["cov"] for r in rows}
     var = {a: cov[(a, a)] for (a, b) in cov if a == b}
     for a in var:
@@ -215,7 +216,7 @@ def test_blocking_metrics_match_python(spark, sf_dir, reg):
             r["true_found"],
             r["pairs_completeness"],
         )
-        for r in STAGED["er_blocking_metrics"].fn(spark, sf_dir).collect()
+        for r in lookup("er_blocking_metrics").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -227,7 +228,7 @@ def test_blocking_metrics_designed_contrast(spark, sf_dir, reg):
     plants — and every rule kills most of the quadratic."""
     rows = {
         r["scheme"]: r
-        for r in STAGED["er_blocking_metrics"].fn(spark, sf_dir).collect()
+        for r in lookup("er_blocking_metrics").fn(spark, sf_dir).collect()
     }
     assert rows["phone_prefix2"]["pairs_completeness"] == 1.0
     assert rows["city"]["pairs_completeness"] < 1.0
@@ -281,7 +282,7 @@ def test_clustering_depth_matches_python(spark, sf_dir, reg):
             r["avg_overlaps"],
             r["max_overlaps"],
         )
-        for r in STAGED["lake_clustering_depth"].fn(spark, sf_dir).collect()
+        for r in lookup("lake_clustering_depth").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -292,7 +293,7 @@ def test_clustering_depth_contrast(spark, sf_dir, reg):
     every file overlaps every other."""
     rows = {
         r["layout"]: r
-        for r in STAGED["lake_clustering_depth"].fn(spark, sf_dir).collect()
+        for r in lookup("lake_clustering_depth").fn(spark, sf_dir).collect()
     }
     b, s = rows["key_banded"], rows["key_scattered"]
     assert b["overlap_pairs"] == 0 and b["max_overlaps"] == 0
@@ -351,7 +352,7 @@ def test_harmonic_landmarks_match_python_bfs(spark, sf_dir, reg):
             r["harmonic_scaled6"],
             r["harmonic3"],
         )
-        for r in STAGED["graph_harmonic_landmarks"].fn(spark, sf_dir).collect()
+        for r in lookup("graph_harmonic_landmarks").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -360,7 +361,7 @@ def test_harmonic_landmarks_bfs_disjointness(spark, sf_dir, reg):
     """Hop sets are disjoint by construction, so the counts can never
     exceed |V|−1 in total, and the scaled sum is exactly the lcm-6
     weighting (divisible checks)."""
-    rows = STAGED["graph_harmonic_landmarks"].fn(spark, sf_dir).collect()
+    rows = lookup("graph_harmonic_landmarks").fn(spark, sf_dir).collect()
     nbrs = _cooc_nbrs(sf_dir)
     assert len(rows) == min(16, len(nbrs))
     for r in rows:
@@ -382,7 +383,7 @@ def test_kmeans_update_plan_no_corpus_explode_no_window(spark, sf_dir, reg):
     long format explodes the K-row RESULT."""
     from xml_to_parquet_spark.plans.inspect import node_counts, physical_plan
 
-    df = STAGED["sim_kmeans_update"].fn(spark, sf_dir)
+    df = lookup("sim_kmeans_update").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("Window", 0) == 0, n
     plan = physical_plan(df)
@@ -399,7 +400,7 @@ def test_covariance_plan_single_scan_single_row_exchange(spark, sf_dir, reg):
     aggregated row — no joins, no unions over the lineage."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["agg_covariance_matrix"].fn(spark, sf_dir)
+    df = lookup("agg_covariance_matrix").fn(spark, sf_dir)
     # exactly ONE ReadSchema == exactly one scan (a per-pair or unioned
     # formulation would list one per branch)
     rs = read_schemas(df)
@@ -415,7 +416,7 @@ def test_blocking_metrics_plan_counts_only(spark, sf_dir, reg):
     broadcast-sized."""
     from xml_to_parquet_spark.plans.inspect import node_counts
 
-    df = STAGED["er_blocking_metrics"].fn(spark, sf_dir)
+    df = lookup("er_blocking_metrics").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("SortMergeJoin", 0) == 0, n
     assert n.get("Window", 0) == 0, n
@@ -429,7 +430,7 @@ def test_clustering_depth_plan_manifest_only(spark, sf_dir, reg):
         physical_plan,
     )
 
-    df = STAGED["lake_clustering_depth"].fn(spark, sf_dir)
+    df = lookup("lake_clustering_depth").fn(spark, sf_dir)
     assert "FileScan" not in physical_plan(df)
     assert broadcast_join_count(df) >= 1
 
@@ -443,7 +444,7 @@ def test_harmonic_landmarks_plan_checkpointed_frontiers(spark, sf_dir, reg):
         physical_plan,
     )
 
-    df = STAGED["graph_harmonic_landmarks"].fn(spark, sf_dir)
+    df = lookup("graph_harmonic_landmarks").fn(spark, sf_dir)
     plan = physical_plan(df)
     assert "FileScan" not in plan
     assert broadcast_join_count(df) >= 3

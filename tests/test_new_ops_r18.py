@@ -14,7 +14,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import pandas as pd
 import pytest
 
-from xml_to_parquet_spark.registry import STAGED, load_all
+from xml_to_parquet_spark.registry import STAGED, load_all, lookup
 
 
 @pytest.fixture(scope="module")
@@ -35,9 +35,18 @@ R18_OPS = [
 ]
 
 
+R18_PROMOTED_AT_R15 = {  # first 2 alphabetical, per R15_PLAN.md
+    "curate_url_dedup",
+    "dq_mutual_information",
+}
+
+
 def test_r18_staged_ops_hidden_from_driver_registry(reg):
     for name in R18_OPS:
-        assert name in STAGED and name not in reg
+        if name in R18_PROMOTED_AT_R15:
+            assert name not in STAGED and name in reg
+        else:
+            assert name in STAGED and name not in reg
 
 
 # ---------------------------------------------------------------------------
@@ -98,7 +107,7 @@ def test_modularity_matches_python(spark, sf_dir, reg):
     q = _round6(float(total) / (4.0 * float(m) * float(m)))
     got = {
         r["community"]: r
-        for r in STAGED["graph_modularity"].fn(spark, sf_dir).collect()
+        for r in lookup("graph_modularity").fn(spark, sf_dir).collect()
     }
     assert set(got) == set(d_sum)
     for c, r in got.items():
@@ -112,7 +121,7 @@ def test_modularity_matches_python(spark, sf_dir, reg):
 def test_modularity_identities(spark, sf_dir, reg):
     """Σ d_c = 2m and Σ e_c ≤ m (cross-community edges are the gap);
     Q ≤ 1 always."""
-    rows = STAGED["graph_modularity"].fn(spark, sf_dir).collect()
+    rows = lookup("graph_modularity").fn(spark, sf_dir).collect()
     edges, _ = _cooc(sf_dir)
     assert sum(r["d_sum"] for r in rows) == 2 * len(edges)
     assert sum(r["e_in"] for r in rows) <= len(edges)
@@ -140,7 +149,7 @@ def test_mutual_information_matches_python(spark, sf_dir, reg):
     ) / float(big_n)
     got = {
         (r["pri"], r["st"]): r
-        for r in STAGED["dq_mutual_information"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_mutual_information").fn(spark, sf_dir).collect()
     }
     assert set(got) == set(cell)
     for (p, s), r in got.items():
@@ -159,7 +168,7 @@ def test_mutual_information_matches_python(spark, sf_dir, reg):
 def test_mutual_information_nonneg_total(spark, sf_dir, reg):
     """MI ≥ 0 always (Gibbs); individual PMIs may be negative — both
     signs should appear on a dependent cross-tab."""
-    rows = STAGED["dq_mutual_information"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_mutual_information").fn(spark, sf_dir).collect()
     assert rows[0]["mi_total"] >= 0
     assert len({r["mi_total"] for r in rows}) == 1  # same total on every row
 
@@ -206,7 +215,7 @@ def test_url_dedup_matches_python(spark, sf_dir, reg):
             r["n_variants"],
             r["n_distinct_surface"],
         )
-        for r in STAGED["curate_url_dedup"].fn(spark, sf_dir).collect()
+        for r in lookup("curate_url_dedup").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -215,7 +224,7 @@ def test_url_dedup_collapses_planted_variants(spark, sf_dir, reg):
     """Every full group of 4 consecutive docs collapses to one survivor
     with 4 DISTINCT surface forms — surface dedup alone would keep all
     four."""
-    rows = STAGED["curate_url_dedup"].fn(spark, sf_dir).collect()
+    rows = lookup("curate_url_dedup").fn(spark, sf_dir).collect()
     full = [r for r in rows if r["n_variants"] == 4]
     assert full, "planted 4-groups must exist"
     for r in full:
@@ -257,7 +266,7 @@ def test_theil_sen_matches_python(spark, sf_dir, reg):
     )
     k = len(resid)
     icept = resid[(k + (k % 2)) // 2 - 1][0]
-    [row] = STAGED["timeseries_theil_sen"].fn(spark, sf_dir).collect()
+    [row] = lookup("timeseries_theil_sen").fn(spark, sf_dir).collect()
     assert row["n_days"] == len(series)
     assert row["n_pairs"] == n
     assert row["slope"] == pytest.approx(slope, abs=2e-6)
@@ -270,7 +279,7 @@ def test_theil_sen_robust_to_outlier(spark, sf_dir, reg):
     and the fitted line's median residual is ~0 by construction of the
     intercept (lower-median residual after subtracting it is ≤ 0 ≤
     upper)."""
-    [row] = STAGED["timeseries_theil_sen"].fn(spark, sf_dir).collect()
+    [row] = lookup("timeseries_theil_sen").fn(spark, sf_dir).collect()
     series = _daily(sf_dir)
     mx = max(series) - min(series)
     assert abs(row["slope"]) <= mx
@@ -301,7 +310,7 @@ def test_pq_train_matches_python(spark, sf_dir, reg):
                     acc += d * d
                 ds.append((_round6(acc), cw))
             members[(sub, min(ds)[1])].append(v)
-    rows = STAGED["sim_pq_train"].fn(spark, sf_dir).collect()
+    rows = lookup("sim_pq_train").fn(spark, sf_dir).collect()
     got = {(r["subspace"], r["codeword"], r["dim"]): r for r in rows}
     assert len(got) == len(members) * 16
     for (sub, cw), vs in members.items():
@@ -317,7 +326,7 @@ def test_pq_train_partitions_per_subspace(spark, sf_dir, reg):
     populations sum to the corpus, independently of the other
     subspaces — the independence that makes PQ a product quantizer."""
     emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id"])
-    rows = STAGED["sim_pq_train"].fn(spark, sf_dir).collect()
+    rows = lookup("sim_pq_train").fn(spark, sf_dir).collect()
     per_sub = defaultdict(int)
     for r in rows:
         if r["dim"] == 1:
@@ -338,7 +347,7 @@ def test_modularity_plan_no_filescan_window_on_grid(spark, sf_dir, reg):
     the community grid."""
     from xml_to_parquet_spark.plans.inspect import physical_plan
 
-    df = STAGED["graph_modularity"].fn(spark, sf_dir)
+    df = lookup("graph_modularity").fn(spark, sf_dir)
     assert "FileScan" not in physical_plan(df)
 
 
@@ -347,7 +356,7 @@ def test_mutual_information_plan_single_scan_no_joins(spark, sf_dir, reg):
     margins as window sums over the cell grid, zero joins."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["dq_mutual_information"].fn(spark, sf_dir)
+    df = lookup("dq_mutual_information").fn(spark, sf_dir)
     rs = read_schemas(df)
     assert rs == ["struct<o_orderstatus:string,o_orderpriority:string>"], rs
     n = node_counts(df)
@@ -359,7 +368,7 @@ def test_url_dedup_plan_map_only_into_one_agg(spark, sf_dir, reg):
     combinable groupBy — no joins, no windows, scan pruned to doc_id."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["curate_url_dedup"].fn(spark, sf_dir)
+    df = lookup("curate_url_dedup").fn(spark, sf_dir)
     assert read_schemas(df) == ["struct<doc_id:bigint>"]
     n = node_counts(df)
     assert n.get("Window", 0) == 0, n
@@ -372,7 +381,7 @@ def test_theil_sen_plan_grid_only(spark, sf_dir, reg):
     arithmetic with no FileScan."""
     from xml_to_parquet_spark.plans.inspect import physical_plan
 
-    df = STAGED["timeseries_theil_sen"].fn(spark, sf_dir)
+    df = lookup("timeseries_theil_sen").fn(spark, sf_dir)
     assert "FileScan" not in physical_plan(df)
 
 
@@ -382,7 +391,7 @@ def test_pq_train_plan_broadcast_seed_no_window(spark, sf_dir, reg):
     format explodes ABOVE the aggregate."""
     from xml_to_parquet_spark.plans.inspect import node_counts, physical_plan
 
-    df = STAGED["sim_pq_train"].fn(spark, sf_dir)
+    df = lookup("sim_pq_train").fn(spark, sf_dir)
     n = node_counts(df)
     assert n.get("Window", 0) == 0, n
     plan = physical_plan(df)

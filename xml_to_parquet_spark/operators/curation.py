@@ -869,7 +869,7 @@ _URL_CANON_SQL = (
 )
 
 
-@register_staged(
+@register(
     "curate_url_dedup",
     f"""
     WITH u AS (SELECT doc_id, {_URL_MESSY_SQL} AS url FROM documents),

@@ -2172,7 +2172,7 @@ def _blocking_metrics_oracle() -> str:
     """
 
 
-@register_staged("er_blocking_metrics", _blocking_metrics_oracle())
+@register("er_blocking_metrics", _blocking_metrics_oracle())
 def er_blocking_metrics(spark, sf_dir):
     """BLOCKING-SCHEME EVALUATION — the analysis every ER deployment
     runs before linking (Splink's blocking-rule profiler; Christen's

@@ -1223,7 +1223,7 @@ def _harmonic_oracle() -> str:
     """
 
 
-@register_staged("graph_harmonic_landmarks", _harmonic_oracle())
+@register("graph_harmonic_landmarks", _harmonic_oracle())
 def graph_harmonic_landmarks(spark, sf_dir):
     """LANDMARK harmonic centrality — the production approximation for
     centrality on graphs where all-pairs BFS is unthinkable (Boldi &

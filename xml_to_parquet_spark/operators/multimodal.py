@@ -1634,7 +1634,7 @@ def _palette_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-@register_staged(
+@register(
     "mm_image_palette",
     f"""
     WITH dims AS (

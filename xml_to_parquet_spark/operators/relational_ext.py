@@ -3851,7 +3851,7 @@ def _cov_oracle() -> str:
     """
 
 
-@register_staged("agg_covariance_matrix", _cov_oracle())
+@register("agg_covariance_matrix", _cov_oracle())
 def agg_covariance_matrix(spark, sf_dir):
     """Pairwise sample COVARIANCE MATRIX of the four lineitem measures
     (quantity, price, discount, tax) — the one-pass second-moment
@@ -3924,7 +3924,7 @@ _MI_TOTAL = (
 )
 
 
-@register_staged(
+@register(
     "dq_mutual_information",
     f"""
     WITH cell AS (

@@ -1973,7 +1973,7 @@ _SIL_S = (
 )
 
 
-@register_staged(
+@register(
     "sim_silhouette",
     f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS ce
@@ -2076,7 +2076,7 @@ def sim_silhouette(spark, sf_dir):
 KMEANS_DIMS = 64
 
 
-@register_staged(
+@register(
     "sim_kmeans_update",
     f"""
     WITH c AS (SELECT vec_id AS cid, embedding AS ce

@@ -1710,7 +1710,7 @@ def lake_compaction_plan(spark, sf_dir):
 BAND_FILES = 16  # files in the key-banded (clustered) layout
 
 
-@register_staged(
+@register(
     "lake_clustering_depth",
     f"""
     WITH mx AS (SELECT max(o_orderkey) + 1 AS d FROM orders),

@@ -1419,7 +1419,7 @@ _LIFT_R = (
 )
 
 
-@register_staged(
+@register(
     "text_collocations_pmi",
     f"""
     WITH tok AS (SELECT {TOKENS_DUCK} AS toks FROM documents),
@@ -1523,7 +1523,7 @@ def text_collocations_pmi(spark, sf_dir):
 ZIPF_TOP_K = 30
 
 
-@register_staged(
+@register(
     "text_zipf_rank",
     f"""
     WITH tok AS (SELECT {TOKENS_DUCK} AS toks FROM documents),

@@ -68,74 +68,63 @@ def lookup(name: str) -> QueryDef:
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-14 rotation (R14_PLAN.md, per VERDICT r13 #2/#3): promote ELEVEN
-# stalest-staged ops (the full r15 tier + the first 4 alphabetical of
-# the r16 tier) PLUS the new lake_iceberg_snapshot (VERDICT r13 #3: the
-# Iceberg adapter gets a registry-visible driver proof, exactly the
-# promotion lake_delta_snapshot gave the Delta adapter at r13 — depth
-# made gradable, not a breadth op), and take the 2 FORCED rows-only
-# slots mm_decode_jpeg / mm_decode_jpeg_color (r8 proofs; r14 is their
-# scheduled slot per R13_PLAN — deferring again would burn r15/r16
-# slack). Fills: ALL 28 remaining oracle-backed r8-proof holders
-# (stalest tier; taking all 28 now keeps r15/r16 slack) + the first 5
-# alphabetical of the 47 r9-proof holders — dq_drift_histogram yields
-# its planned 6th slot to lake_iceberg_snapshot (r9 proofs pass the
-# bound at r15, nothing is lost; same yield trick as r13's
-# mm_audio_chunk), so 3 anchors + 12 new + 2 rows-only + 33 fills = 50.
+# Round-15 rotation (R15_PLAN.md, per VERDICT r14 #1): promote ELEVEN
+# stalest-staged ops — the 4 r16-tier leftovers (mm_image_palette,
+# sim_silhouette, text_collocations_pmi, text_zipf_rank), the full r17
+# tier (agg_covariance_matrix, er_blocking_metrics,
+# graph_harmonic_landmarks, lake_clustering_depth, sim_kmeans_update),
+# and the first 2 alphabetical of the r18 tier (curate_url_dedup,
+# dq_mutual_information). NO rows-only forcing this round (next is
+# approx_count_distinct at r16, per R15_PLAN's bound math). Fills: the
+# first 36 alphabetical of the 42 oracle-backed r9-proof holders (the
+# stalest tier, mechanically re-derived from the CORRECTNESS artifacts
+# at rotation time); the remaining 6 r9 holders go at r16 (they pass
+# r16's bound exactly: 9 >= 16-7). 3 anchors + 11 new + 36 fills = 50.
 # CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
 # max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
 # 47 rotating slots/round); rotation policy stays stalest-first. Previous
-# windows: r1-r13 lists are in git history.
+# windows: r1-r14 lists are in git history.
 NEW_TARGETS: list[str] = [
-    # oracle-backed, promoted from the staged tier at the r14 rotation
-    "curate_tokenizer_fertility",
-    "graph_bridges",
-    "dq_changepoint_cusum",
-    "timeseries_resample_ohlc",
-    "dq_chisq_independence",
-    "agg_weighted_median",
-    "er_survivorship",
-    "dq_autocorrelation",
-    "dq_outlier_mad",
-    "graph_degree_assortativity",
-    "lake_compaction_plan",
-    # VERDICT r13 #3: the Iceberg adapter's driver proof, registered
-    # directly into this window (depth made gradable; not a breadth op)
-    "lake_iceberg_snapshot",
+    # oracle-backed, promoted from the staged tier at the r15 rotation
+    "mm_image_palette",
+    "sim_silhouette",
+    "text_collocations_pmi",
+    "text_zipf_rank",
+    "agg_covariance_matrix",
+    "er_blocking_metrics",
+    "graph_harmonic_landmarks",
+    "lake_clustering_depth",
+    "sim_kmeans_update",
+    "curate_url_dedup",
+    "dq_mutual_information",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
-# The 2 rows-only r8-proof queries take their FORCED designated slots
-# this round (r6 contract precedent: deliberate rows-only proof slots;
-# R14_PLAN schedules the jpeg pair here — the last slot that keeps
-# r15/r16 slack under the rising bound).
-ROWS_ONLY_SLOTS: list[str] = [
-    "mm_decode_jpeg",
-    "mm_decode_jpeg_color",
-]
+# No forced rows-only slots at r15 (R15_PLAN: the next forcing is
+# approx_count_distinct at r16, where its r10 proof still passes the
+# staleness bound — taking it now would burn r16/r17 slack).
+ROWS_ONLY_SLOTS: list[str] = []
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
-    *ROWS_ONLY_SLOTS,
-    # fills: ALL 28 remaining oracle-backed r8-proof holders (the
-    # stalest tier; mechanically re-derived from the CORRECTNESS
-    # artifacts at rotation time) ...
-    "mm_audio_chunk", "mm_audio_wht", "mm_caption_dedup", "mm_decode_gif",
-    "pagerank_fixed", "pareto_frontier", "scalar_array_fns",
-    "scalar_case_when", "scalar_regexp_split", "scalar_xpath_fns",
-    "sim_ivf_persist", "sim_pipeline", "sim_quantized_topk",
-    "sim_random_projection", "sim_two_stage_rerank",
-    "sink_compact_small_files", "source_orc_roundtrip",
-    "stream_chained_agg", "stream_dedup_watermark", "stream_tumbling_window",
-    "stream_watermark_late_data", "text_perplexity_bigram",
-    "text_token_count", "timeseries_gap_fill", "udf_arrow_map",
-    "window_count_distinct", "window_first_last", "window_running_sum",
-    # ... + the first 5 alphabetical of the 47 oracle-backed r9-proof
-    # holders (dq_drift_histogram yielded its planned slot to
-    # lake_iceberg_snapshot per the NEW_TARGETS note above).
-    "agg_bitwise", "agg_corr", "agg_grouping_id", "agg_histogram",
-    "agg_string_collect",
+    # fills: the first 36 alphabetical of the 42 oracle-backed r9-proof
+    # holders (the stalest tier; mechanically re-derived from the
+    # CORRECTNESS artifacts at rotation time — all 42 hold latest
+    # proof round 9; the 6 alphabetical leftovers rotate at r16).
+    "dq_drift_histogram", "exists_correlated_subquery", "explode_unnest",
+    "graph_label_propagation", "in_subquery", "join_anti",
+    "join_interval_overlap", "join_right", "q13_customer_distribution",
+    "q15_top_supplier", "q19_discounted_revenue",
+    "q22_global_sales_opportunity", "q6_forecast_revenue", "q8_market_share",
+    "sample_hash_deterministic", "scalar_array_fns2", "scalar_date_fns2",
+    "scalar_levenshtein", "scalar_map_fns", "scalar_string_fns2",
+    "scalar_subquery", "sim_ann_lsh", "sim_embedding_neardup",
+    "sim_embedding_norms", "sim_ivfpq_search", "sim_quantize_int8",
+    "sink_partitioned_parquet", "sink_sorted_parquet", "sink_zorder_parquet",
+    "stream_foreach_batch", "stream_static_join", "stream_stream_outer",
+    "text_bm25_topk", "text_chunk_overlap", "text_dedup_chunks",
+    "text_fingerprint",
 ]
 
 
