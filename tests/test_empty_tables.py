@@ -259,6 +259,8 @@ REPRESENTATIVES_R12_R13_STAGED = [
     ("lake_vacuum_plan", 0),
     ("dq_freshness_lag", 0),
     ("sim_recall_at_k", 0),
+    # r15: the sharded packing twin (VERDICT r14 #2)
+    ("curate_pack_sharded", 0),
 ]
 
 

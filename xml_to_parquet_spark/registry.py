@@ -78,8 +78,11 @@ def lookup(name: str) -> QueryDef:
 # approx_count_distinct at r16, per R15_PLAN's bound math). Fills: the
 # first 36 alphabetical of the 42 oracle-backed r9-proof holders (the
 # stalest tier, mechanically re-derived from the CORRECTNESS artifacts
-# at rotation time); the remaining 6 r9 holders go at r16 (they pass
-# r16's bound exactly: 9 >= 16-7). 3 anchors + 11 new + 36 fills = 50.
+# at rotation time); text_fingerprint yields its planned 36th fill slot
+# to curate_pack_sharded (the r14 dq_drift_histogram yield trick — r9
+# proofs pass the bound at r16, nothing is lost), so the remaining 7 r9
+# holders go at r16 (bound check: 9 >= 16-7, exactly passes).
+# 3 anchors + 12 new + 35 fills = 50.
 # CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
 # max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
 # 47 rotating slots/round); rotation policy stays stalest-first. Previous
@@ -97,6 +100,11 @@ NEW_TARGETS: list[str] = [
     "sim_kmeans_update",
     "curate_url_dedup",
     "dq_mutual_information",
+    # VERDICT r14 #2: the sharded packing twin that retires the
+    # curate_pack_* single-partition window — registered directly into
+    # this window (depth/scale fix made gradable, the
+    # lake_iceberg_snapshot precedent; not a breadth op).
+    "curate_pack_sharded",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
@@ -109,9 +117,8 @@ GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
     # fills: the first 36 alphabetical of the 42 oracle-backed r9-proof
-    # holders (the stalest tier; mechanically re-derived from the
-    # CORRECTNESS artifacts at rotation time — all 42 hold latest
-    # proof round 9; the 6 alphabetical leftovers rotate at r16).
+    # holders MINUS text_fingerprint's yielded slot (see above; the 7
+    # r9 leftovers rotate at r16 — all 42 hold latest proof round 9).
     "dq_drift_histogram", "exists_correlated_subquery", "explode_unnest",
     "graph_label_propagation", "in_subquery", "join_anti",
     "join_interval_overlap", "join_right", "q13_customer_distribution",
@@ -124,7 +131,6 @@ GRADED_WINDOW: list[str] = [
     "sink_partitioned_parquet", "sink_sorted_parquet", "sink_zorder_parquet",
     "stream_foreach_batch", "stream_static_join", "stream_stream_outer",
     "text_bm25_topk", "text_chunk_overlap", "text_dedup_chunks",
-    "text_fingerprint",
 ]
 
 
