@@ -1,0 +1,294 @@
+"""Closures for the four ADVICE r14 items, one test class per item
+(the r14 pattern: every advisory lands with a regression test that
+re-runs the advisor's own verified counterexample).
+
+1. medium — iceberg temporal transforms evaluated tz-aware datetimes in
+   LOCAL wall time; spec timestamptz ordinals are UTC-based, so
+   source_partition_filter compared wrong ordinals and could PRUNE
+   files containing matching rows. Fixed: astimezone(utc) first.
+2. low — avro _check_block_count / the container record guard rejected
+   VALID files whose datums encode to zero bytes (all-null record
+   fields, arrays of null). Fixed: the remaining-bytes bound applies
+   only when the item schema provably consumes >=1 byte per datum;
+   zero-byte schemas get a sanity cap instead.
+3. low — the bucket transform raised on date-typed sources (spec hashes
+   dates as day-ordinal int64) and let struct.error escape for
+   out-of-int64 ints, contradicting the keep-on-unevaluable contract.
+   Fixed: dates/timestamps hash per spec Appendix B; unevaluable values
+   return (False, None).
+4. low — delta_version_as_of silently returned the LATEST version for a
+   future timestamp; Delta's reference timestampAsOf raises. Fixed:
+   raises, with the intentional divergence from Iceberg-style as-of
+   documented in the docstring.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import os
+import struct
+
+import pytest
+
+from xml_to_parquet_spark.sources.avro_codec import (
+    AvroError,
+    _ZERO_BYTE_COUNT_CAP,
+    _min_datum_bytes,
+    read_container,
+    read_container_file,
+    write_container,
+)
+from xml_to_parquet_spark.sources.iceberg import (
+    _apply_transform,
+    _bucket_hash_bytes,
+    murmur3_x86_32,
+)
+
+EST = dt.timezone(dt.timedelta(hours=-5))
+AWARE = dt.datetime(2017, 11, 16, 22, 31, 8, tzinfo=EST)  # = 2017-11-17T03:31:08Z
+
+
+# ---------------------------------------------------------------------------
+# 1. temporal transforms: tz-aware inputs normalize to UTC
+# ---------------------------------------------------------------------------
+
+
+def test_temporal_transforms_use_utc_for_aware_datetimes():
+    # the advisor's verified counterexample: local wall time gives day
+    # 17486 / hour 419686; UTC (correct) gives 17487 / 419691
+    assert _apply_transform("day", AWARE) == (True, 17487)
+    assert _apply_transform("hour", AWARE) == (True, 419691)
+    assert _apply_transform("month", AWARE) == (True, (2017 - 1970) * 12 + 10)
+    assert _apply_transform("year", AWARE) == (True, 47)
+
+
+def test_temporal_transforms_naive_datetime_unchanged():
+    naive = dt.datetime(2017, 11, 16, 22, 31, 8)
+    assert _apply_transform("day", naive) == (
+        True,
+        (dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days,
+    )
+    assert _apply_transform("hour", naive) == (
+        True,
+        ((dt.date(2017, 11, 16) - dt.date(1970, 1, 1)).days * 24 + 22),
+    )
+
+
+def test_temporal_transform_utc_aware_matches_naive_utc():
+    utc = AWARE.astimezone(dt.timezone.utc)
+    naive_utc = utc.replace(tzinfo=None)
+    assert _apply_transform("day", utc) == _apply_transform("day", naive_utc)
+    assert _apply_transform("hour", utc) == _apply_transform("hour", naive_utc)
+
+
+# ---------------------------------------------------------------------------
+# 2. avro: zero-byte datums are spec-legal
+# ---------------------------------------------------------------------------
+
+NULL_FIELD_RECORD = {
+    "type": "record",
+    "name": "AllNull",
+    "fields": [{"name": "nothing", "type": "null"}],
+}
+
+
+def test_avro_roundtrip_all_null_record_fields(tmp_path):
+    """The advisor's counterexample: write_container's OWN output for a
+    record with a 'null'-typed field failed read_container."""
+    path = str(tmp_path / "allnull.avro")
+    records = [{"nothing": None}] * 5
+    write_container(path, NULL_FIELD_RECORD, records)
+    schema, out = read_container_file(path)
+    assert out == records
+
+
+def test_avro_roundtrip_array_of_nulls(tmp_path):
+    schema = {
+        "type": "record",
+        "name": "Holder",
+        "fields": [
+            {"name": "xs", "type": {"type": "array", "items": "null"}}
+        ],
+    }
+    path = str(tmp_path / "nullarray.avro")
+    records = [{"xs": [None] * 7}, {"xs": []}]
+    write_container(path, schema, records)
+    _, out = read_container_file(path)
+    assert out == records
+
+
+def test_avro_zero_byte_forged_count_still_rejected(tmp_path):
+    """The guard is loosened, not removed: a zero-byte-item block
+    declaring more than the sanity cap still refuses."""
+    path = str(tmp_path / "one.avro")
+    write_container(path, NULL_FIELD_RECORD, [{"nothing": None}])
+    data = bytearray(open(path, "rb").read())
+    # locate the data block: it is the tail after the header sync; the
+    # block starts with zigzag(count=1) == b"\x02", then zigzag(size=0)
+    # == b"\x00", then the 16-byte sync. Forge the count beyond the cap.
+    forged = _zigzag_bytes(_ZERO_BYTE_COUNT_CAP + 1)
+    assert data[-18:-16] == b"\x02\x00"
+    data = data[:-18] + forged + b"\x00" + data[-16:]
+    with pytest.raises(AvroError, match="corrupt block"):
+        read_container(bytes(data))
+
+
+def _zigzag_bytes(n: int) -> bytes:
+    u = (n << 1) ^ (n >> 63)
+    out = bytearray()
+    while True:
+        b = u & 0x7F
+        u >>= 7
+        if u:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def test_avro_nonzero_byte_overrun_still_rejected():
+    """The original remaining-bytes bound still applies to >=1-byte
+    datums: an array-of-long block declaring 100 items in 2 bytes is
+    provably corrupt."""
+    schema = {
+        "type": "record",
+        "name": "R",
+        "fields": [{"name": "xs", "type": {"type": "array", "items": "long"}}],
+    }
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "x.avro")
+        write_container(path, schema, [{"xs": [1, 2]}])
+        data = bytearray(open(path, "rb").read())
+        # data block tail: count=1, size=len(payload), payload, sync.
+        # Forge the ARRAY's inner count (first byte of the payload).
+        payload = bytearray(_zigzag_bytes(2) + b"\x02\x04" + b"\x00")
+        assert data[-len(payload) - 16 : -16] == payload
+        data[-len(payload) - 16] = _zigzag_bytes(100)[0]
+        with pytest.raises(AvroError):
+            read_container(bytes(data))
+
+
+def test_min_datum_bytes_classification():
+    names: dict = {}
+    assert _min_datum_bytes("null", names) == 0
+    assert _min_datum_bytes("long", names) == 1
+    assert _min_datum_bytes(["null", "long"], names) == 1  # union index
+    assert _min_datum_bytes(NULL_FIELD_RECORD, names) == 0
+    assert (
+        _min_datum_bytes(
+            {
+                "type": "record",
+                "name": "Mixed",
+                "fields": [
+                    {"name": "a", "type": "null"},
+                    {"name": "b", "type": "int"},
+                ],
+            },
+            names,
+        )
+        == 1
+    )
+    assert _min_datum_bytes({"type": "fixed", "name": "F0", "size": 0}, names) == 0
+    assert _min_datum_bytes({"type": "array", "items": "null"}, names) == 1
+
+
+def test_avro_iceberg_manifest_schemas_unaffected():
+    """Iceberg manifest entries always consume >=1 byte, so the real
+    adapter path keeps the strong bound."""
+    manifest_entry_ish = {
+        "type": "record",
+        "name": "manifest_entry",
+        "fields": [
+            {"name": "status", "type": "int"},
+            {"name": "snapshot_id", "type": ["null", "long"]},
+        ],
+    }
+    assert _min_datum_bytes(manifest_entry_ish, {}) == 1
+
+
+# ---------------------------------------------------------------------------
+# 3. bucket transform: dates/timestamps hash per spec; keep-on-unevaluable
+# ---------------------------------------------------------------------------
+
+
+def test_bucket_hashes_date_as_day_ordinal():
+    d = dt.date(2017, 11, 16)
+    days = (d - dt.date(1970, 1, 1)).days
+    assert _bucket_hash_bytes(d) == struct.pack("<q", days)
+    # and the transform path evaluates instead of raising
+    ok, b = _apply_transform("bucket[16]", d)
+    assert ok
+    assert b == (murmur3_x86_32(struct.pack("<q", days)) & 0x7FFFFFFF) % 16
+
+
+def test_bucket_hashes_timestamp_as_epoch_micros_utc():
+    micros = int(AWARE.astimezone(dt.timezone.utc).timestamp() * 1_000_000)
+    assert _bucket_hash_bytes(AWARE) == struct.pack("<q", micros)
+    naive = dt.datetime(2017, 11, 17, 3, 31, 8)  # the UTC wall time
+    assert _bucket_hash_bytes(naive) == _bucket_hash_bytes(AWARE)
+
+
+def test_bucket_keep_on_unevaluable():
+    """Out-of-int64 ints and booleans keep the manifest entry (False,
+    None) instead of escaping struct.error / ValueError."""
+    assert _apply_transform("bucket[8]", 1 << 70) == (False, None)
+    assert _apply_transform("bucket[8]", True) == (False, None)
+    assert _apply_transform("bucket[8]", object()) == (False, None)
+
+
+def test_bucket_spec_vector_unchanged():
+    """The pinned spec Appendix B vector still holds (34 -> bucket
+    hash 2017239379): the date/timestamp additions changed nothing for
+    ints."""
+    assert murmur3_x86_32(struct.pack("<q", 34)) == 2017239379
+
+
+# ---------------------------------------------------------------------------
+# 4. delta_version_as_of: future instants raise (Delta reference)
+# ---------------------------------------------------------------------------
+
+
+def _minimal_delta_table(tmp_path, stamps):
+    table = str(tmp_path / "t")
+    log = os.path.join(table, "_delta_log")
+    os.makedirs(log)
+    meta = {
+        "metaData": {
+            "id": "advice-r15",
+            "format": {"provider": "parquet"},
+            "schemaString": json.dumps({"type": "struct", "fields": []}),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    for v, ts in enumerate(stamps):
+        actions = [{"commitInfo": {"timestamp": ts}}]
+        if v == 0:
+            actions.append({"protocol": {"minReaderVersion": 1}})
+            actions.append(meta)
+        actions.append(
+            {
+                "add": {
+                    "path": f"f{v}.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": ts,
+                    "dataChange": True,
+                }
+            }
+        )
+        with open(os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(json.dumps(a) for a in actions))
+    return table
+
+
+def test_version_as_of_future_timestamp_raises(tmp_path):
+    from xml_to_parquet_spark.sources.delta_log import delta_version_as_of
+
+    table = _minimal_delta_table(tmp_path, [1000, 2000, 3000])
+    assert delta_version_as_of(table, 3000) == 2  # boundary still serves
+    with pytest.raises(ValueError, match="after the latest dated version"):
+        delta_version_as_of(table, 3001)

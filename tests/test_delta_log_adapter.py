@@ -1350,9 +1350,13 @@ def test_version_as_of_resolves_commit_timestamps(tmp_path):
     assert delta_version_as_of(table, 1000) == 0
     assert delta_version_as_of(table, 1999) == 0
     assert delta_version_as_of(table, 2500) == 1
-    assert delta_version_as_of(table, 999_999) == 2
+    assert delta_version_as_of(table, 3000) == 2
     with pytest.raises(ValueError, match="at or before"):
         delta_version_as_of(table, 999)
+    # future instants raise per Delta's reference timestampAsOf
+    # (ADVICE r14; the full contract is pinned in test_advice_r15.py)
+    with pytest.raises(ValueError, match="after the latest"):
+        delta_version_as_of(table, 999_999)
 
 
 def test_version_as_of_prefers_in_commit_timestamp(tmp_path):
@@ -1388,4 +1392,4 @@ def test_version_as_of_mtime_fallback(tmp_path):
         os.utime(os.path.join(log, f"{v:020d}.json"), (sec, sec))
     assert delta_version_as_of(table, 10_000) == 0
     assert delta_version_as_of(table, 25_000) == 1
-    assert delta_version_as_of(table, 31_000) == 2
+    assert delta_version_as_of(table, 30_000) == 2

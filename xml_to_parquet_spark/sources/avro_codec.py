@@ -133,11 +133,12 @@ def _decode(schema, cur: _Cursor, names: dict):
         return symbols[idx]
     if t == "array":
         out = []
+        item_min = _min_datum_bytes(_node(schema, "items"), names)
         while (count := cur.read_long()) != 0:
             if count < 0:  # negative count: block byte size follows
                 count = -count
                 cur.read_long()
-            _check_block_count(count, cur)
+            _check_block_count(count, cur, item_min)
             for _ in range(count):
                 out.append(_decode(_node(schema, "items"), cur, names))
         return out
@@ -173,16 +174,77 @@ def _node(schema: dict, key: str):
         ) from None
 
 
-def _check_block_count(count: int, cur: _Cursor) -> None:
+# Sanity ceiling for blocks whose items legitimately encode to ZERO
+# bytes (all-null records, null items): remaining-bytes can't bound the
+# count there, but honoring a forged 2^40 count would still spin/OOM.
+# 2^24 items (~16.7M) is far beyond any real manifest or fixture block.
+_ZERO_BYTE_COUNT_CAP = 1 << 24
+
+
+def _check_block_count(count: int, cur: _Cursor, min_item_bytes: int = 1) -> None:
     """A block count beyond the remaining bytes is provably corrupt —
-    every encoded item consumes at least one bit of future input in any
-    realistic schema, and honoring a forged 2^40 count would spin or
-    OOM before the truncation guard could fire."""
-    if count > len(cur.buf) - cur.pos + 1:
+    WHEN each encoded item consumes at least one byte. Spec-legal
+    schemas exist whose datums encode to zero bytes (a record of
+    'null'-typed fields, an array of nulls — ADVICE r14), so the
+    remaining-bytes bound only applies when the item schema provably
+    consumes >=1 byte per datum (``min_item_bytes >= 1``); zero-byte
+    item schemas fall back to a sanity cap instead of a false reject."""
+    if min_item_bytes >= 1:
+        if count > len(cur.buf) - cur.pos + 1:
+            raise AvroError(
+                f"block count {count} exceeds the {len(cur.buf) - cur.pos} "
+                "bytes remaining: corrupt block"
+            )
+    elif count > _ZERO_BYTE_COUNT_CAP:
         raise AvroError(
-            f"block count {count} exceeds the {len(cur.buf) - cur.pos} "
-            "bytes remaining: corrupt block"
+            f"block count {count} exceeds the zero-byte-item sanity cap "
+            f"{_ZERO_BYTE_COUNT_CAP}: corrupt block"
         )
+
+
+def _min_datum_bytes(schema, names: dict, _seen: frozenset = frozenset()) -> int:
+    """Conservative minimum encoded size of one datum: 1 when EVERY
+    possible value of ``schema`` consumes at least one byte, else 0.
+    Unresolvable references and cycles return 0 (conservative — the
+    caller then skips the remaining-bytes bound rather than risking a
+    false reject of a valid file)."""
+    if isinstance(schema, list):  # union: branch index varint >= 1 byte
+        return 1
+    if isinstance(schema, dict):
+        t = schema.get("type")
+        if t == "record":
+            name = schema.get("name")
+            if name in _seen:
+                return 0  # recursive record: be conservative
+            seen = _seen | {name} if name else _seen
+            return (
+                1
+                if any(
+                    _min_datum_bytes(f.get("type"), names, seen)
+                    for f in schema.get("fields", [])
+                    if isinstance(f, dict)
+                )
+                else 0
+            )
+        if t == "fixed":
+            size = schema.get("size")
+            return 1 if isinstance(size, int) and size >= 1 else 0
+        if t in ("array", "map"):
+            return 1  # terminating zero block count is >= 1 byte
+        if t == "enum":
+            return 1
+        return _min_datum_bytes(t, names, _seen)
+    if schema == "null":
+        return 0
+    if isinstance(schema, str) and schema in names:
+        if schema in _seen:
+            return 0
+        return _min_datum_bytes(names[schema], names, _seen | {schema})
+    if isinstance(schema, str) and schema not in (
+        "boolean", "int", "long", "float", "double", "string", "bytes",
+    ):
+        return 0  # unknown reference: conservative
+    return 1
 
 
 def _register_name(schema: dict, names: dict, ns: str | None = None) -> str | None:
@@ -390,6 +452,7 @@ def read_container(data: bytes) -> tuple[dict, list]:
         )
     names: dict = {}
     _collect_names(schema, names)
+    rec_min = _min_datum_bytes(schema, names)
     records: list = []
     while not cur.at_end():
         n_records = cur.read_long()
@@ -403,7 +466,14 @@ def read_container(data: bytes) -> tuple[dict, list]:
                 block = zlib.decompress(block, wbits=-15)
             except zlib.error as exc:
                 raise AvroError(f"corrupt deflate block: {exc}") from exc
-        if n_records < 0 or n_records > len(block) + 1:
+        # The remaining-bytes bound only applies when a record provably
+        # consumes >=1 byte; zero-byte-encodable record schemas (all-null
+        # fields — spec-legal, ADVICE r14) get the sanity cap instead.
+        if n_records < 0 or (
+            n_records > len(block) + 1
+            if rec_min >= 1
+            else n_records > _ZERO_BYTE_COUNT_CAP
+        ):
             raise AvroError(
                 f"block declares {n_records} records in {len(block)} "
                 "bytes: corrupt block"

@@ -252,7 +252,14 @@ def delta_version_as_of(table_path: str, timestamp_ms: int) -> int:
     clock skew. Versions whose JSON commit the retention policy removed
     (checkpoint-only seeds) carry no instant; an instant that predates
     the EARLIEST dated version raises — that history is gone, serving
-    the oldest version instead would silently misrepresent it."""
+    the oldest version instead would silently misrepresent it. An
+    instant AFTER the latest dated version also raises (ADVICE r14),
+    matching Delta's reference timestampAsOf (DeltaHistoryManager with
+    canReturnLastCommit=false): a caller probing a future instant gets
+    the error, not a version that may be superseded moments later —
+    note this deliberately diverges from iceberg_snapshot_as_of's
+    Iceberg-style clamp-to-current semantics, because each adapter
+    mirrors ITS reference's contract."""
     log_dir = _log_dir(table_path)
     versions = list_delta_versions(table_path)
     json_v, _ = _listed_versions(log_dir)
@@ -288,6 +295,13 @@ def delta_version_as_of(table_path: str, timestamp_ms: int) -> int:
             ts = prev + 1
         adjusted.append((v, ts))
         prev = ts
+    if timestamp_ms > adjusted[-1][1]:
+        raise ValueError(
+            f"timestamp {timestamp_ms} is after the latest dated version "
+            f"{adjusted[-1][0]} at {adjusted[-1][1]} (Delta timestampAsOf "
+            "semantics: a future instant is an error, not the latest "
+            "version)"
+        )
     best = None
     for v, ts in adjusted:
         if ts <= timestamp_ms:

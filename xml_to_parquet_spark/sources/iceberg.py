@@ -84,6 +84,7 @@ FileScan with pushdown and pruning intact.
 
 from __future__ import annotations
 
+import datetime as _dt
 import json
 import os
 import re
@@ -377,20 +378,39 @@ def murmur3_x86_32(data: bytes, seed: int = 0) -> int:
 
 def _bucket_hash_bytes(value) -> bytes:
     """The single-value hash serialization of spec Appendix B: int/long
-    (and date's day-ordinal) hash as the 8-byte little-endian long —
-    which is what makes bucket(34::int) == bucket(34::long) — strings
-    as UTF-8, binary raw."""
+    hash as the 8-byte little-endian long — which is what makes
+    bucket(34::int) == bucket(34::long) — a date as its DAY-ORDINAL
+    int64, a timestamp as its epoch-MICROS int64 (tz-aware normalized
+    to UTC first, naive treated as the spec's zoneless timestamp —
+    ADVICE r14), strings as UTF-8, binary raw. An int outside int64
+    raises ValueError (never struct.error — the keep-on-unevaluable
+    caller catches ValueError only)."""
     if isinstance(value, bool):
         raise ValueError("bucket transform is not defined for booleans")
+    if isinstance(value, _dt.datetime):  # before date: datetime IS a date
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        delta = value - _dt.datetime(1970, 1, 1)
+        micros = (delta.days * 86400 + delta.seconds) * 1_000_000 + (
+            delta.microseconds
+        )
+        return struct.pack("<q", micros)
+    if isinstance(value, _dt.date):
+        return struct.pack("<q", (value - _dt.date(1970, 1, 1)).days)
     if isinstance(value, int):
-        return struct.pack("<q", value)
+        try:
+            return struct.pack("<q", value)
+        except struct.error:
+            raise ValueError(
+                f"bucket transform input {value} outside int64"
+            ) from None
     if isinstance(value, str):
         return value.encode("utf-8")
     if isinstance(value, (bytes, bytearray)):
         return bytes(value)
     raise ValueError(
         f"bucket transform not served for value type {type(value).__name__} "
-        "(int/long/date-ordinal/string/binary are)"
+        "(int/long/date/timestamp/string/binary are)"
     )
 
 
@@ -414,7 +434,13 @@ def _apply_transform(transform: str, value):
         n = int(m.group(1))
         if n <= 0:
             raise ValueError(f"bucket transform with non-positive N: {transform}")
-        h = murmur3_x86_32(_bucket_hash_bytes(value))
+        try:
+            h = murmur3_x86_32(_bucket_hash_bytes(value))
+        except ValueError:
+            # keep-on-unevaluable contract (ADVICE r14): a value this
+            # adapter can't hash (boolean, out-of-int64, exotic type)
+            # keeps the manifest entry rather than failing the prune.
+            return False, None
         return True, (h & 0x7FFFFFFF) % n
     m = _TRUNCATE_RE.match(transform or "")
     if m:
@@ -432,9 +458,14 @@ def _apply_transform(transform: str, value):
         # Temporal transforms evaluate only from UNAMBIGUOUS inputs
         # (datetime.date / datetime.datetime) — an int could be a day
         # ordinal or epoch micros, and guessing would prune wrong files.
-        import datetime as _dt
-
         if isinstance(value, _dt.datetime):
+            # tz-aware values normalize to UTC FIRST (ADVICE r14): spec
+            # timestamptz ordinals are UTC-based, and evaluating in
+            # local wall time prunes files that contain matching rows
+            # (e.g. 2017-11-16T22:31:08-05:00 is UTC day 17487/hour
+            # 419691, not local 17486/419686).
+            if value.tzinfo is not None:
+                value = value.astimezone(_dt.timezone.utc)
             if transform == "hour":
                 epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
                 secs = (value - epoch).total_seconds()
