@@ -259,6 +259,43 @@ the table above is the durable record.) The full r14 validation bench
 (stable_ratio_vs_prev 1.011 — a container comparable to r13's) then
 corroborated emphatically: pareto_frontier 0.480 — BELOW its r12
 official — and text_rake_keywords 1.556 vs r12's 1.888.
+
+Round-15 two-quiet-run adjudication (VERDICT r14 #3: join_asof
+0.24->0.335 raw / 1.51x normalized and sim_ivf 0.73->0.954 / 1.40x in
+the r14 artifact, plus the glance-list sessionize_events 0.35->0.445
+and udf_cogrouped_pandas 0.68->0.864; none of the four functions
+changed in r14 — re-verified `git log -S` this round). Two isolated
+profile_ops runs (median-of-3, quiet r15 container, ~25 min apart,
+load 0.57 / 0.00 at start, nothing else running); the stable triplet
+reads q1 0.602/0.534, q6 0.282/0.236, window_rank 0.444/0.418 — runA
+~1.50x, runB ~1.33x the r14 official (geomean over the triplet):
+    entry                 r13(official)  r14(official)  r15-runA  r15-runB
+    join_asof             0.24           0.335          0.309     0.312
+    sim_ivf               0.73           0.954          1.077     1.034
+    sessionize_events     0.35           0.445          0.568     0.552
+    udf_cogrouped_pandas  0.68           0.864          0.730     0.714
+Normalized to the r14-official scale by each run's own stable factor:
+join_asof 0.21/0.23 (below even the r13 level), sim_ivf 0.72/0.78
+(exactly the r13 0.73), sessionize_events 0.38/0.42 (r13 0.35),
+udf_cogrouped_pandas 0.49/0.54 (BELOW r13's 0.68). ALL FOUR CLOSED as
+container-sample noise: unchanged code, both quiet runs agree, and
+every normalized reading sits at or below its r13 level — the r14
+officials were the high outliers, exactly the documented 2-4x
+sub-second spread class. perf_weak_count debt cleared.
+
+Round-15 promotion profiling (same two quiet runs): bench entries per
+the >1s-on-either-sample rule for graph_harmonic_landmarks 8.12/7.00
+(exact 3-hop BFS from 16 landmarks — joins graph_bridges in the heavy
+CPU-bound class; the ~1.4x-slow sample inflates the raw number),
+sim_kmeans_update 1.40/1.20, lake_clustering_depth 1.03/0.90 (sample A
+crosses the bar), text_collocations_pmi 1.00/0.88 (sample-A reps top
+at 1.03 and the r10-build session measured the 1-2s class — entered on
+the generous read). Excluded, below the bar on BOTH quiet samples:
+agg_covariance_matrix 0.997/0.831, er_blocking_metrics 0.904/0.785,
+sim_silhouette 0.79/0.72, curate_pack_sharded 0.746/0.641 (new op —
+the lake_delta_snapshot below-bar precedent), text_zipf_rank
+0.64/0.70, mm_image_palette 0.64/0.59, curate_url_dedup 0.47/0.38,
+dq_mutual_information 0.46/0.40.
 """
 
 from __future__ import annotations
@@ -417,6 +454,12 @@ BENCH_QUERIES = [
     "agg_weighted_median",
     "lake_iceberg_snapshot",
     "dq_outlier_mad",
+    # r15 additions (per the >1s-on-either-quiet-sample rule; readings
+    # and exclusions in the Round-15 promotion-profiling header note)
+    "graph_harmonic_landmarks",
+    "sim_kmeans_update",
+    "lake_clustering_depth",
+    "text_collocations_pmi",
 ]
 
 # Self-adjudicating machine-sample normalization (VERDICT r12 #3): two
