@@ -14,7 +14,7 @@ from decimal import ROUND_HALF_UP, Decimal
 import pandas as pd
 import pytest
 
-from xml_to_parquet_spark.registry import STAGED, load_all
+from xml_to_parquet_spark.registry import STAGED, load_all, lookup
 
 
 @pytest.fixture(scope="module")
@@ -81,7 +81,7 @@ def test_textrank_matches_python_integer_pagerank(spark, sf_dir, reg):
     ranked = sorted(r.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
     got = {
         rr["rn"]: (rr["word"], rr["rank_scaled"])
-        for rr in STAGED["text_textrank"].fn(spark, sf_dir).collect()
+        for rr in lookup("text_textrank").fn(spark, sf_dir).collect()
     }
     assert got == {i + 1: (w, v) for i, (w, v) in enumerate(ranked)}
 
@@ -91,7 +91,7 @@ def test_textrank_mass_and_hubs(spark, sf_dir, reg):
     top word must be a genuine hub: its degree is above the graph's
     mean degree."""
     nbrs = _word_graph(sf_dir)
-    rows = STAGED["text_textrank"].fn(spark, sf_dir).collect()
+    rows = lookup("text_textrank").fn(spark, sf_dir).collect()
     top = max(rows, key=lambda r: r["rank_scaled"])
     mean_deg = sum(len(v) for v in nbrs.values()) / len(nbrs)
     assert len(nbrs[top["word"]]) > mean_deg
@@ -127,7 +127,7 @@ def test_runs_test_matches_python(spark, sf_dir, reg):
         2.0 * n_up * n_down * (2.0 * n_up * n_down - n) / (n * n * (n - 1.0))
     )
     z = (runs - e) / math.sqrt(var)
-    [row] = STAGED["dq_runs_test"].fn(spark, sf_dir).collect()
+    [row] = lookup("dq_runs_test").fn(spark, sf_dir).collect()
     assert row["n_up"] == n_up
     assert row["n_down"] == n_down
     assert row["n_runs"] == runs
@@ -138,7 +138,7 @@ def test_runs_test_matches_python(spark, sf_dir, reg):
 def test_runs_test_bounds(spark, sf_dir, reg):
     """Runs count is bounded by 1..n_moves and the expectation sits
     inside the same interval."""
-    [row] = STAGED["dq_runs_test"].fn(spark, sf_dir).collect()
+    [row] = lookup("dq_runs_test").fn(spark, sf_dir).collect()
     n = row["n_up"] + row["n_down"]
     assert 1 <= row["n_runs"] <= n
     assert 1.0 <= row["expected_runs"] <= float(n)
@@ -160,7 +160,7 @@ def test_pythagorean_means_match_python(spark, sf_dir, reg):
             groups[f].append(cents)
     rows = {
         r["flag"]: r
-        for r in STAGED["agg_pythagorean_means"].fn(spark, sf_dir).collect()
+        for r in lookup("agg_pythagorean_means").fn(spark, sf_dir).collect()
     }
     assert set(rows) == set(groups)
     for f, cents in groups.items():
@@ -179,7 +179,7 @@ def test_pythagorean_means_inequality(spark, sf_dir, reg):
     """AM ≥ GM ≥ HM per group — the self-check that catches a swapped
     formula instantly (equality only for constant groups, which these
     are not)."""
-    for r in STAGED["agg_pythagorean_means"].fn(spark, sf_dir).collect():
+    for r in lookup("agg_pythagorean_means").fn(spark, sf_dir).collect():
         assert r["arith_mean"] > r["geo_mean"] > r["harmonic_mean"], r
 
 
@@ -193,7 +193,7 @@ def test_textrank_plan_checkpointed_rounds(spark, sf_dir, reg):
     the served plan, and the top-k is a window over the vocab grid."""
     from xml_to_parquet_spark.plans.inspect import physical_plan
 
-    df = STAGED["text_textrank"].fn(spark, sf_dir)
+    df = lookup("text_textrank").fn(spark, sf_dir)
     assert "FileScan" not in physical_plan(df)
 
 
@@ -202,7 +202,7 @@ def test_runs_test_plan_grid_only(spark, sf_dir, reg):
     direction/run lags and the 1-row aggregate are grid work."""
     from xml_to_parquet_spark.plans.inspect import physical_plan
 
-    df = STAGED["dq_runs_test"].fn(spark, sf_dir)
+    df = lookup("dq_runs_test").fn(spark, sf_dir)
     assert "FileScan" not in physical_plan(df)
 
 
@@ -211,7 +211,7 @@ def test_pythagorean_means_plan_one_agg_pruned(spark, sf_dir, reg):
     no windows; the three means are self-mergeable aggregates."""
     from xml_to_parquet_spark.plans.inspect import node_counts, read_schemas
 
-    df = STAGED["agg_pythagorean_means"].fn(spark, sf_dir)
+    df = lookup("agg_pythagorean_means").fn(spark, sf_dir)
     rs = read_schemas(df)
     assert len(rs) == 1 and "l_returnflag" in rs[0], rs
     assert "l_orderkey" not in rs[0], rs
@@ -246,7 +246,7 @@ def test_shot_detect_matches_formula_python(spark, sf_dir, reg):
             expected[(d, f)] = (sad, 1 if sad > 16 * w * h else 0)
     got = {
         (r["doc_id"], r["frame_idx"]): (r["sad"], r["is_cut"])
-        for r in STAGED["mm_video_shot_detect"].fn(spark, sf_dir).collect()
+        for r in lookup("mm_video_shot_detect").fn(spark, sf_dir).collect()
     }
     assert got == expected
 
@@ -254,7 +254,7 @@ def test_shot_detect_matches_formula_python(spark, sf_dir, reg):
 def test_shot_detect_finds_exactly_planted_boundaries(spark, sf_dir, reg):
     """The detector's contract by construction: a transition is a cut
     IFF it crosses a planted scene boundary (f % scene_len == 0)."""
-    rows = STAGED["mm_video_shot_detect"].fn(spark, sf_dir).collect()
+    rows = lookup("mm_video_shot_detect").fn(spark, sf_dir).collect()
     assert any(r["is_cut"] == 1 for r in rows)
     assert any(r["is_cut"] == 0 for r in rows)
     for r in rows:
@@ -268,7 +268,7 @@ def test_shot_detect_plan_codec_chassis(spark, sf_dir, reg):
     round-robin fan-out Exchange, zero data shuffles."""
     from xml_to_parquet_spark.plans.inspect import physical_plan, shuffle_count
 
-    df = STAGED["mm_video_shot_detect"].fn(spark, sf_dir)
+    df = lookup("mm_video_shot_detect").fn(spark, sf_dir)
     assert shuffle_count(df) == 0
     assert physical_plan(df).count("Exchange RoundRobinPartitioning") == 1
 
@@ -291,7 +291,7 @@ def test_vacuum_plan_matches_python(spark, sf_dir, reg):
     )
     got = {
         r["status"]: (r["n_files"], r["n_rows"])
-        for r in STAGED["lake_vacuum_plan"].fn(spark, sf_dir).collect()
+        for r in lookup("lake_vacuum_plan").fn(spark, sf_dir).collect()
     }
     assert got == {
         "expired": (3, expired),
@@ -306,7 +306,7 @@ def test_vacuum_plan_reclaims_and_conserves(spark, sf_dir, reg):
     expired + inserts iff the delete file held rows)."""
     rows = {
         r["status"]: r
-        for r in STAGED["lake_vacuum_plan"].fn(spark, sf_dir).collect()
+        for r in lookup("lake_vacuum_plan").fn(spark, sf_dir).collect()
     }
     orders = pd.read_parquet(f"{sf_dir}/orders.parquet", columns=["o_orderkey"])
     total = len(orders)
@@ -322,7 +322,7 @@ def test_vacuum_plan_is_manifest_and_pruned_reads(spark, sf_dir, reg):
     fragmented layout), and the plan has no data-sized join."""
     from xml_to_parquet_spark.plans.inspect import node_counts
 
-    df = STAGED["lake_vacuum_plan"].fn(spark, sf_dir)
+    df = lookup("lake_vacuum_plan").fn(spark, sf_dir)
     n = node_counts(df)
     assert not any(k.endswith("Join") or k == "CartesianProduct" for k in n), n
 
@@ -343,7 +343,7 @@ def test_freshness_lag_matches_python(spark, sf_dir, reg):
     glob = max(last.values())
     got = {
         r["event_type"]: (r["n_events"], r["last_ts"], r["lag_us"], r["is_stale"])
-        for r in STAGED["dq_freshness_lag"].fn(spark, sf_dir).collect()
+        for r in lookup("dq_freshness_lag").fn(spark, sf_dir).collect()
     }
     assert set(got) == set(last)
     for t in last:
@@ -359,7 +359,7 @@ def test_freshness_lag_matches_python(spark, sf_dir, reg):
 def test_freshness_lag_semantics(spark, sf_dir, reg):
     """Exactly one stream defines the global clock (lag 0); lags are
     non-negative; staleness is the documented 30-minute fence."""
-    rows = STAGED["dq_freshness_lag"].fn(spark, sf_dir).collect()
+    rows = lookup("dq_freshness_lag").fn(spark, sf_dir).collect()
     assert sum(1 for r in rows if r["lag_us"] == 0) >= 1
     for r in rows:
         assert r["lag_us"] >= 0

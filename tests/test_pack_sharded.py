@@ -27,8 +27,10 @@ from xml_to_parquet_spark.registry import load_all
 
 
 def _tokens(text: str) -> int:
-    # mirror of TOKENS_SQL: lowercase whitespace split
-    return len([t for t in re.split(r"\s+", text.lower()) if t != ""])
+    # exact mirror of TOKENS_SQL: Spark's split KEEPS empty trailing
+    # tokens ("a b " -> ["a","b",""], "" -> [""]), and python re.split
+    # behaves identically — so no filtering here
+    return len(re.split(r"\s+", text.lower()))
 
 
 def _python_pack(sf_dir: str) -> dict[int, tuple[int, int, int]]:
@@ -105,6 +107,54 @@ def test_pack_sharded_agrees_with_global_packer(spark, sf_dir):
     assert set(sharded) == set(global_)
     for doc_id, r in sharded.items():
         assert r.n_tokens == global_[doc_id].n_tokens
+
+
+def test_pack_sharded_synthetic_edge_cases(spark, tmp_path):
+    """Adversarial shapes the real tables don't contain: shards with NO
+    documents (all doc_ids land in shards 0/1/2), an exact-boundary doc
+    (512 tokens), an over-2x-budget doc (1030 tokens — legitimately
+    leaves an interior hole at its shard's local seq 1, same semantics
+    as the global packer), and an empty text (1 token in BOTH engines:
+    split('') is ['']). Offsets must stay disjoint and abut across the
+    non-empty shards, and every assignment must match the recompute."""
+    rows = [
+        # (doc_id, n_tokens); shard = doc_id % 8. "w " * n splits into
+        # n 'w' tokens plus one trailing '' -> n+1; craft via join.
+        (0, 512),   # shard 0: exact boundary -> fills seq 0 exactly
+        (8, 1),     # shard 0: starts seq 1
+        (1, 1030),  # shard 1: giant doc -> local seq 0, hole at 1
+        (9, 10),    # shard 1: local seq 2 (cum_before 1030)
+        (2, 1),     # shard 2: empty text -> [''] -> 1 token
+        (10, 7),    # shard 2: second doc of the same seq
+    ]
+    docs = pd.DataFrame(
+        {
+            "doc_id": [d for d, _ in rows],
+            "text": [" ".join(["w"] * n) if (d, n) != (2, 1) else "" for d, n in rows],
+            "source": ["src0"] * len(rows),
+        }
+    )
+    sf = str(tmp_path)
+    docs.to_parquet(f"{sf}/documents.parquet", index=False)
+    out = {
+        r.doc_id: r
+        for r in load_all()["curate_pack_sharded"].fn(spark, sf).collect()
+    }
+    assert set(out) == {0, 8, 1, 9, 2, 10}
+    # shard 0: n_seq = floor((513-1)/512)+1 = 2, offset 0
+    assert (out[0].shard, out[0].seq_id) == (0, 0)
+    assert (out[8].shard, out[8].seq_id) == (0, 1)
+    # shard 1: offset 2; giant doc -> local 0; next doc local 2
+    # (interior hole at global seq 3); n_seq = floor(1030/512)+1 = 3
+    assert (out[1].shard, out[1].seq_id) == (1, 2)
+    assert (out[9].shard, out[9].seq_id) == (1, 4)
+    # shard 2: offset 2 + 3 = 5; both docs fit in the shard's seq 0
+    assert (out[2].shard, out[2].seq_id) == (2, 5)
+    assert (out[10].shard, out[10].seq_id) == (2, 5)
+    # cross-check against the generic recompute
+    expected = _python_pack(sf)
+    for doc_id, r in out.items():
+        assert (r.n_tokens, r.shard, r.seq_id) == expected[doc_id]
 
 
 def test_pack_sharded_plan_shape(spark, sf_dir):
