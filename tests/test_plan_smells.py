@@ -14,6 +14,17 @@ the two patterns that are never right at 100 TB —
     sneaks in costs ~10-100x on the hot path and fails here instead of
     on a cluster.
 
+A third sweep (r15, institutionalizing VERDICT r14 #2) covers
+UNPARTITIONED WindowExec — a window with no PARTITION BY executes on
+one reducer, the single-partition bottleneck the sharded packing twin
+was built to retire. Unlike the two smells above it is not always
+wrong: a window over a provably BOUNDED input (a vocabulary grid, a
+bucket summary, a beam, a manifest) never sees data-sized rows. So the
+sweep requires every unpartitioned window to hold a reviewed
+justification in ``_UNPARTITIONED_WINDOW_ALLOWLIST`` — a new operator
+that adds one without a bound argument fails here instead of on a
+cluster.
+
 Limitation, stated honestly: iterative operators that localCheckpoint
 internally surface only their POST-checkpoint plan — their inner-round
 plans are covered by the per-op pins, not this sweep. The sweep is one
@@ -49,6 +60,100 @@ _SMELL_ALLOWLIST: dict[str, set[str]] = {
     # or a row-at-a-time Python UDF. Additions require a docstring in
     # the op justifying the bound.
 }
+
+# Unpartitioned-WindowExec allowlist: name -> the reviewed bound that
+# makes a one-reducer window acceptable. Two legitimate classes only:
+#   (a) tiny-scale SEMANTIC CROSS-CHECKS whose scale path exists as a
+#       sibling op (the global packers vs curate_pack_sharded);
+#   (b) windows whose INPUT is provably bounded — a grid, a summary, a
+#       beam, a manifest — never the data itself.
+# curate_pack_sharded is deliberately NOT here: its packing window is
+# shard-partitioned (tests/test_pack_sharded.py pins that).
+_UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
+    # (a) global packers — documented tiny-scale cross-checks; the
+    # sharded twin is the 100 TB path (VERDICT r14 #2, shipped r15)
+    "curate_pack_sequences": "global packer; scale path = curate_pack_sharded",
+    "curate_pack_chunks": "global packer; scale path = curate_pack_sharded",
+    "curate_pack_bpe": "global packer; scale path = curate_pack_sharded",
+    "curate_pipeline": "composed demo of the global packer",
+    # (b) bounded-input windows
+    "dq_chisq_independence": "cross-tab grid (event_type x status, <=15 rows)",
+    "dq_mutual_information": "same cross-tab grid as chisq (<=15 rows)",
+    "dq_runs_test": "calendar day-grid (one row per day)",
+    "timeseries_theil_sen": "calendar day-grid; pair fan-out is grid^2",
+    "graph_modularity": "community-grid total (communities << nodes)",
+    "lake_compaction_plan": "manifest rows (file count), never data",
+    "pareto_frontier": "B-row bucket summary (scale_patterns device)",
+    "q15_top_supplier": "global max over the supplier-level aggregate",
+    "sim_hnsw_beam": "beam rows <= B*(K0+1), broadcast-scored",
+    "sim_recall_at_k": "query-set grid (fixed query count)",
+    "text_collocations_pmi": "Heaps-bounded bigram vocabulary grid",
+    "text_textrank": "Heaps-bounded word-graph rank vector",
+}
+
+
+def _unpartitioned_window_specs(plan: str) -> list[str]:
+    """Every windowspecdefinition in ``plan`` with NO partition columns
+    (all leading args are `col ASC/DESC ...` orderings, or none at all
+    — a frame-only grid-total window)."""
+    out = []
+    for m in re.finditer(r"windowspecdefinition\(", plan):
+        i = m.end()
+        depth, j = 1, i
+        while depth:
+            if plan[j] == "(":
+                depth += 1
+            elif plan[j] == ")":
+                depth -= 1
+            j += 1
+        head = plan[i : j - 1].split("specifiedwindowframe")[0].rstrip(", ")
+        args, d, cur = [], 0, ""
+        for ch in head:
+            if ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            if ch == "," and d == 0:
+                args.append(cur.strip())
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            args.append(cur.strip())
+        if not [a for a in args if " ASC" not in a and " DESC" not in a]:
+            out.append(head[:80] or "<frame-only>")
+    return out
+
+
+def test_unpartitioned_windows_all_justified(spark):
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} missing")
+    queries = dict(load_all())
+    queries.update({name: qd for name, qd in STAGED.items()})
+    violations: list[str] = []
+    seen: set[str] = set()
+    for name, qd in sorted(queries.items()):
+        try:
+            plan = (
+                qd.fn(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
+            )
+        except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
+            violations.append(f"{name}: plan build failed: {e!r:.200}")
+            continue
+        specs = _unpartitioned_window_specs(plan)
+        if specs:
+            seen.add(name)
+            if name not in _UNPARTITIONED_WINDOW_ALLOWLIST:
+                violations.append(
+                    f"{name}: unpartitioned WindowExec ({specs[0]}) — add a "
+                    "reviewed bound to _UNPARTITIONED_WINDOW_ALLOWLIST or "
+                    "partition the window"
+                )
+    assert not violations, "\n".join(violations)
+    # the allowlist must not rot: an entry whose op no longer has an
+    # unpartitioned window should be removed (its justification is dead)
+    stale = sorted(set(_UNPARTITIONED_WINDOW_ALLOWLIST) - seen)
+    assert not stale, f"allowlist entries with no unpartitioned window: {stale}"
 
 
 def test_no_plan_smells_across_entire_registry(spark):
