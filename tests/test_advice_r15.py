@@ -209,6 +209,103 @@ def test_avro_iceberg_manifest_schemas_unaffected():
     assert _min_datum_bytes(manifest_entry_ish, {}) == 1
 
 
+# property bond: the heuristic never OVER-claims. For any generated
+# (schema, value): encode_datum's actual length >= _min_datum_bytes, and
+# a 5-record container of that schema survives the round-trip — so a
+# schema the heuristic calls ">=1 byte" can never be one whose datums
+# encode to zero bytes (the exact misclassification that produced the
+# r14 false rejects).
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+from xml_to_parquet_spark.sources.avro_codec import encode_datum  # noqa: E402
+
+
+@st.composite
+def _schema_value(draw, depth=2):
+    kinds = ["null", "boolean", "int", "long", "string", "bytes",
+             "fixed0", "fixed3", "enum"]
+    if depth > 0:
+        kinds += ["array", "map", "union", "record"]
+    kind = draw(st.sampled_from(kinds))
+    label = f"T{draw(st.integers(0, 10**9))}"
+    if kind == "null":
+        return "null", None
+    if kind == "boolean":
+        return "boolean", draw(st.booleans())
+    if kind in ("int", "long"):
+        lim = 2**31 - 1 if kind == "int" else 2**63 - 1
+        return kind, draw(st.integers(-lim - 1, lim))
+    if kind == "string":
+        return "string", draw(st.text(max_size=12))
+    if kind == "bytes":
+        return "bytes", draw(st.binary(max_size=12))
+    if kind == "fixed0":
+        return {"type": "fixed", "name": label, "size": 0}, b""
+    if kind == "fixed3":
+        return {"type": "fixed", "name": label, "size": 3}, draw(
+            st.binary(min_size=3, max_size=3)
+        )
+    if kind == "enum":
+        return (
+            {"type": "enum", "name": label, "symbols": ["A", "B", "C"]},
+            draw(st.sampled_from(["A", "B", "C"])),
+        )
+    if kind == "array":
+        item_schema, item_value = draw(_schema_value(depth=depth - 1))
+        n = draw(st.integers(0, 4))
+        return {"type": "array", "items": item_schema}, [item_value] * n
+    if kind == "map":
+        val_schema, val_value = draw(_schema_value(depth=depth - 1))
+        keys = draw(st.lists(st.text(min_size=1, max_size=6), max_size=3,
+                             unique=True))
+        return {"type": "map", "values": val_schema}, {k: val_value for k in keys}
+    if kind == "union":
+        branch_schema, branch_value = draw(_schema_value(depth=depth - 1))
+        if isinstance(branch_schema, str) and branch_schema == "null":
+            return ["null", "long"], draw(st.none() | st.integers(-10, 10))
+        return ["null", branch_schema], draw(
+            st.sampled_from([None, branch_value])
+        )
+    fields = []
+    values = {}
+    for i in range(draw(st.integers(0, 3))):
+        f_schema, f_value = draw(_schema_value(depth=depth - 1))
+        fields.append({"name": f"f{i}", "type": f_schema})
+        values[f"f{i}"] = f_value
+    return {"type": "record", "name": label, "fields": fields}, values
+
+
+@settings(max_examples=120, deadline=None)
+@given(sv=_schema_value())
+def test_property_min_datum_bytes_never_overclaims(sv):
+    schema, value = sv
+    encoded = encode_datum(schema, value)
+    assert len(encoded) >= _min_datum_bytes(schema, {})
+
+
+@settings(max_examples=60, deadline=None)
+@given(sv=_schema_value())
+def test_property_any_schema_container_roundtrips(sv):
+    """Five identical records of ANY generated schema — including ones
+    whose datums encode to zero bytes — survive write_container →
+    read_container. This is the exact path the r14 guard broke."""
+    import tempfile
+
+    schema, value = sv
+    if not isinstance(schema, dict) or schema.get("type") != "record":
+        schema = {"type": "record", "name": "Top",
+                  "fields": [{"name": "v", "type": schema}]}
+        value = {"v": value}
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "t.avro")
+        records = [value] * 5
+        write_container(path, schema, records)
+        _, got = read_container_file(path)
+        assert got == records
+
+
 # ---------------------------------------------------------------------------
 # 3. bucket transform: dates/timestamps hash per spec; keep-on-unevaluable
 # ---------------------------------------------------------------------------
