@@ -448,7 +448,12 @@ def test_harmonic_landmarks_plan_checkpointed_frontiers(spark, sf_dir, reg):
     plan = physical_plan(df)
     assert "FileScan" not in plan
     assert broadcast_join_count(df) >= 3
-    # r11 shape: hop-3 is a CARDINALITY via per-landmark bitmaps — the
-    # biggest fan-out of the walk collapses inside the partial aggregate
-    # instead of crossing a row Exchange as a distinct + anti-join set
-    assert "bitmap_construct_agg" in plan
+    # r11 shape, r15 word-packed: hop-3 is a CARDINALITY via
+    # per-landmark 64-bit packed bitsets — the biggest fan-out of the
+    # walk collapses inside a codegen'd HashAggregate partial (bit_or
+    # over member>>6 words) instead of crossing a row Exchange as a
+    # distinct + anti-join set, and instead of the r11
+    # bitmap_construct_agg whose binary buffer forced SortAggregate
+    assert "bit_or" in plan
+    assert "bit_count" in plan
+    assert "SortAggregate" not in plan

@@ -1244,8 +1244,10 @@ def graph_harmonic_landmarks(spark, sf_dir):
     checkpointed before fanning into the next round AND the counts —
     single-lineage rule). The LAST hop needs only a cardinality, so it
     never materializes a row set: n₃ = |reach≤3| − |reach≤2| via a
-    per-landmark bitmap_construct_agg count (see inline comment) — the
-    biggest fan-out of the walk crosses no row Exchange. Final assembly
+    per-landmark word-packed bitset count (64-bit bit_or HashAggregate,
+    see inline comment — r15 A/B'd 4.46s vs the r11 bitmap shape's
+    5.54s, which SortAggregate'd the fan-out) — the biggest fan-out of
+    the walk crosses no row Exchange. Final assembly
     is {N_LANDMARKS}-row broadcast joins. At 100 TB the cost is
     {HARMONIC_HOPS} sparse matrix-vector-ish joins over {N_LANDMARKS}
     columns — the exact reason landmark methods replace all-pairs."""
@@ -1282,16 +1284,18 @@ def graph_harmonic_landmarks(spark, sf_dir):
         .localCheckpoint()
     )
     # hop-3 by CARDINALITY, not by set rows: n₃ = |reach≤3| − |reach≤2|,
-    # and |reach≤3| is a per-landmark BITMAP count over
+    # and |reach≤3| is a per-landmark packed-bitset count over
     # reach≤2 ∪ N(hop-2 frontier). The hop-3 expansion fans out to
     # Σ_{y ∈ h2} deg(y) rows (~36M at sf0.1 — the dense-graph tail where
-    # hop 2 already reaches most nodes); the previous shape pushed all
-    # of them through a distinct + two anti-joins (row Exchanges of the
-    # full fan-out), where bitmap_construct_agg collapses them INSIDE
-    # the partial hash aggregate to ≤ partitions × landmarks × buckets
-    # bitmap rows (16 landmarks × one 4 KB bucket per 32768 node ids) —
-    # the exchange carries kilobytes. Exact, integer-only: duplicate
-    # targets OR into the same bit.
+    # hop 2 already reaches most nodes); the r9 shape pushed all of them
+    # through a distinct + two anti-joins (row Exchanges of the full
+    # fan-out); the r11 shape collapsed them inside a
+    # bitmap_construct_agg partial — but that aggregate's binary buffer
+    # forces SortAggregate (see the le3 comment below), so r15 packs the
+    # bits into 64-bit words with bit_or instead: same collapse inside
+    # the partial, ≤ landmarks × maxid/64 long rows on the exchange
+    # (kilobytes), and the whole thing stays in codegen'd HashAggregate.
+    # Exact, integer-only: duplicate targets OR into the same bit.
     reach2 = (
         lm.select("lm", F.col("lm").alias("member"))
         .unionAll(h1.select("lm", F.col("x").alias("member")))
@@ -1301,12 +1305,28 @@ def graph_harmonic_landmarks(spark, sf_dir):
         nbr.select(F.col("w").alias("fy"), F.col("x").alias("member")),
         F.col("y") == F.col("fy"),
     ).select("lm", "member")
+    # r15 WORD-PACKED refinement of the r11 bitmap shape:
+    # bitmap_construct_agg's binary buffer is neither HashAggregate- nor
+    # ObjectHashAggregate-eligible, so BOTH phases planned as
+    # SortAggregate — the ~36M-row fan-out was SORTED inside every task
+    # before the partial could collapse it. Packing members into 64-bit
+    # words instead (word = member >> 6, bit OR of 1 << (member & 63))
+    # keeps the exact-distinct-count semantics and the kilobyte-sized
+    # exchange (≤ landmarks × maxid/64 long rows) but bit_or is a plain
+    # long-buffer DeclarativeAggregate → whole-stage-codegen
+    # HashAggregate, no sort anywhere. Interleaved A/B at sf0.1
+    # (median-of-4 each, same session, identical 16-row output):
+    # bitmap 5.54s / wordpack 4.46s.
     le3 = (
         reach2.unionAll(exp2)
-        .groupBy("lm", F.bitmap_bucket_number("member").alias("bkt"))
-        .agg(F.bitmap_construct_agg(F.bitmap_bit_position("member")).alias("bm"))
+        .groupBy("lm", F.expr("member >> 6").alias("word"))
+        .agg(
+            F.expr(
+                "bit_or(shiftleft(1L, cast(member & 63 as int)))"
+            ).alias("bits")
+        )
         .groupBy("lm")
-        .agg(F.sum(F.bitmap_count("bm")).cast("bigint").alias("n_le3"))
+        .agg(F.sum(F.bit_count("bits")).cast("bigint").alias("n_le3"))
     )
     c1 = h1.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop1"))
     c2 = h2.groupBy("lm").agg(F.count(F.lit(1)).cast("bigint").alias("n_hop2"))
