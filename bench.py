@@ -286,7 +286,11 @@ sub-second spread class. perf_weak_count debt cleared.
 Round-15 promotion profiling (same two quiet runs): bench entries per
 the >1s-on-either-sample rule for graph_harmonic_landmarks 8.12/7.00
 (exact 3-hop BFS from 16 landmarks — joins graph_bridges in the heavy
-CPU-bound class; the ~1.4x-slow sample inflates the raw number),
+CPU-bound class; the ~1.4x-slow sample inflates the raw number; NOTE:
+AFTER these readings the op's hop-3 cardinality was word-packed —
+bitmap_construct_agg's SortAggregate replaced by a bit_or
+HashAggregate, interleaved A/B 5.54->4.46s — so expect r16 readings
+~20% below these promotion-time samples on a comparable container),
 sim_kmeans_update 1.40/1.20, lake_clustering_depth 1.03/0.90 (sample A
 crosses the bar), text_collocations_pmi 1.00/0.88 (sample-A reps top
 at 1.03 and the r10-build session measured the 1-2s class — entered on

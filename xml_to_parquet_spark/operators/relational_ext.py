@@ -1281,7 +1281,14 @@ def agg_bitmap_distinct(spark, sf_dir):
     Two map-side-combinable shuffles: (group, bucket) → 4 KB bitmap
     blobs, then group → summed cardinalities; the exchange carries
     bitmaps, never raw keys. Oracle is the exact distinct count — this
-    is the rare 'approximate-shaped' plan with an exact answer."""
+    is the rare 'approximate-shaped' plan with an exact answer.
+
+    Exec note (r15): bitmap_construct_agg's binary buffer is neither
+    HashAggregate- nor ObjectHashAggregate-eligible, so both phases plan
+    as SortAggregate. Acceptable here — the input is one sorted-once
+    scan projection — but for a sort-hostile fan-out use the 64-bit
+    word-packed bit_or variant instead (graph_harmonic_landmarks' le3,
+    A/B'd 20% faster there), which stays in codegen'd HashAggregate."""
     li = _t(spark, sf_dir, "lineitem")
     per_bucket = (
         li.select(
