@@ -1039,15 +1039,18 @@ def graph_bridges(spark, sf_dir):
     s1x = s1.join(
         fadj.select(F.col("w").alias("x"), F.col("nbrs").alias("nx")), "x"
     )
+    # u ∈ N(x)∩N(v) ALWAYS on a probe row (x ∈ N(u) ⇒ u ∈ N(x) by
+    # symmetry; u ∈ N(v) by the probed edge itself), so "∃ y ≠ u in the
+    # intersect" collapses to |N(x)∩N(v)| ≥ 2 — no per-row array_except
+    # or singleton-array allocation. Interleaved A/B at sf0.1 reads
+    # parity (~1.95s probe medians both shapes); the claim is the
+    # simpler expression, not a speedup. A deduped restructure (distinct
+    # (x, v) pairs before fetching arrays — the test is u-independent)
+    # was ALSO tried and REJECTED: distinct (x,v) = 1,249,948 of
+    # 1,252,627 probe rows (no sharing to harvest) and the extra
+    # distinct + semi-join made it 25% slower.
     sp3 = (
-        s1x.filter(
-            F.size(
-                F.array_except(
-                    F.array_intersect("nx", "nv"), F.array(F.col("u"))
-                )
-            )
-            > 0
-        )
+        s1x.filter(F.size(F.array_intersect("nx", "nv")) >= 2)
         .select("u", "v")
         .distinct()
     )
