@@ -117,6 +117,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import urllib.parse
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -139,6 +140,20 @@ def _log_dir(table_path: str) -> str:
     if not os.path.isdir(log_dir):
         raise FileNotFoundError(f"no _delta_log under {table_path}")
     return log_dir
+
+
+def _fs_path(table_path: str, logged: str) -> str:
+    """Resolve a log-recorded data-file path (`add.path` / `remove.path`
+    / `cdc.path`) to the filesystem. The protocol records these
+    PERCENT-ENCODED (RFC 2396) relative to the table root: a data file
+    under a partition directory like `name=a b/` is logged as
+    `name=a%20b/...`, and a literal `%` on disk is logged `%25` —
+    joining the raw form reads a nonexistent (or, worse, a differently
+    named existing) file. Decode at the FILESYSTEM boundary ONLY:
+    replay state stays keyed by the raw log form, so add/remove/cdc
+    pairing matches byte-for-byte regardless of writer encoding quirks.
+    An absolute `logged` path survives os.path.join unchanged."""
+    return os.path.join(table_path, urllib.parse.unquote(logged))
 
 
 def _listed_versions(log_dir: str) -> tuple[set[int], dict[int, list[str]]]:
@@ -443,7 +458,7 @@ def delta_active_files(table_path: str, version: int | None = None) -> list[str]
     directly are reading the physical files, deleted rows included.
     """
     active, _ = _replay(table_path, version)
-    return [os.path.join(table_path, p) for p in active]
+    return [_fs_path(table_path, p) for p in active]
 
 
 def _first_struct_row(table, col):
@@ -639,7 +654,7 @@ def read_delta_snapshot(
     # from THIS version's replay, so time travel joins each snapshot
     # against exactly its own deleted sets.
     dv_map = {
-        os.path.abspath(os.path.join(table_path, p)): entry["deletionVector"]
+        os.path.abspath(_fs_path(table_path, p)): entry["deletionVector"]
         for p, entry in active.items()
         if entry.get("deletionVector")
         and int(entry["deletionVector"].get("cardinality") or 0) > 0
@@ -691,7 +706,7 @@ def read_delta_snapshot(
                 "data-only"
             )
         df = _read_files(
-            spark, meta, [], [os.path.join(table_path, p) for p in active],
+            spark, meta, [], [_fs_path(table_path, p) for p in active],
             mapping, with_rowpos=with_rowpos,
         )
         if dv_map:
@@ -714,7 +729,7 @@ def read_delta_snapshot(
             _norm_part_value(entry["partitionValues"].get(_phys(c)))
             for c in part_cols
         )
-        groups.setdefault(key, []).append(os.path.join(table_path, p))
+        groups.setdefault(key, []).append(_fs_path(table_path, p))
     if partition_filter:
         # the same normalization applies to filter values, so
         # partition_filter={"col": ""} matches null-partition files
@@ -1154,7 +1169,7 @@ def delta_incremental_files(
                                 "incremental files)"
                             )
                         out.append(
-                            (v, os.path.join(table_path, action["add"]["path"]))
+                            (v, _fs_path(table_path, action["add"]["path"]))
                         )
                 elif "remove" in action:
                     if action["remove"].get("dataChange", True):
@@ -1384,7 +1399,7 @@ def _scan_change_batch(
 
     part_types = _partition_column_types(meta, part_cols) if part_cols else {}
     dv_map = {
-        os.path.abspath(os.path.join(table_path, p)): d
+        os.path.abspath(_fs_path(table_path, p)): d
         for p, _, d in entries
         if d and int(d.get("cardinality") or 0) > 0
     }
@@ -1394,7 +1409,7 @@ def _scan_change_batch(
         key = tuple(
             _norm_part_value((pv or {}).get(_phys(c))) for c in part_cols
         )
-        groups.setdefault(key, []).append(os.path.join(table_path, p))
+        groups.setdefault(key, []).append(_fs_path(table_path, p))
     out: DataFrame | None = None
     for key, files in groups.items():
         df = _read_files(spark, meta, part_cols, files, mapping,

@@ -467,9 +467,18 @@ def _apply_transform(transform: str, value):
             if value.tzinfo is not None:
                 value = value.astimezone(_dt.timezone.utc)
             if transform == "hour":
+                # Exact integer micros, then floor-div — NOT
+                # timedelta.total_seconds(), whose float64 ulp exceeds
+                # 1µs past ~year 2100 magnitudes, where a value 1µs
+                # below an hour boundary can round UP across it and
+                # prune a file that held matching rows (same failure
+                # class as the ADVICE-r14 local-wall-time bug).
                 epoch = _dt.datetime(1970, 1, 1, tzinfo=value.tzinfo)
-                secs = (value - epoch).total_seconds()
-                return True, int(secs // 3600)
+                delta = value - epoch
+                micros = (
+                    delta.days * 86400 + delta.seconds
+                ) * 1_000_000 + delta.microseconds
+                return True, micros // 3_600_000_000
             value = value.date()
         elif transform == "hour":
             return False, None  # hour of a bare date is undefined
