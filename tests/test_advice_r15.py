@@ -263,6 +263,18 @@ def _schema_value(draw, depth=2):
         return {"type": "map", "values": val_schema}, {k: val_value for k in keys}
     if kind == "union":
         branch_schema, branch_value = draw(_schema_value(depth=depth - 1))
+        if isinstance(branch_schema, list):
+            # spec: unions may not immediately contain other unions —
+            # keep the generator spec-legal by wrapping the drawn union
+            # in a record (found by this very property test late-r15;
+            # the codec now raises AvroError on the illegal nesting,
+            # pinned in test_nested_union_raises_avro_error)
+            branch_schema = {
+                "type": "record",
+                "name": label,
+                "fields": [{"name": "u", "type": branch_schema}],
+            }
+            branch_value = {"u": branch_value}
         if isinstance(branch_schema, str) and branch_schema == "null":
             return ["null", "long"], draw(st.none() | st.integers(-10, 10))
         return ["null", branch_schema], draw(
@@ -304,6 +316,27 @@ def test_property_any_schema_container_roundtrips(sv):
         write_container(path, schema, records)
         _, got = read_container_file(path)
         assert got == records
+
+
+def test_nested_union_raises_avro_error():
+    """Unions may not immediately contain other unions (Avro spec,
+    'Unions'). The encoder used to crash with AttributeError on the
+    illegal schema — breaking the only-ValueError-escapes contract —
+    and the decoder silently read a second branch index. Both now
+    refuse with AvroError (found late-r15 by the min-datum-bytes
+    property test drawing ['null', ['null', 'boolean']])."""
+    import pytest
+
+    from xml_to_parquet_spark.sources.avro_codec import _decode, _Cursor
+
+    illegal = ["null", ["null", "boolean"]]
+    with pytest.raises(AvroError, match="itself a union"):
+        encode_datum(illegal, False)
+    # decoder side: branch index 1 selects the nested union
+    with pytest.raises(AvroError, match="itself a union"):
+        _decode(illegal, _Cursor(b"\x02\x02\x01"), {})
+    # AvroError IS a ValueError — the failure contract other suites pin
+    assert issubclass(AvroError, ValueError)
 
 
 # ---------------------------------------------------------------------------

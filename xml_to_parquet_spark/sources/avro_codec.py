@@ -91,6 +91,12 @@ def _decode(schema, cur: _Cursor, names: dict):
         idx = cur.read_long()
         if not 0 <= idx < len(schema):
             raise AvroError(f"union branch {idx} outside {len(schema)} branches")
+        if isinstance(schema[idx], list):
+            # spec: unions may not immediately contain other unions —
+            # recursing would silently read a second branch index
+            raise AvroError(
+                f"union branch {idx} is itself a union: illegal Avro schema"
+            )
         return _decode(schema[idx], cur, names)
     if isinstance(schema, str):
         t = schema
@@ -326,6 +332,13 @@ def encode_datum(schema, value, names: dict | None = None, ns: str | None = None
         _collect_names(schema, names)
     if isinstance(schema, list):  # union: first branch accepting the value
         for i, branch in enumerate(schema):
+            if isinstance(branch, list):
+                # spec: unions may not immediately contain other unions —
+                # without this check the .get below raises AttributeError,
+                # breaking the only-ValueError-escapes contract
+                raise AvroError(
+                    f"union branch {i} is itself a union: illegal Avro schema"
+                )
             bt = branch if isinstance(branch, str) else branch.get("type")
             if value is None and bt == "null":
                 return _zigzag(i)
