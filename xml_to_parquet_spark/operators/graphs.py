@@ -1005,9 +1005,12 @@ def graph_bridges(spark, sf_dir):
     ADJ_DEG_CAP guard (deg ≤ 222 here), same as jaccard_neighbors — a
     power-law hub graph raises instead of OOMing. The 3-path probe
     runs ONLY on the zero-support subset: per (bridge, x ∈ N(u)) the
-    detour test is array_intersect(N(x), N(v)) minus {u} — probe rows
-    ∝ Σ_bridge deg(u), never a two-hop edge explode (the first
-    formulation materialized ~70M two-hop rows, 65s measured). The
+    detour test is |N(x) ∩ N(v)| ≥ 2 (u is PROVABLY always in the
+    intersect — u ∈ N(x) by symmetry of x ∈ N(u), u ∈ N(v) by the
+    probed edge — so "∃ y ≠ u" needs no array_except; see the inline
+    proof) — probe rows ∝ Σ_bridge deg(u), never a two-hop edge
+    explode (the first formulation materialized ~70M two-hop rows,
+    65s measured). The
     adjacency table and the support-decorated edge list each checkpoint
     once — both fan into 2+ consumers, and lazy branches would re-run
     the build per side (the single-lineage lesson at graph scale).
