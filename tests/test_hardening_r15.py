@@ -144,3 +144,68 @@ class TestDeltaPercentEncodedPaths:
         ])
         got = {r["k"] for r in read_delta_snapshot(spark, table).collect()}
         assert got == {2}
+
+
+# ---------------------------------------------------------------------------
+# property bonds for the fixes above — the writer side of each contract
+# ---------------------------------------------------------------------------
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+from xml_to_parquet_spark.sources.delta_log import _fs_path  # noqa: E402
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    segs=st.lists(
+        st.text(
+            alphabet=st.characters(
+                blacklist_characters="/\x00", blacklist_categories=("Cs",)
+            ),
+            min_size=1,
+            max_size=12,
+        ).filter(lambda s: s not in (".", "..")),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_property_fs_path_inverts_writer_encoding(segs):
+    """A protocol-conformant writer percent-encodes each path segment
+    (urllib.parse.quote); _fs_path must resolve the logged form back to
+    the exact on-disk relative path, for ANY segment content — spaces,
+    literal %, unicode."""
+    import urllib.parse
+
+    rel = "/".join(segs)
+    logged = "/".join(urllib.parse.quote(s) for s in segs)
+    assert _fs_path("/tbl", logged) == "/tbl/" + rel
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    ts=st.datetimes(
+        min_value=dt.datetime(1, 1, 2),
+        max_value=dt.datetime(9999, 12, 30),
+    )
+)
+def test_property_temporal_transform_ordinals_consistent(ts):
+    """Cross-transform invariants over the full datetime domain: the
+    hour ordinal floor-divides to the day ordinal (86400s = 24h), the
+    day ordinal matches the date subtraction, and month/year agree with
+    the calendar — the relation a wrong epoch, a float rounding, or a
+    truncate-vs-floor slip each break somewhere in the domain."""
+    ok_h, hour = _apply_transform("hour", ts)
+    ok_d, day = _apply_transform("day", ts)
+    ok_m, month = _apply_transform("month", ts)
+    ok_y, year = _apply_transform("year", ts)
+    assert ok_h and ok_d and ok_m and ok_y
+    assert hour // 24 == day
+    assert day == (ts.date() - dt.date(1970, 1, 1)).days
+    assert month == (ts.year - 1970) * 12 + (ts.month - 1)
+    assert year == ts.year - 1970
+    # and the bucket serialization agrees with the hour ordinal's micros
+    from xml_to_parquet_spark.sources.iceberg import _bucket_hash_bytes
+    import struct as _struct
+
+    micros = _struct.unpack("<q", _bucket_hash_bytes(ts))[0]
+    assert micros // 3_600_000_000 == hour
