@@ -169,6 +169,15 @@ def test_union_xsd_rejected(spark, tmp_path):
     p.write_text(xsd)
     with pytest.raises(UnsupportedXsdType):
         load_xsd_struct(spark, str(p))
+    # the bare self-closing spelling must hit the SAME clear guard, not
+    # whatever XSDToSchema does downstream
+    bare = """<xs:schema xmlns:xs="http://www.w3.org/2001/XMLSchema">
+      <xs:element name="r"><xs:simpleType><xs:union/>
+      </xs:simpleType></xs:element></xs:schema>"""
+    p2 = tmp_path / "u2.xsd"
+    p2.write_text(bare)
+    with pytest.raises(UnsupportedXsdType):
+        load_xsd_struct(spark, str(p2))
 
 
 def test_output_naming():

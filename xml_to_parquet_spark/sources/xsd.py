@@ -41,7 +41,10 @@ class UnsupportedXsdType(ValueError):
 
 
 def _check_no_union(xsd_text: str) -> None:
-    if re.search(r"<(?:\w+:)?union[\s>]", xsd_text):
+    # [\s/>] so the bare self-closing form `<xs:union/>` is also caught —
+    # without the '/' it slipped past this guard to whatever downstream
+    # error XSDToSchema produces instead of the clear message here
+    if re.search(r"<(?:\w+:)?union[\s/>]", xsd_text):
         raise UnsupportedXsdType(
             "xs:union is not supported: a parquet column can only hold a single type"
         )
