@@ -496,7 +496,13 @@ def connected_components(
     node per round) was MEASURED AND REJECTED: the extra edge-list
     materialization plus the per-round repartition cost ~+1s across all
     three consumers at sf0.1 — the exchanges they remove are smaller
-    than the materializations they add at match-graph sizes."""
+    than the materializations they add at match-graph sizes. Dropping
+    the jump join was ALSO measured (late r15, ER match graph at sf0.1,
+    interleaved): pointer_jump=False reads ~0.3s faster there because
+    that graph is star-shallow (same round count, one fewer join per
+    round) — and REJECTED: the jump is what bounds rounds at
+    O(log diameter) for graphs whose depth no caller can certify, and a
+    0.3s local saving does not buy back a convergence guarantee."""
     labels = edges.select(F.col("a").alias("node")).distinct().withColumn(
         "lab", F.col("node")
     )
