@@ -1201,3 +1201,110 @@ def test_decimal_bounds_decode_exactly():
          "upper_bounds": [{"key": 1, "value": b"\x05\x8c"}]},
         [(1, "decimal(9, 2)", ">=", 14.2)],
     )
+
+
+def _date_identity_table(tmp_path):
+    """Identity DATE-partitioned table, stored partition values in the
+    manifest's REAL storage form (day-ordinal ints, what the Avro layer
+    yields for logical-type date): two single-date files."""
+    import datetime as _dtt
+
+    table = str(tmp_path / "ice_date")
+    md = os.path.join(table, "metadata")
+    data = os.path.join(table, "data")
+    os.makedirs(md)
+    os.makedirs(data)
+    schema = pa.schema([
+        pa.field("k", pa.int64(), metadata={b"PARQUET:field_id": b"1"}),
+        pa.field("d", pa.date32(), metadata={b"PARQUET:field_id": b"2"}),
+    ])
+    d15, d16 = _dtt.date(2024, 1, 15), _dtt.date(2024, 1, 16)
+    epoch = _dtt.date(1970, 1, 1)
+    f0 = os.path.join(data, "d15.parquet")
+    f1 = os.path.join(data, "d16.parquet")
+    pq.write_table(pa.table({"k": [1, 2], "d": [d15, d15]}, schema=schema), f0)
+    pq.write_table(pa.table({"k": [3], "d": [d16]}, schema=schema), f1)
+    entry_schema = _manifest_entry_schema(
+        [{"name": "d", "type": ["null", "int"]}]
+    )
+
+    def _dentry(path, ordinal, n, lo, hi):
+        e = _data_entry(f"file://{path}", None, n, lo, hi)
+        e["data_file"]["partition"] = {"d": ordinal}
+        return e
+
+    m0 = os.path.join(md, "m0.avro")
+    _write_avro(m0, entry_schema, [
+        _dentry(f0, (d15 - epoch).days, 2, 1, 2),
+        _dentry(f1, (d16 - epoch).days, 1, 3, 3),
+    ])
+    snap = os.path.join(md, "snap-701.avro")
+    _write_avro(snap, _MANIFEST_FILE, [_manifest_row(m0, 0, 701, seq=1)])
+    meta = {
+        "format-version": 2,
+        "table-uuid": "11111111-2222-3333-4444-666666666666",
+        "location": f"file://{table}",
+        "last-sequence-number": 1,
+        "last-updated-ms": 1000,
+        "last-column-id": 2,
+        "schemas": [{
+            "type": "struct", "schema-id": 0,
+            "fields": [
+                {"id": 1, "name": "k", "required": False, "type": "long"},
+                {"id": 2, "name": "d", "required": False, "type": "date"},
+            ],
+        }],
+        "current-schema-id": 0,
+        "partition-specs": [
+            {"spec-id": 0, "fields": [
+                {"name": "d", "transform": "identity",
+                 "source-id": 2, "field-id": 1000}]},
+        ],
+        "default-spec-id": 0,
+        "snapshots": [
+            {"snapshot-id": 701, "timestamp-ms": 1000,
+             "sequence-number": 1, "summary": {"operation": "append"},
+             "manifest-list": f"file://{snap}", "schema-id": 0},
+        ],
+        "current-snapshot-id": 701,
+    }
+    with open(os.path.join(md, "v1.metadata.json"), "w") as fh:
+        json.dump(meta, fh)
+    return table
+
+
+def test_source_filter_identity_date_compares_in_storage_form(
+    spark, tmp_path
+):
+    """The caller passes the SOURCE value (a datetime.date); the stored
+    partition value is the day-ordinal INT the Avro layer yields for a
+    logical-type date. Before _stored_repr, the identity transform
+    compared the date object against the int — unequal for the MATCHING
+    file too, so every file was silently pruned (rows lost, violating
+    the 'can only skip work, never rows' contract). Now the transform
+    output normalizes to the storage representation first."""
+    import datetime as _dtt
+
+    table = _date_identity_table(tmp_path)
+    # no filter: everything
+    got = {(r["k"], r["d"]) for r in
+           read_iceberg_snapshot(spark, table).collect()}
+    d15, d16 = _dtt.date(2024, 1, 15), _dtt.date(2024, 1, 16)
+    assert got == {(1, d15), (2, d15), (3, d16)}
+    # source filter with the DATE object keeps exactly the matching file
+    df = read_iceberg_snapshot(
+        spark, table, source_partition_filter={"d": d15})
+    assert {(r["k"], r["d"]) for r in df.collect()} == {(1, d15), (2, d15)}
+    assert len(df.inputFiles()) == 1
+    # a float source value keeps entries (no sound storage form) rather
+    # than wrongly pruning across float32-storage representations
+    from xml_to_parquet_spark.sources.iceberg import _stored_repr
+
+    assert _stored_repr(0.1) == (False, None)
+    assert _stored_repr(d15) == (True, (d15 - _dtt.date(1970, 1, 1)).days)
+    aware = _dtt.datetime(2024, 1, 15, 12, 0, 0,
+                          tzinfo=_dtt.timezone(_dtt.timedelta(hours=2)))
+    ok, micros = _stored_repr(aware)
+    assert ok and micros == int(
+        aware.astimezone(_dtt.timezone.utc).timestamp() * 1_000_000
+    )

@@ -492,6 +492,37 @@ def _apply_transform(transform: str, value):
     return False, None
 
 
+def _stored_repr(value) -> tuple[bool, object]:
+    """Convert a transform OUTPUT to the manifest's stored partition
+    representation for comparison in source_partition_filter. The Avro
+    codec surfaces logical types raw — a date partition value decodes as
+    its day-ordinal int, a timestamp as epoch-micros long — so an
+    IDENTITY transform's output (the caller's datetime.date / datetime)
+    compared `!=` against the stored int ALWAYS differed and silently
+    PRUNED files holding matching rows (the late-r15 self-found twin of
+    the ADVICE-r14 ordinal bugs). Returns (True, stored-form value), or
+    (False, None) when no sound stored form exists — float/Fraction
+    identity values keep the entry rather than risk a float32-storage vs
+    float64-literal inequality prune."""
+    if isinstance(value, bool) or value is None:
+        return True, value
+    if isinstance(value, _dt.datetime):  # before date: datetime IS a date
+        if value.tzinfo is not None:
+            value = value.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        delta = value - _dt.datetime(1970, 1, 1)
+        return True, (
+            (delta.days * 86400 + delta.seconds) * 1_000_000
+            + delta.microseconds
+        )
+    if isinstance(value, _dt.date):
+        return True, (value - _dt.date(1970, 1, 1)).days
+    if isinstance(value, float):
+        return False, None  # float32 storage vs float64 literal: unsound
+    if isinstance(value, (int, str, bytes)):
+        return True, value
+    return False, None
+
+
 def _partition_specs(meta: dict) -> dict[int, dict]:
     """{spec-id: spec} from v2 `partition-specs`, falling back to the v1
     single `partition-spec` field (under `default-spec-id`, default 0)."""
@@ -814,6 +845,9 @@ def read_iceberg_snapshot(
                     ok, tv = _apply_transform(sf.get("transform"), v)
                     if not ok:
                         continue  # cannot evaluate: keep the entry
+                    ok, tv = _stored_repr(tv)
+                    if not ok:
+                        continue  # no sound stored form: keep the entry
                     if part.get(sf["name"]) != tv:
                         return False
             return True
