@@ -209,3 +209,22 @@ def test_property_temporal_transform_ordinals_consistent(ts):
 
     micros = _struct.unpack("<q", _bucket_hash_bytes(ts))[0]
     assert micros // 3_600_000_000 == hour
+
+
+def test_partition_filter_rejects_non_string_values(spark, tmp_path):
+    """The log stores partitionValues as STRINGS; a date/int/bool
+    literal compared unequal against every group and silently returned
+    an empty result. The contract violation now refuses loudly."""
+    import pytest
+
+    table = TestDeltaPercentEncodedPaths()._table(tmp_path)
+    with pytest.raises(ValueError, match="canonical"):
+        read_delta_snapshot(spark, table, partition_filter={"name": 42})
+    with pytest.raises(ValueError, match="canonical"):
+        read_delta_snapshot(
+            spark, table, partition_filter={"name": dt.date(2024, 1, 15)}
+        )
+    # strings and the None null marker stay accepted
+    got = {r["k"] for r in read_delta_snapshot(
+        spark, table, partition_filter={"name": "a b"}).collect()}
+    assert got == {1}

@@ -731,6 +731,22 @@ def read_delta_snapshot(
         )
         groups.setdefault(key, []).append(_fs_path(table_path, p))
     if partition_filter:
+        # Values must be Delta's canonical STRING encoding (or None/""
+        # for null) — the log stores partitionValues as strings, so a
+        # date/int/bool literal would compare unequal against every
+        # group and silently return an empty result; refuse loudly
+        # instead (the Iceberg adapter's validate-don't-no-op rule).
+        bad_vals = {
+            c: v for c, v in partition_filter.items()
+            if v is not None and not isinstance(v, str)
+        }
+        if bad_vals:
+            raise ValueError(
+                f"partition_filter values must be Delta's canonical "
+                f"string encoding (or None for null); got non-string "
+                f"values {bad_vals!r} — encode them as the log does "
+                "(e.g. '2024-01-15', '42', 'true')"
+            )
         # the same normalization applies to filter values, so
         # partition_filter={"col": ""} matches null-partition files
         # whichever encoding their writer chose
