@@ -1308,3 +1308,22 @@ def test_source_filter_identity_date_compares_in_storage_form(
     assert ok and micros == int(
         aware.astimezone(_dtt.timezone.utc).timestamp() * 1_000_000
     )
+
+
+def test_partition_filter_rejects_datetime_literals(spark, tmp_path):
+    """Stored partition values are integer encodings; a datetime/date
+    literal can never match and silently pruned every file. Refused
+    loudly now, naming both sound alternatives."""
+    import datetime as _dtt
+
+    table = _date_identity_table(tmp_path)
+    with pytest.raises(ValueError, match="source_partition_filter"):
+        read_iceberg_snapshot(
+            spark, table,
+            partition_filter={"d": _dtt.date(2024, 1, 15)})
+    # the stored int form works, as documented
+    epoch = _dtt.date(1970, 1, 1)
+    df = read_iceberg_snapshot(
+        spark, table,
+        partition_filter={"d": (_dtt.date(2024, 1, 15) - epoch).days})
+    assert {r["k"] for r in df.collect()} == {1, 2}

@@ -787,6 +787,23 @@ def read_iceberg_snapshot(
                 f"partition_filter keys {unknown} are not fields of any "
                 f"partition spec (have: {sorted(known)})"
             )
+        # Values are compared against the manifest's STORED form, and
+        # stored temporals are ints (day ordinals / epoch micros /
+        # transform ordinals) — a datetime/date literal can never match
+        # and would silently prune every file. Refuse it with the two
+        # sound alternatives named (validate-don't-no-op).
+        bad_vals = {
+            k: v for k, v in partition_filter.items()
+            if isinstance(v, (_dt.date, _dt.datetime))
+        }
+        if bad_vals:
+            raise ValueError(
+                f"partition_filter values {bad_vals!r} are datetime "
+                "objects, but stored partition values are their integer "
+                "encodings — pass the stored int, or use "
+                "source_partition_filter to have the adapter evaluate "
+                "the transform from the source value"
+            )
 
         def _keeps(e: dict) -> bool:
             spec = specs.get(e.get("__spec_id", 0))
