@@ -478,25 +478,26 @@ BENCH_QUERIES = [
 # this factor before calling it a regression; ~1.0 means a comparable
 # container, >1.2 means this sample is uniformly slow.
 STABLE_CLUSTER_PREV = {
-    # r14 official (BENCH_r14.json); bump each round to the new official.
+    # r15 official (BENCH_r15.json); bump each round to the new official.
     # The driver's artifact again stores only the tail of the JSON line
-    # and the cut fell before the three query members this time, so
-    # q1/q6/window_rank are DERIVED, not read (the r13 q1 method,
-    # extended): the three conversions are read directly from the tail
-    # (0.949 / 1.61 / 2.414 → ratios 0.812 / 1.100 / 1.112 vs the r13
+    # and the cut again fell before the three query members, so
+    # q1/q6/window_rank are DERIVED, not read (the same
+    # common-machine-factor method as r14, documented in git history):
+    # the three conversions are read directly from the tail
+    # (1.038 / 1.162 / 1.666 → ratios 1.094 / 0.722 / 0.690 vs the r14
     # officials), and solving the artifact's own stable_ratio_vs_prev
-    # (0.93 geomean over all six) for the remaining product under a
-    # common-machine-factor assumption gives factor 0.867 on each of
-    # the three missing members: q1 0.505→0.438, q6 0.209→0.181,
-    # window_rank 0.328→0.284.
-    "q1_pricing_summary": 0.438,
-    "q6_forecast_revenue": 0.181,
-    "window_rank": 0.284,
-    "convert_200_xml_files": 0.949,
-    "convert_8mb_xml_40k_items": 1.610,
-    "convert_tar_10k_members": 2.414,
+    # (0.92 geomean over all six) for the remaining product under a
+    # common-machine-factor assumption gives factor 1.036 on each of
+    # the three missing members: q1 0.438→0.454, q6 0.181→0.188,
+    # window_rank 0.284→0.294.
+    "q1_pricing_summary": 0.454,
+    "q6_forecast_revenue": 0.188,
+    "window_rank": 0.294,
+    "convert_200_xml_files": 1.038,
+    "convert_8mb_xml_40k_items": 1.162,
+    "convert_tar_10k_members": 1.666,
 }
-STABLE_PREV_ROUND = 14
+STABLE_PREV_ROUND = 15
 
 # Timed-loop session recycling (VERDICT r9 #2/#3): accumulated JVM session
 # state taxes mid-list entries — r9's driver artifact showed q21 at 3.79s

@@ -35,18 +35,11 @@ R18_OPS = [
 ]
 
 
-R18_PROMOTED_AT_R15 = {  # first 2 alphabetical, per R15_PLAN.md
-    "curate_url_dedup",
-    "dq_mutual_information",
-}
-
-
-def test_r18_staged_ops_hidden_from_driver_registry(reg):
+def test_r18_ops_promoted_to_driver_registry(reg):
+    # First 2 alphabetical promoted at r15 (R15_PLAN.md), the 3 leftovers
+    # at the r16 rotation (R16_PLAN.md) — none remain staged.
     for name in R18_OPS:
-        if name in R18_PROMOTED_AT_R15:
-            assert name not in STAGED and name in reg
-        else:
-            assert name in STAGED and name not in reg
+        assert name not in STAGED and name in reg
 
 
 # ---------------------------------------------------------------------------

@@ -37,9 +37,11 @@ R19_OPS = [
 ]
 
 
-def test_r19_staged_ops_hidden_from_driver_registry(reg):
+def test_r19_ops_promoted_to_driver_registry(reg):
+    # The full tier was promoted at the r16 rotation (R16_PLAN.md) —
+    # the staged tier is EMPTY from r16 on.
     for name in R19_OPS:
-        assert name in STAGED and name not in reg
+        assert name not in STAGED and name in reg
 
 
 # ---------------------------------------------------------------------------

@@ -23,7 +23,7 @@ from xml_to_parquet_spark.registry import (
 )
 
 REPO = Path(__file__).resolve().parent.parent
-THIS_ROUND = 15  # bump on each window rotation
+THIS_ROUND = 16  # bump on each window rotation
 
 
 def _prior_round_artifacts():

@@ -14,7 +14,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 SEQ_BUDGET = 512  # tokens per packed training sequence
@@ -76,7 +76,7 @@ def curate_quality_filter(spark, sf_dir):
       FROM tok WHERE n_tokens > 0
     )
     SELECT doc_id, n_tokens,
-           CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+           CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS seq_id
     FROM c
     """,
 )
@@ -101,7 +101,7 @@ def curate_pack_sequences(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+            F.expr(f"cum_before div {SEQ_BUDGET}").cast("bigint").alias("seq_id"),
         )
     )
 
@@ -125,8 +125,8 @@ N_PACK_SHARDS = 8  # deterministic shard fan-out for the scale packing path
       FROM t
     ), s AS (
       SELECT shard,
-             CAST(floor((sum(n_tokens) - max_by(n_tokens, doc_id))
-                        / {SEQ_BUDGET}) AS BIGINT) + 1 AS n_seq
+             CAST((sum(n_tokens) - max_by(n_tokens, doc_id))
+                  // {SEQ_BUDGET} AS BIGINT) + 1 AS n_seq
       FROM t GROUP BY shard
     ), o AS (
       SELECT s.shard,
@@ -136,7 +136,7 @@ N_PACK_SHARDS = 8  # deterministic shard fan-out for the scale packing path
     )
     SELECT c.doc_id, c.n_tokens, c.shard,
            CAST(o.seq_offset
-                + CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT)
+                + CAST(cum_before // {SEQ_BUDGET} AS BIGINT)
                 AS BIGINT) AS seq_id
     FROM c JOIN o USING (shard)
     """,
@@ -168,8 +168,12 @@ def curate_pack_sharded(spark, sf_dir):
 
     Semantics match the global packer shard-wise: a doc straddling a budget
     boundary lands in the floor bucket; the cost of sharding is at most one
-    underfull sequence per shard. Deterministic and exact (all int64) —
-    the curation decisions a 100 TB run makes must be reproducible.
+    underfull sequence per shard. Deterministic and exact (all int64):
+    both bucket divisions run as integer `div`, never floor(x / y)
+    through double — a double mantissa mis-buckets once a shard's
+    cumulative token count exceeds 2^53, exactly the regime the sharded
+    path exists for (ADVICE r16; the oracle's `//` matches). The
+    curation decisions a 100 TB run makes must be reproducible.
 
     Scale shape: one data shuffle (by shard), one map-side-combinable
     aggregate, one broadcast of {N_PACK_SHARDS} rows. At 1000 executors
@@ -189,19 +193,25 @@ def curate_pack_sharded(spark, sf_dir):
     local = docs.withColumn(
         "cum_before", F.sum("n_tokens").over(sw) - F.col("n_tokens")
     ).withColumn(
+        # `div` is int64 division end-to-end (ADVICE r16: floor(x / y)
+        # routes through double, whose 2^53 mantissa would silently
+        # mis-bucket once a shard's cumulative token count outgrows it —
+        # cum_before >= 0 so truncating div IS floor; the oracle's
+        # DuckDB `//` matches)
         "local_seq",
-        F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint"),
+        F.expr(f"cum_before div {SEQ_BUDGET}").cast("bigint"),
     )
     counts = docs.groupBy("shard").agg(
+        F.sum("n_tokens").alias("tok_sum"),
+        F.max_by("n_tokens", "doc_id").alias("last_doc_tokens"),
+    ).select(
+        "shard",
         (
-            F.floor(
-                (F.sum("n_tokens") - F.max_by("n_tokens", "doc_id"))
-                / F.lit(SEQ_BUDGET)
-            )
+            F.expr(f"(tok_sum - last_doc_tokens) div {SEQ_BUDGET}")
             + F.lit(1)
         )
         .cast("bigint")
-        .alias("n_seq")
+        .alias("n_seq"),
     )
     # The summary feeds BOTH sides of the triangular join; checkpoint the
     # {N_PACK_SHARDS}-row result so the corpus isn't scanned once per side
@@ -385,7 +395,7 @@ def _pack_chunks_oracle() -> str:
       FROM chunks
     ), assigned AS (
       SELECT doc_id, n_tokens,
-             CAST(floor(cum_before / {CHUNK_SEQ_BUDGET}) AS BIGINT) AS seq_id
+             CAST(cum_before // {CHUNK_SEQ_BUDGET} AS BIGINT) AS seq_id
       FROM c
     )
     SELECT seq_id, count(*) AS n_chunks,
@@ -414,7 +424,7 @@ def curate_pack_chunks(spark, sf_dir):
     ).select(
         "doc_id",
         "n_tokens",
-        F.floor(F.col("cum_before") / CHUNK_SEQ_BUDGET).cast("bigint").alias("seq_id"),
+        F.expr(f"cum_before div {CHUNK_SEQ_BUDGET}").cast("bigint").alias("seq_id"),
     )
     return assigned.groupBy("seq_id").agg(
         F.count(F.lit(1)).alias("n_chunks"),
@@ -571,7 +581,7 @@ def curate_pack_bpe(spark, sf_dir):
         .select(
             "doc_id",
             "n_tokens",
-            F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+            F.expr(f"cum_before div {SEQ_BUDGET}").cast("bigint").alias("seq_id"),
         )
     )
 
@@ -608,7 +618,7 @@ def curate_pack_bpe(spark, sf_dir):
       FROM mixed
     )
     SELECT doc_id, source, n_tokens,
-           CAST(floor(cum_before / {SEQ_BUDGET}) AS BIGINT) AS seq_id
+           CAST(cum_before // {SEQ_BUDGET} AS BIGINT) AS seq_id
     FROM packed
     """,
 )
@@ -659,7 +669,7 @@ def curate_pipeline(spark, sf_dir):
             "doc_id",
             "source",
             "n_tokens",
-            F.floor(F.col("cum_before") / SEQ_BUDGET).cast("bigint").alias("seq_id"),
+            F.expr(f"cum_before div {SEQ_BUDGET}").cast("bigint").alias("seq_id"),
         )
     )
 

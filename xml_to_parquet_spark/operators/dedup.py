@@ -25,7 +25,7 @@ from xml_to_parquet_spark.functions.text_fns import (
     shingles_duck,
     shingles_sql,
 )
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 NUM_HASHES = 16

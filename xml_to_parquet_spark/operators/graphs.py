@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 SCALE = 10**15
@@ -1414,7 +1414,7 @@ def _modularity_oracle() -> str:
     """
 
 
-@register_staged("graph_modularity", _modularity_oracle())
+@register("graph_modularity", _modularity_oracle())
 def graph_modularity(spark, sf_dir):
     """Newman MODULARITY of the LPA communities — the number that says
     whether a community detection found structure or noise (Newman &

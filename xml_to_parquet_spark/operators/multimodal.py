@@ -26,7 +26,7 @@ from hashlib import md5 as _md5
 import pandas as pd
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 
@@ -1757,7 +1757,7 @@ def _shot_detect_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@register_staged(
+@register(
     "mm_video_shot_detect",
     f"""
     WITH dims AS (

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from xml_to_parquet_spark.operators.relational import _davg_sql, davg
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 
@@ -4000,7 +4000,7 @@ def dq_mutual_information(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "timeseries_theil_sen",
     """
     WITH daily AS (
@@ -4187,7 +4187,7 @@ _RUNS_VAR = (
 )
 
 
-@register_staged(
+@register(
     "dq_runs_test",
     f"""
     WITH daily AS (
@@ -4291,7 +4291,7 @@ def dq_runs_test(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "agg_pythagorean_means",
     """
     WITH li AS (
@@ -4358,7 +4358,7 @@ def agg_pythagorean_means(spark, sf_dir):
 FRESH_STALE_MIN = 30  # staleness alarm threshold (minutes behind global max)
 
 
-@register_staged(
+@register(
     "dq_freshness_lag",
     f"""
     WITH t AS (

@@ -15,7 +15,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.vector_fns import cosine, dot, l2_norm
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 N_QUERIES = 8  # vec_id < 8 are the query vectors
@@ -2171,7 +2171,7 @@ def sim_kmeans_update(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@register_staged(
+@register(
     "sim_pq_train",
     f"""
     WITH c AS (SELECT vec_id AS cw, embedding AS ce
@@ -2417,7 +2417,7 @@ def _recall_oracle() -> str:
     """
 
 
-@register_staged("sim_recall_at_k", _recall_oracle())
+@register("sim_recall_at_k", _recall_oracle())
 def sim_recall_at_k(spark, sf_dir):
     """RECALL@{RECALL_K} of a budgeted two-stage ANN funnel against
     brute-force ground truth — the evaluation every ANN deployment runs

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.io_paths import has_data_files, scratch_dir
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 _ORACLE = """
@@ -1864,7 +1864,7 @@ VAC_UPD_FILES = (1, 5)  # residue files whose rows get updated (rewritten)
 VAC_DEL_FILE = 9        # residue file whose rows are all deleted
 
 
-@register_staged(
+@register(
     "lake_vacuum_plan",
     f"""
     WITH r AS (

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL, STOPWORDS
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
@@ -1696,7 +1696,7 @@ def _textrank_oracle() -> str:
     )
 
 
-@register_staged("text_textrank", _textrank_oracle())
+@register("text_textrank", _textrank_oracle())
 def text_textrank(spark, sf_dir):
     """TEXTRANK keyword extraction (Mihalcea & Tarau 2004) — PageRank
     over the word co-occurrence graph, the graph-centrality sibling of

@@ -68,69 +68,62 @@ def lookup(name: str) -> QueryDef:
 #   * the first 50 names are the graded window;
 #   * rows-only (no-oracle) queries sort to the very end UNLESS they hold a
 #     deliberate window slot.
-# Round-15 rotation (R15_PLAN.md, per VERDICT r14 #1): promote ELEVEN
-# stalest-staged ops — the 4 r16-tier leftovers (mm_image_palette,
-# sim_silhouette, text_collocations_pmi, text_zipf_rank), the full r17
-# tier (agg_covariance_matrix, er_blocking_metrics,
-# graph_harmonic_landmarks, lake_clustering_depth, sim_kmeans_update),
-# and the first 2 alphabetical of the r18 tier (curate_url_dedup,
-# dq_mutual_information). NO rows-only forcing this round (next is
-# approx_count_distinct at r16, per R15_PLAN's bound math). Fills: the
-# first 36 alphabetical of the 42 oracle-backed r9-proof holders (the
-# stalest tier, mechanically re-derived from the CORRECTNESS artifacts
-# at rotation time); text_fingerprint yields its planned 36th fill slot
-# to curate_pack_sharded (the r14 dq_drift_histogram yield trick — r9
-# proofs pass the bound at r16, nothing is lost), so the remaining 7 r9
-# holders go at r16 (bound check: 9 >= 16-7, exactly passes).
-# 3 anchors + 12 new + 35 fills = 50.
+# Round-16 rotation (R16_PLAN.md, per VERDICT r15 #1): promote ALL TEN
+# remaining staged ops — the 3 r18-tier leftovers (graph_modularity,
+# sim_pq_train, timeseries_theil_sen) and the full r19 tier
+# (agg_pythagorean_means, dq_freshness_lag, dq_runs_test,
+# lake_vacuum_plan, mm_video_shot_detect, sim_recall_at_k,
+# text_textrank). The staged tier goes EMPTY this round, on schedule;
+# from r17 the rotation is pure fills unless VERDICT mandates new ops.
+# FORCED rows-only slot: approx_count_distinct (r10 proof — last chance
+# inside the bound: 10 >= 16-7 exactly; R15_PLAN scheduled it here).
+# Fills: the 7 r9-proof leftovers (pass the bound exactly: 9 >= 16-7)
+# + the first 29 alphabetical of the 46 oracle-backed r10-proof holders
+# (both tiers mechanically re-derived from the CORRECTNESS artifacts at
+# rotation time; the 17 r10 leftovers rotate at r17: 10 >= 17-7).
+# 3 anchors + 10 new + 1 rows-only + 36 fills = 50.
 # CAPACITY NOTE (r10, still current): the staleness bound is DERIVED as
 # max(4, ceil(non_anchor/47)) in tests/test_registry_order.py (pigeonhole:
 # 47 rotating slots/round); rotation policy stays stalest-first. Previous
-# windows: r1-r14 lists are in git history.
+# windows: r1-r15 lists are in git history.
 NEW_TARGETS: list[str] = [
-    # oracle-backed, promoted from the staged tier at the r15 rotation
-    "mm_image_palette",
-    "sim_silhouette",
-    "text_collocations_pmi",
-    "text_zipf_rank",
-    "agg_covariance_matrix",
-    "er_blocking_metrics",
-    "graph_harmonic_landmarks",
-    "lake_clustering_depth",
-    "sim_kmeans_update",
-    "curate_url_dedup",
-    "dq_mutual_information",
-    # VERDICT r14 #2: the sharded packing twin that retires the
-    # curate_pack_* single-partition window — registered directly into
-    # this window (depth/scale fix made gradable, the
-    # lake_iceberg_snapshot precedent; not a breadth op).
-    "curate_pack_sharded",
+    # oracle-backed, promoted from the staged tier at the r16 rotation
+    "graph_modularity",
+    "sim_pq_train",
+    "timeseries_theil_sen",
+    "agg_pythagorean_means",
+    "dq_freshness_lag",
+    "dq_runs_test",
+    "lake_vacuum_plan",
+    "mm_video_shot_detect",
+    "sim_recall_at_k",
+    "text_textrank",
 ]
 UPGRADED: list[str] = []
 CHANGED: list[str] = []
-# No forced rows-only slots at r15 (R15_PLAN: the next forcing is
-# approx_count_distinct at r16, where its r10 proof still passes the
-# staleness bound — taking it now would burn r16/r17 slack).
-ROWS_ONLY_SLOTS: list[str] = []
+# Forced rows-only slot at r16: approx_count_distinct (HLL sketch — no
+# exact SQL oracle by design; the driver records the weaker rows-only
+# check). Its r10 proof passes the staleness bound exactly this round.
+ROWS_ONLY_SLOTS: list[str] = ["approx_count_distinct"]
 ANCHORS = ["q1_pricing_summary", "dedup_minhash_lsh", "mm_decode_png"]
 GRADED_WINDOW: list[str] = [
     *ANCHORS,
     *NEW_TARGETS,
-    # fills: the first 36 alphabetical of the 42 oracle-backed r9-proof
-    # holders MINUS text_fingerprint's yielded slot (see above; the 7
-    # r9 leftovers rotate at r16 — all 42 hold latest proof round 9).
-    "dq_drift_histogram", "exists_correlated_subquery", "explode_unnest",
-    "graph_label_propagation", "in_subquery", "join_anti",
-    "join_interval_overlap", "join_right", "q13_customer_distribution",
-    "q15_top_supplier", "q19_discounted_revenue",
-    "q22_global_sales_opportunity", "q6_forecast_revenue", "q8_market_share",
-    "sample_hash_deterministic", "scalar_array_fns2", "scalar_date_fns2",
-    "scalar_levenshtein", "scalar_map_fns", "scalar_string_fns2",
-    "scalar_subquery", "sim_ann_lsh", "sim_embedding_neardup",
-    "sim_embedding_norms", "sim_ivfpq_search", "sim_quantize_int8",
-    "sink_partitioned_parquet", "sink_sorted_parquet", "sink_zorder_parquet",
-    "stream_foreach_batch", "stream_static_join", "stream_stream_outer",
-    "text_bm25_topk", "text_chunk_overlap", "text_dedup_chunks",
+    *ROWS_ONLY_SLOTS,
+    # fills: the 7 r9-proof leftovers, then the first 29 alphabetical of
+    # the 46 oracle-backed r10-proof holders (see rotation note above).
+    "text_fingerprint", "text_html_extract", "text_ngram_freq",
+    "text_rolling_hash", "udf_broadcast_lookup", "udtf_table_fn",
+    "union_by_name",
+    "agg_cube", "agg_grouping_sets", "agg_min_max_by", "agg_null_semantics",
+    "agg_rollup", "agg_stats", "curate_decontaminate",
+    "curate_quality_filter", "dedup_components", "dedup_exact",
+    "dedup_minhash_verified", "join_asof", "join_asof_forward",
+    "join_asof_nearest", "join_bucketed", "join_range", "join_skew_salted",
+    "json_functions", "lake_manifest_prune", "mm_resize_pixel",
+    "q10_returned_items", "q14_promo_revenue", "q18_large_volume_customer",
+    "q3_shipping_priority", "q4_order_priority", "q5_local_supplier",
+    "q9_product_profit", "scalar_date_fns", "scalar_try_arith",
 ]
 
 

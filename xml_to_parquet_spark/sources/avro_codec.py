@@ -45,11 +45,17 @@ class AvroError(ValueError):
 class _Cursor:
     """Sequential reader over one decoded block (or the file header)."""
 
-    __slots__ = ("buf", "pos")
+    __slots__ = ("buf", "pos", "zero_byte_items")
 
     def __init__(self, buf: bytes, pos: int = 0):
         self.buf = buf
         self.pos = pos
+        # Running total of items decoded from zero-byte-datum blocks,
+        # CUMULATIVE across every array/map in this cursor's lifetime —
+        # a per-block cap alone still lets a small crafted file chain
+        # many sub-cap blocks into hundreds of millions of materialized
+        # Python values (ADVICE r16).
+        self.zero_byte_items = 0
 
     def take(self, n: int) -> bytes:
         if self.pos + n > len(self.buf):
@@ -201,11 +207,17 @@ def _check_block_count(count: int, cur: _Cursor, min_item_bytes: int = 1) -> Non
                 f"block count {count} exceeds the {len(cur.buf) - cur.pos} "
                 "bytes remaining: corrupt block"
             )
-    elif count > _ZERO_BYTE_COUNT_CAP:
-        raise AvroError(
-            f"block count {count} exceeds the zero-byte-item sanity cap "
-            f"{_ZERO_BYTE_COUNT_CAP}: corrupt block"
-        )
+    else:
+        # The cap applies to the RUNNING total of zero-byte items this
+        # cursor has admitted, not just this block — chained sub-cap
+        # blocks must trip it too (ADVICE r16).
+        cur.zero_byte_items += count
+        if cur.zero_byte_items > _ZERO_BYTE_COUNT_CAP:
+            raise AvroError(
+                f"cumulative zero-byte-item count {cur.zero_byte_items} "
+                f"exceeds the sanity cap {_ZERO_BYTE_COUNT_CAP}: corrupt "
+                "block chain"
+            )
 
 
 def _min_datum_bytes(schema, names: dict, _seen: frozenset = frozenset()) -> int:
@@ -331,14 +343,18 @@ def encode_datum(schema, value, names: dict | None = None, ns: str | None = None
         names = {}
         _collect_names(schema, names)
     if isinstance(schema, list):  # union: first branch accepting the value
+        # spec: unions may not immediately contain other unions. Scan ALL
+        # branches BEFORE matching (ADVICE r16): an in-loop check only
+        # fires when iteration reaches the list branch, so an illegal
+        # schema like ['null', ['int','string']] would silently encode
+        # None via branch 0 instead of being rejected — asymmetric with
+        # the decode side, which refuses the schema outright.
         for i, branch in enumerate(schema):
             if isinstance(branch, list):
-                # spec: unions may not immediately contain other unions —
-                # without this check the .get below raises AttributeError,
-                # breaking the only-ValueError-escapes contract
                 raise AvroError(
                     f"union branch {i} is itself a union: illegal Avro schema"
                 )
+        for i, branch in enumerate(schema):
             bt = branch if isinstance(branch, str) else branch.get("type")
             if value is None and bt == "null":
                 return _zigzag(i)
@@ -467,6 +483,13 @@ def read_container(data: bytes) -> tuple[dict, list]:
     _collect_names(schema, names)
     rec_min = _min_datum_bytes(schema, names)
     records: list = []
+    # Cumulative zero-byte-datum budget across the WHOLE file: a per-block
+    # cap alone still lets a small crafted file chain many sub-cap
+    # zero-byte-record blocks into hundreds of millions of materialized
+    # dicts (ADVICE r16). The running total is threaded through each
+    # block's cursor so zero-byte ARRAY/MAP items accumulate across
+    # blocks under the same budget.
+    zero_total = 0
     while not cur.at_end():
         n_records = cur.read_long()
         block = cur.read_bytes()
@@ -481,19 +504,24 @@ def read_container(data: bytes) -> tuple[dict, list]:
                 raise AvroError(f"corrupt deflate block: {exc}") from exc
         # The remaining-bytes bound only applies when a record provably
         # consumes >=1 byte; zero-byte-encodable record schemas (all-null
-        # fields — spec-legal, ADVICE r14) get the sanity cap instead.
+        # fields — spec-legal, ADVICE r14) get the sanity cap instead —
+        # applied to the RUNNING file total, not just this block.
+        if rec_min < 1:
+            zero_total += max(n_records, 0)
         if n_records < 0 or (
             n_records > len(block) + 1
             if rec_min >= 1
-            else n_records > _ZERO_BYTE_COUNT_CAP
+            else zero_total > _ZERO_BYTE_COUNT_CAP
         ):
             raise AvroError(
                 f"block declares {n_records} records in {len(block)} "
                 "bytes: corrupt block"
             )
         bcur = _Cursor(block)
+        bcur.zero_byte_items = zero_total
         for _ in range(n_records):
             records.append(_decode(schema, bcur, names))
+        zero_total = bcur.zero_byte_items
         if not bcur.at_end():
             raise AvroError(
                 f"block declared {n_records} records but "

@@ -152,7 +152,29 @@ def _fs_path(table_path: str, logged: str) -> str:
     named existing) file. Decode at the FILESYSTEM boundary ONLY:
     replay state stays keyed by the raw log form, so add/remove/cdc
     pairing matches byte-for-byte regardless of writer encoding quirks.
-    An absolute `logged` path survives os.path.join unchanged."""
+    A POSIX-absolute `logged` path survives os.path.join unchanged; a
+    protocol-legal SCHEME-PREFIXED absolute URI (``s3://bucket/x``,
+    ``file:/x``) would NOT — os.path.join would produce a bogus local
+    path like ``<table>/s3:/bucket/x`` and fail with a confusing
+    missing-file error, so it is refused loudly instead (ADVICE r16;
+    this adapter reads local filesystems only — validate, don't
+    no-op). ``file:`` URIs are the one scheme that CAN be resolved
+    locally, so they are."""
+    if m := re.match(r"([A-Za-z][A-Za-z0-9+.-]*):", logged):
+        scheme = m.group(1)
+        if scheme.lower() != "file":
+            raise ValueError(
+                f"log-recorded data file path {logged!r} uses scheme "
+                f"{scheme!r}; this adapter resolves local paths only — "
+                "copy the table (or mount the store) locally first"
+            )
+        parsed = urllib.parse.urlparse(logged)
+        if parsed.netloc not in ("", "localhost"):
+            raise ValueError(
+                f"file: URI {logged!r} names remote host "
+                f"{parsed.netloc!r}; this adapter resolves local paths only"
+            )
+        return urllib.parse.unquote(parsed.path)
     return os.path.join(table_path, urllib.parse.unquote(logged))
 
 

@@ -16,7 +16,7 @@ from collections.abc import Iterable
 import pandas as pd
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.streaming.windows import _drain, _events_stream
 
 

@@ -20,7 +20,7 @@ import uuid
 
 from pyspark.sql import functions as F
 
-from xml_to_parquet_spark.registry import register, register_staged
+from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
 
