@@ -115,9 +115,11 @@ it fully implements.
 from __future__ import annotations
 
 import json
+import math
 import os
 import re
 import urllib.parse
+from fractions import Fraction
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -1119,25 +1121,72 @@ def _validate_stats_filter(stats_filter) -> None:
             )
 
 
+class _RawJsonFloat(str):
+    """A JSON fractional number kept as its RAW decimal text.
+
+    json.loads' default parse_float routes every fractional stat through
+    float64 — but add.stats records DECIMAL-column bounds as JSON
+    numbers too, and a decimal min like 92233720368547758.09 rounds UP
+    to 92233720368547760 in float64, silently pruning a file that holds
+    a matching row (representation-boundary class, found r16; the same
+    caller-literal-vs-stored-form family as the r15 Iceberg
+    _stored_repr fix). Keeping the text lets _numeric_bound compare
+    EXACTLY under both possible storage interpretations."""
+
+
+def _numeric_bound(v, side: str):
+    """Exact comparable value for a JSON-recorded numeric bound, or None
+    (None KEEPS the file). The stats JSON does not say whether the
+    column is float-typed (the text denotes the nearest float64 — the
+    shortest-roundtrip form Spark writes) or decimal-typed (the text IS
+    the exact value), so a fractional bound takes the CONSERVATIVE of
+    the two exact interpretations: the smaller for a lower bound, the
+    larger for an upper bound — sound under either column type, at the
+    cost of at most one kept file per half-ulp of divergence."""
+    if isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return v
+    if isinstance(v, _RawJsonFloat):
+        try:
+            as_decimal = Fraction(str(v))
+            as_float = float(v)
+        except (ValueError, OverflowError):
+            return None
+        if math.isinf(as_float) or math.isnan(as_float):
+            return None
+        as_f64 = Fraction(as_float)
+        return min(as_decimal, as_f64) if side == "lo" else max(as_decimal, as_f64)
+    if isinstance(v, float):  # NaN/Infinity arrive via parse_constant
+        if math.isnan(v) or math.isinf(v):
+            return None
+        return v
+    return None
+
+
 def _stats_file_survives(stats_json, stats_filter) -> bool:
     """True unless the file's [min, max] provably excludes every row
     matching ALL predicates. Missing stats / missing column stats /
     non-numeric recorded bounds keep the file — skipping is an
-    optimization that must never be able to drop a matching row."""
+    optimization that must never be able to drop a matching row.
+    Fractional bounds are compared EXACTLY (see _numeric_bound) —
+    float64 round-tripping a decimal column's recorded bound can move
+    it past a matching literal."""
     if not stats_json:
         return True
     try:
-        stats = json.loads(stats_json) if isinstance(stats_json, str) else stats_json
+        stats = (
+            json.loads(stats_json, parse_float=_RawJsonFloat)
+            if isinstance(stats_json, str)
+            else stats_json
+        )
     except (ValueError, TypeError):
         return True
     mins = stats.get("minValues") or {}
     maxs = stats.get("maxValues") or {}
     for col, op, lit in stats_filter:
-        lo, hi = mins.get(col), maxs.get(col)
-        if isinstance(lo, bool) or not isinstance(lo, (int, float)):
-            lo = None
-        if isinstance(hi, bool) or not isinstance(hi, (int, float)):
-            hi = None
+        lo = _numeric_bound(mins.get(col), "lo")
+        hi = _numeric_bound(maxs.get(col), "hi")
         if op == "=" and (
             (lo is not None and lit < lo) or (hi is not None and lit > hi)
         ):
