@@ -17,7 +17,9 @@ the two patterns that are never right at 100 TB —
 A third sweep (r15, institutionalizing VERDICT r14 #2) covers
 UNPARTITIONED WindowExec — a window with no PARTITION BY executes on
 one reducer, the single-partition bottleneck the sharded packing twin
-was built to retire. Unlike the two smells above it is not always
+was built to retire. A fourth (r16, VERDICT r15 #8's "second plan-smell
+dimension") covers SortAggregate — a per-partition sort where
+HashAggregate would stream; see _SORT_AGGREGATE_ALLOWLIST. Unlike the two smells above it is not always
 wrong: a window over a provably BOUNDED input (a vocabulary grid, a
 bucket summary, a beam, a manifest) never sees data-sized rows. So the
 sweep requires every unpartitioned window to hold a reviewed
@@ -92,6 +94,44 @@ _UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
 }
 
 
+# SortAggregate allowlist (r16, the second registry-wide dimension
+# VERDICT r15 #8 called for): SortAggregate sorts every partition before
+# aggregating — at 100 TB that is a per-partition sort of the full
+# fanout where HashAggregate would stream it. It appears whenever an
+# aggregate's buffer is not mutable-fixed-width (struct/array-typed
+# buffers), which codegen HashAggregate cannot update in place. The
+# r15 graph_harmonic_landmarks word-packing win (bitmap buffer →
+# bit_or longs, SortAggregate → HashAggregate, ~20%) shows these are
+# sometimes fixable, so every occurrence needs a reviewed reason:
+# either the rewrite was measured-and-rejected or the input is bounded.
+# All four current entries are the struct-ORDERING-KEY min_by/max_by
+# argmin device — the struct key itself forces the sort (measured r16:
+# carrying only a scalar value keeps BOTH SortAggregates and adds a
+# join; A/B in sim_kmeans_update's docstring) — and all stay map-side
+# combinable, so the exchange carries one partial row per group.
+_SORT_AGGREGATE_ALLOWLIST: dict[str, str] = {
+    "sim_kmeans_update": "struct-keyed argmin (min_by) over the K-fanout;"
+    " rewrite measured-and-rejected r16 (docstring A/B)",
+    "sim_pq_train": "same struct-keyed argmin per (vector, subspace);"
+    " fanout bounded by M subspaces x K codewords",
+    "dedup_semdedup": "struct-keyed argmax keeper pick over in-cluster"
+    " pairs; fanout bounded by the cluster-blocking contract",
+    "sim_pipeline": "composes the assignment/prune argmin stages above"
+    " (same device, 4 subtree repetitions documented)",
+    "sim_centroid_assign": "origin of the struct-keyed argmin device;"
+    " K-fanout bounded, exchange = one partial per vector",
+    "sim_pq_adc": "struct-keyed argmin per (vector, subspace); fanout"
+    " bounded by M x K lookup-table rows",
+    "timeseries_resample_ohlc": "struct-ordered min_by/max_by open/close;"
+    " exchange stays grid-sized (docstring scale note, plan-pinned)",
+    "agg_bitmap_distinct": "bitmap_construct_agg's binary buffer is not"
+    " (Object)HashAggregate-eligible; docstring exec note points"
+    " sort-hostile fan-outs at the word-packed bit_or variant",
+    "agg_theta_setops": "theta-sketch binary buffer; KB-sized mergeable"
+    " state is the whole point (map-side combinable)",
+}
+
+
 def _unpartitioned_window_specs(plan: str) -> list[str]:
     """Every windowspecdefinition in ``plan`` with NO partition columns
     (all leading args are `col ASC/DESC ...` orderings, or none at all
@@ -162,6 +202,7 @@ def test_no_plan_smells_across_entire_registry(spark):
     queries = dict(load_all())
     queries.update({name: qd for name, qd in STAGED.items()})
     violations: list[str] = []
+    seen_sort_agg: set[str] = set()
     for name, qd in sorted(queries.items()):
         try:
             df = qd.fn(spark, SF_DIR)
@@ -174,4 +215,15 @@ def test_no_plan_smells_across_entire_registry(spark):
             violations.append(f"{name}: CartesianProduct in plan")
         if _UDF_SMELL_RE.search(plan) and _UDF_SMELL not in allowed:
             violations.append(f"{name}: row-at-a-time Python UDF in plan")
+        if "SortAggregate" in plan:
+            seen_sort_agg.add(name)
+            if name not in _SORT_AGGREGATE_ALLOWLIST:
+                violations.append(
+                    f"{name}: SortAggregate in plan — non-fixed-width "
+                    "aggregate buffer; rewrite to a hash-aggregable form "
+                    "(the harmonic_landmarks word-packing precedent) or "
+                    "add a reviewed reason to _SORT_AGGREGATE_ALLOWLIST"
+                )
     assert not violations, "\n".join(violations)
+    stale = sorted(set(_SORT_AGGREGATE_ALLOWLIST) - seen_sort_agg)
+    assert not stale, f"SortAggregate allowlist entries with none in plan: {stale}"
