@@ -120,3 +120,93 @@ def test_iceberg_float_bounds_decode_exact_ieee_bits():
     f64 = struct.pack("<d", 0.1)
     assert _decode_bound("double", f64) == 0.1
     assert _decode_bound("long", struct.pack("<q", 2**62)) == 2**62
+
+
+# ---------------------------------------------------------------------------
+# commitInfo instant precedence (r16 find #2): an explicitly-null
+# inCommitTimestamp must fall back to commitInfo.timestamp, not to file
+# mtime — and the CDF reader must honor ICT at all (it read only
+# `timestamp` before, so delta_version_as_of and _commit_timestamp could
+# disagree about the same commit's instant). Both sites now share
+# _commit_instant_ms.
+# ---------------------------------------------------------------------------
+
+import json as _json
+import os as _os
+
+import pytest as _pytest
+
+from xml_to_parquet_spark.sources.delta_log import (
+    _commit_instant_ms,
+    delta_version_as_of,
+)
+
+
+def test_commit_instant_precedence_unit():
+    assert _commit_instant_ms({"inCommitTimestamp": 7, "timestamp": 5}) == 7
+    assert _commit_instant_ms({"inCommitTimestamp": None, "timestamp": 5}) == 5
+    assert _commit_instant_ms({"timestamp": 5}) == 5
+    assert _commit_instant_ms({}) is None
+    assert _commit_instant_ms(None) is None
+
+
+def _delta_table_with_infos(tmp_path, infos):
+    table = str(tmp_path / "t")
+    log = _os.path.join(table, "_delta_log")
+    _os.makedirs(log)
+    meta = {
+        "metaData": {
+            "id": "hardening-r16",
+            "format": {"provider": "parquet"},
+            "schemaString": _json.dumps({"type": "struct", "fields": []}),
+            "partitionColumns": [],
+            "configuration": {},
+        }
+    }
+    for v, info in enumerate(infos):
+        actions = [{"commitInfo": info}]
+        if v == 0:
+            actions.append({"protocol": {"minReaderVersion": 1}})
+            actions.append(meta)
+        actions.append(
+            {
+                "add": {
+                    "path": f"f{v}.parquet",
+                    "partitionValues": {},
+                    "size": 1,
+                    "modificationTime": 1,
+                    "dataChange": True,
+                }
+            }
+        )
+        with open(_os.path.join(log, f"{v:020d}.json"), "w") as fh:
+            fh.write("\n".join(_json.dumps(a) for a in actions))
+    return table
+
+
+def test_version_as_of_null_ict_falls_back_to_timestamp(tmp_path):
+    """v1 carries {"inCommitTimestamp": null, "timestamp": 2000}. The old
+    dict.get(key, default) short-circuit dropped to the commit FILE's
+    mtime (written just now — far in the future), so as-of(2000) wrongly
+    resolved to v0 instead of v1."""
+    table = _delta_table_with_infos(
+        tmp_path,
+        [{"timestamp": 1000}, {"inCommitTimestamp": None, "timestamp": 2000}],
+    )
+    assert delta_version_as_of(table, 2000) == 1
+    assert delta_version_as_of(table, 1500) == 0
+    # and the latest dated instant really is 2000 now, not the file
+    # mtime: a probe past it raises per the r14 ADVICE semantics
+    with _pytest.raises(ValueError, match="after the latest dated version"):
+        delta_version_as_of(table, 2500)
+
+
+def test_version_as_of_ict_takes_precedence(tmp_path):
+    """v1's authoritative ICT (5000) outranks its wall clock (2000): an
+    instant of 2500 must resolve to v0, not v1."""
+    table = _delta_table_with_infos(
+        tmp_path,
+        [{"timestamp": 1000}, {"inCommitTimestamp": 5000, "timestamp": 2000}],
+    )
+    assert delta_version_as_of(table, 2500) == 0
+    assert delta_version_as_of(table, 5000) == 1

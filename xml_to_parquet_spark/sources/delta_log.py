@@ -277,6 +277,24 @@ def list_delta_versions(table_path: str) -> list[int]:
     return readable
 
 
+def _commit_instant_ms(info):
+    """A commit's instant from its ``commitInfo``, per the protocol
+    precedence: ``inCommitTimestamp`` (the ICT writer feature — commit
+    time recorded IN the commit, authoritative) falls back to
+    ``timestamp`` (best-effort wall clock). The fallback applies when
+    ICT is ABSENT OR EXPLICITLY NULL — ``info.get(key, default)``
+    short-circuits on a present-but-null key and would silently skip a
+    perfectly good wall-clock instant (r16; shared by
+    delta_version_as_of and the CDF reader so the two surfaces can
+    never disagree about the same commit's instant)."""
+    if not isinstance(info, dict):
+        return None
+    ts = info.get("inCommitTimestamp")
+    if ts is None:
+        ts = info.get("timestamp")
+    return ts
+
+
 def delta_version_as_of(table_path: str, timestamp_ms: int) -> int:
     """The readable version current AS OF ``timestamp_ms`` — Delta's
     timestamp-based time travel, mirroring iceberg_snapshot_as_of.
@@ -316,7 +334,7 @@ def delta_version_as_of(table_path: str, timestamp_ms: int) -> int:
                 action = json.loads(line)
                 info = action.get("commitInfo")
                 if info is not None:
-                    ts = info.get("inCommitTimestamp", info.get("timestamp"))
+                    ts = _commit_instant_ms(info)
                     break
         if ts is None:
             ts = int(os.path.getmtime(path) * 1000)
@@ -1370,7 +1388,7 @@ def delta_changes(
                 elif "protocol" in action:
                     _check_reader_protocol(action["protocol"], table_path)
                 elif "commitInfo" in action:
-                    commit_ts = action["commitInfo"].get("timestamp")
+                    commit_ts = _commit_instant_ms(action["commitInfo"])
         if cdcs:
             df = _scan_change_batch(
                 spark, meta, part_cols, mapping, table_path,
