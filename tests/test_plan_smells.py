@@ -19,7 +19,10 @@ UNPARTITIONED WindowExec — a window with no PARTITION BY executes on
 one reducer, the single-partition bottleneck the sharded packing twin
 was built to retire. A fourth (r16, VERDICT r15 #8's "second plan-smell
 dimension") covers SortAggregate — a per-partition sort where
-HashAggregate would stream; see _SORT_AGGREGATE_ALLOWLIST. Unlike the two smells above it is not always
+HashAggregate would stream; see _SORT_AGGREGATE_ALLOWLIST. A fifth
+(r16, R17_PLAN item 3) is the SCAN-WIDTH sweep: no op may read the
+full width of a wide base table unless reviewed — column pruning must
+reach the FileScan; see _FULL_WIDTH_SCAN_ALLOWLIST. Unlike the two smells above it is not always
 wrong: a window over a provably BOUNDED input (a vocabulary grid, a
 bucket summary, a beam, a manifest) never sees data-sized rows. So the
 sweep requires every unpartitioned window to hold a reviewed
@@ -132,6 +135,79 @@ _SORT_AGGREGATE_ALLOWLIST: dict[str, str] = {
 }
 
 
+# Scan-width sweep (r16, R17_PLAN depth item 3 pulled forward — the
+# third registry-wide dimension): column pruning that never reaches the
+# FileScan is invisible in row counts and only hurts at 100 TB — a
+# 16-column lineitem scan behind a 4-column aggregation reads 4x the
+# bytes it needs. For every FileSourceScanExec over one of the WIDE base
+# tables (>= _WIDE_SCAN_MIN_COLS columns; the narrow dims region/nation/
+# supplier/embeddings are excluded — reading all 2-4 columns of those is
+# usually the op's actual projection, not a pruning failure), a
+# requiredSchema as wide as the table itself is a violation unless a
+# reviewed reason says the op genuinely consumes every column. The r16
+# discovery sweep (scripts/scan_width_sweep.py) found ZERO wide-table
+# full-width scans across all 302 registered ops, so the allowlist
+# starts — and should stay — empty.
+_WIDE_SCAN_MIN_COLS = 5
+_FULL_WIDTH_SCAN_ALLOWLIST: dict[str, str] = {}
+
+
+def _base_table_widths(spark):
+    from xml_to_parquet_spark.tables import TABLE_NAMES
+
+    widths = {}
+    for t in TABLE_NAMES:
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            widths[t] = len(spark.read.parquet(p).schema)
+    return widths
+
+
+def _file_scans(jplan):
+    """[(root_path, n_required_fields)] for every FileSourceScanExec under
+    the pre-AQE physical plan, including subquery/broadcast subtrees.
+    Walking the JVM tree (not the toString) avoids the 100-char metadata
+    truncation that makes ReadSchema unparseable for wide tables."""
+    out = []
+    stack = [jplan]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "FileSourceScanExec":
+            out.append(
+                (
+                    node.relation().location().rootPaths().apply(0).toString(),
+                    node.requiredSchema().size(),
+                )
+            )
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+        try:
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:  # noqa: BLE001 — not every node exposes subqueries
+            pass
+    return out
+
+
+def _wide_full_width_scans(jplan, widths) -> list[str]:
+    from xml_to_parquet_spark.tables import TABLE_NAMES
+
+    hits = []
+    base = os.path.abspath(SF_DIR)
+    for loc, n_read in _file_scans(jplan):
+        path = loc.removeprefix("file:")
+        if not path.startswith(base):
+            continue  # fixture/scratch outputs are the op's own layout
+        for t in TABLE_NAMES:
+            if path.rstrip("/").endswith(f"/{t}.parquet"):
+                full = widths.get(t, 0)
+                if full >= _WIDE_SCAN_MIN_COLS and n_read >= full:
+                    hits.append(f"{t} (read {n_read}/{full} cols)")
+    return hits
+
+
 def _unpartitioned_window_specs(plan: str) -> list[str]:
     """Every windowspecdefinition in ``plan`` with NO partition columns
     (all leading args are `col ASC/DESC ...` orderings, or none at all
@@ -203,13 +279,26 @@ def test_no_plan_smells_across_entire_registry(spark):
     queries.update({name: qd for name, qd in STAGED.items()})
     violations: list[str] = []
     seen_sort_agg: set[str] = set()
+    seen_full_width: set[str] = set()
+    widths = _base_table_widths(spark)
     for name, qd in sorted(queries.items()):
         try:
             df = qd.fn(spark, SF_DIR)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+            jqe = df._jdf.queryExecution()
+            plan = jqe.executedPlan().toString()
+            wide_scans = _wide_full_width_scans(jqe.sparkPlan(), widths)
         except Exception as e:  # noqa: BLE001 — report, don't abort the sweep
             violations.append(f"{name}: plan build failed: {e!r:.200}")
             continue
+        if wide_scans:
+            seen_full_width.add(name)
+            if name not in _FULL_WIDTH_SCAN_ALLOWLIST:
+                violations.append(
+                    f"{name}: full-width wide-table scan ({wide_scans[0]}) — "
+                    "column pruning did not reach the FileScan; project the "
+                    "needed columns or add a reviewed reason to "
+                    "_FULL_WIDTH_SCAN_ALLOWLIST"
+                )
         allowed = _SMELL_ALLOWLIST.get(name, set())
         if "CartesianProduct" in plan and "CartesianProduct" not in allowed:
             violations.append(f"{name}: CartesianProduct in plan")
@@ -227,3 +316,5 @@ def test_no_plan_smells_across_entire_registry(spark):
     assert not violations, "\n".join(violations)
     stale = sorted(set(_SORT_AGGREGATE_ALLOWLIST) - seen_sort_agg)
     assert not stale, f"SortAggregate allowlist entries with none in plan: {stale}"
+    stale_fw = sorted(set(_FULL_WIDTH_SCAN_ALLOWLIST) - seen_full_width)
+    assert not stale_fw, f"full-width-scan allowlist with no such scan: {stale_fw}"
