@@ -241,6 +241,25 @@ def _unpartitioned_window_specs(plan: str) -> list[str]:
     return out
 
 
+def test_scan_width_detector_fires_on_unpruned_plan(spark):
+    """Negative control: the detector must FLAG a genuinely full-width
+    wide-table scan and must NOT flag a pruned one — otherwise the sweep
+    below is a rubber stamp."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} missing")
+    widths = _base_table_widths(spark)
+    li = os.path.join(SF_DIR, "lineitem.parquet")
+    full = spark.read.parquet(li)  # select * — nothing pruned
+    hits = _wide_full_width_scans(
+        full._jdf.queryExecution().sparkPlan(), widths
+    )
+    assert hits and hits[0].startswith("lineitem")
+    pruned = full.groupBy("l_returnflag").count()
+    assert not _wide_full_width_scans(
+        pruned._jdf.queryExecution().sparkPlan(), widths
+    )
+
+
 def test_unpartitioned_windows_all_justified(spark):
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"{SF_DIR} missing")
