@@ -210,3 +210,32 @@ def test_version_as_of_ict_takes_precedence(tmp_path):
     )
     assert delta_version_as_of(table, 2500) == 0
     assert delta_version_as_of(table, 5000) == 1
+
+
+def test_torn_commit_line_refuses_with_file_context(tmp_path):
+    """A half-written (torn) commit line used to surface as a bare
+    JSONDecodeError with no provenance — no file, no table. Commits are
+    published atomically (temp + rename), so a torn line means
+    filesystem corruption or a non-atomic log copy: every JSON-commit
+    reader must refuse loudly, naming the file and line (r16,
+    validate-don't-no-op rule)."""
+    from xml_to_parquet_spark.sources.delta_log import (
+        delta_active_files,
+        delta_incremental_files,
+    )
+
+    table = _delta_table_with_infos(
+        tmp_path, [{"timestamp": 1000}, {"timestamp": 2000}]
+    )
+    log = _os.path.join(table, "_delta_log")
+    with open(_os.path.join(log, f"{1:020d}.json"), "a") as fh:
+        fh.write('\n{"add": {"path": "torn.par')
+
+    with _pytest.raises(ValueError, match=r"corrupt Delta log file "
+                        r"0*1\.json line 3"):
+        delta_active_files(table)
+    with _pytest.raises(ValueError, match="corrupt Delta log"):
+        delta_incremental_files(table, since_version=0)
+    # delta_version_as_of stays servable: it stops at the commitInfo
+    # line, BEFORE the torn tail - a deliberate laziness, pinned here
+    assert delta_version_as_of(table, 2000) == 1
