@@ -239,3 +239,36 @@ def test_torn_commit_line_refuses_with_file_context(tmp_path):
     # delta_version_as_of stays servable: it stops at the commitInfo
     # line, BEFORE the torn tail - a deliberate laziness, pinned here
     assert delta_version_as_of(table, 2000) == 1
+
+
+def test_torn_iceberg_metadata_names_the_file(tmp_path):
+    """A torn v*.metadata.json (same atomic-swap contract as a Delta
+    commit) must name the file, not surface a bare JSONDecodeError."""
+    from xml_to_parquet_spark.sources.iceberg import load_iceberg_metadata
+
+    md = tmp_path / "t" / "metadata"
+    md.mkdir(parents=True)
+    (md / "v3.metadata.json").write_text('{"format-version": 2, "snapsho')
+    with _pytest.raises(ValueError, match=r"corrupt Iceberg table "
+                        r"metadata v3\.metadata\.json"):
+        load_iceberg_metadata(str(tmp_path / "t"))
+
+
+def test_truncated_avro_manifest_names_the_file(tmp_path):
+    """A truncated manifest must report WHICH file is torn — a snapshot
+    read walks dozens of manifests and 'wanted N bytes at P' alone is
+    a needle in a haystack."""
+    from xml_to_parquet_spark.sources.avro_codec import (
+        AvroError,
+        read_container_file,
+        write_container,
+    )
+
+    path = str(tmp_path / "m1.avro")
+    schema = {"type": "record", "name": "r",
+              "fields": [{"name": "a", "type": "long"}]}
+    write_container(path, schema, [{"a": i} for i in range(50)])
+    whole = open(path, "rb").read()
+    open(path, "wb").write(whole[:-7])  # tear mid-block
+    with _pytest.raises(AvroError, match=r"m1\.avro: .*"):
+        read_container_file(path)

@@ -32,6 +32,7 @@ class as the Delta log replay; data files are never touched here.
 from __future__ import annotations
 
 import json
+import os
 import struct
 import zlib
 
@@ -531,5 +532,14 @@ def read_container(data: bytes) -> tuple[dict, list]:
 
 
 def read_container_file(path: str) -> tuple[dict, list]:
+    """read_container over a file, naming the FILE in any decode error —
+    a bare "truncated Avro data: wanted N bytes at P" is a
+    needle-in-haystack message when a snapshot read walks dozens of
+    manifests (r16, same provenance rule as the Delta torn-commit
+    guard)."""
     with open(path, "rb") as fh:
-        return read_container(fh.read())
+        data = fh.read()
+    try:
+        return read_container(data)
+    except AvroError as e:
+        raise AvroError(f"{os.path.basename(path)}: {e}") from e

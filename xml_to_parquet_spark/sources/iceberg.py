@@ -133,8 +133,19 @@ def load_iceberg_metadata(table_path: str) -> dict:
     )
     if not versions:
         raise ValueError(f"no v*.metadata.json under {d}")
-    with open(os.path.join(d, f"v{versions[-1]}.metadata.json")) as fh:
-        return json.load(fh)
+    path = os.path.join(d, f"v{versions[-1]}.metadata.json")
+    with open(path) as fh:
+        try:
+            return json.load(fh)
+        except json.JSONDecodeError as e:
+            # metadata commits swap in atomically (write vN+1, then point
+            # the catalog/hint at it), so a torn file means corruption or
+            # a non-atomic copy — name it instead of a bare decode error
+            # (r16, same provenance rule as the Delta torn-commit guard)
+            raise ValueError(
+                f"corrupt Iceberg table metadata {os.path.basename(path)}: "
+                f"{e}"
+            ) from e
 
 
 def list_iceberg_snapshots(table_path: str) -> list[dict]:
