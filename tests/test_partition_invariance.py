@@ -1,0 +1,122 @@
+"""Determinism under repartitioning: the scale property local tests
+silently skip (r16, opening the fresh hunt class queued in R17_PLAN).
+
+A 1000-executor cluster runs every op at a different shuffle-partition
+count and input-split size than local[4] — any result that depends on
+either (reduction order through floats, row_number over a tied
+ordering, first/last without a total order, partition-seeded
+randomness) passes the single-configuration oracle gate locally and
+then silently returns DIFFERENT answers in production. Each sampled op
+runs twice — few shuffle partitions + default splits, then many
+shuffle partitions + tiny (64 KB) splits so even sf0.001 files split —
+and the collected results must match EXACTLY (no float tolerance: the
+registry's decimal-exact aggregation discipline is precisely what makes
+exactness achievable, and a tolerance would mask its erosion).
+
+The sample covers the families where partition-dependence hides:
+iterative graph algorithms (pointer jumping, label propagation, fixed
+pagerank, modularity), centroid/codebook updates, banded dedup, window
+packing with its tie-breaks, survivorship picks, and BPE merge
+ordering. Streaming ops are excluded — they pin their own state-store
+partitioning (windows._state_partitions), which is fixed at the first
+checkpoint by contract.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+
+import pytest
+
+from xml_to_parquet_spark.registry import load_all, lookup
+
+OPS = [
+    "dedup_components",
+    "graph_label_propagation",
+    "pagerank_fixed",
+    "graph_modularity",
+    "sim_kmeans_update",
+    "dedup_minhash_lsh",
+    "curate_pack_sharded",
+    "er_survivorship",
+    "window_rank",
+    "text_bpe_train",
+]
+
+
+def _norm(v):
+    if isinstance(v, float):
+        return "NaN" if math.isnan(v) else repr(v)
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dict):
+        return tuple(sorted((k, _norm(x)) for k, x in v.items()))
+    return v
+
+
+def _run(spark, sf_dir, name, shuffle_parts, max_split_bytes):
+    confs = {
+        "spark.sql.shuffle.partitions": str(shuffle_parts),
+        "spark.sql.files.maxPartitionBytes": str(max_split_bytes),
+    }
+    prev = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        load_all()  # populate the registry (lookup reads it)
+        df = lookup(name).fn(spark, sf_dir)
+        return sorted(tuple(_norm(v) for v in row) for row in df.collect())
+    finally:
+        for k, v in prev.items():
+            spark.conf.set(k, v)
+
+
+@pytest.mark.parametrize("name", OPS)
+def test_result_invariant_under_partitioning(spark, sf_dir, name):
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} missing")
+    few = _run(spark, sf_dir, name, shuffle_parts=3,
+               max_split_bytes=128 * 1024 * 1024)
+    many = _run(spark, sf_dir, name, shuffle_parts=17,
+                max_split_bytes=64 * 1024)
+    assert few == many, (
+        f"{name}: result differs between 3-partition/default-split and "
+        f"17-partition/64KB-split runs — partition-dependent semantics "
+        f"({len(few)} vs {len(many)} rows after normalization)"
+    )
+
+
+def test_invariance_harness_detects_partition_dependence(spark, sf_dir):
+    """Negative control: a result that embeds spark_partition_id() after
+    a shuffle MUST differ between the two configurations — proving the
+    two-run compare actually exercises different physical partitionings
+    and is not a rubber stamp."""
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} missing")
+    from pyspark.sql import functions as F
+
+    def run(shuffle_parts):
+        # AQE coalesces both tiny shuffles down to one partition, which
+        # would make the pids agree for the wrong reason - pin it off
+        # for the control only (the op runs above keep real configs)
+        confs = {
+            "spark.sql.shuffle.partitions": str(shuffle_parts),
+            "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        }
+        prev = {k: spark.conf.get(k) for k in confs}
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        try:
+            df = (
+                spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+                .groupBy("o_custkey")
+                .count()
+                .withColumn("pid", F.spark_partition_id())
+            )
+            return sorted(tuple(r) for r in df.collect())
+        finally:
+            for k, v in prev.items():
+                spark.conf.set(k, v)
+
+    assert run(3) != run(17)
