@@ -42,6 +42,21 @@ OPS = [
     "er_survivorship",
     "window_rank",
     "text_bpe_train",
+    # the highest tie-break/ordering-risk families: as-of picks,
+    # first/last over ordered windows, min_by/max_by struct argmins,
+    # top-k with potentially tied scores, deterministic sampling
+    "join_asof",
+    "join_asof_nearest",
+    "window_first_last",
+    "timeseries_resample_ohlc",
+    "sessionize_events",
+    "topk_per_group",
+    "sim_topk_cosine",
+    "text_tfidf",
+    "dedup_exact",
+    "dedup_simhash",
+    "er_fellegi_sunter",
+    "sample_hash_deterministic",
 ]
 
 
