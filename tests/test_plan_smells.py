@@ -22,7 +22,9 @@ dimension") covers SortAggregate — a per-partition sort where
 HashAggregate would stream; see _SORT_AGGREGATE_ALLOWLIST. A fifth
 (r16, R17_PLAN item 3) is the SCAN-WIDTH sweep: no op may read the
 full width of a wide base table unless reviewed — column pruning must
-reach the FileScan; see _FULL_WIDTH_SCAN_ALLOWLIST. Unlike the two smells above it is not always
+reach the FileScan; see _FULL_WIDTH_SCAN_ALLOWLIST. A sixth (r16) is
+the DATA-SIZED BROADCAST sweep: no broadcast HINT may force an
+unreduced fact-table relation; see _DATA_SIZED_BROADCAST_ALLOWLIST. Unlike the two smells above it is not always
 wrong: a window over a provably BOUNDED input (a vocabulary grid, a
 bucket summary, a beam, a manifest) never sees data-sized rows. So the
 sweep requires every unpartitioned window to hold a reviewed
@@ -151,6 +153,96 @@ _SORT_AGGREGATE_ALLOWLIST: dict[str, str] = {
 _WIDE_SCAN_MIN_COLS = 5
 _FULL_WIDTH_SCAN_ALLOWLIST: dict[str, str] = {}
 
+# Data-sized broadcast sweep (r16, fourth dimension): an EXPLICIT
+# F.broadcast() hint on a side that is a FACT-table relation
+# (cardinality grows with SF) with no aggregation/limit reducing it
+# FORCES a data-sized broadcast at any scale — works at sf0.1, OOMs the
+# driver at 100 TB. Catalyst AUTO-broadcasts are deliberately NOT
+# flagged: they are statistics-driven and re-plan to shuffle joins when
+# the side outgrows the threshold (the r16 physical-plan prototype
+# flagged 91 of those before this was understood — all noise). The
+# fixed/sublinear dims (tables.BROADCAST_TABLES) are fine to broadcast
+# by contract; an Aggregate/Limit between relation and hint bounds the
+# broadcast by group/limit cardinality (its bound is reviewed by the
+# docstring discipline). Detection walks the OPTIMIZED LOGICAL plan —
+# the hint lives on the Join node there; the physical BroadcastExchange
+# is only inserted in the executed plan and a sparkPlan-based detector
+# false-cleans everything.
+# Every current entry broadcasts a KEY-RANGE-bounded slice of the
+# embeddings table: `vec_id < N_QUERIES` (8) / `< N_CENTROIDS` /
+# `< PQ_K` are literal ranges over the dense-from-0 vec_id, so their
+# cardinality is CONSTANT at any SF — a bound the structural reducer
+# walk cannot see (it is a Filter, not an Aggregate). The TPC-H ops
+# that broadcast SF-LINEAR customer/part were NOT allowlisted — their
+# hints were removed instead (statistics decide; r16).
+_DATA_SIZED_BROADCAST_ALLOWLIST: dict[str, str] = {
+    "dedup_semdedup": "centroid slice: vec_id < K, fixed rows at any SF",
+    "sim_ann_lsh": "query set: vec_id < N_QUERIES (8 rows at any SF)",
+    "sim_centroid_assign": "centroid slice: vec_id < N_CENTROIDS, fixed",
+    "sim_ivf": "query set + centroid slice, both key-range fixed",
+    "sim_ivf_persist": "query set + centroid slice, both key-range fixed",
+    "sim_ivfpq_search": "query set + codebook slices, key-range fixed",
+    "sim_kmeans_update": "centroid slice: vec_id < N_CENTROIDS, fixed",
+    "sim_mips_topk": "query set: vec_id < N_QUERIES, fixed",
+    "sim_pipeline": "composes the query-set/centroid slices above",
+    "sim_pq_adc": "codebook (M x K rows) + query set, key-range fixed",
+    "sim_pq_train": "codebook seed: vec_id < PQ_K, fixed",
+    "sim_quantized_topk": "query set: vec_id < N_QUERIES, fixed",
+    "sim_random_projection": "projection seed slice, key-range fixed",
+    "sim_recall_at_k": "query set: vec_id < N_QUERIES, fixed",
+    "sim_silhouette": "centroid slice: vec_id < N_CENTROIDS, fixed",
+    "sim_topk_cosine": "query set: vec_id < N_QUERIES (8 rows at any SF)",
+    "sim_two_stage_rerank": "query set: vec_id < N_QUERIES, fixed",
+}
+
+_LOGICAL_REDUCERS = {"Aggregate", "GlobalLimit", "LocalLimit"}
+
+
+def _fact_tables():
+    from xml_to_parquet_spark.tables import BROADCAST_TABLES, TABLE_NAMES
+
+    return [t for t in TABLE_NAMES if t not in BROADCAST_TABLES]
+
+
+def _unreduced_fact_rels(node, reduced=False):
+    cname = node.getClass().getSimpleName()
+    if cname in _LOGICAL_REDUCERS:
+        reduced = True
+    hits = []
+    if cname == "LogicalRelation" and not reduced:
+        try:
+            loc = node.relation().location().rootPaths().apply(0).toString()
+        except Exception:  # noqa: BLE001 — non-file relations have no location
+            loc = ""
+        path = loc.removeprefix("file:").rstrip("/")
+        for t in _fact_tables():
+            if path.endswith(f"/{t}.parquet"):
+                hits.append(t)
+    ch = node.children()
+    for i in range(ch.size()):
+        hits += _unreduced_fact_rels(ch.apply(i), reduced)
+    return hits
+
+
+def _data_sized_broadcasts(jqe) -> list[str]:
+    """Fact tables under an explicit broadcast HINT with no reducer in
+    between, from the optimized logical plan."""
+    hits = []
+    stack = [jqe.optimizedPlan()]
+    while stack:
+        node = stack.pop()
+        if node.getClass().getSimpleName() == "Join":
+            hint = node.hint().toString()
+            ch = node.children()
+            if "leftHint=(strategy=broadcast" in hint:
+                hits += _unreduced_fact_rels(ch.apply(0))
+            if "rightHint=(strategy=broadcast" in hint:
+                hits += _unreduced_fact_rels(ch.apply(1))
+        ch = node.children()
+        for i in range(ch.size()):
+            stack.append(ch.apply(i))
+    return hits
+
 
 def _base_table_widths(spark):
     from xml_to_parquet_spark.tables import TABLE_NAMES
@@ -260,6 +352,36 @@ def test_scan_width_detector_fires_on_unpruned_plan(spark):
     )
 
 
+def test_broadcast_detector_fires_on_data_sized_broadcast(spark):
+    """Negative control: an explicit broadcast() of a filtered-but-
+    unaggregated lineitem slice must be flagged; an aggregated (grid-
+    sized) broadcast of the same table must not."""
+    if not os.path.isdir(SF_DIR):
+        pytest.skip(f"{SF_DIR} missing")
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet"))
+    orders = spark.read.parquet(os.path.join(SF_DIR, "orders.parquet"))
+    bad = orders.join(
+        F.broadcast(li.filter(F.col("l_quantity") > 10).select("l_orderkey")),
+        orders["o_orderkey"] == F.col("l_orderkey"),
+    )
+    assert _data_sized_broadcasts(bad._jdf.queryExecution())
+    good = orders.join(
+        F.broadcast(
+            li.groupBy("l_returnflag").agg(F.count(F.lit(1)).alias("n"))
+        ),
+        F.lit(True),
+        "left",
+    )
+    assert not _data_sized_broadcasts(good._jdf.queryExecution())
+    auto = orders.join(  # statistics-driven broadcast: re-plans at scale
+        li.select("l_orderkey", "l_quantity"),
+        orders["o_orderkey"] == F.col("l_orderkey"),
+    )
+    assert not _data_sized_broadcasts(auto._jdf.queryExecution())
+
+
 def test_unpartitioned_windows_all_justified(spark):
     if not os.path.isdir(SF_DIR):
         pytest.skip(f"{SF_DIR} missing")
@@ -299,6 +421,7 @@ def test_no_plan_smells_across_entire_registry(spark):
     violations: list[str] = []
     seen_sort_agg: set[str] = set()
     seen_full_width: set[str] = set()
+    seen_fat_broadcast: set[str] = set()
     widths = _base_table_widths(spark)
     for name, qd in sorted(queries.items()):
         try:
@@ -317,6 +440,17 @@ def test_no_plan_smells_across_entire_registry(spark):
                     "column pruning did not reach the FileScan; project the "
                     "needed columns or add a reviewed reason to "
                     "_FULL_WIDTH_SCAN_ALLOWLIST"
+                )
+        fat_broadcasts = _data_sized_broadcasts(jqe)
+        if fat_broadcasts:
+            seen_fat_broadcast.add(name)
+            if name not in _DATA_SIZED_BROADCAST_ALLOWLIST:
+                violations.append(
+                    f"{name}: broadcast HINT over an unreduced "
+                    f"{fat_broadcasts[0]} relation — a forced data-sized "
+                    "broadcast OOMs at scale; drop the hint (statistics "
+                    "decide), aggregate/limit the side, or add a reviewed "
+                    "bound to _DATA_SIZED_BROADCAST_ALLOWLIST"
                 )
         allowed = _SMELL_ALLOWLIST.get(name, set())
         if "CartesianProduct" in plan and "CartesianProduct" not in allowed:
@@ -337,3 +471,5 @@ def test_no_plan_smells_across_entire_registry(spark):
     assert not stale, f"SortAggregate allowlist entries with none in plan: {stale}"
     stale_fw = sorted(set(_FULL_WIDTH_SCAN_ALLOWLIST) - seen_full_width)
     assert not stale_fw, f"full-width-scan allowlist with no such scan: {stale_fw}"
+    stale_bc = sorted(set(_DATA_SIZED_BROADCAST_ALLOWLIST) - seen_fat_broadcast)
+    assert not stale_bc, f"broadcast allowlist with no hinted broadcast: {stale_bc}"

@@ -6,8 +6,9 @@ idiomatic DataFrame code so Catalyst owns the physical plan. Each query has
 a DuckDB oracle with identical column aliases.
 
 Scale notes (100 TB thinking, verified locally via .explain):
-  * dimension joins (region/nation/supplier/customer at TPC-H ratios)
-    broadcast explicitly — no shuffle of the fact table for dim joins
+  * fixed/sublinear dimension joins (region/nation/supplier) broadcast
+    explicitly; SF-LINEAR sides (customer/part) carry no hint — Catalyst
+    statistics broadcast them while they fit and shuffle them at 100 TB
   * aggregations are partial (map-side combine) by construction — groupBy
     on low-cardinality keys reduces before the exchange
   * money sums accumulate as scaled longs in BOTH engines (see dsum) so
@@ -367,14 +368,15 @@ def agg_kll_quantiles(spark, sf_dir):
     """,
 )
 def q3_shipping_priority(spark, sf_dir):
-    """TPC-H Q3 shape. customer is ~1/10 the rows of lineitem → broadcast
-    the filtered customer side; orders⋈lineitem shuffles on orderkey only."""
+    """TPC-H Q3 shape. customer is SF-linear (~1/10 of lineitem), so it
+    joins hint-free — statistics broadcast it while it fits and shuffle
+    it at scale; orders⋈lineitem shuffles on orderkey only."""
     cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
     cust = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
     orders = _t(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = _t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
     return (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
@@ -402,8 +404,10 @@ def q3_shipping_priority(spark, sf_dir):
     """,
 )
 def q5_local_supplier(spark, sf_dir):
-    """TPC-H Q5 shape: star join. All dims broadcast (region 5 rows, nation
-    25, supplier ~SF*100) — the only shuffle is orders⋈lineitem."""
+    """TPC-H Q5 shape: star join. Fixed dims broadcast by hint (region 5
+    rows, nation 25, supplier ~SF*100 sublinear); SF-linear customer joins
+    hint-free (statistics decide) — the only guaranteed shuffle is
+    orders⋈lineitem."""
     cust = _t(spark, sf_dir, "customer")
     orders = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -412,7 +416,7 @@ def q5_local_supplier(spark, sf_dir):
     reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
             F.broadcast(supp),
             (li.l_suppkey == supp.s_suppkey) & (cust.c_nationkey == supp.s_nationkey),

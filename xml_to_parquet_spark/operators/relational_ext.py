@@ -977,7 +977,7 @@ def dq_constraints(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("pk_violations"))
     )
     fk = (
-        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "left_anti")
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
         .agg(F.count(F.lit(1)).alias("fk_orphans"))
     )
     dom = li.filter(

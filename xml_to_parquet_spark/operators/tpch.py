@@ -7,8 +7,12 @@ plan shape: the point is that Catalyst sees a declarative plan and picks
 broadcast vs shuffle join, partial aggregation, and top-k itself.
 
 Scale notes are per-query; shared principles:
-  * every dim side (nation/supplier/customer/part at TPC-H ratios) is
-    broadcast explicitly so the lineitem fact table never shuffles for them
+  * FIXED/sublinear dims (nation/region/supplier, tables.BROADCAST_TABLES)
+    are broadcast explicitly — their cardinality is bounded at any SF.
+    customer/part grow LINEARLY with SF, so they carry NO broadcast hint:
+    Catalyst's statistics broadcast them while they fit the threshold and
+    correctly fall back to a shuffle join at 100 TB, where a forced hint
+    would OOM the driver (r16, data-sized-broadcast sweep)
   * money aggregates use dsum/davg (decimal accumulate, round once) so the
     value hash is stable under any partition order at any cluster size
   * top-k always orders by a unique tiebreaker chain
@@ -79,7 +83,8 @@ def q6_forecast_revenue(spark, sf_dir):
 )
 def q7_volume_shipping(spark, sf_dir):
     """TPC-H Q7: bilateral trade volume. Both nation joins broadcast
-    (25 rows); supplier and customer broadcast at TPC-H ratios; the only
+    (25 rows); supplier broadcasts by contract, customer by statistics
+    while it fits (it is SF-linear, so no forced hint); the only
     shuffle is lineitem⋈orders on orderkey. The OR-of-pairs predicate is
     applied after the nation joins so Catalyst can still prune."""
     li = _t(spark, sf_dir, "lineitem").filter(
@@ -103,7 +108,7 @@ def q7_volume_shipping(spark, sf_dir):
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(pair)
@@ -151,7 +156,7 @@ def q10_returned_items(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
         .groupBy(
             "c_custkey", "c_name", F.round("c_acctbal", 2).alias("c_acctbal"), "n_name"
@@ -245,8 +250,9 @@ def q13_customer_distribution(spark, sf_dir):
     """,
 )
 def q14_promo_revenue(spark, sf_dir):
-    """TPC-H Q14: promo revenue share. part broadcasts (SF·2k rows vs
-    SF·600k lineitem); both sums accumulate in decimal so the ratio is
+    """TPC-H Q14: promo revenue share. part joins hint-free — it is
+    SF-linear, so statistics broadcast it while it fits and shuffle it
+    at scale; both sums accumulate in decimal so the ratio is
     bit-identical across engines and partition orders."""
     li = _t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-09-01 00:00:00").cast("timestamp"))
@@ -256,7 +262,7 @@ def q14_promo_revenue(spark, sf_dir):
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     promo = F.when(F.col("p_type") == "PROMO", disc).otherwise(F.lit(0))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -333,7 +339,7 @@ def q17_small_qty_revenue(spark, sf_dir):
         davg(F.col("l_quantity")).alias("avg_qty")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(F.broadcast(per_part_avg), li.l_partkey == F.col("ap_partkey"))
         .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
         .agg(
@@ -379,7 +385,7 @@ def q18_large_volume_customer(spark, sf_dir):
         orders.join(
             F.broadcast(big), orders.o_orderkey == big.l_orderkey, "left_semi"
         )
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy(
             "c_name",
@@ -409,11 +415,12 @@ def q18_large_volume_customer(spark, sf_dir):
 )
 def q19_discounted_revenue(spark, sf_dir):
     """TPC-H Q19: disjunctive multi-attribute predicate across the join.
-    part broadcasts; Catalyst extracts the common l_quantity bounds
+    part joins by statistics (SF-linear, no forced hint); Catalyst
+    extracts the common l_quantity bounds
     (1..30) as a pushed-down range on the fact scan."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part")
-    joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    joined = li.join(part, li.l_partkey == part.p_partkey)
     cond = (
         (F.col("p_brand") == "Brand#12")
         & F.col("p_size").between(1, 5)
@@ -535,8 +542,8 @@ def q4_order_priority(spark, sf_dir):
 def q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape: one nation's share of ECONOMY-part volume per year.
     The share is a ratio of two scaled-long sums over the same rows — one
-    pass, conditional numerator (never two scans). Dims broadcast; the
-    part filter reaches lineitem as a semi-join."""
+    pass, conditional numerator (never two scans). Fixed dims broadcast,
+    part joins by statistics; its filter reaches lineitem as a semi-join."""
     li = _t(spark, sf_dir, "lineitem")
     orders = _t(spark, sf_dir, "orders")
     supp = _t(spark, sf_dir, "supplier")
@@ -545,7 +552,7 @@ def q8_market_share(spark, sf_dir):
     vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     scaled = lambda c: F.sum(F.floor(c * 1_000_000 + F.lit(0.5)).cast("bigint")).cast("double")  # noqa: E731
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey, "left_semi")
+        li.join(part, li.l_partkey == part.p_partkey, "left_semi")
         .join(orders, F.col("l_orderkey") == orders.o_orderkey)
         .join(F.broadcast(supp), F.col("l_suppkey") == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
@@ -587,7 +594,7 @@ def q9_product_profit(spark, sf_dir):
     nat = _t(spark, sf_dir, "nation")
     part = _t(spark, sf_dir, "part").filter(F.col("p_name").like("%widget%"))
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.join(part, li.l_partkey == part.p_partkey)
         .join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
         .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)

@@ -137,7 +137,8 @@ def q2_min_cost_supplier(spark, sf_dir):
     the subquery join twice; DuckDB runs the identical window form so the
     oracle compares like to like.
 
-    Scale shape: part/supplier/nation/region dims all broadcast into the
+    Scale shape: supplier/nation/region dims broadcast by hint (fixed/
+    sublinear), part by statistics (SF-linear, hint-free) into the
     partsupp probe; the only exchanges are the window partition by
     p_partkey and the final TakeOrderedAndProject (unique ordering chain
     s_acctbal DESC → n_name → s_name → p_partkey, so LIMIT is stable)."""
@@ -149,7 +150,7 @@ def q2_min_cost_supplier(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     cand = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
@@ -270,7 +271,7 @@ def q16_parts_supplier_relationship(spark, sf_dir):
     )
     return (
         ps.join(bad, "ps_suppkey", "left_anti")
-        .join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        .join(p, ps.ps_partkey == p.p_partkey)
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
     )
@@ -341,7 +342,7 @@ def q20_potential_promotion(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("qty"))
     )
     qualifying = (
-        ps.join(F.broadcast(p), ps.ps_partkey == p.p_partkey)
+        ps.join(p, ps.ps_partkey == p.p_partkey)
         .join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)
