@@ -60,6 +60,12 @@ def hinted_broadcast_facts(jqe):
         ch = node.children()
         for i in range(ch.size()):
             stack.append(ch.apply(i))
+        try:  # scalar/EXISTS subquery plans can carry hints too
+            sq = node.subqueries()
+            for i in range(sq.size()):
+                stack.append(sq.apply(i))
+        except Exception:  # noqa: BLE001
+            pass
     return hits
 
 
