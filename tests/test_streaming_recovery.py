@@ -12,6 +12,13 @@ survive a stop/restart against the same checkpoint — silent state loss
 drops output with no error, so each has an explicit pin. Recoverable
 runs drain through foreachBatch (the memory sink only supports
 checkpoint recovery in complete mode).
+
+Late-r16 extends it again to the CRASH path (R17_PLAN candidate #2
+pulled forward): a sink failure mid-batch must redeliver the SAME epoch
+with the same batch_id and identical rows (the idempotent-sink
+contract), and a crashed batch must NOT leak its state-store updates —
+the redelivered batch applies against the pre-crash state, so counts
+stay exactly-once.
 """
 
 import shutil
@@ -288,3 +295,120 @@ def test_streaming_scope_uses_rocksdb_state_store(spark):
             == "true"
         )
     assert spark.conf.get(key) != ROCKSDB_PROVIDER
+
+
+def test_crash_mid_batch_redelivers_same_batch_exactly_once(spark, tmp_path):
+    """CRASH path (vs the clean-stop tests above): a foreachBatch sink
+    that throws MID-BATCH fails the query; on restart from the same
+    checkpoint the engine must REDELIVER the same epoch with the same
+    batch_id and identical rows — the contract that makes idempotent
+    (batch_id-keyed) sinks exactly-once. No loss, no duplicates."""
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    spark.createDataFrame(
+        [(u, float(u)) for u in range(20)], "user_id long, value double"
+    ).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema("user_id long, value double").parquet(str(src))
+
+    attempt1 = []
+
+    def crashing(bdf, bid):
+        attempt1.append((bid, sorted(r["user_id"] for r in bdf.collect())))
+        raise RuntimeError("injected mid-batch crash")
+
+    q = (
+        stream.writeStream.foreachBatch(crashing)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    with _pt.raises(StreamingQueryException, match="injected mid-batch crash"):
+        q.awaitTermination()
+
+    attempt2 = []
+    stream2 = spark.readStream.schema("user_id long, value double").parquet(str(src))
+    q2 = (
+        stream2.writeStream.foreachBatch(
+            lambda bdf, bid: attempt2.append(
+                (bid, sorted(r["user_id"] for r in bdf.collect()))
+            )
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination()
+    # same epoch, same batch id, identical rows — and delivered once
+    assert len(attempt1) == 1 and len(attempt2) == 1
+    assert attempt2[0] == attempt1[0]
+
+
+def test_state_not_committed_by_a_crashed_batch(spark, tmp_path):
+    """Stateful exactly-once through a CRASH: a batch that fails in the
+    sink must NOT leave its state-store updates behind — on restart the
+    redelivered batch applies against the PRE-crash state, so a running
+    count reads 8, never 11. Double-counting here is the classic
+    at-least-once bug an idempotent sink cannot repair (state is
+    engine-internal)."""
+    import pytest as _pt
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from xml_to_parquet_spark.streaming.windows import _state_partitions
+
+    src = tmp_path / "src"
+    ckpt = str(tmp_path / "ckpt")
+    src.mkdir()
+    fn = _make_running_count_fn()
+    schema = "user_id long, ts timestamp, value double"
+
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    spark.createDataFrame(
+        [(1, t0, 0.0)] * 5, schema
+    ).write.mode("append").parquet(str(src))
+
+    def run(sink):
+        stream = spark.readStream.schema(schema).parquet(str(src))
+        out = stream.groupBy("user_id").applyInPandasWithState(
+            fn,
+            outputStructType="user_id bigint, n bigint",
+            stateStructType="n bigint",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+        with _state_partitions(spark):
+            q = (
+                out.writeStream.outputMode("update")
+                .foreachBatch(sink)
+                .option("checkpointLocation", ckpt)
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+
+    ok1 = []
+    run(lambda bdf, bid: ok1.extend(bdf.collect()))
+    assert {r["user_id"]: r["n"] for r in ok1} == {1: 5}
+
+    # 3 more events; the batch that processes them CRASHES in the sink
+    spark.createDataFrame([(1, t0, 0.0)] * 3, schema) \
+        .write.mode("append").parquet(str(src))
+
+    def crashing(bdf, bid):
+        bdf.collect()  # force the stateful computation to actually run
+        raise RuntimeError("injected crash after compute")
+
+    with _pt.raises(StreamingQueryException, match="injected crash"):
+        run(crashing)
+
+    # restart: the redelivered batch applies against n=5, lands on n=8 —
+    # a crashed batch that leaked its state update would read 11
+    ok2 = []
+    run(lambda bdf, bid: ok2.extend(bdf.collect()))
+    assert {r["user_id"]: r["n"] for r in ok2} == {1: 8}
