@@ -75,6 +75,13 @@ def main():
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
     spark = get_spark("check_oracle")
+    # XTPS_CONFS="k=v;k=v" applies runtime confs after session build —
+    # e.g. XTPS_CONFS="spark.sql.adaptive.enabled=false" sweeps the whole
+    # registry without AQE (r16: environment-invariance checking)
+    for kv in filter(None, os.environ.get("XTPS_CONFS", "").split(";")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
+        print(f"conf  {k.strip()}={v.strip()}")
     con = duckdb.connect()
     for t in TABLE_NAMES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")

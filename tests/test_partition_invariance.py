@@ -57,6 +57,9 @@ OPS = [
     "dedup_simhash",
     "er_fellegi_sunter",
     "sample_hash_deterministic",
+    # rewritten r16 on exact decimal power sums after the AQE-off sweep
+    # caught its float-moment drift — pinned invariant here forever
+    "agg_skew_kurtosis",
 ]
 
 
@@ -135,3 +138,49 @@ def test_invariance_harness_detects_partition_dependence(spark, sf_dir):
                 spark.conf.set(k, v)
 
     assert run(3) != run(17)
+
+
+# AQE on/off invariance (r16, R17_PLAN candidate #1 pulled forward):
+# adaptive execution re-plans shuffles at runtime — coalesced partitions
+# change float merge orders and can HIDE empty-partition bugs. The r16
+# full-registry AQE-off sweep (XTPS_CONFS knob on check_oracle) caught
+# two real ones: agg_skew_kurtosis's builtin float moments drifted
+# between layouts (rewritten on exact decimal power sums) and
+# agg_theta_setops crashed on a never-updated partial intersection
+# buffer (coalesced to its ≤2-row bound). Both are sampled here forever,
+# plus shapes whose plans AQE rewrites hardest (skew/broadcast-decision
+# joins, big aggregations).
+AQE_OPS = [
+    "agg_skew_kurtosis",
+    "agg_theta_setops",
+    "join_skew_salted",
+    "join_skew_aqe",
+    "q1_pricing_summary",
+    "q18_large_volume_customer",
+    "dedup_minhash_lsh",
+    "graph_modularity",
+]
+
+
+def _run_with_aqe(spark, sf_dir, name, enabled):
+    key = "spark.sql.adaptive.enabled"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(enabled).lower())
+    try:
+        load_all()
+        df = lookup(name).fn(spark, sf_dir)
+        return sorted(tuple(_norm(v) for v in row) for row in df.collect())
+    finally:
+        spark.conf.set(key, prev)
+
+
+@pytest.mark.parametrize("name", AQE_OPS)
+def test_result_invariant_under_aqe(spark, sf_dir, name):
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} missing")
+    on = _run_with_aqe(spark, sf_dir, name, True)
+    off = _run_with_aqe(spark, sf_dir, name, False)
+    assert on == off, (
+        f"{name}: result depends on adaptive execution "
+        f"({len(on)} vs {len(off)} rows after normalization)"
+    )

@@ -303,6 +303,15 @@ def agg_theta_setops(spark, sf_dir):
         li.filter(F.col("l_returnflag").isin("A", "R"))
         .groupBy("l_returnflag")
         .agg(F.theta_sketch_agg("l_suppkey").alias("sk"))
+        # ≤2 rows by construction; coalesce so the global intersection
+        # below never runs a PARTIAL aggregate over an EMPTY partition —
+        # DataSketches throws SketchesStateException ("no intervening
+        # intersections would represent the infinite set") from such a
+        # never-updated buffer. AQE's partition coalescing masked this
+        # locally; with AQE off (or on any cluster where a partial sees
+        # no rows — i.e. every real layout) the op crashed. Found by the
+        # r16 AQE-off registry sweep.
+        .coalesce(1)
     )
     both = sk.agg(
         F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("n"),

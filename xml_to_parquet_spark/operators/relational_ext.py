@@ -765,23 +765,103 @@ def join_null_safe(spark, sf_dir):
     return a.join(b, a.k.eqNullSafe(F.col("bk"))).select("event_id", "k")
 
 
+# Shared population-moment formulas (POWER SUMS → one double expression):
+# the same SQL text runs on Spark AND DuckDB, over EXACT decimal power
+# sums, so both engines execute the identical float operations in the
+# identical order — bit-reproducible under any partition layout.
+# sqrt-based (never pow: libm pow differs between JVM and C).
+_SKEW_EXPR = (
+    "round(((s3 / n) - 3 * (s1 / n) * (s2 / n)"
+    " + 2 * (s1 / n) * (s1 / n) * (s1 / n))"
+    " / (((s2 / n) - (s1 / n) * (s1 / n))"
+    " * sqrt((s2 / n) - (s1 / n) * (s1 / n))), 6)"
+)
+_KURT_EXPR = (
+    "round(((s4 / n) - 4 * (s1 / n) * (s3 / n)"
+    " + 6 * (s1 / n) * (s1 / n) * (s2 / n)"
+    " - 3 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n))"
+    " / (((s2 / n) - (s1 / n) * (s1 / n))"
+    " * ((s2 / n) - (s1 / n) * (s1 / n))) - 3, 4)"
+)
+
+
 @register(
     "agg_skew_kurtosis",
-    """
-    SELECT l_returnflag,
-           round(skewness(l_extendedprice), 6) AS sk,
-           round(kurtosis(l_extendedprice), 4) AS ku
-    FROM lineitem GROUP BY l_returnflag
+    f"""
+    WITH p AS (
+      SELECT l_returnflag,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS x
+      FROM lineitem
+    ), q AS (
+      -- one operand widened past precision 18 per product: DuckDB's
+      -- physical int64 decimal path overflows otherwise (the values are
+      -- identical to Spark's; only the storage widths differ)
+      SELECT l_returnflag,
+             CAST(CAST(x AS DECIMAL(25,2)) * x AS DECIMAL(18,4)) AS x2,
+             CAST(CAST(x AS DECIMAL(12,2))
+                  * CAST(CAST(x AS DECIMAL(25,2)) * x AS DECIMAL(25,4))
+                  AS DECIMAL(38,6)) AS x3,
+             x
+      FROM p
+    ), s AS (
+      SELECT l_returnflag,
+             CAST(count(*) AS DOUBLE)        AS n,
+             CAST(sum(x) AS DOUBLE)          AS s1,
+             CAST(sum(x2) AS DOUBLE)         AS s2,
+             CAST(sum(x3) AS DOUBLE)         AS s3,
+             CAST(sum(CAST(CAST(x2 AS DECIMAL(19,4)) * x2 AS DECIMAL(37,8)))
+                  AS DOUBLE) AS s4
+      FROM q GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, {_SKEW_EXPR} AS sk, {_KURT_EXPR} AS ku FROM s
     """,
 )
 def agg_skew_kurtosis(spark, sf_dir):
-    """Higher-moment aggregates. Kurtosis rounds at 4 (not 6): Spark and
-    DuckDB apply different small-sample bias corrections that agree only
-    to ~1e-6 at this group size."""
+    """Higher-moment aggregates via EXACT decimal power sums — the only
+    partition-order-invariant formulation. Spark's skewness()/kurtosis()
+    accumulate central moments in float, so their last decimals depend
+    on the partial-merge order: the r16 AQE-off registry sweep measured
+    the same data flipping from -0.029997 to -0.029975 (sk) between
+    partition layouts, i.e. the builtin-vs-builtin oracle match was
+    container luck. Here Σx, Σx², Σx³, Σx⁴ accumulate as decimals
+    (exact: prices are 2dp; every product is typed to stay under
+    precision 38 — x² (18,4), x³ = (12,2)×(25,4) → (38,6), x⁴ =
+    (18,4)² → (37,8)), and one shared double expression (_SKEW_EXPR /
+    _KURT_EXPR, sqrt-based, identical text on both engines) computes
+    population skewness g1 = m3/m2^1.5 and excess kurtosis m4/m2²−3
+    from the exact sums. One rounding per sum at the decimal→double
+    cast, then identical IEEE arithmetic → bit-reproducible anywhere.
+    Σx⁴ fits DECIMAL(38,8) to ~1e11 rows per group (≈20 TB of
+    lineitem); past that, pre-scale prices or widen the split.
+    Population (not sample-corrected) moments by design: the two
+    engines' builtins disagree on small-sample corrections anyway."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
-        F.round(F.skewness("l_extendedprice"), 6).alias("sk"),
-        F.round(F.kurtosis("l_extendedprice"), 4).alias("ku"),
+    p = li.select(
+        "l_returnflag",
+        F.expr("CAST(l_extendedprice AS DECIMAL(18,2))").alias("x"),
+    )
+    q = p.select(
+        "l_returnflag",
+        "x",
+        F.expr("CAST(x * x AS DECIMAL(18,4))").alias("x2"),
+        F.expr(
+            "CAST(CAST(x AS DECIMAL(12,2)) * CAST(x * x AS DECIMAL(25,4))"
+            " AS DECIMAL(38,6))"
+        ).alias("x3"),
+    )
+    s = q.groupBy("l_returnflag").agg(
+        F.expr("CAST(count(*) AS DOUBLE)").alias("n"),
+        F.expr("CAST(sum(x) AS DOUBLE)").alias("s1"),
+        F.expr("CAST(sum(x2) AS DOUBLE)").alias("s2"),
+        F.expr("CAST(sum(x3) AS DOUBLE)").alias("s3"),
+        F.expr("CAST(sum(CAST(x2 * x2 AS DECIMAL(37,8))) AS DOUBLE)").alias(
+            "s4"
+        ),
+    )
+    return s.select(
+        "l_returnflag",
+        F.expr(_SKEW_EXPR).alias("sk"),
+        F.expr(_KURT_EXPR).alias("ku"),
     )
 
 
