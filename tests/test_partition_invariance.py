@@ -184,3 +184,50 @@ def test_result_invariant_under_aqe(spark, sf_dir, name):
         f"{name}: result depends on adaptive execution "
         f"({len(on)} vs {len(off)} rows after normalization)"
     )
+
+
+# Arrow batch-shape invariance (r16): mapInPandas/pandas-UDF operators
+# receive their partition as a SEQUENCE of Arrow batches whose size is
+# spark.sql.execution.arrow.maxRecordsPerBatch — 10k by default locally,
+# but memory pressure on a real cluster forces it down. An op that
+# accidentally computes ACROSS a batch (a per-batch top-k, state carried
+# between iterator elements, a groupby inside one batch) returns
+# different answers at different batch sizes and passes every
+# single-config gate. Each sampled op runs at the default and at a
+# pathological batch size of 7 rows; results must match exactly.
+ARROW_BATCH_OPS = [
+    "mm_decode_png",
+    "mm_image_palette",
+    "mm_image_phash",
+    "mm_audio_vad",
+    "mm_frame_sample",
+    "text_dedup_chunks",
+    "udf_pandas_scalar",
+    "udf_arrow_map",
+    "udf_cogrouped_pandas",
+]
+
+
+def _run_with_batch(spark, sf_dir, name, records_per_batch):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    spark.conf.set(key, str(records_per_batch))
+    try:
+        load_all()
+        df = lookup(name).fn(spark, sf_dir)
+        return sorted(tuple(_norm(v) for v in row) for row in df.collect())
+    finally:
+        spark.conf.set(key, prev)
+
+
+@pytest.mark.parametrize("name", ARROW_BATCH_OPS)
+def test_result_invariant_under_arrow_batch_size(spark, sf_dir, name):
+    if not os.path.isdir(sf_dir):
+        pytest.skip(f"{sf_dir} missing")
+    default = _run_with_batch(spark, sf_dir, name, 10_000)
+    tiny = _run_with_batch(spark, sf_dir, name, 7)
+    assert default == tiny, (
+        f"{name}: result depends on the Arrow batch size "
+        f"({len(default)} vs {len(tiny)} rows after normalization) — "
+        "the op computes across a batch boundary"
+    )
