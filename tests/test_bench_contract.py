@@ -23,7 +23,12 @@ def test_bench_emits_single_json_line():
         env=env,
         capture_output=True,
         text=True,
-        timeout=480,
+        # The bench list has grown to 86 entries (83 queries + 3
+        # conversions), each run twice (warmup + timed) plus session
+        # recycling; 480s was sized for the ~50-entry era and a fast
+        # container. A measured sf0.001/reps=1 run on a slow container
+        # reads ~229s timed + warmup — budget 3× headroom.
+        timeout=1500,
     )
     assert proc.returncode == 0, proc.stderr[-2000:]
     json_lines = [
