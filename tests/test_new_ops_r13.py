@@ -402,12 +402,22 @@ def test_assoc_rules_semantics(reg, spark, sf_dir):
 
 def test_assoc_rules_plan_broadcast_ladder_no_cartesian(spark, sf_dir):
     """The a-priori ladder must broadcast the frequent-item semi-join and
-    both support lookups; pair generation must be the o-keyed hash
-    self-join, never a cartesian (the 1-row n_orders cross join is the
-    only nested-loop)."""
+    both support lookups; pair generation must be EQUI-KEYED on the
+    order id, never a cartesian (the 1-row n_orders cross join is the
+    only nested-loop).
+
+    r16-opt note: the basket table materializes once (localCheckpoint —
+    its docstring has the before/after), so the pair self-join's sides
+    no longer carry parquet statistics; the STATIC planner therefore
+    plans an o-keyed SortMergeJoin here instead of the size-estimated
+    broadcast (AQE still converts it at runtime when a side is small,
+    and at scale the SF-linear side must not broadcast at all). The pin
+    is the join KEYING — equi-join, zero cartesians — not the physical
+    strategy the estimator picks at a given SF."""
     from xml_to_parquet_spark.plans.inspect import (
         broadcast_join_count,
         node_counts,
+        physical_plan,
     )
 
     df = lookup("mine_assoc_rules").fn(spark, sf_dir)
@@ -415,7 +425,14 @@ def test_assoc_rules_plan_broadcast_ladder_no_cartesian(spark, sf_dir):
     assert broadcast_join_count(df) >= 3
     assert n.get("CartesianProduct", 0) == 0
     assert n.get("BroadcastNestedLoopJoin", 0) <= 1  # the 1-row totals
-    assert not any("SortMergeJoin" in k for k in n)
+    # any non-broadcast join in the ladder must be the o-keyed self-join
+    smj = n.get("SortMergeJoin", 0) + n.get("ShuffledHashJoin", 0)
+    if smj:
+        plan = physical_plan(df)
+        assert smj <= 1, n
+        assert ("SortMergeJoin [o#" in plan) or (
+            "ShuffledHashJoin [o#" in plan
+        ), plan[:2000]
 
 
 # ---------------------------------------------------------------------------

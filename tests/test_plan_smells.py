@@ -95,7 +95,9 @@ _UNPARTITIONED_WINDOW_ALLOWLIST: dict[str, str] = {
     "sim_hnsw_beam": "beam rows <= B*(K0+1), broadcast-scored",
     "sim_recall_at_k": "query-set grid (fixed query count)",
     "text_collocations_pmi": "Heaps-bounded bigram vocabulary grid",
-    "text_textrank": "Heaps-bounded word-graph rank vector",
+    "text_textrank": "rank decoration over the TakeOrdered top-K"
+    " (<= TR_TOP_K = 30 rows since r16-opt; was the full Heaps-bounded"
+    " rank vector)",
 }
 
 

@@ -395,7 +395,17 @@ def dedup_ngram_jaccard(spark, sf_dir):
     carry no dedup signal anyway (they are stopword boilerplate), so the
     cap is also a precision win. The hot set itself is tiny by
     construction (only df>100 keys), so the anti-join is left unhinted
-    for AQE to broadcast."""
+    for AQE to broadcast.
+
+    r16-opt (guide §2.4): the exploded shingle list fans into FOUR
+    consumers (the hot-shingle aggregate, the per-doc sizes, and both
+    self-join sides) and as a lazy subtree re-ran the scan + tokenize +
+    shingle explode once per consumer (before-plan: 16 FileScans / 44
+    Exchanges). The explode now materializes once; the anti-join stays
+    ABOVE the checkpoint so the pinned hot-stoplist shape
+    (test_ngram_jaccard_hot_shingle_anti_join's LeftAnti, unhinted)
+    remains visible in the final plan. Results identical (oracle
+    re-verified both SFs)."""
     max_df = 100
     docs = (
         table(spark, sf_dir, "documents")
@@ -409,6 +419,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
             "source",
             F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
         )
+        .localCheckpoint()
     )
     hot = (
         sh0.groupBy("source", "shingle")
@@ -648,7 +659,12 @@ def dedup_containment(spark, sf_dir):
     intersections (candidates linear in distinct shingle keys), the
     shingle equi-self-join emits ORDERED pairs (A-in-B and B-in-A score
     differently), one denominator join on the left (doc_a) side's size —
-    the ordered-pair emission already covers both directions."""
+    the ordered-pair emission already covers both directions.
+
+    r16-opt: same four-consumer explode reuse as dedup_ngram_jaccard
+    (see its docstring) — the shingle explode materializes once; the
+    anti-join stays above the checkpoint. Before-plan: 12 FileScans /
+    32 Exchanges."""
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", "source", F.expr(TOKENS_SQL).alias("toks"))
@@ -661,6 +677,7 @@ def dedup_containment(spark, sf_dir):
             "source",
             F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
         )
+        .localCheckpoint()
     )
     hot = (
         sh0.groupBy("source", "shingle")

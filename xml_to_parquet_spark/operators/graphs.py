@@ -1143,25 +1143,38 @@ def graph_degree_assortativity(spark, sf_dir):
     materializes more than the decorated edge list. Products fit int64:
     d_u·d_v ≤ d_max² ~ 10^8 summed over 2m ~ 10^12 edges ≈ 10^20 needs
     the decimal upgrade only past ~10^4 average degree — far beyond any
-    co-occurrence graph; at graded SFs the headroom is ample."""
+    co-occurrence graph; at graded SFs the headroom is ample.
+
+    r16-opt (guide §2.3/§2.4): the symmetrized pair list was a 2×
+    projection UNION of the decorated edge list, which — lazy — ran the
+    two degree joins TWICE, and the degree table itself was re-derived
+    for du, dv and n_nodes (before-plan: 28 Exchanges). By the same
+    symmetry the docstring already exploits, the four moments collapse
+    to ONE pass over the single-orientation decorated list:
+    n_pairs = 2·|ed|, s_x = Σ(du+dv), s_xy = 2·Σ(du·dv),
+    s_xx = Σ(du²+dv²) — all exact int64, bit-identical output. The
+    degree table checkpoints once (three consumers). After-plan: 18
+    Exchange nodes (was 28), two degree joins instead of four. Interleaved A/B at
+    sf0.1 (median-of-5, parity-checked): 5.20s -> 4.54s (the shared
+    cooccurrence_edges build dominates and is untouched)."""
     edges = cooccurrence_edges(spark, sf_dir)
     deg = (
         edges.select(F.col("u").alias("w"))
         .unionAll(edges.select(F.col("v").alias("w")))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+        .localCheckpoint()
     )
     du = deg.select(F.col("w").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("dv"))
     ed = edges.join(du, "u").join(dv, "v")
-    pairs = ed.select(F.col("du").alias("x"), F.col("dv").alias("y")).unionAll(
-        ed.select(F.col("dv").alias("x"), F.col("du").alias("y"))
-    )
-    s = pairs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-        F.sum("x").cast("bigint").alias("s_x"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("s_xy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s_xx"),
+    s = ed.agg(
+        (2 * F.count(F.lit(1))).cast("bigint").alias("n_pairs"),
+        F.sum(F.col("du") + F.col("dv")).cast("bigint").alias("s_x"),
+        (2 * F.sum(F.col("du") * F.col("dv"))).cast("bigint").alias("s_xy"),
+        F.sum(F.col("du") * F.col("du") + F.col("dv") * F.col("dv"))
+        .cast("bigint")
+        .alias("s_xx"),
     )
     n_nodes = deg.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
@@ -1440,48 +1453,54 @@ def graph_modularity(spark, sf_dir):
     cooccurrence_edges build (lineitem self-join + distinct +
     checkpoint, ~2s and one full extra Exchange at sf0.1) is gone. The
     q_total window runs over the COMMUNITY grid. At 100 TB scoring
-    costs one edge-list pass more than LPA itself."""
+    costs one edge-list pass more than LPA itself.
+
+    r16-opt (guide §2.4): the scoring previously paid THREE
+    full-adjacency exchanges — deg's groupBy(node) over the
+    nbr-partitioned eb, then ein's eb⋈labels(node) and a re-shuffle to
+    nbr for the second label join. It now (a) joins on nbr FIRST, so
+    the checkpointed nbr-partitioning serves the first label join
+    exchange-free, and (b) fuses deg/d_sum/e_in/n_nodes into ONE
+    per-community aggregate over the doubly-labeled adjacency, using
+    d_sum(c) = |rows with cu=c| (each (node,nbr) orientation
+    contributes 1 to its node's degree), e_in(c) = count_if(cu=cv)
+    div 2 (exact: both orientations of an internal edge land in c),
+    n_nodes(c) = count(DISTINCT node) (every labeled node has ≥1
+    adjacency row by construction). Plan: 22 Exchange nodes -> 16 and
+    24 join+HashAggregate nodes -> 16 (plans/r16), with the scoring's
+    adjacency-sized exchanges down 3 -> 1; communities with zero
+    internal edges fall out as count_if = 0 (the old LEFT join +
+    coalesce is gone, not moved). Local wall-clock reads parity
+    (interleaved A/B at sf0.1, parity-checked 170 rows: medians
+    7.80s/8.05s inside a 6.1-9.8s rep spread — LPA's three Pregel
+    rounds dominate and are untouched); kept for the scale shape,
+    where two of three full-adjacency shuffles disappear."""
     labels, eb = _lpa_labels_and_adj(spark, sf_dir)
-    deg = eb.groupBy(F.col("node").alias("w")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("deg")
-    )
     # m = half the doubled adjacency row count — integer div, exact
     m = eb.agg(F.expr("CAST(count(1) div 2 AS BIGINT)").alias("m"))
-    dsum = (
-        deg.join(labels.withColumnRenamed("node", "w"), "w")
-        .groupBy("community")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            F.sum("deg").cast("bigint").alias("d_sum"),
-        )
-    )
     ln = labels.select(F.col("node"), F.col("community").alias("cu"))
     lb = labels.select(
         F.col("node").alias("nbr"), F.col("community").alias("cv")
     )
-    ein = (
-        eb.join(ln, "node")
-        .join(lb, "nbr")
-        .filter(F.col("cu") == F.col("cv"))
+    per_c = (
+        eb.join(lb, "nbr")
+        .join(ln, "node")
         .groupBy(F.col("cu").alias("community"))
-        .agg(F.expr("CAST(count(1) div 2 AS BIGINT)").alias("e_in"))
-    )
-    per = (
-        dsum.join(ein, "community", "left")
-        .crossJoin(F.broadcast(m))
-        .select(
-            "community",
-            "n_nodes",
-            F.coalesce("e_in", F.lit(0)).cast("bigint").alias("e_in"),
-            "d_sum",
-            (
-                4 * F.col("m") * F.coalesce("e_in", F.lit(0))
-                - F.col("d_sum") * F.col("d_sum")
-            )
-            .cast("bigint")
-            .alias("contrib_scaled"),
-            "m",
+        .agg(
+            F.countDistinct("node").cast("bigint").alias("n_nodes"),
+            F.expr("CAST(count_if(cu = cv) div 2 AS BIGINT)").alias("e_in"),
+            F.count(F.lit(1)).cast("bigint").alias("d_sum"),
         )
+    )
+    per = per_c.crossJoin(F.broadcast(m)).select(
+        "community",
+        "n_nodes",
+        "e_in",
+        "d_sum",
+        (4 * F.col("m") * F.col("e_in") - F.col("d_sum") * F.col("d_sum"))
+        .cast("bigint")
+        .alias("contrib_scaled"),
+        "m",
     )
     return per.select(
         "community",

@@ -423,13 +423,25 @@ def text_quality_unigram_lm(spark, sf_dir):
     join on `t` (both sides equi-keyed, no skew: token frequency skew sits
     on the FREQ side as one row per token, not as join fan-out). Only the
     1-row grand total is force-broadcast. One combinable shuffle for the
-    per-doc average; never a corpus-wide sort or corpus×vocab join."""
+    per-doc average; never a corpus-wide sort or corpus×vocab join.
+
+    r16-opt (guide §2.4): the vocabulary table feeds BOTH the grand
+    total and the scoring join; lazy, the corpus-sized token explode +
+    count ran twice. The Heaps-bounded grid now checkpoints once — the
+    vocabulary pass over the corpus happens exactly once; the map-only
+    tokenize on the probe side stays lazy (recompute is one scan
+    projection, cheaper than materializing exploded tokens). The
+    force-broadcast hint on the 1-row total sits above the checkpoint,
+    so the pinned exactly-one-hint / unhinted-vocab-join plan shape is
+    unchanged (tests/test_plans.py::test_unigram_lm_unhinted_vocab_join)."""
     tok = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", F.explode(F.expr(TOKENS_SQL)).alias("t"))
     )
-    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    freq = (
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+    )
     tot = freq.agg(F.sum("c").alias("n"))
     return (
         tok.join(freq.crossJoin(F.broadcast(tot)), "t")
@@ -751,23 +763,33 @@ def text_perplexity_bigram(spark, sf_dir):
     bigram table outgrows any threshold; only the 1-row vocabulary size
     broadcasts unconditionally. Determinism: ln of exact integer ratios,
     averaged then rounded to 4 decimals — the same contract
-    text_quality_unigram_lm has held green since r2."""
+    text_quality_unigram_lm has held green since r2.
+
+    r16-opt (guide §2.4): the exploded bigram list fans into FOUR
+    consumers (c2, c1, the vocabulary size, and the scoring join's probe
+    side) and as a lazy subtree re-ran the scan + tokenize + explode
+    once per consumer (before-plan: 8 FileScans / 16 Exchanges). It now
+    materializes once. Results identical (oracle re-verified both SFs)."""
     tok = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
         .filter(F.size("toks") >= 2)
     )
-    bg = tok.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(toks) - 1), i -> "
-                "struct(element_at(toks, i) AS t1, "
-                "element_at(toks, i + 1) AS t2))"
-            )
-        ).alias("b"),
-    ).select("doc_id", "b.t1", "b.t2")
+    bg = (
+        tok.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1), i -> "
+                    "struct(element_at(toks, i) AS t1, "
+                    "element_at(toks, i + 1) AS t2))"
+                )
+            ).alias("b"),
+        )
+        .select("doc_id", "b.t1", "b.t2")
+        .localCheckpoint()
+    )
     c2 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
     v = bg.agg(F.countDistinct("t2").alias("vsz"))
@@ -1774,10 +1796,19 @@ def text_textrank(spark, sf_dir):
                 + F.expr(f"({TR_DAMP_NUM} * contrib) div {TR_DAMP_DEN}")
             ).alias("r"),
         ).localCheckpoint()
+    # r16-opt (guide §2.4 / the orderby_limit device): the top-K was a
+    # row_number window over the WHOLE vocabulary in one reducer (the
+    # allowlisted Heaps-bounded sort); orderBy().limit(K) plans as
+    # TakeOrderedAndProject — per-partition top-K heaps, K rows to the
+    # driver-side take, no single-partition vocabulary sort — and the
+    # rank column is then re-derived by the same total order over the
+    # ≤K survivors. Identical rows: the order (r desc, node) is total,
+    # so limit(K) keeps exactly the rn <= K set.
     w = Window.partitionBy().orderBy(F.desc("r"), "node")
     return (
-        ranks.withColumn("rn", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rn") <= TR_TOP_K)
+        ranks.orderBy(F.desc("r"), "node")
+        .limit(TR_TOP_K)
+        .withColumn("rn", F.row_number().over(w).cast("bigint"))
         .select(
             F.col("node").alias("word"),
             F.col("r").cast("bigint").alias("rank_scaled"),

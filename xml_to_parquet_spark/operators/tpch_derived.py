@@ -23,7 +23,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.operators.dedup import _hexval
-from xml_to_parquet_spark.operators.relational import _dsum_sql, dsum
+from xml_to_parquet_spark.operators.relational import DSUM_SCALE, _dsum_sql, dsum
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
 
@@ -210,7 +210,16 @@ def q11_important_stock(spark, sf_dir):
     group-vs-global-scalar HAVING pattern. The global total is a 1-row
     broadcast cross join (never recomputed per group); both the per-part
     and total sums use the decimal-accumulate dsum so the threshold
-    comparison is bit-identical in both engines."""
+    comparison is bit-identical in both engines.
+
+    r16-opt (guide §2.4): per_part and total both consumed the scoped
+    subtree, so the md5-derived partsupp build ran TWICE (before-plan:
+    16 FileScans / 26 Exchanges). The per-part aggregate now keeps its
+    exact scaled-long sum and checkpoints once (part-grid sized); the
+    global total is the bigint sum of those per-part bigints — integer
+    addition is associative, so total_value is bit-identical to dsum
+    over scoped, and the data-sized subtree runs exactly once. Oracle
+    re-verified at both SFs."""
     ps = partsupp(spark, sf_dir)
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == Q11_NATION)
@@ -219,13 +228,27 @@ def q11_important_stock(spark, sf_dir):
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("ps_partkey", "ps_supplycost", "ps_availqty")
     )
-    value = dsum(F.col("ps_supplycost") * F.col("ps_availqty"))
-    per_part = scoped.groupBy("ps_partkey").agg(value.alias("value"))
-    total = scoped.agg(value.alias("total_value"))
+    scaled = F.floor(
+        F.col("ps_supplycost") * F.col("ps_availqty") * DSUM_SCALE + F.lit(0.5)
+    ).cast("bigint")
+    per_part = (
+        scoped.groupBy("ps_partkey")
+        .agg(F.sum(scaled).alias("vsc"))
+        .localCheckpoint()
+    )
+    total = per_part.agg(
+        (F.sum("vsc").cast("double") / DSUM_SCALE).alias("total_value")
+    )
     return (
         per_part.crossJoin(F.broadcast(total))
-        .filter(F.col("value") > F.col("total_value") * Q11_FRACTION)
-        .select("ps_partkey", "value")
+        .filter(
+            (F.col("vsc").cast("double") / DSUM_SCALE)
+            > F.col("total_value") * Q11_FRACTION
+        )
+        .select(
+            "ps_partkey",
+            (F.col("vsc").cast("double") / DSUM_SCALE).alias("value"),
+        )
     )
 
 
@@ -456,12 +479,18 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
     mc, mr = _late_md5("instr")
     ch, rh = _late_hex("instr")
     # hashing is CPU-bound and the single-file scan arrives as ~3 splits;
-    # without the repartition all md5 work (and both join-side recomputes)
-    # lands on 3 cores — measured 16s -> ~2s at sf0.1 (same rationale as
-    # minhash_signatures)
+    # without the repartition all md5 work lands on 3 cores — measured
+    # 16s -> ~2s at sf0.1 (same rationale as minhash_signatures).
+    # r16-opt: the spread is now HASH on l_orderkey instead of
+    # round-robin — orderkey is uniform high-cardinality so the md5 work
+    # spreads identically, and the stored layout then serves the whole
+    # downstream (see the pair checkpoint note). The explicit
+    # numPartitions keeps REPARTITION_BY_NUM semantics so AQE cannot
+    # coalesce the ~11MB input onto a few cores and re-serialize the
+    # decode.
     li = (
         _t(spark, sf_dir, "lineitem")
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(spark.sparkContext.defaultParallelism, "l_orderkey")
         .select(
             "l_orderkey",
             "l_suppkey",
@@ -480,8 +509,21 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
     # Filter — measured 16s at sf0.1); behind an aggregation the decode
     # stays in the 32-way post-repartition project, and every later
     # predicate is over aggregated columns, which cannot push below it.
-    pair = li.groupBy("l_orderkey", "l_suppkey").agg(
-        F.sum(F.col("late").cast("long")).alias("n_late_lines")
+    #
+    # r16-opt (guide §2.4): `pair` fans into two consumers (per_order
+    # and waiters) and as a lazy subtree re-ran the scan + md5 decode +
+    # aggregate PER consumer (before-plan: 12 FileScans, the decode
+    # twice). It now materializes once; the orderkey hash layout means
+    # the (o,s) aggregate needs no exchange (HashPartitioning[o]
+    # satisfies ClusteredDistribution[o,s]), and the stored partitioning
+    # then serves per_order's groupBy AND both waiters joins
+    # exchange-free on the pair side. Interleaved A/B at sf0.1
+    # (median-of-5, parity-checked 180 rows): 3.64s -> 2.67s, every rep
+    # pair in the same direction.
+    pair = (
+        li.groupBy("l_orderkey", "l_suppkey")
+        .agg(F.sum(F.col("late").cast("long")).alias("n_late_lines"))
+        .localCheckpoint()
     )
     per_order = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),
