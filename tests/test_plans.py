@@ -630,12 +630,16 @@ def test_interval_overlap_binned_hash_join_no_nested_loop(spark, sf_dir):
 
 
 def test_drift_histogram_broadcast_totals_pruned_scan(spark, sf_dir):
-    """The drift monitor's totals join must broadcast (|types| rows) and
-    the events scan must read only (event_type, value, ts)."""
+    """The drift monitor's totals join must broadcast (|types| rows).
+    r16-opt: the histogram grid checkpoints (one events pass at build
+    time), so the served plan must carry ZERO parquet scans — a FileScan
+    reappearing here would mean the grid is being recomputed per
+    consumer again. The scan-width pin moved to build time with it (the
+    grid subtree still prunes to (event_type, value, ts) before the
+    checkpoint materializes; unobservable from the final plan)."""
     df = load_all()["dq_drift_histogram"].fn(spark, sf_dir)
     assert broadcast_join_count(df) >= 1
-    rs = read_schemas(df)[0]
-    assert "props" not in rs and "event_id" not in rs
+    assert read_schemas(df) == []
 
 
 def test_udtf_pruned_scan_no_shuffle(spark, sf_dir):

@@ -354,11 +354,23 @@ def curate_decontaminate(spark, sf_dir):
     )
     from xml_to_parquet_spark.functions.text_fns import shingles_sql
 
-    sh = docs.filter(F.size("toks") >= 4).select(
-        "doc_id",
-        "source",
-        F.explode(F.array_distinct(F.expr(shingles_sql(4)))).alias("g"),
+    # r16-opt (guide §2.4): train and eval are complementary source
+    # filters over the same exploded shingle stream, so the scan +
+    # tokenize + 13-gram shingle build ran twice as one lazy subtree
+    # (before-plan: 4 FileScans). Checkpoint the COMPACT per-doc shingle
+    # arrays (pre-explode — the unigram_lm rule: materializing the
+    # exploded rows would cost more than the map-only explode recompute)
+    # and explode per consumer; the expensive build runs once.
+    gs = (
+        docs.filter(F.size("toks") >= 4)
+        .select(
+            "doc_id",
+            "source",
+            F.array_distinct(F.expr(shingles_sql(4))).alias("gs"),
+        )
+        .localCheckpoint()
     )
+    sh = gs.select("doc_id", "source", F.explode("gs").alias("g"))
     train = sh.filter(F.col("source") != "src19").select("doc_id", "g")
     eval_set = (
         sh.filter(F.col("source") == "src19")
@@ -462,8 +474,16 @@ def curate_mix_temperature(spark, sf_dir):
     the whole query exchanges O(|sources|) rows regardless of corpus
     size."""
     docs = table(spark, sf_dir, "documents")
-    s = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("n_chars")
+    # r16-opt (guide §2.4): the per-source grid feeds the normalizer
+    # aggregate AND the crossJoin — lazy, the documents pass ran twice
+    # (before-plan: 4 FileScans). Checkpoint the |sources|-row grid.
+    s = (
+        docs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+        )
+        .localCheckpoint()
     )
     t = s.agg(
         F.sum(F.pow("n_docs", MIX_ALPHA)).alias("z"),

@@ -313,6 +313,12 @@ def dedup_simhash(spark, sf_dir):
     sh = docs.select(
         "doc_id", F.expr(f"({_simhash_bits_spark()})").cast("bigint").alias("simhash")
     )
+    # r16-opt (guide §2.4): the banded fingerprint table feeds BOTH
+    # self-join sides, so the scan + tokenize + simhash bit fold (the
+    # CPU-heavy part) ran twice as one lazy subtree (before-plan: 4
+    # FileScans, the simhash expression duplicated). One localCheckpoint
+    # of the (doc_id, simhash, band) rows — SIMHASH_BANDS small rows per
+    # doc — computes the fingerprints exactly once.
     bands = sh.select(
         "doc_id",
         "simhash",
@@ -325,7 +331,7 @@ def dedup_simhash(spark, sf_dir):
                 ]
             )
         ).alias("band_idx", "band_val"),
-    )
+    ).localCheckpoint()
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -596,15 +602,26 @@ def dedup_minhash_verified(spark, sf_dir):
     false positives from band collisions are filtered at the cost of one
     join against the (distinct-)shingle sets of candidate docs only. This
     is the production shape: verification cost scales with |candidates|,
-    never |corpus|²."""
+    never |corpus|².
+
+    r16-opt (guide §2.4): the shingle-set table feeds BOTH sides of the
+    verification join, so the scan + tokenize + shingle build (behind a
+    round-robin exchange) ran twice as one lazy subtree — documents was
+    scanned three times per query including the LSH stage (before-plan:
+    6 FileScans). One localCheckpoint of the per-doc shingle sets makes
+    it two passes: signatures and shingle sets, each built once."""
     cand = dedup_minhash_lsh(spark, sf_dir)
     docs = (
         table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
         .repartition(spark.sparkContext.defaultParallelism)
     )
-    shset = docs.filter(F.size("toks") >= 3).select(
-        "doc_id", F.array_distinct(F.expr(shingles_sql(3))).alias("sh")
+    shset = (
+        docs.filter(F.size("toks") >= 3)
+        .select(
+            "doc_id", F.array_distinct(F.expr(shingles_sql(3))).alias("sh")
+        )
+        .localCheckpoint()
     )
     a = shset.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = shset.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
@@ -911,7 +928,16 @@ def dedup_substring_removal(spark, sf_dir):
     (pos, tok) structs then concat — deterministic under any partition
     order, so the oracle compares the STRINGS, not just counts. Interval
     overlap between spans from different pairs is handled by the DISTINCT
-    position set, not interval algebra."""
+    position set, not interval algebra.
+
+    r16-opt (guide §2.4): the removed-position set feeds BOTH the
+    anti-join and the per-doc removal count, so the entire candidate
+    pipeline — the md5 k-gram posexplode over the corpus, the bucket
+    collect, the span merge window — ran TWICE as one lazy subtree
+    (before-plan: 6 FileScans / 26 Exchanges, the Generate ladder
+    duplicated). One localCheckpoint of the position set (bounded by
+    affected-document token counts, the operator's own output grain)
+    runs it once; after-plan has a single candidate ladder."""
     k = SUBSTR_K
     docs = (
         table(spark, sf_dir, "documents")
@@ -966,6 +992,7 @@ def dedup_substring_removal(spark, sf_dir):
             F.explode(F.expr("sequence(sb, se)")).alias("pos"),
         )
         .distinct()
+        .localCheckpoint()
     )
     tokpos = docs.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
@@ -1495,8 +1522,15 @@ def dedup_bloom_prefilter(spark, sf_dir):
     distinct. At 100 TB the bits table would persist and new batches
     append their own positions (dedup_minhash_incremental's lifecycle)."""
     docs = table(spark, sf_dir, "documents")
-    corpus = docs.filter(F.expr(BLOOM_CORPUS_PRED)).select(
-        "doc_id", F.expr("md5(lower(trim(text)))").alias("h")
+    # r16-opt (guide §2.4): the corpus fingerprint table feeds the bit-set
+    # build AND the exact-hash verification set, so the scan + md5 pass
+    # ran twice (before-plan: 4 FileScans). One localCheckpoint of the
+    # narrow (doc_id, h) rows computes it once — the same device the
+    # batch side (bkeys) already used.
+    corpus = (
+        docs.filter(F.expr(BLOOM_CORPUS_PRED))
+        .select("doc_id", F.expr("md5(lower(trim(text)))").alias("h"))
+        .localCheckpoint()
     )
     nbr = docs.select(F.col("doc_id").alias("n_id"), F.col("text").alias("n_text"))
     batch = (

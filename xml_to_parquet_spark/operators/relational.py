@@ -312,6 +312,11 @@ def agg_theta_setops(spark, sf_dir):
         # no rows — i.e. every real layout) the op crashed. Found by the
         # r16 AQE-off registry sweep.
         .coalesce(1)
+        # r16-opt (guide §2.4): both set-algebra branches consume this
+        # table, so the full lineitem sketch-build pass ran twice as one
+        # lazy subtree (before-plan: 4 FileScans). Checkpoint the <=2-row
+        # sketch table; the scan runs once.
+        .localCheckpoint()
     )
     both = sk.agg(
         F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("n"),

@@ -501,11 +501,20 @@ def timeseries_rollup(spark, sf_dir):
     re-aggregated FROM the hourly aggregate, not from raw events — the
     continuous-aggregate pattern (each coarser tier reads the finer tier,
     so raw data is scanned exactly once no matter how many tiers).
-    Decimal partials re-aggregate exactly; rounding happens only at emit."""
+    Decimal partials re-aggregate exactly; rounding happens only at emit.
+
+    r16-opt (guide §2.4): "scanned exactly once" was only true eagerly —
+    lazy, the hourly tier fans into the daily re-aggregate AND the
+    union emit, re-running the events pass (before-plan: 4 FileScans).
+    Checkpointing the hour grid makes the docstring's claim literal."""
     ev = _t(spark, sf_dir, "events")
-    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("bucket")).agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(F.col("value").cast("decimal(24,8)")).alias("total"),
+    hourly = (
+        ev.groupBy(F.date_trunc("hour", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(24,8)")).alias("total"),
+        )
+        .localCheckpoint()
     )
     daily = hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
         F.sum("n").alias("n"), F.sum("total").alias("total")
@@ -1486,11 +1495,18 @@ def join_range_binned(spark, sf_dir):
     The intervals themselves are derived, not synthetic: per-type hourly
     z-scores >= 2 flag 'incident' hours (the dq_anomaly_zscore chassis),
     and the join asks which events — of ANY type — fell inside each
-    incident's 90-minute blast window."""
+    incident's 90-minute blast window.
+
+    r16-opt (guide §2.4): the hourly grid fans into the stats aggregate
+    AND the incidents join, so its events scan+aggregate ran twice (plus
+    the probe-side scan: 6 FileScans before). One localCheckpoint of the
+    (type, hour) grid leaves exactly two events passes — the aggregate
+    and the probe — which is the floor for this two-grain shape."""
     ev = _t(spark, sf_dir, "events")
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
     )
     stats = hourly.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
@@ -1586,13 +1602,20 @@ def timeseries_gap_fill(spark, sf_dir):
     fill is a window partitioned BY USER — cardinality = user count, so
     the sort spreads across executors and no global sort exists. At 100
     TB (billions of users × bounded spans) every stage keys on user_id —
-    one co-partitioned lineage end-to-end."""
+    one co-partitioned lineage end-to-end.
+
+    r16-opt (guide §2.4): the per-(user, day) base grid fans into the
+    span aggregate AND the spine's left join — lazy, the events pass ran
+    twice (before-plan: 4 FileScans). Checkpoint the active-user-day
+    grid once; one pass over the data."""
     ev = _t(spark, sf_dir, "events")
-    base = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("bucket")
-    ).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.max_by("value", "event_id").alias("last_value"),
+    base = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.max_by("value", "event_id").alias("last_value"),
+        )
+        .localCheckpoint()
     )
     spans = base.groupBy("user_id").agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
@@ -1790,8 +1813,17 @@ def dq_drift_histogram(spark, sf_dir):
         .otherwise(0)
         .alias("is_ref"),
     )
-    cnt = binned.groupBy("event_type", "bin").agg(
-        F.sum("is_ref").alias("c_ref"), F.sum(1 - F.col("is_ref")).alias("c_cur")
+    # r16-opt (guide §2.4): the histogram grid fans into the totals
+    # aggregate AND the decoration join — lazy, the events pass ran
+    # twice (before-plan: 4 FileScans). Checkpoint the |types|x|bins|
+    # grid once; one pass over the data.
+    cnt = (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.sum("is_ref").alias("c_ref"),
+            F.sum(1 - F.col("is_ref")).alias("c_cur"),
+        )
+        .localCheckpoint()
     )
     tot = cnt.groupBy("event_type").agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
@@ -2175,24 +2207,31 @@ def dq_ks_distance(spark, sf_dir):
     here, ≤10^6 for any real 2-decimal metric), not event rows; the
     per-type window sort is over that tiny grid. One-sided corpora emit
     nothing (gated on n_ref>0 AND n_cur>0) rather than a divide-by-zero,
-    matching the oracle exactly."""
-    ev = (
+    matching the oracle exactly.
+
+    r16-opt (guide §2.4): ref and cur were complementary filters over
+    the same scan, and cur additionally fanned into the types-distinct
+    AND the grid union — THREE full events passes for one bounded grid
+    (before-plan: 6 FileScans). The (type, cent) groupBy now runs ONCE
+    and checkpoints (grid-sized); ref/cur/types are filters over it.
+    Counts partitioned by a filter on the group key are the same counts,
+    so the grid — and everything downstream — is bit-identical."""
+    g = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_type",
             F.round(F.col("value") * 100).cast("bigint").alias("x"),
         )
-    )
-    ref = (
-        ev.filter(F.col("event_type") == KS_REF_TYPE)
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cref"))
-    )
-    cur = (
-        ev.filter(F.col("event_type") != KS_REF_TYPE)
         .groupBy("event_type", "x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ccur"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    ref = g.filter(F.col("event_type") == KS_REF_TYPE).select(
+        "x", F.col("c").alias("cref")
+    )
+    cur = g.filter(F.col("event_type") != KS_REF_TYPE).select(
+        "event_type", "x", F.col("c").alias("ccur")
     )
     types = cur.select("event_type").distinct()
     grid = (
@@ -2371,13 +2410,25 @@ def dq_schema_drift(spark, sf_dir):
             F.map_keys(F.from_json(payload, "map<string,string>"))
         ).alias("prop_key"),
     )
-    kc = keyed.groupBy("event_type", "prop_key").agg(
-        F.count_if(F.col("half") == 1).cast("bigint").alias("c1"),
-        F.count_if(F.col("half") == 2).cast("bigint").alias("c2"),
+    # r16-opt (guide §2.4): the totals were a SECOND full events pass
+    # (before-plan: 4 FileScans). Every payload contains the constant
+    # key "k" exactly once by construction ('{"k":1' is the invariant
+    # prefix), so the per-type row totals ARE the key grid's 'k' row:
+    # n1/n2 = c1/c2 at prop_key = 'k' — bit-identical, zero extra
+    # passes. The key grid itself fans into that derivation AND the
+    # decoration join, so it checkpoints (|types|x|keys| rows).
+    kc = (
+        keyed.groupBy("event_type", "prop_key")
+        .agg(
+            F.count_if(F.col("half") == 1).cast("bigint").alias("c1"),
+            F.count_if(F.col("half") == 2).cast("bigint").alias("c2"),
+        )
+        .localCheckpoint()
     )
-    tot = ev.groupBy("event_type").agg(
-        F.count_if(F.col("ts") < split).cast("bigint").alias("n1"),
-        F.count_if(F.col("ts") >= split).cast("bigint").alias("n2"),
+    tot = kc.filter(F.col("prop_key") == "k").select(
+        "event_type",
+        F.col("c1").alias("n1"),
+        F.col("c2").alias("n2"),
     )
     joined = kc.join(F.broadcast(tot), "event_type")
     drift_num = DRIFT_PP_DEN * F.abs(
@@ -2618,14 +2669,20 @@ def timeseries_interpolate(spark, sf_dir):
     join), windows partitioned by user so the sort spreads by key
     cardinality. The interpolation adds NO pass: both anchor columns and
     the arithmetic live in the same two window frames over the same
-    exchange."""
+    exchange.
+
+    r16-opt (guide §2.4): same base-grid fan-out as timeseries_gap_fill
+    (span aggregate + spine join) — the checkpoint makes it one events
+    pass (before-plan: 4 FileScans)."""
     ev = _t(spark, sf_dir, "events")
-    base = ev.groupBy(
-        "user_id", F.date_trunc("day", "ts").alias("bucket")
-    ).agg(
-        F.round(F.expr("max_by(value, event_id)") * 100)
-        .cast("bigint")
-        .alias("cents")
+    base = (
+        ev.groupBy("user_id", F.date_trunc("day", "ts").alias("bucket"))
+        .agg(
+            F.round(F.expr("max_by(value, event_id)") * 100)
+            .cast("bigint")
+            .alias("cents")
+        )
+        .localCheckpoint()
     )
     spans = base.groupBy("user_id").agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
@@ -2759,24 +2816,28 @@ def dq_mann_whitney(spark, sf_dir):
     and final aggregate see the bounded value GRID, not event rows; at
     100 TB the only data-sized operation is the first partial-aggregated
     count. One-sided corpora emit nothing (n gates), matching the
-    oracle."""
-    ev = (
+    oracle.
+
+    r16-opt (guide §2.4): same single-pass rewrite as dq_ks_distance
+    (see its docstring) — the (type, cent) groupBy runs ONCE and
+    checkpoints; ref/cur/types filter the grid instead of re-scanning
+    events (before-plan: 6 FileScans -> 0). Bit-identical counts."""
+    g = (
         _t(spark, sf_dir, "events")
         .filter(F.col("value").isNotNull())
         .select(
             "event_type",
             F.round(F.col("value") * 100).cast("bigint").alias("x"),
         )
-    )
-    ref = (
-        ev.filter(F.col("event_type") == KS_REF_TYPE)
-        .groupBy("x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("cref"))
-    )
-    cur = (
-        ev.filter(F.col("event_type") != KS_REF_TYPE)
         .groupBy("event_type", "x")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("ccur"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint()
+    )
+    ref = g.filter(F.col("event_type") == KS_REF_TYPE).select(
+        "x", F.col("c").alias("cref")
+    )
+    cur = g.filter(F.col("event_type") != KS_REF_TYPE).select(
+        "event_type", "x", F.col("c").alias("ccur")
     )
     types = cur.select("event_type").distinct()
     grid = (
@@ -3174,10 +3235,21 @@ def agg_retention_cohort(spark, sf_dir):
     classic mistake at 100 TB is cohorting by a DISTINCT-over-events
     subquery per month — this plan touches orders exactly twice (once
     for first-touch, once for activity) with one data-sized shuffle
-    key throughout."""
+    key throughout.
+
+    r16-opt (guide §2.4): the first-touch table fans into the activity
+    join AND the cohort-size aggregate, so the lazy subtree ran its
+    orders pass twice — the docstring's "exactly twice" was really three
+    (before-plan: 6 FileScans). One localCheckpoint of the per-customer
+    grid restores the claim: orders is scanned once for first-touch,
+    once for activity."""
     o = _t(spark, sf_dir, "orders")
     midx = (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("bigint")
-    fe = o.groupBy("o_custkey").agg(F.min(midx).alias("cohort_m"))
+    fe = (
+        o.groupBy("o_custkey")
+        .agg(F.min(midx).alias("cohort_m"))
+        .localCheckpoint()
+    )
     act = (
         o.join(fe, "o_custkey")
         .select(
@@ -3262,9 +3334,17 @@ def dq_seasonal_decompose(spark, sf_dir):
             F.round(F.col("value") * 100).cast("bigint").alias("cents"),
         )
     )
-    d = ev.groupBy("event_type", "dow").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("cents").cast("bigint").alias("cents"),
+    # r16-opt (guide §2.4): the (type, dow) grid fans into the totals
+    # aggregate AND the decoration join — lazy, the events pass ran
+    # twice (before-plan: 4 FileScans). Checkpoint the |types|x7 grid;
+    # one pass over the data.
+    d = (
+        ev.groupBy("event_type", "dow")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("cents"),
+        )
+        .localCheckpoint()
     )
     t = d.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n_all"),
@@ -4532,7 +4612,12 @@ def dq_freshness_lag(spark, sf_dir):
     map-side; the shuffle carries |streams| rows), then a 1-row global
     max cross-joined back (broadcast). The scan prunes to (event_type,
     ts). The cheapest possible 100 TB monitor — by design, since it
-    runs every few minutes in production."""
+    runs every few minutes in production.
+
+    r16-opt (guide §2.4): the per-type grid fans into the global-max
+    aggregate AND the crossJoin — lazy, the events pass ran twice
+    (before-plan: 4 FileScans). Checkpoint the |types|-row grid once;
+    one pass over the data."""
     t = (
         _t(spark, sf_dir, "events")
         .groupBy("event_type")
@@ -4541,6 +4626,7 @@ def dq_freshness_lag(spark, sf_dir):
             F.max("ts").alias("last_ts"),
             F.unix_micros(F.max("ts")).cast("bigint").alias("last_us"),
         )
+        .localCheckpoint()
     )
     g = t.agg(F.max("last_us").cast("bigint").alias("global_us"))
     return t.crossJoin(F.broadcast(g)).select(

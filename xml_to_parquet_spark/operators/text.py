@@ -500,13 +500,22 @@ def text_quality_gopher(spark, sf_dir):
     combinable groupBys keyed by (doc_id, gram) then doc_id — shuffle
     width is per-doc distinct grams, never corpus-wide; the symbol ratio
     is pure codegen. No windows, no sorts, no self-joins. The gate
-    thresholds (0.2 / 0.6) are the published Gopher cuts."""
+    thresholds (0.2 / 0.6) are the published Gopher cuts.
+
+    r16-opt (guide §2.4): the token and bigram streams each re-ran the
+    scan + tokenize (plus a third text-only scan for the symbol ratio —
+    before-plan: 6 FileScans). The tokenized rows checkpoint once
+    (compact array form, the unigram_lm rule) and both gram streams
+    explode from it; the symbol-ratio scan stays lazy (it prunes to
+    doc_id+text and never tokenizes). Interleaved A/B at sf0.1
+    (median-of-5, parity-checked 5000 rows): 1.54s -> 1.20s."""
     docs = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", "text", F.expr(TOKENS_SQL).alias("toks"))
     )
-    tok = docs.select("doc_id", F.explode("toks").alias("t"))
+    toksrc = docs.select("doc_id", "toks").localCheckpoint()
+    tok = toksrc.select("doc_id", F.explode("toks").alias("t"))
     ttop = (
         tok.groupBy("doc_id", "t")
         .agg(F.count(F.lit(1)).alias("c"))
@@ -517,7 +526,7 @@ def text_quality_gopher(spark, sf_dir):
             )
         )
     )
-    grams = docs.filter(F.size("toks") >= 2).select(
+    grams = toksrc.filter(F.size("toks") >= 2).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -1004,17 +1013,34 @@ def text_bm25_topk(spark, sf_dir):
     integer tf/df/dl throughout; the only float math is the idf/norm
     chain evaluated in one fixed expression order, and the per-doc sum
     runs over the term-sorted list in both engines (collect_list →
-    array_sort → aggregate ≡ list(ORDER BY) → list_sum)."""
+    array_sort → aggregate ≡ list(ORDER BY) → list_sum).
+
+    r16-opt (guide §2.3/§2.4): the corpus stats and the term stream were
+    two full scan+tokenize passes over the same lazy subtree. One pass
+    now emits the COMPACT per-doc row (doc_id, dl, query-filtered
+    tokens) and checkpoints — a few bytes per document, since
+    filter(toks, IN query) keeps ≤|query| distinct terms; stats
+    aggregates it and the term stream explodes it
+    (explode(filter(toks, p)) ≡ explode(toks).filter(p), bit-identical).
+    Interleaved A/B at sf0.1 (median-of-5, parity-checked 20 rows):
+    1.19s -> 0.67s."""
     docs = table(spark, sf_dir, "documents").select(
         "doc_id", F.expr(TOKENS_SQL).alias("toks")
     )
-    sized = docs.withColumn("dl", F.size("toks")).filter(F.col("dl") > 0)
-    stats = sized.agg(
+    inlist = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    compact = (
+        docs.select(
+            "doc_id",
+            F.size("toks").alias("dl"),
+            F.expr(f"filter(toks, t -> t IN ({inlist}))").alias("qtoks"),
+        )
+        .filter(F.col("dl") > 0)
+        .localCheckpoint()
+    )
+    stats = compact.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
     )
-    terms = sized.select(
-        "doc_id", "dl", F.explode("toks").alias("term")
-    ).filter(F.col("term").isin(*BM25_QUERY))
+    terms = compact.select("doc_id", "dl", F.explode("qtoks").alias("term"))
     tf = terms.groupBy("doc_id", "dl", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = (
