@@ -264,14 +264,23 @@ def text_tfidf(spark, sf_dir):
     frequency, min document frequency 5. Two shuffles total — one on
     (doc, term), one on term; the doc count broadcasts as a 1-row cross
     join. Log of an integer ratio is bit-identical across engines, so the
-    scores carry a full value oracle."""
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.expr(TOKENS_SQL).alias("toks")
+    scores carry a full value oracle.
+
+    r16-opt (guide §2.4): the tokenized doc table fans into THREE
+    consumers (tf, df, n_docs) and as a lazy subtree re-ran the scan +
+    tokenize once per consumer (before-plan: 6 FileScans / 12 Exchanges).
+    The COMPACT per-doc token arrays now materialize once and each
+    consumer explodes them map-side (the curate_decontaminate rule —
+    never materialize the exploded rows). Results identical (oracle
+    re-verified both SFs)."""
+    docs = (
+        table(spark, sf_dir, "documents")
+        .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
+        .filter(F.size("toks") > 0)
+        .localCheckpoint()
     )
-    terms = docs.filter(F.size("toks") > 0).select(
-        "doc_id", F.explode("toks").alias("term")
-    )
-    n_docs = docs.filter(F.size("toks") > 0).agg(F.count(F.lit(1)).alias("n"))
+    terms = docs.select("doc_id", F.explode("toks").alias("term"))
+    n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
     tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df")).filter(
         F.col("df") >= 5
