@@ -38,6 +38,19 @@ def _slice(spark, sf_dir):
     )
 
 
+def _layout_file_count(df) -> int:
+    """Scale-adaptive range-partition count for sorted/z-order layout
+    writes (r16-opt, guide §6): one range per scan split — proportional
+    to input bytes (~maxPartitionBytes each), so output files stay in the
+    100 MB–1 GB band at any scale — with a floor of the session
+    parallelism so the write keeps every core busy at test scale. The
+    previous literal 8 was a local-mode constant: at 100 TB it would have
+    produced 8 multi-TB files."""
+    return max(
+        df.rdd.getNumPartitions(), df.sparkSession.sparkContext.defaultParallelism
+    )
+
+
 def _roundtrip(spark, sf_dir, fmt: str):
     out = scratch_dir(sf_dir, fmt)
     df = _slice(spark, sf_dir)
@@ -106,7 +119,7 @@ def sink_sorted_parquet(spark, sf_dir):
         "l_orderkey", "l_linenumber", "l_extendedprice"
     )
     (
-        li.repartitionByRange(8, "l_orderkey")
+        li.repartitionByRange(_layout_file_count(li), "l_orderkey")
         .sortWithinPartitions("l_orderkey", "l_linenumber")
         .write.mode("overwrite")
         .parquet(out)
@@ -147,7 +160,7 @@ def sink_zorder_parquet(spark, sf_dir):
     z = F.expr(_zorder_expr("l_partkey", "l_suppkey"))
     (
         li.withColumn("_z", z)
-        .repartitionByRange(8, "_z")
+        .repartitionByRange(_layout_file_count(li), "_z")
         .sortWithinPartitions("_z")
         .drop("_z")
         .write.mode("overwrite")
