@@ -6,6 +6,15 @@ payloads", §8). Prints ops whose plan has at least one such Exchange,
 with the count and the matched column names.
 
 Usage: python scripts/exchange_width_audit.py [sf_dir] [op ...]
+
+Known blind spot (ADVICE r16): HEAVY matches raw column NAMES, so a
+payload column renamed by an alias before the exchange (toks -> vs,
+text -> s) escapes the regex — audit conclusions are "no exchange
+carries a payload column under its well-known name", slightly weaker
+than "no payload bytes cross any exchange". The registry's payload
+columns keep their names across the hot paths (pinned by the r16
+adjudication pass), so the gap is accepted and documented here rather
+than chased with alias tracking.
 """
 
 from __future__ import annotations
@@ -41,8 +50,12 @@ def main() -> None:
         hits = []
         in_ex = False
         for line in txt.splitlines():
-            if re.match(r"^\(\d+\) Exchange", line):
-                in_ex = True
+            # ADVICE r16: any new node header ends the current Exchange
+            # block — previously only a blank line or an Input line did,
+            # so a detail block leading with a non-Input line could
+            # misattribute the NEXT node's Input to the Exchange.
+            if re.match(r"^\(\d+\) ", line):
+                in_ex = bool(re.match(r"^\(\d+\) Exchange", line))
                 continue
             if in_ex and line.startswith("Input"):
                 cols = sorted(set(HEAVY.findall(line)))

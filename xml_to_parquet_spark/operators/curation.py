@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 SEQ_BUDGET = 512  # tokens per packed training sequence
 
@@ -216,7 +217,7 @@ def curate_pack_sharded(spark, sf_dir):
     # The summary feeds BOTH sides of the triangular join; checkpoint the
     # {N_PACK_SHARDS}-row result so the corpus isn't scanned once per side
     # (the er_survivorship one-checkpoint-many-consumers device).
-    counts = counts.localCheckpoint()
+    counts = counts.transform(materialize)
     below = counts.select(
         F.col("shard").alias("b_shard"), F.col("n_seq").alias("b_n_seq")
     )
@@ -368,7 +369,7 @@ def curate_decontaminate(spark, sf_dir):
             "source",
             F.array_distinct(F.expr(shingles_sql(4))).alias("gs"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     sh = gs.select("doc_id", "source", F.explode("gs").alias("g"))
     train = sh.filter(F.col("source") != "src19").select("doc_id", "g")
@@ -483,7 +484,7 @@ def curate_mix_temperature(spark, sf_dir):
             F.count(F.lit(1)).alias("n_docs"),
             F.sum("n_chars").alias("n_chars"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     t = s.agg(
         F.sum(F.pow("n_docs", MIX_ALPHA)).alias("z"),
@@ -782,7 +783,7 @@ def text_bpe_train(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.expr("split(w, '')").alias("syms"), "cnt")
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint()
+        .transform(materialize)
     )
     learned = []
     for rank in range(BPE_TRAIN_MERGES):
@@ -818,7 +819,7 @@ def text_bpe_train(spark, sf_dir):
         # at sf0.1, where per-round job overhead dominates the tiny
         # Heaps-bounded vocabulary
         if (rank + 1) % 3 == 0:
-            words = words.localCheckpoint()
+            words = words.transform(materialize)
     return spark.createDataFrame(
         learned, "rank int, left string, right string, pair_count bigint"
     )

@@ -27,6 +27,7 @@ from xml_to_parquet_spark.functions.text_fns import (
 )
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 NUM_HASHES = 16
 BANDS = 4
@@ -331,7 +332,7 @@ def dedup_simhash(spark, sf_dir):
                 ]
             )
         ).alias("band_idx", "band_val"),
-    ).localCheckpoint()
+    ).transform(materialize)
     a, b = bands.alias("a"), bands.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -425,7 +426,7 @@ def dedup_ngram_jaccard(spark, sf_dir):
             "source",
             F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     hot = (
         sh0.groupBy("source", "shingle")
@@ -547,7 +548,7 @@ def connected_components(
             )
         new_labels = new_labels.select(
             "node", "lab", (F.col("lab") != F.col("old_lab")).alias("changed")
-        ).localCheckpoint()
+        ).transform(materialize)
         changed = new_labels.filter("changed").limit(1).count()
         labels = new_labels.select("node", "lab")
         if changed == 0:
@@ -564,11 +565,11 @@ def dedup_components(spark, sf_dir):
     pointer-jumping min-label propagation (see ``connected_components``).
     The DuckDB oracle computes the same fixpoint by recursive transitive
     closure."""
-    pairs = dedup_minhash_lsh(spark, sf_dir).localCheckpoint()
+    pairs = dedup_minhash_lsh(spark, sf_dir).transform(materialize)
     edges = (
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
         .unionAll(pairs.select(F.col("doc_b").alias("a"), F.col("doc_a").alias("b")))
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = connected_components(edges, pointer_jump=True, max_rounds=30)
     return labels.select(F.col("node").alias("doc_id"), F.col("lab").alias("component"))
@@ -621,7 +622,7 @@ def dedup_minhash_verified(spark, sf_dir):
         .select(
             "doc_id", F.array_distinct(F.expr(shingles_sql(3))).alias("sh")
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     a = shset.select(F.col("doc_id").alias("a_id"), F.col("sh").alias("a_sh"))
     b = shset.select(F.col("doc_id").alias("b_id"), F.col("sh").alias("b_sh"))
@@ -694,7 +695,7 @@ def dedup_containment(spark, sf_dir):
             "source",
             F.explode(F.array_distinct(F.expr(shingles_sql(3)))).alias("shingle"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     hot = (
         sh0.groupBy("source", "shingle")
@@ -992,7 +993,7 @@ def dedup_substring_removal(spark, sf_dir):
             F.explode(F.expr("sequence(sb, se)")).alias("pos"),
         )
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     tokpos = docs.select(
         "doc_id", F.posexplode("toks").alias("pos", "tok")
@@ -1222,7 +1223,7 @@ def dedup_prefix_filter(spark, sf_dir):
     # localCheckpoint: sh1 feeds the rank window, the verify arrays, and
     # (via pref) candidate generation; without materialization each
     # consumer re-runs the tokenize+explode+dict lineage
-    sh1 = sh0.join(dict_, "shingle").select("doc_id", "sid").localCheckpoint()
+    sh1 = sh0.join(dict_, "shingle").select("doc_id", "sid").transform(materialize)
     ranked = sh1.withColumn(
         "pos", F.row_number().over(Window.partitionBy("doc_id").orderBy("sid"))
     ).withColumn("n", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
@@ -1383,7 +1384,7 @@ def er_blocking_link(spark, sf_dir):
     # projection once instead of re-running it per consumer
     c = cust.withColumn(
         "rid", F.expr("substring(md5(CAST(c_custkey AS STRING)), 1, 9)")
-    ).localCheckpoint()
+    ).transform(materialize)
     h = _hexval("md5('er' || CAST(c_custkey AS STRING))", "instr")
     hexd = "'0123456789abcdef'"
     dirty = (
@@ -1402,7 +1403,7 @@ def er_blocking_link(spark, sf_dir):
                 "substring(rid, p + 1))"
             ).alias("drid"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     seg_structs = lambda col: [  # noqa: E731
         F.struct(
@@ -1530,7 +1531,7 @@ def dedup_bloom_prefilter(spark, sf_dir):
     corpus = (
         docs.filter(F.expr(BLOOM_CORPUS_PRED))
         .select("doc_id", F.expr("md5(lower(trim(text)))").alias("h"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     nbr = docs.select(F.col("doc_id").alias("n_id"), F.col("text").alias("n_text"))
     batch = (
@@ -1549,7 +1550,7 @@ def dedup_bloom_prefilter(spark, sf_dir):
         for j in range(BLOOM_K)
     ]
     ckeys = corpus.select("doc_id", "h", *pos_cols)
-    bkeys = batch.select("doc_id", "h", *pos_cols).localCheckpoint()
+    bkeys = batch.select("doc_id", "h", *pos_cols).transform(materialize)
     bits = (
         ckeys.select(F.explode(F.array(*[f"p{j}" for j in range(BLOOM_K)])).alias("pos"))
         .distinct()
@@ -1662,7 +1663,7 @@ def _fs_rosters(spark, sf_dir):
             "substr(md5('ph' || CAST(c_custkey AS STRING)), 1, 10)"
         ).alias("phone"),
         F.col("c_nationkey").alias("city"),
-    ).localCheckpoint()
+    ).transform(materialize)
     picked = clean.filter(F.col("c_custkey") % 4 == 0)
     dirty = picked.select(
         F.col("c_custkey").alias("rid"),
@@ -1991,7 +1992,7 @@ def er_cluster_entities(spark, sf_dir):
             (F.col("rid") + ER_NODE_OFFSET).alias("a"),
             F.col("cand_custkey").alias("b"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     # Disjointness precondition (see ER_NODE_OFFSET): 1-row agg over the
     # already-checkpointed match-sized pair list; survivorship inherits
@@ -1999,7 +2000,7 @@ def er_cluster_entities(spark, sf_dir):
     _assert_er_node_ranges_disjoint(pairs.agg(F.max("b")).collect()[0][0])
     edges = pairs.unionAll(
         pairs.select(F.col("b").alias("a"), F.col("a").alias("b"))
-    ).localCheckpoint()
+    ).transform(materialize)
     labels = connected_components(edges, pointer_jump=True, max_rounds=30)
     ent = labels.select(
         F.col("node").alias("member_id"),
@@ -2120,7 +2121,7 @@ def er_survivorship(spark, sf_dir):
     # HashPartitioning satisfies every downstream ClusteredDistribution
     # (incl. the (entity_id, value) grids — partitioning on a key prefix
     # clusters the superset) and ONE shuffle replaces four
-    m = ent.join(members, "member_id").repartition("entity_id").localCheckpoint()
+    m = ent.join(members, "member_id").repartition("entity_id").transform(materialize)
     rep = (
         m.withColumn(
             "rn",

@@ -22,6 +22,7 @@ from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 SCALE = 10**15
 DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact ratio
@@ -98,7 +99,7 @@ def pagerank_fixed(spark, sf_dir):
     # the apparent single-shot gain was session warm-up drift; unlike
     # kcore's degree groupBy, every pagerank round's big exchange is the
     # contribution groupBy(dst), which a src partitioning cannot satisfy.
-    edges_d = edges.join(deg, "src").localCheckpoint()
+    edges_d = edges.join(deg, "src").transform(materialize)
     # one-time scalar fixing the teleport constant — read from the
     # CHECKPOINTED decorated edges: deg sits upstream of the checkpoint,
     # so counting it directly re-ran the full lineitem scan + union +
@@ -122,7 +123,7 @@ def pagerank_fixed(spark, sf_dir):
             (F.lit(teleport) + F.expr(f"({DAMP_NUM} * contrib) div {DAMP_DEN}")).alias(
                 "r"
             ),
-        ).localCheckpoint()
+        ).transform(materialize)
     return ranks.select(
         "node",
         F.col("r").alias("rank_scaled"),
@@ -165,7 +166,7 @@ def cooccurrence_edges(spark, sf_dir, checkpoint=True):
         .select(F.col("a.u").alias("u"), F.col("b.u").alias("v"))
         .distinct()
     )
-    return edges.localCheckpoint() if checkpoint else edges
+    return edges.transform(materialize) if checkpoint else edges
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +239,7 @@ def graph_triangle_count(spark, sf_dir):
         )
         .otherwise(F.struct(F.col("v").alias("s"), F.col("u").alias("d")))
         .alias("e")
-    ).select("e.s", "e.d").localCheckpoint()
+    ).select("e.s", "e.d").transform(materialize)
     adj = oriented.groupBy("s").agg(F.collect_list("d").alias("nbrs"))
     a_u = adj.select(F.col("s").alias("s"), F.col("nbrs").alias("nu"))
     a_v = adj.select(F.col("s").alias("d"), F.col("nbrs").alias("nv"))
@@ -322,7 +323,7 @@ def graph_kcore(spark, sf_dir):
     und = (
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition("u")
-        .localCheckpoint()
+        .transform(materialize)
     )
     for _ in range(KCORE_ROUNDS):
         deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
@@ -332,7 +333,7 @@ def graph_kcore(spark, sf_dir):
             .join(alive.select(F.col("u").alias("v")), "v")
             .select("u", "v")
             .repartition("u")
-            .localCheckpoint()
+            .transform(materialize)
         )
     return und.groupBy(F.col("u").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("degree")
@@ -410,13 +411,13 @@ def graph_bfs_distance(spark, sf_dir):
     und = (
         e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .repartition("u")
-        .localCheckpoint()
+        .transform(materialize)
     )
     nodes = und.select(F.col("u").alias("node")).distinct()
     dist = (
         nodes.filter(F.col("node") % BFS_SRC_MOD == 0)
         .withColumn("dist", F.lit(0))
-        .localCheckpoint()
+        .transform(materialize)
     )
     frontier = dist
     for _ in range(BFS_ROUNDS):
@@ -432,7 +433,7 @@ def graph_bfs_distance(spark, sf_dir):
         frontier = (
             relaxed.join(dist.select("node"), "node", "left_anti")
             .select("node", F.col("d").alias("dist"))
-            .localCheckpoint()
+            .transform(materialize)
         )
         dist = dist.unionAll(frontier)
     return dist.select("node", F.col("dist").cast("bigint").alias("dist"))
@@ -531,7 +532,7 @@ def _lpa_labels_and_adj(spark, sf_dir):
         # (node-side co-location was the r9 shape, 5.15 -> 4.38 then; the
         # (node, lbl) count partial-aggregates map-side under either key)
         .repartition("nbr")
-        .localCheckpoint()
+        .transform(materialize)
     )
     labels = eb.select("node").distinct().select(
         F.col("node").alias("lnode"), F.col("node").alias("lbl")
@@ -550,7 +551,7 @@ def _lpa_labels_and_adj(spark, sf_dir):
                 ).alias("lbl")
             )
             .select(F.col("node").alias("lnode"), "lbl")
-            .localCheckpoint()
+            .transform(materialize)
         )
     return (
         labels.select(F.col("lnode").alias("node"), F.col("lbl").alias("community")),
@@ -672,7 +673,7 @@ def graph_scc_bounded(spark, sf_dir):
         # left side on b and the right side on a — keep the reused right
         # side (x joined as y.a = x.b) co-located by a
         .repartition("a")
-        .localCheckpoint()
+        .transform(materialize)
     )
 
     def double(p):
@@ -683,7 +684,7 @@ def graph_scc_bounded(spark, sf_dir):
         )
         return p.unionByName(step).distinct()
 
-    p2 = double(e).repartition("a").localCheckpoint()
+    p2 = double(e).repartition("a").transform(materialize)
     p4 = double(p2)
     rev = p4.select(F.col("b").alias("ra"), F.col("a").alias("rb"))
     mutual = p4.join(
@@ -833,7 +834,7 @@ def _checkpointed_full_adjacency(edges):
     nbr = edges.select(
         F.col("u").alias("w"), F.col("v").alias("x")
     ).unionAll(edges.select(F.col("v").alias("w"), F.col("u").alias("x")))
-    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs")).localCheckpoint()
+    fadj = nbr.groupBy("w").agg(F.collect_list("x").alias("nbrs")).transform(materialize)
     max_deg = fadj.agg(F.max(F.size("nbrs"))).collect()[0][0]
     if max_deg is not None and max_deg > ADJ_DEG_CAP:
         raise ValueError(
@@ -1032,7 +1033,7 @@ def graph_bridges(spark, sf_dir):
             "v",
             F.size(F.array_intersect("nu", "nv")).cast("bigint").alias("c"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     bridges = withsup.filter(F.col("c") == 0).select("u", "v")
     b2 = bridges.join(au, "u").join(av, "v")
@@ -1163,7 +1164,7 @@ def graph_degree_assortativity(spark, sf_dir):
         .unionAll(edges.select(F.col("v").alias("w")))
         .groupBy("w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     du = deg.select(F.col("w").alias("u"), F.col("deg").alias("du"))
     dv = deg.select(F.col("w").alias("v"), F.col("deg").alias("dv"))
@@ -1279,13 +1280,13 @@ def graph_harmonic_landmarks(spark, sf_dir):
         .distinct()
         .orderBy("lm")
         .limit(N_LANDMARKS)
-        .localCheckpoint()
+        .transform(materialize)
     )
     h1 = (
         lm.join(nbr, lm["lm"] == nbr["w"])
         .select("lm", "x")
         .distinct()
-        .localCheckpoint()
+        .transform(materialize)
     )
     exp1 = (
         h1.join(
@@ -1300,7 +1301,7 @@ def graph_harmonic_landmarks(spark, sf_dir):
         .join(
             h1.select("lm", F.col("x").alias("y")), ["lm", "y"], "left_anti"
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     # hop-3 by CARDINALITY, not by set rows: n₃ = |reach≤3| − |reach≤2|,
     # and |reach≤3| is a per-landmark packed-bitset count over

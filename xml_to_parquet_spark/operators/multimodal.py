@@ -870,7 +870,7 @@ def mm_caption_dedup(spark, sf_dir):
     mm_image_dedup pair list inside its own plan — the single-plan
     contract the oracle checks. A pipeline that runs BOTH operators in
     one session should materialize the pair list once
-    (``mm_image_dedup(...).localCheckpoint()``) and feed it to this
+    (``materialize(mm_image_dedup(...))``) and feed it to this
     tier; the recompute here costs ~2.1s of the 4.6s sf0.1 runtime and
     is the deliberate price of keeping each registry entry
     self-contained."""

@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 
 def _t(spark, sf_dir, name):
@@ -316,7 +317,7 @@ def agg_theta_setops(spark, sf_dir):
         # table, so the full lineitem sketch-build pass ran twice as one
         # lazy subtree (before-plan: 4 FileScans). Checkpoint the <=2-row
         # sketch table; the scan runs once.
-        .localCheckpoint()
+        .transform(materialize)
     )
     both = sk.agg(
         F.theta_sketch_estimate(F.theta_intersection_agg("sk")).alias("n"),

@@ -15,6 +15,7 @@ from pyspark.sql import types as T
 from xml_to_parquet_spark.operators.relational import _davg_sql, davg
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 
 def _t(spark, sf_dir, name):
@@ -514,7 +515,7 @@ def timeseries_rollup(spark, sf_dir):
             F.count(F.lit(1)).alias("n"),
             F.sum(F.col("value").cast("decimal(24,8)")).alias("total"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     daily = hourly.groupBy(F.date_trunc("day", "bucket").alias("bucket")).agg(
         F.sum("n").alias("n"), F.sum("total").alias("total")
@@ -1506,7 +1507,7 @@ def join_range_binned(spark, sf_dir):
     hourly = (
         ev.groupBy("event_type", F.date_trunc("hour", "ts").alias("h"))
         .agg(F.count(F.lit(1)).alias("n"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     stats = hourly.groupBy("event_type").agg(
         F.avg("n").alias("mu"), F.stddev_pop("n").alias("sigma")
@@ -1615,7 +1616,7 @@ def timeseries_gap_fill(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.max_by("value", "event_id").alias("last_value"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     spans = base.groupBy("user_id").agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
@@ -1823,7 +1824,7 @@ def dq_drift_histogram(spark, sf_dir):
             F.sum("is_ref").alias("c_ref"),
             F.sum(1 - F.col("is_ref")).alias("c_cur"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     tot = cnt.groupBy("event_type").agg(
         F.sum("c_ref").alias("n_ref"), F.sum("c_cur").alias("n_cur")
@@ -2225,7 +2226,7 @@ def dq_ks_distance(spark, sf_dir):
         )
         .groupBy("event_type", "x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     ref = g.filter(F.col("event_type") == KS_REF_TYPE).select(
         "x", F.col("c").alias("cref")
@@ -2423,7 +2424,7 @@ def dq_schema_drift(spark, sf_dir):
             F.count_if(F.col("half") == 1).cast("bigint").alias("c1"),
             F.count_if(F.col("half") == 2).cast("bigint").alias("c2"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     tot = kc.filter(F.col("prop_key") == "k").select(
         "event_type",
@@ -2543,7 +2544,7 @@ def mine_assoc_rules(spark, sf_dir):
         .select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p"))
         .repartition("o")
         .dropDuplicates()
-        .localCheckpoint()
+        .transform(materialize)
     )
     n = li.agg(F.countDistinct("o").cast("bigint").alias("n_orders"))
     # the item-support table likewise fans into three consumers (the freq
@@ -2552,7 +2553,7 @@ def mine_assoc_rules(spark, sf_dir):
     items = (
         li.groupBy("p")
         .agg(F.count(F.lit(1)).cast("bigint").alias("s_item"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     freq = items.filter(F.col("s_item") >= AR_MINSUP).select("p")
     fb = li.join(F.broadcast(freq), "p")
@@ -2567,7 +2568,7 @@ def mine_assoc_rules(spark, sf_dir):
         .groupBy("x", "y")
         .agg(F.count(F.lit(1)).cast("bigint").alias("s_pair"))
         .filter(F.col("s_pair") >= AR_MINSUP)
-        .localCheckpoint()
+        .transform(materialize)
     )
     rules = pairs.select(
         F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "s_pair"
@@ -2682,7 +2683,7 @@ def timeseries_interpolate(spark, sf_dir):
             .cast("bigint")
             .alias("cents")
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     spans = base.groupBy("user_id").agg(
         F.min("bucket").alias("b0"), F.max("bucket").alias("b1")
@@ -2831,7 +2832,7 @@ def dq_mann_whitney(spark, sf_dir):
         )
         .groupBy("event_type", "x")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     ref = g.filter(F.col("event_type") == KS_REF_TYPE).select(
         "x", F.col("c").alias("cref")
@@ -2982,7 +2983,7 @@ def dq_benford(spark, sf_dir):
     c = (
         d.groupBy("col", "digit")
         .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     t = c.groupBy("col").agg(F.sum("obs").cast("bigint").alias("n"))
     j = c.join(F.broadcast(t), "col")
@@ -3248,7 +3249,7 @@ def agg_retention_cohort(spark, sf_dir):
     fe = (
         o.groupBy("o_custkey")
         .agg(F.min(midx).alias("cohort_m"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     act = (
         o.join(fe, "o_custkey")
@@ -3344,7 +3345,7 @@ def dq_seasonal_decompose(spark, sf_dir):
             F.count(F.lit(1)).cast("bigint").alias("n"),
             F.sum("cents").cast("bigint").alias("cents"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     t = d.groupBy("event_type").agg(
         F.sum("n").cast("bigint").alias("n_all"),
@@ -3770,7 +3771,7 @@ def _daily_revenue_grid(spark, sf_dir):
     )
     return daily.select(
         "rev", F.row_number().over(W.partitionBy().orderBy("day")).alias("i")
-    ).localCheckpoint()
+    ).transform(materialize)
 
 
 @register(
@@ -3958,7 +3959,7 @@ def dq_outlier_mad(spark, sf_dir):
     g = (
         v.groupBy("event_type", "cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     wcum = (
         W.partitionBy("event_type")
@@ -4330,7 +4331,7 @@ def timeseries_theil_sen(spark, sf_dir):
             F.col("pct")[0].alias("lo"),
             F.col("pct")[1].alias("hi"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     withb = pairs.crossJoin(F.broadcast(stats))
     below = withb.filter(F.col("slope") < F.col("lo")).agg(
@@ -4352,7 +4353,7 @@ def timeseries_theil_sen(spark, sf_dir):
                 F.col("slope"),
             )
         ).alias("slope_med"),
-    ).localCheckpoint()
+    ).transform(materialize)
     resid = idx.crossJoin(F.broadcast(med)).select(
         (
             F.col("rev").cast("double")
@@ -4626,7 +4627,7 @@ def dq_freshness_lag(spark, sf_dir):
             F.max("ts").alias("last_ts"),
             F.unix_micros(F.max("ts")).cast("bigint").alias("last_us"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     g = t.agg(F.max("last_us").cast("bigint").alias("global_us"))
     return t.crossJoin(F.broadcast(g)).select(

@@ -139,6 +139,7 @@ def join_bucketed(spark, sf_dir):
 from contextlib import contextmanager
 
 from xml_to_parquet_spark.io_paths import committed, scratch_dir
+from xml_to_parquet_spark.materialize import materialize
 
 
 @contextmanager
@@ -592,7 +593,7 @@ def pareto_frontier(spark, sf_dir):
                 )
             ),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     w_local = (
         Window.partitionBy("bucket")

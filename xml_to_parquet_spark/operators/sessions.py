@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from xml_to_parquet_spark.operators.dedup import _hexval
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
 
@@ -291,7 +292,7 @@ def funnel_conversion(spark, sf_dir):
         ev.filter(F.col("event_type") == "view")
         .groupBy("user_id")
         .agg(F.min("ts").alias("t1"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     c = (
         ev.filter(F.col("event_type") == "click")
@@ -299,7 +300,7 @@ def funnel_conversion(spark, sf_dir):
         .filter(F.col("ts") > F.col("t1"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t2"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     p = (
         ev.filter(F.col("event_type") == "purchase")

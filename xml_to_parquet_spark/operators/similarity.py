@@ -537,6 +537,7 @@ def sim_ivf_persist(spark, sf_dir):
 # the persisted-index variant answers the exact same query as sim_ivf, so
 # it shares sim_ivf's oracle verbatim
 from xml_to_parquet_spark.registry import REGISTRY as _REG  # noqa: E402
+from xml_to_parquet_spark.materialize import materialize
 
 _REG["sim_ivf_persist"].oracle = _REG["sim_ivf"].oracle
 
@@ -1616,8 +1617,8 @@ def hnsw_beam_search(emb):
     # full kNN subtree per round — measured 9.7s -> ~4s warm at sf0.1).
     # Same localCheckpoint device as the LPA/BFS iterations; a serving
     # deployment persists them to the lake and pays this once, offline.
-    e1 = _edges(lvl1, same_label=False, k=HNSW_K1).localCheckpoint()
-    e0 = _edges(emb, same_label=True, k=HNSW_K0).localCheckpoint()
+    e1 = _edges(lvl1, same_label=False, k=HNSW_K1).transform(materialize)
+    e0 = _edges(emb, same_label=True, k=HNSW_K0).transform(materialize)
     q = (
         emb.filter(F.col("vec_id") == 0)
         .select(F.col("embedding").alias("ea"))
@@ -1628,7 +1629,7 @@ def hnsw_beam_search(emb):
             ).alias("qe")
         )
         # 1-row probe, referenced by every round's scoring join
-        .localCheckpoint()
+        .transform(materialize)
     )
     beam = lvl1.agg(F.min("vec_id").alias("vec_id"))
     wb = W.orderBy(F.desc("cos"), "vec_id")
@@ -1662,7 +1663,7 @@ def hnsw_beam_search(emb):
         # preserves the inspectable scoring shape (broadcast candidate
         # set + checkpointed index scans) the plan pin asserts.
         if rnd < len(layer_plan) - 1:
-            beam = beam.localCheckpoint()
+            beam = beam.transform(materialize)
     return beam.select(
         "vec_id", F.row_number().over(wb).cast("bigint").alias("rank"), "cos"
     )
@@ -1893,7 +1894,7 @@ def sim_diversity_mmr(spark, sf_dir):
         scored.withColumn("rr", F.row_number().over(w_rel))
         .filter(F.col("rr") <= MMR_CAND)
         .select("query_id", "cid", "embedding", "rel")
-        .localCheckpoint()  # tiny; cuts the corpus scan out of every round
+        .transform(materialize)  # tiny; cuts the corpus scan out of every round
     )
     a = cand.select("query_id", F.col("cid").alias("a"), F.col("embedding").alias("ea"))
     b = cand.select(
@@ -1906,7 +1907,7 @@ def sim_diversity_mmr(spark, sf_dir):
             "query_id", "a", "b",
             F.round(dot(F.col("ea"), F.col("eb")), 6).alias("sim"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     p1 = (
         cand.withColumn("rn", F.row_number().over(w_rel))
@@ -1949,7 +1950,7 @@ def sim_diversity_mmr(spark, sf_dir):
                 F.lit(k).cast("bigint").alias("pick"),
             )
         )
-        pk = pk.localCheckpoint()  # freeze the greedy state per round
+        pk = pk.transform(materialize)  # freeze the greedy state per round
         picks.append(pk)
         sel = sel.unionByName(pk.select("query_id", "cid"))
     out = picks[0]

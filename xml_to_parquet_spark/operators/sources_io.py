@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from xml_to_parquet_spark.io_paths import has_data_files, scratch_dir
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 _ORACLE = """
     SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
@@ -41,11 +42,21 @@ def _slice(spark, sf_dir):
 def _layout_file_count(df) -> int:
     """Scale-adaptive range-partition count for sorted/z-order layout
     writes (r16-opt, guide §6): one range per scan split — proportional
-    to input bytes (~maxPartitionBytes each), so output files stay in the
-    100 MB–1 GB band at any scale — with a floor of the session
-    parallelism so the write keeps every core busy at test scale. The
-    previous literal 8 was a local-mode constant: at 100 TB it would have
-    produced 8 multi-TB files."""
+    to input bytes (~maxPartitionBytes each) — with a floor of the
+    session parallelism so the write keeps every core busy at test
+    scale. The previous literal 8 was a local-mode constant: at 100 TB
+    it would have produced 8 multi-TB files. Output file sizes are
+    BOUNDED BY the split size, not pinned to it: both callers write a
+    narrow projection of a wider scan split, so real files land
+    proportionally below maxPartitionBytes by the projected/total width
+    ratio (ADVICE r16) — still input-proportional, never a constant.
+
+    PRECONDITION (ADVICE r16): ``df`` must be a pure scan+project frame.
+    ``.rdd.getNumPartitions()`` on such a plan just asks the file index
+    for its split count; on a plan containing shuffles it would
+    materialize upstream AQE query stages (run real jobs) merely to read
+    a partition count. Both call sites pass the scanned table slice
+    directly."""
     return max(
         df.rdd.getNumPartitions(), df.sparkSession.sparkContext.defaultParallelism
     )
@@ -1594,7 +1605,7 @@ def _fragmented_manifest(spark, sf_dir):
         )
     )
     # manifest-sized materialization
-    return man.localCheckpoint()
+    return man.transform(materialize)
 
 
 @register(
@@ -1830,7 +1841,7 @@ def lake_clustering_depth(spark, sf_dir):
             F.min("o_orderkey").alias("mn"),
             F.max("o_orderkey").alias("mxk"),
         )
-        .localCheckpoint()
+        .transform(materialize)
     )
     man = bman.select(
         F.lit("key_banded").alias("layout"), "file_id", "n_rows", "mn", "mxk"
@@ -1842,7 +1853,7 @@ def lake_clustering_depth(spark, sf_dir):
             F.col("min_key").alias("mn"),
             F.col("max_key").alias("mxk"),
         )
-    ).localCheckpoint()
+    ).transform(materialize)
     a = man.alias("a")
     b = man.alias("b")
     ov = (

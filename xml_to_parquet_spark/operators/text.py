@@ -12,6 +12,7 @@ from pyspark.sql import functions as F
 from xml_to_parquet_spark.functions.text_fns import TOKENS_DUCK, TOKENS_SQL, STOPWORDS
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 _SW_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
@@ -277,7 +278,7 @@ def text_tfidf(spark, sf_dir):
         table(spark, sf_dir, "documents")
         .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
         .filter(F.size("toks") > 0)
-        .localCheckpoint()
+        .transform(materialize)
     )
     terms = docs.select("doc_id", F.explode("toks").alias("term"))
     n_docs = docs.agg(F.count(F.lit(1)).alias("n"))
@@ -449,7 +450,7 @@ def text_quality_unigram_lm(spark, sf_dir):
         .select("doc_id", F.explode(F.expr(TOKENS_SQL)).alias("t"))
     )
     freq = (
-        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).localCheckpoint()
+        tok.groupBy("t").agg(F.count(F.lit(1)).alias("c")).transform(materialize)
     )
     tot = freq.agg(F.sum("c").alias("n"))
     return (
@@ -523,7 +524,7 @@ def text_quality_gopher(spark, sf_dir):
         .filter(F.length("text") > 0)
         .select("doc_id", "text", F.expr(TOKENS_SQL).alias("toks"))
     )
-    toksrc = docs.select("doc_id", "toks").localCheckpoint()
+    toksrc = docs.select("doc_id", "toks").transform(materialize)
     tok = toksrc.select("doc_id", F.explode("toks").alias("t"))
     ttop = (
         tok.groupBy("doc_id", "t")
@@ -806,7 +807,7 @@ def text_perplexity_bigram(spark, sf_dir):
             ).alias("b"),
         )
         .select("doc_id", "b.t1", "b.t2")
-        .localCheckpoint()
+        .transform(materialize)
     )
     c2 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
@@ -1044,7 +1045,7 @@ def text_bm25_topk(spark, sf_dir):
             F.expr(f"filter(toks, t -> t IN ({inlist}))").alias("qtoks"),
         )
         .filter(F.col("dl") > 0)
-        .localCheckpoint()
+        .transform(materialize)
     )
     stats = compact.agg(
         F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_len")
@@ -1651,7 +1652,7 @@ def text_zipf_rank(spark, sf_dir):
         F.row_number()
         .over(Window.partitionBy().orderBy(F.desc("freq"), "term"))
         .cast("bigint"),
-    ).localCheckpoint()
+    ).transform(materialize)
     pts = ranked.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("freq").cast("double")).alias("y"),
@@ -1803,7 +1804,7 @@ def text_textrank(spark, sf_dir):
         .distinct()
     )
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
-    edges_d = edges.join(deg, "src").localCheckpoint()
+    edges_d = edges.join(deg, "src").transform(materialize)
     # node count and rank init read the CHECKPOINTED decorated edge list —
     # deg sits upstream of the checkpoint, so counting it directly would
     # re-run the whole corpus bigram explode a second time (measured ~1.5s
@@ -1830,7 +1831,7 @@ def text_textrank(spark, sf_dir):
                 F.lit(teleport)
                 + F.expr(f"({TR_DAMP_NUM} * contrib) div {TR_DAMP_DEN}")
             ).alias("r"),
-        ).localCheckpoint()
+        ).transform(materialize)
     # r16-opt (guide §2.4 / the orderby_limit device): the top-K was a
     # row_number window over the WHOLE vocabulary in one reducer (the
     # allowlisted Heaps-bounded sort); orderBy().limit(K) plans as

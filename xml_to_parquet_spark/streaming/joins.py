@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from xml_to_parquet_spark.registry import register
 from xml_to_parquet_spark.streaming.windows import _drain, _events_stream
+from xml_to_parquet_spark.materialize import materialize
 
 
 @register(
@@ -131,7 +132,7 @@ def stream_foreach_batch(spark, sf_dir):
                 .cast("double")
                 .alias("total_value"),
             )
-            .localCheckpoint()  # materialize before the staging dir is removed
+            .transform(materialize)  # materialize before the staging dir is removed
         )
     finally:
         shutil.rmtree(out, ignore_errors=True)
@@ -523,7 +524,7 @@ def stream_cdc_apply(spark, sf_dir):
                 F.min("o_orderkey").alias("min_key"),
                 F.max("o_orderkey").alias("max_key"),
             )
-            .localCheckpoint()  # materialize before the version dirs vanish
+            .transform(materialize)  # materialize before the version dirs vanish
         )
     finally:
         shutil.rmtree(root, ignore_errors=True)
