@@ -871,22 +871,43 @@ def mm_caption_dedup(spark, sf_dir):
     contract the oracle checks. A pipeline that runs BOTH operators in
     one session should materialize the pair list once
     (``materialize(mm_image_dedup(...))``) and feed it to this
-    tier; the recompute here costs ~2.1s of the 4.6s sf0.1 runtime and
-    is the deliberate price of keeping each registry entry
-    self-contained."""
+    tier; the in-plan recompute is the deliberate price of keeping each
+    registry entry self-contained.
+
+    r17-opt (guide §2.3/§2.4, VERDICT r16 #1 re-litigation): the lazy
+    form computed caption features (normalize + md5 + tokenize + 3-gram
+    shingle) over the FULL corpus TWICE — once per pair side — while the
+    inner joins ultimately keep only pair-member docs (before-plan: 3
+    documents FileScans). Now the materialized pair list (pairs fan into
+    the id set AND the scoring join — without the barrier the whole
+    phash pipeline would run twice) semi-join-prunes documents to pair
+    members BEFORE any caption feature is computed, and the pruned
+    feature table materializes once for both join sides (after-plan: 2
+    documents FileScans, one of them id-only for the phash tier; both
+    caption passes gone from the served plan). Feature values on the
+    surviving docs are byte-identical — pruning only removes rows the
+    inner joins dropped. Interleaved A/B at sf0.1: XX_AB_PLACEHOLDER.
+    At 100 TB this is the §8 lesson verbatim: never tokenize a corpus to
+    serve a collision-pair-sized decision set."""
     from xml_to_parquet_spark.functions.text_fns import (
         TOKENS_SQL,
         shingles_sql,
     )
+    from xml_to_parquet_spark.materialize import materialize
 
-    pairs = mm_image_dedup(spark, sf_dir)
+    pairs = materialize(mm_image_dedup(spark, sf_dir))
+    pair_ids = (
+        pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+        .distinct()
+    )
     norm = F.trim(
         F.regexp_replace(
             F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9 ]", ""), " +", " "
         )
     )
-    cap = (
+    cap = materialize(
         table(spark, sf_dir, "documents")
+        .join(pair_ids, "doc_id", "leftsemi")
         .select("doc_id", F.md5(norm).alias("nh"), F.expr(TOKENS_SQL).alias("toks"))
         .select(
             "doc_id",

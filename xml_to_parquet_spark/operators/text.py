@@ -784,31 +784,36 @@ def text_perplexity_bigram(spark, sf_dir):
     averaged then rounded to 4 decimals — the same contract
     text_quality_unigram_lm has held green since r2.
 
-    r16-opt (guide §2.4): the exploded bigram list fans into FOUR
-    consumers (c2, c1, the vocabulary size, and the scoring join's probe
-    side) and as a lazy subtree re-ran the scan + tokenize + explode
-    once per consumer (before-plan: 8 FileScans / 16 Exchanges). It now
-    materializes once. Results identical (oracle re-verified both SFs)."""
+    r16-opt (guide §2.4): the bigram list fans into FOUR consumers (c2,
+    c1, the vocabulary size, and the scoring join's probe side) and as a
+    lazy subtree re-ran the scan + tokenize + explode once per consumer
+    (before-plan: 8 FileScans / 16 Exchanges). r17-opt (VERDICT r16 #2):
+    r16 materialized the EXPLODED (doc_id, t1, t2) rows — one row per
+    adjacent token pair, a larger-than-corpus intermediate pushed to
+    executor-local disk at 100 TB (guide §5 spill risk) and the one
+    violation of the repo's own compact-array rule (text_tfidf,
+    text_bm25_topk, curate_decontaminate all checkpoint per-doc arrays
+    and explode map-side). Now the checkpoint holds the per-doc ``toks``
+    ARRAYS (rows ≤ documents — checkpoint-width audit green) and every
+    consumer re-derives its bigrams by map-side explode from the
+    in-memory arrays. Results identical (oracle re-verified both SFs)."""
     tok = (
         table(spark, sf_dir, "documents")
         .filter(F.length("text") > 0)
         .select("doc_id", F.expr(TOKENS_SQL).alias("toks"))
         .filter(F.size("toks") >= 2)
-    )
-    bg = (
-        tok.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(toks) - 1), i -> "
-                    "struct(element_at(toks, i) AS t1, "
-                    "element_at(toks, i + 1) AS t2))"
-                )
-            ).alias("b"),
-        )
-        .select("doc_id", "b.t1", "b.t2")
         .transform(materialize)
     )
+    bg = tok.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(toks) - 1), i -> "
+                "struct(element_at(toks, i) AS t1, "
+                "element_at(toks, i + 1) AS t2))"
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.t1", "b.t2")
     c2 = bg.groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = bg.groupBy("t1").agg(F.count(F.lit(1)).alias("c1"))
     v = bg.agg(F.countDistinct("t2").alias("vsz"))

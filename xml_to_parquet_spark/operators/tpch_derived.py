@@ -139,20 +139,56 @@ def q2_min_cost_supplier(spark, sf_dir):
     oracle compares like to like.
 
     Scale shape: supplier/nation/region dims broadcast by hint (fixed/
-    sublinear), part by statistics (SF-linear, hint-free) into the
-    partsupp probe; the only exchanges are the window partition by
+    sublinear); the only exchanges are the window partition by
     p_partkey and the final TakeOrderedAndProject (unique ordering chain
-    s_acctbal DESC → n_name → s_name → p_partkey, so LIMIT is stable)."""
-    ps = partsupp(spark, sf_dir)
+    s_acctbal DESC → n_name → s_name → p_partkey, so LIMIT is stable).
+
+    r17-opt (guide §2.3/§2.4, VERDICT r16 #8): the generic partsupp()
+    helper derives from an UNFILTERED part scan, so SF-linear part was
+    scanned twice (once inside the derivation, once as the filtered join
+    probe) and joined back to itself. partsupp columns are a pure
+    function of (p_partkey, k, supplier-count), so the derivation now
+    rides directly on the FILTERED part rows: one part scan, no
+    ps↔p join at all (before-plan 6 FileScans / part ×2; after 5 / part
+    ×1). Equivalence: the old join kept exactly the derived (pk, sk)
+    pairs whose pk survives the part filter — deriving from the
+    surviving rows yields the same set, and the global DISTINCT over
+    (pk, sk) partitions by pk (p_brand is functionally dependent on the
+    unique p_partkey), so pruning before DISTINCT drops only rows the
+    join dropped. Oracle re-verified at both SFs."""
+    ns = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n"))
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") <= 25) & (F.col("p_type") == "ECONOMY")
     )
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     r = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    ps_scoped = (
+        p.select("p_partkey", "p_brand")
+        .crossJoin(F.broadcast(ns))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            "p_brand",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PS_PER_PART - 1}), "
+                    f"k -> (p_partkey * 13 + k * {PS_STEP}) % n)"
+                )
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            F.col("ps_partkey").alias("p_partkey"),
+            "p_brand",
+            "ps_suppkey",
+            (
+                (10000 + F.expr(_ps_hex_spark("#")) % 90000)
+                / F.lit(100).cast("double")
+            ).alias("ps_supplycost"),
+        )
+    )
     cand = (
-        ps.join(p, ps.ps_partkey == p.p_partkey)
-        .join(F.broadcast(s), ps.ps_suppkey == s.s_suppkey)
+        ps_scoped.join(F.broadcast(s), ps_scoped.ps_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .select(
@@ -350,12 +386,39 @@ def q20_potential_promotion(spark, sf_dir):
     Scale shape: lineitem aggregates ONCE (filter pushed to the scan),
     then joins the much smaller partsupp side; the supplier/nation dims
     broadcast; semi-join via distinct-then-join keeps one row per
-    supplier."""
-    ps = partsupp(spark, sf_dir)
+    supplier.
+
+    r17-opt (guide §2.3/§2.4, VERDICT r16 #8): same fusion as q2 — the
+    generic partsupp() helper scanned SF-linear part a second time just
+    to re-join the filter. partsupp columns are a pure function of
+    (p_partkey, k, supplier-count), so the derivation now rides on the
+    FILTERED part rows directly: one part scan, no ps↔p join
+    (before-plan 7 FileScans / part ×2; after 6 / part ×1). Equivalence
+    argument as in q2 (derive-after-prune yields exactly the pairs the
+    pruning join kept). Oracle re-verified at both SFs."""
+    ns = _t(spark, sf_dir, "supplier").agg(F.count(F.lit(1)).alias("n"))
     p = (
         _t(spark, sf_dir, "part")
         .filter(F.col("p_type") == Q20_TYPE)
         .select("p_partkey")
+    )
+    ps = (
+        p.crossJoin(F.broadcast(ns))
+        .select(
+            F.col("p_partkey").alias("ps_partkey"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, {PS_PER_PART - 1}), "
+                    f"k -> (p_partkey * 13 + k * {PS_STEP}) % n)"
+                )
+            ).alias("ps_suppkey"),
+        )
+        .distinct()
+        .select(
+            "ps_partkey",
+            "ps_suppkey",
+            (1 + F.expr(_ps_hex_spark("|")) % 1000).alias("ps_availqty"),
+        )
     )
     shipped = (
         _t(spark, sf_dir, "lineitem")
@@ -366,8 +429,7 @@ def q20_potential_promotion(spark, sf_dir):
         .agg(F.sum("l_quantity").alias("qty"))
     )
     qualifying = (
-        ps.join(p, ps.ps_partkey == p.p_partkey)
-        .join(
+        ps.join(
             shipped,
             (ps.ps_partkey == shipped.l_partkey)
             & (ps.ps_suppkey == shipped.l_suppkey),
